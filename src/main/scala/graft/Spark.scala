@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession factory: every entry point (Verify, Bench, tests)
+  * gets the same scale-oriented defaults.
+  *
+  *  - shuffle.partitions = cpu count (local mode; a real cluster deploy
+  *    would size this to 2-3x total cores — it is a config, not code).
+  *  - AQE on: runtime coalescing + skew-join handling, the knobs SURVEY §4
+  *    calls out for the 100 TB path.
+  *  - parquet nanos-as-long: the driver testdata's `events.ts` is
+  *    TIMESTAMP(NANOS), which vanilla Spark refuses; reading it as a long
+  *    of epoch-nanos keeps the arithmetic integer-exact.
+  */
+object Spark {
+  def session(master: Option[String] = None): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(master.getOrElse(s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

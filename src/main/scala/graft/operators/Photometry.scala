@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.core.Ensemble
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Derived-column and aggregation operators over the Ensemble
+  * (reference SURVEY.md §2.2/§2.4): per-object observation counts, pruning,
+  * time binning, flux→magnitude conversion, column coalescing, day-gap
+  * histogram.
+  *
+  * All operators are single-code-path declarative plans — the reference's
+  * `use_map` / known-divisions dual paths collapse because Catalyst already
+  * does partial (map-side) aggregation and exchange reuse.
+  */
+object Photometry {
+
+  implicit class PhotometryOps(private val ens: Ensemble) extends AnyVal {
+    import Ensemble.{ObjectLabel, SourceLabel}
+
+    /** Per-object observation counts joined onto the object table.
+      * `byBand=true` adds one `nobs_<band>` column per observed band plus
+      * `nobs_total` (reference calc_nobs, ensemble.py:773-870 — the
+      * known-divisions pivot fast path and the global value_counts path
+      * collapse to one groupBy/pivot plan here).
+      *
+      * Scale: one shuffle on id with map-side partial counts; the band
+      * pivot is computed in the same aggregate (no extra pass). The
+      * distinct-bands collect is a tiny driver-side action (bands are
+      * low-cardinality by construction). */
+    def calcNobs(byBand: Boolean = false, temporary: Boolean = true): Ensemble = {
+      val cm = ens.colMap
+      val src = ens.source
+      val counts: DataFrame = if (byBand) {
+        val bands = src.select(col(cm.band).cast("string")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val pivoted = src.groupBy(col(cm.id))
+          .pivot(col(cm.band).cast("string"), bands)
+          .count().na.fill(0L, bands)
+        val renamed = bands.foldLeft(pivoted) { (d, b) =>
+          d.withColumnRenamed(b, s"nobs_$b")
+        }
+        renamed.withColumn("nobs_total",
+          bands.map(b => col(s"nobs_$b")).reduce(_ + _))
+      } else {
+        src.groupBy(col(cm.id)).agg(count(lit(1)).as("nobs_total"))
+      }
+      val newCols = counts.columns.filterNot(_ == cm.id).toSeq
+      val obj = ens.objectFrame.drop(newCols: _*)
+        .join(counts, Seq(cm.id), "left")
+      ens.updateFrame(ObjectLabel, obj)
+      if (temporary) ens.registerTemp(ObjectLabel, newCols)
+      ens
+    }
+
+    /** Drop objects with fewer than `threshold` observations (reference
+      * prune, ensemble.py:872-904). Marks the object table dirty so sources
+      * of pruned objects are trimmed at the next source read. */
+    def prune(threshold: Int, colName: String = "nobs_total"): Ensemble = {
+      if (!ens.objectFrame.columns.contains(colName))
+        calcNobs(byBand = false, temporary = true)
+      ens.updateFrame(ObjectLabel,
+        ens.objectFrame.filter(col(colName) >= lit(threshold)))
+      ens.markDirty(ObjectLabel)
+      ens
+    }
+
+    /** Bin sources in time per (id, band): flux/time → mean, err →
+      * sqrt(Σerr²)/count, optional per-bin count column, per-column agg
+      * overrides (reference bin_sources, ensemble.py:956-1052 — the custom
+      * Dask partial/final aggregation collapses to composed built-in
+      * expressions, which Catalyst evaluates with map-side partials).
+      * Non-critical extra columns keep their first value per bin. */
+    def binSources(
+        timeWindow: Double = 1.0,
+        offset: Double = 0.0,
+        countCol: Option[String] = None,
+        customAggr: Map[String, Column] = Map.empty
+    ): Ensemble = {
+      val cm = ens.colMap
+      val src = ens.source
+      val bin = (floor((col(cm.time) + lit(offset)) / lit(timeWindow)) *
+        lit(timeWindow)).as("__tmp_time_bin")
+      val defaultAgg: Map[String, Column] = Map(
+        cm.time -> avg(col(cm.time)).as(cm.time),
+        cm.flux -> avg(col(cm.flux)).as(cm.flux),
+        cm.err -> (sqrt(sum(col(cm.err) * col(cm.err))) /
+          count(col(cm.err))).as(cm.err)
+      )
+      // Only aggregated columns survive, like the reference's aggr_funs
+      // dict (ensemble.py:1010-1038) — extra columns are dropped.
+      val overridden = defaultAgg ++ customAggr.map { case (k, v) => k -> v.as(k) }
+      val aggs = overridden.values.toSeq ++
+        countCol.map(c => count(lit(1)).as(c)).toSeq
+      val binned = src
+        .groupBy(col(cm.id), col(cm.band), bin)
+        .agg(aggs.head, aggs.tail: _*)
+        .drop("__tmp_time_bin")
+      ens.updateFrame(SourceLabel, binned)
+      ens.markDirty(SourceLabel)
+      ens
+    }
+
+    /** Convert flux to AB-style magnitude with error propagation
+      * (reference convert_flux_to_mag, ensemble.py:2110-2189):
+      * zp expressed as a flux: mag = -2.5·log10(flux/zp);
+      * zp expressed as a mag:  mag = -2.5·log10(flux) + zp;
+      * err_mag = (2.5/ln 10)·(err/flux). `zeroPoint` may be a column name
+      * or a literal. Pure `functions._` — fully codegen'd. */
+    def convertFluxToMag(
+        zeroPoint: Either[String, Double],
+        zpForm: String = "mag",
+        outColName: Option[String] = None
+    ): Ensemble = {
+      val cm = ens.colMap
+      val zp: Column = zeroPoint match {
+        case Left(name) => col(name)
+        case Right(v)   => lit(v)
+      }
+      val magCol = outColName.getOrElse(cm.flux + "_mag")
+      val magErrCol = outColName.map(_ + "_err").getOrElse(cm.err + "_mag")
+      val mag = zpForm match {
+        case "flux" => lit(-2.5) * log10(col(cm.flux) / zp)
+        case "mag"  => lit(-2.5) * log10(col(cm.flux)) + zp
+        case other =>
+          throw new IllegalArgumentException(s"unknown zp_form $other")
+      }
+      val magErr = (lit(2.5) / log(lit(10.0))) * (col(cm.err) / col(cm.flux))
+      ens.updateFrame(SourceLabel,
+        ens.source.withColumn(magCol, mag).withColumn(magErrCol, magErr))
+      ens
+    }
+
+    /** First non-NaN/non-null value across columns (reference
+      * EnsembleFrame.coalesce, ensemble_frame.py:1136-1208). NaN is
+      * normalized to null first so SQL COALESCE skips it. If a dropped
+      * input was a critical column, the ColumnMap is re-pointed at the
+      * output (ensemble_frame.py:1186-1200). */
+    def coalesceCols(
+        inputCols: Seq[String],
+        outputCol: String,
+        table: String = SourceLabel,
+        dropInputs: Boolean = false
+    ): Ensemble = {
+      val df = ens.frame(table)
+      val isFloating = inputCols.forall { c =>
+        df.schema(c).dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+              org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+      }
+      val normalized = inputCols.map { c =>
+        if (isFloating) when(isnan(col(c)), lit(null)).otherwise(col(c))
+        else col(c)
+      }
+      var out = df.withColumn(outputCol, coalesce(normalized: _*))
+      if (dropInputs) {
+        out = out.drop(inputCols.filterNot(_ == outputCol): _*)
+        val cm = ens.colMap
+        Seq("id" -> cm.id, "time" -> cm.time, "flux" -> cm.flux,
+          "err" -> cm.err, "band" -> cm.band).foreach { case (role, c) =>
+          if (inputCols.contains(c) && c != outputCol)
+            ens.colMap = ens.colMap.remap(role, outputCol)
+        }
+      }
+      ens.updateFrame(table, out)
+      ens
+    }
+
+    /** Histogram of hour-of-day source counts; returns the midpoint (in
+      * days) of the longest empty wrapping run, or None if every hour is
+      * populated (reference find_day_gap_offset, ensemble.py:906-954).
+      * One tiny 24-bin aggregate; the scan is the only cost. */
+    def findDayGapOffset(): Option[Double] = {
+      val cm = ens.colMap
+      val counts = ens.source
+        .groupBy((floor(col(cm.time) * 24) % 24).cast("int").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val occupied = (0 until 24).map(h => counts.getOrElse(h, 0L) > 0L)
+      if (occupied.forall(identity)) return None
+      // longest empty run over the wrapped 24-hour cycle
+      val doubled = occupied ++ occupied
+      var bestLen = 0; var bestStart = 0
+      var curLen = 0; var curStart = 0
+      doubled.indices.foreach { i =>
+        if (!doubled(i)) {
+          if (curLen == 0) curStart = i
+          curLen += 1
+          if (curLen > bestLen && curStart < 24) {
+            bestLen = math.min(curLen, 24); bestStart = curStart
+          }
+        } else curLen = 0
+      }
+      val mid = (bestStart + bestLen / 2.0) % 24
+      Some(mid / 24.0)
+    }
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sources
+
+import graft.core.{ColumnMap, Ensemble}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Ingestion / persistence surface (reference: Ensemble.from_parquet
+  * ensemble.py:1920-2006, from_dask_dataframe :1586-1665, save_ensemble
+  * :1315-1430, from_ensemble :1432-1533, ensemble_readers.py).
+  *
+  * Spark-first notes:
+  *  - Parquet column pruning and row-group splitting are automatic; the
+  *    reference's `additional_cols=False` becomes a `.select` that Catalyst
+  *    pushes into the scan (ReadSchema).
+  *  - The reference's `set_index(sorted=...)` (Dask divisions) becomes
+  *    `repartitionByRange(id) + sortWithinPartitions(id, time)` — done once
+  *    at ingest when `sortLightcurves=true`, after which every
+  *    per-lightcurve operator reuses the layout.
+  *  - Hive-style partition dirs (the HiPSCat `Norder=/Dir=/Npix=` layout,
+  *    ensemble.py:1667-1758) are read natively by Spark's parquet source.
+  */
+object EnsembleIO {
+
+  /** Read a source (and optionally object) parquet into a new Ensemble.
+    * Reference Ensemble.from_parquet, ensemble.py:1920-2006. */
+  def fromParquet(
+      spark: SparkSession,
+      sourceFile: String,
+      colMap: ColumnMap,
+      objectFile: Option[String] = None,
+      additionalCols: Boolean = true,
+      sortLightcurves: Boolean = false,
+      npartitions: Option[Int] = None,
+      syncTables: Boolean = true,
+      keepEmptyObjects: Boolean = false
+  ): Ensemble = {
+    colMap.assertReady()
+    var src = spark.read.parquet(sourceFile)
+    if (!additionalCols) // prune to the 5 critical roles (ensemble.py:1979-1982)
+      src = src.select(colMap.criticalCols.map(col): _*)
+    fromDataFrame(spark, src, colMap,
+      objectDf = objectFile.map(spark.read.parquet(_)),
+      sortLightcurves = sortLightcurves, npartitions = npartitions,
+      syncTables = syncTables, keepEmptyObjects = keepEmptyObjects)
+  }
+
+  /** Build an Ensemble from existing DataFrames; generates the object table
+    * from distinct source ids when absent (reference from_dask_dataframe
+    * ensemble.py:1586-1665 + _generate_object_table :2191-2194). */
+  def fromDataFrame(
+      spark: SparkSession,
+      sourceDf: DataFrame,
+      colMap: ColumnMap,
+      objectDf: Option[DataFrame] = None,
+      sortLightcurves: Boolean = false,
+      npartitions: Option[Int] = None,
+      syncTables: Boolean = true,
+      keepEmptyObjects: Boolean = false
+  ): Ensemble = {
+    colMap.assertReady()
+    val ens = new Ensemble(spark, colMap, keepEmptyObjects)
+    ens.setSource(sourceDf)
+    objectDf match {
+      case Some(obj) =>
+        ens.setObject(obj)
+        if (syncTables) { // loaded object may not align with source
+          ens.markDirty(Ensemble.SourceLabel)
+          ens.markDirty(Ensemble.ObjectLabel)
+          ens.syncTables()
+        }
+      case None =>
+        ens.setObject(sourceDf.select(col(colMap.id)).distinct())
+    }
+    if (sortLightcurves) ens.sortLightcurves(numPartitions = npartitions)
+    else npartitions.foreach(n => ens.repartition(n))
+    ens
+  }
+
+  /** Build a source table from in-memory columns (reference
+    * from_source_dict, ensemble.py:2068-2108). */
+  def fromRows(
+      spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      colMap: ColumnMap
+  ): Ensemble =
+    fromDataFrame(spark,
+      spark.createDataFrame(rows.asJava, schema), colMap)
+
+  /** Write every tracked frame to `<dir>/<label>/` as parquet plus an
+    * `ensemble_metadata.json` (reference save_ensemble,
+    * ensemble.py:1315-1430). Empty object frames (id-only) are skipped on
+    * read, mirroring the reference's 0-column skip. */
+  def saveEnsemble(ens: Ensemble, dir: String): Unit = {
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val labels = ens.frameLabels
+    // remove stale subdirs from prior saves (ensemble.py:1398-1410)
+    if (Files.exists(base)) {
+      Files.list(base).iterator().asScala
+        .filter(p => Files.isDirectory(p) && !labels.contains(p.getFileName.toString))
+        .foreach(deleteRecursively)
+    }
+    labels.foreach { label =>
+      ens.frame(label).write.mode("overwrite").parquet(s"$dir/$label")
+    }
+    val cm = ens.colMap
+    val json =
+      s"""{"subdirs": [${labels.map(l => "\"" + l + "\"").mkString(", ")}],
+         | "column_mapper": {"id": "${cm.id}", "time": "${cm.time}",
+         |  "flux": "${cm.flux}", "err": "${cm.err}", "band": "${cm.band}"}}"""
+        .stripMargin
+    Files.writeString(base.resolve("ensemble_metadata.json"), json)
+  }
+
+  /** Read a saved ensemble layout back (reference from_ensemble,
+    * ensemble.py:1432-1533). */
+  def fromEnsemble(spark: SparkSession, dir: String): Ensemble = {
+    val metaPath = Paths.get(dir, "ensemble_metadata.json")
+    val meta = Files.readString(metaPath)
+    def field(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]+)\"").r
+      m.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalStateException(s"missing $k in $metaPath"))
+        .group(1)
+    }
+    val cm = ColumnMap(field("id"), field("time"), field("flux"),
+      field("err"), field("band"))
+    val labels = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
+    val ens = new Ensemble(spark, cm)
+    labels.foreach { l => ens.updateFrame(l, spark.read.parquet(s"$dir/$l")) }
+    require(ens.frameLabels.contains(Ensemble.SourceLabel),
+      s"saved ensemble at $dir has no source frame")
+    if (!ens.frameLabels.contains(Ensemble.ObjectLabel))
+      ens.setObject(ens.source.select(col(cm.id)).distinct())
+    ens
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
