@@ -164,6 +164,103 @@ object SparkEntry {
       val ens = eventsEnsemble(s, dir)
       ens.prune(5)
       Ops.AnalysisOps(ens).sf2(sf.SFArgs(binCountTarget = 50))
+    }),
+    "q_features" -> ((s, dir) => {
+      val ens = eventsEnsemble(s, dir)
+      val res = Ops.AnalysisOps(ens).extractFeatures(
+        Seq("mean", "amplitude", "standard_deviation"))
+      res.select(col("user_id"),
+        round(col("mean"), 6).as("mean"),
+        round(col("amplitude"), 6).as("amplitude"),
+        round(col("standard_deviation"), 6).as("standard_deviation"))
+    }),
+    // ---------------------------------------- training-data: text analysis
+    "q_text_stats" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      table(s, dir, "documents").select(col("doc_id"),
+        wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+        round(alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(meanWordLen(col("text")), 6).as("mean_word_len"))
+    }),
+    "q_quality_langid" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      table(s, dir, "documents").select(col("doc_id"),
+        round(qualityScore(col("text")), 6).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"))
+    }),
+    // ------------------------------------------- training-data: dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.dedup.Dedup.exactDuplicateGroups(
+        table(s, dir, "documents"), "text", "doc_id")),
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 40)
+      graft.dedup.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "q_minhash_lsh" -> ((s, dir) => {
+      // rows-only: xxhash64-based signatures aren't reproducible in DuckDB;
+      // accuracy is pinned by DedupSpec (recall vs exact jaccard).
+      // Near-duplicates are planted (suffix-edited copies of the first 25
+      // docs) so the LSH has a real target set; 5-gram shingles at
+      // threshold 0.8 keep the candidate graph sparse, which is the regime
+      // LSH is for — the natural 3-gram overlap of this synthetic corpus
+      // would make ~30% of ALL pairs "duplicates".
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" qq")))
+      graft.dedup.Dedup.minhashLshPairs(docs.unionByName(planted),
+          "text", "doc_id", shingleLen = 5, k = 64, bands = 16,
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "q_simhash" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      docs.select(col("doc_id"),
+        graft.dedup.Dedup.simhash64(col("text")).as("simhash"),
+        size(graft.text.TextAnalysis.winnowingFingerprint(col("text")))
+          .as("n_winnow_hashes"))
+    }),
+    // ------------------------------------- training-data: similarity search
+    "q_knn_cosine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.knnBruteForce(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.similarity.Similarity.nearDupPairs(emb, 0.35, col("label"))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // rows-only: centroid training is driver-side; recall vs brute force
+      // is pinned by SimilaritySpec.
+      val emb = table(s, dir, "embeddings")
+      val centroids = graft.similarity.Similarity.trainCentroids(
+        emb, k = 8, dim = 64)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.knnIvf(emb, queries, k = 5,
+          centroids, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+    // -------------------------------------- training-data: multimodal stub
+    "q_media_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal._
+      val media = syntheticMedia(table(s, dir, "documents"), "doc_id", "text")
+      decodeStub(media).select(col("media_id"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        round(element_at(col("byte_histogram"), 3), 6).as("h_punct"),
+        round(element_at(col("byte_histogram"), 7) +
+          element_at(col("byte_histogram"), 8), 6).as("h_alpha"))
     })
   )
 
@@ -236,8 +333,104 @@ object SparkEntry {
         |FROM ev GROUP BY 1""".stripMargin,
     "q_batch_mean" ->
       """SELECT user_id, round(avg(value), 6) AS mean_value
-        |FROM events GROUP BY user_id""".stripMargin
-    // q_stetson_j, q_sf2: per-lightcurve science, not SQL-expressible →
-    // rows-only checks.
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_features" ->
+      """SELECT user_id, round(avg(value), 6) AS mean,
+        | round((max(value) - min(value)) / 2.0, 6) AS amplitude,
+        | round(stddev_samp(value), 6) AS standard_deviation
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        | round(CASE WHEN len(text) = 0 THEN 0.0
+        |   ELSE len(regexp_extract_all(text, '[A-Za-z]')) / len(text)::DOUBLE END, 6) AS alpha_ratio,
+        | round(CASE WHEN len(text) = 0 THEN 0.0
+        |   ELSE len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) / len(text)::DOUBLE END, 6) AS punct_ratio,
+        | round(CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |   ELSE list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), t -> len(t))) / len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE END, 6) AS mean_word_len
+        |FROM documents""".stripMargin,
+    "q_quality_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, toks,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['the','a','and','is','of','to','in','that'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','es','en','un'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['le','la','de','et','est','un','une','que'], t))) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','you','zai','ta'], t))) AS s_zh,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE len(list_filter(toks, t -> list_contains(['a','and','bu','das','de','der','die','ein','el','en','es','est','et','in','is','ist','la','le','mit','nicht','of','que','shi','ta','that','the','to','un','una','und','une','wo','y','you','zai'], t))) / len(toks)::DOUBLE END AS swr,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE END AS mwl,
+        |    least(len(text) / 200.0, 1.0) AS len_score,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |      ELSE len(regexp_extract_all(text, '[A-Za-z]')) / len(text)::DOUBLE END AS alpha,
+        |    greatest(0.0, 1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+        |      ELSE len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) / len(text)::DOUBLE END) * 4.0) AS punct
+        |  FROM d)
+        |SELECT doc_id,
+        |  round((len_score + alpha + punct +
+        |    CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0
+        |      ELSE greatest(0.0, 1.0 - abs(mwl - 6.5) / 10.0) END) / 4.0, 6) AS quality,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |    ELSE CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+        |      WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+        |      WHEN s_fr THEN 'fr' ELSE 'zh' END END AS lang_pred,
+        |  round(swr, 6) AS stopword_ratio
+        |FROM s""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(nt) < 3 THEN []::VARCHAR[]
+        |      ELSE list_distinct([substr(nt, i, 3) for i in range(1, len(nt) - 1)]) END AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM documents WHERE doc_id < 40)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
+        |      ELSE len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE END AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.6""".stripMargin,
+    "q_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+        |      ELSE list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM p)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.35""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+        | round(len(regexp_extract_all(text, '[ -/]')) / greatest(strlen(text), 1)::DOUBLE, 6) AS h_punct,
+        | round(len(regexp_extract_all(text, '[`-' || chr(127) || ']')) / greatest(strlen(text), 1)::DOUBLE, 6) AS h_alpha
+        |FROM documents""".stripMargin
+    // q_stetson_j, q_sf2, q_minhash_lsh, q_simhash, q_ann_ivf: not
+    // SQL-expressible (per-lightcurve science / xxhash64 signatures /
+    // driver-trained centroids) → rows-only checks; accuracy pinned by
+    // ScalaTest specs instead.
   )
 }

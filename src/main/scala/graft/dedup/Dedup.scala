@@ -1,0 +1,177 @@
+package graft.dedup
+
+import graft.text.TextAnalysis._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact (hash-groupBy),
+  * MinHash + LSH banding, SimHash hamming-distance, and exact n-gram
+  * Jaccard verification. All built from codegen'd Catalyst expressions —
+  * no UDFs.
+  *
+  * Scale design (100 TB): the only shuffles are (a) the groupBy on the
+  * 16-byte fingerprint for exact dedup — minimal key width, map-side
+  * partial aggregation applies — and (b) the LSH band-bucket exchange,
+  * which is the standard linear-work candidate generator; the O(n²)
+  * all-pairs comparison is only ever run *within* a bucket. Exact Jaccard
+  * verification joins the (small) candidate-pair set back to the shingle
+  * arrays — at most 2·|candidates| rows move. AQE's skew-join splitting
+  * handles pathological buckets (e.g. boilerplate shared by millions of
+  * docs); `maxBucketSize` caps them outright.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact duplicate groups by normalized-text fingerprint: one row per
+    * distinct content with the representative (minimum) id and the member
+    * count. Filter `n_dups > 1` for the duplicates themselves. */
+  def exactDuplicateGroups(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.groupBy(fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep exactly one row (minimum id) per distinct normalized text. */
+  def dropExactDuplicates(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val keep = exactDuplicateGroups(df, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------- minhash + LSH
+
+  /** k minhash values of a shingle array: min over shingles of
+    * xxhash64(shingle, seed=i) — one independent hash family member per i.
+    * Returns array<bigint> length k. Native Catalyst expression
+    * (graft.functions.HashExpressions) — one tight loop per row. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    graft.functions.HashExpressions.minhashSignature(shingles, k)
+
+  /** LSH band keys: split the signature into `bands` rows of
+    * `k/bands` values and hash each row. Two documents share a band key
+    * iff that band of their signatures matches exactly. */
+  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val rowSize = k / bands
+    require(rowSize * bands == k, s"bands=$bands must divide k=$k")
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * rowSize + 1, lit(rowSize)),
+            v => v.cast("string"))), b).as("sig")))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * shingle Jaccard.
+    *
+    * Pipeline: shingle → k minhashes → `bands` band keys → explode →
+    * self-join on (band, bandSig) → distinct candidate pairs → join back
+    * to shingle arrays → exact Jaccard ≥ threshold.
+    *
+    * @param maxBucketSize drop degenerate buckets larger than this before
+    *   pairing (boilerplate guard; reported work is lost recall on content
+    *   that duplicates >maxBucketSize times — at that multiplicity exact
+    *   dedup catches it anyway).
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, maxBucketSize: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      charShingles(col(textCol), shingleLen).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sig = sh.select(col("id"), col("shingles"),
+      minhashSignature(col("shingles"), k).as("sig"))
+
+    val buckets = sig
+      .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("bsig"))
+
+    val bucketSizes = buckets.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucketSize)
+    val pruned = buckets.join(bucketSizes, Seq("band", "bsig"), "left_semi")
+
+    val cand = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val withShingles = cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+
+    withShingles
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    bind(size(array_intersect(a, b)).cast("double")) { inter =>
+      bind((size(a) + size(b)).cast("double") - inter) { union =>
+        when(union === 0, lit(0.0)).otherwise(inter / union)
+      }
+    }
+
+  /** Exact all-pairs n-gram Jaccard over a (small/filtered) document set:
+    * the verification baseline the approximate paths are measured against.
+    * O(n²) by construction — use only on bounded subsets; the scalable
+    * path is [[minhashLshPairs]]. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      charShingles(col(textCol), n).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the document's token set: for each bit position,
+    * +1 if the token-hash has the bit set else −1, summed over tokens;
+    * the sign of each sum gives the fingerprint bit. Near-duplicates have
+    * small hamming distance between fingerprints. Composed purely from
+    * array/bit expressions (codegen'd). */
+  def simhash64(textC: Column): Column =
+    graft.functions.HashExpressions.simhash64(tokens(textC))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxDist.
+    * Candidate generation by the pigeonhole principle: split the 64-bit
+    * key into `maxDist+1` chunks — any pair within distance maxDist agrees
+    * exactly on ≥1 chunk — and bucket-join per chunk. Linear work plus
+    * within-bucket pairing, like LSH. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val nChunks = maxDist + 1
+    val chunkBits = 64 / nChunks
+    val keyed = df.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("sh"))
+    val chunks = keyed.select(col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftright", col("sh"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("ck")))).as("e"))
+      .select(col("id"), col("sh"), col("e.chunk").as("chunk"),
+        col("e.ck").as("ck"))
+
+    val sizes = chunks.groupBy("chunk", "ck").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucketSize)
+    val pruned = chunks.join(sizes, Seq("chunk", "ck"), "left_semi")
+
+    pruned.as("a").join(pruned.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

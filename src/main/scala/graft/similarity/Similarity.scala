@@ -1,0 +1,213 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, plus two sub-linear
+  * scale paths — random-hyperplane LSH bucketing and IVF coarse
+  * quantization. Vector math is `zip_with`/`aggregate` over array columns
+  * — codegen'd, no UDFs.
+  *
+  * Scale design (100 TB): brute-force knn broadcasts the (small) query set
+  * so the big side is never shuffled — one scan, partial top-k per
+  * partition via the aggregate pushdown in TopK window + AQE. The LSH and
+  * IVF paths cut the scanned fraction: LSH probes one bucket per plane
+  * signature; IVF probes `nprobe` of `k` coarse cells. Centroids live on
+  * the driver (k·dim doubles — trivially small) and ship as literals, so
+  * cell assignment is a map-only scan that parquet-prunes if the table is
+  * written partitioned by cell id.
+  */
+object Similarity {
+
+  /** Dot product of two numeric array columns (double accumulation,
+    * left-to-right — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Exact brute-force cosine top-k: for every query vector, the k nearest
+    * corpus vectors. Queries are broadcast (must be small — typically a
+    * batch of probes); the corpus is scanned once, never shuffled; ties
+    * break on ascending corpus id for determinism. */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val joined = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qv"))))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All-pairs near-duplicates above a cosine threshold, blocked by a
+    * coarse partition column (e.g. an IVF cell or class label): pairs are
+    * only generated *within* a block, the IVF-style pruning that makes
+    * near-dup feasible beyond toy sizes. Pass a constant column to force a
+    * true (quadratic) all-pairs run. */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+      blockCol: Column, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val keyed = df.select(blockCol.as("__blk"), col(idCol).as("id"),
+      col(vecCol).as("v"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  // ------------------------------------------------ LSH (random hyperplane)
+
+  /** Deterministic pseudo-random hyperplanes (standard normal components
+    * via seeded JVM RNG — same literals on every executor). */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v · plane_i). Vectors with
+    * equal signatures fall in the same cosine-LSH bucket. */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int,
+      seed: Long = 42L): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate knn via hyperplane LSH: candidates = corpus vectors whose
+    * signature matches the query's, ranked by exact cosine within the
+    * bucket. Smaller `nPlanes` → bigger buckets → better recall, more
+    * work. Returns the same schema as [[knnBruteForce]] (recall measured
+    * against it in tests). */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nPlanes: Int = 8, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    val sig = lshSignature(col(vecCol), nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      sig.as("__sig"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qv"), sig.as("__sig"))
+    val joined = c.join(broadcast(q), Seq("__sig"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // --------------------------------------------------- IVF (coarse k-means)
+
+  /** Driver-side k-means over a bounded sample: returns `k` centroids.
+    * Deterministic: seeded sample, ids-ordered init, fixed iterations.
+    * Centroids are tiny (k·dim doubles) — this is metadata, not data. */
+  def trainCentroids(df: DataFrame, k: Int, dim: Int,
+      vecCol: String = "embedding", sampleSize: Int = 2000,
+      iters: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = df.select(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training set")
+    val rng = new java.util.Random(seed)
+    var centroids = Array.tabulate(k)(i => sample(
+      ((rng.nextInt(Int.MaxValue).toLong * sample.length) / Int.MaxValue)
+        .toInt.min(sample.length - 1)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double],
+      cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val x = v(j) - cs(c)(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell id column: index of the nearest centroid (L2), centroids as
+    * literals — a map-only scan. */
+  def cellId(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.zipWithIndex.map { case (cen, i) =>
+      val cenLit = array(cen.map(lit): _*)
+      val diff = zip_with(vec, cenLit, (x, y) => {
+        val d = x.cast("double") - y; d * d
+      })
+      struct(aggregate(diff, lit(0.0), (a, v) => a + v).as("d"),
+        lit(i).as("i"))
+    }
+    least(dists: _*).getField("i")
+  }
+
+  /** Approximate knn via IVF: assign corpus to cells once, probe the
+    * `nprobe` nearest cells per query, exact-rank within. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      cellId(col(vecCol), centroids).as("__cell"))
+    // nprobe nearest cells per query, exploded to (query, cell) probes
+    val probes = queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qv"),
+        probeCells(col(vecCol), centroids, nprobe).as("__cells"))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__cells")).as("__cell"))
+    val joined = c.join(broadcast(probes), Seq("__cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The `nprobe` nearest centroid indices for a vector, as an array. */
+  def probeCells(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val dists = centroids.zipWithIndex.map { case (cen, i) =>
+      val cenLit = array(cen.map(lit): _*)
+      val diff = zip_with(vec, cenLit, (x, y) => {
+        val d = x.cast("double") - y; d * d
+      })
+      struct(aggregate(diff, lit(0.0), (a, v) => a + v).as("d"),
+        lit(i).as("i"))
+    }
+    slice(transform(array_sort(array(dists: _*)), s => s.getField("i")),
+      1, nprobe)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. Everything is composed from built-in Catalyst
+  * expressions — no UDFs — so the whole pipeline stays inside whole-stage
+  * codegen and parquet filter/column pushdown survives.
+  *
+  * Design note (100 TB): all functions are per-row scalar expressions, so
+  * they scale embarrassingly — no shuffle, no state. The only collection
+  * types used are small arrays (tokens/shingles of one document), bounded
+  * by document length.
+  */
+object TextAnalysis {
+
+  /** Evaluate `c` ONCE and use it many times: binds the value as a lambda
+    * variable via a single-element `transform`. Essential inside
+    * higher-order functions — a lambda body that references an outer
+    * expression tree re-evaluates that tree per array element (HOFs are
+    * interpreted, no common-subexpression elimination), turning an O(len)
+    * shingle scan into O(len²). */
+  def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** Lowercase, collapse runs of whitespace, trim — the canonical form used
+    * for fingerprinting and exact dedup. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Deterministic document fingerprint: MD5 of the normalized text.
+    * MD5 is a standard digest, so any engine (the DuckDB oracle included)
+    * produces the identical key — the backbone of exact dedup. */
+  def fingerprintMd5(c: Column): Column = md5(normalizeText(c))
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish token count: runs of alphanumerics count 1 each, every other
+    * non-space char counts 1 — a cheap, deterministic proxy for subword
+    * tokenizer counts. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[!-/:-@\\[-`{-~]")).cast("double") /
+        length(c))
+
+  /** Lower-cased whitespace tokens of a document. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(lower(c)), "\\s+"))
+
+  /** Mean token length (0 for empty documents). */
+  def meanWordLen(c: Column): Column = bind(tokens(c)) { ts =>
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(ts))
+  }
+
+  /** Small function-word lists per language for the n-gram/stopword
+    * language-ID heuristic and the stopword-ratio quality signal. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "you", "zai", "ta")
+  )
+
+  private def stopwordHits(ts: Column, words: Seq[String]): Column = {
+    val dict = array(words.map(lit): _*)
+    size(filter(ts, t => array_contains(dict, t)))
+  }
+
+  /** Fraction of tokens that are (any-language) stopwords. */
+  def stopwordRatio(c: Column): Column = bind(tokens(c)) { ts =>
+    val all = Stopwords.flatMap(_._2).distinct.sorted
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(stopwordHits(ts, all).cast("double") / size(ts))
+  }
+
+  /** Language-ID heuristic: score each language by its function-word hit
+    * count; return the best-scoring language (ties broken alphabetically,
+    * zero hits → "und" for undetermined). Deterministic and fully
+    * SQL-expressible, so it is oracle-checkable; a production system would
+    * swap in a character-n-gram model behind the same column signature. */
+  def langId(c: Column): Column = bind(tokens(c)) { ts =>
+    // One scored struct per language; array_max compares fields in order,
+    // so (score, -langIndex) ranks by score with alphabetically-first
+    // tiebreak — a LINEAR expression tree. (A when/otherwise fold would
+    // embed the accumulator twice per level → exponential tree → Catalyst
+    // planning blow-up.)
+    val scored = Stopwords.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), i) =>
+        struct(stopwordHits(ts, words).as("s"), lit(-i).as("ni"),
+          lit(lang).as("l"))
+    }
+    bind(array_max(array(scored: _*))) { best =>
+      when(size(ts) === 0 || best.getField("s") === 0, lit("und"))
+        .otherwise(best.getField("l"))
+    }
+  }
+
+  /** Composite quality score in [0,1]: mean of four bounded signals —
+    * length sweet-spot, alpha ratio, low punctuation, plausible mean word
+    * length. Mirrors the shape of C4/Gopher-style quality filters. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(200.0), lit(1.0))
+    val alpha = alphaRatio(c)
+    val punct = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
+    val mwlScore = bind(meanWordLen(c)) { mwl =>
+      when(mwl >= 3.0 && mwl <= 10.0, lit(1.0))
+        .otherwise(greatest(lit(0.0), lit(1.0) - abs(mwl - 6.5) / 10.0))
+    }
+    (lenScore + alpha + punct + mwlScore) / 4.0
+  }
+
+  /** Distinct character n-grams (shingles) of the normalized text. */
+  def charShingles(c: Column, n: Int): Column =
+    bind(normalizeText(c)) { norm =>
+      when(length(norm) < n, array().cast("array<string>")).otherwise(
+        array_distinct(transform(
+          sequence(lit(1), length(norm) - lit(n - 1)),
+          i => norm.substr(i, lit(n)))))
+    }
+
+  /** Word n-grams (space-joined) of the document. */
+  def wordShingles(c: Column, n: Int): Column = bind(tokens(c)) { ts =>
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(ts) - lit(n)),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+
+  /** Winnowing-style rolling-hash fingerprint (Schleimer et al. 2003,
+    * "local algorithms for document fingerprinting"): hash every k-gram,
+    * keep the minimum hash of each sliding window of `w` hashes, distinct.
+    * Collisions of selected hashes between documents indicate shared
+    * passages. xxhash64 is Spark-deterministic (seed 42), so results are
+    * stable across runs/partitions. */
+  def winnowingFingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
+    bind(normalizeText(c)) { norm =>
+      val grams = when(length(norm) < k, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), length(norm) - lit(k - 1)),
+          i => norm.substr(i, lit(k))))
+      bind(transform(grams, g => xxhash64(g))) { hashes =>
+        when(size(hashes) === 0, array().cast("array<bigint>"))
+          .when(size(hashes) <= w, array(array_min(hashes)))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(hashes) - lit(w - 1)),
+            j => array_min(slice(hashes, j, lit(w))))))
+      }
+    }
+}

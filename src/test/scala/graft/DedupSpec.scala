@@ -1,0 +1,75 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup operators: exact groups, MinHash-LSH recall against exact
+  * Jaccard, SimHash near-dup detection on perturbed copies. */
+class DedupSpec extends SparkSuite {
+
+  /** documents plus near-duplicate copies: docs 0-9 duplicated with a tiny
+    * suffix edit (near-dup) and docs 10-14 copied verbatim (exact dup). */
+  lazy val docsWithDups: DataFrame = {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val near = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xyzq")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val exact = docs.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.unionByName(near).unionByName(exact)
+  }
+
+  test("exact dedup finds verbatim copies and keeps min id") {
+    val groups = Dedup.exactDuplicateGroups(docsWithDups, "text", "doc_id")
+    val dups = groups.filter(col("n_dups") > 1).collect()
+    assert(dups.length === 5)
+    assert(dups.forall(r => r.getLong(1) >= 10 && r.getLong(1) < 15)) // keep_id
+    val kept = Dedup.dropExactDuplicates(docsWithDups, "text", "doc_id")
+    assert(kept.count() === docsWithDups.count() - 5)
+    assert(kept.filter(col("doc_id") >= 20000).count() === 0)
+  }
+
+  test("minhash LSH recovers high-jaccard pairs (recall vs exact)") {
+    val truth = Dedup.ngramJaccardPairs(docsWithDups, "text", "doc_id",
+        n = 5, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.size >= 15, s"expected injected dup pairs, got ${truth.size}")
+    val found = Dedup.minhashLshPairs(docsWithDups, "text", "doc_id",
+        shingleLen = 5, k = 64, bands = 16, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // every found pair is truly above threshold (verification step is exact)
+    assert(found.subsetOf(truth))
+    // banding theory: P(detect | j>=0.9) = 1-(1-0.9^4)^16 ≈ 0.9999
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9")
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val pairs = Dedup.simhashPairs(docsWithDups, "text", "doc_id",
+      maxDist = 3)
+    val found = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies have hamming 0 → all 5 must be found
+    val exactPairs = (10 until 15).map(i => (i.toLong, (i + 20000).toLong))
+    assert(exactPairs.forall(found.contains),
+      s"missing exact-dup simhash pairs: ${exactPairs.filterNot(found.contains)}")
+    // a tiny suffix edit shifts few bits → most near-dups found too
+    val nearPairs = (0 until 10).map(i => (i.toLong, (i + 10000).toLong))
+    assert(nearPairs.count(found.contains) >= 7)
+  }
+
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    val fp = docsWithDups.select(col("doc_id"),
+      TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+    val a = fp.filter(col("doc_id") === 3).collect()(0).getSeq[Long](1).toSet
+    val b = fp.filter(col("doc_id") === 10003).collect()(0).getSeq[Long](1).toSet
+    val j = a.intersect(b).size.toDouble / a.union(b).size
+    assert(j > 0.8, s"winnow jaccard $j")
+  }
+}

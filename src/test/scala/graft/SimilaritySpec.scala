@@ -1,0 +1,69 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search: brute-force correctness, LSH/IVF recall. */
+class SimilaritySpec extends SparkSuite {
+
+  lazy val emb: DataFrame = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  lazy val queries: DataFrame = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  def topIds(df: DataFrame): Map[Long, Seq[Long]] =
+    df.select("query_id", "neighbor_id", "rank").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+
+  test("brute-force knn: self is rank 1 with cosine 1") {
+    val knn = Similarity.knnBruteForce(emb, queries, k = 5)
+    val r1 = knn.filter(col("rank") === 1).collect()
+    assert(r1.length === 5)
+    r1.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1)) // self
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    val perQuery = topIds(knn)
+    assert(perQuery.values.forall(_.size == 5))
+  }
+
+  test("knn is deterministic across runs") {
+    val a = topIds(Similarity.knnBruteForce(emb, queries, k = 5))
+    val b = topIds(Similarity.knnBruteForce(
+      emb.repartition(7), queries, k = 5))
+    assert(a === b)
+  }
+
+  test("IVF knn achieves high recall vs brute force") {
+    val exact = topIds(Similarity.knnBruteForce(emb, queries, k = 5))
+    val centroids = Similarity.trainCentroids(emb, k = 8, dim = 64)
+    assert(centroids.length === 8 && centroids.head.length === 64)
+    val approx = topIds(Similarity.knnIvf(emb, queries, k = 5, centroids,
+      nprobe = 4))
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Nil).toSet.intersect(ids.toSet).size / 5.0
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"IVF mean recall $meanRecall")
+    // self always lands in the probed (nearest) cell
+    approx.foreach { case (q, ids) => assert(ids.head === q) }
+  }
+
+  test("LSH knn returns bucket-mates ranked by exact cosine") {
+    val res = Similarity.knnLsh(emb, queries, k = 5, dim = 64, nPlanes = 4)
+    val perQuery = topIds(res)
+    // every query matches its own bucket → at least itself returned
+    assert(perQuery.keySet.size === 5)
+    perQuery.foreach { case (q, ids) => assert(ids.head === q) }
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, 0.3, col("label")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+}
