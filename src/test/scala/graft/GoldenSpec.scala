@@ -1,0 +1,98 @@
+package graft
+
+import graft.analysis.{sf, Ops, StetsonJ}
+import graft.batch.Batch
+import graft.core.ColumnMap
+import graft.operators.Photometry._
+import graft.sources.EnsembleIO
+import org.apache.spark.sql.functions._
+
+/** Golden-value parity against the reference's own test expectations on its
+  * PS1 fixture (2000 sources / 15 objects):
+  * /root/reference/tests/tape_tests/test_ensemble.py:1956-1963. These pin
+  * the exact Stetson iteration semantics (stetsonj.py:133-190). */
+class GoldenSpec extends SparkSuite {
+
+  /** Mirrors the reference test_batch setup (test_ensemble.py:1933-1937):
+    * prune(10) then dropna on source before batching. */
+  lazy val ens = {
+    val e = EnsembleIO.fromParquet(spark, ps1Source, ColumnMap.ps1,
+      objectFile = Some(ps1Object))
+    e.prune(10) // uses the fixture's own nobs_total, like the reference
+    e.dropna("source")
+    e
+  }
+
+  def stetsonByIdBand(): Map[(Long, String), Double] =
+    Ops.AnalysisOps(ens).stetsonJ().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+  test("StetsonJ matches reference goldens on the PS1 fixture") {
+    val res = stetsonByIdBand()
+    val firstId = res.keys.map(_._1).min
+    // test_ensemble.py:1956-1958 (first object, result.values[0])
+    assert(math.abs(res((firstId, "g")) - -0.04174282) < 1e-3 * 0.04174282 + 1e-9,
+      s"g=${res((firstId, "g"))}")
+    assert(math.abs(res((firstId, "r")) - 0.6075282) < 1e-3 * 0.6075282,
+      s"r=${res((firstId, "r"))}")
+  }
+
+  test("StetsonJ with object-column grouping keys matches reference goldens") {
+    // test_ensemble.py:1961-1963: batch(..., on=["nobs_total","ps1_objid"]);
+    // result row 1 (sorted by the grouping keys) has g≈1.2208577,
+    // r≈-0.49639028. Exercises the object-column graft join.
+    val res = Batch.batch(ens, StetsonJ(),
+      on = Some(Seq("nobs_total", "ps1_objid")))
+    val rows = res.orderBy(col("nobs_total"), col("ps1_objid"))
+      .collect()
+      .groupBy(r => (r.get(0), r.get(1)))
+    val sortedKeys = rows.keys.toSeq.sortBy(k =>
+      (k._1.toString.toDouble, k._2.toString.toDouble))
+    val second = rows(sortedKeys(1))
+      .map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(math.abs(second("g") - 1.2208577) < 1e-3 * 1.2208577,
+      s"g=${second("g")}")
+    assert(math.abs(second("r") - -0.49639028) < 1e-3 * 0.49639028,
+      s"r=${second("r")}")
+  }
+
+  test("by-band pivot equals long-format values") {
+    // mirrors reference test_batch_by_band cross-check
+    // (test_ensemble.py:2057-2141)
+    val long = stetsonByIdBand()
+    val wide = Batch.batch(ens, StetsonJ(), byBand = true)
+    val cols = wide.columns.toSeq
+    assert(cols.contains("stetsonJ_g") && cols.contains("stetsonJ_r"), cols)
+    wide.collect().foreach { r =>
+      val id = r.getLong(0)
+      Seq("g", "r").foreach { b =>
+        val i = r.fieldIndex(s"stetsonJ_$b")
+        long.get((id, b)) match {
+          case Some(v) => assert(math.abs(r.getDouble(i) - v) < 1e-12)
+          case None    => assert(r.isNullAt(i)) // band absent for this object
+        }
+      }
+    }
+  }
+
+  test("sf2 on PS1 fixture produces per-(id,band) binned rows") {
+    val res = Ops.AnalysisOps(ens).sf2(sf.SFArgs(binCountTarget = 100))
+    assert(res.count() > 0)
+    val cols = res.columns.toSeq
+    assert(cols.contains("dt") && cols.contains("sf2"))
+    // dt bins are positive time differences
+    assert(res.filter(col("dt") <= 0).count() === 0)
+  }
+
+  test("prune(50) + head(5) — the reference bench workflow W2") {
+    val e2 = EnsembleIO.fromParquet(spark, ps1Source, ColumnMap.ps1,
+      objectFile = Some(ps1Object))
+    e2.calcNobs(byBand = false, temporary = false)
+    e2.prune(50)
+    val h = e2.head(5)
+    assert(h.length === 5)
+    // every surviving object has >= 50 observations
+    val counts = e2.source.groupBy(col("ps1_objid")).count().collect()
+    assert(counts.forall(_.getLong(1) >= 50))
+  }
+}
