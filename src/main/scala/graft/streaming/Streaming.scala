@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.core.ColumnMap
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (no counterpart in the reference —
+  * SURVEY.md §2.8): the two batch patterns that translate naturally to
+  * streams.
+  *
+  *  - [[binSourcesStream]]: the streaming form of `bin_sources`
+  *    (ensemble.py:956-1052) — event-time tumbling windows with a
+  *    watermark for late data, instead of `floor(t/w)*w` bucketing.
+  *  - [[runningLightcurveStats]]: incremental per-lightcurve aggregates
+  *    via `flatMapGroupsWithState` — the streaming form of the `batch`
+  *    engine for functions that are expressible as a bounded running
+  *    state (count / mean / M2 for variance via Welford), emitting an
+  *    updated row per object per micro-batch.
+  *
+  * Scale: both shapes are the canonical Structured Streaming state
+  * patterns — state is keyed by object id and partitioned by the shuffle,
+  * watermarks bound state size for windows, and the stats state is O(1)
+  * per (id, band).
+  */
+object Streaming {
+
+  /** Tumbling-window time binning over a streaming source table.
+    *
+    * @param tsCol     event-time timestamp column (TimestampType)
+    * @param window    window duration, e.g. "1 day"
+    * @param watermark how long to wait for late rows, e.g. "2 days"
+    */
+  def binSourcesStream(
+      src: DataFrame,
+      cm: ColumnMap,
+      tsCol: String,
+      windowDur: String = "1 day",
+      watermark: String = "1 day",
+      countCol: Option[String] = Some("bin_count")
+  ): DataFrame = {
+    val aggs = Seq(
+      avg(col(cm.flux)).as(cm.flux),
+      (sqrt(sum(col(cm.err) * col(cm.err))) / count(col(cm.err))).as(cm.err)
+    ) ++ countCol.map(c => count(lit(1)).as(c))
+    src
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(cm.id), col(cm.band),
+        window(col(tsCol), windowDur).as("time_bin"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-(id, band) running state: Welford's online mean/variance. */
+  case class LcState(n: Long, mean: Double, m2: Double)
+
+  val runningStatsSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("band", StringType, nullable = true),
+    StructField("nobs", LongType, nullable = false),
+    StructField("mean_flux", DoubleType, nullable = false),
+    StructField("var_flux", DoubleType, nullable = true)))
+
+  /** Incremental per-lightcurve statistics over a stream of observations:
+    * one updated (id, band, nobs, mean_flux, var_flux) row per group per
+    * micro-batch. Use with `OutputMode.Update`. */
+  def runningLightcurveStats(src: DataFrame, cm: ColumnMap): DataFrame = {
+    val projected = src.select(
+      col(cm.id).cast("long").as("id"),
+      col(cm.band).cast("string").as("band"),
+      col(cm.flux).cast("double").as("flux"))
+    val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val stateEnc = Encoders.product[LcState]
+    val outEnc = Encoders.row(runningStatsSchema)
+    projected
+      .groupByKey(r => (r.getLong(0), r.getString(1)))(keyEnc)
+      .flatMapGroupsWithState[LcState, Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Row],
+            state: GroupState[LcState]) =>
+          var s = state.getOption.getOrElse(LcState(0L, 0.0, 0.0))
+          rows.foreach { r =>
+            if (!r.isNullAt(2)) {
+              val x = r.getDouble(2)
+              val n1 = s.n + 1
+              val d = x - s.mean
+              val mean1 = s.mean + d / n1
+              s = LcState(n1, mean1, s.m2 + d * (x - mean1))
+            }
+          }
+          state.update(s)
+          val variance = if (s.n > 1) s.m2 / (s.n - 1) else Double.NaN
+          Iterator.single(Row(key._1, key._2, s.n, s.mean, variance))
+      }(stateEnc, outEnc).toDF()
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.core.ColumnMap
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming operators driven through MemoryStream sources. */
+class StreamingSpec extends SparkSuite {
+
+  case class Obs(user_id: Long, ts: java.sql.Timestamp, value: Double,
+      err: Double, event_type: String)
+
+  val cm = ColumnMap(id = "user_id", time = "ts", flux = "value",
+    err = "err", band = "event_type")
+
+  def obs(id: Long, hour: Int, v: Double, b: String = "g"): Obs =
+    Obs(id, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00"),
+      v, 0.1, b)
+
+  test("streaming binSources: tumbling windows with watermark") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Obs]
+    val binned = Streaming.binSourcesStream(mem.toDF(), cm, "ts",
+      windowDur = "6 hours", watermark = "1 hour")
+    val q = binned.writeStream.format("memory").queryName("binned")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(obs(1, 0, 10.0), obs(1, 1, 20.0), obs(1, 7, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("binned").collect()
+      // two windows for id 1: [00:00,06:00) avg 15, [06:00,12:00) avg 30
+      val byWindow = rows.map(r => (
+        r.getAs[org.apache.spark.sql.Row]("time_bin")
+          .getAs[java.sql.Timestamp](0).toString,
+        r.getAs[Double]("value"), r.getAs[Long]("bin_count"))).toSet
+      assert(byWindow === Set(
+        ("2024-01-01 00:00:00.0", 15.0, 2L),
+        ("2024-01-01 06:00:00.0", 30.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("running lightcurve stats: incremental mean/variance across batches") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Obs]
+    val stats = Streaming.runningLightcurveStats(mem.toDF(), cm)
+    val q = stats.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(obs(1, 0, 10.0), obs(1, 1, 20.0))
+      q.processAllAvailable()
+      mem.addData(obs(1, 2, 30.0), obs(2, 0, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("running").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      // latest update for id 1: n=3, mean=20, var=100 (sample)
+      val last1 = rows.filter(_._1 == 1L).maxBy(_._2)
+      assert(last1._2 === 3L)
+      assert(math.abs(last1._3 - 20.0) < 1e-12)
+      assert(math.abs(last1._4 - 100.0) < 1e-12)
+      val last2 = rows.filter(_._1 == 2L).maxBy(_._2)
+      assert(last2._2 === 1L)
+      assert(last2._4.isNaN) // variance undefined for n=1
+    } finally q.stop()
+  }
+}
