@@ -41,12 +41,12 @@ object Dedup {
 
   // ------------------------------------------------------- minhash + LSH
 
-  /** k minhash values of a shingle array: min over shingles of
-    * xxhash64(shingle, seed=i) — one independent hash family member per i.
-    * Returns array<bigint> length k. Native Catalyst expression
+  /** k minhash values from an array of 64-bit shingle hashes: min over
+    * elements of the i-th affine family member — one multiply-add per
+    * (shingle, i). Native Catalyst expression
     * (graft.functions.HashExpressions) — one tight loop per row. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    graft.functions.HashExpressions.minhashSignature(shingles, k)
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    graft.functions.HashExpressions.minhashFromHashes(shingleHashes, k)
 
   /** LSH band keys: split the signature into `bands` rows of
     * `k/bands` values and hash each row. Two documents share a band key
@@ -76,15 +76,25 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.6, maxBucketSize: Int = 1000): DataFrame = {
+    // Shingles live only as 64-bit hashes (ShingleHashes reads n-grams off
+    // the string bytes — no string arrays materialize); exact Jaccard on
+    // the hash arrays equals shingle Jaccard up to 2⁻⁶⁴ collisions.
+    // Persist: the hash arrays feed the signature pass AND both
+    // verification joins, and the buckets feed the size filter AND both
+    // sides of the candidate self-join — without a cache Spark recomputes
+    // the hash chain for every use.
     val sh = df.select(col(idCol).as("id"),
-      charShingles(col(textCol), shingleLen).as("shingles"))
+      graft.functions.HashExpressions.shingleHashes(
+        normalizeText(col(textCol)), shingleLen).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sig = sh.select(col("id"), col("shingles"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("id"),
       minhashSignature(col("shingles"), k).as("sig"))
 
     val buckets = sig
       .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("bsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bucketSizes = buckets.groupBy("band", "bsig")
       .agg(count(lit(1)).as("bn"))

@@ -29,33 +29,77 @@ object HashExpressions {
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       s, StringType, seed)
 
-  /** k-element MinHash signature of an array<string> of shingles:
-    * out(i) = min over shingles of xxhash64(shingle, seed=i);
-    * Long.MaxValue for empty/null-only arrays. */
-  case class MinHashSignature(child: Expression, k: Int)
+  /** Distinct xxhash64 values of every `n`-byte shingle of a string,
+    * computed directly off the UTF8String bytes — the shingle strings are
+    * never materialized. Downstream set operations (Jaccard via
+    * array_intersect) on the 64-bit hashes are equivalent to operating on
+    * the shingles themselves up to hash collisions (~2⁻⁶⁴). */
+  case class ShingleHashes(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val m = bytes.length - n + 1
+      if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+      val seen = new java.util.HashSet[Long](m * 2)
+      val out = new Array[Long](m)
+      var cnt = 0
+      var i = 0
+      while (i < m) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i,
+          n, 42).toLong << 32 |
+          (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i,
+            n, 1042).toLong & 0xffffffffL)
+        if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+    }
+  }
+
+  /** k-element MinHash signature from an array<long> of element hashes:
+    * out(i) = min over elements of (a_i·h + b_i) — one multiply-add per
+    * (element, i) instead of k string hashes per element. The (a_i, b_i)
+    * family is a fixed seeded LCG sequence (odd multipliers), so
+    * signatures are stable across runs and partitions. */
+  case class MinHashFromHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    @transient private lazy val (as, bs) = MinHashFromHashes.family(k)
+    override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val out = Array.fill[Long](k)(Long.MaxValue)
       var j = 0
       while (j < n) {
-        if (!arr.isNullAt(j)) {
-          val s = arr.getUTF8String(j)
-          var i = 0
-          while (i < k) {
-            val h = hashString(s, i)
-            if (h < out(i)) out(i) = h
-            i += 1
-          }
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < k) {
+          val g = as(i) * h + bs(i)
+          if (g < out(i)) out(i) = g
+          i += 1
         }
         j += 1
       }
       new GenericArrayData(out)
+    }
+  }
+
+  object MinHashFromHashes {
+    /** Deterministic (a_i odd, b_i) pairs from a fixed-seed generator. */
+    def family(k: Int): (Array[Long], Array[Long]) = {
+      val rng = new java.util.Random(0x5DEECE66DL)
+      val as = Array.fill(k)(rng.nextLong() | 1L)
+      val bs = Array.fill(k)(rng.nextLong())
+      (as, bs)
     }
   }
 
@@ -90,8 +134,11 @@ object HashExpressions {
     }
   }
 
-  def minhashSignature(shingles: Column, k: Int): Column =
-    column(MinHashSignature(expression(shingles), k))
+  def shingleHashes(text: Column, n: Int): Column =
+    column(ShingleHashes(expression(text), n))
+
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    column(MinHashFromHashes(expression(hashes), k))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 }

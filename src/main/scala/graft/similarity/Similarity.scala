@@ -22,19 +22,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two numeric array columns (double accumulation,
-    * left-to-right — deterministic). */
+    * left-to-right — deterministic). Native Catalyst expression: one JVM
+    * loop per pair instead of interpreted HOF evaluation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0, lit(0.0)).otherwise(d / nn)
-  }
+  /** Cosine similarity; 0 when either vector has zero norm. Bit-identical
+    * to dot/(sqrt(dot aa)·sqrt(dot bb)) with sequential accumulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSimilarity(a, b)
 
   /** Exact brute-force cosine top-k: for every query vector, the k nearest
     * corpus vectors. Queries are broadcast (must be small — typically a
@@ -160,18 +158,20 @@ object Similarity {
   }
 
   /** Cell id column: index of the nearest centroid (L2), centroids as
-    * literals — a map-only scan. */
-  def cellId(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.zipWithIndex.map { case (cen, i) =>
+    * literals — a map-only scan. Ranks by `c·c − 2·v·c`, which orders
+    * identically to ‖v−c‖² (the v·v term is constant per row) and runs on
+    * the native dot-product kernel. */
+  def cellId(vec: Column, centroids: Array[Array[Double]]): Column =
+    least(centroidRank(vec, centroids): _*).getField("i")
+
+  private def centroidRank(vec: Column,
+      centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (cen, i) =>
       val cenLit = array(cen.map(lit): _*)
-      val diff = zip_with(vec, cenLit, (x, y) => {
-        val d = x.cast("double") - y; d * d
-      })
-      struct(aggregate(diff, lit(0.0), (a, v) => a + v).as("d"),
+      val cc = cen.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * dot(vec, cenLit)).as("d"),
         lit(i).as("i"))
-    }
-    least(dists: _*).getField("i")
-  }
+    }.toSeq
 
   /** Approximate knn via IVF: assign corpus to cells once, probe the
     * `nprobe` nearest cells per query, exact-rank within. */
@@ -198,16 +198,7 @@ object Similarity {
 
   /** The `nprobe` nearest centroid indices for a vector, as an array. */
   def probeCells(vec: Column, centroids: Array[Array[Double]],
-      nprobe: Int): Column = {
-    val dists = centroids.zipWithIndex.map { case (cen, i) =>
-      val cenLit = array(cen.map(lit): _*)
-      val diff = zip_with(vec, cenLit, (x, y) => {
-        val d = x.cast("double") - y; d * d
-      })
-      struct(aggregate(diff, lit(0.0), (a, v) => a + v).as("d"),
-        lit(i).as("i"))
-    }
-    slice(transform(array_sort(array(dists: _*)), s => s.getField("i")),
-      1, nprobe)
-  }
+      nprobe: Int): Column =
+    slice(transform(array_sort(array(centroidRank(vec, centroids): _*)),
+      s => s.getField("i")), 1, nprobe)
 }
