@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass character-class statistics of a document — the native kernel
+  * behind token counting and quality scoring. The regex formulation
+  * (`regexp_count` with an alternation pattern, plus several `split`s)
+  * re-scans the string once per statistic with per-char regex-engine
+  * overhead; this computes all counts in a single scan.
+  *
+  * Semantics (ASCII classes, matching the SQL-oracle definitions):
+  *  - ws_tokens: maximal runs of non-whitespace in the space-trimmed text
+  *  - bpe_tokens: runs of [A-Za-z0-9] count 1 each; every other
+  *    non-whitespace char counts 1 (≙ `[A-Za-z0-9]+|[^A-Za-z0-9\s]`)
+  *  - alpha: count of [A-Za-z]; punct: count of ASCII punctuation
+  *  - nonspace: non-whitespace count in trimmed text (Σ token lengths)
+  *  - nchars: codepoint length of the untrimmed text
+  * Whitespace = Java regex `\s` = [ \t\n\x0B\f\r].
+  */
+object TextStatsExpression {
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("ws_tokens", IntegerType, nullable = false),
+    StructField("bpe_tokens", IntegerType, nullable = false),
+    StructField("alpha", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("nonspace", IntegerType, nullable = false),
+    StructField("nchars", IntegerType, nullable = false)))
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  @inline private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  case class TextStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = statsSchema
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val n = s.length
+      // space-trim bounds (Spark/DuckDB trim() removes ' ' only)
+      var lo = 0; var hi = n
+      while (lo < hi && s.charAt(lo) == ' ') lo += 1
+      while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+      var wsTokens = 0; var bpe = 0; var alpha = 0; var punct = 0
+      var nonspace = 0
+      var inToken = false; var inAlnumRun = false
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        if (isAlnum(c)) { if (!inAlnumRun) bpe += 1; inAlnumRun = true }
+        else {
+          inAlnumRun = false
+          if (!isWs(c)) bpe += 1
+        }
+        if (c >= 'A' && c <= 'Z' || c >= 'a' && c <= 'z') alpha += 1
+        if (isPunct(c)) punct += 1
+        if (i >= lo && i < hi) {
+          if (isWs(c)) inToken = false
+          else { if (!inToken) wsTokens += 1; inToken = true; nonspace += 1 }
+        }
+        i += 1
+      }
+      val nchars = s.codePointCount(0, n)
+      InternalRow(wsTokens, bpe, alpha, punct, nonspace, nchars)
+    }
+  }
+
+  /** struct(ws_tokens, bpe_tokens, alpha, punct, nonspace, nchars). */
+  def textStats(c: Column): Column = column(TextStats(expression(c)))
+}

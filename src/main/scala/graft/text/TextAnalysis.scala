@@ -35,38 +35,42 @@ object TextAnalysis {
     * produces the identical key — the backbone of exact dedup. */
   def fingerprintMd5(c: Column): Column = md5(normalizeText(c))
 
+  /** One-pass char-class statistics struct (native kernel; see
+    * graft.functions.TextStatsExpression for field semantics). */
+  def textStats(c: Column): Column =
+    graft.functions.TextStatsExpression.textStats(c)
+
   /** Whitespace token count. */
-  def wsTokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+  def wsTokenCount(c: Column): Column = textStats(c).getField("ws_tokens")
 
   /** BPE-ish token count: runs of alphanumerics count 1 each, every other
     * non-space char counts 1 — a cheap, deterministic proxy for subword
     * tokenizer counts. */
-  def bpeTokenCount(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+  def bpeTokenCount(c: Column): Column = textStats(c).getField("bpe_tokens")
 
   /** Fraction of characters that are ASCII letters. */
-  def alphaRatio(c: Column): Column =
-    when(length(c) === 0, lit(0.0))
-      .otherwise(regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c))
+  def alphaRatio(c: Column): Column = bind(textStats(c)) { st =>
+    when(st.getField("nchars") === 0, lit(0.0))
+      .otherwise(st.getField("alpha").cast("double") / st.getField("nchars"))
+  }
 
   /** Fraction of characters that are punctuation. */
-  def punctRatio(c: Column): Column =
-    when(length(c) === 0, lit(0.0))
-      .otherwise(regexp_count(c, lit("[!-/:-@\\[-`{-~]")).cast("double") /
-        length(c))
+  def punctRatio(c: Column): Column = bind(textStats(c)) { st =>
+    when(st.getField("nchars") === 0, lit(0.0))
+      .otherwise(st.getField("punct").cast("double") / st.getField("nchars"))
+  }
 
   /** Lower-cased whitespace tokens of a document. */
   def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(lower(c)), "\\s+"))
 
-  /** Mean token length (0 for empty documents). */
-  def meanWordLen(c: Column): Column = bind(tokens(c)) { ts =>
-    when(size(ts) === 0, lit(0.0)).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(ts))
+  /** Mean token length (0 for empty documents): Σ token lengths equals the
+    * non-whitespace char count of the trimmed text — one native stats pass,
+    * no tokenization. */
+  def meanWordLen(c: Column): Column = bind(textStats(c)) { st =>
+    when(st.getField("ws_tokens") === 0, lit(0.0)).otherwise(
+      st.getField("nonspace").cast("double") / st.getField("ws_tokens"))
   }
 
   /** Small function-word lists per language for the n-gram/stopword
