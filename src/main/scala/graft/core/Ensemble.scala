@@ -211,6 +211,28 @@ final class Ensemble(
   def assign(columns: (String, Column)*): this.type =
     assign(SourceLabel, temporary = false, columns: _*)
 
+  /** General pandas-style merge of another frame into a table (reference
+    * _Frame.merge/join, ensemble_frame.py:313-468). Suffix handling
+    * renames the right side's clashing non-key columns before the join;
+    * Catalyst picks broadcast / shuffled-hash / sort-merge itself — the
+    * reference's three dask join strategies collapse into the planner. */
+  def merge(
+      right: DataFrame,
+      on: Seq[String],
+      how: String = "inner",
+      table: String = SourceLabel,
+      rsuffix: String = "_right"
+  ): this.type = {
+    val left = frame(table)
+    val clashing = right.columns.filter(c =>
+      left.columns.contains(c) && !on.contains(c))
+    val renamed = clashing.foldLeft(right) { (d, c) =>
+      d.withColumnRenamed(c, c + rsuffix)
+    }
+    updateFrame(table, left.join(renamed, on, how))
+    markDirty(table)
+  }
+
   /** Append source rows (reference insert_sources, ensemble.py:268-356 —
     * the dd.concat at :342 is a union). */
   def insertSources(rows: DataFrame): this.type = {

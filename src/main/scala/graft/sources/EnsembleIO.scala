@@ -140,6 +140,71 @@ object EnsembleIO {
     ens
   }
 
+  /** Read a HiPSCat-style pair of hive-partitioned parquet catalogs
+    * (`Norder=/Dir=/Npix=` directory layout) and align sources to objects
+    * by the object index (reference from_hipscat/from_lsdb,
+    * ensemble.py:1667-1842 — the alignment is
+    * `object.join(source, objIdx === srcIdx)` at :1817-1822, then the
+    * duplicate-suffixed columns are dropped :1839-1841).
+    *
+    * Spark reads hive partition dirs natively — partition columns appear
+    * as ordinary columns and partition pruning applies; no special catalog
+    * machinery is needed.
+    *
+    * @param objectIndexCol  column in the object catalog keying objects
+    * @param sourceIndexCol  column in the source catalog referencing the
+    *                        object index (becomes the ensemble id)
+    */
+  def fromHipscat(
+      spark: SparkSession,
+      objectDir: String,
+      sourceDir: String,
+      colMap: ColumnMap,
+      objectIndexCol: String,
+      sourceIndexCol: String
+  ): Ensemble = {
+    val objCat = spark.read.parquet(objectDir)
+    val srcCat = spark.read.parquet(sourceDir)
+    // re-key sources by the object index; keep one id column
+    val srcAligned = srcCat
+      .join(objCat.select(col(objectIndexCol).as(sourceIndexCol)),
+        Seq(sourceIndexCol), "inner")
+      .withColumnRenamed(sourceIndexCol, colMap.id)
+    val objKeyed = objCat.withColumnRenamed(objectIndexCol, colMap.id)
+    fromDataFrame(spark, srcAligned, colMap, objectDf = Some(objKeyed))
+  }
+
+  /** Curated-dataset loader backed by a LOCAL JSON registry file (the
+    * reference fetches a remote registry, ensemble.py:2008-2066 — this
+    * environment is zero-egress, so the registry maps names to local
+    * parquet paths: `{"<name>": {"source": "...", "object": "..."}}`). */
+  def fromDataset(
+      spark: SparkSession,
+      registryFile: String,
+      name: String,
+      colMap: ColumnMap
+  ): Ensemble = {
+    val meta = Files.readString(Paths.get(registryFile))
+    val entry = ("\"" + java.util.regex.Pattern.quote(name) +
+      "\"\\s*:\\s*\\{([^}]*)\\}").r
+    val body = entry.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalArgumentException(
+        s"dataset '$name' not in registry $registryFile"))
+      .group(1)
+    def field(k: String): Option[String] = {
+      val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]+)\"").r
+      m.findFirstMatchIn(body).map(_.group(1))
+    }
+    val src = field("source").getOrElse(throw new IllegalArgumentException(
+      s"dataset '$name' missing source path"))
+    fromParquet(spark, src, colMap, objectFile = field("object"))
+  }
+
+  def availableDatasets(registryFile: String): Seq[String] = {
+    val meta = Files.readString(Paths.get(registryFile))
+    "\"([^\"]+)\"\\s*:\\s*\\{".r.findAllMatchIn(meta).map(_.group(1)).toSeq
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.foreach(deleteRecursively)

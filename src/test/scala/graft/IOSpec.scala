@@ -1,0 +1,63 @@
+package graft
+
+import graft.core.ColumnMap
+import graft.sources.EnsembleIO
+import org.apache.spark.sql.functions._
+
+/** HiPSCat-style hive-dir ingestion, local dataset registry, merge. */
+class IOSpec extends SparkSuite {
+
+  def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_io").toString
+
+  test("fromHipscat: hive-partitioned catalogs with object-source alignment") {
+    val dir = tmp()
+    val ev = SparkEntry.eventsSource(spark, sf0001)
+    // fabricate a HiPSCat-ish layout: partition dirs Npix=<k>
+    val objCat = ev.select(col("user_id").as("obj_idx")).distinct()
+      .withColumn("Npix", pmod(col("obj_idx"), lit(4)))
+      .withColumn("nobs_precomputed", lit(1L))
+    val srcCat = ev.withColumnRenamed("user_id", "src_obj_idx")
+      .withColumn("Npix", pmod(col("src_obj_idx"), lit(4)))
+    objCat.write.partitionBy("Npix").parquet(s"$dir/object")
+    srcCat.write.partitionBy("Npix").parquet(s"$dir/source")
+
+    val ens = EnsembleIO.fromHipscat(spark, s"$dir/object", s"$dir/source",
+      ColumnMap.events, objectIndexCol = "obj_idx",
+      sourceIndexCol = "src_obj_idx")
+    assert(ens.source.count() === ev.count())
+    assert(ens.objectFrame.count() ===
+      ev.select("user_id").distinct().count())
+    // partition column came through as a normal column
+    assert(ens.source.columns.contains("Npix"))
+    // id column renamed to the ColumnMap id
+    assert(ens.source.columns.contains("user_id"))
+  }
+
+  test("fromDataset: local registry round-trip + availableDatasets") {
+    val dir = tmp()
+    val reg = s"$dir/registry.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(reg),
+      s"""{"events_tiny": {"source": "$sf0001/events.parquet"},
+         | "other": {"source": "/nonexistent.parquet"}}""".stripMargin)
+    assert(EnsembleIO.availableDatasets(reg).toSet ===
+      Set("events_tiny", "other"))
+    val ens = EnsembleIO.fromDataset(spark,
+      reg, "events_tiny", ColumnMap.events.copy(time = "ts", err = "props"))
+    assert(ens.source.count() > 0)
+    intercept[IllegalArgumentException] {
+      EnsembleIO.fromDataset(spark, reg, "missing", ColumnMap.events)
+    }
+  }
+
+  test("merge: suffixes clashing columns, marks table dirty") {
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    val perUser = ens.source.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("value"))
+    ens.merge(perUser, on = Seq("user_id"), how = "inner")
+    assert(ens.isDirty("source"))
+    val cols = ens.rawFrame("source").columns.toSeq
+    assert(cols.contains("n_events"))
+    assert(cols.contains("value") && cols.contains("value_right"))
+  }
+}
