@@ -19,6 +19,7 @@ object Spark {
       Runtime.getRuntime.availableProcessors().toString)
     val b = SparkSession.builder()
       .master(master.getOrElse(s"local[$cpus]"))
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

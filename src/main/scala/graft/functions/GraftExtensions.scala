@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions installer exposing graft's native expressions to
+  * the SQL surface (`spark.sql("SELECT graft_cosine(a, b) ...")`), so the
+  * engine's kernels are usable from pure-SQL pipelines and
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` works on
+  * a plain spark-submit.
+  *
+  * Integer parameters (shingle length, signature size) are taken from
+  * literal arguments at resolution time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two vectors"),
+      (args: Seq[Expression]) =>
+        VectorExpressions.DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity"),
+      (args: Seq[Expression]) =>
+        VectorExpressions.CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit simhash"),
+      (args: Seq[Expression]) => HashExpressions.SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(text, n) - distinct n-gram hashes"),
+      (args: Seq[Expression]) => HashExpressions.ShingleHashes(args(0),
+        intLit(args(1), "shingle length"))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hashes, k) - k-element minhash signature"),
+      (args: Seq[Expression]) => HashExpressions.MinHashFromHashes(args(0),
+        intLit(args(1), "signature size"))))
+    ext.injectFunction((FunctionIdentifier("graft_text_stats"),
+      info("graft_text_stats",
+        "graft_text_stats(text) - one-pass char-class statistics struct"),
+      (args: Seq[Expression]) => TextStatsExpression.TextStats(args(0))))
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+/** graft_* SQL functions registered via SparkSessionExtensions. */
+class SqlExtensionsSpec extends SparkSuite {
+
+  test("graft SQL functions are callable from spark.sql") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  round(graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 9) AS c,
+        |  graft_simhash64(array('a', 'b', 'a')) AS sh,
+        |  size(graft_shingle_hashes('abcdef', 3)) AS nsh,
+        |  size(graft_minhash(graft_shingle_hashes('abcdef', 3), 16)) AS k,
+        |  graft_text_stats('hello world').ws_tokens AS wt""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getLong(2) !== 0L)
+    assert(r.getInt(3) === 4)
+    assert(r.getInt(4) === 16)
+    assert(r.getInt(5) === 2)
+  }
+
+  test("non-literal int parameter is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L), cast(rand()*4 as int))")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
