@@ -29,6 +29,27 @@ final case class TimeSeries(
     rows.map(r => Option(r.get(i)).map(_.toString).orNull)
   }
   def length: Int = rows.length
+
+  /** Per-band Stetson J of this single lightcurve (reference
+    * TimeSeries.stetson_J, timeseries.py:148-167). */
+  def stetsonJ(bandToCalc: Option[Seq[String]] = None): Map[String, Double] = {
+    val f = flux; val e = fluxErr; val b = band
+    val unq = b.distinct.sorted
+    bandToCalc.getOrElse(unq.toSeq).map { bb =>
+      val idx = b.indices.filter(b(_) == bb)
+      bb -> (if (idx.nonEmpty)
+        graft.analysis.StetsonJ.singleBand(
+          idx.map(f).toArray, idx.map(e).toArray)
+      else Double.NaN)
+    }.toMap
+  }
+
+  /** Structure function squared of this single lightcurve (reference
+    * TimeSeries.sf2, timeseries.py:169-211). Returns the same row shape
+    * as the ensemble-level operator: (lc_id, band, dt, sf2, 1_sigma). */
+  def sf2(args: graft.analysis.sf.SFArgs = graft.analysis.sf.SFArgs()): Seq[Row] =
+    graft.analysis.StructureFunction2(args).compute(
+      time, flux, fluxErr, band, Array.fill(length)(String.valueOf(id)))
 }
 
 object TimeSeries {

@@ -84,6 +84,19 @@ class GoldenSpec extends SparkSuite {
     assert(res.filter(col("dt") <= 0).count() === 0)
   }
 
+  test("TimeSeries-level stetsonJ/sf2 match ensemble-level results") {
+    import graft.core.TimeSeries._
+    val res = stetsonByIdBand()
+    val firstId = res.keys.map(_._1).min
+    val ts = ens.toTimeseries(firstId)
+    val local = ts.stetsonJ()
+    assert(math.abs(local("g") - res((firstId, "g"))) < 1e-12)
+    assert(math.abs(local("r") - res((firstId, "r"))) < 1e-12)
+    val sfRows = ts.sf2()
+    assert(sfRows.nonEmpty)
+    assert(sfRows.forall(_.getString(0) == String.valueOf(firstId)))
+  }
+
   test("prune(50) + head(5) — the reference bench workflow W2") {
     val e2 = EnsembleIO.fromParquet(spark, ps1Source, ColumnMap.ps1,
       objectFile = Some(ps1Object))
