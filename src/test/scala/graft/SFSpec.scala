@@ -104,6 +104,32 @@ class SFSpec extends AnyFunSuite {
     assert(math.abs(sse(2) - (0.04 + 0.09)) < 1e-12)
   }
 
+  test("dt bin edges match reference goldens for all three schemes") {
+    // test_base_calculator.py:9-38, dts = 201-i for i in 0..199
+    val dts = Array.tabulate(200)(i => 201.0 - i)
+    val size = sf.binDts(dts, "size", 100)
+    assert(size.length === 3)
+    Seq(2.0, 101.5, 201.0).zip(size).foreach { case (e, a) =>
+      assert(math.abs(a - e) < 1e-9, s"size: $a vs $e") }
+    val len = sf.binDts(dts, "length", 100)
+    Seq(1.801, 101.5, 201.0).zip(len).foreach { case (e, a) =>
+      assert(math.abs(a - e) < 1e-9, s"length: $a vs $e") }
+    val log = sf.binDts(dts, "loglength", 100)
+    Seq(1.99080091, 20.04993766, 201.0).zip(log).foreach { case (e, a) =>
+      assert(math.abs(a - e) < e * 1e-5, s"loglength: $a vs $e") }
+    intercept[IllegalArgumentException] { sf.binDts(dts, "bogus", 100) }
+  }
+
+  test("size binning gives equal-count bins on distinct values") {
+    val rng = new java.util.Random(1)
+    val dts = Array.fill(1000)(rng.nextDouble() * 5 +
+      math.pow(10, 1 + rng.nextDouble()))
+    val edges = sf.binDts(dts, "size", 100)
+    assert(edges.length === 11)
+    val counts = sf.binnedStatistic(dts, dts, edges, _.length.toDouble)
+    assert(counts.map(_.toInt).distinct.length === 1) // all equal
+  }
+
   test("registry rejects duplicate names, accepts force") {
     intercept[IllegalArgumentException] {
       sf.SFMethods.register("basic", new sf.BasicCalculator(_, _))
