@@ -38,12 +38,18 @@ object Smoke {
     val stats = graft.streaming.Streaming.runningLightcurveStats(src, cm)
     val q2 = stats.writeStream.format("memory").queryName("smoke_running")
       .outputMode(OutputMode.Update).start()
+    val deduped = graft.streaming.Streaming.streamingExactDedup(
+      src, textCol = "props", tsCol = "ts")
+    val q3 = deduped.writeStream.format("memory").queryName("smoke_dedup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       q1.processAllAvailable(); q2.processAllAvailable()
+      q3.processAllAvailable()
       val nBins = spark.table("smoke_binned").count()
       val nStats = spark.table("smoke_running").count()
-      println(s"SMOKE_STREAMING bins=$nBins running_stats=$nStats")
-      assert(nBins > 0 && nStats > 0)
-    } finally { q1.stop(); q2.stop() }
+      val nDedup = spark.table("smoke_dedup").count()
+      println(s"SMOKE_STREAMING bins=$nBins running_stats=$nStats dedup_kept=$nDedup")
+      assert(nBins > 0 && nStats > 0 && nDedup > 0)
+    } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 }

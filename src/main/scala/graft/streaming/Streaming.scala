@@ -51,6 +51,23 @@ object Streaming {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming exact dedup: drop rows whose content fingerprint was
+    * already seen within the watermark horizon — the streaming form of
+    * `Dedup.dropExactDuplicates`. State is one fingerprint per distinct
+    * content, expired by the watermark (bounded state, the standard
+    * Structured Streaming dedup pattern). */
+  def streamingExactDedup(
+      src: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "1 day"
+  ): DataFrame =
+    src
+      .withColumn("__fp", graft.text.TextAnalysis.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Per-(id, band) running state: Welford's online mean/variance. */
   case class LcState(n: Long, mean: Double, m2: Double)
 

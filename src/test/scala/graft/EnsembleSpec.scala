@@ -51,6 +51,35 @@ class EnsembleSpec extends SparkSuite {
     assert(!objCols.contains("nobs_total"))
   }
 
+  test("both tables dirty in one sync: object-side filter applies to source, then source-side to object") {
+    // reference _sync_tables checks the second flag with `if`, not `elif`
+    // (ensemble.py:2266) — both directions run in one call
+    val ens = freshEnsemble()
+    ens.filterFrom(col("user_id") < 8, "object") // object dirty
+    // query() touches the source table -> lazy sync applies the object
+    // filter first (reference: query goes through _lazy_sync_tables)
+    ens.query("value > 50") // then marks source dirty
+    assert(!ens.isDirty("object") && ens.isDirty("source"))
+    val ids = ens.source.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    assert(ids.forall(_ < 8))
+    // reading source does NOT clear the source-dirty flag — it is pending
+    // for the next OBJECT read (reference _lazy_sync_tables direction)
+    assert(ens.isDirty("source"))
+    val objIds = ens.objectFrame.select("user_id").collect().map(_.getLong(0))
+    assert(!ens.isDirty("source"))
+    assert(objIds.toSet === ids.toSet)
+  }
+
+  test("compute() triggers the sync like any read") {
+    val ens = freshEnsemble()
+    ens.filterFrom(col("user_id") < 3, "object")
+    assert(ens.isDirty("object"))
+    val rows = ens.compute() // reference compute auto-sync
+    assert(!ens.isDirty("object"))
+    assert(rows.map(_.getAs[Long]("user_id")).forall(_ < 3))
+  }
+
   test("keepEmptyObjects preserves childless objects") {
     val ev = SparkEntry.eventsSource(spark, sf0001)
     val ens = EnsembleIO.fromDataFrame(spark, ev, ColumnMap.events,

@@ -42,6 +42,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  test("streaming exact dedup drops repeated content across batches") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val deduped = Streaming.streamingExactDedup(mem.toDF(), "text", "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, h: Int, t: String) =
+        Doc(id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), t)
+      mem.addData(doc(1, 0, "Hello  World"), doc(2, 1, "unique one"))
+      q.processAllAvailable()
+      // same normalized content → dropped; new content → kept
+      mem.addData(doc(3, 2, "hello world"), doc(4, 3, "another"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("running lightcurve stats: incremental mean/variance across batches") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
