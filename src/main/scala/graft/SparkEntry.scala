@@ -165,6 +165,19 @@ object SparkEntry {
       ens.prune(5)
       Ops.AnalysisOps(ens).sf2(sf.SFArgs(binCountTarget = 50))
     }),
+    "q_sf2_relational" -> ((s, dir) => {
+      // the 100 TB SF² path: self-join pair expansion + aggregate
+      // estimators — fully SQL-expressible, so oracle-checked (the batch
+      // path q_sf2 pins the reference numerics instead)
+      val ens = eventsEnsemble(s, dir)
+      val res = graft.analysis.SF2Relational.SF2RelationalOps(ens)
+        .sf2Relational(graft.analysis.sf.SFArgs(
+          binMethod = "length", binCountTarget = 50))
+      // sf2 rounds to 4: values are O(10^2-10^3) and double partial-agg
+      // order vs the oracle's sequential sum can differ in the last ulp
+      res.select(col("lc_id"), col("band"),
+        round(col("dt"), 6).as("dt"), round(col("sf2"), 4).as("sf2"))
+    }),
     "q_features" -> ((s, dir) => {
       val ens = eventsEnsemble(s, dir)
       val res = Ops.AnalysisOps(ens).extractFeatures(
@@ -340,6 +353,29 @@ object SparkEntry {
     "q_batch_mean" ->
       """SELECT user_id, round(avg(value), 6) AS mean_value
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_sf2_relational" ->
+      s"""$EvCte, src AS (
+        |  SELECT user_id AS id, event_type AS band, ts_days AS t,
+        |         value AS f, err AS e FROM ev),
+        |pairs AS (
+        |  SELECT a.id, a.band, b.t - a.t AS dt, b.f - a.f AS df,
+        |         a.e * a.e + b.e * b.e AS sse
+        |  FROM src a JOIN src b
+        |    ON a.id = b.id AND a.band = b.band AND a.t < b.t),
+        |ranges AS (
+        |  SELECT id, band, min(dt) AS lo, max(dt) AS hi,
+        |         greatest(ceil(count(*) / 50.0), 1) AS nbins
+        |  FROM pairs GROUP BY id, band),
+        |binned AS (
+        |  SELECT p.id, p.band, p.dt, p.df, p.sse,
+        |    CASE WHEN r.hi = r.lo THEN 0
+        |      ELSE least(greatest(
+        |        floor((p.dt - r.lo) / ((r.hi - r.lo) / r.nbins)), 0),
+        |        r.nbins - 1) END AS bin
+        |  FROM pairs p JOIN ranges r USING (id, band))
+        |SELECT id::VARCHAR AS lc_id, band, round(avg(dt), 6) AS dt,
+        |  round(avg(df * df - sse), 4) AS sf2
+        |FROM binned GROUP BY id, band, bin""".stripMargin,
     "q_features" ->
       """SELECT user_id, round(avg(value), 6) AS mean,
         | round((max(value) - min(value)) / 2.0, 6) AS amplitude,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.analysis.{sf, Ops, SF2Relational}
+import org.apache.spark.sql.functions._
+
+/** Relational (self-join) SF² agrees with the in-task batch path where
+  * their binning semantics coincide. */
+class SF2RelationalSpec extends SparkSuite {
+
+  def singleObjectEnsemble() = {
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    val anyId = ens.source.select("user_id").limit(1).collect()(0).getLong(0)
+    ens.query(s"user_id = $anyId")
+    ens
+  }
+
+  def toMap(df: org.apache.spark.sql.DataFrame): Map[(String, String, Int), (Double, Double)] =
+    df.collect().map { r =>
+      // key by rounded dt so float-order differences don't break the match
+      (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e6).toInt) ->
+        (r.getDouble(2), r.getDouble(3))
+    }.toMap
+
+  test("single lightcurve: relational == batch for length binning, all estimators") {
+    for (m <- Seq("basic", "bauer_2009a", "bauer_2009b", "schmidt_2010",
+        "macleod_2012")) {
+      val args = sf.SFArgs(sfMethod = m, binMethod = "length",
+        binCountTarget = 30)
+      val batch = toMap(Ops.AnalysisOps(singleObjectEnsemble()).sf2(args)
+        .select("lc_id", "band", "dt", "sf2"))
+      val rel = toMap(SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+        .sf2Relational(args))
+      assert(rel.keySet === batch.keySet, m)
+      rel.foreach { case (k, (dt, s)) =>
+        val (bdt, bs) = batch(k)
+        assert(math.abs(dt - bdt) <= 1e-9 * (1 + math.abs(bdt)), s"$m dt")
+        assert(math.abs(s - bs) <= 1e-9 * (1 + math.abs(bs)), s"$m sf2 $s vs $bs")
+      }
+    }
+  }
+
+  test("combine mode pools lightcurves per band with global bins") {
+    val args = sf.SFArgs(binMethod = "loglength", combine = true,
+      binCountTarget = 200)
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens.query("user_id < 10")
+    val rel = SF2Relational.SF2RelationalOps(ens).sf2Relational(args)
+    val rows = rel.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0) == "combined"))
+    // one row group per band
+    assert(rows.map(_.getString(1)).distinct.length ===
+      ens.source.select("event_type").distinct().count())
+  }
+
+  test("relational path rejects size binning with a pointer to the batch path") {
+    val e = intercept[IllegalArgumentException] {
+      SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+        .sf2Relational(sf.SFArgs(binMethod = "size"))
+    }
+    assert(e.getMessage.contains("batch path"))
+  }
+
+  test("pair counts match n*(n-1)/2 per (id, band)") {
+    val ens = singleObjectEnsemble()
+    val perBand = ens.source.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cm = ens.colMap
+    val src = ens.source.select(col(cm.id).as("id"),
+      col(cm.band).as("band"), col(cm.time).as("t"))
+    val pairCounts = src.as("a").join(src.as("b"),
+        col("a.id") === col("b.id") && col("a.band") === col("b.band") &&
+          col("a.t") < col("b.t"))
+      .groupBy(col("a.band")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perBand.foreach { case (band, n) =>
+      // ties in t reduce the strict < count; events ts are distinct
+      assert(pairCounts.getOrElse(band, 0L) === n * (n - 1) / 2, band)
+    }
+  }
+}
