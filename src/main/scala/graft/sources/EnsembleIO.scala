@@ -140,6 +140,48 @@ object EnsembleIO {
     ens
   }
 
+  /** Persist the ensemble as BUCKETED tables: parquet bucketed (and
+    * sorted) by the id column, so reloads get co-located, pre-sorted
+    * lightcurves — object↔source joins, sync semi-joins and the batch
+    * engine's groupByKey all plan WITHOUT a shuffle (Catalyst recognizes
+    * the bucketing as satisfying hash-distribution requirements). This is
+    * the persisted form of `sortLightcurves()`: pay the layout cost once
+    * at write, every subsequent session skips the exchange. The
+    * reference's "known divisions" round-trip bit (save_ensemble's
+    * `known_divisions`, ensemble.py:1367) maps to this.
+    *
+    * Tables are registered as `<prefix>_<label>` in the session catalog
+    * (spark.sql.warehouse.dir); read back with [[fromBucketedTables]]. */
+  def saveEnsembleBucketed(ens: Ensemble, prefix: String,
+      nBuckets: Int = 64): Unit = {
+    val cm = ens.colMap
+    val spark = ens.spark
+    Seq(Ensemble.SourceLabel, Ensemble.ObjectLabel).foreach { label =>
+      val tableName = s"${prefix}_$label"
+      // clean both the catalog entry and any orphaned location (a crashed
+      // prior write can leave the dir without the table)
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      deleteRecursively(Paths.get(warehouse, tableName.toLowerCase))
+      val w = ens.frame(label).write.mode("overwrite")
+        .bucketBy(nBuckets, cm.id)
+      val sorted =
+        if (label == Ensemble.SourceLabel) w.sortBy(cm.id, cm.time)
+        else w.sortBy(cm.id)
+      sorted.format("parquet").saveAsTable(tableName)
+    }
+  }
+
+  /** Reload a bucketed ensemble saved by [[saveEnsembleBucketed]]. */
+  def fromBucketedTables(spark: SparkSession, prefix: String,
+      colMap: ColumnMap, keepEmptyObjects: Boolean = false): Ensemble = {
+    val ens = new Ensemble(spark, colMap, keepEmptyObjects)
+    ens.setSource(spark.table(s"${prefix}_${Ensemble.SourceLabel}"))
+    ens.setObject(spark.table(s"${prefix}_${Ensemble.ObjectLabel}"))
+    ens
+  }
+
   /** Read a HiPSCat-style pair of hive-partitioned parquet catalogs
     * (`Norder=/Dir=/Npix=` directory layout) and align sources to objects
     * by the object index (reference from_hipscat/from_lsdb,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.ColumnMap
+import graft.operators.Photometry._
 import graft.sources.EnsembleIO
 import org.apache.spark.sql.functions._
 
@@ -48,6 +49,33 @@ class IOSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       EnsembleIO.fromDataset(spark, reg, "missing", ColumnMap.events)
     }
+  }
+
+  test("bucketed save/load: object-source join plans without a shuffle") {
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens.calcNobs(byBand = false, temporary = false)
+    EnsembleIO.saveEnsembleBucketed(ens, "bucketed_spec", nBuckets = 8)
+    val back = EnsembleIO.fromBucketedTables(spark, "bucketed_spec",
+      ColumnMap.events)
+    assert(back.source.count() === ens.source.count())
+    // the id-equi join of the two bucketed tables needs NO shuffle
+    // exchange (a broadcast of the tiny object side would also be fine,
+    // but force the sort-merge path to prove the bucket layout is used)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = back.source.join(back.objectFrame, "user_id")
+      assert(joined.count() === ens.source.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle:\n$plan")
+      // per-id aggregation over the bucketed source: also shuffle-free
+      val agg = back.source.groupBy("user_id").count()
+      agg.count()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle:\n$aggPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("merge: suffixes clashing columns, marks table dirty") {
