@@ -407,7 +407,7 @@ object SparkEntry {
         |    len(list_filter(toks, t -> list_contains(['le','la','de','et','est','un','une','que'], t))) AS s_fr,
         |    len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','you','zai','ta'], t))) AS s_zh,
         |    CASE WHEN len(toks) = 0 THEN 0.0
-        |      ELSE len(list_filter(toks, t -> list_contains(['a','and','bu','das','de','der','die','ein','el','en','es','est','et','in','is','ist','la','le','mit','nicht','of','que','shi','ta','that','the','to','un','una','und','une','wo','y','you','zai'], t))) / len(toks)::DOUBLE END AS swr,
+        |      ELSE len(list_filter(toks, t -> list_contains(['a','and','bu','das','de','der','die','ein','el','en','es','est','et','in','is','ist','la','le','mit','nicht','of','que','shi','ta','that','the','to','un','und','une','wo','y','you','zai'], t))) / len(toks)::DOUBLE END AS swr,
         |    CASE WHEN len(toks) = 0 THEN 0.0
         |      ELSE list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE END AS mwl,
         |    least(len(text) / 200.0, 1.0) AS len_score,

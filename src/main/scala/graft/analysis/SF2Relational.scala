@@ -67,15 +67,37 @@ object SF2Relational {
       if (args.combine) Seq("band") else Seq("lc_id", "band")
     val keyCols = keys.map(col)
 
-    // pass 1: per-group Δt range and pair count → closed-form bin edges
-    val dtForEdges =
-      if (args.binMethod == "loglength") log(col("dt")) else col("dt")
-    val ranges = pairs
+    // Per-group Δt range and pair count, derived from the SOURCE rows (n
+    // per group) rather than a second O(n²) pair expansion:
+    //   max Δt  = max(t) − min(t)
+    //   min Δt  = the smallest positive gap between time-sorted
+    //             observations (the global minimum pair difference is
+    //             always attained by an adjacent pair)
+    //   npairs  = n·(n−1)/2 − Σ_t c_t·(c_t−1)/2  (strict <, ties excluded)
+    // so the expensive self-join runs exactly once.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+    val gaps = bandFiltered
+      .withColumn("__gap", col("t") - lag(col("t"), 1).over(w))
+    val tieCounts = bandFiltered.groupBy((keyCols :+ col("t")): _*)
+      .agg(count(lit(1)).as("__ct"))
       .groupBy(keyCols: _*)
-      .agg(min(dtForEdges).as("lo"), max(dtForEdges).as("hi"),
-        count(lit(1)).as("npairs"))
-      .withColumn("nbins",
-        greatest(ceil(col("npairs") / args.binCountTarget), lit(1L)))
+      .agg(sum(col("__ct") * (col("__ct") - 1) / 2).as("__tiepairs"))
+    val rawRanges = gaps.groupBy(keyCols: _*)
+      .agg(min(when(col("__gap") > 0, col("__gap"))).as("mindt"),
+        (max(col("t")) - min(col("t"))).as("maxdt"),
+        count(lit(1)).as("n"))
+      .join(tieCounts, keys)
+      .withColumn("npairs",
+        (col("n") * (col("n") - 1) / 2 - col("__tiepairs")).cast("long"))
+      .filter(col("npairs") > 0)
+    val toEdge: Column => Column =
+      if (args.binMethod == "loglength") log else identity
+    val ranges = rawRanges.select(
+      (keyCols :+ toEdge(col("mindt")).as("lo")
+        :+ toEdge(col("maxdt")).as("hi")
+        :+ greatest(ceil(col("npairs") / args.binCountTarget), lit(1L))
+          .as("nbins")): _*)
 
     // bin index: uniform interior edges over [lo, hi]; first edge extended
     // by 0.1% of the range (base_calculator.py:88-90) — subsumed by

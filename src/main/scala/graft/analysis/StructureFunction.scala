@@ -260,14 +260,19 @@ object sf {
     def calculate(): (Seq[Array[Double]], Seq[Array[Double]])
     def nameId: String
 
-    /** reference _bootstrap, base_calculator.py:40-52. */
+    /** reference _bootstrap, base_calculator.py:40-52: equal weighting →
+      * min pair count for all; otherwise the configured sample count, and
+      * when THAT is unset each lightcurve resamples at its OWN full count
+      * (select_difference_samples None default, sf_light_curve.py:77-80). */
     def bootstrap(rng: java.util.Random): Unit = {
-      val n =
+      val fixed: Option[Int] =
         if (args.equallyWeightLightcurves)
-          lightcurves.map(_.numberOfDifferenceValues).min
+          Some(lightcurves.map(_.numberOfDifferenceValues).min)
         else args.numberLightcurveSamples
-          .getOrElse(lightcurves.map(_.numberOfDifferenceValues).min)
-      lightcurves.foreach(_.selectDifferenceSamples(n, rng))
+      lightcurves.foreach { lc =>
+        lc.selectDifferenceSamples(
+          fixed.getOrElse(lc.numberOfDifferenceValues), rng)
+      }
     }
 
     /** reference _calculate_binned_statistics, base_calculator.py:109-215.

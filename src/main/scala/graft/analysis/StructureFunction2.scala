@@ -93,14 +93,18 @@ final case class StructureFunction2(
         val ids = mask.map(lcId).toArray
 
         // one SFLightCurve per id; too-few-points curves skipped
-        // (structurefunction2.py:113-127)
-        val lightcurves = unqIds.flatMap { id =>
+        // (structurefunction2.py:113-127). Surviving ids are tracked
+        // alongside their curves so labels stay correct when some ids
+        // are skipped.
+        val idAndCurve = unqIds.flatMap { id =>
           val im = ids.indices.filter(ids(_) == id)
-          try Some(new sf.SFLightCurve(
+          try Some(id -> new sf.SFLightCurve(
             im.map(times).toArray, im.map(fluxes).toArray,
             im.map(errors).toArray))
           catch { case _: IllegalArgumentException => None }
         }.toSeq
+        val survivingIds = idAndCurve.map(_._1)
+        val lightcurves = idAndCurve.map(_._2)
 
         if (lightcurves.nonEmpty) {
           val calc = sf.SFMethods(args.sfMethod)(lightcurves, args)
@@ -118,8 +122,7 @@ final case class StructureFunction2(
             val nBins = aggDts.head(li).length
             val lcLabel =
               if (args.combine) "combined"
-              else if (nLcs == unqIds.length) unqIds(li)
-              else lightcurveLabel(lightcurves, unqIds, li)
+              else survivingIds(li)
             (0 until nBins).foreach { bi =>
               val dtStack = aggDts.map(_(li)(bi)).toArray
               val sfStack = aggSfs.map(_(li)(bi)).toArray
@@ -143,11 +146,4 @@ final case class StructureFunction2(
     out.toSeq
   }
 
-  /** Map the li-th surviving lightcurve back to its id when some ids were
-    * skipped for having too few observations. */
-  private def lightcurveLabel(
-      lcs: Seq[sf.SFLightCurve],
-      unqIds: Array[String],
-      li: Int
-  ): String = if (li < unqIds.length) unqIds(li) else li.toString
 }

@@ -110,7 +110,15 @@ object Batch {
     val outCols = fn.outputSchema.fieldNames.toSeq
     val bands = long.select(col(bandCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
-    val aggs = outCols.map(c => first(col(c)).as(c))
+    // numeric outputs sum across multi-row results per (key, band) —
+    // the reference's pivot_table(aggfunc="sum"), ensemble.py:1291-1293;
+    // non-numeric outputs keep the first value (sum is undefined).
+    val aggs = outCols.map { c =>
+      fn.outputSchema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => sum(col(c)).as(c)
+        case _ => first(col(c)).as(c)
+      }
+    }
     val pivoted = long
       .groupBy(idKeys.map(col): _*)
       .pivot(col(bandCol).cast("string"), bands)

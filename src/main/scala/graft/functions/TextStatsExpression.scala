@@ -15,7 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * overhead; this computes all counts in a single scan.
   *
   * Semantics (ASCII classes, matching the SQL-oracle definitions):
-  *  - ws_tokens: maximal runs of non-whitespace in the space-trimmed text
+  *  - ws_tokens: segment count of splitting the space-trimmed text on
+  *    `\s+` — i.e. (number of whitespace runs inside the trimmed text)+1
+  *    for non-empty text, 0 for empty. This reproduces split() semantics
+  *    exactly, INCLUDING the empty leading/trailing segments produced
+  *    when the space-trimmed text still starts/ends with `\t`/`\n` etc.
+  *    (both Spark split with limit=-1 and DuckDB string_split_regex keep
+  *    them), so the oracle comparison holds on any input.
   *  - bpe_tokens: runs of [A-Za-z0-9] count 1 each; every other
   *    non-whitespace char counts 1 (≙ `[A-Za-z0-9]+|[^A-Za-z0-9\s]`)
   *  - alpha: count of [A-Za-z]; punct: count of ASCII punctuation
@@ -54,9 +60,9 @@ object TextStatsExpression {
       var lo = 0; var hi = n
       while (lo < hi && s.charAt(lo) == ' ') lo += 1
       while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-      var wsTokens = 0; var bpe = 0; var alpha = 0; var punct = 0
+      var wsRuns = 0; var bpe = 0; var alpha = 0; var punct = 0
       var nonspace = 0
-      var inToken = false; var inAlnumRun = false
+      var inWsRun = false; var inAlnumRun = false
       var i = 0
       while (i < n) {
         val c = s.charAt(i)
@@ -68,11 +74,13 @@ object TextStatsExpression {
         if (c >= 'A' && c <= 'Z' || c >= 'a' && c <= 'z') alpha += 1
         if (isPunct(c)) punct += 1
         if (i >= lo && i < hi) {
-          if (isWs(c)) inToken = false
-          else { if (!inToken) wsTokens += 1; inToken = true; nonspace += 1 }
+          if (isWs(c)) { if (!inWsRun) wsRuns += 1; inWsRun = true }
+          else { inWsRun = false; nonspace += 1 }
         }
         i += 1
       }
+      // split-on-\s+ segment count = whitespace runs + 1 (empty text → 0)
+      val wsTokens = if (hi == lo) 0 else wsRuns + 1
       val nchars = s.codePointCount(0, n)
       InternalRow(wsTokens, bpe, alpha, punct, nonspace, nchars)
     }

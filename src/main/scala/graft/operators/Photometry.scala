@@ -46,21 +46,38 @@ object Photometry {
         src.groupBy(col(cm.id)).agg(count(lit(1)).as("nobs_total"))
       }
       val newCols = counts.columns.filterNot(_ == cm.id).toSeq
+      val preExisting = ens.objectFrame.columns.toSet
       val obj = ens.objectFrame.drop(newCols: _*)
         .join(counts, Seq(cm.id), "left")
       ens.updateFrame(ObjectLabel, obj)
-      if (temporary) ens.registerTemp(ObjectLabel, newCols)
+      // Only columns that did NOT already exist are registered temporary
+      // (the reference's assign() rule, ensemble.py:758-760): overwriting
+      // a persistent column (e.g. a loaded object table's own nobs_total)
+      // must not schedule it for removal at the next sync.
+      if (temporary)
+        ens.registerTemp(ObjectLabel, newCols.filterNot(preExisting))
       ens
     }
 
     /** Drop objects with fewer than `threshold` observations (reference
-      * prune, ensemble.py:872-904). Marks the object table dirty so sources
-      * of pruned objects are trimmed at the next source read. */
-    def prune(threshold: Int, colName: String = "nobs_total"): Ensemble = {
-      if (!ens.objectFrame.columns.contains(colName))
-        calcNobs(byBand = false, temporary = true)
+      * prune, ensemble.py:872-904). With no `colName`, the counts are
+      * ALWAYS recomputed (reference `if not col_name: calc_nobs()`), so a
+      * stale pre-filter nobs column is never used; an explicit `colName`
+      * must already exist on the object table. Marks the object table
+      * dirty so sources of pruned objects are trimmed at the next source
+      * read. */
+    def prune(threshold: Int, colName: Option[String] = None): Ensemble = {
+      val c = colName match {
+        case Some(name) =>
+          require(ens.objectFrame.columns.contains(name),
+            s"prune column '$name' not present on the object table")
+          name
+        case None =>
+          calcNobs(byBand = false, temporary = true)
+          "nobs_total"
+      }
       ens.updateFrame(ObjectLabel,
-        ens.objectFrame.filter(col(colName) >= lit(threshold)))
+        ens.objectFrame.filter(col(c) >= lit(threshold)))
       ens.markDirty(ObjectLabel)
       ens
     }
@@ -175,7 +192,7 @@ object Photometry {
     def findDayGapOffset(): Option[Double] = {
       val cm = ens.colMap
       val counts = ens.source
-        .groupBy((floor(col(cm.time) * 24) % 24).cast("int").as("hour"))
+        .groupBy(pmod(floor(col(cm.time) * 24), lit(24)).cast("int").as("hour"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val occupied = (0 until 24).map(h => counts.getOrElse(h, 0L) > 0L)

@@ -122,7 +122,7 @@ object Similarity {
       vecCol: String = "embedding", sampleSize: Int = 2000,
       iters: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
     val sample = df.select(col(vecCol)).limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     require(sample.nonEmpty, "empty training set")
     val rng = new java.util.Random(seed)
     var centroids = Array.tabulate(k)(i => sample(
