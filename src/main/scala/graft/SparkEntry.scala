@@ -133,7 +133,7 @@ object SparkEntry {
       ens.convertFluxToMag(Right(25.0), zpForm = "mag")
       ens.source.select(col("event_id"),
         round(col("value_mag"), 6).as("value_mag"),
-        round(col("err_mag"), 6).as("err_mag"))
+        round(col("value_mag_err"), 6).as("value_mag_err"))
     }),
     "q_coalesce" -> ((s, dir) => {
       val ens = eventsEnsemble(s, dir)
@@ -339,7 +339,7 @@ object SparkEntry {
     "q_flux2mag" ->
       s"""$EvCte SELECT event_id,
         | round(-2.5 * log10(value) + 25.0, 6) AS value_mag,
-        | round((2.5 / ln(10)) * (err / value), 6) AS err_mag
+        | round((2.5 / ln(10)) * (err / value), 6) AS value_mag_err
         |FROM ev""".stripMargin,
     "q_coalesce" ->
       s"""$EvCte SELECT event_id,

@@ -135,12 +135,13 @@ object Photometry {
         case Right(v)   => lit(v)
       }
       val magCol = outColName.getOrElse(cm.flux + "_mag")
-      val magErrCol = outColName.map(_ + "_err").getOrElse(cm.err + "_mag")
+      val magErrCol = magCol + "_err" // reference: out_col_name + "_err"
       val mag = zpForm match {
-        case "flux" => lit(-2.5) * log10(col(cm.flux) / zp)
-        case "mag"  => lit(-2.5) * log10(col(cm.flux)) + zp
+        case "flux"               => lit(-2.5) * log10(col(cm.flux) / zp)
+        case "mag" | "magnitude"  => lit(-2.5) * log10(col(cm.flux)) + zp
         case other =>
-          throw new IllegalArgumentException(s"unknown zp_form $other")
+          throw new IllegalArgumentException(
+            s"$other is not a valid zero_point format.")
       }
       val magErr = (lit(2.5) / log(lit(10.0))) * (col(cm.err) / col(cm.flux))
       ens.updateFrame(SourceLabel,

@@ -1,0 +1,115 @@
+package graft
+
+import graft.core.ColumnMap
+import graft.operators.Photometry._
+import graft.sources.EnsembleIO
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operator goldens from the reference's own test expectations
+  * (test_ensemble.py bin_sources and convert_flux_to_mag). */
+class ParityGoldenSpec extends SparkSuite {
+
+  val cmap = ColumnMap(id = "id", time = "time", flux = "flux",
+    err = "err", band = "band")
+
+  def binEnsemble() = {
+    // test_ensemble.py:1834-1841 fixture
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("time", DoubleType),
+      StructField("flux", DoubleType), StructField("band", StringType),
+      StructField("err", DoubleType)))
+    val t = Seq(10.1, 10.2, 10.2, 11.1, 11.2, 10.9, 11.1, 15.0, 15.1)
+    val f = Seq(1.0, 2.0, 5.0, 3.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    val b = Seq("g", "g", "b", "g", "b", "g", "g", "g", "g")
+    val e = Seq(1.0, 2.0, 1.0, 3.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val ids = Seq(8001L, 8001L, 8001L, 8001L, 8002L, 8002L, 8002L, 8002L, 8002L)
+    val rows = ids.indices.map(i => Row(ids(i), t(i), f(i), b(i), e(i)))
+    EnsembleIO.fromRows(spark, rows, schema, cmap)
+  }
+
+  test("bin_sources golden: offset window, custom time aggr, count col") {
+    // test_ensemble.py:1849-1878: window=1.0, offset=0.5, time->min
+    val ens = binEnsemble()
+    ens.binSources(timeWindow = 1.0, offset = 0.5,
+      countCol = Some("aggregated_bin_count"),
+      customAggr = Map("time" -> min(col("time"))))
+    val out = ens.source.collect().map { r =>
+      (r.getAs[Long]("id"), r.getAs[String]("band"),
+        r.getAs[Double]("time")) ->
+        (r.getAs[Double]("flux"), r.getAs[Double]("err"),
+          r.getAs[Long]("aggregated_bin_count"))
+    }.toMap
+    assert(out.size === 6)
+    val expected = Map(
+      (8001L, "g", 10.1) -> (1.5, 1.118033988749895, 2L),
+      (8001L, "b", 10.2) -> (5.0, 1.0, 1L),
+      (8001L, "g", 11.1) -> (3.0, 3.0, 1L),
+      (8002L, "b", 11.2) -> (1.0, 2.0, 1L),
+      (8002L, "g", 10.9) -> (2.5, 2.5, 2L),
+      (8002L, "g", 15.0) -> (4.5, 3.905124837953327, 2L))
+    expected.foreach { case (k, (ef, ee, ec)) =>
+      val (gf, ge, gc) = out(k)
+      assert(math.abs(gf - ef) < 1e-6, s"$k flux")
+      assert(math.abs(ge - ee) < 1e-6, s"$k err")
+      assert(gc === ec, s"$k count")
+    }
+  }
+
+  test("bin_sources two-day window golden (test_ensemble.py:1881-1918)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("time", DoubleType),
+      StructField("flux", DoubleType), StructField("band", StringType),
+      StructField("err", DoubleType)))
+    val t = Seq(10.1, 10.2, 10.2, 11.1, 11.2, 10.9, 11.1, 15.0, 15.1, 14.0)
+    val f = Seq(1.0, 2.0, 5.0, 3.0, 1.0, 2.0, 3.0, 4.0, 5.0, 5.0)
+    val b = Seq("g", "g", "b", "g", "b", "g", "g", "g", "g", "g")
+    val e = Seq(1.0, 2.0, 1.0, 3.0, 2.0, 3.0, 4.0, 5.0, 6.0, 5.0)
+    val ids = Seq(8001L, 8001L, 8001L, 8001L, 8002L, 8002L, 8002L, 8002L,
+      8002L, 8002L)
+    val rows = ids.indices.map(i => Row(ids(i), t(i), f(i), b(i), e(i)))
+    val ens = EnsembleIO.fromRows(spark, rows, schema, cmap)
+    ens.binSources(timeWindow = 2.0, offset = 0.5)
+    val out = ens.source.collect().map { r =>
+      (r.getAs[Long]("id"), r.getAs[String]("band"),
+        math.round(r.getAs[Double]("time") * 1e4) / 1e4.toDouble) ->
+        r.getAs[Double]("flux")
+    }.toMap
+    assert(out.size === 5)
+    // expected_flux/time/band from test_ensemble.py:1908-1911
+    val expected = Map(
+      (8001L, "g", 10.4667) -> 2.0, (8001L, "b", 10.2) -> 5.0,
+      (8002L, "b", 11.2) -> 1.0, (8002L, "g", 11.0) -> 2.5,
+      (8002L, "g", 14.7) -> 4.666666666666667)
+    expected.foreach { case (k, ef) =>
+      assert(out.contains(k), s"missing bin $k in ${out.keys}")
+      assert(math.abs(out(k) - ef) < 1e-3, s"$k flux")
+    }
+  }
+
+  test("convert_flux_to_mag goldens: zp as mag and as flux") {
+    // test_convert_flux_to_mag: flux 30.5, zp 25 mag / 1e10 flux
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("time", DoubleType),
+      StructField("flux", DoubleType), StructField("band", StringType),
+      StructField("err", DoubleType)))
+    val rows = Seq(Row(0L, 1.0, 30.5, "g", 10.0))
+    val ensMag = EnsembleIO.fromRows(spark, rows, schema, cmap)
+    ensMag.convertFluxToMag(Right(25.0), zpForm = "mag")
+    val r1 = ensMag.source.select("flux_mag", "flux_mag_err").collect()(0)
+    assert(math.abs(r1.getDouble(0) - 21.28925) < 1e-3 * 21.28925)
+    assert(math.abs(r1.getDouble(1) - 0.355979) < 1e-3)
+
+    val ensFlux = EnsembleIO.fromRows(spark, rows, schema, cmap)
+    ensFlux.convertFluxToMag(Right(1e10), zpForm = "flux",
+      outColName = Some("my_mag"))
+    val r2 = ensFlux.source.select("my_mag", "my_mag_err").collect()(0)
+    assert(math.abs(r2.getDouble(0) - 21.28925) < 1e-3 * 21.28925)
+    assert(math.abs(r2.getDouble(1) - 0.355979) < 1e-3)
+
+    intercept[IllegalArgumentException] {
+      ensFlux.convertFluxToMag(Right(25.0), zpForm = "bogus")
+    }
+  }
+}
