@@ -58,6 +58,8 @@ object Features {
       case "eta_e"           => etaE(t, m)
       case "excess_variance" => excessVariance(m, e)
       case "ptp"             => m.max - m.min
+      case "period_peak"     => periodPeak(t, m)
+      case "periodogram_peak_power" => periodogramPeakPower(t, m)
       case other =>
         throw new IllegalArgumentException(s"unknown feature $other")
     }
@@ -134,5 +136,67 @@ object Features {
     val s2 = m.map(x => (x - mu) * (x - mu)).sum / (n - 1)
     val meanErr2 = e.map(x => x * x).sum / n
     (s2 - meanErr2) / (mu * mu)
+  }
+
+  /** Classic Lomb–Scargle periodogram (Lomb 1976, Scargle 1982; the
+    * floating-mean-free form with the τ phase shift) of an unevenly
+    * sampled series, evaluated at the given angular frequencies. Power is
+    * normalized by the sample variance, so a pure sinusoid peaks near
+    * n/2·(1/…)≈O(n). This is the native stand-in for the reference
+    * FeatureExtractor's `Periodogram` feature (feature_extractor.py:8-15,
+    * backed there by the optional Rust `light-curve` package). */
+  def lombScargle(t: Array[Double], m: Array[Double],
+      omegas: Array[Double]): Array[Double] = {
+    val n = m.length
+    val mu = mean(m)
+    val dm = m.map(_ - mu)
+    val sigma2 = dm.map(x => x * x).sum / (n - 1)
+    omegas.map { w =>
+      var s2 = 0.0; var c2 = 0.0
+      var i = 0
+      while (i < n) { s2 += math.sin(2 * w * t(i)); c2 += math.cos(2 * w * t(i)); i += 1 }
+      val tau = math.atan2(s2, c2) / (2 * w)
+      var cs = 0.0; var cc = 0.0; var ss = 0.0; var sc = 0.0
+      i = 0
+      while (i < n) {
+        val arg = w * (t(i) - tau)
+        val co = math.cos(arg); val si = math.sin(arg)
+        cs += dm(i) * co; cc += co * co
+        sc += dm(i) * si; ss += si * si
+        i += 1
+      }
+      0.5 * ((cs * cs) / cc + (sc * sc) / ss) / sigma2
+    }
+  }
+
+  /** Standard frequency grid: from 1/T to the pseudo-Nyquist n/(2T), with
+    * `oversample`× resolution. */
+  def lsFrequencyGrid(t: Array[Double], oversample: Int = 5): Array[Double] = {
+    val tRange = t.max - t.min
+    if (tRange <= 0) return Array.empty
+    val n = t.length
+    val fMin = 1.0 / tRange
+    val fMax = n / (2.0 * tRange)
+    val df = fMin / oversample
+    val steps = math.max(((fMax - fMin) / df).toInt, 1)
+    Array.tabulate(steps + 1)(k => 2 * math.Pi * (fMin + k * df))
+  }
+
+  /** Period of the highest Lomb–Scargle peak. */
+  def periodPeak(t: Array[Double], m: Array[Double]): Double = {
+    if (t.length < 4) return Double.NaN
+    val omegas = lsFrequencyGrid(t)
+    if (omegas.isEmpty) return Double.NaN
+    val power = lombScargle(t, m, omegas)
+    val best = power.indices.maxBy(power)
+    2 * math.Pi / omegas(best)
+  }
+
+  /** Variance-normalized power of the highest peak. */
+  def periodogramPeakPower(t: Array[Double], m: Array[Double]): Double = {
+    if (t.length < 4) return Double.NaN
+    val omegas = lsFrequencyGrid(t)
+    if (omegas.isEmpty) return Double.NaN
+    lombScargle(t, m, omegas).max
   }
 }
