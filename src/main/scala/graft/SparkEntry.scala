@@ -110,14 +110,14 @@ object SparkEntry {
     "q_prune" -> ((s, dir) => {
       val ens = eventsEnsemble(s, dir)
       ens.calcNobs(byBand = false, temporary = false)
-      ens.prune(60)
+      ens.prune(60, colName = Some("nobs_total")) // counts just computed
       ens.objectFrame
     }),
     "q_sync_semijoin" -> ((s, dir) => {
       // object-side prune propagates to source via lazy sync (left semi)
       val ens = eventsEnsemble(s, dir)
       ens.calcNobs(byBand = false, temporary = false)
-      ens.prune(70)
+      ens.prune(70, colName = Some("nobs_total")) // counts just computed
       ens.source.select(col("event_id"), col("user_id"))
     }),
     "q_bin_sources" -> ((s, dir) => {
