@@ -37,7 +37,16 @@ final case class FeatureExtractor(
     val t = sorted.map(num(_, 0)).toArray
     val m = sorted.map(num(_, 1)).toArray
     val e = sorted.map(num(_, 2)).toArray
-    Seq(Row.fromSeq(features.map(f => Features.evaluate(f, t, m, e))))
+    // one periodogram pass when both period features are requested
+    val periodFeatures = Set("period_peak", "periodogram_peak_power")
+    lazy val lsPair = Features.periodogramPair(t, m)
+    val values = features.map {
+      case "period_peak" if features.count(periodFeatures) > 1 => lsPair._1
+      case "periodogram_peak_power" if features.count(periodFeatures) > 1 =>
+        lsPair._2
+      case f => Features.evaluate(f, t, m, e)
+    }
+    Seq(Row.fromSeq(values))
   }
 }
 
@@ -182,21 +191,34 @@ object Features {
     Array.tabulate(steps + 1)(k => 2 * math.Pi * (fMin + k * df))
   }
 
-  /** Period of the highest Lomb–Scargle peak. */
+  /** Period of the highest Lomb–Scargle peak; NaN for constant series
+    * (zero variance → every power is NaN, no peak exists). */
   def periodPeak(t: Array[Double], m: Array[Double]): Double = {
     if (t.length < 4) return Double.NaN
     val omegas = lsFrequencyGrid(t)
     if (omegas.isEmpty) return Double.NaN
     val power = lombScargle(t, m, omegas)
-    val best = power.indices.maxBy(power)
+    if (power.forall(_.isNaN)) return Double.NaN
+    val best = power.indices.filterNot(power(_).isNaN).maxBy(power)
     2 * math.Pi / omegas(best)
   }
 
   /** Variance-normalized power of the highest peak. */
-  def periodogramPeakPower(t: Array[Double], m: Array[Double]): Double = {
-    if (t.length < 4) return Double.NaN
+  def periodogramPeakPower(t: Array[Double], m: Array[Double]): Double =
+    periodogramPair(t, m)._2
+
+  /** (period of highest peak, its power) from ONE periodogram pass — use
+    * when both features are wanted (the periodogram is the most expensive
+    * per-lightcurve kernel; computing it twice doubles the dominant
+    * cost). */
+  def periodogramPair(t: Array[Double], m: Array[Double]): (Double, Double) = {
+    if (t.length < 4) return (Double.NaN, Double.NaN)
     val omegas = lsFrequencyGrid(t)
-    if (omegas.isEmpty) return Double.NaN
-    lombScargle(t, m, omegas).max
+    if (omegas.isEmpty) return (Double.NaN, Double.NaN)
+    val power = lombScargle(t, m, omegas)
+    val valid = power.indices.filterNot(power(_).isNaN)
+    if (valid.isEmpty) return (Double.NaN, Double.NaN)
+    val best = valid.maxBy(power)
+    (2 * math.Pi / omegas(best), power(best))
   }
 }

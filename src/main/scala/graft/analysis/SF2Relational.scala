@@ -41,6 +41,10 @@ object SF2Relational {
     require(args.binMethod == "length" || args.binMethod == "loglength",
       s"relational SF2 supports length/loglength binning; " +
         s"'${args.binMethod}' needs the batch path (Ops.sf2)")
+    require(!args.estimateErr && args.calculationRepetitions <= 1 &&
+      !args.equallyWeightLightcurves,
+      "bootstrap error estimation / equal weighting need per-group " +
+        "resampling state — use the batch path (Ops.sf2)")
     val cm = ens.colMap
     val src = ens.source.select(
       col(cm.id).cast("string").as("lc_id"),
@@ -67,30 +71,42 @@ object SF2Relational {
       if (args.combine) Seq("band") else Seq("lc_id", "band")
     val keyCols = keys.map(col)
 
-    // Per-group Δt range and pair count, derived from the SOURCE rows (n
-    // per group) rather than a second O(n²) pair expansion:
+    // Per-lightcurve Δt range and pair count, derived from the SOURCE
+    // rows (n per group) rather than a second O(n²) pair expansion:
     //   max Δt  = max(t) − min(t)
     //   min Δt  = the smallest positive gap between time-sorted
     //             observations (the global minimum pair difference is
     //             always attained by an adjacent pair)
     //   npairs  = n·(n−1)/2 − Σ_t c_t·(c_t−1)/2  (strict <, ties excluded)
-    // so the expensive self-join runs exactly once.
+    // so the expensive self-join runs exactly once. These are ALWAYS
+    // computed per (lc_id, band) — pairs never span lightcurves — and in
+    // combine mode the per-band pooled range is then the min/max/sum of
+    // the per-lightcurve stats (pooled pair dts = union of per-LC pair
+    // dts). The window also stays partitioned per lightcurve, so no
+    // single task sees a whole band.
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("t"))
+    val lcKeys = Seq(col("lc_id"), col("band"))
+    val w = Window.partitionBy(lcKeys: _*).orderBy(col("t"))
     val gaps = bandFiltered
       .withColumn("__gap", col("t") - lag(col("t"), 1).over(w))
-    val tieCounts = bandFiltered.groupBy((keyCols :+ col("t")): _*)
+    val tieCounts = bandFiltered.groupBy((lcKeys :+ col("t")): _*)
       .agg(count(lit(1)).as("__ct"))
-      .groupBy(keyCols: _*)
+      .groupBy(lcKeys: _*)
       .agg(sum(col("__ct") * (col("__ct") - 1) / 2).as("__tiepairs"))
-    val rawRanges = gaps.groupBy(keyCols: _*)
+    val perLc = gaps.groupBy(lcKeys: _*)
       .agg(min(when(col("__gap") > 0, col("__gap"))).as("mindt"),
         (max(col("t")) - min(col("t"))).as("maxdt"),
         count(lit(1)).as("n"))
-      .join(tieCounts, keys)
+      .join(tieCounts, Seq("lc_id", "band"))
       .withColumn("npairs",
         (col("n") * (col("n") - 1) / 2 - col("__tiepairs")).cast("long"))
       .filter(col("npairs") > 0)
+    val rawRanges =
+      if (args.combine)
+        perLc.groupBy(col("band"))
+          .agg(min(col("mindt")).as("mindt"), max(col("maxdt")).as("maxdt"),
+            sum(col("npairs")).as("npairs"))
+      else perLc
     val toEdge: Column => Column =
       if (args.binMethod == "loglength") log else identity
     val ranges = rawRanges.select(

@@ -112,16 +112,17 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
 
+    // Materialize the (small) verified pair set eagerly via
+    // localCheckpoint so the big intermediates can be unpersisted here:
+    // checkpoint blocks are reclaimed by the ContextCleaner when the
+    // returned DataFrame is garbage-collected — no caller-side unpersist
+    // contract. (On a failure-prone cluster, prefer a reliable
+    // checkpoint dir or a parquet sink for the pair set.)
     val result = withShingles
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      // Materialize the (small) verified pair set eagerly so the big
-      // intermediates can be unpersisted here instead of leaking cached
-      // blocks for the session lifetime. Callers get a cached result;
-      // unpersist it when done.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
+      .localCheckpoint(true)
     sh.unpersist()
     buckets.unpersist()
     result

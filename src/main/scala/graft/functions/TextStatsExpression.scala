@@ -64,8 +64,13 @@ object TextStatsExpression {
       var nonspace = 0
       var inWsRun = false; var inAlnumRun = false
       var i = 0
+      var nchars = 0
+      // iterate CODE POINTS (an astral char is one regex "character" in
+      // both Spark's and DuckDB's engines — counting UTF-16 units would
+      // double-count emoji/astral-CJK in bpe/nonspace)
       while (i < n) {
-        val c = s.charAt(i)
+        val cp = s.codePointAt(i)
+        val c = if (cp <= 0xFFFF) cp.toChar else '￿' // astral: "other"
         if (isAlnum(c)) { if (!inAlnumRun) bpe += 1; inAlnumRun = true }
         else {
           inAlnumRun = false
@@ -77,11 +82,11 @@ object TextStatsExpression {
           if (isWs(c)) { if (!inWsRun) wsRuns += 1; inWsRun = true }
           else { inWsRun = false; nonspace += 1 }
         }
-        i += 1
+        nchars += 1
+        i += Character.charCount(cp)
       }
       // split-on-\s+ segment count = whitespace runs + 1 (empty text → 0)
       val wsTokens = if (hi == lo) 0 else wsRuns + 1
-      val nchars = s.codePointCount(0, n)
       InternalRow(wsTokens, bpe, alpha, punct, nonspace, nchars)
     }
   }

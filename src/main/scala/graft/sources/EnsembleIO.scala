@@ -206,13 +206,23 @@ object EnsembleIO {
       sourceIndexCol: String
   ): Ensemble = {
     val objCat = spark.read.parquet(objectDir)
-    val srcCat = spark.read.parquet(sourceDir)
+    val srcCat0 = spark.read.parquet(sourceDir)
+    // drop a pre-existing column clashing with the target id name before
+    // the rename (the reference drops the suffixed duplicates after its
+    // merge, ensemble.py:1839-1841)
+    val srcCat =
+      if (sourceIndexCol != colMap.id && srcCat0.columns.contains(colMap.id))
+        srcCat0.drop(colMap.id)
+      else srcCat0
     // re-key sources by the object index; keep one id column
     val srcAligned = srcCat
       .join(objCat.select(col(objectIndexCol).as(sourceIndexCol)),
         Seq(sourceIndexCol), "inner")
       .withColumnRenamed(sourceIndexCol, colMap.id)
-    val objKeyed = objCat.withColumnRenamed(objectIndexCol, colMap.id)
+    val objKeyed =
+      (if (objectIndexCol != colMap.id && objCat.columns.contains(colMap.id))
+        objCat.drop(colMap.id)
+      else objCat).withColumnRenamed(objectIndexCol, colMap.id)
     fromDataFrame(spark, srcAligned, colMap, objectDf = Some(objKeyed))
   }
 

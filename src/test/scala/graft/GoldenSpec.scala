@@ -18,7 +18,7 @@ class GoldenSpec extends SparkSuite {
   lazy val ens = {
     val e = EnsembleIO.fromParquet(spark, ps1Source, ColumnMap.ps1,
       objectFile = Some(ps1Object))
-    e.prune(10) // uses the fixture's own nobs_total, like the reference
+    e.prune(10) // recomputes counts (reference prune with col_name=None)
     e.dropna("source")
     e
   }

@@ -40,6 +40,35 @@ class SF2RelationalSpec extends SparkSuite {
     }
   }
 
+  test("combine mode values match the batch combine path (well-separated curves)") {
+    // two lightcurves far apart in time: pooled ranges must come from
+    // within-curve pairs only (regression: per-band pooled min/max over
+    // OBSERVATIONS put hi at the cross-curve span)
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens.query("user_id IN (0, 1)")
+    ens.assign("ts_days" ->
+      when(col("user_id") === 1, col("ts_days") + 100000.0)
+        .otherwise(col("ts_days")))
+    val args = sf.SFArgs(binMethod = "length", combine = true,
+      binCountTarget = 40)
+    val rel = toMap(SF2Relational.SF2RelationalOps(ens).sf2Relational(args))
+
+    val ens2 = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens2.query("user_id IN (0, 1)")
+    ens2.assign("ts_days" ->
+      when(col("user_id") === 1, col("ts_days") + 100000.0)
+        .otherwise(col("ts_days")))
+    val batch = toMap(Ops.AnalysisOps(ens2).sf2(args)
+      .select("lc_id", "band", "dt", "sf2"))
+    assert(rel.keySet === batch.keySet,
+      s"rel-only=${rel.keySet -- batch.keySet} batch-only=${batch.keySet -- rel.keySet}")
+    rel.foreach { case (k, (dt, s)) =>
+      val (bdt, bs) = batch(k)
+      assert(math.abs(dt - bdt) <= 1e-9 * (1 + math.abs(bdt)), s"dt at $k")
+      assert(math.abs(s - bs) <= 1e-9 * (1 + math.abs(bs)), s"sf2 at $k")
+    }
+  }
+
   test("combine mode pools lightcurves per band with global bins") {
     val args = sf.SFArgs(binMethod = "loglength", combine = true,
       binCountTarget = 200)
