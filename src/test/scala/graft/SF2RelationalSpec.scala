@@ -91,6 +91,32 @@ class SF2RelationalSpec extends SparkSuite {
     assert(e.getMessage.contains("batch path"))
   }
 
+  test("giant lightcurve: 5k-obs object (12.5M pairs) completes distributed") {
+    // the scale scenario the batch path can't shoulder indefinitely: one
+    // object whose pair expansion would be a single 12.5M-triple task
+    // in-group, but streams through the distributed self-join here
+    import spark.implicits._
+    val n = 5000
+    val src = spark.range(n).select(
+      lit(1L).as("user_id"),
+      (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
+      (sin(col("id") / 50.0) * 10 + pmod(col("id"), lit(13))).as("value"),
+      lit(0.1).as("err"),
+      lit("g").as("event_type"),
+      col("id").as("event_id"))
+    val ens = graft.sources.EnsembleIO.fromDataFrame(spark, src,
+      graft.core.ColumnMap.events)
+    val t0 = System.nanoTime()
+    val res = SF2Relational.SF2RelationalOps(ens).sf2Relational(
+      sf.SFArgs(binMethod = "length", binCountTarget = 100000))
+    val rows = res.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"5k-obs relational SF2: ${rows.length} bins in $secs%.1f s")
+    assert(rows.length === math.ceil(n.toLong * (n - 1) / 2.0 / 100000).toInt)
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+    assert(secs < 120.0)
+  }
+
   test("pair counts match n*(n-1)/2 per (id, band)") {
     val ens = singleObjectEnsemble()
     val perBand = ens.source.groupBy("event_type").count().collect()
