@@ -288,14 +288,19 @@ final class Ensemble(
     updateFrame(SourceLabel, ranged.sortWithinPartitions(keys.map(col): _*))
   }
 
-  /** Is the table globally sorted by id? (reference check_sorted,
-    * ensemble.py:395-416). */
+  /** Is the table globally sorted by id IN ITS CURRENT LAYOUT? (reference
+    * check_sorted, ensemble.py:395-416 — monotonic index check). The
+    * window must order by the physical position, not by the id itself
+    * (ordering by id would trivially always pass): monotonically
+    * increasing ids encode (partition, row-in-partition), i.e. the
+    * stored order. */
   def checkSorted(table: String = SourceLabel): Boolean = {
     import org.apache.spark.sql.expressions.Window
     val idCol = colMap.id
-    val w = Window.orderBy(col(idCol))
+    val w = Window.orderBy(col("__ord"))
     frame(table)
       .select(col(idCol))
+      .withColumn("__ord", monotonically_increasing_id())
       .withColumn("__next", lead(col(idCol), 1).over(w))
       .filter(col("__next") < col(idCol))
       .isEmpty

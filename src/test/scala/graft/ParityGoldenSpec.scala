@@ -88,6 +88,32 @@ class ParityGoldenSpec extends SparkSuite {
     }
   }
 
+  test("find_day_gap_offset golden: 13/24 on the bin fixture; None when covered") {
+    // reference test_find_day_gap_offset
+    val ens = binEnsemble()
+    val gap = ens.findDayGapOffset()
+    assert(gap.isDefined)
+    assert(math.abs(gap.get - 13.0 / 24.0) < 1e-6, s"gap=$gap")
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("time", DoubleType),
+      StructField("flux", DoubleType), StructField("band", StringType),
+      StructField("err", DoubleType)))
+    val covered = (0 until 100).map(i =>
+      Row(8001L, 24.0 * i / 100.0, 1.0, "g", 1.0))
+    val ens2 = EnsembleIO.fromRows(spark, covered, schema, cmap)
+    assert(ens2.findDayGapOffset().isEmpty) // reference returns -1
+  }
+
+  test("checkSorted detects global id order") {
+    val ens = binEnsemble()
+    assert(ens.checkSorted()) // fixture rows are id-ascending
+    val shuffled = ens.source.orderBy(rand(7))
+    ens.setSource(shuffled)
+    // a randomly permuted source is (almost surely) not globally sorted
+    assert(!ens.checkSorted())
+  }
+
   test("convert_flux_to_mag goldens: zp as mag and as flux") {
     // test_convert_flux_to_mag: flux 30.5, zp 25 mag / 1e10 flux
     val schema = StructType(Seq(
