@@ -30,12 +30,18 @@ object SparkEntry {
     * `ts` is TIMESTAMP(NANOS) parquet, read as a long of epoch-nanos
     * (see graft.Spark), so the time arithmetic is integer-exact before the
     * one double division and Spark and DuckDB agree bit-for-bit. */
-  def eventsSource(s: SparkSession, dir: String): DataFrame =
+  def eventsSource(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads with
+    // this legacy flag (graft.Spark sets it; set defensively here in case
+    // the driver hands us its own session — it is a runtime SQL conf)
+    scala.util.Try(
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
     table(s, dir, "events")
       // integer-truncate nanos→micros to match DuckDB, whose TIMESTAMP
       // type truncates TIMESTAMP_NS parquet on read
       .withColumn("ts_days", expr("ts div 1000") / lit(86400e6))
       .withColumn("err", abs(col("value")) * lit(0.05) + lit(0.01))
+  }
 
   /** Matching DuckDB-side CTE for eventsSource. */
   private val EvCte =
