@@ -39,13 +39,29 @@ final case class ColumnMap(
 }
 
 object ColumnMap {
-  /** ZTF survey preset (reference column_mapper.py:156-174). */
-  val ztf: ColumnMap =
-    ColumnMap(id = "ps1_objid", time = "midPointTai", flux = "psFlux",
-      err = "psFluxErr", band = "filterName")
+  /** ZTF survey preset (reference column_mapper.py:156-173
+    * `ZTFColumnMapper._set_known_map`). With `hipscat=true` (the reference
+    * default) the object id is the catalog's `_hipscat_index`; otherwise the
+    * cross-matched `ps1_objid`. NOTE: `_hipscat_index` is a uint64 in the
+    * catalogs — Spark reads parquet uint64 as signed long, so ids above
+    * 2^63−1 wrap negative; range-partitioning/sorting on such ids groups
+    * correctly (the mapping is 1:1) but orders differently from the unsigned
+    * interpretation (reference ensemble.py:1710-1713 caveat). */
+  def ztf(hipscat: Boolean = true): ColumnMap =
+    ColumnMap(id = if (hipscat) "_hipscat_index" else "ps1_objid",
+      time = "mjd", flux = "mag", err = "magerr", band = "band")
 
-  /** Pan-STARRS1 preset (reference column_mapper.py:176-194). */
-  val ps1: ColumnMap =
+  /** Pan-STARRS1 survey preset (reference column_mapper.py:176-193
+    * `PS1ColumnMapper._set_known_map`). Same `_hipscat_index` caveat as ZTF. */
+  def ps1(hipscat: Boolean = true): ColumnMap =
+    ColumnMap(id = if (hipscat) "_hipscat_index" else "objID",
+      time = "obsTime", flux = "apFlux", err = "apFluxErr", band = "filterID")
+
+  /** The reference repo's own PS1-derived *test fixture* schema
+    * (tests/tape_tests/data/source/test_source.parquet: ps1_objid int64
+    * index, midPointTai/psFlux/psFluxErr float32, filterName string) — not
+    * the production PS1 survey map above. */
+  val ps1TestFixture: ColumnMap =
     ColumnMap(id = "ps1_objid", time = "midPointTai", flux = "psFlux",
       err = "psFluxErr", band = "filterName")
 
@@ -56,9 +72,12 @@ object ColumnMap {
     ColumnMap(id = "user_id", time = "ts_days", flux = "value",
       err = "err", band = "event_type")
 
-  def fromKnownMap(name: String): ColumnMap = name.toLowerCase match {
-    case "ztf" => ztf
-    case "ps1" => ps1
-    case other => throw new IllegalArgumentException(s"unknown survey map $other")
-  }
+  /** `ColumnMapper.use_known_map` equivalent (column_mapper.py:60-81):
+    * case-insensitive survey name, hipscat id switch (default true). */
+  def fromKnownMap(name: String, hipscat: Boolean = true): ColumnMap =
+    name.toLowerCase match {
+      case "ztf" => ztf(hipscat)
+      case "ps1" => ps1(hipscat)
+      case other => throw new IllegalArgumentException(s"unknown survey map $other")
+    }
 }

@@ -297,13 +297,49 @@ final class Ensemble(
   def checkSorted(table: String = SourceLabel): Boolean = {
     import org.apache.spark.sql.expressions.Window
     val idCol = colMap.id
-    val w = Window.orderBy(col("__ord"))
+    // Scale-safe layout check: never order the whole table through one
+    // task. Each input partition reduces to one row of
+    // (pid, min_id, max_id, any_violation_within); sortedness within a
+    // partition is checked by a window PARTITIONED by the physical
+    // partition id and ordered by monotonically_increasing_id (which
+    // encodes row-in-partition position, i.e. the stored order). The
+    // cross-partition boundary check then runs driver-side over
+    // ~numPartitions rows.
+    val perPartition = checkSortedPerPartition(table)
+      .collect()
+      .sortBy(_.getInt(0))
+    val sortedWithin = perPartition.forall(_.getInt(3) == 0)
+    val boundariesOk = perPartition.iterator.sliding(2).withPartial(false)
+      .forall { case Seq(a, b) => compareIds(a.get(2), b.get(1)) <= 0 }
+    sortedWithin && boundariesOk
+  }
+
+  /** The distributed half of [[checkSorted]], exposed so specs can assert
+    * the plan contains no partition-less (single-task) Window. */
+  private[graft] def checkSortedPerPartition(table: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idCol = colMap.id
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__ord"))
     frame(table)
-      .select(col(idCol))
-      .withColumn("__ord", monotonically_increasing_id())
-      .withColumn("__next", lead(col(idCol), 1).over(w))
-      .filter(col("__next") < col(idCol))
-      .isEmpty
+      .select(col(idCol).as("__id"), spark_partition_id().as("__pid"),
+        monotonically_increasing_id().as("__ord"))
+      .withColumn("__prev", lag(col("__id"), 1).over(w))
+      .groupBy(col("__pid"))
+      .agg(
+        min(col("__id")).as("__min"),
+        max(col("__id")).as("__max"),
+        max(when(col("__prev") > col("__id"), 1).otherwise(0)).as("__viol"))
+  }
+
+  /** Driver-side ordering for the handful of partition-boundary id values in
+    * `checkSorted`; ids are primitives or strings, all `Comparable`. */
+  private def compareIds(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"id type ${a.getClass} is not orderable")
   }
 
   /** Does any light curve span more than one partition? (reference
@@ -321,6 +357,37 @@ final class Ensemble(
 
   def columns(table: String = SourceLabel): Seq[String] =
     frames(table).columns.toSeq
+
+  /** Per-frame summary: schema, partition count, optional row count
+    * (reference frame_info, ensemble.py:221-254; Dask's memory_usage has no
+    * lazy Spark analogue, so the size proxy is the partition count).
+    * Raises on an unknown label, like the reference. */
+  def frameInfo(labels: Seq[String] = Seq.empty,
+      countRows: Boolean = true): String = {
+    val want = if (labels.isEmpty) frames.keys.toSeq else labels
+    want.map { label =>
+      if (!frames.contains(label))
+        throw new NoSuchElementException(
+          s"Unable to get frame info: no frame with label '$label' is in the Ensemble.")
+      val df = frames(label)
+      val rows = if (countRows) s"rows: ${df.count()}\n" else ""
+      s"$label Frame\n${df.schema.treeString}$rows" +
+        s"partitions: ${df.rdd.getNumPartitions}\n"
+    }.mkString("\n")
+  }
+
+  /** Source+object summary, syncing both first (reference info,
+    * ensemble.py:358-393). */
+  def info(countRows: Boolean = true): String = {
+    syncTables()
+    frameInfo(Seq(ObjectLabel, SourceLabel), countRows)
+  }
+
+  /** Numeric column statistics (count/mean/stddev/min/max) for a table —
+    * the pandas `describe` users reach for right after `info`. Planned as
+    * one distributed aggregate by Spark's built-in summarizer. */
+  def describe(table: String = SourceLabel): DataFrame =
+    frame(table).describe()
 
   override def toString: String = {
     val fr = frames.map { case (k, v) => s"$k(${v.columns.length} cols)" }

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
@@ -34,6 +33,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosineSimilarity(a, b)
 
+  /** Per-query top-k over a (query_id, neighbor_id, cosine) pair stream via
+    * the bounded heap aggregate — map-side partials reduce the exchange to
+    * ≤ partitions×k rows per query, vs the full Q×N pair shuffle a
+    * `row_number` window would do. Output matches the window formulation
+    * exactly (cosine desc, neighbor_id asc; rank 1-based). */
+  private def topKPerQuery(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("query_id"))
+      .agg(graft.functions.TopKExpressions
+        .topKByScore(col("cosine"), col("neighbor_id"), k).as("__nn"))
+      .select(col("query_id"), posexplode(col("__nn")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.cosine").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact brute-force cosine top-k: for every query vector, the k nearest
     * corpus vectors. Queries are broadcast (must be small — typically a
     * batch of probes); the corpus is scanned once, never shuffled; ties
@@ -47,10 +60,7 @@ object Similarity {
         col(vecCol).as("__qv"))))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(joined, k)
   }
 
   /** All-pairs near-duplicates above a cosine threshold, blocked by a
@@ -107,10 +117,7 @@ object Similarity {
     val joined = c.join(broadcast(q), Seq("__sig"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(joined, k)
   }
 
   // --------------------------------------------------- IVF (coarse k-means)
@@ -121,7 +128,13 @@ object Similarity {
   def trainCentroids(df: DataFrame, k: Int, dim: Int,
       vecCol: String = "embedding", sampleSize: Int = 2000,
       iters: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
-    val sample = df.select(col(vecCol)).limit(sampleSize).collect()
+    // Uniform seeded sample, not limit(): limit() takes whatever rows Spark
+    // produces first, so data written clustered (by label/time) would train
+    // centroids on one cluster and collapse recall. orderBy(rand).limit is
+    // planned as TakeOrderedAndProject — a distributed per-partition top-n
+    // heap, no global sort, no full count() pre-pass.
+    val sample = df.select(col(vecCol))
+      .orderBy(rand(seed)).limit(sampleSize).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     require(sample.nonEmpty, "empty training set")
     val rng = new java.util.Random(seed)
@@ -190,10 +203,7 @@ object Similarity {
     val joined = c.join(broadcast(probes), Seq("__cell"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(joined, k)
   }
 
   /** The `nprobe` nearest centroid indices for a vector, as an array. */

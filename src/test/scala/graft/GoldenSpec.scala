@@ -16,7 +16,7 @@ class GoldenSpec extends SparkSuite {
   /** Mirrors the reference test_batch setup (test_ensemble.py:1933-1937):
     * prune(10) then dropna on source before batching. */
   lazy val ens = {
-    val e = EnsembleIO.fromParquet(spark, ps1Source, ColumnMap.ps1,
+    val e = EnsembleIO.fromParquet(spark, ps1Source, ColumnMap.ps1TestFixture,
       objectFile = Some(ps1Object))
     e.prune(10) // recomputes counts (reference prune with col_name=None)
     e.dropna("source")
@@ -98,7 +98,7 @@ class GoldenSpec extends SparkSuite {
   }
 
   test("prune(50) + head(5) — the reference bench workflow W2") {
-    val e2 = EnsembleIO.fromParquet(spark, ps1Source, ColumnMap.ps1,
+    val e2 = EnsembleIO.fromParquet(spark, ps1Source, ColumnMap.ps1TestFixture,
       objectFile = Some(ps1Object))
     e2.calcNobs(byBand = false, temporary = false)
     e2.prune(50)

@@ -114,6 +114,36 @@ class ParityGoldenSpec extends SparkSuite {
     assert(!ens.checkSorted())
   }
 
+  test("checkSorted is multi-partition correct and never plans a global window") {
+    import spark.implicits._
+    val cm = graft.core.ColumnMap("id", "time", "flux", "err", "band")
+    def mk(ids: Seq[Long], nPart: Int) = {
+      val df = spark.createDataset(ids).toDF("id")
+        .withColumn("time", lit(1.0)).withColumn("flux", lit(1.0))
+        .withColumn("err", lit(1.0)).withColumn("band", lit("g"))
+        // preserve the given row order across nPart partitions
+        .repartitionByRange(nPart, monotonically_increasing_id())
+      val e = new graft.core.Ensemble(spark, cm)
+      e.setSource(df); e.setObject(df.select("id").distinct()); e
+    }
+    // globally sorted across partition boundaries
+    assert(mk(1L to 100L, 4).checkSorted())
+    // sorted within each partition but boundaries overlap out of order
+    val within = mk((51L to 100L) ++ (1L to 50L), 2)
+    // unsorted inside a partition
+    assert(!mk(Seq(1L, 3L, 2L) ++ (4L to 50L), 2).checkSorted())
+    // duplicates (non-decreasing) still count as sorted
+    assert(mk(Seq(1L, 1L, 2L, 2L, 3L), 2).checkSorted())
+
+    val plan = within.checkSortedPerPartition("source")
+      .queryExecution.executedPlan.toString
+    // the window must be partitioned: no single-task global exchange anywhere
+    assert(plan.contains("Window"))
+    assert(!plan.contains("SinglePartition"),
+      s"plan funnels the table through one task:\n$plan")
+    assert(!within.checkSorted())
+  }
+
   test("convert_flux_to_mag goldens: zp as mag and as flux") {
     // test_convert_flux_to_mag: flux 30.5, zp 25 mag / 1e10 flux
     val schema = StructType(Seq(

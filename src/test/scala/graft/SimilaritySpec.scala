@@ -58,6 +58,44 @@ class SimilaritySpec extends SparkSuite {
     perQuery.foreach { case (q, ids) => assert(ids.head === q) }
   }
 
+  test("knn top-k plan has no Window over the pair set") {
+    val plan = Similarity.knnBruteForce(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in knn plan:\n$plan")
+    assert(plan.contains("top_k_by"))
+  }
+
+  test("top-k ties break on ascending neighbor_id (window parity)") {
+    import spark.implicits._
+    // two corpus vectors identical to the query → identical cosine; the
+    // lower id must rank first, as row_number(cosine desc, id asc) would.
+    val corpus = Seq(
+      (30L, Array(1.0f, 0.0f)), (10L, Array(1.0f, 0.0f)),
+      (20L, Array(1.0f, 0.0f)), (40L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "embedding")
+    val got = Similarity.knnBruteForce(corpus, q, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(10L, 20L, 30L))
+  }
+
+  test("centroid training is unbiased on label-clustered storage") {
+    // corpus written sorted by label: limit()-style sampling would see only
+    // the first label's cluster and IVF recall on other labels collapses.
+    val clustered = emb.orderBy("label").coalesce(1).cache()
+    try {
+      val centroids = Similarity.trainCentroids(clustered, k = 8, dim = 64)
+      val exact = topIds(Similarity.knnBruteForce(clustered, queries, k = 5))
+      val approx = topIds(
+        Similarity.knnIvf(clustered, queries, k = 5, centroids, nprobe = 4))
+      val recalls = exact.map { case (q, ids) =>
+        approx.getOrElse(q, Nil).toSet.intersect(ids.toSet).size / 5.0
+      }
+      val meanRecall = recalls.sum / recalls.size
+      assert(meanRecall >= 0.5, s"clustered-storage IVF mean recall $meanRecall")
+    } finally clustered.unpersist()
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, 0.3, col("label")).collect()
     assert(pairs.nonEmpty)
