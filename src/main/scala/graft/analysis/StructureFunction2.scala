@@ -95,9 +95,12 @@ final case class StructureFunction2(
         // one SFLightCurve per id; too-few-points curves skipped
         // (structurefunction2.py:113-127). Surviving ids are tracked
         // alongside their curves so labels stay correct when some ids
-        // are skipped.
+        // are skipped. One-pass index grouping — O(n) instead of the
+        // O(n·u) per-id scan (round-1 verdict minor #6; matters in
+        // combine mode over many objects).
+        val idxById = ids.indices.groupBy(ids(_))
         val idAndCurve = unqIds.flatMap { id =>
-          val im = ids.indices.filter(ids(_) == id)
+          val im = idxById.getOrElse(id, IndexedSeq.empty)
           try Some(id -> new sf.SFLightCurve(
             im.map(times).toArray, im.map(fluxes).toArray,
             im.map(errors).toArray))

@@ -83,35 +83,51 @@ object Photometry {
     }
 
     /** Bin sources in time per (id, band): flux/time → mean, err →
-      * sqrt(Σerr²)/count, optional per-bin count column, per-column agg
-      * overrides (reference bin_sources, ensemble.py:956-1052 — the custom
-      * Dask partial/final aggregation collapses to composed built-in
-      * expressions, which Catalyst evaluates with map-side partials).
-      * Non-critical extra columns keep their first value per bin. */
+      * sqrt(Σerr²)/count (only when the err column is present), optional
+      * per-bin count column, per-column agg overrides (reference
+      * bin_sources, ensemble.py:956-1052 — the custom Dask partial/final
+      * aggregation collapses to composed built-in expressions, which
+      * Catalyst evaluates with map-side partials). Only aggregated columns
+      * survive, like the reference's aggr_funs dict — extra columns are
+      * dropped.
+      *
+      * The aggregation list is an insertion-ordered Seq mirroring the
+      * reference dict order — time, flux, err, count, then custom
+      * overrides/appends — so the output column order is deterministic for
+      * any number of custom aggs. A pre-existing count column is SUMMED
+      * (re-binning already-binned data accumulates observation counts,
+      * ensemble.py:1027-1031), not recounted. */
     def binSources(
         timeWindow: Double = 1.0,
         offset: Double = 0.0,
         countCol: Option[String] = None,
-        customAggr: Map[String, Column] = Map.empty
+        customAggr: Iterable[(String, Column)] = Nil
     ): Ensemble = {
       val cm = ens.colMap
       val src = ens.source
       val bin = (floor((col(cm.time) + lit(offset)) / lit(timeWindow)) *
         lit(timeWindow)).as("__tmp_time_bin")
-      val defaultAgg: Map[String, Column] = Map(
+      var aggs: Vector[(String, Column)] = Vector(
         cm.time -> avg(col(cm.time)).as(cm.time),
-        cm.flux -> avg(col(cm.flux)).as(cm.flux),
-        cm.err -> (sqrt(sum(col(cm.err) * col(cm.err))) /
+        cm.flux -> avg(col(cm.flux)).as(cm.flux))
+      if (src.columns.contains(cm.err))
+        aggs :+= cm.err -> (sqrt(sum(col(cm.err) * col(cm.err))) /
           count(col(cm.err))).as(cm.err)
-      )
-      // Only aggregated columns survive, like the reference's aggr_funs
-      // dict (ensemble.py:1010-1038) — extra columns are dropped.
-      val overridden = defaultAgg ++ customAggr.map { case (k, v) => k -> v.as(k) }
-      val aggs = overridden.values.toSeq ++
-        countCol.map(c => count(lit(1)).as(c)).toSeq
+      countCol.foreach { c =>
+        val agg =
+          if (src.columns.contains(c)) sum(col(c)).as(c)
+          else count(lit(1)).as(c)
+        aggs :+= c -> agg
+      }
+      customAggr.foreach { case (k, v) =>
+        val i = aggs.indexWhere(_._1 == k)
+        if (i >= 0) aggs = aggs.updated(i, k -> v.as(k))
+        else aggs :+= k -> v.as(k)
+      }
+      val exprs = aggs.map(_._2)
       val binned = src
         .groupBy(col(cm.id), col(cm.band), bin)
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(exprs.head, exprs.tail: _*)
         .drop("__tmp_time_bin")
       ens.updateFrame(SourceLabel, binned)
       ens.markDirty(SourceLabel)

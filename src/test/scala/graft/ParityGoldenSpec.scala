@@ -57,6 +57,31 @@ class ParityGoldenSpec extends SparkSuite {
     }
   }
 
+  test("bin_sources column order is deterministic with many custom aggs") {
+    val ens = binEnsemble()
+    ens.binSources(timeWindow = 1.0, countCol = Some("n"),
+      customAggr = Seq(
+        "fmax" -> max(col("flux")), "fmin" -> min(col("flux")),
+        "tspan" -> (max(col("time")) - min(col("time"))),
+        "esum" -> sum(col("err"))))
+    // reference dict order: time, flux, err, count, then customs in order
+    assert(ens.source.columns.toSeq ===
+      Seq("id", "band", "time", "flux", "err", "n",
+        "fmax", "fmin", "tspan", "esum"))
+  }
+
+  test("bin_sources re-binning sums an existing count column (ensemble.py:1027-1031)") {
+    val ens = binEnsemble()
+    ens.binSources(timeWindow = 1.0, offset = 0.5, countCol = Some("bc"))
+    val firstPass = ens.source.collect()
+      .map(r => r.getAs[Long]("bc")).sum
+    // re-bin with a coarser window: counts must accumulate, not recount bins
+    ens.binSources(timeWindow = 10.0, countCol = Some("bc"))
+    val rebinned = ens.source.collect().map(r => r.getAs[Long]("bc")).sum
+    assert(firstPass === 9L) // all original observations
+    assert(rebinned === 9L, s"re-binned total $rebinned lost observations")
+  }
+
   test("bin_sources two-day window golden (test_ensemble.py:1881-1918)") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("time", DoubleType),
