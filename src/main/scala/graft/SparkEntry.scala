@@ -162,14 +162,26 @@ object SparkEntry {
       res.select(col("user_id"), round(col("mean_value"), 6).as("mean_value"))
     }),
     "q_stetson_j" -> ((s, dir) => {
+      // checkNans=true so the (rare) null-value rows are dropped the same
+      // way the oracle's `value IS NOT NULL` does — with checkNans=false a
+      // NaN would propagate through the whole band's mean, which SQL
+      // aggregates (null-skipping) cannot reproduce.
       val ens = eventsEnsemble(s, dir)
       ens.prune(5)
-      Ops.AnalysisOps(ens).stetsonJ()
+      Ops.AnalysisOps(ens).stetsonJ(checkNans = true)
+        .select(col("user_id"), col("band"),
+          round(col("stetsonJ"), 6).as("stetsonJ"))
     }),
     "q_sf2" -> ((s, dir) => {
+      // The reference batch path ('size' = quantile bins over unique Δt),
+      // oracle-checked: the 20-iteration-free part of the SF² math is pure
+      // arithmetic, and DuckDB reproduces the numpy-interp quantile edges
+      // exactly (same interpolation formula, generated into the SQL).
       val ens = eventsEnsemble(s, dir)
       ens.prune(5)
       Ops.AnalysisOps(ens).sf2(sf.SFArgs(binCountTarget = 50))
+        .select(col("lc_id"), col("band"),
+          round(col("dt"), 6).as("dt"), round(col("sf2"), 4).as("sf2"))
     }),
     "q_sf2_relational" -> ((s, dir) => {
       // the 100 TB SF² path: self-join pair expansion + aggregate
@@ -238,16 +250,23 @@ object SparkEntry {
       // maxBucketSize=32: buckets bigger than that are shared-boilerplate
       // collisions on this high-overlap corpus, not near-dup candidates —
       // the planted duplicates land in 2-element buckets regardless.
+      // hashMode=md5 so the DuckDB oracle reproduces the signatures
+      // bit-for-bit (xxhash64 stays the production default; DedupSpec pins
+      // the two modes to equal recall).
       graft.dedup.Dedup.minhashLshPairs(docs.unionByName(planted),
           "text", "doc_id", shingleLen = 5, k = 64, bands = 8,
-          threshold = 0.8, maxBucketSize = 32)
+          threshold = 0.8, maxBucketSize = 32, hashMode = "md5")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "q_simhash" -> ((s, dir) => {
+      // md5-derived token/gram hashes (oracle-reproducible; xx default
+      // elsewhere — see q_minhash_lsh note).
       val docs = table(s, dir, "documents")
       docs.select(col("doc_id"),
-        graft.dedup.Dedup.simhash64(col("text")).as("simhash"),
-        size(graft.text.TextAnalysis.winnowingFingerprint(col("text")))
+        graft.dedup.Dedup.simhash64(col("text"), hashMode = "md5")
+          .as("simhash"),
+        size(graft.text.TextAnalysis.winnowingFingerprint(col("text"),
+          hasher = graft.functions.HashExpressions.md5Long))
           .as("n_winnow_hashes"))
     }),
     // ------------------------------------- training-data: similarity search
@@ -265,15 +284,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
-      // rows-only: centroid training is driver-side; recall vs brute force
-      // is pinned by SimilaritySpec.
+      // Fixed literal centroids, inlined identically into the oracle SQL —
+      // cell assignment, nprobe probing, and ranking are then pure SQL and
+      // fully oracle-checked. Seeded k-means *training* stays covered by
+      // SimilaritySpec (recall vs brute force on trained centroids).
       val emb = table(s, dir, "embeddings")
-      val centroids = graft.similarity.Similarity.trainCentroids(
-        emb, k = 8, dim = 64)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.similarity.Similarity.knnIvf(emb, queries, k = 5,
-          centroids, nprobe = 2)
+          IvfOracleCentroids, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
@@ -288,6 +307,252 @@ object SparkEntry {
           element_at(col("byte_histogram"), 8), 6).as("h_alpha"))
     })
   )
+
+  // ------------------------------------------------- oracle SQL generators
+  //
+  // The five formerly rows-only queries are oracle-checked by *generating*
+  // their DuckDB SQL from the same constants the Spark side uses: the
+  // MinHash affine family, the fixed IVF centroids, bit-position powers,
+  // and the 20 unrolled Stetson-mean iterations. java's Double.toString
+  // round-trips, so literal doubles parse back to the identical IEEE value
+  // in DuckDB.
+
+  /** Fixed centroids for q_ann_ivf: seeded unit vectors (not data-trained,
+    * so they are literals on both sides). */
+  val IvfOracleCentroids: Array[Array[Double]] = {
+    val rng = new java.util.Random(7L)
+    Array.fill(8) {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** 2⁶³ and 2⁶⁴ as HUGEINT literals: the signed-64 reinterpretation used
+    * everywhere below is the single-mod closed form
+    * `signed(x) = ((x + 2⁶³) mod 2⁶⁴) − 2⁶³` (no CASE — DuckDB would
+    * re-evaluate the mod chain per CASE branch, 3× the work on the hot
+    * 64-hash-functions × shingles inner loop). */
+  private val C63 = "9223372036854775808::HUGEINT"
+  private val N64 = "18446744073709551616::HUGEINT"
+
+  /** DuckDB: md5-derived signed 64-bit hash of expression `s` — identical
+    * to graft.functions.HashExpressions.md5Long64. The UBIGINT is
+    * non-negative, so one `%` suffices. */
+  private def md5SignedSql(s: String): String =
+    s"((('0x' || substr(md5($s), 1, 16))::UBIGINT::HUGEINT + $C63) % $N64 - $C63)::BIGINT"
+
+  private def minhashLshOracle: String = {
+    val (as, bs) = graft.functions.HashExpressions.MinHashFromHashes.family(64)
+    val ab = as.zip(bs).map { case (a, b) =>
+      s"{'a': ${a}::HUGEINT, 'b': ${b}::HUGEINT}"
+    }.mkString("[", ", ", "]")
+    // min of the signed wrapped values == min in "flipped" unsigned space
+    // ((x+2⁶³) mod 2⁶⁴ is monotonic with the signed order), so the min is
+    // taken there and mapped back once — one affine+2-mods per element.
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' qq' FROM documents WHERE doc_id < 25),
+       |shv AS MATERIALIZED (
+       |  SELECT id, list_transform(hu, u -> ((u + $C63) % $N64 - $C63)::BIGINT) AS hs
+       |  FROM (
+       |    SELECT doc_id AS id,
+       |      list_transform(
+       |        list_distinct(CASE WHEN len(nt) < 5 THEN []::VARCHAR[]
+       |          ELSE [substr(nt, i, 5) for i in range(1, len(nt) - 3)] END),
+       |        s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT) AS hu
+       |    FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       |          FROM corpus))
+       |  WHERE len(hu) > 0),
+       |sig AS MATERIALIZED (
+       |  SELECT id, list_transform($ab,
+       |    p -> (list_min(list_transform(hs,
+       |      h -> ((p.a * h + p.b + $C63) % $N64 + $N64) % $N64)) - $C63)::BIGINT) AS sig
+       |  FROM shv),
+       |bk AS (SELECT id, sig, unnest(range(0, 8)) AS band FROM sig),
+       |bkey AS MATERIALIZED (SELECT id, band,
+       |    array_to_string(sig[band * 8 + 1 : band * 8 + 8], ',') AS bsig
+       |  FROM bk),
+       |sizes AS (SELECT band, bsig FROM bkey GROUP BY band, bsig
+       |  HAVING count(*) > 1 AND count(*) <= 32),
+       |pruned AS MATERIALIZED (SELECT b.id, b.band, b.bsig FROM bkey b
+       |  JOIN sizes s ON b.band = s.band AND b.bsig = s.bsig),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM pruned a JOIN pruned b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+       |jac AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CASE WHEN (len(sa.hs) + len(sb.hs))::DOUBLE - len(list_intersect(sa.hs, sb.hs)) = 0 THEN 0.0
+       |      ELSE len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+       |        ((len(sa.hs) + len(sb.hs))::DOUBLE - len(list_intersect(sa.hs, sb.hs))) END AS j
+       |  FROM cand c JOIN shv sa ON sa.id = c.id_a JOIN shv sb ON sb.id = c.id_b)
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.8""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val pows = (0 until 64).map(b => s"${BigInt(1) << b}::HUGEINT")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |      ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, len(toks) AS n,
+       |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT::HUGEINT) AS hu,
+       |    CASE WHEN len(nt) < 5 THEN []::BIGINT[]
+       |      ELSE list_transform([substr(nt, i, 5) for i in range(1, len(nt) - 3)],
+       |        g -> ${md5SignedSql("g")}) END AS wh
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, wh,
+       |    list_sum(list_transform($pows,
+       |      pw -> CASE WHEN 2 * list_sum(list_transform(hu, x -> (x // pw) % 2)) > n
+       |        THEN pw ELSE 0::HUGEINT END)) AS su
+       |  FROM h)
+       |SELECT doc_id,
+       |  CASE WHEN su IS NULL THEN 0
+       |    WHEN su >= 9223372036854775808::HUGEINT THEN (su - 18446744073709551616::HUGEINT)::BIGINT
+       |    ELSE su::BIGINT END AS simhash,
+       |  (CASE WHEN len(wh) = 0 THEN 0 WHEN len(wh) <= 4 THEN 1
+       |    ELSE len(list_distinct([list_min(wh[j : j + 3]) for j in range(1, len(wh) - 2)]))
+       |    END)::INT AS n_winnow_hashes
+       |FROM s""".stripMargin
+  }
+
+  private def annIvfOracle: String = {
+    def vecLit(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    // same (d, i) rank structs the Spark side builds: d = c·c − 2·v·c with
+    // c·c precomputed in Scala (identical double on both sides)
+    val ranks = IvfOracleCentroids.zipWithIndex.map { case (cen, i) =>
+      val cc = cen.map(x => x * x).sum
+      s"{'d': ${cc.toString} - 2.0 * list_dot_product(v, ${vecLit(cen)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |rk AS (SELECT vec_id, v, list_sort($ranks) AS ranks FROM e),
+       |cells AS (SELECT vec_id AS neighbor_id, v, ranks[1].i AS cell FROM rk),
+       |probes AS (SELECT vec_id AS query_id, v AS qv,
+       |    unnest(list_transform(ranks, s -> s.i)[1:2]) AS cell
+       |  FROM rk WHERE vec_id < 10),
+       |p AS (
+       |  SELECT pr.query_id, c.neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+       |      ELSE list_dot_product(pr.qv, c.v) /
+       |        (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
+       |  FROM probes pr JOIN cells c USING (cell)),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** The iteratively re-weighted Stetson mean (≤20 iterations, alpha=beta=2,
+    * tol 1e-6, with the reference's exact termination nuances — see
+    * StetsonJ.stetsonMean) unrolled as 20 chained CTEs. Once a group's
+    * `done` flag is set, its mean is carried unchanged — replicating the
+    * loop's early break rather than iterating to 20 regardless. */
+  private def stetsonJOracle: String = {
+    // Every CTE is MATERIALIZED: DuckDB otherwise inlines the 20-deep
+    // m1..m20 reference chain into one enormous nested query (215 s at
+    // sf0.01); materialized, the whole oracle runs in <1 s.
+    val iters = (1 to 20).map { k =>
+      val p = if (k == 1) "m0" else s"m${k - 1}"
+      // w = iv / (1 + (|nf·(v−mean)/e| / 2)²); tmp = Σ(w·v)/Σ(w)
+      val w = s"(b.iv / (1.0 + pow(abs(g.nf * (b.v - m.mean) / b.e) / 2.0, 2.0)))"
+      s"""m$k AS MATERIALIZED (
+         |  SELECT x.id, x.band,
+         |    CASE WHEN x.done THEN x.mean ELSE x.tmp END AS mean,
+         |    x.done OR x.tmp = 0
+         |      OR (abs(x.tmp - x.mean) / x.tmp < 1e-6 AND abs(x.tmp - x.mean) < 1e-6) AS done
+         |  FROM (
+         |    SELECT b.id, b.band, m.mean, m.done,
+         |      sum($w * b.v) / sum($w) AS tmp
+         |    FROM b JOIN $p m ON m.id = b.id AND m.band = b.band
+         |      JOIN g ON g.id = b.id AND g.band = b.band
+         |    WHERE g.n > 1
+         |    GROUP BY b.id, b.band, m.mean, m.done, g.nf) x)""".stripMargin
+    }.mkString(",\n")
+    s"""${EvCte.replace("WITH ev AS (", "WITH ev AS MATERIALIZED (")},
+       |keep AS MATERIALIZED (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 5),
+       |b AS MATERIALIZED (SELECT user_id AS id, event_type AS band, value AS v, err AS e,
+       |    1.0 / (err * err) AS iv
+       |  FROM ev WHERE user_id IN (SELECT user_id FROM keep) AND value IS NOT NULL),
+       |g AS MATERIALIZED (SELECT id, band, count(*) AS n,
+       |    sqrt(count(*) / (count(*) - 1.0)) AS nf
+       |  FROM b GROUP BY id, band),
+       |m0 AS MATERIALIZED (SELECT id, band, sum(iv * v) / sum(iv) AS mean, false AS done
+       |  FROM b GROUP BY id, band),
+       |$iters,
+       |fin AS MATERIALIZED (
+       |  SELECT b.id, b.band, g.n, (g.nf * (b.v - m.mean) / b.e) AS delta
+       |  FROM b JOIN m20 m ON m.id = b.id AND m.band = b.band
+       |    JOIN g ON g.id = b.id AND g.band = b.band
+       |  WHERE g.n > 1),
+       |jj AS (
+       |  SELECT id, band, n,
+       |    sum(sign(delta * delta - 1.0) * sqrt(abs(delta * delta - 1.0))) / n AS j
+       |  FROM fin GROUP BY id, band, n)
+       |SELECT id AS user_id, band, round(j, 6) AS "stetsonJ" FROM jj
+       |UNION ALL
+       |SELECT id AS user_id, band, 'nan'::DOUBLE AS "stetsonJ" FROM g WHERE n <= 1""".stripMargin
+  }
+
+  /** The batch SF² ('size' binning) as SQL: quantile bin edges over unique
+    * Δt reproduce StructureFunction.quantileSorted's numpy-interp formula
+    * term-for-term, then scipy binned_statistic semantics (last bin closed
+    * right, empty bins NaN). */
+  private def sf2SizeOracle: String = {
+    // pos = (k/nbins)·(m−1) with the exact evaluation order of
+    // quantileSorted (q computed first, then scaled)
+    val pos = "(CAST(ks.k AS DOUBLE) / ks.nbins) * (lo.m - 1)"
+    s"""$EvCte,
+       |keep AS (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 5),
+       |src AS (SELECT user_id AS id, event_type AS band, ts_days AS t,
+       |    value AS f, err AS e
+       |  FROM ev WHERE user_id IN (SELECT user_id FROM keep)
+       |    AND value IS NOT NULL AND ts_days IS NOT NULL),
+       |gn AS (SELECT id, band FROM src GROUP BY id, band HAVING count(*) >= 3),
+       |pairs AS (
+       |  SELECT a.id, a.band, b.t - a.t AS dt, b.f - a.f AS df,
+       |    a.e * a.e + b.e * b.e AS sse
+       |  FROM src a JOIN src b ON a.id = b.id AND a.band = b.band AND a.t < b.t
+       |    JOIN gn g ON g.id = a.id AND g.band = a.band),
+       |ps AS (SELECT id, band, count(*) AS np FROM pairs GROUP BY id, band
+       |  HAVING count(*) > 1),
+       |uq AS (SELECT id, band, dt,
+       |    row_number() OVER (PARTITION BY id, band ORDER BY dt) - 1 AS rn,
+       |    count(*) OVER (PARTITION BY id, band) AS m
+       |  FROM (SELECT DISTINCT id, band, dt FROM pairs)),
+       |nb AS (SELECT id, band, CAST(ceil(np / 50.0) AS BIGINT) AS nbins FROM ps),
+       |ks AS (SELECT id, band, nbins, unnest(range(0, nbins + 1)) AS k FROM nb),
+       |ed AS (
+       |  SELECT ks.id, ks.band, ks.nbins, ks.k,
+       |    lo.dt + ($pos - floor($pos)) * (hi.dt - lo.dt) AS edge
+       |  FROM ks
+       |  JOIN uq lo ON lo.id = ks.id AND lo.band = ks.band
+       |    AND lo.rn = CAST(floor($pos) AS BIGINT)
+       |  JOIN uq hi ON hi.id = ks.id AND hi.band = ks.band
+       |    AND hi.rn = least(CAST(floor($pos) AS BIGINT) + 1, lo.m - 1)),
+       |edl AS (SELECT id, band, nbins, list(edge ORDER BY k) AS edges
+       |  FROM ed GROUP BY id, band, nbins),
+       |ba AS (
+       |  SELECT p.id, p.band, p.dt, p.df, p.sse,
+       |    least(len(list_filter(e.edges, x -> x <= p.dt)) - 1, e.nbins - 1) AS bin
+       |  FROM pairs p JOIN edl e ON e.id = p.id AND e.band = p.band),
+       |agg AS (SELECT id, band, bin, avg(dt) AS mdt, avg(df * df - sse) AS msf
+       |  FROM ba GROUP BY id, band, bin),
+       |br AS (SELECT id, band, unnest(range(0, nbins)) AS bin FROM edl)
+       |SELECT br.id::VARCHAR AS lc_id, br.band,
+       |  round(coalesce(a.mdt, 'nan'::DOUBLE), 6) AS dt,
+       |  round(coalesce(a.msf, 'nan'::DOUBLE), 4) AS sf2
+       |FROM br LEFT JOIN agg a
+       |  ON a.id = br.id AND a.band = br.band AND a.bin = br.bin""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -475,10 +740,13 @@ object SparkEntry {
       """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
         | round(len(regexp_extract_all(text, '[ -/]')) / greatest(strlen(text), 1)::DOUBLE, 6) AS h_punct,
         | round(len(regexp_extract_all(text, '[`-' || chr(127) || ']')) / greatest(strlen(text), 1)::DOUBLE, 6) AS h_alpha
-        |FROM documents""".stripMargin
-    // q_stetson_j, q_sf2, q_minhash_lsh, q_simhash, q_ann_ivf: not
-    // SQL-expressible (per-lightcurve science / xxhash64 signatures /
-    // driver-trained centroids) → rows-only checks; accuracy pinned by
-    // ScalaTest specs instead.
+        |FROM documents""".stripMargin,
+    // Generated oracles (constants shared with the Spark side — see the
+    // "oracle SQL generators" section above):
+    "q_minhash_lsh" -> minhashLshOracle,
+    "q_simhash" -> simhashOracle,
+    "q_ann_ivf" -> annIvfOracle,
+    "q_stetson_j" -> stetsonJOracle,
+    "q_sf2" -> sf2SizeOracle
   )
 }

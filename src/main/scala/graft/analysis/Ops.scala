@@ -56,9 +56,10 @@ object Ops {
 
     def stetsonJ(
         bandToCalc: Option[Seq[String]] = None,
+        checkNans: Boolean = false,
         label: Option[String] = None
     ): DataFrame =
-      Batch.batch(ens, StetsonJ(bandToCalc), label = label)
+      Batch.batch(ens, StetsonJ(bandToCalc, checkNans), label = label)
 
     def extractFeatures(
         features: Seq[String],

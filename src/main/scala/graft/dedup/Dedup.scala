@@ -72,10 +72,15 @@ object Dedup {
     *   pairing (boilerplate guard; reported work is lost recall on content
     *   that duplicates >maxBucketSize times — at that multiplicity exact
     *   dedup catches it anyway).
+    * @param hashMode shingle hash kernel: `"xx"` (murmur/xxhash — fast
+    *   production default) or `"md5"` (DuckDB-reproducible; see
+    *   HashExpressions). Candidate generation and Jaccard semantics are
+    *   identical — only the 64-bit hash family changes.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.6, maxBucketSize: Int = 1000,
+      hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
     // Shingles live only as 64-bit hashes (ShingleHashes reads n-grams off
     // the string bytes — no string arrays materialize); exact Jaccard on
     // the hash arrays equals shingle Jaccard up to 2⁻⁶⁴ collisions.
@@ -85,7 +90,7 @@ object Dedup {
     // the hash chain for every use.
     val sh = df.select(col(idCol).as("id"),
       graft.functions.HashExpressions.shingleHashes(
-        normalizeText(col(textCol)), shingleLen).as("shingles"))
+        normalizeText(col(textCol)), shingleLen, hashMode).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"),
@@ -155,10 +160,11 @@ object Dedup {
   /** 64-bit SimHash of the document's token set: for each bit position,
     * +1 if the token-hash has the bit set else −1, summed over tokens;
     * the sign of each sum gives the fingerprint bit. Near-duplicates have
-    * small hamming distance between fingerprints. Composed purely from
-    * array/bit expressions (codegen'd). */
-  def simhash64(textC: Column): Column =
-    graft.functions.HashExpressions.simhash64(tokens(textC))
+    * small hamming distance between fingerprints. `hashMode` as in
+    * [[minhashLshPairs]]. */
+  def simhash64(textC: Column,
+      hashMode: String = graft.functions.HashExpressions.ModeXx): Column =
+    graft.functions.HashExpressions.simhash64(tokens(textC), hashMode)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -29,36 +29,97 @@ object HashExpressions {
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       s, StringType, seed)
 
-  /** Distinct xxhash64 values of every `n`-byte shingle of a string,
-    * computed directly off the UTF8String bytes — the shingle strings are
-    * never materialized. Downstream set operations (Jaccard via
-    * array_intersect) on the 64-bit hashes are equivalent to operating on
-    * the shingles themselves up to hash collisions (~2⁻⁶⁴). */
-  case class ShingleHashes(child: Expression, n: Int)
+  /** Hash mode for the dedup kernels: `Xx` (xxhash64/murmur3 — the fast
+    * production default) or `Md5` (first 8 bytes of MD5, big-endian
+    * signed). Md5 exists so the DuckDB oracle can reproduce signatures
+    * bit-for-bit: `('0x' || substr(md5(s), 1, 16))::UBIGINT` yields the
+    * identical 64-bit value. Same collision story (uniform 64-bit), ~3×
+    * slower per hash. */
+  val ModeXx = "xx"
+  val ModeMd5 = "md5"
+
+  private val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 8 bytes of MD5(bytes), big-endian, as a signed long — exactly
+    * DuckDB's `('0x' || substr(md5(s),1,16))::UBIGINT` reinterpreted
+    * signed. */
+  private[functions] def md5Long64(bytes: Array[Byte]): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+      ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+      ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+  }
+
+  /** md5-derived 64-bit hash of a string column (oracle-reproducible). */
+  case class Md5Long(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      md5Long64(input.asInstanceOf[UTF8String].getBytes)
+  }
+
+  /** Distinct 64-bit hash values of every `n`-gram shingle of a string.
+    * Mode `xx` (default) hashes the n-BYTE windows directly off the
+    * UTF8String bytes (murmur3 hi/lo pair — the shingle strings are never
+    * materialized); mode `md5` hashes the n-CHARACTER windows with
+    * [[md5Long64]], matching DuckDB
+    * `('0x' || substr(md5(substr(nt, i, n)), 1, 16))::UBIGINT` so the
+    * oracle reproduces signatures exactly (bytes == chars on ASCII; md5
+    * mode uses characters because SQL `substr` does). Downstream set
+    * operations (Jaccard via array_intersect) on the 64-bit hashes are
+    * equivalent to operating on the shingles themselves up to hash
+    * collisions (~2⁻⁶⁴). */
+  case class ShingleHashes(child: Expression, n: Int, mode: String = ModeXx)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      val m = bytes.length - n + 1
-      if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
-      val seen = new java.util.HashSet[Long](m * 2)
-      val out = new Array[Long](m)
-      var cnt = 0
-      var i = 0
-      while (i < m) {
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
-          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i,
-          n, 42).toLong << 32 |
-          (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+      val s = input.asInstanceOf[UTF8String]
+      if (mode == ModeMd5) {
+        val m = s.numChars() - n + 1
+        if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+        val seen = new java.util.HashSet[Long](m * 2)
+        val out = new Array[Long](m)
+        var cnt = 0
+        var i = 0
+        while (i < m) {
+          val h = md5Long64(s.substring(i, i + n).getBytes)
+          if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+          i += 1
+        }
+        new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+      } else {
+        val bytes = s.getBytes
+        val m = bytes.length - n + 1
+        if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+        val seen = new java.util.HashSet[Long](m * 2)
+        val out = new Array[Long](m)
+        var cnt = 0
+        var i = 0
+        while (i < m) {
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
             bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i,
-            n, 1042).toLong & 0xffffffffL)
-        if (seen.add(h)) { out(cnt) = h; cnt += 1 }
-        i += 1
+            n, 42).toLong << 32 |
+            (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+              bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i,
+              n, 1042).toLong & 0xffffffffL)
+          if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+          i += 1
+        }
+        new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
       }
-      new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
     }
   }
 
@@ -104,8 +165,10 @@ object HashExpressions {
   }
 
   /** 64-bit SimHash of an array<string> of tokens: bit b of the result is
-    * set iff more token-hashes have bit b set than unset. */
-  case class SimHash64(child: Expression)
+    * set iff more token-hashes have bit b set than unset. Token hash is
+    * xxhash64 seed 42 (`xx`, default) or [[md5Long64]] (`md5`,
+    * oracle-reproducible). */
+  case class SimHash64(child: Expression, mode: String = ModeXx)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -118,7 +181,9 @@ object HashExpressions {
       var j = 0
       while (j < n) {
         if (!arr.isNullAt(j)) {
-          val h = hashString(arr.getUTF8String(j), 42L)
+          val h =
+            if (mode == ModeMd5) md5Long64(arr.getUTF8String(j).getBytes)
+            else hashString(arr.getUTF8String(j), 42L)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -134,11 +199,14 @@ object HashExpressions {
     }
   }
 
-  def shingleHashes(text: Column, n: Int): Column =
-    column(ShingleHashes(expression(text), n))
+  def shingleHashes(text: Column, n: Int, mode: String = ModeXx): Column =
+    column(ShingleHashes(expression(text), n, mode))
 
   def minhashFromHashes(hashes: Column, k: Int): Column =
     column(MinHashFromHashes(expression(hashes), k))
 
-  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhash64(tokens: Column, mode: String = ModeXx): Column =
+    column(SimHash64(expression(tokens), mode))
+
+  def md5Long(text: Column): Column = column(Md5Long(expression(text)))
 }

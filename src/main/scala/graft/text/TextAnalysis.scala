@@ -153,14 +153,17 @@ object TextAnalysis {
     * keep the minimum hash of each sliding window of `w` hashes, distinct.
     * Collisions of selected hashes between documents indicate shared
     * passages. xxhash64 is Spark-deterministic (seed 42), so results are
-    * stable across runs/partitions. */
-  def winnowingFingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
+    * stable across runs/partitions; pass
+    * `graft.functions.HashExpressions.md5Long` as `hasher` for a
+    * DuckDB-reproducible fingerprint. */
+  def winnowingFingerprint(c: Column, k: Int = 5, w: Int = 4,
+      hasher: Column => Column = xxhash64(_)): Column =
     bind(normalizeText(c)) { norm =>
       val grams = when(length(norm) < k, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(1), length(norm) - lit(k - 1)),
           i => norm.substr(i, lit(k))))
-      bind(transform(grams, g => xxhash64(g))) { hashes =>
+      bind(transform(grams, g => hasher(g))) { hashes =>
         when(size(hashes) === 0, array().cast("array<bigint>"))
           .when(size(hashes) <= w, array(array_min(hashes)))
           .otherwise(array_distinct(transform(

@@ -72,4 +72,34 @@ class DedupSpec extends SparkSuite {
     val j = a.intersect(b).size.toDouble / a.union(b).size
     assert(j > 0.8, s"winnow jaccard $j")
   }
+
+  test("md5 hash mode: known value, and same LSH pairs as xx mode") {
+    // md5("hello") = 5d41402abc4b2a76... → first 8 bytes big-endian signed
+    // = 0x5d41402abc4b2a76 — the value DuckDB's
+    // ('0x' || substr(md5(s),1,16))::UBIGINT reproduces.
+    import graft.functions.HashExpressions
+    val v = spark.range(1).select(
+      HashExpressions.md5Long(lit("hello")).as("h")).collect()(0).getLong(0)
+    assert(v === 0x5d41402abc4b2a76L)
+
+    // Candidate/verify semantics are hash-family-independent: both modes
+    // must report the same verified near-dup pairs on the planted set.
+    def pairs(mode: String) =
+      Dedup.minhashLshPairs(docsWithDups, "text", "doc_id",
+          shingleLen = 5, k = 64, bands = 8, threshold = 0.8,
+          hashMode = mode)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xx = pairs(HashExpressions.ModeXx)
+    val md5 = pairs(HashExpressions.ModeMd5)
+    assert(xx.nonEmpty)
+    assert(xx === md5, s"mode mismatch: xx-only=${xx -- md5} md5-only=${md5 -- xx}")
+
+    // simhash mode changes the fingerprint but not its near-dup power:
+    // exact copies still collide bit-for-bit.
+    val sh = docsWithDups.filter(col("doc_id").isin(10, 20010))
+      .select(Dedup.simhash64(col("text"), HashExpressions.ModeMd5).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sh(0) === sh(1))
+  }
 }
