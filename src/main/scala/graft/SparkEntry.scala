@@ -296,15 +296,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
-    // -------------------------------------- training-data: multimodal stub
+    // ------------------------------------------ training-data: multimodal
     "q_media_features" -> ((s, dir) => {
+      // REAL codec roundtrip: per-row checkerboard PNGs are encoded and
+      // then decoded with javax.imageio; the oracle computes the expected
+      // dimensions and exact channel means analytically from doc_id (PNG
+      // is lossless and the channel sums are integer-exact).
       import graft.multimodal.Multimodal._
-      val media = syntheticMedia(table(s, dir, "documents"), "doc_id", "text")
-      decodeStub(media).select(col("media_id"),
-        col("n_bytes").cast("long").as("n_bytes"),
-        round(element_at(col("byte_histogram"), 3), 6).as("h_punct"),
-        round(element_at(col("byte_histogram"), 7) +
-          element_at(col("byte_histogram"), 8), 6).as("h_alpha"))
+      val media = syntheticImages(table(s, dir, "documents"), "doc_id")
+      decodeImages(media).select(col("media_id"),
+        col("width"), col("height"), col("channels"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
     })
   )
 
@@ -736,11 +740,27 @@ object SparkEntry {
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.35""".stripMargin,
+    // Expected features of the checkerboard PNGs, computed analytically:
+    // even-(x+y) pixels carry the base color, odd carry base+8 (mod 256);
+    // n_even = (w·h + (w mod 2)·(h mod 2)) / 2. The channel mean is one
+    // double division of exact integers on both sides.
     "q_media_features" ->
-      """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
-        | round(len(regexp_extract_all(text, '[ -/]')) / greatest(strlen(text), 1)::DOUBLE, 6) AS h_punct,
-        | round(len(regexp_extract_all(text, '[`-' || chr(127) || ']')) / greatest(strlen(text), 1)::DOUBLE, 6) AS h_alpha
-        |FROM documents""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h,
+        |    (doc_id * 37) % 256 AS cr, (doc_id * 59) % 256 AS cg,
+        |    (doc_id * 83) % 256 AS cb
+        |  FROM documents),
+        |par AS (
+        |  SELECT doc_id, w, h, cr, cg, cb, w * h AS n,
+        |    (w * h + (w % 2) * (h % 2)) // 2 AS ne,
+        |    w * h - (w * h + (w % 2) * (h % 2)) // 2 AS no
+        |  FROM dims)
+        |SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+        |  3::INT AS channels,
+        |  round((ne * cr + no * ((cr + 8) % 256)) / n::DOUBLE, 6) AS mean_r,
+        |  round((ne * cg + no * ((cg + 8) % 256)) / n::DOUBLE, 6) AS mean_g,
+        |  round((ne * cb + no * ((cb + 8) % 256)) / n::DOUBLE, 6) AS mean_b
+        |FROM par""".stripMargin,
     // Generated oracles (constants shared with the Spark side — see the
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,

@@ -36,10 +36,28 @@ object Ops {
       * engine. `args.combine=true` pools every lightcurve into ONE group —
       * same semantics as the reference's combine mode, and the same
       * single-task cost profile; at very large scale prefer per-object mode
-      * or pre-`sample()` the ensemble, as the reference docs advise. */
+      * or pre-`sample()` the ensemble, as the reference docs advise.
+      *
+      * GIANT-LIGHTCURVE AUTO-ROUTING: the batch path materializes a
+      * band's O(n²)/2 pair triples inside one task — fine for n ≲ 10⁴,
+      * unrunnable for a 10⁵-observation lightcurve (~5·10⁹ triples). When
+      * the requested args are expressible relationally (length/loglength
+      * binning, no bootstrap — exactly [[SF2Relational]]'s domain), bands
+      * whose observation count exceeds `giantThreshold` are routed through
+      * the self-join plan instead and the two results unioned; both plans
+      * agree to 1e-9 (SF2RelationalSpec). Detection is one count
+      * aggregate; the giant key set is broadcast into semi/anti joins, so
+      * no extra shuffle of the source. `giantThreshold = 0` disables
+      * routing. For 'size' binning (per-group quantile edges) the batch
+      * path is the only implementation — pre-`sample()` giants there, as
+      * the reference docs advise.
+      *
+      * Routed giant bands omit empty bins (the relational group-by has no
+      * row to emit) where the batch path emits NaN rows for them. */
     def sf2(
         args: sf.SFArgs = sf.SFArgs(),
-        label: Option[String] = None
+        label: Option[String] = None,
+        giantThreshold: Long = 10000L
     ): DataFrame = {
       val fn = StructureFunction2(args)
       if (args.combine) {
@@ -50,7 +68,35 @@ object Ops {
         val res = Batch.batch(ens, fn, on = Some(Seq(key)), label = label)
         res.drop(key)
       } else {
-        Batch.batch(ens, fn, label = label)
+        val relationalCapable = giantThreshold > 0 &&
+          !args.estimateErr && args.calculationRepetitions <= 1 &&
+          !args.equallyWeightLightcurves && args.bins.isEmpty &&
+          !args.ignoreTimestamps && !args.reportUpperLowerErrorSeparately &&
+          (args.binMethod == "length" || args.binMethod == "loglength")
+        if (!relationalCapable) Batch.batch(ens, fn, label = label)
+        else {
+          val cm = ens.colMap
+          val src = ens.source
+          val spark = src.sparkSession
+          // giant unit = one (id, band): that is what a batch task holds
+          val giantKeys = src.groupBy(col(cm.id), col(cm.band))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > giantThreshold)
+            .select(col(cm.id), col(cm.band))
+          val onKeys = Seq(cm.id, cm.band)
+          val smallSrc = src.join(broadcast(giantKeys), onKeys, "left_anti")
+          val giantSrc = src.join(broadcast(giantKeys), onKeys, "left_semi")
+          val smallRes = Batch.batch(
+            graft.sources.EnsembleIO.fromDataFrame(spark, smallSrc, cm),
+            fn, label = label)
+          val idType = src.schema(cm.id).dataType
+          val giantRes = SF2Relational.sf2Relational(
+              graft.sources.EnsembleIO.fromDataFrame(spark, giantSrc, cm),
+              args)
+            .select(col("lc_id").cast(idType).as(cm.id), col("lc_id"),
+              col("band"), col("dt"), col("sf2"), lit(0.0).as("1_sigma"))
+          smallRes.unionByName(giantRes)
+        }
       }
     }
 

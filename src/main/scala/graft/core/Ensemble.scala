@@ -358,27 +358,46 @@ final class Ensemble(
   def columns(table: String = SourceLabel): Seq[String] =
     frames(table).columns.toSeq
 
+  /** The i-th physical partition of a table as a DataFrame (reference
+    * `EnsembleFrame.partitions[i]`, ensemble_frame.py:159-179). Planned as
+    * a `spark_partition_id()` filter — no shuffle, no RDD round-trip, and
+    * the predicate stays inside whole-stage codegen; non-selected
+    * partitions emit nothing. */
+  def partitions(i: Int, table: String = SourceLabel): DataFrame = {
+    val df = frame(table)
+    val n = df.rdd.getNumPartitions
+    require(i >= 0 && i < n,
+      s"partition index $i out of range for $n partitions")
+    df.filter(spark_partition_id() === i)
+  }
+
   /** Per-frame summary: schema, partition count, optional row count
     * (reference frame_info, ensemble.py:221-254; Dask's memory_usage has no
     * lazy Spark analogue, so the size proxy is the partition count).
-    * Raises on an unknown label, like the reference. */
+    * Raises on an unknown label, like the reference. `countRows` defaults
+    * OFF: the reference's info is cheap by default, and both a row count
+    * AND a partition count are jobs here (the latter because `.rdd` on an
+    * AQE plan materializes its shuffle stages) — with the default, the
+    * call is schema-only and runs zero Spark jobs. */
   def frameInfo(labels: Seq[String] = Seq.empty,
-      countRows: Boolean = true): String = {
+      countRows: Boolean = false): String = {
     val want = if (labels.isEmpty) frames.keys.toSeq else labels
     want.map { label =>
       if (!frames.contains(label))
         throw new NoSuchElementException(
           s"Unable to get frame info: no frame with label '$label' is in the Ensemble.")
       val df = frames(label)
-      val rows = if (countRows) s"rows: ${df.count()}\n" else ""
-      s"$label Frame\n${df.schema.treeString}$rows" +
-        s"partitions: ${df.rdd.getNumPartitions}\n"
+      val exec =
+        if (countRows)
+          s"rows: ${df.count()}\npartitions: ${df.rdd.getNumPartitions}\n"
+        else ""
+      s"$label Frame\n${df.schema.treeString}$exec"
     }.mkString("\n")
   }
 
   /** Source+object summary, syncing both first (reference info,
-    * ensemble.py:358-393). */
-  def info(countRows: Boolean = true): String = {
+    * ensemble.py:358-393). Row counts only on request, as in frameInfo. */
+  def info(countRows: Boolean = false): String = {
     syncTables()
     frameInfo(Seq(ObjectLabel, SourceLabel), countRows)
   }

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extraction / resize / frame-sampling
   * run as partition-batched transforms.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[decodeStub]] derives deterministic fake features from
-  * the bytes. Everything around it — schema, batching, partitioning,
-  * output shape — is real and tested; swapping a JNI/javacv decoder into
-  * [[transformBinary]] changes no plan shape.
+  * IMAGES decode for real: [[decodeImages]] reads PNG/JPEG with the JDK's
+  * `javax.imageio` (no external dependency) and emits width / height /
+  * channel count / exact per-channel means; [[resizeImages]] re-encodes
+  * real thumbnails. Audio/video codecs are not in the JDK, so those
+  * modalities still go through [[decodeStub]] (deterministic fake
+  * features) — the batching/schema contract is identical, and a javacv
+  * decoder drops into the same `mapPartitions` slot without changing any
+  * plan shape.
   *
   * Scale design (100 TB): media rows are fat (MBs each), so the
   * partitioner must balance *bytes*, not row counts —
@@ -52,6 +55,147 @@ object Multimodal {
         (pmod(col(idCol), lit(64)) + 16).cast("int").as("width"),
         (pmod(col(idCol), lit(48)) + 16).cast("int").as("height"),
         (col(idCol) * 40L).as("duration_ms")).as("meta"))
+
+  // ------------------------------------------------------ real image path
+
+  /** Deterministic checkerboard color for synthetic PNGs: pixel (x,y) of
+    * image `id` is `base` when (x+y) is even, `base+8 (mod 256)` when odd,
+    * per channel — so decoded channel means are EXACT integers over a
+    * known parity count, and an engine with no image codec (the DuckDB
+    * oracle) can compute the expected features analytically. */
+  private[graft] def checkerColors(id: Long): (Int, Int, Int) =
+    (((id * 37) % 256).toInt, ((id * 59) % 256).toInt, ((id * 83) % 256).toInt)
+
+  /** Generate REAL PNG bytes per row (`javax.imageio` encode inside
+    * `mapPartitions`): width = id%64+16, height = id%48+16, checkerboard
+    * fill from [[checkerColors]]. PNG is lossless, so [[decodeImages]]
+    * recovers the exact pixel values — the encode→decode roundtrip is the
+    * oracle-checkable part of the image pipeline. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 64 + 16).toInt
+        val h = (id % 48 + 16).toInt
+        val (cr, cg, cb) = checkerColors(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val off = ((x + y) % 2) * 8
+            img.setRGB(x, y,
+              (((cr + off) % 256) << 16) | (((cg + off) % 256) << 8) |
+                ((cb + off) % 256))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray,
+          Row("png", w, h, null.asInstanceOf[java.lang.Long]))
+      }
+    }(enc).toDF()
+  }
+
+  /** Output schema of the real image decoder. */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true)
+  ))
+
+  /** REAL decode + channel statistics via `javax.imageio` (PNG/JPEG/GIF/
+    * BMP — whatever the JDK registry reads). Non-decodable bytes yield
+    * `decoded = false` with null stats (callers route audio/video to
+    * [[decodeStub]] instead). Channel sums accumulate in Long (exact), so
+    * the means are one double division — bit-reproducible by the oracle's
+    * integer arithmetic. One iterator pass, no shuffle; codec state is
+    * per-JVM (ImageIO registry), nothing to re-open per row. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          Row(id, bytes.length, false, null, null, null, null, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          Row(id, bytes.length, true, w, h, img.getRaster.getNumBands,
+            sr / n, sg / n, sb / n)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** REAL thumbnail resize: decode, scale the long edge to `maxDim`
+    * (area-averaging, aspect preserved), re-encode as PNG. Non-decodable
+    * rows pass through with null thumb bytes. Same flatMap-free
+    * mapPartitions shape as [[decodeImages]]. */
+  def resizeImages(media: DataFrame, maxDim: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("thumb_w", IntegerType, nullable = true),
+      StructField("thumb_h", IntegerType, nullable = true),
+      StructField("thumb_png", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, null, null, null)
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val tw = math.max(1, math.round(img.getWidth * scale).toInt)
+          val th = math.max(1, math.round(img.getHeight * scale).toInt)
+          val scaled = img.getScaledInstance(tw, th,
+            java.awt.Image.SCALE_AREA_AVERAGING)
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(id, tw, th, bos.toByteArray)
+        }
+      }
+    }(enc).toDF()
+  }
 
   /** Output schema of the stub feature extractor. */
   val featureSchema: StructType = StructType(Seq(

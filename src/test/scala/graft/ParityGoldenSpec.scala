@@ -193,4 +193,39 @@ class ParityGoldenSpec extends SparkSuite {
       ensFlux.convertFluxToMag(Right(25.0), zpForm = "bogus")
     }
   }
+
+  test("info/frameInfo are job-free by default (counts only on request)") {
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens.source.count() // force the sync + any lazy setup beforehand
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = ens.info()
+      Thread.sleep(300) // let any stray async job-start events drain
+      assert(jobs.get() === 0, "default info() must not run a Spark job")
+      assert(out.contains("source Frame") && !out.contains("rows:"))
+      assert(ens.info(countRows = true).contains("rows:"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("partitions(i) slices one physical partition, no shuffle") {
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens.repartition(4)
+    val total = ens.source.count()
+    val slices = (0 until 4).map(i => ens.partitions(i).count())
+    assert(slices.sum === total)
+    assert(slices.count(_ > 0) >= 2, s"degenerate layout: $slices")
+    // the slice adds a filter but no NEW exchange beyond what the source
+    // layout (the explicit repartition above) already has
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges(ens.partitions(0)) === exchanges(ens.source),
+      "partition slice must not add a shuffle")
+    intercept[IllegalArgumentException] { ens.partitions(99) }
+  }
 }

@@ -117,6 +117,52 @@ class SF2RelationalSpec extends SparkSuite {
     assert(secs < 120.0)
   }
 
+  test("sf2 auto-routes giant bands to the relational plan, small to batch") {
+    // mixed ensemble: ordinary objects plus one 3000-obs band (threshold
+    // lowered so the spec stays fast; the default is 10⁴)
+    val giant = spark.range(3000).select(
+      lit(999000L).as("user_id"),
+      (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
+      (sin(col("id") / 50.0) * 10 + pmod(col("id"), lit(13))).as("value"),
+      lit(0.1).as("err"),
+      lit("g").as("event_type"),
+      col("id").as("event_id"))
+    def smallSrc() = SparkEntry.eventsSource(spark, sf0001)
+      .filter(col("user_id") < 3)
+      .select("user_id", "ts_days", "value", "err", "event_type", "event_id")
+    val args = sf.SFArgs(binMethod = "length", binCountTarget = 50)
+    val ens = graft.sources.EnsembleIO.fromDataFrame(spark,
+      smallSrc().unionByName(giant), graft.core.ColumnMap.events)
+    val routed = Ops.AnalysisOps(ens).sf2(args, giantThreshold = 1000)
+
+    // both physical paths must appear in ONE plan: the batch engine's
+    // per-group apply for small objects, a join for the giant band
+    val plan = routed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"no join path in plan:\n$plan")
+    assert(plan.toLowerCase.contains("mapgroups"), "no batch path in plan")
+
+    val out = toMap(routed.select("lc_id", "band", "dt", "sf2"))
+
+    // giant rows == direct relational on the giant alone
+    val gEns = graft.sources.EnsembleIO.fromDataFrame(spark, giant,
+      graft.core.ColumnMap.events)
+    val gExp = toMap(SF2Relational.SF2RelationalOps(gEns).sf2Relational(args))
+    // small rows == pure batch (routing disabled)
+    val sEns = graft.sources.EnsembleIO.fromDataFrame(spark, smallSrc(),
+      graft.core.ColumnMap.events)
+    val sExp = toMap(Ops.AnalysisOps(sEns).sf2(args, giantThreshold = 0)
+      .select("lc_id", "band", "dt", "sf2"))
+
+    assert(out.keySet === (gExp.keySet ++ sExp.keySet),
+      s"missing=${(gExp.keySet ++ sExp.keySet) -- out.keySet} " +
+        s"extra=${out.keySet -- gExp.keySet -- sExp.keySet}")
+    (gExp ++ sExp).foreach { case (k, (dt, s)) =>
+      val (odt, os) = out(k)
+      assert(math.abs(odt - dt) <= 1e-9 * (1 + math.abs(dt)), s"dt at $k")
+      assert(math.abs(os - s) <= 1e-9 * (1 + math.abs(s)), s"sf2 at $k")
+    }
+  }
+
   test("pair counts match n*(n-1)/2 per (id, band)") {
     val ens = singleObjectEnsemble()
     val perBand = ens.source.groupBy("event_type").count().collect()

@@ -94,4 +94,63 @@ class TextMultimodalSpec extends SparkSuite {
     assert(parts.rdd.getNumPartitions === 8)
     assert(parts.count() === media.count())
   }
+
+  test("multimodal: REAL png decode recovers exact dims and channel means") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val media = Multimodal.syntheticImages(docs, "doc_id")
+    val feats = Multimodal.decodeImages(media).collect()
+    assert(feats.length === 20)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(2), s"PNG $id failed to decode")
+      val w = (id % 64 + 16).toInt; val h = (id % 48 + 16).toInt
+      assert(r.getInt(3) === w); assert(r.getInt(4) === h)
+      assert(r.getInt(5) === 3)
+      val (cr, _, cb) = Multimodal.checkerColors(id)
+      val ne = (w * h + (w % 2) * (h % 2)) / 2
+      val no = w * h - ne
+      val expR = (ne.toLong * cr + no.toLong * ((cr + 8) % 256)).toDouble / (w * h)
+      val expB = (ne.toLong * cb + no.toLong * ((cb + 8) % 256)).toDouble / (w * h)
+      assert(r.getDouble(6) === expR, s"mean_r of $id")
+      assert(r.getDouble(8) === expB, s"mean_b of $id")
+    }
+  }
+
+  test("multimodal: jpeg decodes too; garbage bytes are flagged not thrown") {
+    // JPEG roundtrip (lossy — assert dims/decodability, not pixel values)
+    val img = new java.awt.image.BufferedImage(
+      40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val rows = Seq(
+      (1L, "image", bos.toByteArray, ("jpg", 40, 30, 0L)),
+      (2L, "image", "not an image".getBytes("UTF-8"), ("txt", 0, 0, 0L)))
+    val media = spark.createDataFrame(rows)
+      .toDF("media_id", "modality", "bytes", "meta")
+    val feats = Multimodal.decodeImages(media)
+      .orderBy("media_id").collect()
+    assert(feats(0).getBoolean(2) && feats(0).getInt(3) === 40 &&
+      feats(0).getInt(4) === 30)
+    assert(!feats(1).getBoolean(2) && feats(1).isNullAt(3))
+  }
+
+  test("multimodal: REAL resize produces decodable aspect-kept thumbnails") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 5)
+    val thumbs = Multimodal.resizeImages(
+      Multimodal.syntheticImages(docs, "doc_id"), maxDim = 20).collect()
+    thumbs.foreach { r =>
+      val id = r.getLong(0)
+      val w = (id % 64 + 16).toInt; val h = (id % 48 + 16).toInt
+      assert(math.max(r.getInt(1), r.getInt(2)) === 20)
+      // re-decode the emitted PNG and confirm the stored dims are real
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+      assert(back.getWidth === r.getInt(1) && back.getHeight === r.getInt(2))
+      val aspect = w.toDouble / h
+      val thumbAspect = r.getInt(1).toDouble / r.getInt(2)
+      assert(math.abs(aspect - thumbAspect) < 0.15, s"aspect drift on $id")
+    }
+  }
 }
