@@ -93,13 +93,23 @@ object Dedup {
         normalizeText(col(textCol)), shingleLen, hashMode).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager: see barrier note below
     val sig = sh.select(col("id"),
       minhashSignature(col("shingles"), k).as("sig"))
 
+    // Eager materialization barriers (the count() calls): both persisted
+    // frames feed MULTIPLE branches of the final plan (sh → signature +
+    // two verification joins; buckets → size filter + both sides of the
+    // candidate self-join). Without a barrier, the first action races the
+    // branches and concurrent tasks compute the same cached partition
+    // twice ("Block rdd_N already exists" warnings = silently duplicated
+    // shingle/signature work). A count over the about-to-be-cached frame
+    // populates the cache once, in one wave; every branch then reads it.
     val buckets = sig
       .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("bsig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buckets.count() // eager: one computation wave, then all consumers hit cache
 
     val bucketSizes = buckets.groupBy("band", "bsig")
       .agg(count(lit(1)).as("bn"))

@@ -43,19 +43,29 @@ object HashExpressions {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
+  private val md5Out = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
 
-  /** First 8 bytes of MD5(bytes), big-endian, as a signed long — exactly
-    * DuckDB's `('0x' || substr(md5(s),1,16))::UBIGINT` reinterpreted
-    * signed. */
-  private[functions] def md5Long64(bytes: Array[Byte]): Long = {
+  /** First 8 bytes of MD5 of a byte range, big-endian, as a signed long —
+    * exactly DuckDB's `('0x' || substr(md5(s),1,16))::UBIGINT`
+    * reinterpreted signed. Digests into a reused thread-local buffer: the
+    * shingle hot loop calls this per window, so no per-call allocation. */
+  private[functions] def md5Long64(bytes: Array[Byte], off: Int,
+      len: Int): Long = {
     val d = md5Digest.get()
+    val h = md5Out.get()
     d.reset()
-    val h = d.digest(bytes)
+    d.update(bytes, off, len)
+    d.digest(h, 0, 16)
     ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
       ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
       ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
       ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
   }
+
+  private[functions] def md5Long64(bytes: Array[Byte]): Long =
+    md5Long64(bytes, 0, bytes.length)
 
   /** md5-derived 64-bit hash of a string column (oracle-reproducible). */
   case class Md5Long(child: Expression)
@@ -88,14 +98,21 @@ object HashExpressions {
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String]
       if (mode == ModeMd5) {
-        val m = s.numChars() - n + 1
+        val bytes = s.getBytes
+        val ascii = bytes.length == s.numChars()
+        val m =
+          (if (ascii) bytes.length else s.numChars()) - n + 1
         if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
         val seen = new java.util.HashSet[Long](m * 2)
         val out = new Array[Long](m)
         var cnt = 0
         var i = 0
         while (i < m) {
-          val h = md5Long64(s.substring(i, i + n).getBytes)
+          // ASCII fast path: a char window IS a byte window — digest
+          // straight off the backing array, zero per-window allocation
+          val h =
+            if (ascii) md5Long64(bytes, i, n)
+            else md5Long64(s.substring(i, i + n).getBytes)
           if (seen.add(h)) { out(cnt) = h; cnt += 1 }
           i += 1
         }

@@ -82,16 +82,18 @@ object Multimodal {
         val (cr, cg, cb) = checkerColors(id)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val even = (cr % 256) << 16 | (cg % 256) << 8 | (cb % 256)
+        val odd = ((cr + 8) % 256) << 16 | ((cg + 8) % 256) << 8 |
+          ((cb + 8) % 256)
+        val rowBuf = new Array[Int](w)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val off = ((x + y) % 2) * 8
-            img.setRGB(x, y,
-              (((cr + off) % 256) << 16) | (((cg + off) % 256) << 8) |
-                ((cb + off) % 256))
+            rowBuf(x) = if ((x + y) % 2 == 0) even else odd
             x += 1
           }
+          img.setRGB(0, y, w, 1, rowBuf, 0, w) // bulk row write
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
@@ -138,12 +140,16 @@ object Multimodal {
           Row(id, bytes.length, false, null, null, null, null, null, null)
         else {
           val w = img.getWidth; val h = img.getHeight
+          // bulk row reads: per-pixel getRGB goes through the colormodel
+          // conversion path per call — one getRGB(row) is ~10× cheaper
+          val rowBuf = new Array[Int](w)
           var sr = 0L; var sg = 0L; var sb = 0L
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
             var x = 0
             while (x < w) {
-              val p = img.getRGB(x, y)
+              val p = rowBuf(x)
               sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
               x += 1
             }
