@@ -269,6 +269,18 @@ object SparkEntry {
           hasher = graft.functions.HashExpressions.md5Long))
           .as("n_winnow_hashes"))
     }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      // the pigeonhole-bucketed hamming near-dup finder, end-to-end:
+      // planted suffix-edited copies guarantee true near-dup fingerprints
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 15)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" qq")))
+      graft.dedup.Dedup.simhashPairs(docs.unionByName(planted),
+          "text", "doc_id", maxDist = 3, maxBucketSize = 1000,
+          hashMode = "md5")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+    }),
     // ------------------------------------- training-data: similarity search
     "q_knn_cosine" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -282,6 +294,18 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       graft.similarity.Similarity.nearDupPairs(emb, 0.35, col("label"))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q_knn_lsh" -> ((s, dir) => {
+      // hyperplane-LSH ANN: the 8 seeded planes are deterministic JVM-RNG
+      // literals, so the oracle inlines the identical planes and the
+      // whole bucket-join + ranking is SQL-checked
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.knnLsh(emb, queries, k = 5, dim = 64,
+          nPlanes = 8, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
       // Fixed literal centroids, inlined identically into the oracle SQL —
@@ -424,6 +448,79 @@ object SparkEntry {
        |    ELSE len(list_distinct([list_min(wh[j : j + 3]) for j in range(1, len(wh) - 2)]))
        |    END)::INT AS n_winnow_hashes
        |FROM s""".stripMargin
+  }
+
+  /** Pigeonhole simhash pairs: fingerprints exactly as in the q_simhash
+    * oracle, then 16-bit chunk bucketing and hamming via bit_count(xor) —
+    * DuckDB's BIGINT xor/bit_count are two's-complement like the JVM's. */
+  private def simhashPairsOracle: String = {
+    val pows = (0 until 64).map(b => s"${BigInt(1) << b}::HUGEINT")
+      .mkString("[", ", ", "]")
+    val chunkPows = (0 until 4).map(c => s"${BigInt(1) << (16 * c)}::HUGEINT")
+      .mkString("[", ", ", "]")
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' qq' FROM documents WHERE doc_id < 15),
+       |d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |      ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+       |  FROM corpus),
+       |h AS (
+       |  SELECT doc_id, len(toks) AS n,
+       |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT::HUGEINT) AS hu
+       |  FROM d),
+       |fp AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    list_sum(list_transform($pows,
+       |      pw -> CASE WHEN 2 * list_sum(list_transform(hu, x -> (x // pw) % 2)) > n
+       |        THEN pw ELSE 0::HUGEINT END)) AS su
+       |  FROM h),
+       |sh AS (SELECT id,
+       |    CASE WHEN su >= 9223372036854775808::HUGEINT
+       |      THEN (su - 18446744073709551616::HUGEINT)::BIGINT ELSE su::BIGINT END AS sh,
+       |    su
+       |  FROM fp),
+       |ck AS (SELECT id, sh, su, unnest(range(0, 4)) AS chunk FROM sh),
+       |keyed AS (SELECT id, sh, chunk,
+       |    (su // ($chunkPows)[chunk + 1]) % 65536 AS ckv
+       |  FROM ck),
+       |sizes AS (SELECT chunk, ckv FROM keyed GROUP BY chunk, ckv
+       |  HAVING count(*) > 1 AND count(*) <= 1000),
+       |pruned AS MATERIALIZED (SELECT k.id, k.sh, k.chunk, k.ckv
+       |  FROM keyed k JOIN sizes sz ON k.chunk = sz.chunk AND k.ckv = sz.ckv),
+       |cand AS (SELECT DISTINCT a.id AS id_a, a.sh AS sh_a,
+       |    b.id AS id_b, b.sh AS sh_b
+       |  FROM pruned a JOIN pruned b
+       |    ON a.chunk = b.chunk AND a.ckv = b.ckv AND a.id < b.id)
+       |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+  }
+
+  /** Hyperplane-LSH knn: the 8 seeded planes inlined as literals; the
+    * signature is the same sum-of-bit-terms the Spark side builds. */
+  private def knnLshOracle: String = {
+    val planes = graft.similarity.Similarity.hyperplanes(8, 64, 42L)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val plit = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $plit) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS MATERIALIZED (SELECT vec_id, v, ($sigExpr) AS sig FROM e),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+       |      ELSE list_dot_product(q.v, c.v) /
+       |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
+       |  FROM s q JOIN s c ON q.sig = c.sig
+       |  WHERE q.vec_id < 10),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5""".stripMargin
   }
 
   private def annIvfOracle: String = {
@@ -765,6 +862,8 @@ object SparkEntry {
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,
     "q_simhash" -> simhashOracle,
+    "q_simhash_pairs" -> simhashPairsOracle,
+    "q_knn_lsh" -> knnLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_stetson_j" -> stetsonJOracle,
     "q_sf2" -> sf2SizeOracle

@@ -34,9 +34,9 @@ object Ops {
     /** Structure function over the whole ensemble (reference
       * ensemble.py:2429-2475). Default: per-object groups through the batch
       * engine. `args.combine=true` pools every lightcurve into ONE group —
-      * same semantics as the reference's combine mode, and the same
-      * single-task cost profile; at very large scale prefer per-object mode
-      * or pre-`sample()` the ensemble, as the reference docs advise.
+      * same semantics as the reference's combine mode; past the giant
+      * threshold it auto-routes to the distributed relational plan (below)
+      * instead of the reference's single-task cost profile.
       *
       * GIANT-LIGHTCURVE AUTO-ROUTING: the batch path materializes a
       * band's O(n²)/2 pair triples inside one task — fine for n ≲ 10⁴,
@@ -60,19 +60,34 @@ object Ops {
         giantThreshold: Long = 10000L
     ): DataFrame = {
       val fn = StructureFunction2(args)
-      if (args.combine) {
-        val cm = ens.colMap
-        val key = "__sf2_combine_key"
-        ens.assign(Ensemble.SourceLabel, temporary = true,
-          key -> lit(0))
-        val res = Batch.batch(ens, fn, on = Some(Seq(key)), label = label)
-        res.drop(key)
-      } else {
-        val relationalCapable = giantThreshold > 0 &&
-          !args.estimateErr && args.calculationRepetitions <= 1 &&
+      val relationalArgsOk =
+        !args.estimateErr && args.calculationRepetitions <= 1 &&
           !args.equallyWeightLightcurves && args.bins.isEmpty &&
           !args.ignoreTimestamps && !args.reportUpperLowerErrorSeparately &&
           (args.binMethod == "length" || args.binMethod == "loglength")
+      if (args.combine) {
+        // Combine mode pools EVERY lightcurve into one group — in the
+        // batch engine that is one task holding the whole ensemble, the
+        // reference's own documented scale wall. When the args are
+        // relationally expressible and the pooled source exceeds the
+        // giant threshold, run the distributed combine plan instead
+        // (SF2RelationalSpec pins agreement to 1e-9; empty bins are
+        // omitted rather than NaN rows).
+        val route = giantThreshold > 0 && relationalArgsOk &&
+          ens.source.limit(math.min(giantThreshold + 1, Int.MaxValue).toInt)
+            .count() > giantThreshold
+        if (route)
+          SF2Relational.sf2Relational(ens, args)
+            .withColumn("1_sigma", lit(0.0))
+        else {
+          val key = "__sf2_combine_key"
+          ens.assign(Ensemble.SourceLabel, temporary = true,
+            key -> lit(0))
+          val res = Batch.batch(ens, fn, on = Some(Seq(key)), label = label)
+          res.drop(key)
+        }
+      } else {
+        val relationalCapable = giantThreshold > 0 && relationalArgsOk
         if (!relationalCapable) Batch.batch(ens, fn, label = label)
         else {
           val cm = ens.colMap

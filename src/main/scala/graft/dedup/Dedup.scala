@@ -185,11 +185,12 @@ object Dedup {
     * exactly on ≥1 chunk — and bucket-join per chunk. Linear work plus
     * within-bucket pairing, like LSH. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 1000,
+      hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
     val nChunks = maxDist + 1
     val chunkBits = 64 / nChunks
     val keyed = df.select(col(idCol).as("id"),
-      simhash64(col(textCol)).as("sh"))
+      simhash64(col(textCol), hashMode).as("sh"))
     val chunks = keyed.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
         struct(c.as("chunk"),

@@ -83,8 +83,9 @@ object Similarity {
   // ------------------------------------------------ LSH (random hyperplane)
 
   /** Deterministic pseudo-random hyperplanes (standard normal components
-    * via seeded JVM RNG — same literals on every executor). */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    * via seeded JVM RNG — same literals on every executor; public so the
+    * oracle SQL can inline the identical plane literals). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rng = new java.util.Random(seed)
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }

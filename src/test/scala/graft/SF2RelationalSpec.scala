@@ -163,6 +163,35 @@ class SF2RelationalSpec extends SparkSuite {
     }
   }
 
+  test("combine mode auto-routes to the distributed plan past the threshold") {
+    val args = sf.SFArgs(binMethod = "length", combine = true,
+      binCountTarget = 40)
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens.query("user_id < 4")
+    // force routing with a tiny threshold: the one-group batch apply must
+    // be gone, replaced by the self-join plan
+    val routed = Ops.AnalysisOps(ens).sf2(args, giantThreshold = 10)
+    val plan = routed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"expected join plan:\n$plan")
+    assert(!plan.toLowerCase.contains("mapgroups"),
+      "combine routing must not go through the single-group batch apply")
+    assert(routed.columns.toSeq ===
+      Seq("lc_id", "band", "dt", "sf2", "1_sigma"))
+
+    // values equal the un-routed batch combine (threshold disabled)
+    val ens2 = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens2.query("user_id < 4")
+    val batch = toMap(Ops.AnalysisOps(ens2).sf2(args, giantThreshold = 0)
+      .select("lc_id", "band", "dt", "sf2"))
+    val rel = toMap(routed.select("lc_id", "band", "dt", "sf2"))
+    assert(rel.keySet === batch.keySet)
+    rel.foreach { case (k, (dt, s)) =>
+      val (bdt, bs) = batch(k)
+      assert(math.abs(dt - bdt) <= 1e-9 * (1 + math.abs(bdt)), s"dt at $k")
+      assert(math.abs(s - bs) <= 1e-9 * (1 + math.abs(bs)), s"sf2 at $k")
+    }
+  }
+
   test("pair counts match n*(n-1)/2 per (id, band)") {
     val ens = singleObjectEnsemble()
     val perBand = ens.source.groupBy("event_type").count().collect()
