@@ -143,6 +143,25 @@ object Dedup {
     result
   }
 
+  /** End-to-end corpus cleaning, the composition a training-data pipeline
+    * actually runs: exact dedup (keep min id per fingerprint) then
+    * MinHash-LSH near-dup removal, dropping the higher id of every
+    * verified pair — the one-anti-join greedy approximation of
+    * connected-component dedup (a doc surviving only via a dropped
+    * "bridge" doc stays dropped, which is the conservative direction for
+    * training data). Scale shape: the two linear dedup passes plus one
+    * broadcast-able anti-join on the (small) drop list. */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
+    val exact = dropExactDuplicates(df, textCol, idCol)
+    val pairs = minhashLshPairs(exact, textCol, idCol, shingleLen, k,
+      bands, threshold, maxBucketSize, hashMode)
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    exact.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     bind(size(array_intersect(a, b)).cast("double")) { inter =>
@@ -189,26 +208,38 @@ object Dedup {
       hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
     val nChunks = maxDist + 1
     val chunkBits = 64 / nChunks
-    val keyed = df.select(col(idCol).as("id"),
-      simhash64(col(textCol), hashMode).as("sh"))
-    val chunks = keyed.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
-        struct(c.as("chunk"),
-          call_function("shiftright", col("sh"), c * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).as("ck")))).as("e"))
+    // Persist + eager barrier: the chunk frame feeds the size filter and
+    // BOTH sides of the candidate self-join — without the cache, every
+    // branch re-tokenizes and re-fingerprints the full corpus (8 text
+    // scans in the plan; one pass cached is 16 bytes/row). Same lifecycle
+    // as minhashLshPairs: the small verified pair set is materialized
+    // eagerly (localCheckpoint) so the big intermediate can be unpersisted
+    // before returning.
+    val chunks = df.select(col(idCol).as("id"),
+        simhash64(col(textCol), hashMode).as("sh"))
+      .select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
+          struct(c.as("chunk"),
+            call_function("shiftright", col("sh"), c * chunkBits)
+              .bitwiseAND(lit((1L << chunkBits) - 1)).as("ck")))).as("e"))
       .select(col("id"), col("sh"), col("e.chunk").as("chunk"),
         col("e.ck").as("ck"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunks.count() // one computation wave, then all consumers hit cache
 
     val sizes = chunks.groupBy("chunk", "ck").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > 1 && col("bn") <= maxBucketSize)
     val pruned = chunks.join(sizes, Seq("chunk", "ck"), "left_semi")
 
-    pruned.as("a").join(pruned.as("b"),
+    val result = pruned.as("a").join(pruned.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint(true)
+    chunks.unpersist()
+    result
   }
 }

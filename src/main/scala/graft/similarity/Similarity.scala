@@ -212,4 +212,47 @@ object Similarity {
       nprobe: Int): Column =
     slice(transform(array_sort(array(centroidRank(vec, centroids): _*)),
       s => s.getField("i")), 1, nprobe)
+
+  // ------------------------------------------- IVF as an on-disk index
+
+  /** Persist the corpus as an ON-DISK IVF index: parquet partitioned by
+    * cell id. This is the inverted file made of storage layout — each
+    * coarse cell is a partition directory, so a probe-time filter on
+    * `cell` prunes every non-probed directory at the SCAN and only
+    * ~nprobe/k of the corpus bytes are ever read. At 100 TB this is the
+    * difference between an index and a full scan. */
+  def writeIvfIndex(df: DataFrame, centroids: Array[Array[Double]],
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    df.select(col(idCol), col(vecCol),
+        cellId(col(vecCol), centroids).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** knn over a [[writeIvfIndex]] index. The probed cell set is computed
+    * from the (small, by contract) query batch and inlined as a literal
+    * `cell IN (...)` predicate, so Spark plans STATIC partition pruning —
+    * `PartitionFilters` on the scan, non-probed directories never open.
+    * Ranking semantics identical to [[knnIvf]]. */
+  def knnIvfIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val probes = queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qv"),
+        probeCells(col(vecCol), centroids, nprobe).as("__cells"))
+    val needed = probes.select(explode(col("__cells")).as("c"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(needed.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("cell").as("__cell"))
+    val probeRows = probes
+      .select(col("query_id"), col("__qv"),
+        explode(col("__cells")).as("__cell"))
+    val joined = corpus.join(broadcast(probeRows), Seq("__cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKPerQuery(joined, k)
+  }
 }

@@ -73,6 +73,18 @@ class DedupSpec extends SparkSuite {
     assert(j > 0.8, s"winnow jaccard $j")
   }
 
+  test("dropNearDuplicates removes exact AND near copies, keeps originals") {
+    val cleaned = Dedup.dropNearDuplicates(docsWithDups, "text", "doc_id",
+      bands = 8, threshold = 0.8)
+    val ids = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact copies (20000+) all gone; near copies (10000+, ' xyzq' suffix)
+    // gone; their originals survive
+    assert(ids.forall(_ < 20000))
+    assert((0L until 10L).forall(ids.contains), "originals must survive")
+    assert(!ids.exists(i => i >= 10000 && i < 10010),
+      "planted near-dups must be dropped")
+  }
+
   test("md5 hash mode: known value, and same LSH pairs as xx mode") {
     // md5("hello") = 5d41402abc4b2a76... → first 8 bytes big-endian signed
     // = 0x5d41402abc4b2a76 — the value DuckDB's

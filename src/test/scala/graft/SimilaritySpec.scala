@@ -50,6 +50,33 @@ class SimilaritySpec extends SparkSuite {
     approx.foreach { case (q, ids) => assert(ids.head === q) }
   }
 
+  test("on-disk IVF index: partition pruning at the scan, knnIvf parity") {
+    val centroids = Similarity.trainCentroids(emb, k = 8, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("ivf_index")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(emb, centroids, path)
+    // one directory per non-empty cell
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8, cellDirs.toSeq)
+
+    val res = Similarity.knnIvfIndexed(spark, path, queries, k = 5,
+      centroids, nprobe = 2)
+    // the probe filter must reach the scan as a PARTITION filter — only
+    // probed cell directories are read
+    val plan = res.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")),
+      s"cell filter did not reach PartitionFilters:\n$plan")
+
+    // identical output to the in-memory knnIvf at the same nprobe
+    val mem = Similarity.knnIvf(emb, queries, k = 5, centroids, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val idx = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(idx === mem)
+  }
+
   test("LSH knn returns bucket-mates ranked by exact cosine") {
     val res = Similarity.knnLsh(emb, queries, k = 5, dim = 64, nPlanes = 4)
     val perQuery = topIds(res)
