@@ -281,6 +281,22 @@ object SparkEntry {
           hashMode = "md5")
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
     }),
+    "q_dedup_pipeline" -> ((s, dir) => {
+      // the composed cleaner end-to-end: exact dedup → LSH near-dup drop.
+      // Planted exact copies (+2000000) and near copies (+1000000, ' qq')
+      // must both disappear; originals survive.
+      val docs = table(s, dir, "documents")
+      val nearCopies = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" qq")))
+      val exactCopies = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+      val corpus = docs.unionByName(nearCopies).unionByName(exactCopies)
+      graft.dedup.Dedup.dropNearDuplicates(corpus, "text", "doc_id",
+          shingleLen = 5, k = 64, bands = 8, threshold = 0.8,
+          maxBucketSize = 32, hashMode = "md5")
+        .select(col("doc_id"))
+    }),
     // ------------------------------------- training-data: similarity search
     "q_knn_cosine" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -448,6 +464,61 @@ object SparkEntry {
        |    ELSE len(list_distinct([list_min(wh[j : j + 3]) for j in range(1, len(wh) - 2)]))
        |    END)::INT AS n_winnow_hashes
        |FROM s""".stripMargin
+  }
+
+  /** The composed dedup pipeline: exact-dedup survivors (min id per
+    * normalized-text md5) feed the same minhash/LSH/verify chain as
+    * q_minhash_lsh, and every verified pair's higher id is dropped. */
+  private def dedupPipelineOracle: String = {
+    val (as, bs) = graft.functions.HashExpressions.MinHashFromHashes.family(64)
+    val ab = as.zip(bs).map { case (a, b) =>
+      s"{'a': ${a}::HUGEINT, 'b': ${b}::HUGEINT}"
+    }.mkString("[", ", ", "]")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' qq' FROM documents WHERE doc_id < 25
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+       |keep0 AS (SELECT min(doc_id) AS doc_id FROM base
+       |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+       |corpus AS MATERIALIZED (SELECT b.doc_id, b.text FROM base b
+       |  JOIN keep0 k ON b.doc_id = k.doc_id),
+       |shv AS MATERIALIZED (
+       |  SELECT id, list_transform(hu, u -> ((u + $C63) % $N64 - $C63)::BIGINT) AS hs
+       |  FROM (
+       |    SELECT doc_id AS id,
+       |      list_transform(
+       |        list_distinct(CASE WHEN len(nt) < 5 THEN []::VARCHAR[]
+       |          ELSE [substr(nt, i, 5) for i in range(1, len(nt) - 3)] END),
+       |        s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT) AS hu
+       |    FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       |          FROM corpus))
+       |  WHERE len(hu) > 0),
+       |sig AS MATERIALIZED (
+       |  SELECT id, list_transform($ab,
+       |    p -> (list_min(list_transform(hs,
+       |      h -> ((p.a * h + p.b + $C63) % $N64 + $N64) % $N64)) - $C63)::BIGINT) AS sig
+       |  FROM shv),
+       |bk AS (SELECT id, sig, unnest(range(0, 8)) AS band FROM sig),
+       |bkey AS MATERIALIZED (SELECT id, band,
+       |    array_to_string(sig[band * 8 + 1 : band * 8 + 8], ',') AS bsig
+       |  FROM bk),
+       |sizes AS (SELECT band, bsig FROM bkey GROUP BY band, bsig
+       |  HAVING count(*) > 1 AND count(*) <= 32),
+       |pruned AS MATERIALIZED (SELECT b.id, b.band, b.bsig FROM bkey b
+       |  JOIN sizes s ON b.band = s.band AND b.bsig = s.bsig),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM pruned a JOIN pruned b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+       |drops AS (
+       |  SELECT DISTINCT c.id_b
+       |  FROM cand c JOIN shv sa ON sa.id = c.id_a JOIN shv sb ON sb.id = c.id_b
+       |  WHERE (CASE WHEN (len(sa.hs) + len(sb.hs))::DOUBLE - len(list_intersect(sa.hs, sb.hs)) = 0 THEN 0.0
+       |    ELSE len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+       |      ((len(sa.hs) + len(sb.hs))::DOUBLE - len(list_intersect(sa.hs, sb.hs))) END) >= 0.8)
+       |SELECT c.doc_id FROM corpus c
+       |WHERE c.doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin
   }
 
   /** Pigeonhole simhash pairs: fingerprints exactly as in the q_simhash
@@ -861,6 +932,7 @@ object SparkEntry {
     // Generated oracles (constants shared with the Spark side — see the
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,
+    "q_dedup_pipeline" -> dedupPipelineOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_knn_lsh" -> knnLshOracle,

@@ -110,4 +110,28 @@ object Streaming {
           Iterator.single(Row(key._1, key._2, s.n, s.mean, variance))
       }(stateEnc, outEnc).toDF()
   }
+
+  /** Continuous IVF index ingestion: assign each arriving embedding to
+    * its coarse cell (a map-only literal-centroid expression — no state,
+    * no shuffle) and append it to the same cell-partitioned parquet
+    * layout [[graft.similarity.Similarity.writeIvfIndex]] writes, so
+    * [[graft.similarity.Similarity.knnIvfIndexed]] partition-prunes over
+    * an index that grows in real time. Returns the started query. */
+  def streamingIvfIngest(
+      src: DataFrame,
+      centroids: Array[Array[Double]],
+      indexPath: String,
+      checkpointPath: String,
+      vecCol: String = "embedding"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    src
+      .withColumn("cell",
+        graft.similarity.Similarity.cellId(col(vecCol), centroids))
+      .writeStream
+      .format("parquet")
+      .option("path", indexPath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("cell")
+      .outputMode(OutputMode.Append)
+      .start()
 }

@@ -88,4 +88,40 @@ class StreamingSpec extends SparkSuite {
       assert(last2._4.isNaN) // variance undefined for n=1
     } finally q.stop()
   }
+
+  test("streaming IVF ingest: cell-partitioned index grows, stays queryable") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Similarity.trainCentroids(emb, k = 4, dim = 64)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream")
+    val idx = dir.resolve("idx").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.streamingIvfIngest(
+      mem.toDF().toDF("vec_id", "embedding"), centroids, idx, ckpt)
+    try {
+      mem.addData(rows.take(40).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(40).toSeq: _*) // index grows across batches
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cells = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(cells.length > 1, s"expected multiple cell dirs, got ${cells.toSeq}")
+    // the streamed index answers the same queries as the batch-built one
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val streamed = Similarity.knnIvfIndexed(spark, idx, queries, k = 3,
+      centroids, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val mem2 = Similarity.knnIvf(emb, queries, k = 3, centroids, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(streamed === mem2)
+  }
 }
