@@ -233,8 +233,6 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "q_minhash_lsh" -> ((s, dir) => {
-      // rows-only: xxhash64-based signatures aren't reproducible in DuckDB;
-      // accuracy is pinned by DedupSpec (recall vs exact jaccard).
       // Near-duplicates are planted (suffix-edited copies of the first 25
       // docs) so the LSH has a real target set; 5-gram shingles at
       // threshold 0.8 keep the candidate graph sparse, which is the regime

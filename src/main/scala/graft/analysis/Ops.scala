@@ -76,10 +76,12 @@ object Ops {
         val route = giantThreshold > 0 && relationalArgsOk &&
           ens.source.limit(math.min(giantThreshold + 1, Int.MaxValue).toInt)
             .count() > giantThreshold
-        if (route)
-          SF2Relational.sf2Relational(ens, args)
+        if (route) {
+          val res = SF2Relational.sf2Relational(ens, args)
             .withColumn("1_sigma", lit(0.0))
-        else {
+          ens.addFrame(res, label) // track under the caller's label
+          res
+        } else {
           val key = "__sf2_combine_key"
           ens.assign(Ensemble.SourceLabel, temporary = true,
             key -> lit(0))
@@ -101,16 +103,19 @@ object Ops {
           val onKeys = Seq(cm.id, cm.band)
           val smallSrc = src.join(broadcast(giantKeys), onKeys, "left_anti")
           val giantSrc = src.join(broadcast(giantKeys), onKeys, "left_semi")
+          // the split runs on throwaway ensembles; the caller's label must
+          // track the UNION on the caller's ensemble, not an inner frame
           val smallRes = Batch.batch(
-            graft.sources.EnsembleIO.fromDataFrame(spark, smallSrc, cm),
-            fn, label = label)
+            graft.sources.EnsembleIO.fromDataFrame(spark, smallSrc, cm), fn)
           val idType = src.schema(cm.id).dataType
           val giantRes = SF2Relational.sf2Relational(
               graft.sources.EnsembleIO.fromDataFrame(spark, giantSrc, cm),
               args)
             .select(col("lc_id").cast(idType).as(cm.id), col("lc_id"),
               col("band"), col("dt"), col("sf2"), lit(0.0).as("1_sigma"))
-          smallRes.unionByName(giantRes)
+          val res = smallRes.unionByName(giantRes)
+          ens.addFrame(res, label)
+          res
         }
       }
     }

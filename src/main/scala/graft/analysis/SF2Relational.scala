@@ -52,7 +52,11 @@ object SF2Relational {
       col(cm.time).cast("double").as("t"),
       col(cm.flux).cast("double").as("f"),
       col(cm.err).cast("double").as("e"))
-      .filter(!isnan(col("t")) && !isnan(col("f")) && !isnan(col("e")))
+      // null AND NaN rows drop, matching SFLightCurve's keep-filter in the
+      // batch path (isnan(null) is false in Spark, so nulls need their own
+      // guard — without it a null-flux row would inflate npairs/nbins)
+      .filter(col("t").isNotNull && col("f").isNotNull && col("e").isNotNull &&
+        !isnan(col("t")) && !isnan(col("f")) && !isnan(col("e")))
     val bandFiltered = args.bandToCalc match {
       case Some(bs) => src.filter(col("band").isin(bs: _*))
       case None     => src

@@ -172,7 +172,12 @@ object sf {
   /** scipy.stats.binned_statistic semantics: value v lands in bin i when
     * edges(i) <= v < edges(i+1); the last bin is closed on the right;
     * values outside [edges.head, edges.last] are ignored; empty bins give
-    * NaN (reference base_calculator.py:109-215 wraps this). */
+    * NaN (reference base_calculator.py:109-215 wraps this). Bin lookup is
+    * an UPPER-BOUND search (count of edges <= v, like numpy's
+    * `searchsorted(side='right')` inside np.digitize) — with duplicate
+    * edges (degenerate quantiles over few unique Δt) this picks the LAST
+    * duplicate, exactly as scipy does, where `Arrays.binarySearch` would
+    * return an arbitrary hit. */
   def binnedStatistic(
       x: Array[Double],
       values: Array[Double],
@@ -185,8 +190,13 @@ object sf {
     while (i < x.length) {
       val v = x(i)
       if (v >= edges(0) && v <= edges(nBins)) {
-        var b = java.util.Arrays.binarySearch(edges, v)
-        if (b < 0) b = -b - 2 // insertion point - 1 = containing bin
+        // upper bound: first index with edges(idx) > v
+        var lo = 0; var hi = edges.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (edges(mid) <= v) lo = mid + 1 else hi = mid
+        }
+        var b = lo - 1 // containing bin
         if (b >= nBins) b = nBins - 1 // right edge of last bin is inclusive
         buckets(b) += values(i)
       }

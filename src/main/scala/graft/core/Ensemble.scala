@@ -371,9 +371,9 @@ final class Ensemble(
     df.filter(spark_partition_id() === i)
   }
 
-  /** Per-frame summary: schema, partition count, optional row count
-    * (reference frame_info, ensemble.py:221-254; Dask's memory_usage has no
-    * lazy Spark analogue, so the size proxy is the partition count).
+  /** Per-frame summary: schema always; row count + partition count (the
+    * size proxy — Dask's memory_usage has no lazy Spark analogue) only
+    * when `countRows` is set (reference frame_info, ensemble.py:221-254).
     * Raises on an unknown label, like the reference. `countRows` defaults
     * OFF: the reference's info is cheap by default, and both a row count
     * AND a partition count are jobs here (the latter because `.rdd` on an

@@ -117,6 +117,22 @@ object Multimodal {
     StructField("mean_b", DoubleType, nullable = true)
   ))
 
+  /** Row bytes → decoded image, or null when the bytes are not an image
+    * the JDK registry reads. Catches ALL non-fatal throwables, not just
+    * IOException: the JDK readers throw RuntimeExceptions on malformed
+    * payloads (CMMException on corrupt ICC profiles, IndexOutOfBounds on
+    * truncated GIF/BMP) — at 100 TB one poisoned row must flag
+    * `decoded = false`, not kill the job. */
+  private def readImageOrNull(r: Row, byIdx: Int):
+      (Array[Byte], java.awt.image.BufferedImage) = {
+    val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
+      else r.getAs[Array[Byte]](byIdx)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    (bytes, img)
+  }
+
   /** REAL decode + channel statistics via `javax.imageio` (PNG/JPEG/GIF/
     * BMP — whatever the JDK registry reads). Non-decodable bytes yield
     * `decoded = false` with null stats (callers route audio/video to
@@ -131,11 +147,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
-        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
-          else r.getAs[Array[Byte]](byIdx)
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+        val (bytes, img) = readImageOrNull(r, byIdx)
         if (img == null)
           Row(id, bytes.length, false, null, null, null, null, null, null)
         else {
@@ -179,11 +191,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
-        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
-          else r.getAs[Array[Byte]](byIdx)
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+        val (_, img) = readImageOrNull(r, byIdx)
         if (img == null) Row(id, null, null, null)
         else {
           val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)

@@ -238,9 +238,13 @@ object Similarity {
       centroids: Array[Array[Double]], nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
+    // probes materialized ONCE (eager localCheckpoint): both the driver
+    // collect of the needed cells and the broadcast join below read the
+    // checkpoint, instead of re-evaluating k×dim centroid ranks per use
     val probes = queries.select(col(queryIdCol).as("query_id"),
         col(vecCol).as("__qv"),
         probeCells(col(vecCol), centroids, nprobe).as("__cells"))
+      .localCheckpoint(true)
     val needed = probes.select(explode(col("__cells")).as("c"))
       .distinct().collect().map(_.getInt(0)).sorted
     val corpus = spark.read.parquet(indexPath)
