@@ -163,6 +163,31 @@ class SF2RelationalSpec extends SparkSuite {
     }
   }
 
+  test("null flux rows are dropped identically by both SF2 paths") {
+    // a null-value observation must not change pair counts or bin edges
+    // (isnan(null) is false in Spark — regression pin for the explicit
+    // null guard in SF2Relational's source filter)
+    def ensWithNull() = {
+      val ens = singleObjectEnsemble()
+      ens.assign("value" ->
+        when(col("event_id") === ens.source.select("event_id").limit(1)
+          .collect()(0).getLong(0), lit(null)).otherwise(col("value")))
+      ens
+    }
+    val args = sf.SFArgs(binMethod = "length", binCountTarget = 30)
+    val batch = toMap(Ops.AnalysisOps(ensWithNull()).sf2(args,
+      giantThreshold = 0).select("lc_id", "band", "dt", "sf2"))
+    val rel = toMap(SF2Relational.SF2RelationalOps(ensWithNull())
+      .sf2Relational(args))
+    assert(rel.keySet === batch.keySet,
+      s"rel-only=${rel.keySet -- batch.keySet} batch-only=${batch.keySet -- rel.keySet}")
+    rel.foreach { case (k, (dt, s)) =>
+      val (bdt, bs) = batch(k)
+      assert(math.abs(dt - bdt) <= 1e-9 * (1 + math.abs(bdt)), s"dt at $k")
+      assert(math.abs(s - bs) <= 1e-9 * (1 + math.abs(bs)), s"sf2 at $k")
+    }
+  }
+
   test("combine mode auto-routes to the distributed plan past the threshold") {
     val args = sf.SFArgs(binMethod = "length", combine = true,
       binCountTarget = 40)

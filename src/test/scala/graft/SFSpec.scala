@@ -130,6 +130,23 @@ class SFSpec extends AnyFunSuite {
     assert(counts.map(_.toInt).distinct.length === 1) // all equal
   }
 
+  test("binnedStatistic duplicate edges: searchsorted-right (scipy) semantics") {
+    // degenerate quantile edges [d, d, d, d]: every value equal to d lands
+    // in the LAST bin (count-of-edges<=v − 1, capped) — what numpy's
+    // digitize/searchsorted(side='right') inside scipy does; a plain
+    // binarySearch would pick an arbitrary duplicate
+    val d = 2.5
+    val edges = Array(d, d, d, d)
+    val out = sf.binnedStatistic(Array(d, d), Array(1.0, 2.0), edges, sf.mean)
+    assert(out.length === 3)
+    assert(out(0).isNaN && out(1).isNaN)
+    assert(out(2) === 1.5)
+    // mixed: duplicate interior edge [0, 1, 1, 2] — v=1.0 goes to bin 2
+    val out2 = sf.binnedStatistic(Array(0.5, 1.0, 1.5),
+      Array(10.0, 20.0, 30.0), Array(0.0, 1.0, 1.0, 2.0), sf.mean)
+    assert(out2(0) === 10.0 && out2(1).isNaN && out2(2) === 25.0)
+  }
+
   test("registry rejects duplicate names, accepts force") {
     intercept[IllegalArgumentException] {
       sf.SFMethods.register("basic", new sf.BasicCalculator(_, _))
