@@ -16,6 +16,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "20000").toInt
     val spark = Spark.session()
+    if (args.headOption.contains("dedup")) { dedupProbe(spark, n); return }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -33,6 +34,32 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     val pairs = n.toLong * (n - 1) / 2
     println(f"SCALE_PROBE n=$n pairs=$pairs bins=$bins $secs%.1f s")
+    spark.stop()
+  }
+
+  /** Dedup scale probe: blow the sf0.1 corpus up to ~n docs by stamping
+    * near-duplicate replicas (" rK" suffixes — a dup-dense worst case for
+    * the verify stage), then run the production (xx-mode) MinHash-LSH
+    * pass. Usage:
+    *   SPARK_GRAFT_PROBE_N=50000 sbt "runMain graft.ScaleProbe dedup"
+    */
+  private def dedupProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.count()
+    val replicas = math.max(1, (n / base).toInt)
+    val corpus = docs.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+    val t0 = System.nanoTime()
+    val found = graft.dedup.Dedup.minhashLshPairs(corpus, "text", "doc_id",
+      shingleLen = 5, k = 64, bands = 8, threshold = 0.8,
+      maxBucketSize = 64).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_PROBE dedup docs=${base * replicas} pairs_found=$found $secs%.1f s")
     spark.stop()
   }
 }

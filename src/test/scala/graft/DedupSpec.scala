@@ -85,6 +85,31 @@ class DedupSpec extends SparkSuite {
       "planted near-dups must be dropped")
   }
 
+  test("md5 shingles: ASCII byte fast path equals the char-window path") {
+    // the md5 mode windows CHARACTERS (SQL substr semantics); the ASCII
+    // fast path windows bytes off the backing array — identical only
+    // while every char is one byte. Pin both sides: ASCII text agrees
+    // with hand-computed char windows, and multibyte text (fast path
+    // inapplicable) still hashes char windows, not byte windows.
+    import graft.functions.HashExpressions
+    def shingles(s: String): Seq[Long] = {
+      val df = spark.createDataFrame(Seq(Tuple1(s))).toDF("t")
+      df.select(HashExpressions.shingleHashes(col("t"), 3, "md5").as("h"))
+        .collect()(0).getSeq[Long](0)
+    }
+    def md5Of(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (h(i) & 0xffL))
+    }
+    val ascii = "abcde"
+    assert(shingles(ascii) ===
+      Seq("abc", "bcd", "cde").map(md5Of).distinct)
+    val multi = "aé€bc" // 1-, 2-, 3-byte chars
+    assert(shingles(multi) ===
+      Seq("aé€", "é€b", "€bc").map(md5Of).distinct)
+  }
+
   test("md5 hash mode: known value, and same LSH pairs as xx mode") {
     // md5("hello") = 5d41402abc4b2a76... → first 8 bytes big-endian signed
     // = 0x5d41402abc4b2a76 — the value DuckDB's
