@@ -777,10 +777,15 @@ object SparkEntry {
         | count(*) AS bin_count
         |FROM ev
         |GROUP BY user_id, event_type, floor(ts_days / 1.0) * 1.0""".stripMargin,
+    // value <= 0 → NULL on both sides (DuckDB log10(0) ERRORS, numpy
+    // gives inf — NULL is the cross-engine-stable convention and matches
+    // the Spark operator's explicit guard)
     "q_flux2mag" ->
       s"""$EvCte SELECT event_id,
-        | round(-2.5 * log10(value) + 25.0, 6) AS value_mag,
-        | round((2.5 / ln(10)) * (err / value), 6) AS value_mag_err
+        | CASE WHEN value > 0
+        |   THEN round(-2.5 * log10(value) + 25.0, 6) END AS value_mag,
+        | CASE WHEN value > 0
+        |   THEN round((2.5 / ln(10)) * (err / value), 6) END AS value_mag_err
         |FROM ev""".stripMargin,
     "q_coalesce" ->
       s"""$EvCte SELECT event_id,

@@ -139,7 +139,13 @@ object Photometry {
       * zp expressed as a flux: mag = -2.5·log10(flux/zp);
       * zp expressed as a mag:  mag = -2.5·log10(flux) + zp;
       * err_mag = (2.5/ln 10)·(err/flux). `zeroPoint` may be a column name
-      * or a literal. Pure `functions._` — fully codegen'd. */
+      * or a literal. Pure `functions._` — fully codegen'd.
+      *
+      * Non-positive flux yields NULL mag/err (Spark's own non-ANSI
+      * `log10(0)` convention) rather than numpy's ±inf — the explicit
+      * guard keeps the operator well-defined under ANSI mode, where a
+      * single flux=0 row would otherwise abort the whole job with
+      * DIVIDE_BY_ZERO / log-of-zero errors. */
     def convertFluxToMag(
         zeroPoint: Either[String, Double],
         zpForm: String = "mag",
@@ -152,14 +158,18 @@ object Photometry {
       }
       val magCol = outColName.getOrElse(cm.flux + "_mag")
       val magErrCol = magCol + "_err" // reference: out_col_name + "_err"
+      val positive = col(cm.flux) > 0
       val mag = zpForm match {
-        case "flux"               => lit(-2.5) * log10(col(cm.flux) / zp)
-        case "mag" | "magnitude"  => lit(-2.5) * log10(col(cm.flux)) + zp
+        case "flux" =>
+          when(positive, lit(-2.5) * log10(col(cm.flux) / zp))
+        case "mag" | "magnitude" =>
+          when(positive, lit(-2.5) * log10(col(cm.flux)) + zp)
         case other =>
           throw new IllegalArgumentException(
             s"$other is not a valid zero_point format.")
       }
-      val magErr = (lit(2.5) / log(lit(10.0))) * (col(cm.err) / col(cm.flux))
+      val magErr = when(positive,
+        (lit(2.5) / log(lit(10.0))) * (col(cm.err) / col(cm.flux)))
       ens.updateFrame(SourceLabel,
         ens.source.withColumn(magCol, mag).withColumn(magErrCol, magErr))
       ens
