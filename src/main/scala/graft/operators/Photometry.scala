@@ -111,8 +111,11 @@ object Photometry {
         cm.time -> avg(col(cm.time)).as(cm.time),
         cm.flux -> avg(col(cm.flux)).as(cm.flux))
       if (src.columns.contains(cm.err))
-        aggs :+= cm.err -> (sqrt(sum(col(cm.err) * col(cm.err))) /
-          count(col(cm.err))).as(cm.err)
+        // count(err)=0 (all-null err in a bin) must yield NULL, not an
+        // ANSI divide-by-zero job abort
+        aggs :+= cm.err -> when(count(col(cm.err)) > 0,
+          sqrt(sum(col(cm.err) * col(cm.err))) / count(col(cm.err)))
+          .as(cm.err)
       countCol.foreach { c =>
         val agg =
           if (src.columns.contains(c)) sum(col(c)).as(c)

@@ -42,7 +42,9 @@ object Streaming {
   ): DataFrame = {
     val aggs = Seq(
       avg(col(cm.flux)).as(cm.flux),
-      (sqrt(sum(col(cm.err) * col(cm.err))) / count(col(cm.err))).as(cm.err)
+      when(count(col(cm.err)) > 0, // all-null err bin: NULL, not ANSI /0
+        sqrt(sum(col(cm.err) * col(cm.err))) / count(col(cm.err)))
+        .as(cm.err)
     ) ++ countCol.map(c => count(lit(1)).as(c))
     src
       .withWatermark(tsCol, watermark)

@@ -194,6 +194,29 @@ class ParityGoldenSpec extends SparkSuite {
     }
   }
 
+  test("binSources with an all-null err bin yields NULL, not an ANSI abort") {
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens.assign("err" -> lit(null).cast("double"))
+    ens.binSources(timeWindow = 1.0)
+    val errs = ens.source.select("err").limit(5).collect()
+    assert(errs.nonEmpty && errs.forall(_.isNullAt(0)))
+  }
+
+  test("flux2mag on zero/negative flux yields NULL, not an ANSI abort") {
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    ens.assign("value" ->
+      when(col("event_id") % 3 === 0, lit(0.0))
+        .when(col("event_id") % 3 === 1, lit(-5.0)).otherwise(col("value")))
+    ens.convertFluxToMag(Right(25.0), zpForm = "mag")
+    val rows = ens.source
+      .select(col("event_id") % 3, col("value_mag"), col("value_mag_err"))
+      .collect()
+    rows.foreach { r =>
+      if (r.getLong(0) <= 1) assert(r.isNullAt(1) && r.isNullAt(2))
+      else assert(!r.isNullAt(1))
+    }
+  }
+
   test("info/frameInfo are job-free by default (counts only on request)") {
     val ens = SparkEntry.eventsEnsemble(spark, sf0001)
     ens.source.count() // force the sync + any lazy setup beforehand
