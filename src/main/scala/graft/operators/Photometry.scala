@@ -163,8 +163,8 @@ object Photometry {
       val magErrCol = magCol + "_err" // reference: out_col_name + "_err"
       val positive = col(cm.flux) > 0
       val mag = zpForm match {
-        case "flux" =>
-          when(positive, lit(-2.5) * log10(col(cm.flux) / zp))
+        case "flux" => // zp is a divisor here — a zero zp row must NULL out
+          when(positive && zp =!= 0, lit(-2.5) * log10(col(cm.flux) / zp))
         case "mag" | "magnitude" =>
           when(positive, lit(-2.5) * log10(col(cm.flux)) + zp)
         case other =>
