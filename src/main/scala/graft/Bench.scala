@@ -1,8 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every `SparkEntry.queries` entry n times (default 5,
+  * `GRAFT_BENCH_N` to override) in one JVM and prints ONE JSON line whose
+  * per-query numbers are the across-run MEDIANS and whose `value` is the sum
+  * of those medians. A single-pass sample under machine load scatters 2-4x
+  * per query (see BASELINE.md variance table), so the recorded artifact is
+  * the median, not whichever pass happened to run last.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.get("GRAFT_BENCH_N").flatMap(_.toIntOption).getOrElse(5).max(1)
     val spark = Spark.session()
     // untimed warmup: session/codegen/file-index init otherwise lands on
     // whichever query happens to run first. Two plan families need it:
@@ -14,15 +31,25 @@ object Bench {
     catch { case _: Throwable => () }
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // sorted: Map iteration order shifts when queries are added (it moved
+    // q_dedup_exact in round 3 and made it absorb a one-time ~1.3 s codegen
+    // warmup — see BASELINE.md); alphabetical order is stable across rounds.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // runs(i) = per-query seconds for pass i; each pass runs the full suite
+    // in the same order so cross-query interactions (GC, cache churn) are
+    // sampled identically every pass.
+    val runs: Seq[Map[String, Double]] = (1 to n).map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val med: Map[String, Double] = names.map { q => q -> median(runs.map(_(q))) }.toMap
+    val qs = names.map { k => s"\"" + k + "\":" + med(k) }.mkString("{", ",", "}")
+    val total = med.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"stat":"median"}""")
     spark.stop()
   }
 }
