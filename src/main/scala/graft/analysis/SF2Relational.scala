@@ -25,12 +25,26 @@ import org.apache.spark.sql.functions._
   *
   * Supported: estimators basic / bauer_2009a / bauer_2009b / schmidt_2010
   * (pure aggregates) and macleod_2012 (exact `percentile` aggregate);
-  * binning `length` / `loglength` (closed-form per-group edges from
-  * min/max/count — 2 aggregation passes, no per-group quantile state);
-  * combine mode (keys drop the id). The `size` (equal-count) binning
-  * scheme needs per-group quantiles over distinct Δt — use the batch path
-  * for that ([[Ops.AnalysisOps.sf2]]), which is also the
-  * reference-numerics-exact path.
+  * all three binning schemes — `length` / `loglength` (closed-form
+  * per-group edges from min/max/count — 2 aggregation passes, no
+  * per-group quantile state) and `size` (the reference DEFAULT: exact
+  * equal-count quantile edges over distinct Δt; see [[sizeBinned]]);
+  * combine mode (keys drop the id). Bootstrap error estimation needs
+  * per-group resampling state — batch path only.
+  *
+  * Output-shape notes (both pinned by SF2RelationalSpec):
+  *   - `size` reproduces the batch path bit-for-bit where the float
+  *     boundary allows, including NaN rows for empty bins (duplicate
+  *     quantile edges over few distinct Δt leave interior bins empty).
+  *   - `length`/`loglength` omit empty bins (a group-by has no row to
+  *     emit) — the one documented difference from the batch twin.
+  *   - groups with exactly one pair are dropped (reference
+  *     base_calculator.py:311 emits empty arrays for them), and no
+  *     min-observation validation is applied (the batch path's
+  *     SFLightCurve constructor rejects <3 points; routed giants are
+  *     ≫3 points by definition, so the difference never reaches users
+  *     of the auto-route — pre-filter explicitly if calling this
+  *     directly on unvalidated data).
   */
 object SF2Relational {
 
@@ -38,13 +52,14 @@ object SF2Relational {
       ens: Ensemble,
       args: sf.SFArgs = sf.SFArgs()
   ): DataFrame = {
-    require(args.binMethod == "length" || args.binMethod == "loglength",
-      s"relational SF2 supports length/loglength binning; " +
-        s"'${args.binMethod}' needs the batch path (Ops.sf2)")
+    require(Seq("size", "length", "loglength").contains(args.binMethod),
+      s"Unknown binning method: '${args.binMethod}'")
     require(!args.estimateErr && args.calculationRepetitions <= 1 &&
       !args.equallyWeightLightcurves,
       "bootstrap error estimation / equal weighting need per-group " +
-        "resampling state — use the batch path (Ops.sf2)")
+        "resampling state — use the batch path (Ops.sf2); for giant " +
+        "lightcurves, pre-sample observations (ensemble.sample or " +
+        "query) below ~10^4 per band first")
     val cm = ens.colMap
     val src = ens.source.select(
       col(cm.id).cast("string").as("lc_id"),
@@ -75,19 +90,68 @@ object SF2Relational {
       if (args.combine) Seq("band") else Seq("lc_id", "band")
     val keyCols = keys.map(col)
 
-    // Per-lightcurve Δt range and pair count, derived from the SOURCE
-    // rows (n per group) rather than a second O(n²) pair expansion:
-    //   max Δt  = max(t) − min(t)
-    //   min Δt  = the smallest positive gap between time-sorted
-    //             observations (the global minimum pair difference is
-    //             always attained by an adjacent pair)
-    //   npairs  = n·(n−1)/2 − Σ_t c_t·(c_t−1)/2  (strict <, ties excluded)
-    // so the expensive self-join runs exactly once. These are ALWAYS
-    // computed per (lc_id, band) — pairs never span lightcurves — and in
-    // combine mode the per-band pooled range is then the min/max/sum of
-    // the per-lightcurve stats (pooled pair dts = union of per-LC pair
-    // dts). The window also stays partitioned per lightcurve, so no
-    // single task sees a whole band.
+    // withBins: pair rows + "bin"; grid: full (keys, bin) lattice for the
+    // size scheme (batch emits NaN rows for empty bins), None otherwise.
+    val (withBins: DataFrame, grid: Option[DataFrame]) =
+      if (args.binMethod == "size") {
+        val (bp, g) =
+          sizeBinned(pairs, bandFiltered, keys, args.binCountTarget, args.combine)
+        (bp, Some(g))
+      } else (lengthBinned(pairs, bandFiltered, keys, args), None)
+
+    // per-(group, bin) estimator aggregate
+    val sf2Agg: Column = args.sfMethod match {
+      case "basic"       => avg(col("df") * col("df") - col("sse"))
+      case "bauer_2009a" => avg(col("df") * col("df")) - avg(col("sse"))
+      case "bauer_2009b" =>
+        lit(math.Pi / 2.0) * pow(avg(abs(col("df"))), 2) - avg(col("sse"))
+      case "schmidt_2010" =>
+        pow(avg(lit(math.sqrt(math.Pi / 2.0)) * abs(col("df")) -
+          sqrt(col("sse"))), 2)
+      case "macleod_2012" =>
+        pow(lit(0.74) * (percentile(col("df"), lit(0.75)) -
+          percentile(col("df"), lit(0.25))), 2)
+      case other => throw new IllegalArgumentException(
+        s"Unknown structure function calculator method: $other")
+    }
+
+    val grouped = withBins
+      .groupBy((keyCols :+ col("bin")): _*)
+      .agg(avg(col("dt")).as("dt"), sf2Agg.as("sf2"))
+
+    val filled = grid match {
+      case Some(g) => // scipy semantics: empty bins are NaN rows
+        g.join(grouped, keys :+ "bin", "left")
+          .select((keyCols
+            :+ coalesce(col("dt"), lit(Double.NaN)).as("dt")
+            :+ coalesce(col("sf2"), lit(Double.NaN)).as("sf2")): _*)
+      case None => grouped.drop("bin")
+    }
+
+    val out =
+      if (args.combine) filled.withColumn("lc_id", lit("combined"))
+      else filled
+    val res = out.select(col("lc_id"), col("band"), col("dt"), col("sf2"))
+    ens.addFrame(res, None)
+    res
+  }
+
+  /** 'length'/'loglength' binning: closed-form per-group edges, so the
+    * expensive self-join runs exactly once — ranges derive from SOURCE
+    * rows (n per group) rather than a second pair expansion:
+    *   max Δt  = max(t) − min(t)
+    *   min Δt  = the smallest positive gap between time-sorted
+    *             observations (the global minimum pair difference is
+    *             always attained by an adjacent pair)
+    *   npairs  = n·(n−1)/2 − Σ_t c_t·(c_t−1)/2  (strict <, ties excluded)
+    * These are ALWAYS computed per (lc_id, band) — pairs never span
+    * lightcurves — and in combine mode the per-band pooled range is then
+    * the min/max/sum of the per-lightcurve stats (pooled pair dts = union
+    * of per-LC pair dts). The window also stays partitioned per
+    * lightcurve, so no single task sees a whole band. */
+  private def lengthBinned(pairs: DataFrame, bandFiltered: DataFrame,
+      keys: Seq[String], args: sf.SFArgs): DataFrame = {
+    val keyCols = keys.map(col)
     import org.apache.spark.sql.expressions.Window
     val lcKeys = Seq(col("lc_id"), col("band"))
     val w = Window.partitionBy(lcKeys: _*).orderBy(col("t"))
@@ -122,7 +186,7 @@ object SF2Relational {
     // bin index: uniform interior edges over [lo, hi]; first edge extended
     // by 0.1% of the range (base_calculator.py:88-90) — subsumed by
     // clamping; right edge of the last bin closed.
-    val withBins = pairs.join(ranges, keys)
+    pairs.join(ranges, keys)
       .withColumn("__x",
         if (args.binMethod == "loglength") log(col("dt")) else col("dt"))
       .withColumn("bin",
@@ -131,34 +195,128 @@ object SF2Relational {
             floor((col("__x") - col("lo")) / ((col("hi") - col("lo")) /
               col("nbins"))).cast("long"), lit(0L)),
             col("nbins") - 1)))
+  }
 
-    // pass 2: per-(group, bin) estimator aggregate
-    val sf2Agg: Column = args.sfMethod match {
-      case "basic"       => avg(col("df") * col("df") - col("sse"))
-      case "bauer_2009a" => avg(col("df") * col("df")) - avg(col("sse"))
-      case "bauer_2009b" =>
-        lit(math.Pi / 2.0) * pow(avg(abs(col("df"))), 2) - avg(col("sse"))
-      case "schmidt_2010" =>
-        pow(avg(lit(math.sqrt(math.Pi / 2.0)) * abs(col("df")) -
-          sqrt(col("sse"))), 2)
-      case "macleod_2012" =>
-        pow(lit(0.74) * (percentile(col("df"), lit(0.75)) -
-          percentile(col("df"), lit(0.25))), 2)
-      case other => throw new IllegalArgumentException(
-        s"Unknown structure function calculator method: $other")
-    }
+  /** 'size' binning — the reference DEFAULT (base_calculator.py:76-78):
+    * per-group equal-count quantile edges over the DISTINCT pair Δt, with
+    * numpy's linear-interpolation quantile (quantileSorted) reproduced
+    * float-for-float, then scipy binned_statistic assignment (upper-bound
+    * edge search, last bin closed right, empty bins = NaN rows).
+    *
+    * Distributed shape (the reason this exists — the batch path holds the
+    * whole group in one task):
+    *   1. pairs → groupBy (keys, dt): per-distinct-Δt multiplicities
+    *      (everything after this runs on DISTINCT Δt — ties collapse).
+    *   2. per-group m (distinct count), np (= reference len(dts)),
+    *      nbins = ceil(np / binCountTarget).
+    *   3. rank rn of each distinct Δt (row_number per group — the one
+    *      per-group-serial step, over distinct values only; a giant at
+    *      fixed cadence collapses to few distinct Δt).
+    *   4. edge grid k = 0..nbins via two-level explode (no group ever
+    *      materializes its range as one array), each edge evaluated by
+    *      TWO equi-joins to the ranked frame at floor(pos) / floor(pos)+1
+    *      — exactly quantileSorted's formula, exactly the DuckDB oracle's.
+    *   5. bin of a distinct Δt with rank rn: in exact arithmetic the
+    *      upper-bound edge search gives floor(rn·nbins/(m−1)) — computed
+    *      with exact integer `div`, no per-group edge ARRAY — then
+    *      corrected ±1 against the two float edges at that index, because
+    *      the float pos=(k/nbins)·(m−1) can land on either side of integer
+    *      rn when they are mathematically equal (assumes adjacent pos
+    *      values are not BOTH within one ulp of rn, i.e. per-group
+    *      m·nbins ≲ 2⁶³ and (m−1)/nbins ≫ ulp — holds to ~10⁷-observation
+    *      lightcurves at the default target).
+    *   6. pairs join the (small) distinct-Δt→bin map on (keys, dt).
+    * The self-join therefore executes exactly twice (once collapsed
+    * immediately by the groupBy, once for the bin join), with the source
+    * exchange reused between them.
+    *
+    * Returns (binned pair rows, full (keys, bin) grid). */
+  private def sizeBinned(pairs: DataFrame, bandFiltered: DataFrame,
+      keys: Seq[String],
+      binCountTarget: Int, combine: Boolean): (DataFrame, DataFrame) = {
+    val keyCols = keys.map(col)
+    val dtc = pairs.groupBy((keyCols :+ col("dt")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val grp0 = dtc.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__m"), sum(col("__cnt")).as("__np"))
+      .withColumn("__nbins",
+        ceil(col("__np").cast("double") / binCountTarget).cast("long"))
+    // single-pair groups emit nothing (base_calculator.py:311 — only via
+    // the per-lightcurve branch, so combine mode keeps a pooled band alive
+    // when it has >1 lightcurve even at np == 1). The lightcurve count
+    // comes from the SOURCE rows (cheap aggregate), not a third pair
+    // expansion.
+    val grp =
+      if (!combine) grp0.filter(col("__np") > 1)
+      else {
+        val nlc = bandFiltered.groupBy(col("band"))
+          .agg(countDistinct(col("lc_id")).as("__nlc"))
+        grp0.join(nlc, keys)
+          .filter(col("__np") > 1 || col("__nlc") > 1).drop("__nlc")
+      }
 
-    val grouped = withBins
-      .groupBy((keyCols :+ col("bin")): _*)
-      .agg(avg(col("dt")).as("dt"), sf2Agg.as("sf2"))
-      .drop("bin")
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(keyCols: _*).orderBy(col("dt"))
+    val uq = dtc.join(grp, keys)
+      .withColumn("__rn", row_number().over(wRank).cast("long") - 1)
 
-    val out =
-      if (args.combine) grouped.withColumn("lc_id", lit("combined"))
-      else grouped
-    val res = out.select(col("lc_id"), col("band"), col("dt"), col("sf2"))
-    ens.addFrame(res, None)
-    res
+    // edge grid: quantileSorted(unique, k/nbins) for k = 0..nbins, with
+    // the same two-step float rounding (q first, then q·(m−1))
+    val ks = explodedRange(grp.withColumn("__n", col("__nbins") + 1), "__k")
+      .withColumn("__pos",
+        (col("__k").cast("double") / col("__nbins")) *
+          (col("__m") - 1).cast("double"))
+      .withColumn("__lorn", floor(col("__pos")))
+      .withColumn("__hirn", least(col("__lorn") + 1, col("__m") - 1))
+      .withColumn("__frac", col("__pos") - floor(col("__pos")))
+    val uqLo = uq.select((keyCols :+ col("__rn").as("__lorn")
+      :+ col("dt").as("__lodt")): _*)
+    val uqHi = uq.select((keyCols :+ col("__rn").as("__hirn")
+      :+ col("dt").as("__hidt")): _*)
+    val edges = ks.join(uqLo, keys :+ "__lorn").join(uqHi, keys :+ "__hirn")
+      .select((keyCols :+ col("__k") :+
+        (col("__lodt") + col("__frac") * (col("__hidt") - col("__lodt")))
+          .as("__edge")): _*)
+    // next edge via a k−1 self-equi-join (not lead(): a window would pull
+    // a giant group's whole edge set through one task)
+    val edgesNext = edges.select((keyCols :+ (col("__k") - 1).as("__k")
+      :+ col("__edge").as("__nextEdge")): _*)
+
+    val binMap = uq
+      .withColumn("__bc",
+        when(col("__m") === 1, col("__nbins")) // all edges equal dt[0]
+          .otherwise(expr("(__rn * __nbins) div (__m - 1)")))
+      .join(edges.withColumnRenamed("__k", "__bc")
+        .withColumnRenamed("__edge", "__e0"), keys :+ "__bc")
+      .join(edgesNext.withColumnRenamed("__k", "__bc"),
+        keys :+ "__bc", "left")
+      .withColumn("bin", least(
+        when(col("__nextEdge").isNotNull && col("__nextEdge") <= col("dt"),
+          col("__bc") + 1)
+          .when(col("__e0") <= col("dt"), col("__bc"))
+          .otherwise(col("__bc") - 1),
+        col("__nbins") - 1))
+      .select((keyCols :+ col("dt") :+ col("bin")): _*)
+
+    val binnedPairs = pairs.join(binMap, keys :+ "dt")
+    val grid = explodedRange(
+      grp.select((keyCols :+ col("__nbins").as("__n")): _*), "bin")
+      .select((keyCols :+ col("bin")): _*)
+    (binnedPairs, grid)
+  }
+
+  /** Explode a per-row range 0..(__n − 1) as `out`, in ≤65536-element
+    * chunks so a giant group's range never materializes as ONE in-memory
+    * sequence array (a 10⁸-bin group would otherwise build an 800 MB row
+    * buffer). */
+  private def explodedRange(df: DataFrame, out: String): DataFrame = {
+    val c = 65536L
+    df.filter(col("__n") > 0)
+      .withColumn("__chunk",
+        explode(sequence(lit(0L), expr(s"(__n - 1) div $c"))))
+      .withColumn(out, explode(sequence(col("__chunk") * c,
+        least(col("__chunk") * c + (c - 1), col("__n") - 1))))
+      .drop("__chunk")
   }
 
   implicit class SF2RelationalOps(private val ens: Ensemble) extends AnyVal {

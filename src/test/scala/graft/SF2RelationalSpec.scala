@@ -83,12 +83,146 @@ class SF2RelationalSpec extends SparkSuite {
       ens.source.select("event_type").distinct().count())
   }
 
-  test("relational path rejects size binning with a pointer to the batch path") {
+  /** Every logical Window in the plan must carry a partition spec — a
+    * partition-less window pulls the whole table through ONE task (the
+    * round-1 checkSorted scale bug class). Asserted on the optimized plan
+    * so literal-key fixtures that let Catalyst constant-fold the spec away
+    * fail loudly instead of just WARN-ing. */
+  def assertWindowsPartitioned(df: org.apache.spark.sql.DataFrame): Unit = {
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "fixture expected a windowed plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"single-partition window in plan:\n$w"))
+  }
+
+  /** Collect (NaN-row count, non-NaN map) — size binning emits NaN rows
+    * for empty bins, which toMap's dt-keying can't distinguish. */
+  def toNanSplit(df: org.apache.spark.sql.DataFrame)
+      : (Long, Map[(String, String, Int), (Double, Double)]) = {
+    val rows = df.collect()
+    val nan = rows.count(r => r.getDouble(2).isNaN)
+    val m = rows.filterNot(r => r.getDouble(2).isNaN).map { r =>
+      (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e6).toInt) ->
+        (r.getDouble(2), r.getDouble(3))
+    }.toMap
+    (nan, m)
+  }
+
+  def assertSizeAgrees(batchDf: org.apache.spark.sql.DataFrame,
+      relDf: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+    val (bNan, batch) = toNanSplit(batchDf)
+    val (rNan, rel) = toNanSplit(relDf)
+    assert(rNan === bNan, s"$tag NaN (empty-bin) row count")
+    assert(rel.keySet === batch.keySet,
+      s"$tag rel-only=${rel.keySet -- batch.keySet} " +
+        s"batch-only=${batch.keySet -- rel.keySet}")
+    rel.foreach { case (k, (dt, s)) =>
+      val (bdt, bs) = batch(k)
+      assert(math.abs(dt - bdt) <= 1e-9 * (1 + math.abs(bdt)), s"$tag dt $k")
+      assert(math.abs(s - bs) <= 1e-9 * (1 + math.abs(bs)),
+        s"$tag sf2 $k: $s vs $bs")
+      assert(s.isNaN === bs.isNaN, s"$tag sf2 NaN at $k")
+    }
+  }
+
+  test("single lightcurve: relational == batch for size binning (reference default), all estimators") {
+    for (m <- Seq("basic", "bauer_2009a", "bauer_2009b", "schmidt_2010",
+        "macleod_2012")) {
+      val args = sf.SFArgs(sfMethod = m, binMethod = "size",
+        binCountTarget = 30)
+      assertSizeAgrees(
+        Ops.AnalysisOps(singleObjectEnsemble()).sf2(args, giantThreshold = 0)
+          .select("lc_id", "band", "dt", "sf2"),
+        SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+          .sf2Relational(args), m)
+    }
+  }
+
+  test("size binning: many objects, default args, relational == batch") {
+    def ens() = {
+      val e = SparkEntry.eventsEnsemble(spark, sf0001)
+      e.query("user_id < 10")
+      e
+    }
+    val args = sf.SFArgs(binCountTarget = 50) // binMethod defaults to size
+    assertSizeAgrees(
+      Ops.AnalysisOps(ens()).sf2(args, giantThreshold = 0)
+        .select("lc_id", "band", "dt", "sf2"),
+      SF2Relational.SF2RelationalOps(ens()).sf2Relational(args), "multi")
+  }
+
+  test("size binning: tied cadence → duplicate quantile edges → NaN bins match batch") {
+    // 90 observations on a 30-step integer grid: only 29 distinct Δt but
+    // ~3900 pairs, so nbins ≫ m and the quantile edges repeat — the batch
+    // path leaves those interior bins empty (NaN rows); the relational
+    // plan must reproduce them exactly. Non-literal keys so Catalyst
+    // can't constant-fold the window partition spec away.
+    def src() = spark.range(90).select(
+      (pmod(col("id"), lit(1)) + 7L).as("user_id"),
+      (col("id") % 30).cast("double").as("ts_days"),
+      (sin(col("id") / 5.0) * 10 + pmod(col("id"), lit(13))).as("value"),
+      lit(0.1).as("err"),
+      when(col("id") >= 0, "g").otherwise("x").as("event_type"),
+      col("id").as("event_id"))
+    def ens() = graft.sources.EnsembleIO.fromDataFrame(spark, src(),
+      graft.core.ColumnMap.events)
+    val args = sf.SFArgs(binMethod = "size", binCountTarget = 50)
+    val rel = SF2Relational.SF2RelationalOps(ens()).sf2Relational(args)
+    assertWindowsPartitioned(rel)
+    val (relNan, _) = toNanSplit(rel)
+    assert(relNan > 0, "fixture must actually produce empty bins")
+    assertSizeAgrees(
+      Ops.AnalysisOps(ens()).sf2(args, giantThreshold = 0)
+        .select("lc_id", "band", "dt", "sf2"),
+      rel, "tied")
+  }
+
+  test("combine mode: size binning pools per band and matches batch combine") {
+    def ens() = {
+      val e = SparkEntry.eventsEnsemble(spark, sf0001)
+      e.query("user_id < 4")
+      e
+    }
+    val args = sf.SFArgs(binMethod = "size", combine = true,
+      binCountTarget = 40)
+    assertSizeAgrees(
+      Ops.AnalysisOps(ens()).sf2(args, giantThreshold = 0)
+        .select("lc_id", "band", "dt", "sf2"),
+      SF2Relational.SF2RelationalOps(ens()).sf2Relational(args), "combine")
+  }
+
+  test("sf2 auto-routes giants under REFERENCE DEFAULT args (size binning)") {
+    // the round-3 gap: default binMethod=size used to force the batch
+    // path; a giant must now route relationally under default args
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    val routed = Ops.AnalysisOps(ens).sf2(sf.SFArgs(), giantThreshold = 10)
+    val plan = routed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"default-args giant must route:\n$plan")
+  }
+
+  test("estimateErr stays batch-only, with pre-sampling guidance (scale story)") {
+    // bootstrap resamples observations per lightcurve — per-group
+    // sequential state the relational plan deliberately refuses (a
+    // Poisson-weight rewrite would approximate, not reproduce, the
+    // reference numerics the oracle pins)
     val e = intercept[IllegalArgumentException] {
       SF2Relational.SF2RelationalOps(singleObjectEnsemble())
-        .sf2Relational(sf.SFArgs(binMethod = "size"))
+        .sf2Relational(sf.SFArgs(binMethod = "length", estimateErr = true))
     }
-    assert(e.getMessage.contains("batch path"))
+    assert(e.getMessage.contains("pre-sample"))
+    // ... and a giant band asking for bootstrap errors must NOT auto-route
+    // (it pays the documented batch cost instead of silently dropping the
+    // error bars)
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    val res = Ops.AnalysisOps(ens).sf2(
+      sf.SFArgs(estimateErr = true, calculationRepetitions = 2),
+      giantThreshold = 10)
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("mapgroups"),
+      s"bootstrap must stay on the batch apply:\n$plan")
   }
 
   test("giant lightcurve: 5k-obs object (12.5M pairs) completes distributed") {
@@ -97,18 +231,23 @@ class SF2RelationalSpec extends SparkSuite {
     // in-group, but streams through the distributed self-join here
     import spark.implicits._
     val n = 5000
+    // non-literal keys: a lit() id/band constant-folds the window
+    // partition spec away, turning every per-lightcurve window into a
+    // single-partition one IN THE TEST PLAN ONLY — which both degrades
+    // the fixture and prints the exact WARN a real regression would
     val src = spark.range(n).select(
-      lit(1L).as("user_id"),
+      (pmod(col("id"), lit(1)) + 1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
       (sin(col("id") / 50.0) * 10 + pmod(col("id"), lit(13))).as("value"),
       lit(0.1).as("err"),
-      lit("g").as("event_type"),
+      when(col("id") >= 0, "g").otherwise("x").as("event_type"),
       col("id").as("event_id"))
     val ens = graft.sources.EnsembleIO.fromDataFrame(spark, src,
       graft.core.ColumnMap.events)
     val t0 = System.nanoTime()
     val res = SF2Relational.SF2RelationalOps(ens).sf2Relational(
       sf.SFArgs(binMethod = "length", binCountTarget = 100000))
+    assertWindowsPartitioned(res)
     val rows = res.collect()
     val secs = (System.nanoTime() - t0) / 1e9
     info(f"5k-obs relational SF2: ${rows.length} bins in $secs%.1f s")
@@ -121,11 +260,11 @@ class SF2RelationalSpec extends SparkSuite {
     // mixed ensemble: ordinary objects plus one 3000-obs band (threshold
     // lowered so the spec stays fast; the default is 10⁴)
     val giant = spark.range(3000).select(
-      lit(999000L).as("user_id"),
+      (pmod(col("id"), lit(1)) + 999000L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
       (sin(col("id") / 50.0) * 10 + pmod(col("id"), lit(13))).as("value"),
       lit(0.1).as("err"),
-      lit("g").as("event_type"),
+      when(col("id") >= 0, "g").otherwise("x").as("event_type"),
       col("id").as("event_id"))
     def smallSrc() = SparkEntry.eventsSource(spark, sf0001)
       .filter(col("user_id") < 3)
