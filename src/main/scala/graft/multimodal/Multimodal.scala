@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * IMAGES decode for real: [[decodeImages]] reads PNG/JPEG with the JDK's
   * `javax.imageio` (no external dependency) and emits width / height /
   * channel count / exact per-channel means; [[resizeImages]] re-encodes
-  * real thumbnails. Audio/video codecs are not in the JDK, so those
-  * modalities still go through [[decodeStub]] (deterministic fake
-  * features) — the batching/schema contract is identical, and a javacv
-  * decoder drops into the same `mapPartitions` slot without changing any
-  * plan shape.
+  * real thumbnails.
+  *
+  * AUDIO decodes for real too: [[decodeAudio]] parses WAV/AIFF/AU PCM with
+  * the JDK's `javax.sound.sampled` (no external dependency) and emits
+  * sample rate / channels / duration / exact per-channel RMS and peak.
+  * Video codecs are not in the JDK, so that modality still goes through
+  * [[decodeStub]] (deterministic fake features) — the batching/schema
+  * contract is identical, and a javacv decoder drops into the same
+  * `mapPartitions` slot without changing any plan shape.
   *
   * Scale design (100 TB): media rows are fat (MBs each), so the
   * partitioner must balance *bytes*, not row counts —
@@ -210,6 +214,186 @@ object Multimodal {
       }
     }(enc).toDF()
   }
+
+  // ------------------------------------------------------- real audio path
+
+  /** Deterministic per-channel amplitude for synthetic WAVs: channel `c`
+    * of clip `id` is a period-2 square wave at amplitude
+    * `(id·31 + c·17) % 16000 + 1000` (16-bit PCM range). A square wave's
+    * RMS and peak BOTH equal the amplitude exactly, so an engine with no
+    * audio codec (the DuckDB oracle) states the expected features in
+    * closed form — the audio analog of [[checkerColors]]. */
+  private[graft] def squareAmp(id: Long, channel: Int): Int =
+    (((id * 31 + channel * 17) % 16000) + 1000).toInt
+
+  /** Frame count of synthetic clip `id`: 100–599 frames (even, so the
+    * period-2 square wave integrates to mean 0). */
+  private[graft] def squareFrames(id: Long): Int = ((id % 250) * 2 + 100).toInt
+
+  /** Sample rate of synthetic clip `id`: 8 or 16 kHz. */
+  private[graft] def squareRate(id: Long): Int =
+    if (id % 2 == 0) 8000 else 16000
+
+  /** Generate REAL RIFF/WAVE bytes per row (`javax.sound.sampled` encode
+    * inside `mapPartitions`): 16-bit signed little-endian PCM, stereo when
+    * `id % 3 == 0` else mono, frames/rate/amplitude from [[squareFrames]]/
+    * [[squareRate]]/[[squareAmp]]. PCM is lossless, so [[decodeAudio]]
+    * recovers the exact samples — encode→decode is oracle-checkable like
+    * the PNG path. */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val channels = if (id % 3 == 0) 2 else 1
+        val frames = squareFrames(id)
+        val rate = squareRate(id)
+        val pcm = new Array[Byte](frames * channels * 2)
+        var f = 0
+        while (f < frames) {
+          var c = 0
+          while (c < channels) {
+            val a = squareAmp(id, c)
+            val s = if (f % 2 == 0) a else -a
+            val o = (f * channels + c) * 2
+            pcm(o) = (s & 0xff).toByte         // little-endian
+            pcm(o + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          f += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray,
+          Row("wav", null, null, math.round(frames * 1000.0 / rate)))
+      }
+    }(enc).toDF()
+  }
+
+  /** Output schema of the real audio decoder. Per-channel stats cover the
+    * first two channels (mono fills channel 1 with nulls) — fixed columns
+    * so the frame is oracle-comparable; >2-channel streams still decode
+    * (stats beyond channel 1 are simply not reported). */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_ms", DoubleType, nullable = true),
+    StructField("rms_0", DoubleType, nullable = true),
+    StructField("rms_1", DoubleType, nullable = true),
+    StructField("peak_0", IntegerType, nullable = true),
+    StructField("peak_1", IntegerType, nullable = true)
+  ))
+
+  /** REAL audio decode + per-channel signal statistics via
+    * `javax.sound.sampled` (WAV/AIFF/AU — the JDK registry; 8/16-bit PCM).
+    * Emits sample rate, channel count, frame count, duration and exact
+    * per-channel RMS / absolute peak: squared sums accumulate in Long
+    * (exact to 2⁵³ ≈ 94 h of 16-bit audio per channel), so RMS is one
+    * sqrt of an exact ratio — reproducible by the oracle's integer
+    * arithmetic. Non-decodable bytes yield `decoded = false` with null
+    * stats (same poisoned-row containment as [[decodeImages]]: one bad
+    * row at 100 TB must not kill the job). One iterator pass, no shuffle. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        decodeOneAudio(id, bytes)
+      }
+    }(enc).toDF()
+  }
+
+  /** Decode one clip, or the `decoded = false` row on any non-fatal
+    * failure (UnsupportedAudioFileException, truncated stream, compressed
+    * encodings the JDK can't read raw). */
+  private def decodeOneAudio(id: Long, bytes: Array[Byte]): Row =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val ok = (fmt.getSampleSizeInBits == 16 &&
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ||
+          (fmt.getSampleSizeInBits == 8 &&
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED))
+        if (!ok)
+          Row(id, bytes.length, false, null, null, null, null,
+            null, null, null, null)
+        else {
+          val channels = fmt.getChannels
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frameSize = fmt.getFrameSize
+          val buf = new Array[Byte](frameSize * 4096)
+          val sq = new Array[Long](channels)
+          val peak = new Array[Int](channels)
+          var frames = 0L
+          var carry = 0 // bytes of a partial frame carried between reads
+          var read = ais.read(buf, carry, buf.length - carry)
+          while (read > 0) {
+            val avail = carry + read
+            val whole = (avail / frameSize) * frameSize
+            var o = 0
+            while (o < whole) {
+              var c = 0
+              while (c < channels) {
+                val so = o + c * bytesPerSample
+                val s =
+                  if (bytesPerSample == 2) {
+                    val lo = buf(so) & 0xff; val hi = buf(so + 1).toInt
+                    if (fmt.isBigEndian) (buf(so).toInt << 8) | (buf(so + 1) & 0xff)
+                    else (hi << 8) | lo
+                  } else { // 8-bit: unsigned center-128 per WAV convention
+                    if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                      (buf(so) & 0xff) - 128
+                    else buf(so).toInt
+                  }
+                sq(c) += s.toLong * s
+                val a = math.abs(s)
+                if (a > peak(c)) peak(c) = a
+                c += 1
+              }
+              frames += 1
+              o += frameSize
+            }
+            carry = avail - whole
+            if (carry > 0) System.arraycopy(buf, whole, buf, 0, carry)
+            read = ais.read(buf, carry, buf.length - carry)
+          }
+          if (frames == 0)
+            Row(id, bytes.length, false, null, null, null, null,
+              null, null, null, null)
+          else {
+            def rms(c: Int): java.lang.Double =
+              if (c < channels) math.sqrt(sq(c).toDouble / frames) else null
+            def pk(c: Int): java.lang.Integer =
+              if (c < channels) peak(c) else null
+            Row(id, bytes.length, true, fmt.getSampleRate.toInt, channels,
+              frames, frames * 1000.0 / fmt.getSampleRate, rms(0), rms(1),
+              pk(0), pk(1))
+          }
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Row(id, bytes.length, false, null, null, null, null,
+          null, null, null, null)
+    }
 
   /** Output schema of the stub feature extractor. */
   val featureSchema: StructType = StructType(Seq(

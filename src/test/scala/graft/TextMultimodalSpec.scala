@@ -135,6 +135,55 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!feats(1).getBoolean(2) && feats(1).isNullAt(3))
   }
 
+  test("multimodal: REAL wav decode recovers exact rate/frames/RMS/peak") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val media = Multimodal.syntheticAudio(docs, "doc_id")
+    // the generated bytes are a real RIFF/WAVE container
+    val hdr = media.filter(col("media_id") === 0)
+      .select(col("bytes")).collect()(0).getAs[Array[Byte]](0)
+    assert(new String(hdr.take(4), "US-ASCII") === "RIFF")
+    assert(new String(hdr.slice(8, 12), "US-ASCII") === "WAVE")
+
+    val feats = Multimodal.decodeAudio(media).collect()
+    assert(feats.length === 20)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(2), s"WAV $id failed to decode")
+      val channels = if (id % 3 == 0) 2 else 1
+      val frames = Multimodal.squareFrames(id)
+      val rate = Multimodal.squareRate(id)
+      assert(r.getInt(3) === rate, s"rate of $id")
+      assert(r.getInt(4) === channels, s"channels of $id")
+      assert(r.getLong(5) === frames.toLong, s"frames of $id")
+      assert(r.getDouble(6) === frames * 1000.0 / rate, s"duration of $id")
+      // square wave: RMS == peak == amplitude, exactly
+      val a0 = Multimodal.squareAmp(id, 0)
+      assert(r.getDouble(7) === a0.toDouble, s"rms_0 of $id")
+      assert(r.getInt(9) === a0, s"peak_0 of $id")
+      if (channels == 2) {
+        val a1 = Multimodal.squareAmp(id, 1)
+        assert(r.getDouble(8) === a1.toDouble, s"rms_1 of $id")
+        assert(r.getInt(10) === a1, s"peak_1 of $id")
+      } else {
+        assert(r.isNullAt(8) && r.isNullAt(10), s"mono $id has channel-1 stats")
+      }
+    }
+  }
+
+  test("multimodal: non-audio bytes are flagged not thrown by decodeAudio") {
+    val rows = Seq(
+      (1L, "audio", "definitely not a wav".getBytes("UTF-8"), ("txt", 0, 0, 0L)),
+      (2L, "audio", Array.emptyByteArray, ("bin", 0, 0, 0L)))
+    val media = spark.createDataFrame(rows)
+      .toDF("media_id", "modality", "bytes", "meta")
+    val feats = Multimodal.decodeAudio(media).orderBy("media_id").collect()
+    feats.foreach { r =>
+      assert(!r.getBoolean(2))
+      assert(r.isNullAt(3) && r.isNullAt(7))
+    }
+  }
+
   test("multimodal: REAL resize produces decodable aspect-kept thumbnails") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter(col("doc_id") < 5)
