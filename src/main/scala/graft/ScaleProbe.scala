@@ -17,6 +17,7 @@ object ScaleProbe {
     val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "20000").toInt
     val spark = Spark.session()
     if (args.headOption.contains("dedup")) { dedupProbe(spark, n); return }
+    if (args.headOption.contains("cc")) { ccProbe(spark, n); return }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -60,6 +61,37 @@ object ScaleProbe {
       maxBucketSize = 64).count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE dedup docs=${base * replicas} pairs_found=$found $secs%.1f s")
+    spark.stop()
+  }
+
+  /** Connected-component dedup probe on the same dup-dense corpus as
+    * [[dedupProbe]] — measures the CC label-propagation cost ON TOP of
+    * candidate generation (clusters here are replica stars, the dup-dense
+    * worst case: one component per base doc). Usage:
+    *   SPARK_GRAFT_PROBE_N=50000 sbt "runMain graft.ScaleProbe cc"
+    */
+  private def ccProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.count()
+    val replicas = math.max(1, (n / base).toInt)
+    val corpus = docs.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.Dedup.minhashLshPairs(corpus, "text", "doc_id",
+      shingleLen = 5, k = 64, bands = 8, threshold = 0.8,
+      maxBucketSize = 64)
+    val tPairs = (System.nanoTime() - t0) / 1e9
+    val comps = graft.dedup.Dedup.connectedComponents(pairs)
+    val nNodes = comps.count()
+    val nComps = comps.select("component").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_PROBE cc docs=${base * replicas} nodes=$nNodes " +
+      f"components=$nComps pairs_stage=$tPairs%.1f s total=$secs%.1f s")
     spark.stop()
   }
 }

@@ -162,6 +162,107 @@ object Dedup {
     exact.join(drop, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------ connected-component dedup
+
+  /** Connected components over an undirected pair set, via alternating
+    * large-star / small-star label joins (the MapReduce CC algorithm of
+    * Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"
+    * — public algorithm, re-expressed as DataFrame aggregates):
+    *
+    *   large-star: every node's strictly-larger neighbors re-attach to the
+    *     minimum of its closed neighborhood;
+    *   small-star: every node's smaller-or-equal neighbors (and the node)
+    *     re-attach likewise.
+    *
+    * Alternating the two converges to per-component star graphs rooted at
+    * the component minimum in O(log n) rounds. Each round is two
+    * aggregate+join passes — `min` over neighborhoods, never
+    * `collect_set`, so a viral doc duplicated a million times becomes a
+    * wide aggregate (map-side partial) rather than a single fat row.
+    * Lineage is truncated per round with an eager `localCheckpoint`.
+    *
+    * Returns one row per node appearing in `pairs`: (`id`, `component`)
+    * where `component` is the minimum id of the node's component.
+    * Isolated docs (no pair) are absent — callers treat them as their own
+    * singleton component. */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    var e = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var n = e.count()
+    var iter = 0
+    var converged = n == 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nn = next.count()
+      // both sides are distinct sets: equal size + containment ⇒ equal
+      converged = nn == n && next.except(e).isEmpty
+      e = next
+      n = nn
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "rounds — pathological id ordering? raise maxIter")
+    // converged edges form stars (node → component min); roots appear only
+    // on the right-hand side
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Large-star round: for each node u, re-attach every neighbor x > u to
+    * m(u) = min(Γ(u) ∪ {u}). One min-aggregate + one join — skew-safe. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v"), col("u")))
+      .toDF("u", "v")
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: for each node u (edges oriented large→small),
+    * re-attach its smaller neighbors and u itself to the neighborhood
+    * minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** [[dropNearDuplicates]] with exact connected-component semantics:
+    * keep ONE doc (the minimum id) per near-duplicate cluster, where
+    * clusters are the transitive closure of the verified pair set — the
+    * standard training-data dedup contract. Differs from the greedy
+    * one-anti-join only on "local-minimum" shapes: a doc smaller than all
+    * its neighbors but not its cluster's minimum survives greedy (it never
+    * appears as a pair's higher id) yet is dropped here. CC therefore
+    * drops a superset — the conservative direction for training data —
+    * at the price of O(log n) iterative joins over the (small) pair set
+    * instead of one anti-join. */
+  def dropNearDuplicatesCC(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
+    val exact = dropExactDuplicates(df, textCol, idCol)
+    val pairs = minhashLshPairs(exact, textCol, idCol, shingleLen, k,
+      bands, threshold, maxBucketSize, hashMode)
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    exact.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     bind(size(array_intersect(a, b)).cast("double")) { inter =>

@@ -85,6 +85,55 @@ class DedupSpec extends SparkSuite {
       "planted near-dups must be dropped")
   }
 
+  test("connected components: chains, triangles and singleton-free output") {
+    // chain 1-2-3-4-5 (one component), pair 10-11, triangle 20-21-22,
+    // and a 0..19 path under a distinct id range to exercise iteration
+    // depth beyond one round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) ++
+      (100L until 119L).map(i => (i, i + 1))
+    val pairs = spark.createDataFrame(edges).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+    assert((20L to 22L).forall(comp(_) == 20L))
+    assert((100L to 119L).forall(comp(_) == 100L), "20-node path")
+    assert(comp.size === 5 + 2 + 3 + 20, "exactly the paired nodes")
+  }
+
+  test("CC vs greedy keep-sets: equal on chains, CC drops local minima") {
+    // chain shape (a<b<c, pairs (a,b),(b,c)): both drop {b,c}
+    val chain = spark.createDataFrame(Seq((1L, 2L), (2L, 3L)))
+      .toDF("id_a", "id_b")
+    val ccDrop = Dedup.connectedComponents(chain)
+      .filter(col("id") =!= col("component"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ccDrop === Set(2L, 3L)) // greedy: distinct id_b = {2,3} — same
+    // local-minimum shape (pairs (2,3),(1,3)): node 2 is smaller than its
+    // only neighbor, so greedy (drop = distinct id_b = {3}) keeps it; CC
+    // folds {1,2,3} into one cluster and keeps only the minimum
+    val lm = spark.createDataFrame(Seq((2L, 3L), (1L, 3L)))
+      .toDF("id_a", "id_b")
+    val lmDrop = Dedup.connectedComponents(lm)
+      .filter(col("id") =!= col("component"))
+      .collect().map(_.getLong(0)).toSet
+    assert(lmDrop === Set(2L, 3L), "CC must drop the non-minimum local min")
+  }
+
+  test("dropNearDuplicatesCC keeps one doc per cluster, subset of greedy") {
+    val greedy = Dedup.dropNearDuplicates(docsWithDups, "text", "doc_id",
+        bands = 8, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cc = Dedup.dropNearDuplicatesCC(docsWithDups, "text", "doc_id",
+        bands = 8, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cc.subsetOf(greedy), s"CC keep-set must be ⊆ greedy: ${cc -- greedy}")
+    // same contract as the greedy spec: originals survive, plants die
+    assert((0L until 10L).forall(cc.contains), "originals must survive")
+    assert(!cc.exists(_ >= 10000), "planted near/exact dups must be dropped")
+  }
+
   test("md5 shingles: ASCII byte fast path equals the char-window path") {
     // the md5 mode windows CHARACTERS (SQL substr semantics); the ASCII
     // fast path windows bytes off the backing array — identical only
