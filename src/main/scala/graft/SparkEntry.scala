@@ -196,6 +196,19 @@ object SparkEntry {
       res.select(col("lc_id"), col("band"),
         round(col("dt"), 6).as("dt"), round(col("sf2"), 4).as("sf2"))
     }),
+    "q_sf2_size_relational" -> ((s, dir) => {
+      // the reference-DEFAULT 'size' (equal-count quantile) binning through
+      // the DISTRIBUTED self-join plan — the round-3 gap. Same args and
+      // oracle as the batch-path q_sf2: SF2RelationalSpec pins the two
+      // paths to 1e-9 (including NaN empty-bin rows), and the oracle's
+      // quantile-edge SQL is the formula this plan executes relationally.
+      val ens = eventsEnsemble(s, dir)
+      ens.prune(5)
+      val res = graft.analysis.SF2Relational.SF2RelationalOps(ens)
+        .sf2Relational(graft.analysis.sf.SFArgs(binCountTarget = 50))
+      res.select(col("lc_id"), col("band"),
+        round(col("dt"), 6).as("dt"), round(col("sf2"), 4).as("sf2"))
+    }),
     "q_features" -> ((s, dir) => {
       val ens = eventsEnsemble(s, dir)
       val res = Ops.AnalysisOps(ens).extractFeatures(
@@ -347,6 +360,21 @@ object SparkEntry {
         round(col("mean_r"), 6).as("mean_r"),
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_b"), 6).as("mean_b"))
+    }),
+    "q_audio_features" -> ((s, dir) => {
+      // REAL audio roundtrip: square-wave PCM WAVs encoded then decoded
+      // with javax.sound.sampled. A square wave's RMS and peak both equal
+      // its amplitude EXACTLY, so the oracle states every feature in
+      // closed form from doc_id (PCM is lossless; the squared-sample sums
+      // are Long-exact, making the RMS a single exact division + sqrt).
+      import graft.multimodal.Multimodal._
+      val media = syntheticAudio(table(s, dir, "documents"), "doc_id")
+      decodeAudio(media).select(col("media_id"),
+        col("sample_rate"), col("channels"), col("n_frames"),
+        round(col("duration_ms"), 6).as("duration_ms"),
+        round(col("rms_0"), 6).as("rms_0"),
+        round(col("rms_1"), 6).as("rms_1"),
+        col("peak_0"), col("peak_1"))
     })
   )
 
@@ -932,6 +960,28 @@ object SparkEntry {
         |  round((ne * cg + no * ((cg + 8) % 256)) / n::DOUBLE, 6) AS mean_g,
         |  round((ne * cb + no * ((cb + 8) % 256)) / n::DOUBLE, 6) AS mean_b
         |FROM par""".stripMargin,
+    // Expected features of the square-wave WAVs, in closed form: channel c
+    // of clip id is a period-2 square wave of amplitude
+    // (id·31 + c·17) % 16000 + 1000, so RMS = peak = amplitude exactly;
+    // frames = (id % 250)·2 + 100, rate = 8 kHz (even id) / 16 kHz (odd),
+    // stereo iff id % 3 = 0 — mirrors Multimodal.squareAmp/Frames/Rate.
+    "q_audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch,
+        |    (doc_id % 250) * 2 + 100 AS frames,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+        |    (doc_id * 31) % 16000 + 1000 AS a0,
+        |    (doc_id * 31 + 17) % 16000 + 1000 AS a1
+        |  FROM documents)
+        |SELECT doc_id AS media_id, rate::INT AS sample_rate,
+        |  ch::INT AS channels, frames::BIGINT AS n_frames,
+        |  round(frames * 1000.0 / rate, 6) AS duration_ms,
+        |  round(a0::DOUBLE, 6) AS rms_0,
+        |  round((CASE WHEN ch = 2 THEN a1 END)::DOUBLE, 6) AS rms_1,
+        |  a0::INT AS peak_0,
+        |  (CASE WHEN ch = 2 THEN a1 END)::INT AS peak_1
+        |FROM a""".stripMargin,
     // Generated oracles (constants shared with the Spark side — see the
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,
@@ -941,6 +991,9 @@ object SparkEntry {
     "q_knn_lsh" -> knnLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_stetson_j" -> stetsonJOracle,
-    "q_sf2" -> sf2SizeOracle
+    "q_sf2" -> sf2SizeOracle,
+    // the distributed twin executes the SAME size-binning formula the
+    // oracle states (quantile edges over distinct Δt), so it shares it
+    "q_sf2_size_relational" -> sf2SizeOracle
   )
 }
