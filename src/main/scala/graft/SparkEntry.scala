@@ -228,6 +228,21 @@ object SparkEntry {
         round(punctRatio(col("text")), 6).as("punct_ratio"),
         round(meanWordLen(col("text")), 6).as("mean_word_len"))
     }),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals (duplicate-line and
+      // duplicate-n-gram fractions). Docs with id % 7 == 0 are doubled
+      // (text + newline + text) so the corpus contains genuinely
+      // repetitive documents and the signal separation is oracle-visible.
+      import graft.text.TextAnalysis._
+      val docs = table(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\n"), col("text")))
+          .otherwise(col("text")))
+      docs.select(col("doc_id"),
+        round(duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
+        round(duplicateNgramFraction(col("text"), 2), 6).as("dup_2gram_frac"),
+        round(duplicateNgramFraction(col("text"), 3), 6).as("dup_3gram_frac"))
+    }),
     "q_quality_langid" -> ((s, dir) => {
       import graft.text.TextAnalysis._
       table(s, dir, "documents").select(col("doc_id"),
@@ -304,6 +319,23 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 2000000)
       val corpus = docs.unionByName(nearCopies).unionByName(exactCopies)
       graft.dedup.Dedup.dropNearDuplicates(corpus, "text", "doc_id",
+          shingleLen = 5, k = 64, bands = 8, threshold = 0.8,
+          maxBucketSize = 32, hashMode = "md5")
+        .select(col("doc_id"))
+    }),
+    "q_dedup_cc" -> ((s, dir) => {
+      // the same planted corpus as q_dedup_pipeline, cleaned with EXACT
+      // connected-component semantics (keep the minimum id per transitive
+      // near-dup cluster, computed by alternating large/small-star label
+      // joins); the oracle recomputes the components with a recursive CTE
+      val docs = table(s, dir, "documents")
+      val nearCopies = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" qq")))
+      val exactCopies = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+      val corpus = docs.unionByName(nearCopies).unionByName(exactCopies)
+      graft.dedup.Dedup.dropNearDuplicatesCC(corpus, "text", "doc_id",
           shingleLen = 5, k = 64, bands = 8, threshold = 0.8,
           maxBucketSize = 32, hashMode = "md5")
         .select(col("doc_id"))
@@ -492,15 +524,17 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
-  /** The composed dedup pipeline: exact-dedup survivors (min id per
-    * normalized-text md5) feed the same minhash/LSH/verify chain as
-    * q_minhash_lsh, and every verified pair's higher id is dropped. */
-  private def dedupPipelineOracle: String = {
+  /** Shared CTE chain of the composed dedup oracles: planted corpus →
+    * exact-dedup survivors (min id per normalized-text md5) → the same
+    * minhash/LSH/verify chain as q_minhash_lsh → verified `pairs`.
+    * Starts WITH RECURSIVE so the CC variant can append a recursive
+    * member (non-recursive CTEs are legal under it). */
+  private def dedupChainSql: String = {
     val (as, bs) = graft.functions.HashExpressions.MinHashFromHashes.family(64)
     val ab = as.zip(bs).map { case (a, b) =>
       s"{'a': ${a}::HUGEINT, 'b': ${b}::HUGEINT}"
     }.mkString("[", ", ", "]")
-    s"""WITH base AS MATERIALIZED (
+    s"""WITH RECURSIVE base AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, text || ' qq' FROM documents WHERE doc_id < 25
@@ -537,15 +571,36 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM pruned a JOIN pruned b
        |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
-       |drops AS (
-       |  SELECT DISTINCT c.id_b
+       |pairs AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b
        |  FROM cand c JOIN shv sa ON sa.id = c.id_a JOIN shv sb ON sb.id = c.id_b
        |  WHERE (CASE WHEN (len(sa.hs) + len(sb.hs))::DOUBLE - len(list_intersect(sa.hs, sb.hs)) = 0 THEN 0.0
        |    ELSE len(list_intersect(sa.hs, sb.hs))::DOUBLE /
-       |      ((len(sa.hs) + len(sb.hs))::DOUBLE - len(list_intersect(sa.hs, sb.hs))) END) >= 0.8)
-       |SELECT c.doc_id FROM corpus c
-       |WHERE c.doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin
+       |      ((len(sa.hs) + len(sb.hs))::DOUBLE - len(list_intersect(sa.hs, sb.hs))) END) >= 0.8)""".stripMargin
   }
+
+  /** Greedy composed pipeline: every verified pair's higher id drops. */
+  private def dedupPipelineOracle: String =
+    s"""$dedupChainSql
+       |SELECT c.doc_id FROM corpus c
+       |WHERE c.doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+
+  /** Connected-component composed pipeline: transitive closure of the
+    * verified pairs via a recursive CTE (min reachable id = component),
+    * keep one doc per component — the oracle for
+    * Dedup.dropNearDuplicatesCC's large-star/small-star labels. */
+  private def dedupCcOracle: String =
+    s"""$dedupChainSql,
+       |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT c.doc_id FROM corpus c
+       |WHERE c.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
 
   /** Pigeonhole simhash pairs: fingerprints exactly as in the q_simhash
     * oracle, then 16-bit chunk bucketing and hamming via bit_count(xor) —
@@ -960,6 +1015,33 @@ object SparkEntry {
         |  round((ne * cg + no * ((cg + 8) % 256)) / n::DOUBLE, 6) AS mean_g,
         |  round((ne * cb + no * ((cb + 8) % 256)) / n::DOUBLE, 6) AS mean_b
         |FROM par""".stripMargin,
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, ls,
+        |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        |      ELSE [array_to_string(toks[i : i + 1], ' ') for i in range(1, len(toks))] END AS g2,
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |      ELSE [array_to_string(toks[i : i + 2], ' ') for i in range(1, len(toks) - 1)] END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(ls) <= 1 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) END, 6) AS dup_line_frac,
+        |  round(CASE WHEN len(g2) <= 1 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) END, 6) AS dup_2gram_frac,
+        |  round(CASE WHEN len(g3) <= 1 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) END, 6) AS dup_3gram_frac
+        |FROM g""".stripMargin,
     // Expected features of the square-wave WAVs, in closed form: channel c
     // of clip id is a period-2 square wave of amplitude
     // (id·31 + c·17) % 16000 + 1000, so RMS = peak = amplitude exactly;
@@ -986,6 +1068,7 @@ object SparkEntry {
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,
     "q_dedup_pipeline" -> dedupPipelineOracle,
+    "q_dedup_cc" -> dedupCcOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_knn_lsh" -> knnLshOracle,

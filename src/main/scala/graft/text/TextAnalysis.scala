@@ -73,6 +73,41 @@ object TextAnalysis {
       st.getField("nonspace").cast("double") / st.getField("ws_tokens"))
   }
 
+  /** Non-blank physical lines of the raw text — the unit of the
+    * repetition-quality signals below. */
+  def textLines(c: Column): Column =
+    filter(split(c, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-blank lines that repeat an earlier line
+    * (1 − distinct/total; 0 for ≤1 line) — the line-level member of the
+    * Gopher-style repetition filter family (Rae et al. 2021, published
+    * quality heuristics for web-scale training corpora): boilerplate,
+    * navigation chrome and template spam score high. Pure array
+    * functions, fully codegen'd, O(len) per row. */
+  def duplicateLineFraction(c: Column): Column = bind(textLines(c)) { ls =>
+    when(size(ls) <= 1, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+  }
+
+  /** Raw (non-distinct, order-preserving) word n-grams — unlike
+    * [[wordShingles]], repeats are kept so repetition fractions can count
+    * them. */
+  def rawWordNgrams(c: Column, n: Int): Column = bind(tokens(c)) { ts =>
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+  }
+
+  /** Fraction of word n-grams that repeat (1 − distinct/total; 0 for ≤1
+    * gram) — the n-gram member of the Gopher repetition family; high
+    * values flag machine-generated or looping text that survives
+    * line-level checks. */
+  def duplicateNgramFraction(c: Column, n: Int): Column =
+    bind(rawWordNgrams(c, n)) { gs =>
+      when(size(gs) <= 1, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs))
+    }
+
   /** Small function-word lists per language for the n-gram/stopword
     * language-ID heuristic and the stopword-ratio quality signal. */
   val Stopwords: Seq[(String, Seq[String])] = Seq(

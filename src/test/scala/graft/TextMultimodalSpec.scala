@@ -44,6 +44,24 @@ class TextMultimodalSpec extends SparkSuite {
     assert(good > bad)
   }
 
+  test("repetition signals: duplicate line and n-gram fractions") {
+    // lines "x","x","y" → 1 − 2/3; blank lines don't count
+    assert(eval("x\nx\n\n  \ny", duplicateLineFraction(col("text")))
+      === 1.0 - 2.0 / 3.0)
+    assert(eval("x\ny", duplicateLineFraction(col("text"))) === 0.0)
+    assert(eval("", duplicateLineFraction(col("text"))) === 0.0)
+    // "a b a b": 2-grams [a b, b a, a b] → 1 − 2/3; 3-grams distinct → 0
+    assert(eval("a b a b", duplicateNgramFraction(col("text"), 2))
+      === 1.0 - 2.0 / 3.0)
+    assert(eval("a b a b", duplicateNgramFraction(col("text"), 3)) === 0.0)
+    // doubling a text drives the 2-gram fraction toward 1/2 and beyond 0
+    val doubled = "the quick brown fox " * 2
+    assert(eval(doubled, duplicateNgramFraction(col("text"), 2))
+      .asInstanceOf[Double] > 0.4)
+    // shorter than n → no grams → 0
+    assert(eval("one", duplicateNgramFraction(col("text"), 2)) === 0.0)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val a = eval("Hello   World", fingerprintMd5(col("text")))
     val b = eval("hello world", fingerprintMd5(col("text")))
