@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * instead. Usage:
   *
   *   SPARK_GRAFT_PROBE_N=20000 sbt "runMain graft.ScaleProbe"
+  *   SPARK_GRAFT_PROBE_BIN=size … for the quantile-edge scheme
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "20000").toInt
+    val binMethod = sys.env.getOrElse("SPARK_GRAFT_PROBE_BIN", "length")
     val spark = Spark.session()
     if (args.headOption.contains("dedup")) { dedupProbe(spark, n); return }
     if (args.headOption.contains("cc")) { ccProbe(spark, n); return }
@@ -30,11 +32,11 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val bins = graft.analysis.SF2Relational.SF2RelationalOps(ens)
       .sf2Relational(graft.analysis.sf.SFArgs(
-        binMethod = "length", binCountTarget = 100000))
+        binMethod = binMethod, binCountTarget = 100000))
       .count()
     val secs = (System.nanoTime() - t0) / 1e9
     val pairs = n.toLong * (n - 1) / 2
-    println(f"SCALE_PROBE n=$n pairs=$pairs bins=$bins $secs%.1f s")
+    println(f"SCALE_PROBE bin=$binMethod n=$n pairs=$pairs bins=$bins $secs%.1f s")
     spark.stop()
   }
 
