@@ -48,6 +48,21 @@ object SparkEntry {
     "WITH ev AS (SELECT *, epoch_us(ts) / 86400000000.0 AS ts_days, " +
       "abs(value) * 0.05 + 0.01 AS err FROM events)"
 
+  /** Lateral-alias columns t0..t16/c0..c16 replaying
+    * SF2Relational.poissonInv's float-op order: t0 = exp(−λ),
+    * tk = tk−1·λ/k, ck = ck−1 + tk. */
+  private def poissonChainSql(lam: String): String =
+    (s"exp(-($lam)) AS t0, t0 AS c0" +:
+      (1 to 16).map(k =>
+        s"t${k - 1} * $lam / $k.0 AS t$k, c${k - 1} + t$k AS c$k"))
+      .mkString(", ")
+
+  /** Inverse-CDF selection over the chain — mirrors the when-chain in
+    * SF2Relational.poissonInv (truncation at 17 included). */
+  private val PoissonCaseSql: String =
+    "CASE " + (0 to 16).map(k => s"WHEN u < c$k THEN $k").mkString(" ") +
+      " ELSE 17 END"
+
   def eventsEnsemble(s: SparkSession, dir: String): Ensemble =
     EnsembleIO.fromDataFrame(s, eventsSource(s, dir), ColumnMap.events)
 
@@ -208,6 +223,21 @@ object SparkEntry {
         .sf2Relational(graft.analysis.sf.SFArgs(binCountTarget = 50))
       res.select(col("lc_id"), col("band"),
         round(col("dt"), 6).as("dt"), round(col("sf2"), 4).as("sf2"))
+    }),
+    "q_sf2_bootstrap" -> ((s, dir) => {
+      // Poisson-bootstrap error bars through the distributed SF² plan
+      // (SF2Relational.bootstrapped): the oracle replays the identical
+      // md5-derived uniforms and inverse-CDF Poisson chain in SQL, so the
+      // ERROR BARS are hash-checked, not just the point estimates.
+      val ens = eventsEnsemble(s, dir)
+      val res = graft.analysis.SF2Relational.SF2RelationalOps(ens)
+        .sf2Relational(graft.analysis.sf.SFArgs(
+          binMethod = "length", binCountTarget = 50, estimateErr = true,
+          calculationRepetitions = 8, equallyWeightLightcurves = true,
+          randomSeed = Some(42)))
+      res.select(col("lc_id"), col("band"),
+        round(col("dt"), 6).as("dt"), round(col("sf2"), 4).as("sf2"),
+        round(col("1_sigma"), 4).as("sigma_1"))
     }),
     "q_features" -> ((s, dir) => {
       val ens = eventsEnsemble(s, dir)
@@ -905,6 +935,62 @@ object SparkEntry {
         |SELECT id::VARCHAR AS lc_id, band, round(avg(dt), 6) AS dt,
         |  round(avg(df * df - sse), 4) AS sf2
         |FROM binned GROUP BY id, band, bin""".stripMargin,
+    // Poisson-bootstrap SF²: same pair/range/bin SQL as q_sf2_relational
+    // plus a replay of the EXACT draw the Spark plan makes — md5-derived
+    // uniform over (id|band|ia|ib|rep|seed), then the inverse-CDF chain in
+    // the same float-operation order (term·λ/k, left-to-right cumulative
+    // sum; SF2Relational.poissonInv is the contract). DuckDB's lateral
+    // column aliases keep the chain readable; quantile_cont matches
+    // numpy/Spark linear interpolation.
+    "q_sf2_bootstrap" ->
+      s"""${EvCte.replace("WITH ev AS (", "WITH ev AS MATERIALIZED (")},
+        |src AS MATERIALIZED (
+        |  SELECT user_id AS id, event_type AS band, ts_days AS t,
+        |         value AS f, err AS e FROM ev),
+        |idx AS MATERIALIZED (
+        |  SELECT id, band, t, f, e,
+        |    row_number() OVER (PARTITION BY id, band ORDER BY t, f, e) - 1 AS i
+        |  FROM src),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS id, a.band AS band, a.i AS ia, b.i AS ib,
+        |         b.t - a.t AS dt, b.f - a.f AS df,
+        |         a.e * a.e + b.e * b.e AS sse
+        |  FROM idx a JOIN idx b
+        |    ON a.id = b.id AND a.band = b.band AND a.t < b.t),
+        |ranges AS MATERIALIZED (
+        |  SELECT id, band, min(dt) AS lo, max(dt) AS hi,
+        |         greatest(ceil(count(*) / 50.0), 1) AS nbins,
+        |         count(*) AS npairs
+        |  FROM pairs GROUP BY id, band),
+        |lamt AS MATERIALIZED (
+        |  SELECT r.id, r.band, mm.m::DOUBLE / r.npairs::DOUBLE AS lam
+        |  FROM ranges r JOIN (SELECT band, min(npairs) AS m
+        |                      FROM ranges GROUP BY band) mm USING (band)),
+        |drawn AS MATERIALIZED (
+        |  SELECT p.id, p.band, p.dt, p.df, p.sse, reps.rep,
+        |    CASE WHEN r.hi = r.lo THEN 0 ELSE least(greatest(
+        |      floor((p.dt - r.lo) / ((r.hi - r.lo) / r.nbins)), 0),
+        |      r.nbins - 1) END AS bin,
+        |    (('0x' || substr(md5(concat_ws('|', p.id, p.band, p.ia, p.ib,
+        |       reps.rep, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u,
+        |    ${poissonChainSql("l.lam")},
+        |    $PoissonCaseSql AS w
+        |  FROM pairs p
+        |  JOIN ranges r USING (id, band)
+        |  JOIN lamt l ON l.id = p.id AND l.band = p.band
+        |  CROSS JOIN (SELECT unnest(range(8)) AS rep) reps),
+        |perrep AS MATERIALIZED (
+        |  SELECT id, band, bin, rep,
+        |    sum(w::DOUBLE * dt) / sum(w::DOUBLE) AS dtm,
+        |    sum(w::DOUBLE * (df * df - sse)) / sum(w::DOUBLE) AS sf2r
+        |  FROM drawn WHERE w > 0 GROUP BY id, band, bin, rep)
+        |SELECT id::VARCHAR AS lc_id, band,
+        |  round(quantile_cont(dtm, 0.5), 6) AS dt,
+        |  round(quantile_cont(sf2r, 0.5), 4) AS sf2,
+        |  round((quantile_cont(sf2r, 0.84) - quantile_cont(sf2r, 0.16)) / 2,
+        |        4) AS sigma_1
+        |FROM perrep GROUP BY id, band, bin""".stripMargin,
     "q_features" ->
       """SELECT user_id, round(avg(value), 6) AS mean,
         | round((max(value) - min(value)) / 2.0, 6) AS amplitude,

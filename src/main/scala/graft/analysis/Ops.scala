@@ -56,21 +56,19 @@ object Ops {
       * paths.
       *
       * BOOTSTRAP ERROR ESTIMATION (`estimateErr`, reference
-      * structurefunction2.py:131-166) is deliberately batch-only: the
-      * reference resamples each lightcurve's OBSERVATIONS with
-      * replacement `calculationRepetitions` times and rebins every
-      * resample, which is per-group sequential state — a relational
-      * rewrite (per-pair Poisson weights) would approximate, not
-      * reproduce, those numerics, so it would break the oracle contract
-      * this engine is pinned to. Consequence at scale: a giant band with
-      * `estimateErr = true` does NOT auto-route and pays the batch path's
-      * one-task O(n²) cost, times repetitions. Guidance: pre-sample such
-      * curves below ~10⁴ obs/band (`ensemble.sample` / `query`) before
-      * asking for bootstrap errors — error bars from a uniform
-      * subsample are statistically the same answer the bootstrap gives,
-      * and the 1e-9-pinned point estimate can still come from the routed
-      * full-resolution run. SF2RelationalSpec pins the rejection + this
-      * guidance. */
+      * structurefunction2.py:131-166): the AUTO-ROUTE keeps bootstrap
+      * requests on the reference-numerics batch path — the reference
+      * resamples with numpy's RNG stream, which a distributed plan cannot
+      * replay bit-for-bit, and a silent reroute would change results
+      * under a fixed seed. A giant band with `estimateErr = true`
+      * therefore pays the batch path's one-task O(n²) cost, times
+      * repetitions. The SCALE path exists and is explicit: call
+      * `ens.sf2Relational(args)` directly — [[SF2Relational.bootstrapped]]
+      * runs a deterministic Poisson bootstrap (per-pair Poisson(m/n)
+      * weights, fixed full-set bin edges exactly like the reference,
+      * median + quantile half-width across repetitions) that is
+      * statistically the same estimator and is pinned by its own DuckDB
+      * oracle (q_sf2_bootstrap) and SF2RelationalSpec. */
     def sf2(
         args: sf.SFArgs = sf.SFArgs(),
         label: Option[String] = None,

@@ -29,8 +29,12 @@ import org.apache.spark.sql.functions._
   * per-group edges from min/max/count — 2 aggregation passes, no
   * per-group quantile state) and `size` (the reference DEFAULT: exact
   * equal-count quantile edges over distinct Δt; see [[sizeBinned]]);
-  * combine mode (keys drop the id). Bootstrap error estimation needs
-  * per-group resampling state — batch path only.
+  * combine mode (keys drop the id); and bootstrap error estimation
+  * (`estimateErr`) via a POISSON bootstrap (see [[bootstrapped]]) —
+  * a distributed-valid approximation of the reference's exact
+  * with-replacement resampling, with its own DuckDB-oracle pin
+  * (q_sf2_bootstrap). Explicit `bins` arrays and `ignoreTimestamps`
+  * remain batch-path-only args.
   *
   * Output-shape notes (both pinned by SF2RelationalSpec):
   *   - `size` reproduces the batch path bit-for-bit where the float
@@ -54,12 +58,10 @@ object SF2Relational {
   ): DataFrame = {
     require(Seq("size", "length", "loglength").contains(args.binMethod),
       s"Unknown binning method: '${args.binMethod}'")
-    require(!args.estimateErr && args.calculationRepetitions <= 1 &&
-      !args.equallyWeightLightcurves,
-      "bootstrap error estimation / equal weighting need per-group " +
-        "resampling state — use the batch path (Ops.sf2); for giant " +
-        "lightcurves, pre-sample observations (ensemble.sample or " +
-        "query) below ~10^4 per band first")
+    require(args.bins.isEmpty && !args.ignoreTimestamps,
+      "explicit bin edges / ignoreTimestamps are batch-path args " +
+        "(Ops.sf2) — the relational plan derives edges per group")
+    val bootstrap = args.estimateErr
     val cm = ens.colMap
     val src = ens.source.select(
       col(cm.id).cast("string").as("lc_id"),
@@ -72,19 +74,35 @@ object SF2Relational {
       // guard — without it a null-flux row would inflate npairs/nbins)
       .filter(col("t").isNotNull && col("f").isNotNull && col("e").isNotNull &&
         !isnan(col("t")) && !isnan(col("f")) && !isnan(col("e")))
-    val bandFiltered = args.bandToCalc match {
+    val bandFiltered0 = args.bandToCalc match {
       case Some(bs) => src.filter(col("band").isin(bs: _*))
       case None     => src
     }
+    // Bootstrap draws need a stable per-observation index so a pair's
+    // resampling weight is a pure function of (lc, band, i, j, rep, seed).
+    // The order (t, f, e) is a deterministic total order up to fully
+    // identical rows, and swapping identical rows permutes indices between
+    // identical pair triples — the result is invariant.
+    val bandFiltered =
+      if (!bootstrap) bandFiltered0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lc_id"), col("band"))
+          .orderBy(col("t"), col("f"), col("e"))
+        bandFiltered0.withColumn("__i", row_number().over(w) - 1)
+      }
 
     val a = bandFiltered.as("a"); val b = bandFiltered.as("b")
+    val pairCols = Seq(col("a.lc_id").as("lc_id"), col("a.band").as("band"),
+      (col("b.t") - col("a.t")).as("dt"),
+      (col("b.f") - col("a.f")).as("df"),
+      (col("a.e") * col("a.e") + col("b.e") * col("b.e")).as("sse")) ++
+      (if (bootstrap) Seq(col("a.__i").as("__ia"), col("b.__i").as("__ib"))
+       else Seq.empty)
     val pairs = a.join(b,
         col("a.lc_id") === col("b.lc_id") &&
           col("a.band") === col("b.band") && col("a.t") < col("b.t"))
-      .select(col("a.lc_id").as("lc_id"), col("a.band").as("band"),
-        (col("b.t") - col("a.t")).as("dt"),
-        (col("b.f") - col("a.f")).as("df"),
-        (col("a.e") * col("a.e") + col("b.e") * col("b.e")).as("sse"))
+      .select(pairCols: _*)
 
     val keys: Seq[String] =
       if (args.combine) Seq("band") else Seq("lc_id", "band")
@@ -98,6 +116,17 @@ object SF2Relational {
           sizeBinned(pairs, bandFiltered, keys, args.binCountTarget, args.combine)
         (bp, Some(g))
       } else (lengthBinned(pairs, bandFiltered, keys, args), None)
+
+    if (bootstrap) {
+      val res0 = bootstrapped(withBins, grid, bandFiltered, keys, args)
+      val res =
+        if (args.combine) res0.withColumn("lc_id", lit("combined"))
+          .select((col("lc_id") +: res0.columns.filter(_ != "lc_id")
+            .map(col).toSeq): _*)
+        else res0
+      ens.addFrame(res, None)
+      return res
+    }
 
     // per-(group, bin) estimator aggregate
     val sf2Agg: Column = args.sfMethod match {
@@ -303,6 +332,177 @@ object SF2Relational {
       grp.select((keyCols :+ col("__nbins").as("__n")): _*), "bin")
       .select((keyCols :+ col("bin")): _*)
     (binnedPairs, grid)
+  }
+
+  /** POISSON-BOOTSTRAP error estimation — the distributed form of the
+    * reference's `estimate_err` (structurefunction2.py:131-166 +
+    * base_calculator.py:40-52 + sf_light_curve.py:51-102).
+    *
+    * The reference resamples each lightcurve's pair-difference triples
+    * WITH replacement down to m samples (m = min pair count across the
+    * band's curves under `equallyWeightLightcurves`, else
+    * `numberLightcurveSamples`, else all n of them), recomputes the
+    * binned estimator `calculationRepetitions` times, and reports the
+    * per-(lc, bin) median with (q84 − q16)/2 as `1_sigma`. Crucially the
+    * BIN EDGES come from the FULL pair set (`_bin_dts(lc._all_d_times)`,
+    * base_calculator.py:150-190) and are fixed across repetitions — only
+    * the sampled statistics vary — so this path reuses [[lengthBinned]] /
+    * [[sizeBinned]] unchanged and resamples with per-pair weights.
+    *
+    * Exact multinomial resampling (exactly m draws per curve) is
+    * per-group sequential state; the standard distributed equivalent is
+    * the Poisson bootstrap: each pair independently receives a
+    * Poisson(λ = m/n) multiplicity per repetition, so the draw count is
+    * m in expectation and every weight is a pure function of
+    * (lc, band, i, j, rep, seed) — deterministic, shuffle-free, and
+    * reproducible in SQL (the q_sf2_bootstrap DuckDB oracle replays the
+    * identical md5-derived uniforms and inverse-CDF chain). λ ≤ 1 always
+    * (m ≤ n is validated like the reference's ValueError), so the
+    * inverse CDF truncated at k = 17 loses < 1e-14 of mass. The
+    * estimator then becomes a weighted aggregate: Σw·x / Σw per
+    * (group, bin, repetition) — map-side partials, no new shuffle family;
+    * macleod_2012's IQR uses `percentile`'s frequency argument.
+    *
+    * This is a *statistically equivalent* bootstrap, not a bit-for-bit
+    * replay of the reference's numpy RNG stream (impossible to
+    * distribute); [[Ops.sf2]]'s auto-route therefore keeps bootstrap
+    * requests on the reference-numerics batch path and this form is
+    * opted into by calling sf2Relational directly. */
+  private def bootstrapped(withBins: DataFrame, grid: Option[DataFrame],
+      bandFiltered: DataFrame, keys: Seq[String],
+      args: sf.SFArgs): DataFrame = {
+    val keyCols = keys.map(col)
+    val reps = math.max(args.calculationRepetitions, 1)
+    val seed = args.randomSeed.getOrElse(42L)
+
+    val lamed: DataFrame =
+      if (!args.equallyWeightLightcurves &&
+          args.numberLightcurveSamples.isEmpty)
+        withBins.withColumn("__lam", lit(1.0)) // plain bootstrap: m = n
+      else {
+        val np = pairCounts(bandFiltered)
+        val withM =
+          if (args.equallyWeightLightcurves)
+            np.join(
+              np.groupBy(col("band")).agg(min(col("__npairs")).as("__m")),
+              Seq("band"))
+          else {
+            val s = args.numberLightcurveSamples.get
+            // reference raises ValueError when a curve has fewer
+            // difference values than requested (sf_light_curve.py:81-85);
+            // one tiny source-derived aggregate, no pair expansion
+            val minPairs = np.agg(min(col("__npairs"))).collect()
+              .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+            require(minPairs.forall(_ >= s),
+              s"Requesting $s samples, but only ${minPairs.getOrElse(0L)} " +
+                "are present in the lightcurve")
+            np.withColumn("__m", lit(s.toLong))
+          }
+        val lam = withM.select(col("lc_id"), col("band"),
+          (col("__m").cast("double") / col("__npairs").cast("double"))
+            .as("__lam"))
+        withBins.join(lam, Seq("lc_id", "band"))
+      }
+
+    val drawn = lamed
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", {
+        val key = concat_ws("|", col("lc_id"), col("band"),
+          col("__ia"), col("__ib"), col("__rep"), lit(seed))
+        val u = shiftrightunsigned(
+          graft.functions.HashExpressions.md5Long(key), 11).cast("double") /
+          lit(9007199254740992.0) // 2^53 — same DIVISION op as the oracle
+        poissonInv(u, col("__lam"))
+      })
+      .filter(col("__w") > 0)
+
+    val wd = col("__w").cast("double")
+    def wavg(x: Column): Column = sum(wd * x) / sum(wd)
+    val sf2Agg: Column = args.sfMethod match {
+      case "basic"       => wavg(col("df") * col("df") - col("sse"))
+      case "bauer_2009a" => wavg(col("df") * col("df")) - wavg(col("sse"))
+      case "bauer_2009b" =>
+        lit(math.Pi / 2.0) * pow(wavg(abs(col("df"))), 2) - wavg(col("sse"))
+      case "schmidt_2010" =>
+        pow(wavg(lit(math.sqrt(math.Pi / 2.0)) * abs(col("df")) -
+          sqrt(col("sse"))), 2)
+      case "macleod_2012" =>
+        pow(lit(0.74) * (percentile(col("df"), lit(0.75), col("__w")) -
+          percentile(col("df"), lit(0.25), col("__w"))), 2)
+      case other => throw new IllegalArgumentException(
+        s"Unknown structure function calculator method: $other")
+    }
+    val perRep = drawn
+      .groupBy((keyCols :+ col("bin") :+ col("__rep")): _*)
+      .agg(wavg(col("dt")).as("dt"), sf2Agg.as("sf2"))
+
+    // across repetitions: nanmedian + quantile half-width
+    // (structurefunction2.py:143-166); a bin absent from a repetition
+    // contributes no row, which is exactly nanmedian's NaN-skip
+    val over = perRep.groupBy((keyCols :+ col("bin")): _*)
+      .agg(percentile(col("dt"), lit(0.5)).as("dt"),
+        percentile(col("sf2"), lit(0.5)).as("sf2"),
+        percentile(col("sf2"), lit(args.lowerErrorQuantile)).as("__loq"),
+        percentile(col("sf2"), lit(args.upperErrorQuantile)).as("__hiq"))
+    val sigma: Column =
+      if (reps <= 1) lit(0.0)
+      else (col("__hiq") - col("__loq")) / lit(2)
+    val extras: Seq[Column] =
+      if (!args.reportUpperLowerErrorSeparately) Seq.empty
+      else if (reps <= 1) Seq(lit(0.0).as("lower_error"),
+        lit(0.0).as("upper_error"))
+      else Seq((col("sf2") - col("__loq")).as("lower_error"),
+        (col("__hiq") - col("sf2")).as("upper_error"))
+    val resolved = over.select((keyCols :+ col("bin") :+ col("dt")
+      :+ col("sf2") :+ sigma.as("1_sigma")) ++ extras: _*)
+
+    grid match {
+      case Some(g) => // scipy semantics: empty bins are NaN rows
+        val emptyStat = if (reps <= 1) lit(0.0) else lit(Double.NaN)
+        val extraFill: Seq[Column] =
+          if (!args.reportUpperLowerErrorSeparately) Seq.empty
+          else Seq(coalesce(col("lower_error"), emptyStat).as("lower_error"),
+            coalesce(col("upper_error"), emptyStat).as("upper_error"))
+        g.join(resolved, keys :+ "bin", "left")
+          .select((keyCols
+            :+ coalesce(col("dt"), lit(Double.NaN)).as("dt")
+            :+ coalesce(col("sf2"), lit(Double.NaN)).as("sf2")
+            :+ coalesce(col("1_sigma"), emptyStat).as("1_sigma"))
+            ++ extraFill: _*)
+      case None => resolved.drop("bin")
+    }
+  }
+
+  /** Tie-corrected pair count per (lc_id, band) from SOURCE rows —
+    * n·(n−1)/2 − Σ_t c_t·(c_t−1)/2, the same formula [[lengthBinned]]
+    * uses — so λ never costs a pair expansion. */
+  private def pairCounts(bandFiltered: DataFrame): DataFrame = {
+    val lcKeys = Seq(col("lc_id"), col("band"))
+    bandFiltered.groupBy((lcKeys :+ col("t")): _*)
+      .agg(count(lit(1)).as("__ct"))
+      .groupBy(lcKeys: _*)
+      .agg(sum(col("__ct")).as("__n"),
+        sum(col("__ct") * (col("__ct") - 1) / 2).as("__tp"))
+      .select(col("lc_id"), col("band"),
+        (col("__n") * (col("__n") - 1) / 2 - col("__tp")).cast("long")
+          .as("__npairs"))
+      .filter(col("__npairs") > 0)
+  }
+
+  /** Inverse-CDF Poisson(λ) draw from a uniform, λ ≤ 1, truncated at 17
+    * (tail mass < 1e-14 at λ = 1). The float-operation ORDER — term·λ/k,
+    * cumulative left-to-right addition — is the contract the DuckDB
+    * oracle replays; don't "simplify" to pow/factorial. */
+  private def poissonInv(u: Column, lam: Column): Column = {
+    var term = exp(-lam)
+    var cum = term
+    var chain = when(u < cum, lit(0))
+    for (k <- 1 to 16) {
+      term = term * lam / lit(k.toDouble)
+      cum = cum + term
+      chain = chain.when(u < cum, lit(k))
+    }
+    chain.otherwise(lit(17))
   }
 
   /** Explode a per-row range 0..(__n − 1) as `out`, in ≤65536-element

@@ -203,19 +203,9 @@ class SF2RelationalSpec extends SparkSuite {
     assert(plan.contains("Join"), s"default-args giant must route:\n$plan")
   }
 
-  test("estimateErr stays batch-only, with pre-sampling guidance (scale story)") {
-    // bootstrap resamples observations per lightcurve — per-group
-    // sequential state the relational plan deliberately refuses (a
-    // Poisson-weight rewrite would approximate, not reproduce, the
-    // reference numerics the oracle pins)
-    val e = intercept[IllegalArgumentException] {
-      SF2Relational.SF2RelationalOps(singleObjectEnsemble())
-        .sf2Relational(sf.SFArgs(binMethod = "length", estimateErr = true))
-    }
-    assert(e.getMessage.contains("pre-sample"))
-    // ... and a giant band asking for bootstrap errors must NOT auto-route
-    // (it pays the documented batch cost instead of silently dropping the
-    // error bars)
+  test("bootstrap auto-route stays on batch numerics; relational Poisson form is explicit") {
+    // a silent reroute would change results under a fixed seed (numpy RNG
+    // stream vs Poisson draws), so estimateErr must NOT auto-route...
     val ens = SparkEntry.eventsEnsemble(spark, sf0001)
     val res = Ops.AnalysisOps(ens).sf2(
       sf.SFArgs(estimateErr = true, calculationRepetitions = 2),
@@ -223,6 +213,142 @@ class SF2RelationalSpec extends SparkSuite {
     val plan = res.queryExecution.optimizedPlan.toString
     assert(plan.toLowerCase.contains("mapgroups"),
       s"bootstrap must stay on the batch apply:\n$plan")
+    // ...while the explicit relational call now accepts it (Poisson form)
+    val rel = SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+      .sf2Relational(sf.SFArgs(binMethod = "length", estimateErr = true,
+        calculationRepetitions = 3))
+    assert(rel.columns.toSeq ===
+      Seq("lc_id", "band", "dt", "sf2", "1_sigma"))
+    val rows = rel.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(4) >= 0.0 || r.getDouble(4).isNaN))
+  }
+
+  /** In-memory replay of the Poisson-bootstrap contract: same md5-derived
+    * uniforms (independently re-derived from MessageDigest here), same
+    * inverse-CDF chain, same weighted estimator, same across-rep
+    * median/quantile formula — 1e-9 agreement pins the distributed plan
+    * to the documented math, the same way the DuckDB q_sf2_bootstrap
+    * oracle does externally. */
+  test("relational Poisson bootstrap replays exactly (weights, estimator, quantiles)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = for {
+      lc <- Seq(1L, 2L); i <- 0 until (if (lc == 1) 25 else 40)
+    } yield (lc, "g", i * 1.5 + rnd.nextDouble() * 0.3,
+      50.0 + rnd.nextDouble() * 10, 0.5 + rnd.nextDouble() * 0.1)
+    val df = rows.toDF("user_id", "event_type", "ts_days", "value", "err")
+    val ens = graft.sources.EnsembleIO.fromDataFrame(spark, df,
+      graft.core.ColumnMap.events)
+    val R = 4; val seed = 7L
+    val args = sf.SFArgs(sfMethod = "basic", binMethod = "length",
+      binCountTarget = 20, estimateErr = true, calculationRepetitions = R,
+      randomSeed = Some(seed), equallyWeightLightcurves = true)
+    val got = SF2Relational.SF2RelationalOps(ens).sf2Relational(args)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+
+    // ---- independent in-memory computation ----
+    def md5u(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+      (h >>> 11).toDouble / 9007199254740992.0
+    }
+    def pois(u: Double, lam: Double): Int = {
+      var term = math.exp(-lam); var cum = term; var k = 0
+      while (u >= cum && k < 17) { k += 1; term = term * lam / k; cum += term }
+      k
+    }
+    val byLc = rows.groupBy(_._1)
+    val pairsByLc = byLc.map { case (lc, obs) =>
+      val sorted = obs.sortBy(o => (o._3, o._4, o._5)).zipWithIndex
+      lc -> (for {
+        (a, ia) <- sorted; (b, ib) <- sorted if a._3 < b._3
+      } yield (ia, ib, b._3 - a._3, b._4 - a._4, a._5 * a._5 + b._5 * b._5))
+    }
+    val m = pairsByLc.values.map(_.size).min
+    def q(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val pos = (s.length - 1) * p
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 >= s.length) s(lo) else s(lo) + frac * (s(lo + 1) - s(lo))
+    }
+    pairsByLc.foreach { case (lc, ps) =>
+      val lam = m.toDouble / ps.size.toDouble
+      val dts = ps.map(_._3)
+      val lo = dts.min; val hi = dts.max
+      val nbins = math.max(math.ceil(ps.size / 20.0).toLong, 1L)
+      def bin(dt: Double): Long =
+        if (hi == lo) 0L
+        else math.min(math.max(
+          math.floor((dt - lo) / ((hi - lo) / nbins)).toLong, 0L), nbins - 1)
+      val perRep = for (rep <- 0 until R) yield {
+        val weighted = ps.map { case (ia, ib, dt, df, sse) =>
+          val u = md5u(s"$lc|g|$ia|$ib|$rep|$seed")
+          (bin(dt), pois(u, lam), dt, df * df - sse)
+        }.filter(_._2 > 0)
+        weighted.groupBy(_._1).map { case (b, ws) =>
+          val sw = ws.map(_._2.toDouble).sum
+          (b, ws.map(w => w._2 * w._3).sum / sw,
+            ws.map(w => w._2 * w._4).sum / sw)
+        }
+      }
+      val bins = perRep.flatten.map(_._1).distinct
+      bins.foreach { b =>
+        val reps = perRep.flatMap(_.find(_._1 == b))
+        val dtMed = q(reps.map(_._2), 0.5)
+        val sfMed = q(reps.map(_._3), 0.5)
+        val sigma = (q(reps.map(_._3), 0.84) - q(reps.map(_._3), 0.16)) / 2
+        val key = (lc.toString, "g", dtMed)
+        // dt is the map key — locate by closest dt instead of exact float
+        val hit = got.keys.find(k => k._1 == lc.toString &&
+          math.abs(k._3 - dtMed) <= 1e-9 * (1 + math.abs(dtMed)))
+        assert(hit.isDefined, s"missing bin $key")
+        val (gotSf, gotSig) = got(hit.get)
+        assert(math.abs(gotSf - sfMed) <= 1e-9 * (1 + math.abs(sfMed)),
+          s"sf2 lc=$lc bin=$b: $gotSf vs $sfMed")
+        assert(math.abs(gotSig - sigma) <= 1e-9 * (1 + math.abs(sigma)),
+          s"sigma lc=$lc bin=$b: $gotSig vs $sigma")
+      }
+      assert(got.keys.count(_._1 == lc.toString) === bins.size, s"bin count lc=$lc")
+    }
+  }
+
+  test("bootstrap guardrails: determinism, R=1 sigma=0, sample-count validation") {
+    val args0 = sf.SFArgs(binMethod = "length", estimateErr = true,
+      calculationRepetitions = 3, randomSeed = Some(11))
+    val a = SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+      .sf2Relational(args0).collect().sortBy(_.getDouble(2))
+    val b = SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+      .sf2Relational(args0).collect().sortBy(_.getDouble(2))
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "same seed must reproduce the identical frame")
+
+    val one = SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+      .sf2Relational(sf.SFArgs(binMethod = "length", estimateErr = true,
+        calculationRepetitions = 1)).collect()
+    assert(one.nonEmpty)
+    assert(one.forall(_.getDouble(4) === 0.0),
+      "reps<=1 reports 1_sigma = 0.0 like the reference")
+
+    val e = intercept[IllegalArgumentException] {
+      SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+        .sf2Relational(sf.SFArgs(binMethod = "length", estimateErr = true,
+          numberLightcurveSamples = Some(Int.MaxValue)))
+    }
+    assert(e.getMessage.contains("samples"))
+  }
+
+  test("bootstrap under size binning keeps the NaN empty-bin grid") {
+    val plain = SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+      .sf2Relational(sf.SFArgs(binCountTarget = 25))
+    val boot = SF2Relational.SF2RelationalOps(singleObjectEnsemble())
+      .sf2Relational(sf.SFArgs(binCountTarget = 25, estimateErr = true,
+        calculationRepetitions = 3))
+    // same (keys, bin) lattice: bootstrap only changes the statistics
+    assert(boot.count() === plain.count())
+    assert(boot.columns.contains("1_sigma"))
   }
 
   test("giant lightcurve: 5k-obs object (12.5M pairs) completes distributed") {
