@@ -437,6 +437,22 @@ object SparkEntry {
         round(col("rms_0"), 6).as("rms_0"),
         round(col("rms_1"), 6).as("rms_1"),
         col("peak_0"), col("peak_1"))
+    }),
+    "q_video_features" -> ((s, dir) => {
+      // REAL video roundtrip: solid-color animated GIFs encoded then
+      // frame-walked with javax.imageio. Indexed-palette GIF frames are
+      // lossless and the per-frame delay is stored exactly, so the oracle
+      // states frame count, duration, fps and across-frame channel means
+      // in closed form from doc_id.
+      import graft.multimodal.Multimodal._
+      val media = syntheticVideos(table(s, dir, "documents"), "doc_id")
+      decodeVideo(media).select(col("media_id"),
+        col("width"), col("height"), col("n_frames"),
+        round(col("duration_ms"), 6).as("duration_ms"),
+        round(col("fps"), 6).as("fps"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
     })
   )
 
@@ -1150,6 +1166,24 @@ object SparkEntry {
         |  a0::INT AS peak_0,
         |  (CASE WHEN ch = 2 THEN a1 END)::INT AS peak_1
         |FROM a""".stripMargin,
+    // Solid-frame GIFs: means are exact averages of the per-frame colors;
+    // duration/fps come straight from the stored centisecond delay
+    "q_video_features" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id % 32 + 8 AS w, doc_id % 24 + 8 AS h,
+        |    doc_id % 12 + 4 AS nf, doc_id % 10 + 1 AS dcs
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+        |  nf::INT AS n_frames,
+        |  round((nf * dcs * 10)::DOUBLE, 6) AS duration_ms,
+        |  round((nf * 100.0) / (nf * dcs), 6) AS fps,
+        |  round(list_sum(list_transform(range(nf),
+        |    k -> (doc_id * 37 + k * 11) % 256)) / nf::DOUBLE, 6) AS mean_r,
+        |  round(list_sum(list_transform(range(nf),
+        |    k -> (doc_id * 59 + k * 23) % 256)) / nf::DOUBLE, 6) AS mean_g,
+        |  round(list_sum(list_transform(range(nf),
+        |    k -> (doc_id * 83 + k * 5) % 256)) / nf::DOUBLE, 6) AS mean_b
+        |FROM v""".stripMargin,
     // Generated oracles (constants shared with the Spark side — see the
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,

@@ -17,8 +17,13 @@ import org.apache.spark.sql.types._
   * AUDIO decodes for real too: [[decodeAudio]] parses WAV/AIFF/AU PCM with
   * the JDK's `javax.sound.sampled` (no external dependency) and emits
   * sample rate / channels / duration / exact per-channel RMS and peak.
-  * Video codecs are not in the JDK, so that modality still goes through
-  * [[decodeStub]] (deterministic fake features) — the batching/schema
+  *
+  * VIDEO decodes for real as animated GIF: [[decodeVideo]] walks the
+  * frame sequence with `javax.imageio`'s GIF reader (frame count, dims,
+  * per-frame delay metadata → duration/fps, exact channel means across
+  * all frames) and [[sampleVideoFrames]] is real frame sampling — every
+  * `stride`-th frame decoded and re-encoded as PNG. Container codecs the
+  * JDK lacks (mp4/webm) go through [[decodeStub]] — the batching/schema
   * contract is identical, and a javacv decoder drops into the same
   * `mapPartitions` slot without changing any plan shape.
   *
@@ -394,6 +399,243 @@ object Multimodal {
         Row(id, bytes.length, false, null, null, null, null,
           null, null, null, null)
     }
+
+  // ------------------------------------------------------- real video path
+
+  /** Deterministic solid fill for frame `k` of synthetic video `id` — the
+    * video analog of [[checkerColors]]/[[squareAmp]]: one exact color per
+    * frame, so the across-frames channel means are closed-form for an
+    * engine with no codec (the DuckDB oracle). */
+  private[graft] def frameColor(id: Long, k: Int): (Int, Int, Int) =
+    (((id * 37 + k * 11) % 256).toInt, ((id * 59 + k * 23) % 256).toInt,
+      ((id * 83 + k * 5) % 256).toInt)
+
+  /** Frame count of synthetic video `id`: 4–15. */
+  private[graft] def videoFrames(id: Long): Int = (id % 12 + 4).toInt
+
+  /** Per-frame delay of synthetic video `id` in GIF centiseconds: 1–10
+    * (stored exactly in the GraphicControlExtension, so duration and fps
+    * are closed-form). */
+  private[graft] def videoDelayCs(id: Long): Int = (id % 10 + 1).toInt
+
+  /** Dimensions of synthetic video `id`: 8–39 × 8–31. */
+  private[graft] def videoDims(id: Long): (Int, Int) =
+    ((id % 32 + 8).toInt, (id % 24 + 8).toInt)
+
+  /** Generate REAL animated-GIF bytes per row (`javax.imageio` GIF
+    * sequence writer): [[videoFrames]] solid-color frames from
+    * [[frameColor]] on an explicit 2-entry indexed palette — GIF encodes
+    * palette indices losslessly, so [[decodeVideo]] recovers the exact
+    * colors — with the per-frame delay in the frame's
+    * GraphicControlExtension. The writer is instantiated once per
+    * partition; each row is its own prepare/write/end sequence. */
+  def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = videoDims(id)
+        val nFrames = videoFrames(id)
+        val delayCs = videoDelayCs(id)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var k = 0
+        while (k < nFrames) {
+          val (cr, cg, cb) = frameColor(id, k)
+          val cm = new java.awt.image.IndexColorModel(8, 2,
+            Array(cr.toByte, 0.toByte), Array(cg.toByte, 0.toByte),
+            Array(cb.toByte, 0.toByte))
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          // raster default-initializes to index 0 = the frame color
+          val meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), null)
+          val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+          val root = meta.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = {
+            val kids = root.getElementsByTagName("GraphicControlExtension")
+            if (kids.getLength > 0)
+              kids.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            else {
+              val n = new javax.imageio.metadata.IIOMetadataNode(
+                "GraphicControlExtension")
+              root.appendChild(n); n
+            }
+          }
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("transparentColorIndex", "0")
+          gce.setAttribute("delayTime", delayCs.toString)
+          meta.setFromTree(fmt, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta),
+            null)
+          k += 1
+        }
+        writer.endWriteSequence()
+        ios.flush(); ios.close()
+        Row(id, "video", bos.toByteArray,
+          Row("gif", w, h, (nFrames.toLong * delayCs * 10)))
+      }
+    }(enc).toDF()
+  }
+
+  /** Output schema of the real video decoder. */
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("duration_ms", DoubleType, nullable = true),
+    StructField("fps", DoubleType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true)
+  ))
+
+  /** REAL video decode + across-frame statistics via the JDK GIF frame
+    * reader: frame count, first-frame dimensions, per-frame delays from
+    * the GraphicControlExtension (duration = Σ delay·10 ms; fps =
+    * frames/duration; a delay-less stream reports null duration/fps
+    * rather than inventing a default), and exact channel means over EVERY
+    * pixel of EVERY frame (Long sums). Same poisoned-row containment as
+    * the other decoders; one iterator pass, no shuffle. The reader is
+    * per-partition; input streams are per-row. */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(videoFeatureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, false, false) // allow frame-count search
+            val n = reader.getNumImages(true)
+            if (n <= 0) throw new java.io.IOException("no frames")
+            var sr = 0L; var sg = 0L; var sb = 0L; var px = 0L
+            var delaySum = 0L; var sawDelay = false
+            var w0 = 0; var h0 = 0
+            var i = 0
+            while (i < n) {
+              val img = reader.read(i)
+              if (i == 0) { w0 = img.getWidth; h0 = img.getHeight }
+              val w = img.getWidth; val h = img.getHeight
+              val rowBuf = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                var x = 0
+                while (x < w) {
+                  val p = rowBuf(x)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              px += w.toLong * h
+              val meta = reader.getImageMetadata(i)
+              val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              val gce = root.getElementsByTagName("GraphicControlExtension")
+              if (gce.getLength > 0) {
+                val d = gce.item(0)
+                  .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                  .getAttribute("delayTime")
+                if (d != null && d.nonEmpty) {
+                  delaySum += d.toLong; sawDelay = true
+                }
+              }
+              i += 1
+            }
+            val durMs: java.lang.Double =
+              if (sawDelay) (delaySum * 10).toDouble else null
+            val fps: java.lang.Double =
+              if (sawDelay && delaySum > 0) n * 100.0 / delaySum else null
+            Row(id, bytes.length, true, w0, h0, n, durMs, fps,
+              sr.toDouble / px, sg.toDouble / px, sb.toDouble / px)
+          } finally iis.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Row(id, bytes.length, false, null, null, null, null, null,
+              null, null, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** REAL frame sampling: every `stride`-th GIF frame, decoded and
+    * re-encoded as PNG with its per-frame channel means — the real form
+    * of [[frameSampleStub]]'s one-row→many-rows contract (flatMap, no
+    * shuffle). Undecodable rows contribute zero frames. */
+  def sampleVideoFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false),
+      StructField("frame_png", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, false, false)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth; val h = img.getHeight
+              val rowBuf = new Array[Int](w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                var x = 0
+                while (x < w) {
+                  val p = rowBuf(x)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val np = (w.toLong * h).toDouble
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              Row(id, i, w, h, sr / np, sg / np, sb / np, bos.toByteArray)
+            }
+          } finally iis.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[Row]
+        }
+      }
+    }(enc).toDF()
+  }
 
   /** Output schema of the stub feature extractor. */
   val featureSchema: StructType = StructType(Seq(

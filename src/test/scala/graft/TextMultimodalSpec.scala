@@ -220,4 +220,70 @@ class TextMultimodalSpec extends SparkSuite {
       assert(math.abs(aspect - thumbAspect) < 0.15, s"aspect drift on $id")
     }
   }
+
+  test("multimodal: REAL animated-GIF video decode recovers frames/delay/means exactly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val media = Multimodal.syntheticVideos(docs, "doc_id")
+    // generated bytes are a real GIF89a container
+    val hdr = media.filter(col("media_id") === 0)
+      .select(col("bytes")).collect()(0).getAs[Array[Byte]](0)
+    assert(new String(hdr.take(6), "US-ASCII") === "GIF89a")
+
+    val feats = Multimodal.decodeVideo(media).collect()
+    assert(feats.length === 20)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(2), s"video $id failed to decode")
+      val (w, h) = Multimodal.videoDims(id)
+      val nf = Multimodal.videoFrames(id)
+      val dCs = Multimodal.videoDelayCs(id)
+      assert(r.getInt(3) === w && r.getInt(4) === h, s"dims of $id")
+      assert(r.getInt(5) === nf, s"frames of $id")
+      assert(r.getDouble(6) === nf * dCs * 10.0, s"duration of $id")
+      assert(r.getDouble(7) === nf * 100.0 / (nf.toLong * dCs), s"fps of $id")
+      // solid frames on an indexed palette roundtrip losslessly: the
+      // across-frame mean is the exact average of the per-frame colors
+      val expR = (0 until nf).map(k => Multimodal.frameColor(id, k)._1.toLong)
+        .sum.toDouble / nf
+      val expG = (0 until nf).map(k => Multimodal.frameColor(id, k)._2.toLong)
+        .sum.toDouble / nf
+      val expB = (0 until nf).map(k => Multimodal.frameColor(id, k)._3.toLong)
+        .sum.toDouble / nf
+      assert(r.getDouble(8) === expR, s"mean_r of $id")
+      assert(r.getDouble(9) === expG, s"mean_g of $id")
+      assert(r.getDouble(10) === expB, s"mean_b of $id")
+    }
+  }
+
+  test("multimodal: REAL frame sampling emits every stride-th frame as PNG") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 8)
+    val media = Multimodal.syntheticVideos(docs, "doc_id")
+    val frames = Multimodal.sampleVideoFrames(media, stride = 2).collect()
+    val byId = frames.groupBy(_.getLong(0))
+    (0L until 8L).foreach { id =>
+      val nf = Multimodal.videoFrames(id)
+      val expected = (0 until nf by 2).toSeq
+      val got = byId(id).map(_.getInt(1)).sorted.toSeq
+      assert(got === expected, s"sampled frame numbers of $id")
+      byId(id).foreach { fr =>
+        val k = fr.getInt(1)
+        val (cr, cg, cb) = Multimodal.frameColor(id, k)
+        assert(fr.getDouble(4) === cr.toDouble, s"frame mean_r $id/$k")
+        // the emitted PNG is a real decodable frame with the same pixels
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(fr.getAs[Array[Byte]](7)))
+        val p = back.getRGB(0, 0)
+        assert(((p >> 16) & 0xff) === cr && ((p >> 8) & 0xff) === cg &&
+          (p & 0xff) === cb, s"frame pixel $id/$k")
+      }
+    }
+    // garbage bytes contribute zero frames, not an exception
+    val bad = spark.createDataFrame(Seq(
+      (99L, "video", "not a gif".getBytes("UTF-8"), ("txt", 0, 0, 0L))))
+      .toDF("media_id", "modality", "bytes", "meta")
+    assert(Multimodal.sampleVideoFrames(bad).count() === 0L)
+    assert(Multimodal.decodeVideo(bad).collect()(0).getBoolean(2) === false)
+  }
 }
