@@ -370,6 +370,15 @@ object SparkEntry {
           maxBucketSize = 32, hashMode = "md5")
         .select(col("doc_id"))
     }),
+    "q_dup_spans" -> ((s, dir) => {
+      // Lee-et-al-style duplicated-substring detection: every 30-char
+      // window occurring >=2 times anywhere in the corpus, merged into
+      // maximal per-doc spans. All-integer output, md5 window hashes →
+      // the oracle replays the exact same windows in SQL.
+      graft.dedup.Dedup.duplicateSpans(
+        table(s, dir, "documents"), "text", "doc_id", n = 30,
+        hashMode = graft.functions.HashExpressions.ModeMd5)
+    }),
     // ------------------------------------- training-data: similarity search
     "q_knn_cosine" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -1189,6 +1198,32 @@ object SparkEntry {
     "q_minhash_lsh" -> minhashLshOracle,
     "q_dedup_pipeline" -> dedupPipelineOracle,
     "q_dedup_cc" -> dedupCcOracle,
+    // windows by codepoint position, hashed with the md5-64 trick, then
+    // gaps-and-islands span merge — the same three steps the Spark plan
+    // runs (WindowHashes → count>=2 semi-join → per-doc merge window)
+    "q_dup_spans" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(text) - 29, 0))) AS pos,
+        |    unnest([('0x' || substr(md5(substr(text, i::INT, 30)), 1, 16))::UBIGINT
+        |            for i in range(1, greatest(len(text) - 28, 1))]) AS h
+        |  FROM documents),
+        |d AS MATERIALIZED (
+        |  SELECT doc_id, pos FROM w
+        |  WHERE h IN (SELECT h FROM w GROUP BY h HAVING count(*) >= 2)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rme
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN rme IS NULL OR pos > rme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m)
+        |SELECT doc_id, min(pos) AS span_start, max(pos + 30) AS span_end,
+        |  count(*) AS n_windows
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_knn_lsh" -> knnLshOracle,

@@ -343,4 +343,83 @@ object Dedup {
     chunks.unpersist()
     result
   }
+
+  // ------------------------------------------- duplicated substring spans
+
+  /** Exact duplicated-substring detection (the "dedup at the substring
+    * level" of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every length-`n` character window whose
+    * hash occurs at least `minCount` times in the corpus (any repeat —
+    * across documents or within one), with overlapping hits merged into
+    * maximal per-document spans `[span_start, span_end)` (0-based
+    * codepoint offsets; `n_windows` = merged hit count).
+    *
+    * Scale shape: window generation is one map-side pass
+    * ([[graft.functions.HashExpressions.WindowHashes]] — O(len) per doc,
+    * positions included); the only shuffle is the groupBy on the 8-byte
+    * window hash (map-side partials), whose ≥minCount survivors semi-join
+    * back to the window stream co-partitioned on the same key. The merge
+    * window is partitioned per document and ordered by position — no
+    * global ordering, no task ever holds more than one document's hits.
+    * `stride > 1` trades recall for a stride-fold smaller exchange
+    * (standard at 100 TB; hits then mark every covered window start a
+    * stride can reach, and the merged spans widen accordingly). */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 40, stride: Int = 1, minCount: Int = 2,
+      hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
+    import graft.functions.HashExpressions.windowHashes
+    import org.apache.spark.sql.expressions.Window
+    val wins = df.select(col(idCol).as("doc_id"),
+        explode(windowHashes(col(textCol), n, stride, hashMode)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+    val hits = wins.join(dupHashes, Seq("h"), "left_semi")
+
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val merged = hits
+      .withColumn("__rme", max(col("pos") + n)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__rme").isNull || col("pos") > col("__rme"), 1)
+          .otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(byDoc))
+    merged.groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("pos") + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__grp")
+  }
+
+  /** Cut the [[duplicateSpans]] spans out of each document — the
+    * "remove duplicated substrings" pass. Documents without spans pass
+    * through unchanged; spans are non-overlapping and sorted by
+    * construction, so the rebuild is one `aggregate` fold over at most
+    * |spans-per-doc| substring concatenations. Positions are codepoint
+    * offsets, matching SQL `substring` semantics. */
+  def removeDuplicateSpans(df: DataFrame, spans: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spansByDoc = spans
+      .groupBy(col("doc_id").as(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    df.join(spansByDoc, Seq(idCol), "left")
+      .withColumn("__clean", when(col("__spans").isNull, col(textCol))
+        .otherwise(expr(
+          s"""concat(
+             |  aggregate(
+             |    __spans,
+             |    struct(cast('' as string) as acc, cast(0 as bigint) as lastend),
+             |    (a, sp) -> struct(
+             |      concat(a.acc, substring($textCol, cast(a.lastend as int) + 1,
+             |                              cast(sp.s - a.lastend as int))),
+             |      sp.e)).acc,
+             |  substring($textCol,
+             |    cast(aggregate(__spans,
+             |      cast(0 as bigint), (m, sp) -> sp.e) as int) + 1,
+             |    2147483647))""".stripMargin)))
+      .drop("__spans")
+      .withColumn(textCol, col("__clean")).drop("__clean")
+  }
 }

@@ -140,6 +140,82 @@ object HashExpressions {
     }
   }
 
+  /** Every `stride`-th length-`n` character window of a string with its
+    * 0-based CODEPOINT offset: array<struct<pos:int, h:bigint>> — the
+    * position-carrying sibling of [[ShingleHashes]] for duplicated-span
+    * detection (positions are needed to merge hits back into substring
+    * spans). Mode `md5` hashes the window's UTF-8 bytes with
+    * [[md5Long64]], matching DuckDB
+    * `('0x' || substr(md5(substr(text, i, n)), 1, 16))::UBIGINT` for ANY
+    * input (both sides extract by codepoint and hash the UTF-8 bytes);
+    * mode `xx` (production default) murmur-hashes the same window bytes.
+    * ASCII fast path digests straight off the backing byte array;
+    * non-ASCII walks codepoint boundaries once (O(len)). */
+  case class WindowHashes(child: Expression, n: Int, stride: Int = 1,
+      mode: String = ModeXx)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0 && stride > 0, "window length and stride must be positive")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    private def hashBytes(b: Array[Byte], off: Int, len: Int): Long =
+      if (mode == ModeMd5) md5Long64(b, off, len)
+      else
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+          len, 42).toLong << 32 |
+          (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+            b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+            len, 1042).toLong & 0xffffffffL)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val ascii = bytes.length == s.numChars()
+      if (ascii) {
+        val m = bytes.length - n + 1
+        if (m <= 0) return new GenericArrayData(Array.empty[Any])
+        val cnt = (m + stride - 1) / stride
+        val out = new Array[Any](cnt)
+        var i = 0; var k = 0
+        while (i < m) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(
+            i, hashBytes(bytes, i, n))
+          k += 1; i += stride
+        }
+        new GenericArrayData(out)
+      } else {
+        // one O(len) walk records each codepoint's byte offset
+        val str = s.toString
+        val cps = str.codePointCount(0, str.length)
+        val m = cps - n + 1
+        if (m <= 0) return new GenericArrayData(Array.empty[Any])
+        val byteOff = new Array[Int](cps + 1)
+        var ci = 0; var bi = 0; var cp = 0
+        while (ci < str.length) {
+          byteOff(cp) = bi
+          val c = str.codePointAt(ci)
+          bi += utf8Len(c); ci += Character.charCount(c); cp += 1
+        }
+        byteOff(cps) = bytes.length
+        val cnt = (m + stride - 1) / stride
+        val out = new Array[Any](cnt)
+        var i = 0; var k = 0
+        while (i < m) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(
+            i, hashBytes(bytes, byteOff(i), byteOff(i + n) - byteOff(i)))
+          k += 1; i += stride
+        }
+        new GenericArrayData(out)
+      }
+    }
+    private def utf8Len(cp: Int): Int =
+      if (cp < 0x80) 1 else if (cp < 0x800) 2
+      else if (cp < 0x10000) 3 else 4
+  }
+
   /** k-element MinHash signature from an array<long> of element hashes:
     * out(i) = min over elements of (a_i·h + b_i) — one multiply-add per
     * (element, i) instead of k string hashes per element. The (a_i, b_i)
@@ -218,6 +294,10 @@ object HashExpressions {
 
   def shingleHashes(text: Column, n: Int, mode: String = ModeXx): Column =
     column(ShingleHashes(expression(text), n, mode))
+
+  def windowHashes(text: Column, n: Int, stride: Int = 1,
+      mode: String = ModeXx): Column =
+    column(WindowHashes(expression(text), n, stride, mode))
 
   def minhashFromHashes(hashes: Column, k: Int): Column =
     column(MinHashFromHashes(expression(hashes), k))

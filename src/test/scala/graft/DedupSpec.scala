@@ -188,4 +188,70 @@ class DedupSpec extends SparkSuite {
       .collect().map(_.getLong(0))
     assert(sh(0) === sh(1))
   }
+
+  test("duplicate spans: cross-doc shared substrings located and merged exactly") {
+    import spark.implicits._
+    // fillers must not self-repeat: a run like "aaaaaaaa" duplicates
+    // WITHIN the doc (that is correct behavior, pinned by the next test)
+    val shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER!!"   // 32 chars
+    val docs = Seq(
+      (1L, "abcdefghij" + shared + "JKLMNOPQRS"),      // shared at [10, 42)
+      (2L, shared + "qrstuvwxyz0123456789"),           // shared at [0, 32)
+      (3L, "unique text with nothing repeated here x")
+    ).toDF("doc_id", "text")
+    val n = 8
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", n = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(r => (r._1, r._2))
+    // every window inside `shared` repeats; windows touching the distinct
+    // context are unique → the merged span is exactly the shared region
+    assert(spans.toSeq === Seq(
+      (1L, 10L, 42L, (32 - n + 1).toLong),
+      (2L, 0L, 32L, (32 - n + 1).toLong)))
+
+    // removal cuts exactly the span, keeps everything else
+    val cleaned = Dedup.removeDuplicateSpans(
+        docs, Dedup.duplicateSpans(docs, "text", "doc_id", n = n),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) === "abcdefghij" + "JKLMNOPQRS")
+    assert(cleaned(2L) === "qrstuvwxyz0123456789")
+    assert(cleaned(3L) === "unique text with nothing repeated here x")
+  }
+
+  test("duplicate spans: within-doc repeats, stride recall, mode equivalence") {
+    import spark.implicits._
+    val x = "0123456789ABCDEF"                          // 16 chars
+    val docs = Seq((7L, x + x)).toDF("doc_id", "text")  // doc = X+X
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", n = 8)
+      .collect()
+    // prefix windows repeat at +16; adjacent hit runs merge into one span
+    assert(spans.length === 1)
+    assert(spans(0).getLong(1) === 0L && spans(0).getLong(2) === 32L)
+
+    // md5 and xx modes agree on spans (hash family only changes the key)
+    val corpus = docsWithDups.filter(col("doc_id") < 15 ||
+      col("doc_id") >= 20000)
+    def spanSet(mode: String) =
+      Dedup.duplicateSpans(corpus, "text", "doc_id", n = 30,
+          hashMode = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val xxS = spanSet(graft.functions.HashExpressions.ModeXx)
+    assert(xxS.nonEmpty) // verbatim copies exist in the fixture
+    assert(xxS === spanSet(graft.functions.HashExpressions.ModeMd5))
+
+    // stride>1 still finds the fully-duplicated docs, with coarser starts
+    val strided = Dedup.duplicateSpans(corpus, "text", "doc_id", n = 30,
+      stride = 4).collect()
+    assert(strided.nonEmpty)
+    assert(strided.forall(_.getLong(1) % 4 == 0))
+
+    // the span merge window must stay partitioned per document
+    val plan = Dedup.duplicateSpans(corpus, "text", "doc_id", n = 30)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "span merge must never use a global window")
+  }
 }
