@@ -405,6 +405,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
+    "q_knn_pq" -> ((s, dir) => {
+      // Product quantization with literal codebooks: the corpus is encoded
+      // to 4-subspace codes ONCE and searched via ADC lookups only — the
+      // oracle recomputes the identical codes and distances in SQL.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val codes = graft.similarity.Similarity.encodePqCorpus(
+        emb, PqOracleCodebooks)
+      graft.similarity.Similarity.knnPqAdc(codes, queries, k = 5,
+          PqOracleCodebooks)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // Fixed literal centroids, inlined identically into the oracle SQL —
       // cell assignment, nprobe probing, and ranking are then pure SQL and
@@ -483,6 +497,15 @@ object SparkEntry {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n)
     }
+  }
+
+  /** Fixed literal PQ codebooks (4 subspaces × 8 centroids × 16 dims) —
+    * same role as [[IvfOracleCentroids]]: encoding + ADC become pure
+    * arithmetic shared verbatim with the oracle SQL; TRAINED codebooks
+    * stay covered by SimilaritySpec recall tests. */
+  val PqOracleCodebooks: Array[Array[Array[Double]]] = {
+    val rng = new java.util.Random(11L)
+    Array.fill(4, 8) { Array.fill(16)(rng.nextGaussian() * 0.15) }
   }
 
   /** 2⁶³ and 2⁶⁴ as HUGEINT literals: the signed-64 reinterpretation used
@@ -727,6 +750,52 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM p)
        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** PQ encode + ADC replayed in SQL: per-subspace argmin with the same
+    * (d, i) struct-sort and the same `c·c − 2·v·c` float ops (c·c
+    * precomputed in Scala so the identical double literal appears on both
+    * sides), then per-subspace ‖q_j − c‖² as the same sequential
+    * (q−c)·(q−c) sum the Scala adcLut computes, added j-ascending. */
+  private def knnPqOracle: String = {
+    def vecLit(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    val sub = PqOracleCodebooks(0)(0).length
+    val codeCols = PqOracleCodebooks.zipWithIndex.map { case (cb, j) =>
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      val ranks = cb.zipWithIndex.map { case (cen, i) =>
+        val cc = cen.map(x => x * x).sum
+        s"{'d': ${cc.toString} - 2.0 * " +
+          s"list_dot_product(v[$lo:$hi], ${vecLit(cen)}), 'i': $i}"
+      }.mkString("[", ", ", "]")
+      s"list_sort($ranks)[1].i AS cd$j"
+    }.mkString(",\n       |    ")
+    val subCols = PqOracleCodebooks.zipWithIndex.map { case (cb, j) =>
+      val cbLit = cb.map(vecLit).mkString("[", ", ", "]")
+      val qd = s"q.qv[${j * sub} + d]"
+      val cd = s"($cbLit)[c.cd$j + 1][d]"
+      s"list_sum(list_transform(range(1, ${sub + 1}), " +
+        s"d -> ($qd - $cd) * ($qd - $cd))) AS sub$j"
+    }.mkString(",\n       |    ")
+    val dist = PqOracleCodebooks.indices.map(j => s"sub$j").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS neighbor_id,
+       |    $codeCols
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |p AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |    $subCols,
+       |    $dist AS dist
+       |  FROM q, codes c),
+       |r AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist, rank
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
@@ -1228,6 +1297,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_knn_lsh" -> knnLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_knn_pq" -> knnPqOracle,
     "q_stetson_j" -> stetsonJOracle,
     "q_sf2" -> sf2SizeOracle,
     // the distributed twin executes the SAME size-binning formula the

@@ -74,4 +74,29 @@ object VectorExpressions {
 
   def cosineSimilarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Asymmetric-distance lookup for product quantization: `codes` is the
+    * corpus row's array<int> of per-subspace centroid indices, `lut` the
+    * query's array<array<double>> of precomputed ‖q_j − c_{j,i}‖² partial
+    * distances. Result = Σ_j lut(j)(codes(j)), j ascending — one array
+    * index per subspace instead of any vector math on the hot side. */
+  case class AdcDistance(left: Expression, right: Expression)
+      extends VectorBinary {
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val lut = b.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      var acc = 0.0; var j = 0
+      while (j < m) {
+        acc += lut.getArray(j).getDouble(codes.getInt(j))
+        j += 1
+      }
+      acc
+    }
+  }
+
+  def adcDistance(codes: Column, lut: Column): Column =
+    column(AdcDistance(expression(codes), expression(lut)))
 }

@@ -137,6 +137,13 @@ object Similarity {
     val sample = df.select(col(vecCol))
       .orderBy(rand(seed)).limit(sampleSize).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    kmeansFit(sample, k, dim, iters, seed)
+  }
+
+  /** Driver-side Lloyd iterations over an in-memory sample — shared by
+    * [[trainCentroids]] (IVF) and [[trainPqCodebooks]] (per subspace). */
+  private def kmeansFit(sample: Array[Array[Double]], k: Int, dim: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty training set")
     val rng = new java.util.Random(seed)
     var centroids = Array.tabulate(k)(i => sample(
@@ -227,6 +234,137 @@ object Similarity {
     df.select(col(idCol), col(vecCol),
         cellId(col(vecCol), centroids).as("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  // ------------------------------------------- PQ (product quantization)
+
+  /** Per-subspace codebooks for product quantization: the vector is split
+    * into `m` contiguous subspaces of `dim/m` dims and each gets its own
+    * `ks`-centroid k-means codebook (same driver-side seeded Lloyd's as
+    * IVF, one bounded sample shared by all subspaces). Codebooks are
+    * metadata: m·ks·(dim/m) = ks·dim doubles. */
+  def trainPqCodebooks(df: DataFrame, m: Int, ks: Int, dim: Int,
+      vecCol: String = "embedding", sampleSize: Int = 2000,
+      iters: Int = 10, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val sample = df.select(col(vecCol))
+      .orderBy(rand(seed)).limit(sampleSize).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    Array.tabulate(m) { j =>
+      kmeansFit(sample.map(v => v.slice(j * sub, (j + 1) * sub)),
+        ks, sub, iters, seed + j)
+    }
+  }
+
+  /** PQ code column: array<int> of length m — per subspace, the index of
+    * the nearest sub-centroid (same `c·c − 2·v·c` rank as [[cellId]],
+    * ties to the lowest index). Codebooks ship as literals; encoding is a
+    * map-only scan. */
+  def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sv = slice(vec, j * sub + 1, sub)
+      least(cb.zipWithIndex.map { case (cen, i) =>
+        val cenLit = array(cen.map(lit): _*)
+        val cc = cen.map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) * dot(sv, cenLit)).as("d"),
+          lit(i).as("i"))
+      }.toSeq: _*).getField("i")
+    }.toSeq: _*)
+  }
+
+  /** Encode the corpus as PQ codes — at 100 TB you STORE this (m ints —
+    * m bytes after parquet byte-packing — instead of dim floats per row,
+    * a ~dim·4/m-fold compression) and search it with [[knnPqAdc]]; the
+    * raw vectors are only needed for an optional exact re-rank. */
+  def encodePqCorpus(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), pqCodes(col(vecCol), codebooks).as("pq_code"))
+
+  /** The query-side ADC lookup table: lut(j)(i) = ‖q_j − c_{j,i}‖²
+    * (sequential double accumulation, d ascending — the float-op contract
+    * the oracle replays). */
+  def adcLut(q: Array[Double],
+      codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val sub = codebooks(0)(0).length
+    Array.tabulate(codebooks.length) { j =>
+      Array.tabulate(codebooks(j).length) { i =>
+        val cen = codebooks(j)(i)
+        var d = 0.0; var x = 0
+        while (x < sub) {
+          val t = q(j * sub + x) - cen(x); d += t * t; x += 1
+        }
+        d
+      }
+    }
+  }
+
+  /** Approximate knn over a PQ-coded corpus via asymmetric distance
+    * computation: the (small, by contract) query batch is collected and
+    * each query ships its [[adcLut]] as a literal-backed broadcast row —
+    * the corpus side then does ONE array lookup per subspace per row
+    * (AdcDistance), never touching vector math or the raw vectors.
+    * Returns (query_id, neighbor_id, adc_dist, rank), rank by ascending
+    * distance then ascending id (via the same bounded-heap top-k
+    * aggregate as every other knn — score = −distance). */
+  def knnPqAdc(codes: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", codeCol: String = "pq_code",
+      queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    import scala.jdk.CollectionConverters._
+    val qRows = queries.select(col(queryIdCol), col(vecCol)).collect().map {
+      r =>
+        val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
+        org.apache.spark.sql.Row(r.getAs[Number](0).longValue(),
+          adcLut(q, codebooks).map(_.toSeq).toSeq)
+    }
+    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__lut",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          containsNull = false), nullable = false)))
+    val luts = spark.createDataFrame(qRows.toSeq.asJava, lutSchema)
+    val pairs = codes.select(col(idCol).as("neighbor_id"), col(codeCol))
+      .join(broadcast(luts))
+      .select(col("query_id"), col("neighbor_id"),
+        (-graft.functions.VectorExpressions
+          .adcDistance(col(codeCol), col("__lut"))).as("cosine"))
+    topKPerQuery(pairs, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine")).as("adc_dist"), col("rank"))
+  }
+
+  /** PQ search with exact re-rank — the standard two-stage ANN at scale:
+    * ADC over the compressed codes produces a `shortlist`-deep candidate
+    * set per query (reads only m bytes/row), then ONLY those candidates'
+    * raw vectors are fetched (broadcast semi-join of a Q·shortlist-row
+    * id set against the corpus — the 100 TB vector table is filtered,
+    * never shuffled) and re-ranked by exact cosine. Output schema matches
+    * [[knnBruteForce]]; recall is governed by `shortlist`, cost by the
+    * code scan. */
+  def knnPqRerank(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      k: Int, codebooks: Array[Array[Array[Double]]], shortlist: Int = 50,
+      idCol: String = "vec_id", codeCol: String = "pq_code",
+      queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cand = knnPqAdc(codes, queries, shortlist, codebooks,
+        idCol, codeCol, queryIdCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val candVecs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+    val pairs = candVecs
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topKPerQuery(pairs, k)
+  }
 
   /** knn over a [[writeIvfIndex]] index. The probed cell set is computed
     * from the (small, by contract) query batch and inlined as a literal

@@ -131,4 +131,74 @@ class SimilaritySpec extends SparkSuite {
       assert(r.getDouble(2) >= 0.3)
     }
   }
+
+  test("PQ: codes in range, ADC distance replays the in-memory computation") {
+    val cbs = Similarity.trainPqCodebooks(emb, m = 8, ks = 16, dim = 64,
+      sampleSize = 500)
+    assert(cbs.length === 8 && cbs.forall(_.length === 16) &&
+      cbs.forall(_.forall(_.length === 8)))
+    val codes = Similarity.encodePqCorpus(emb, cbs)
+    val codeRows = codes.collect()
+    assert(codeRows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+
+    // distributed ADC == exact in-memory replay (same codebooks, same lut)
+    val got = Similarity.knnPqAdc(codes, queries, k = 5, cbs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Number](1).map(_.doubleValue()).toArray).toMap
+    val codeMap = codeRows.map(r =>
+      r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    got.foreach { case ((q, n), d) =>
+      val lut = Similarity.adcLut(vecs(q), cbs)
+      val expect = codeMap(n).zipWithIndex.map { case (c, j) => lut(j)(c) }
+        .foldLeft(0.0)(_ + _)
+      assert(d === expect, s"adc mismatch q=$q n=$n")
+    }
+  }
+
+  test("PQ: ADC ranking approximates brute-force L2 with decent recall") {
+    val cbs = Similarity.trainPqCodebooks(emb, m = 8, ks = 16, dim = 64,
+      sampleSize = 500)
+    val codes = Similarity.encodePqCorpus(emb, cbs)
+    val approx = topIds(Similarity.knnPqAdc(codes, queries, k = 10, cbs)
+      .withColumnRenamed("adc_dist", "cosine"))
+    // exact L2 top-10 (ADC approximates L2, not cosine) computed in-memory
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Number](1).map(_.doubleValue()).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = queries.select(col("query_id")).collect().map(_.getLong(0))
+      .map { q =>
+        val qv = vecs.find(_._1 == q).get._2
+        q -> vecs.sortBy { case (id, v) => (l2(qv, v), id) }
+          .take(10).map(_._1).toSeq
+      }.toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Nil).toSet.intersect(ids.toSet).size / 10.0
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // raw ADC on near-random 64-dim vectors is deliberately lossy (8
+    // subspaces × 16 centroids) — the production path re-ranks (next
+    // assert); here just pin that ADC beats chance by a wide margin
+    // (chance recall@10 over this corpus ≈ 10/N ≈ 0.02)
+    assert(meanRecall >= 0.1, s"PQ mean recall@10 $meanRecall")
+    // self is its own nearest code under ADC for most queries (the code
+    // of q reconstructs closest to q itself)
+    val self = approx.count { case (q, ids) => ids.take(3).contains(q) }
+    assert(self >= queries.count() * 0.6, s"self in top-3 for only $self")
+
+    // two-stage PQ: ADC shortlist → exact cosine re-rank recovers most of
+    // the true cosine top-10 while only ever reading shortlist vectors
+    val reranked = topIds(Similarity.knnPqRerank(emb, codes, queries,
+      k = 10, cbs, shortlist = 100))
+    val exactCos = topIds(Similarity.knnBruteForce(emb, queries, k = 10))
+    val rr = exactCos.map { case (q, ids) =>
+      reranked.getOrElse(q, Nil).toSet.intersect(ids.toSet).size / 10.0
+    }
+    val rrRecall = rr.sum / rr.size
+    assert(rrRecall >= 0.5, s"re-ranked recall@10 $rrRecall")
+    assert(rrRecall > meanRecall, "re-rank must improve on raw ADC")
+  }
 }
