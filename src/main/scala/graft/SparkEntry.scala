@@ -476,6 +476,51 @@ object SparkEntry {
         round(col("mean_r"), 6).as("mean_r"),
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_b"), 6).as("mean_b"))
+    }),
+    // -------------------------------- training-data: selection & mixture
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup with the fixed literal IVF centroids (same ones as
+      // q_ann_ivf), so cell assignment + within-cell pruning is pure SQL
+      // on the oracle side; data-trained-centroid behavior is pinned by
+      // SimilaritySpec instead.
+      val emb = table(s, dir, "embeddings")
+      graft.similarity.Similarity.semDedup(emb, IvfOracleCentroids, 0.35)
+    }),
+    "q_decontam" -> ((s, dir) => {
+      // Benchmark decontamination with PLANTED contamination (the
+      // q_minhash_lsh pattern): the "benchmark" is the first 10 docs, the
+      // training set is everything else plus suffix-edited copies of the
+      // benchmark — those copies share nearly all their 8-grams with the
+      // benchmark and must flag; natural 8-gram collisions in the
+      // synthetic corpus are ~zero (31-word vocabulary, random order).
+      // md5 hash mode so the oracle replays the gram hashes bit-for-bit.
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 10)
+      val planted = bench
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" qq")))
+      val train = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted.select(col("doc_id"), col("text")))
+      graft.dedup.Dedup.ngramContamination(train, bench, "text", "doc_id",
+        n = 8, hashMode = "md5")
+    }),
+    "q_bm25" -> ((s, dir) => {
+      // 'dup' is the corpus's one rare term (26 occurrences vs ~900 for
+      // every other vocabulary word), so the ranking exercises the idf
+      // spread, not just length normalization.
+      val docs = table(s, dir, "documents")
+      graft.text.Bm25.bm25TopK(docs, Seq("dup", "spark", "vector"), k = 20)
+    }),
+    "q_stratified_sample" -> ((s, dir) => {
+      // Deterministic md5-hash mixture sampling by language; 'fr' is
+      // deliberately absent from the rate map to exercise defaultRate=0
+      // (dropped stratum). The oracle replays the identical uniforms.
+      val docs = table(s, dir, "documents")
+      graft.operators.Sampling.stratifiedSample(docs, "doc_id", "lang",
+          Map("en" -> 0.3, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.75),
+          defaultRate = 0.0, seed = 42L)
+        .select(col("doc_id"), col("lang"))
     })
   )
 
@@ -1302,6 +1347,112 @@ object SparkEntry {
     "q_sf2" -> sf2SizeOracle,
     // the distributed twin executes the SAME size-binning formula the
     // oracle states (quantile edges over distinct Δt), so it shares it
-    "q_sf2_size_relational" -> sf2SizeOracle
+    "q_sf2_size_relational" -> sf2SizeOracle,
+    "q_semdedup" -> semDedupOracle,
+    "q_decontam" -> decontamOracle,
+    "q_bm25" -> bm25Oracle,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |    / 9007199254740992.0
+        |  < (CASE lang WHEN 'en' THEN 0.3::DOUBLE WHEN 'de' THEN 0.5::DOUBLE
+        |      WHEN 'es' THEN 0.25::DOUBLE WHEN 'zh' THEN 0.75::DOUBLE
+        |      ELSE 0.0::DOUBLE END)""".stripMargin
   )
+
+  /** SemDeDup replayed in SQL: the identical literal-centroid cell
+    * assignment as [[annIvfOracle]] (same (d, i) struct-sort, same
+    * `c·c − 2·v·c` float ops), within-cell pairs at the same exact-float
+    * cosine threshold, greedy drop of every pair's higher id. */
+  private def semDedupOracle: String = {
+    def vecLit(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    val ranks = IvfOracleCentroids.zipWithIndex.map { case (cen, i) =>
+      val cc = cen.map(x => x * x).sum
+      s"{'d': ${cc.toString} - 2.0 * list_dot_product(v, ${vecLit(cen)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, v, list_sort($ranks)[1].i AS cell FROM e),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE (CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+       |    ELSE list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END) >= 0.35)
+       |SELECT c.vec_id, c.cell FROM cells c
+       |WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+  }
+
+  /** Decontamination replayed in SQL: same planted train/bench split as
+    * the Spark side, word 8-grams via the proven tokenization CTE, gram
+    * hashes as md5-derived UBIGINTs (same 64 bits as the signed md5Long
+    * — the hash-join pairs are identical either way). */
+  private def decontamOracle: String =
+    """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+      |train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' qq' FROM bench),
+      |tg AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 8 THEN []::VARCHAR[]
+      |      ELSE list_distinct([array_to_string(ts[i:i+7], ' ')
+      |        for i in range(1, len(ts) - 6)]) END AS gs
+      |  FROM (SELECT doc_id,
+      |      CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+      |        ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+      |    FROM train)),
+      |bg AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 16))::UBIGINT AS gh
+      |  FROM (SELECT unnest(
+      |      CASE WHEN len(ts) < 8 THEN []::VARCHAR[]
+      |        ELSE list_distinct([array_to_string(ts[i:i+7], ' ')
+      |          for i in range(1, len(ts) - 6)]) END) AS g
+      |    FROM (SELECT CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+      |        ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+      |      FROM bench))),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS n_hits
+      |  FROM (SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS gh
+      |        FROM (SELECT doc_id, unnest(gs) AS g FROM tg)) t
+      |  JOIN bg USING (gh) GROUP BY t.doc_id)
+      |SELECT g.doc_id, len(g.gs)::BIGINT AS n_grams,
+      |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+      |  coalesce(h.n_hits, 0) > 0 AS contaminated
+      |FROM tg g LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** BM25 replayed in SQL with the Spark expression tree's exact float-op
+    * order (every int operand cast to DOUBLE at the same point, literal
+    * arithmetic like `1.2 + 1.0` left to the engine so both sides do the
+    * identical IEEE op). Integer tf/df/dl/N are exact; the one
+    * order-dependent float — the per-doc weight sum — is rounded to 6
+    * decimals on BOTH sides before ranking, and rounded ties break on
+    * doc_id. */
+  private def bm25Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+      |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+      |  FROM documents),
+      |dl AS MATERIALIZED (SELECT doc_id, len(ts)::BIGINT AS dl, ts FROM tok),
+      |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, dl, t AS term, count(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM dl)
+      |  WHERE t IN ('dup', 'spark', 'vector')
+      |  GROUP BY doc_id, dl, t),
+      |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      |w AS (
+      |  SELECT tf.doc_id,
+      |    ln(((n_docs - df)::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |      * tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)
+      |      / (tf::DOUBLE + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+      |          + (0.75::DOUBLE * dl::DOUBLE) / avgdl)) AS weight
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+      |s AS (SELECT doc_id, round(sum(weight), 6) AS bm25 FROM w GROUP BY doc_id),
+      |r AS (SELECT doc_id, bm25,
+      |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      |  FROM s)
+      |SELECT doc_id, bm25, rank FROM r WHERE rank <= 20""".stripMargin
 }

@@ -285,6 +285,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with a benchmark/eval corpus (the published n-gram
+    * overlap protocol of GPT-3 appendix C / PaLM §9 — typically n≈13 for
+    * web text; pick n so natural collisions are rare). Returns one row
+    * per `train` document: (idCol, n_grams, n_hits, contaminated) where
+    * `n_hits` counts the document's DISTINCT n-grams that occur anywhere
+    * in `bench` and `contaminated = n_hits > 0`.
+    *
+    * Scale design (100 TB train / small bench): benchmark grams are
+    * hashed to 8-byte longs, deduplicated and BROADCAST — eval suites
+    * are MBs, so the broadcast is tiny and the train side is never
+    * shuffled by the join. The per-doc rollup's exchange is ~one row per
+    * document, not per gram: exploded grams of a row stay in its
+    * partition, so the partial count aggregate combines map-side.
+    * `hashMode` as in [[minhashLshPairs]] — xxhash64 default, md5 for a
+    * DuckDB-reproducible oracle. */
+  def ngramContamination(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      hashMode: String = graft.functions.HashExpressions.ModeXx)
+      : DataFrame = {
+    def h(c: Column): Column =
+      if (hashMode == graft.functions.HashExpressions.ModeMd5)
+        graft.functions.HashExpressions.md5Long(c)
+      else xxhash64(c)
+    val bg = bench
+      .select(explode(wordShingles(col(textCol), n)).as("__g"))
+      .select(h(col("__g")).as("__gh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val tg = train
+      .select(col(idCol), explode_outer(wordShingles(col(textCol), n))
+        .as("__g"))
+      // explode_outer emits a NULL gram for gram-less (short) docs so
+      // they still get a result row; the hash must stay NULL for them
+      // (xxhash64 would hash "no input" to a real value and count it)
+      .select(col(idCol),
+        when(col("__g").isNotNull, h(col("__g"))).as("__gh"))
+    tg.join(broadcast(bg), Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__gh")).as("n_grams"),
+        count(col("__hit")).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the document's token set: for each bit position,

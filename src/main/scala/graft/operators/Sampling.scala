@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixture construction:
+  * per-stratum (domain/language/source) keep-rates applied via a
+  * content-derived hash uniform, so the sample is reproducible across
+  * runs, engines and cluster layouts — no RNG state, no partition-order
+  * dependence, and the SAME rows are kept when the job reruns or the
+  * table is re-partitioned.
+  *
+  * Scale design (100 TB): the filter is a map-only scan — one md5 per
+  * row, no shuffle, no sort, full predicate/projection pushdown around
+  * it. Temperature-mixture rates derive from one tiny per-stratum count
+  * aggregate whose result (|strata| rows) rides along as a broadcast
+  * join.
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0, 1): the top 53 bits of an md5-derived
+    * 64-bit hash of (key, seed) — the same construction as the SF²
+    * Poisson-bootstrap uniforms (SF2Relational), so the DuckDB oracle
+    * replays it bit-for-bit with
+    * `(('0x' || substr(md5(...), 1, 16))::UBIGINT >> 11) / 2^53`. */
+  def hashUniform(key: Column, seed: Long): Column =
+    shiftrightunsigned(
+      graft.functions.HashExpressions.md5Long(
+        concat_ws("|", key, lit(seed))), 11).cast("double") /
+      lit(9007199254740992.0) // 2^53
+
+  /** Keep each row iff hashUniform(id) < rate(stratum). Strata absent
+    * from `rates` fall back to `defaultRate`. Exact-rate-1 strata keep
+    * every row (u < 1.0 always holds since u < 1 by construction). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === lit(stratum), lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol), seed) < rateCol)
+  }
+
+  /** Temperature-scaled mixture rates (the multilingual-sampling scheme of
+    * mBERT/XLM-R, p_s ∝ share_s^τ): given per-stratum row counts n_s,
+    * target sampled sizes m_s = F·N·(n_s^τ / Σ n_s'^τ) for overall target
+    * fraction F, returning keep-rates m_s/n_s capped at 1. τ = 1
+    * reproduces proportional sampling (every rate = F); τ < 1 upsamples
+    * small strata relative to large ones. Rates capped at 1 deliver
+    * fewer than F·N rows — rescale F upward if exact totals matter
+    * (documented, not hidden). The per-stratum counts are ONE aggregate
+    * over the table; the returned map is |strata|-sized driver metadata,
+    * like IVF centroids. */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+      temperature: Double, targetFraction: Double): Map[String, Double] = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+    val powSum = counts.map { case (_, n) =>
+      math.pow(n.toDouble, temperature) }.sum
+    val total = counts.map(_._2).sum.toDouble
+    counts.map { case (s, n) =>
+      val m = targetFraction * total *
+        math.pow(n.toDouble, temperature) / powSum
+      s -> math.min(1.0, m / n.toDouble)
+    }.toMap
+  }
+}

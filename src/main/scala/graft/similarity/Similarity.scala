@@ -80,6 +80,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — published method):
+    * semantic deduplication by cluster-then-prune. Every embedding is
+    * assigned to its nearest centroid (map-only scan, centroids as
+    * literals), candidate pairs are generated only WITHIN a cell, and of
+    * every pair with cosine ≥ threshold the higher-id member is dropped.
+    * Returns the KEPT rows as (idCol, cell).
+    *
+    * Scale design: the quadratic pair step is bounded per cell (~N/k rows
+    * each) instead of N², the same blocking that makes [[nearDupPairs]]
+    * feasible — with k centroids the join does k cell-local expansions
+    * that AQE can skew-split independently. Dropping is the greedy
+    * one-anti-join (all `id_b` of verified pairs), the same documented
+    * approximation of connected-components as
+    * [[graft.dedup.Dedup.dropNearDuplicates]]; pipe [[semDedupPairs]]
+    * into [[graft.dedup.Dedup.connectedComponents]] for the exact
+    * keep-one-per-component variant. */
+  def semDedup(df: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      cellId(col(vecCol), centroids).as("cell"))
+    val dropped = semDedupPairs(df, centroids, threshold, idCol, vecCol)
+      .select(col("id_b").as("id")).distinct()
+    cells.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
+  /** The within-cell duplicate pairs SemDeDup prunes on: (id_a, id_b,
+    * cosine) with id_a < id_b, both in the same IVF cell, cosine ≥
+    * threshold. Cross-cell near-duplicates are invisible by design — the
+    * published method accepts that miss in exchange for the k× blocking
+    * (recall vs the unblocked [[nearDupPairs]] is pinned in
+    * SimilaritySpec). */
+  def semDedupPairs(df: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    nearDupPairs(df, threshold, cellId(col(vecCol), centroids),
+      idCol, vecCol)
+
   // ------------------------------------------------ LSH (random hyperplane)
 
   /** Deterministic pseudo-random hyperplanes (standard normal components

@@ -1,0 +1,90 @@
+package graft.text
+
+import graft.text.TextAnalysis._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document table (Robertson & Zaragoza 2009,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond"): the standard
+  * lexical relevance score for corpus search and training-data selection
+  * (e.g. retrieving pre-training documents relevant to a target domain).
+  *
+  * Everything is relational — tokenize, explode, filter to the query's
+  * terms, aggregate — so Catalyst keeps the whole pipeline in native
+  * expressions with no UDFs.
+  *
+  * Scale design (100 TB): the explode is filtered to the query terms
+  * BEFORE any aggregation, so only matching (doc, term) rows survive the
+  * scan stage — the corpus itself is never shuffled in full. Document
+  * frequencies and the corpus constants (N, avgdl) are tiny aggregates
+  * joined back by broadcast. Top-k is `orderBy(...).limit(k)`, which
+  * Spark plans as TakeOrderedAndProject — per-partition bounded heaps,
+  * no global sort.
+  */
+object Bm25 {
+
+  /** Per-(doc, term) BM25 term weights for `terms`, before summation:
+    * (id, term, tf, dl, df, n_docs, avgdl, weight). Exposed for tests and
+    * for callers composing multi-query scoring. */
+  def termWeights(docs: DataFrame, terms: Seq[String],
+      textCol: String, idCol: String,
+      k1: Double, b: Double): DataFrame = {
+    // one scan computes both the per-doc token stream and the per-doc
+    // length; the corpus constants reuse the same dl values
+    val toks = docs.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__ts"))
+    val dls = toks.select(col("id"), size(col("__ts")).as("dl"),
+      col("__ts"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = dls
+      .select(col("id"), col("dl"), explode(col("__ts")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df(term) = #docs containing it — tf already has one row per
+    // (doc, term), so a count per term is exact
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("weight",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+  }
+
+  /** Top-k documents for a bag-of-words query, scored with BM25
+    * (k1 = 1.2, b = 0.75 defaults — the standard Robertson parameters).
+    * Returns (idCol, bm25, rank), rank 1-based, ties broken by ascending
+    * id for determinism. Documents matching no query term score 0 and are
+    * not returned.
+    *
+    * Scores are rounded to `scoreScale` decimals BEFORE ranking (negative
+    * disables): the per-doc score is a float sum whose accumulation order
+    * differs across partitionings and engines, so ranking raw doubles
+    * would let sub-ulp noise flip the order of near-tied documents
+    * between otherwise-identical runs. Rounded ties break on id. */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75,
+      scoreScale: Int = 6): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val terms = query.map(_.toLowerCase).distinct
+    val scored = termWeights(docs, terms, textCol, idCol, k1, b)
+      .groupBy(col("id"))
+      .agg(sum(col("weight")).as("__raw"))
+      .withColumn("bm25",
+        if (scoreScale >= 0) round(col("__raw"), scoreScale)
+        else col("__raw"))
+    // TakeOrderedAndProject keeps the global sort off the plan; the rank
+    // window then runs over ≤ k rows — trivially single-partition
+    scored.orderBy(col("bm25").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("id").asc)).cast("int"))
+      .select(col("id").as(idCol), col("bm25"), col("rank"))
+  }
+}

@@ -254,4 +254,51 @@ class DedupSpec extends SparkSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "span merge must never use a global window")
   }
+
+  test("ngramContamination flags planted benchmark copies, nothing else") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bench = docs.filter(col("doc_id") < 5)
+    val planted = bench
+      .withColumn("doc_id", col("doc_id") + 1000)
+      .withColumn("text", concat(col("text"), lit(" zz")))
+    val train = docs.filter(col("doc_id") >= 5).unionByName(planted)
+    val res = Dedup.ngramContamination(train, bench, "text", "doc_id",
+      n = 8)
+    assert(res.count() === train.count()) // every train doc reported
+    val flagged = res.filter(col("contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the planted suffix-edited copies share all interior 8-grams and
+    // MUST flag; the fixture also contains its own planted near-dups of
+    // doc 0 (e.g. 50, 82), so the full flag set is checked against an
+    // independent string-level ground truth (array_intersect on the gram
+    // STRINGS — no hashing, different code path than the operator)
+    assert(Set(1000L, 1001L, 1002L, 1003L, 1004L).subsetOf(flagged))
+    val truth = train.select(col("doc_id"),
+        TextAnalysis.wordShingles(col("text"), 8).as("tg"))
+      .crossJoin(bench.select(
+        TextAnalysis.wordShingles(col("text"), 8).as("bg")))
+      .filter(size(array_intersect(col("tg"), col("bg"))) > 0)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === truth)
+    val hit = res.filter(col("doc_id") === 1000L).collect().head
+    assert(hit.getLong(2) > 0 && hit.getLong(2) <= hit.getLong(1))
+
+    // short documents (< n tokens) still get a row: 0 grams, clean
+    val shorty = train.limit(0).unionByName(
+      docs.filter(col("doc_id") === 5)
+        .withColumn("text", lit("too short for grams")))
+    val sres = Dedup.ngramContamination(shorty, bench, "text", "doc_id",
+      n = 8).collect()
+    assert(sres.length === 1)
+    assert(sres.head.getLong(1) === 0 && !sres.head.getBoolean(3))
+
+    // xx and md5 hash modes agree on flags and counts
+    val md5Res = Dedup.ngramContamination(train, bench, "text", "doc_id",
+        n = 8, hashMode = graft.functions.HashExpressions.ModeMd5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val xxRes = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(md5Res === xxRes)
+  }
 }

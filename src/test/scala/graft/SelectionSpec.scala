@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Sampling
+import graft.text.Bm25
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data selection: BM25 retrieval and deterministic mixture
+  * sampling. */
+class SelectionSpec extends SparkSuite {
+
+  lazy val docs: DataFrame =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("bm25: hand-computed score on a 3-doc corpus") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry cherry")).toDF("doc_id", "text")
+    // N=3, df(apple)=1, dl(doc1)=3, avgdl=3.0 — the Robertson formula by
+    // hand, in the same float-op order the operator states
+    val idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val expected = idf * 2 * (1.2 + 1.0) /
+      (2 + 1.2 * ((1.0 - 0.75) + (0.75 * 3.0) / 3.0))
+    val res = Bm25.bm25TopK(tiny, Seq("apple"), k = 5, scoreScale = -1)
+      .collect()
+    assert(res.length === 1) // only doc 1 matches
+    assert(res.head.getLong(0) === 1L)
+    assert(math.abs(res.head.getDouble(1) - expected) < 1e-12)
+    assert(res.head.getInt(2) === 1)
+  }
+
+  test("bm25: longer documents score lower at equal tf (b > 0)") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "apple pad"),
+      (2L, "apple pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val res = Bm25.bm25TopK(tiny, Seq("apple"), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(res(1L) === 1 && res(2L) === 2)
+  }
+
+  test("bm25 on the corpus: k bound, contiguous ranks, determinism") {
+    val res = Bm25.bm25TopK(docs, Seq("dup", "spark", "vector"), k = 10)
+    val rows = res.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+    assert(rows.forall(_.getDouble(1) > 0))
+    val again = Bm25.bm25TopK(docs.repartition(7),
+      Seq("dup", "spark", "vector"), k = 10).collect()
+    assert(again.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .toSet ===
+      rows.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet)
+  }
+
+  test("stratifiedSample: scoped, deterministic, roughly at rate") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.0)
+    val langs = sampled.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en"))) // absent strata dropped entirely
+    val nEn = docs.filter(col("lang") === "en").count()
+    val n = sampled.count()
+    // binomial(nEn, 0.5): loose 4σ-ish bounds, no flakiness at n≈25
+    assert(n > nEn * 0.15 && n < nEn * 0.85, s"kept $n of $nEn")
+
+    // same ids regardless of physical layout or recomputation
+    val ids = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(docs.repartition(7), "doc_id",
+        "lang", Map("en" -> 0.5), defaultRate = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ids2)
+
+    // different seed → different (deterministic) subset
+    val ids3 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.5), defaultRate = 0.0, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3 !== ids)
+  }
+
+  test("temperatureRates: τ=1 proportional; τ<1 upsamples small strata") {
+    val r1 = Sampling.temperatureRates(docs, "lang", 1.0, 0.5)
+    assert(r1.values.forall(v => math.abs(v - 0.5) < 1e-9))
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = counts.minBy(_._2)._1
+    val largest = counts.maxBy(_._2)._1
+    val rt = Sampling.temperatureRates(docs, "lang", 0.5, 0.5)
+    assert(rt(smallest) > rt(largest),
+      s"τ=0.5 must favor $smallest over $largest: $rt")
+    assert(rt.values.forall(v => v > 0 && v <= 1.0))
+  }
+}

@@ -201,4 +201,28 @@ class SimilaritySpec extends SparkSuite {
     assert(rrRecall >= 0.5, s"re-ranked recall@10 $rrRecall")
     assert(rrRecall > meanRecall, "re-rank must improve on raw ADC")
   }
+
+  test("semDedup: kept = all minus greedy-dropped; pairs ⊆ unblocked") {
+    val centroids = Similarity.trainCentroids(emb, k = 8, dim = 64)
+    val pairs = Similarity.semDedupPairs(emb, centroids, 0.35)
+    val dropped = pairs.select("id_b").collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semDedup(emb, centroids, 0.35)
+      .collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- dropped)
+
+    // blocking soundness: within-cell pairs are a subset of the
+    // unblocked all-pairs set at the same threshold
+    val blocked = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.nearDupPairs(emb, 0.35, lit(1))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(full))
+
+    // deterministic under physical re-layout
+    val kept2 = Similarity.semDedup(emb.repartition(7), centroids, 0.35)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 === kept)
+  }
 }
