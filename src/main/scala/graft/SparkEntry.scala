@@ -512,6 +512,34 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       graft.text.Bm25.bm25TopK(docs, Seq("dup", "spark", "vector"), k = 20)
     }),
+    "q_pii" -> ((s, dir) => {
+      // PII detect + redact over planted emails/phones/IPs (the corpus
+      // itself is digit-free, so every match is a plant and the expected
+      // counts follow from doc_id arithmetic). Counts are computed on the
+      // raw text, redaction applies the shared pattern list in order.
+      val docs = table(s, dir, "documents")
+      val planted = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" user"), col("doc_id"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" +1 (555) 010-"),
+          (col("doc_id") % 10).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(lit(""))))
+      val counts = graft.text.TextAnalysis.piiCounts(col("text"))
+        .map { case (n, c) => c.as(n) }
+      planted.select(col("doc_id") +: counts :+
+        graft.text.TextAnalysis.redactPii(col("text")).as("redacted"): _*)
+    }),
+    "q_packing" -> ((s, dir) => {
+      // Concat-and-chunk sequence packing into 256-token windows over 16
+      // shards — all-integer output, so the oracle is an exact cumsum
+      // window replay.
+      val docs = table(s, dir, "documents")
+      graft.operators.Packing.packConcat(docs, "doc_id",
+        graft.text.TextAnalysis.wsTokenCount(col("text")),
+        capacity = 256L, shards = 16)
+    }),
     "q_stratified_sample" -> ((s, dir) => {
       // Deterministic md5-hash mixture sampling by language; 'fr' is
       // deliberately absent from the rate map to exercise defaultRate=0
@@ -1351,6 +1379,24 @@ object SparkEntry {
     "q_semdedup" -> semDedupOracle,
     "q_decontam" -> decontamOracle,
     "q_bm25" -> bm25Oracle,
+    "q_pii" -> piiOracle,
+    "q_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 16 AS shard,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  (cum - n_tokens)::BIGINT AS tok_start,
+        |  ((cum - n_tokens) // 256)::BIGINT AS seq_first,
+        |  (CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
+        |    ELSE (cum - 1) // 256 END)::BIGINT AS seq_last,
+        |  ((cum - n_tokens) % 256)::BIGINT AS offset_in_seq
+        |FROM c""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
@@ -1421,6 +1467,34 @@ object SparkEntry {
       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
       |  coalesce(h.n_hits, 0) > 0 AS contaminated
       |FROM tg g LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** PII replayed in SQL: the SAME pattern strings (TextAnalysis
+    * .PiiPatterns is the single source for both engines), counts via
+    * regexp_extract_all on the raw planted text, redaction as the same
+    * ordered regexp_replace chain (DuckDB needs the explicit 'g' flag
+    * for Spark's replace-all default). */
+  private def piiOracle: String = {
+    val pats = graft.text.TextAnalysis.PiiPatterns
+    val countCols = pats.map { case (n, p) =>
+      s"len(regexp_extract_all(text2, '$p'))::BIGINT AS n_$n"
+    }.mkString(",\n       |  ")
+    val redacted = pats.foldLeft("text2") { case (acc, (_, p)) =>
+      s"regexp_replace($acc, '$p', '<PII>', 'g')"
+    }
+    s"""WITH p AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |      THEN ' user' || doc_id || '@mail.example.com' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0
+       |      THEN ' +1 (555) 010-' || (doc_id % 10) ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0
+       |      THEN ' 10.0.' || (doc_id % 256) || '.7' ELSE '' END) AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $countCols,
+       |  $redacted AS redacted
+       |FROM p""".stripMargin
+  }
 
   /** BM25 replayed in SQL with the Spark expression tree's exact float-op
     * order (every int operand cast to DOUBLE at the same point, literal

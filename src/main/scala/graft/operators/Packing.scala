@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-batch construction: place variable-length
+  * documents into fixed-capacity token windows ("sequences") so training
+  * steps waste as little padding as possible.
+  *
+  * Two published strategies:
+  *  - [[packConcat]] — GPT-style concat-and-chunk: documents are laid out
+  *    back-to-back in a deterministic order and the token stream is cut
+  *    every `capacity` tokens; documents may straddle a cut. Zero padding
+  *    by construction.
+  *  - [[packNextFit]] — no-split next-fit: a document that would overflow
+  *    the current sequence starts a new one (documents are never split —
+  *    the "fewer truncations" family of packing schemes). Fill ratio is
+  *    traded for document integrity.
+  *
+  * Scale design (100 TB): both operators shard the corpus by
+  * `pmod(id, shards)` and do ALL sequential work per shard — the cumsum
+  * window and the next-fit scan are partitioned by shard, so no task ever
+  * sees more than ~N/shards rows and no global sort or single-partition
+  * window exists in either plan. Pick `shards` ≈ a few × total cores;
+  * sequence addresses are (shard, seq-within-shard) pairs so shards never
+  * coordinate.
+  */
+object Packing {
+
+  /** Concat-and-chunk packing. Returns one row per document:
+    * (idCol, shard, n_tokens, tok_start, seq_first, seq_last,
+    * offset_in_seq) where `tok_start` is the document's offset in its
+    * shard's concatenated token stream, `seq_first`/`seq_last` the
+    * 0-based indices of the sequences it lands in (equal unless it
+    * straddles a cut), and `offset_in_seq` its offset inside
+    * `seq_first`. Deterministic: layout order is ascending id within a
+    * shard. `tokenCol` is any integer token-count expression (e.g.
+    * [[graft.text.TextAnalysis.wsTokenCount]] or `bpeTokenCount` of the
+    * text column). */
+  def packConcat(df: DataFrame, idCol: String, tokenCol: Column,
+      capacity: Long, shards: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be > 0, got $capacity")
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // integral `div`, not double division: a shard's token stream can
+    // pass 2^53 at real scale, where double division silently rounds
+    df.select(col(idCol), pmod(col(idCol), lit(shards)).as("shard"),
+        tokenCol.cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("tok_start", col("__cum") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"tok_start div ${capacity}L"))
+      // an empty document "lands" where it starts; the straddle formula
+      // (cum−1) would look at the previous token and go negative at
+      // cum=0, where integer-div semantics diverge across engines
+      .withColumn("seq_last",
+        when(col("n_tokens") === 0, col("seq_first"))
+          .otherwise(expr(s"(__cum - 1) div ${capacity}L")))
+      .withColumn("offset_in_seq", col("tok_start") % capacity)
+      .select(col(idCol), col("shard"), col("n_tokens"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("offset_in_seq"))
+  }
+
+  /** No-split next-fit packing: within each shard, documents are visited
+    * in ascending id order and appended to the current sequence unless
+    * they would push it past `capacity`, in which case a new sequence
+    * starts. A single document longer than `capacity` gets a sequence of
+    * its own (callers should filter or truncate upstream). Returns
+    * (idCol, shard, n_tokens, seq_id, offset_in_seq).
+    *
+    * The per-shard scan is a genuine sequential recurrence (each
+    * placement depends on the running fill), so it runs as imperative
+    * per-group code — `groupByKey(shard).flatMapGroups` with an in-group
+    * sort, the same bounded-by-group pattern as the batch science engine.
+    * Next-fit's classical guarantee: at most 2× the optimal number of
+    * bins, i.e. fill ratio > 50% whenever all documents fit capacity. */
+  def packNextFit(df: DataFrame, idCol: String, tokenCol: Column,
+      capacity: Long, shards: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be > 0, got $capacity")
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(idCol).cast("long"),
+        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        tokenCol.cast("long").as("n_tokens"))
+      .as[(Long, Int, Long)]
+    keyed.groupByKey(_._2)
+      .flatMapGroups { (shard, rows) =>
+        // group = one shard (~N/shards docs); sort once, scan once
+        val sorted = rows.toArray.sortBy(_._1)
+        var seq = 0L; var fill = 0L
+        sorted.iterator.map { case (id, _, n) =>
+          if (fill > 0 && fill + n > capacity) { seq += 1; fill = 0L }
+          val off = fill
+          fill += n
+          (id, shard, n, seq, off)
+        }
+      }
+      .toDF(idCol, "shard", "n_tokens", "seq_id", "offset_in_seq")
+  }
+
+  /** Packing efficiency rollup per shard: sequences used, tokens packed,
+    * fill ratio = tokens / (sequences × capacity). For [[packConcat]]
+    * output pass `seqCol = "seq_last"`; for [[packNextFit]],
+    * `seqCol = "seq_id"`. */
+  def packingStats(packed: DataFrame, capacity: Long,
+      seqCol: String): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg((max(col(seqCol)) + 1).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill_ratio",
+        col("n_tokens").cast("double") / (col("n_seqs") * capacity))
+}

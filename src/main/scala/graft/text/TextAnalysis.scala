@@ -166,6 +166,34 @@ object TextAnalysis {
     (lenScore + alpha + punct + mwlScore) / 4.0
   }
 
+  /** PII detection patterns, shared VERBATIM by the Spark expressions and
+    * the DuckDB oracle SQL (single source → the two regex engines must
+    * agree; the patterns deliberately use only portable constructs —
+    * char classes and counted repetition, no backrefs or lookaround,
+    * which RE2-family engines reject). Order matters for [[redactPii]]:
+    * patterns apply top-down. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+[0-9][0-9()\\- ]{6,}[0-9]",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}")
+
+  /** Per-pattern PII match counts as columns `n_<name>`, computed on the
+    * raw text (before any redaction). One regex scan per pattern —
+    * map-only, codegen'd. */
+  def piiCounts(c: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, pat) =>
+      s"n_$name" -> size(regexp_extract_all(c, lit(pat), lit(0)))
+        .cast("long")
+    }
+
+  /** Redact every PII match with `replacement`, patterns applied in
+    * [[PiiPatterns]] order (email first so the ipv4 pattern can't eat a
+    * dotted mail host first). Linear regexp_replace chain — map-only. */
+  def redactPii(c: Column, replacement: String = "<PII>"): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat)) =>
+      regexp_replace(acc, pat, replacement)
+    }
+
   /** Distinct character n-grams (shingles) of the normalized text. */
   def charShingles(c: Column, n: Int): Column =
     bind(normalizeText(c)) { norm =>

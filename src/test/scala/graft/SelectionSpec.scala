@@ -79,6 +79,73 @@ class SelectionSpec extends SparkSuite {
     assert(ids3 !== ids)
   }
 
+  test("packConcat: contiguous zero-waste layout, straddles marked") {
+    import graft.operators.Packing
+    val packed = Packing.packConcat(docs, "doc_id",
+      graft.text.TextAnalysis.wsTokenCount(col("text")),
+      capacity = 64L, shards = 4)
+    val rows = packed.collect()
+    assert(rows.length === docs.count())
+    // within a shard, documents tile the token stream exactly:
+    // tok_start(next) = tok_start(prev) + n_tokens(prev), starting at 0
+    rows.groupBy(_.getLong(1)).foreach { case (_, shardRows) =>
+      val byId = shardRows.sortBy(_.getLong(0))
+      var expect = 0L
+      byId.foreach { r =>
+        assert(r.getLong(3) === expect, s"gap at doc ${r.getLong(0)}")
+        expect += r.getLong(2)
+      }
+    }
+    // straddle iff the document crosses a 64-token cut
+    rows.foreach { r =>
+      val (n, start, sf, sl, off) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))
+      assert(off === start % 64)
+      assert(sf === start / 64)
+      if (n > 0) assert(sl === (start + n - 1) / 64) else assert(sl === sf)
+    }
+    // the window must stay partitioned by shard (no global sort task)
+    val windows = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "packing cumsum must never use a global window")
+  }
+
+  test("packNextFit: capacity respected, no splits, next-fit fill bound") {
+    import graft.operators.Packing
+    val cap = 64L
+    val packed = Packing.packNextFit(docs, "doc_id",
+      graft.text.TextAnalysis.wsTokenCount(col("text")),
+      capacity = cap, shards = 4).collect()
+    assert(packed.length === docs.count())
+    val byShardSeq = packed.groupBy(r => (r.getInt(1), r.getLong(3)))
+    byShardSeq.foreach { case ((shard, seq), members) =>
+      val total = members.map(_.getLong(2)).sum
+      // a sequence only exceeds capacity when a single doc does
+      if (members.length > 1)
+        assert(total <= cap, s"shard $shard seq $seq holds $total")
+      // members tile the sequence contiguously from offset 0
+      val sorted = members.sortBy(_.getLong(4))
+      var expect = 0L
+      sorted.foreach { m =>
+        assert(m.getLong(4) === expect); expect += m.getLong(2)
+      }
+    }
+    // next-fit guarantee: > 50% fill when every doc fits capacity
+    val maxDoc = packed.map(_.getLong(2)).max
+    if (maxDoc <= cap) {
+      val stats = Packing.packingStats(
+        Packing.packNextFit(docs, "doc_id",
+          graft.text.TextAnalysis.wsTokenCount(col("text")), cap, 4),
+        cap, "seq_id").collect()
+      stats.foreach { s =>
+        assert(s.getDouble(3) > 0.5,
+          s"shard ${s.get(0)} fill ${s.getDouble(3)}")
+      }
+    }
+  }
+
   test("temperatureRates: τ=1 proportional; τ<1 upsamples small strata") {
     val r1 = Sampling.temperatureRates(docs, "lang", 1.0, 0.5)
     assert(r1.values.forall(v => math.abs(v - 0.5) < 1e-9))

@@ -286,4 +286,33 @@ class TextMultimodalSpec extends SparkSuite {
     assert(Multimodal.sampleVideoFrames(bad).count() === 0L)
     assert(Multimodal.decodeVideo(bad).collect()(0).getBoolean(2) === false)
   }
+
+  test("PII: counts and ordered redaction on crafted strings") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "write to alice.b+tag@sub.example.org today"),
+      (2L, "call +44 (0)20 7946-0958 now"),
+      (3L, "server at 192.168.0.1 responded"),
+      (4L, "alice@ex.com and bob@ex.com, from 10.0.0.2 dial +1 555 010 99"),
+      (5L, "no personal data in this sentence at all")
+    ).toDF("doc_id", "text")
+    val counts = piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val got = rows.select(col("doc_id") +: counts :+
+        redactPii(col("text")).as("red"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L)._1 === 1 && got(1L)._2 === 0 && got(1L)._3 === 0)
+    assert(got(2L)._2 === 1)
+    assert(got(3L)._3 === 1)
+    assert(got(4L) === ((2, 1, 1,
+      "<PII> and <PII>, from <PII> dial <PII>")))
+    assert(got(5L) === ((0, 0, 0,
+      "no personal data in this sentence at all")))
+    // redaction is idempotent: a redacted text has no remaining matches
+    val re = rows.select(redactPii(col("text")).as("t"))
+    val again = re.select(piiCounts(col("t"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(again.forall(r => r.getLong(0) + r.getLong(1) + r.getLong(2) == 0))
+  }
 }
