@@ -512,6 +512,21 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       graft.text.Bm25.bm25TopK(docs, Seq("dup", "spark", "vector"), k = 20)
     }),
+    "q_curation" -> ((s, dir) => {
+      // The END-TO-END pipeline: redact → quality/lang gate → exact
+      // dedup → decontaminate vs the doc_id<10 "benchmark" (which also
+      // removes the benchmark docs themselves from the corpus) →
+      // stratified mixture sample by PREDICTED language → pack into
+      // 256-token sequences. Every stage replayed by the oracle.
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 10)
+      graft.operators.Curation.curate(docs, bench,
+        minQuality = 0.4, allowedLangs = Seq("en", "de", "es", "fr"),
+        decontamN = 8,
+        rates = Map("en" -> 0.4, "de" -> 0.8, "es" -> 0.6, "fr" -> 0.9),
+        defaultRate = 0.0, capacity = 256L, shards = 8,
+        hashMode = "md5")
+    }),
     "q_pii" -> ((s, dir) => {
       // PII detect + redact over planted emails/phones/IPs (the corpus
       // itself is digit-free, so every match is a plant and the expected
@@ -1380,6 +1395,7 @@ object SparkEntry {
     "q_decontam" -> decontamOracle,
     "q_bm25" -> bm25Oracle,
     "q_pii" -> piiOracle,
+    "q_curation" -> curationOracle,
     "q_packing" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 16 AS shard,
@@ -1494,6 +1510,107 @@ object SparkEntry {
        |  $countCols,
        |  $redacted AS redacted
        |FROM p""".stripMargin
+  }
+
+  /** The six-stage curation pipeline replayed in SQL: the same redaction
+    * chain (identity on this digit-free corpus, applied anyway for plan
+    * parity), the q_quality_langid scoring formulas UNROUNDED for the
+    * gate, min-id exact dedup, the q_decontam gram join on the deduped
+    * survivors, the q_stratified_sample uniforms keyed on predicted
+    * language, and the q_packing cumsum on what remains. */
+  private def curationOracle: String = {
+    val redact = graft.text.TextAnalysis.PiiPatterns
+      .foldLeft("text") { case (acc, (_, p)) =>
+        s"regexp_replace($acc, '$p', '<PII>', 'g')"
+      }
+    s"""WITH base AS (
+       |  SELECT doc_id, $redact AS t2 FROM documents),
+       |d AS (
+       |  SELECT doc_id, t2,
+       |    CASE WHEN len(trim(t2)) = 0 THEN []::VARCHAR[]
+       |      ELSE string_split_regex(trim(lower(t2)), '\\s+') END AS toks
+       |  FROM base),
+       |s AS (
+       |  SELECT doc_id, t2, toks,
+       |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
+       |    len(list_filter(toks, t -> list_contains(['the','a','and','is','of','to','in','that'], t))) AS s_en,
+       |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','es','en','un'], t))) AS s_es,
+       |    len(list_filter(toks, t -> list_contains(['le','la','de','et','est','un','une','que'], t))) AS s_fr,
+       |    len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','you','zai','ta'], t))) AS s_zh,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE END AS mwl,
+       |    least(len(t2) / 200.0, 1.0) AS len_score,
+       |    CASE WHEN len(t2) = 0 THEN 0.0
+       |      ELSE len(regexp_extract_all(t2, '[A-Za-z]')) / len(t2)::DOUBLE END AS alpha,
+       |    greatest(0.0, 1.0 - (CASE WHEN len(t2) = 0 THEN 0.0
+       |      ELSE len(regexp_extract_all(t2, '[!-/:-@[-`{-~]')) / len(t2)::DOUBLE END) * 4.0) AS punct
+       |  FROM d),
+       |gated AS (
+       |  SELECT doc_id, t2, toks,
+       |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+       |      ELSE CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+       |        WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+       |        WHEN s_fr THEN 'fr' ELSE 'zh' END END AS lang_pred
+       |  FROM s
+       |  WHERE (len_score + alpha + punct +
+       |      CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0
+       |        ELSE greatest(0.0, 1.0 - abs(mwl - 6.5) / 10.0) END) / 4.0
+       |      >= 0.4
+       |    AND (CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+       |      ELSE CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+       |        WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+       |        WHEN s_fr THEN 'fr' ELSE 'zh' END END)
+       |      IN ('en', 'de', 'es', 'fr')),
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM gated
+       |  GROUP BY md5(trim(regexp_replace(lower(t2), '\\s+', ' ', 'g')))),
+       |deduped AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+       |tg AS (
+       |  SELECT doc_id, t2, toks, lang_pred,
+       |    CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+       |      ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+       |        for i in range(1, len(toks) - 6)]) END AS gs
+       |  FROM deduped),
+       |bg AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 16))::UBIGINT AS gh
+       |  FROM (SELECT unnest(
+       |      CASE WHEN len(ts) < 8 THEN []::VARCHAR[]
+       |        ELSE list_distinct([array_to_string(ts[i:i+7], ' ')
+       |          for i in range(1, len(ts) - 6)]) END) AS g
+       |    FROM (SELECT CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |        ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+       |      FROM documents WHERE doc_id < 10))),
+       |flagged AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS gh
+       |        FROM (SELECT doc_id, unnest(gs) AS g FROM tg)) t
+       |  JOIN bg USING (gh)),
+       |sampled AS (
+       |  SELECT doc_id, t2, toks, lang_pred FROM tg
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+       |    AND (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+       |        / 9007199254740992.0
+       |      < (CASE lang_pred WHEN 'en' THEN 0.4::DOUBLE
+       |          WHEN 'de' THEN 0.8::DOUBLE WHEN 'es' THEN 0.6::DOUBLE
+       |          WHEN 'fr' THEN 0.9::DOUBLE ELSE 0.0::DOUBLE END)),
+       |toks2 AS (
+       |  SELECT doc_id, doc_id % 8 AS shard, lang_pred,
+       |    (CASE WHEN len(trim(t2)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(t2), '\\s+')) END)::BIGINT
+       |      AS n_tokens
+       |  FROM sampled),
+       |c AS (SELECT doc_id, shard, lang_pred, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM toks2)
+       |SELECT doc_id, shard, n_tokens,
+       |  (cum - n_tokens)::BIGINT AS tok_start,
+       |  ((cum - n_tokens) // 256)::BIGINT AS seq_first,
+       |  (CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
+       |    ELSE (cum - 1) // 256 END)::BIGINT AS seq_last,
+       |  ((cum - n_tokens) % 256)::BIGINT AS offset_in_seq,
+       |  lang_pred
+       |FROM c""".stripMargin
   }
 
   /** BM25 replayed in SQL with the Spark expression tree's exact float-op

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed pipeline a training-data
+  * builder actually runs, wiring the individual operators in the
+  * canonical order. One call takes a raw document table to a packed
+  * training manifest:
+  *
+  *  1. PII redaction (map-only) — FIRST, so documents differing only in
+  *     redacted spans deduplicate together downstream.
+  *  2. Quality + language gate (map-only) — cheapest filters drop rows
+  *     before anything that shuffles.
+  *  3. Exact dedup (one shuffle on a 16-byte fingerprint).
+  *  4. Benchmark decontamination (broadcast gram join, drop flagged) —
+  *     near-dups of benchmark docs fall out here too, since they share
+  *     n-grams.
+  *  5. Deterministic stratified sampling by predicted language — AFTER
+  *     cleaning, so the rates shape the final mixture, not the raw one.
+  *  6. Concat-and-chunk sequence packing → (shard, sequence, offset)
+  *     manifest.
+  *
+  * Near-duplicate (MinHash/SimHash/SemDeDup) stages are deliberately not
+  * inlined — they carry their own tuning and cost profiles; run
+  * [[graft.dedup.Dedup.dropNearDuplicates]] or
+  * [[graft.similarity.Similarity.semDedup]] between steps 3 and 4 when
+  * needed (q_dedup_pipeline/q_dedup_cc pin those compositions).
+  *
+  * Scale design: steps 1, 2 and 5 are zero-shuffle scans; step 3 is the
+  * minimal-key groupBy; step 4 never shuffles the corpus side; step 6
+  * shuffles once on the shard key. Nothing in the plan materializes more
+  * than ~1 row per surviving document past the scan stage. */
+object Curation {
+
+  /** Returns the packed manifest: (idCol, shard, n_tokens, tok_start,
+    * seq_first, seq_last, offset_in_seq, lang_pred). Deterministic end
+    * to end — reruns and repartitions produce the identical manifest. */
+  def curate(docs: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.4,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr"),
+      decontamN: Int = 8,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0, seed: Long = 42L,
+      capacity: Long = 256L, shards: Int = 8,
+      hashMode: String = graft.functions.HashExpressions.ModeXx)
+      : DataFrame = {
+    val redacted = docs.withColumn(textCol,
+      TextAnalysis.redactPii(col(textCol)))
+    val gated = redacted
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        col("lang_pred").isin(allowedLangs: _*))
+    val deduped = Dedup.dropExactDuplicates(gated, textCol, idCol)
+    val flagged = Dedup.ngramContamination(deduped, bench, textCol, idCol,
+        decontamN, hashMode)
+      .filter(col("contaminated")).select(col(idCol))
+    val clean = deduped.join(flagged, Seq(idCol), "left_anti")
+    val sampled =
+      if (rates.isEmpty && defaultRate >= 1.0) clean
+      else Sampling.stratifiedSample(clean, idCol, "lang_pred", rates,
+        defaultRate, seed)
+    Packing.packConcat(sampled, idCol,
+      TextAnalysis.wsTokenCount(col(textCol)), capacity, shards,
+      carry = Seq("lang_pred"))
+  }
+}

@@ -39,14 +39,15 @@ object Packing {
     * [[graft.text.TextAnalysis.wsTokenCount]] or `bpeTokenCount` of the
     * text column). */
   def packConcat(df: DataFrame, idCol: String, tokenCol: Column,
-      capacity: Long, shards: Int): DataFrame = {
+      capacity: Long, shards: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(capacity > 0, s"capacity must be > 0, got $capacity")
     require(shards > 0, s"shards must be > 0, got $shards")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     // integral `div`, not double division: a shard's token stream can
     // pass 2^53 at real scale, where double division silently rounds
-    df.select(col(idCol), pmod(col(idCol), lit(shards)).as("shard"),
-        tokenCol.cast("long").as("n_tokens"))
+    df.select(col(idCol) +: pmod(col(idCol), lit(shards)).as("shard") +:
+        tokenCol.cast("long").as("n_tokens") +: carry.map(col): _*)
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("tok_start", col("__cum") - col("n_tokens"))
       .withColumn("seq_first", expr(s"tok_start div ${capacity}L"))
@@ -57,8 +58,9 @@ object Packing {
         when(col("n_tokens") === 0, col("seq_first"))
           .otherwise(expr(s"(__cum - 1) div ${capacity}L")))
       .withColumn("offset_in_seq", col("tok_start") % capacity)
-      .select(col(idCol), col("shard"), col("n_tokens"), col("tok_start"),
-        col("seq_first"), col("seq_last"), col("offset_in_seq"))
+      .select(col(idCol) +: col("shard") +: col("n_tokens") +:
+        col("tok_start") +: col("seq_first") +: col("seq_last") +:
+        col("offset_in_seq") +: carry.map(col): _*)
   }
 
   /** No-split next-fit packing: within each shard, documents are visited

@@ -146,6 +146,54 @@ class SelectionSpec extends SparkSuite {
     }
   }
 
+  test("curate: end-to-end manifest honors every stage's contract") {
+    import graft.operators.Curation
+    import graft.text.TextAnalysis
+    val bench = docs.filter(col("doc_id") < 5)
+    val manifest = Curation.curate(docs, bench,
+      rates = Map("en" -> 0.8, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8),
+      defaultRate = 0.0, capacity = 64L, shards = 4)
+    val rows = manifest.collect()
+    assert(rows.nonEmpty)
+    val outIds = rows.map(_.getLong(0)).toSet
+    // benchmark docs never survive (they contaminate themselves)
+    assert(outIds.intersect((0L until 5L).toSet).isEmpty)
+    // near-copies of bench doc 0 (fixture plants 50, 82) fall out too
+    assert(!outIds.contains(50L) && !outIds.contains(82L))
+    // only allowed predicted languages in the manifest
+    val langs = rows.map(_.getString(7)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr")))
+    // survivors still tile their shards contiguously (packing contract
+    // holds on the FILTERED id stream, not the original one)
+    rows.groupBy(_.getLong(1)).foreach { case (_, shardRows) =>
+      var expect = 0L
+      shardRows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) === expect); expect += r.getLong(2)
+      }
+    }
+    // deterministic end to end
+    val again = Curation.curate(docs.repartition(7), bench,
+      rates = Map("en" -> 0.8, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8),
+      defaultRate = 0.0, capacity = 64L, shards = 4).collect()
+    assert(again.map(_.getLong(0)).toSet === outIds)
+    // exact duplicates deduplicate even when they differ only in PII:
+    // same doc text with two different planted emails → one survivor
+    val twin = docs.filter(col("doc_id") === 100)
+      .withColumn("doc_id", lit(9000L))
+      .withColumn("text", concat(col("text"), lit(" a@x.com")))
+    val twin2 = docs.filter(col("doc_id") === 100)
+      .withColumn("doc_id", lit(9001L))
+      .withColumn("text", concat(col("text"), lit(" b@y.org")))
+    val out2 = Curation.curate(
+        docs.unionByName(twin).unionByName(twin2), bench,
+        defaultRate = 1.0, capacity = 64L, shards = 4)
+      .collect().map(_.getLong(0)).toSet
+    // doc 100 survives as the min id of the {100, 9000, 9001} group iff
+    // it passes the gates; the twins never co-survive
+    assert(!(out2.contains(9000L) && out2.contains(9001L)))
+    assert(!out2.contains(9001L))
+  }
+
   test("temperatureRates: τ=1 proportional; τ<1 upsamples small strata") {
     val r1 = Sampling.temperatureRates(docs, "lang", 1.0, 0.5)
     assert(r1.values.forall(v => math.abs(v - 0.5) < 1e-9))
