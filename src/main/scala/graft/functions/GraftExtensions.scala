@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, ConcatWs, Divide, Expression, ExpressionInfo, Literal, RegExpReplace, ShiftRightUnsigned}
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** SparkSessionExtensions installer exposing graft's native expressions to
   * the SQL surface (`spark.sql("SELECT graft_cosine(a, b) ...")`), so the
@@ -51,5 +52,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_text_stats",
         "graft_text_stats(text) - one-pass char-class statistics struct"),
       (args: Seq[Expression]) => TextStatsExpression.TextStats(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_md5long"),
+      info("graft_md5long",
+        "graft_md5long(text) - md5-derived 64-bit hash (oracle-stable)"),
+      (args: Seq[Expression]) => HashExpressions.Md5Long(args(0))))
+    // Composed functions are hand-built as RESOLVED catalyst trees: the
+    // Column→Expression bridge yields unresolved function nodes that the
+    // SQL path never re-analyzes (internal codegen error), so the trees
+    // the Scala API produces are restated op-for-op here and pinned equal
+    // by SqlExtensionsSpec.
+    ext.injectFunction((FunctionIdentifier("graft_hash_uniform"),
+      info("graft_hash_uniform",
+        "graft_hash_uniform(key, seed) - deterministic uniform in [0,1) " +
+          "from an md5-derived hash; the mixture-sampling primitive"),
+      (args: Seq[Expression]) => {
+        val seed = longLit(args(1), "seed")
+        val keyed = ConcatWs(Seq(Literal("|"),
+          Cast(args(0), StringType), Literal(seed.toString)))
+        Divide(
+          Cast(ShiftRightUnsigned(HashExpressions.Md5Long(keyed),
+            Literal(11)), DoubleType),
+          Literal(9007199254740992.0)) // 2^53
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_redact_pii"),
+      info("graft_redact_pii",
+        "graft_redact_pii(text) - redact emails/phones/IPv4s " +
+          "(TextAnalysis.PiiPatterns, applied in order)"),
+      (args: Seq[Expression]) =>
+        graft.text.TextAnalysis.PiiPatterns.foldLeft(args(0)) {
+          case (acc, (_, pat)) =>
+            RegExpReplace(acc, Literal(pat), Literal("<PII>"))
+        }))
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

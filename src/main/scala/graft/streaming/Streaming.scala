@@ -70,6 +70,38 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming corpus-curation gate: the STATELESS stages of
+    * [[graft.operators.Curation.curate]] — PII redaction, quality +
+    * language gate, deterministic mixture sampling — applied to a
+    * document stream. Pure map-only transforms, so no watermark, no
+    * state store, any output mode; chain [[streamingExactDedup]] after
+    * it for the stateful dedup stage (decontamination/packing stay
+    * batch: they need the full benchmark/shard view). The hash-uniform
+    * sampling keys on content-stable ids, so replays and reprocessing
+    * keep the identical subset — exactly-once selection without state. */
+  def streamingCurationGate(src: DataFrame, textCol: String,
+      idCol: String, minQuality: Double = 0.4,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr"),
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0, seed: Long = 42L): DataFrame = {
+    import graft.text.TextAnalysis
+    val redacted = src.withColumn(textCol,
+      TextAnalysis.redactPii(col(textCol)))
+    val gated = redacted
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        col("lang_pred").isin(allowedLangs: _*))
+    if (rates.isEmpty && defaultRate >= 1.0) gated
+    else {
+      val rateCol = rates.foldLeft(lit(defaultRate)) {
+        case (acc, (stratum, r)) =>
+          when(col("lang_pred") === lit(stratum), lit(r)).otherwise(acc)
+      }
+      gated.filter(
+        graft.operators.Sampling.hashUniform(col(idCol), seed) < rateCol)
+    }
+  }
+
   /** Per-(id, band) running state: Welford's online mean/variance. */
   case class LcState(n: Long, mean: Double, m2: Double)
 

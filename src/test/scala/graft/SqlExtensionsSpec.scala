@@ -20,6 +20,25 @@ class SqlExtensionsSpec extends SparkSuite {
     assert(r.getInt(5) === 2)
   }
 
+  test("selection/curation functions are callable from spark.sql") {
+    val r = spark.sql(
+      """SELECT graft_md5long('abc') AS h,
+        |  graft_hash_uniform('7', 42) AS u,
+        |  graft_redact_pii('mail a@b.co now') AS red""".stripMargin)
+      .collect()(0)
+    // pinned md5-derived value (first 8 md5 bytes of 'abc', big-endian)
+    assert(r.getLong(0) === java.lang.Long.parseUnsignedLong(
+      "900150983cd24fb0", 16))
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0)
+    assert(r.getString(2) === "mail <PII> now")
+    // the SQL uniform replays the Scala API's value exactly
+    import org.apache.spark.sql.functions.lit
+    val apiU = spark.range(1)
+      .select(graft.operators.Sampling.hashUniform(lit("7"), 42L))
+      .collect()(0).getDouble(0)
+    assert(r.getDouble(1) === apiU)
+  }
+
   test("non-literal int parameter is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array(1L), cast(rand()*4 as int))")

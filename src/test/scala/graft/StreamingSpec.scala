@@ -64,6 +64,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gate: redact + gate + sample, stateless") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val good = "the quick brown fox jumps over the lazy dog and runs on " +
+      "through the field to the river and that is the whole story of it"
+    val gated = Streaming.streamingCurationGate(mem.toDF(), "text",
+      "doc_id", minQuality = 0.4, rates = Map.empty, defaultRate = 1.0)
+    val q = gated.writeStream.format("memory").queryName("curation")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, h: Int, t: String) =
+        Doc(id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), t)
+      mem.addData(
+        doc(1, 0, good + " mail me at fox@den.example.org"),
+        doc(2, 1, "!!! ??? ### $$$ %%%"), // punctuation-bombed: gated out
+        doc(3, 2, good))
+      q.processAllAvailable()
+      val out = spark.table("curation").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(out.keySet === Set(1L, 3L))
+      // PII was redacted in-flight and the language was tagged
+      assert(out(1L).endsWith("mail me at <PII>"))
+      val langs = spark.table("curation").collect()
+        .map(_.getString(3)).toSet
+      assert(langs === Set("en"))
+    } finally q.stop()
+  }
+
   test("running lightcurve stats: incremental mean/variance across batches") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
