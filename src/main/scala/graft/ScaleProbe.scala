@@ -20,6 +20,9 @@ object ScaleProbe {
     val spark = Spark.session()
     if (args.headOption.contains("dedup")) { dedupProbe(spark, n); return }
     if (args.headOption.contains("cc")) { ccProbe(spark, n); return }
+    if (args.headOption.contains("curation")) {
+      curationProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -94,6 +97,39 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE cc docs=${base * replicas} nodes=$nNodes " +
       f"components=$nComps pairs_stage=$tPairs%.1f s total=$secs%.1f s")
+    spark.stop()
+  }
+
+  /** End-to-end curation probe: replicate the sf0.1 corpus to ~n docs
+    * (exact-duplicate replicas — the dedup stage's worst case, every base
+    * doc becomes a group of `replicas`) and run the full
+    * Curation.curate pipeline in production (xx) hash mode. The pipeline
+    * has no quadratic stage, so wall time should track corpus size
+    * linearly. Usage:
+    *   SPARK_GRAFT_PROBE_N=100000 sbt "runMain graft.ScaleProbe curation"
+    */
+  private def curationProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.count()
+    val replicas = math.max(1, (n / base).toInt)
+    // exact replicas: text unchanged, ids offset — dedup must collapse
+    // every group back to one survivor
+    val corpus = docs.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        col("text"))
+    val bench = docs.filter(col("doc_id") < 10)
+    val t0 = System.nanoTime()
+    val manifest = graft.operators.Curation.curate(corpus, bench,
+      rates = Map("en" -> 0.6, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.9),
+      defaultRate = 0.0, capacity = 2048L, shards = 64)
+    val survivors = manifest.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_PROBE curation docs=${base * replicas} " +
+      f"survivors=$survivors $secs%.1f s")
     spark.stop()
   }
 }
