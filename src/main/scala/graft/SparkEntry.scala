@@ -505,6 +505,22 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContamination(train, bench, "text", "doc_id",
         n = 8, hashMode = "md5")
     }),
+    "q_decontam_bloom" -> ((s, dir) => {
+      // Same planted contamination as q_decontam through the
+      // Bloom-prefilter plan: probe-then-verify must produce the
+      // IDENTICAL result (the exact join strips false positives), so the
+      // two queries share one oracle and differ only in plan shape.
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 10)
+      val planted = bench
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" qq")))
+      val train = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted.select(col("doc_id"), col("text")))
+      graft.dedup.Dedup.ngramContaminationBloom(train, bench, "text",
+        "doc_id", n = 8, hashMode = "md5")
+    }),
     "q_bm25" -> ((s, dir) => {
       // 'dup' is the corpus's one rare term (26 occurrences vs ~900 for
       // every other vocabulary word), so the ranking exercises the idf
@@ -1393,6 +1409,8 @@ object SparkEntry {
     "q_sf2_size_relational" -> sf2SizeOracle,
     "q_semdedup" -> semDedupOracle,
     "q_decontam" -> decontamOracle,
+    // identical result through the Bloom-prefilter plan — shared oracle
+    "q_decontam_bloom" -> decontamOracle,
     "q_bm25" -> bm25Oracle,
     "q_pii" -> piiOracle,
     "q_curation" -> curationOracle,

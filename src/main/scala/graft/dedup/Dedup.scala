@@ -330,6 +330,51 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** [[ngramContamination]] for benchmark sets too large to broadcast as
+    * exact hashes: bench grams build a Bloom filter (~1.2 bytes/gram at
+    * 1% fpp vs 8 for the hash set), the train side pre-filters with a
+    * map-only membership probe, and only the surviving ~(true hits +
+    * fpp·grams) rows pay the exact verification join. Output is
+    * IDENTICAL to [[ngramContamination]] — the exact join removes every
+    * false positive — so the two share one oracle; only the plan shape
+    * differs.
+    *
+    * Scale shape (100 TB train, large bench): the probe keeps the
+    * shuffled volume at |true contamination| + fpp·|train grams| instead
+    * of |train grams|; `fpp` trades filter bytes for that residual.
+    * Building the filter runs two planning-time bench-side jobs (count
+    * for sizing + the filter aggregate) — bench is the small side by
+    * assumption. */
+  def ngramContaminationBloom(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      hashMode: String = graft.functions.HashExpressions.ModeXx,
+      fpp: Double = 0.01, expectedGrams: Long = 0L): DataFrame = {
+    def h(c: Column): Column =
+      if (hashMode == graft.functions.HashExpressions.ModeMd5)
+        graft.functions.HashExpressions.md5Long(c)
+      else xxhash64(c)
+    val bg = bench
+      .select(explode(wordShingles(col(textCol), n)).as("__g"))
+      .select(h(col("__g")).as("__gh")).distinct()
+    val m = bg.count()
+    val expected = if (expectedGrams > 0) expectedGrams else math.max(m, 1)
+    val bf = bg.stat.bloomFilter("__gh", expected, fpp)
+    val grams = train.select(col(idCol),
+      wordShingles(col(textCol), n).as("__gs"))
+    val perDoc = grams.select(col(idCol),
+      coalesce(size(col("__gs")).cast("long"), lit(0L)).as("n_grams"))
+    val cand = grams.select(col(idCol), explode(col("__gs")).as("__g"))
+      .select(col(idCol), h(col("__g")).as("__gh"))
+      .filter(graft.functions.BloomExpressions
+        .mightContainLong(col("__gh"), bf))
+    val hits = cand.join(bg, Seq("__gh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    perDoc.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the document's token set: for each bit position,

@@ -300,5 +300,17 @@ class DedupSpec extends SparkSuite {
     val xxRes = res.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(md5Res === xxRes)
+
+    // the Bloom-prefilter plan returns the IDENTICAL result — even when
+    // the filter is deliberately undersized so false positives flood the
+    // probe, the exact verify join strips every one of them
+    val bloomRes = Dedup.ngramContaminationBloom(train, bench, "text",
+        "doc_id", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomRes === xxRes)
+    val floodRes = Dedup.ngramContaminationBloom(train, bench, "text",
+        "doc_id", n = 8, fpp = 0.5, expectedGrams = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(floodRes === xxRes)
   }
 }
