@@ -345,20 +345,41 @@ object Dedup {
     * Building the filter runs two planning-time bench-side jobs (count
     * for sizing + the filter aggregate) — bench is the small side by
     * assumption. */
+  /** The gram hash of `hashMode` — shared by the contamination ops. */
+  private def gramHash(c: Column, hashMode: String): Column =
+    if (hashMode == graft.functions.HashExpressions.ModeMd5)
+      graft.functions.HashExpressions.md5Long(c)
+    else xxhash64(c)
+
+  /** Distinct benchmark gram hashes (the contamination reference set). */
+  def benchGramHashes(bench: DataFrame, textCol: String, n: Int,
+      hashMode: String): DataFrame =
+    bench.select(explode(wordShingles(col(textCol), n)).as("__g"))
+      .select(gramHash(col("__g"), hashMode).as("__gh")).distinct()
+
+  /** Driver-built Bloom filter over the benchmark gram hashes — the
+    * shippable membership sketch for [[ngramContaminationBloom]] and the
+    * streaming contamination flag. Runs two bench-side jobs (count for
+    * sizing unless `expectedGrams` is given, then the filter
+    * aggregate). */
+  def buildBenchGramBloom(bench: DataFrame, textCol: String, n: Int = 8,
+      hashMode: String = graft.functions.HashExpressions.ModeXx,
+      fpp: Double = 0.01, expectedGrams: Long = 0L)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val bg = benchGramHashes(bench, textCol, n, hashMode)
+    val expected =
+      if (expectedGrams > 0) expectedGrams else math.max(bg.count(), 1)
+    bg.stat.bloomFilter("__gh", expected, fpp)
+  }
+
   def ngramContaminationBloom(train: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int = 8,
       hashMode: String = graft.functions.HashExpressions.ModeXx,
       fpp: Double = 0.01, expectedGrams: Long = 0L): DataFrame = {
-    def h(c: Column): Column =
-      if (hashMode == graft.functions.HashExpressions.ModeMd5)
-        graft.functions.HashExpressions.md5Long(c)
-      else xxhash64(c)
-    val bg = bench
-      .select(explode(wordShingles(col(textCol), n)).as("__g"))
-      .select(h(col("__g")).as("__gh")).distinct()
-    val m = bg.count()
-    val expected = if (expectedGrams > 0) expectedGrams else math.max(m, 1)
-    val bf = bg.stat.bloomFilter("__gh", expected, fpp)
+    def h(c: Column): Column = gramHash(c, hashMode)
+    val bg = benchGramHashes(bench, textCol, n, hashMode)
+    val bf = buildBenchGramBloom(bench, textCol, n, hashMode, fpp,
+      expectedGrams)
     val grams = train.select(col(idCol),
       wordShingles(col(textCol), n).as("__gs"))
     val perDoc = grams.select(col(idCol),

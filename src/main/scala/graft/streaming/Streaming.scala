@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.ColumnMap
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -100,6 +100,31 @@ object Streaming {
       gated.filter(
         graft.operators.Sampling.hashUniform(col(idCol), seed) < rateCol)
     }
+  }
+
+  /** Streaming benchmark-contamination flag: mark stream documents that
+    * (probably) share a word n-gram with a fixed benchmark corpus, via
+    * the driver-built Bloom filter riding in the plan — a pure map-only
+    * stream transform, no state store, no stream-static join. The flag
+    * is one-sided: `false` is EXACT (no false negatives), `true` is
+    * approximate with per-doc error ≈ n_grams·fpp — route flagged docs
+    * to a side sink and confirm with the exact batch operator
+    * ([[graft.dedup.Dedup.ngramContamination]]), the standard
+    * probe-then-verify split. Build the filter once with
+    * [[graft.dedup.Dedup.buildBenchGramBloom]]. */
+  def streamingContaminationFlag(src: DataFrame,
+      bf: org.apache.spark.util.sketch.BloomFilter, textCol: String,
+      n: Int = 8,
+      hashMode: String = graft.functions.HashExpressions.ModeXx)
+      : DataFrame = {
+    val hash: Column => Column =
+      if (hashMode == graft.functions.HashExpressions.ModeMd5)
+        graft.functions.HashExpressions.md5Long(_)
+      else xxhash64(_)
+    src.withColumn("maybe_contaminated",
+      exists(graft.text.TextAnalysis.wordShingles(col(textCol), n),
+        g => graft.functions.BloomExpressions
+          .mightContainLong(hash(g), bf)))
   }
 
   /** Per-(id, band) running state: Welford's online mean/variance. */

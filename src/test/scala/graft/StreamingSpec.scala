@@ -93,6 +93,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination flag: bloom probe, no state, no misses") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bench = docs.filter(col("doc_id") < 5)
+    val bf = graft.dedup.Dedup.buildBenchGramBloom(bench, "text", n = 8,
+      fpp = 1e-4)
+    val benchText = bench.filter(col("doc_id") === 0)
+      .collect()(0).getString(1)
+    val mem = MemoryStream[Doc]
+    val flagged = Streaming.streamingContaminationFlag(mem.toDF(), bf,
+      "text", n = 8)
+    val q = flagged.writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, t: String) =
+        Doc(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t)
+      mem.addData(
+        doc(1, benchText + " tail edit"), // shares bench 8-grams: MUST flag
+        doc(2, "totally unrelated words nothing shared here at all"))
+      q.processAllAvailable()
+      val out = spark.table("contam").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(out(1L)) // no false negatives, ever
+      assert(!out(2L)) // short clean doc (<8 distinct grams hit nothing)
+    } finally q.stop()
+  }
+
   test("running lightcurve stats: incremental mean/variance across batches") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
