@@ -571,6 +571,14 @@ object SparkEntry {
         graft.text.TextAnalysis.wsTokenCount(col("text")),
         capacity = 256L, shards = 16)
     }),
+    "q_unigram_ce" -> ((s, dir) => {
+      // CCNet-shaped quality signal: per-doc cross-entropy against the
+      // corpus's own add-one-smoothed unigram distribution.
+      val docs = table(s, dir, "documents")
+      graft.text.Bm25.unigramCrossEntropy(docs)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("cross_entropy"), 6).as("cross_entropy"))
+    }),
     "q_stratified_sample" -> ((s, dir) => {
       // Deterministic md5-hash mixture sampling by language; 'fr' is
       // deliberately absent from the rate map to exercise defaultRate=0
@@ -1412,6 +1420,26 @@ object SparkEntry {
     // identical result through the Bloom-prefilter plan — shared oracle
     "q_decontam_bloom" -> decontamOracle,
     "q_bm25" -> bm25Oracle,
+    "q_unigram_ce" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |counts AS MATERIALIZED (
+        |  SELECT term, count(*)::BIGINT AS tc
+        |  FROM (SELECT unnest(ts) AS term FROM tok) GROUP BY term),
+        |stats AS (SELECT sum(tc)::BIGINT AS n_total,
+        |    count(*)::BIGINT AS vocab FROM counts),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((coalesce(c.tc, 0) + 1.0::DOUBLE) /
+        |      ((n_total + vocab)::DOUBLE)) AS logp
+        |  FROM (SELECT doc_id, unnest(ts) AS term FROM tok) t
+        |  LEFT JOIN counts c USING (term) CROSS JOIN stats)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(-avg(logp), 6) AS cross_entropy
+        |FROM s GROUP BY doc_id""".stripMargin,
     "q_pii" -> piiOracle,
     "q_curation" -> curationOracle,
     "q_packing" ->

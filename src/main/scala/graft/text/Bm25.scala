@@ -87,4 +87,43 @@ object Bm25 {
           .orderBy(col("bm25").desc, col("id").asc)).cast("int"))
       .select(col("id").as(idCol), col("bm25"), col("rank"))
   }
+
+  /** Corpus-relative unigram cross-entropy — the shape of the
+    * CCNet/KenLM perplexity quality filter (Wenzek et al. 2020) with a
+    * unigram model: token probabilities are add-one-smoothed corpus
+    * frequencies, P(t) = (count(t)+1)/(N+V), and a document scores the
+    * negative mean log-probability of its tokens (its per-token
+    * cross-entropy against the corpus — LOW = typical text, HIGH =
+    * out-of-distribution/garbled; filter on quantiles of this column).
+    * `model` defaults to `docs` (score the corpus against itself); pass
+    * a reference corpus to score one distribution against another.
+    * Tokens unseen in the model get the smoothing floor 1/(N+V).
+    * Returns (idCol, n_tokens, cross_entropy).
+    *
+    * Scale design: the model is ONE aggregation over the model corpus
+    * (vocabulary-sized output — a dimension table); scoring joins each
+    * token against it (broadcast when small, AQE decides otherwise) and
+    * reduces per document with map-side partial averages — the scored
+    * corpus is shuffled only as ~1 row per document. */
+  def unigramCrossEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", model: DataFrame = null): DataFrame = {
+    val m = Option(model).getOrElse(docs)
+    val modelToks = m.select(explode(tokens(col(textCol))).as("term"))
+    val counts = modelToks.groupBy(col("term"))
+      .agg(count(lit(1)).as("tc"))
+    val stats = counts.agg(sum(col("tc")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    val scored = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .join(counts, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+          (col("n_total") + col("vocab"))).as("__logp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-avg(col("__logp"))).as("cross_entropy"))
+    scored.select(col("id").as(idCol), col("n_tokens"),
+      col("cross_entropy"))
+  }
 }
