@@ -486,6 +486,22 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       graft.similarity.Similarity.semDedup(emb, IvfOracleCentroids, 0.35)
     }),
+    "q_semdedup_cc" -> ((s, dir) => {
+      // CC-exact SemDeDup twin: same cells/pairs as q_semdedup, but the
+      // keep-set collapses each connected component to its min id (the
+      // greedy variant can drop a doc whose only duplicate was itself
+      // dropped). Oracle re-derives components by recursive closure.
+      val emb = table(s, dir, "embeddings")
+      graft.similarity.Similarity.semDedupCC(emb, IvfOracleCentroids, 0.35)
+    }),
+    "q_packing_nextfit" -> ((s, dir) => {
+      // No-split next-fit packing: the per-shard sequential recurrence is
+      // replayed exactly by a recursive-CTE fold in the oracle.
+      val docs = table(s, dir, "documents")
+      graft.operators.Packing.packNextFit(docs, "doc_id",
+        graft.text.TextAnalysis.wsTokenCount(col("text")),
+        capacity = 256L, shards = 16)
+    }),
     "q_decontam" -> ((s, dir) => {
       // Benchmark decontamination with PLANTED contamination (the
       // q_minhash_lsh pattern): the "benchmark" is the first 10 docs, the
@@ -1416,6 +1432,32 @@ object SparkEntry {
     // oracle states (quantile edges over distinct Δt), so it shares it
     "q_sf2_size_relational" -> sf2SizeOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_semdedup_cc" -> semDedupCcOracle,
+    "q_packing_nextfit" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 16 AS shard,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |      AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, shard, n_tokens, rn,
+        |    0::BIGINT AS seq_id, 0::BIGINT AS offset_in_seq,
+        |    n_tokens AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN st.fill > 0 AND st.fill + t.n_tokens > 256
+        |      THEN st.seq_id + 1 ELSE st.seq_id END,
+        |    CASE WHEN st.fill > 0 AND st.fill + t.n_tokens > 256
+        |      THEN 0::BIGINT ELSE st.fill END,
+        |    CASE WHEN st.fill > 0 AND st.fill + t.n_tokens > 256
+        |      THEN t.n_tokens ELSE st.fill + t.n_tokens END
+        |  FROM st JOIN t ON t.shard = st.shard AND t.rn = st.rn + 1)
+        |SELECT doc_id, shard, n_tokens, seq_id, offset_in_seq
+        |FROM st""".stripMargin,
     "q_decontam" -> decontamOracle,
     // identical result through the Bloom-prefilter plan — shared oracle
     "q_decontam_bloom" -> decontamOracle,
@@ -1490,6 +1532,38 @@ object SparkEntry {
        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END) >= 0.35)
        |SELECT c.vec_id, c.cell FROM cells c
        |WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+  }
+
+  /** CC-exact SemDeDup in SQL: the q_semdedup cells/pairs, components by
+    * recursive reachability closure (min reachable id labels the
+    * component, exactly the converged small/large-star fixpoint), keep
+    * rows whose id IS its component label. */
+  private def semDedupCcOracle: String = {
+    def vecLit(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    val ranks = IvfOracleCentroids.zipWithIndex.map { case (cen, i) =>
+      val cc = cen.map(x => x * x).sum
+      s"{'d': ${cc.toString} - 2.0 * list_dot_product(v, ${vecLit(cen)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, v, list_sort($ranks)[1].i AS cell FROM e),
+       |pr AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE (CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+       |    ELSE list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END) >= 0.35),
+       |nodes AS (SELECT id_a AS id FROM pr UNION SELECT id_b FROM pr),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+       |  UNION SELECT id_b, id_a FROM pr),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT c.vec_id, c.cell FROM cells c
+       |WHERE c.vec_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
   }
 
   /** Decontamination replayed in SQL: same planted train/bench split as

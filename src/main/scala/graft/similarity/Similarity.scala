@@ -107,6 +107,27 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  /** Exact keep-one-per-component SemDeDup: the within-cell duplicate
+    * pairs feed the alternating large/small-star connected-components
+    * labeling and only each component's minimum id survives — the
+    * CC-exact sibling of [[semDedup]]'s greedy anti-join, for when
+    * bridge-linked near-dup chains must collapse to exactly one
+    * representative (same greedy-vs-CC trade as
+    * [[graft.dedup.Dedup.dropNearDuplicatesCC]]). */
+  def semDedupCC(df: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = df.select(col(idCol).as("id"),
+      cellId(col(vecCol), centroids).as("cell"))
+    val drop = graft.dedup.Dedup
+      .connectedComponents(semDedupPairs(df, centroids, threshold, idCol,
+        vecCol))
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+    cells.join(drop, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   /** The within-cell duplicate pairs SemDeDup prunes on: (id_a, id_b,
     * cosine) with id_a < id_b, both in the same IVF cell, cosine ≥
     * threshold. Cross-cell near-duplicates are invisible by design — the

@@ -224,5 +224,21 @@ class SimilaritySpec extends SparkSuite {
     val kept2 = Similarity.semDedup(emb.repartition(7), centroids, 0.35)
       .collect().map(_.getLong(0)).toSet
     assert(kept2 === kept)
+
+    // CC-exact variant: keeps exactly one id (the minimum) per connected
+    // component — a subset of the greedy keep-set, never both ends of a
+    // duplicate pair, and sized |all| − |pair nodes| + |components|
+    val ccKept = Similarity.semDedupCC(emb, centroids, 0.35)
+      .collect().map(_.getLong(0)).toSet
+    assert(ccKept.subsetOf(kept))
+    val pairRows = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairRows.foreach { case (a, b) =>
+      assert(!(ccKept.contains(a) && ccKept.contains(b)), s"pair $a-$b")
+    }
+    val comps = graft.dedup.Dedup.connectedComponents(pairs)
+    val nNodes = comps.count()
+    val nComps = comps.select("component").distinct().count()
+    assert(ccKept.size === all.size - nNodes + nComps)
   }
 }
