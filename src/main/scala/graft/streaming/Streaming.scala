@@ -170,6 +170,55 @@ object Streaming {
       }(stateEnc, outEnc).toDF()
   }
 
+  /** Per-shard packer state: the open sequence's index and fill. */
+  case class PackState(seq: Long, fill: Long)
+
+  val packedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("shard", IntegerType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("seq_id", LongType, nullable = false),
+    StructField("offset_in_seq", LongType, nullable = false)))
+
+  /** Streaming no-split next-fit packing: documents arriving on a stream
+    * are assigned (shard, sequence, offset) addresses continuously — the
+    * streaming form of [[graft.operators.Packing.packNextFit]], with the
+    * per-shard open-sequence fill carried ACROSS micro-batches as
+    * `flatMapGroupsWithState` state (two longs per shard — O(shards)
+    * state total, not O(docs)). Within a batch documents pack in
+    * ascending id order; across batches, arrival order — a streaming
+    * packer is order-sensitive by nature, so addresses are deterministic
+    * per micro-batch sequence, not across replays with different
+    * batching. Use the batch operator when bit-identical manifests
+    * matter. */
+  def streamingNextFitPack(src: DataFrame, textCol: String,
+      idCol: String, capacity: Long, shards: Int): DataFrame = {
+    require(capacity > 0 && shards > 0)
+    val projected = src.select(col(idCol).cast("long").as("doc_id"),
+      pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+      graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long")
+        .as("n_tokens"))
+    val stateEnc = Encoders.product[PackState]
+    val outEnc = Encoders.row(packedSchema)
+    projected
+      .groupByKey(_.getInt(1))(Encoders.scalaInt)
+      .flatMapGroupsWithState[PackState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[Row], state: GroupState[PackState]) =>
+          var s = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = rows.toArray.sortBy(_.getLong(0)).map { r =>
+            val n = r.getLong(2)
+            if (s.fill > 0 && s.fill + n > capacity)
+              s = PackState(s.seq + 1, 0L)
+            val off = s.fill
+            s = PackState(s.seq, s.fill + n)
+            Row(r.getLong(0), shard, n, s.seq, off)
+          }
+          state.update(s)
+          out.iterator
+      }(stateEnc, outEnc).toDF()
+  }
+
   /** Continuous IVF index ingestion: assign each arriving embedding to
     * its coarse cell (a map-only literal-centroid expression — no state,
     * no shuffle) and append it to the same cell-partitioned parquet

@@ -121,6 +121,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming next-fit packing: fill state carries across batches") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    // single shard so the cross-batch fill is easy to assert; capacity 8
+    val packed = Streaming.streamingNextFitPack(mem.toDF(), "text",
+      "doc_id", capacity = 8L, shards = 1)
+    val q = packed.writeStream.format("memory").queryName("packed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, words: Int) =
+        Doc(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          Seq.fill(words)("w").mkString(" "))
+      mem.addData(doc(1, 5), doc(2, 2)) // seq 0: [5 @0, 2 @5] fill=7
+      q.processAllAvailable()
+      mem.addData(doc(3, 3), doc(4, 6)) // 3 overflows → seq 1: [3 @0];
+      q.processAllAvailable()           // 6 overflows → seq 2: [6 @0]
+      val got = spark.table("packed").collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(got === Map(
+        1L -> ((0L, 0L)), 2L -> ((0L, 5L)),
+        3L -> ((1L, 0L)), 4L -> ((2L, 0L))))
+    } finally q.stop()
+  }
+
   test("running lightcurve stats: incremental mean/variance across batches") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
