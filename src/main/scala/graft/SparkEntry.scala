@@ -591,7 +591,7 @@ object SparkEntry {
       // CCNet-shaped quality signal: per-doc cross-entropy against the
       // corpus's own add-one-smoothed unigram distribution.
       val docs = table(s, dir, "documents")
-      graft.text.Bm25.unigramCrossEntropy(docs)
+      graft.text.UnigramLm.crossEntropy(docs)
         .select(col("doc_id"), col("n_tokens"),
           round(col("cross_entropy"), 6).as("cross_entropy"))
     }),

@@ -88,12 +88,19 @@ object Bm25 {
       .select(col("id").as(idCol), col("bm25"), col("rank"))
   }
 
-  /** Corpus-relative unigram cross-entropy — the shape of the
-    * CCNet/KenLM perplexity quality filter (Wenzek et al. 2020) with a
-    * unigram model: token probabilities are add-one-smoothed corpus
-    * frequencies, P(t) = (count(t)+1)/(N+V), and a document scores the
-    * negative mean log-probability of its tokens (its per-token
-    * cross-entropy against the corpus — LOW = typical text, HIGH =
+}
+
+/** Corpus-relative unigram language-model scoring — the shape of the
+  * CCNet/KenLM perplexity quality filter (Wenzek et al. 2020) reduced
+  * to a unigram model, kept separate from [[Bm25]] because the two
+  * share nothing but tokenization. */
+object UnigramLm {
+  import TextAnalysis.tokens
+
+  /** Per-document cross-entropy against an add-one-smoothed unigram
+    * model: token probabilities are smoothed corpus frequencies,
+    * P(t) = (count(t)+1)/(N+V), and a document scores the negative mean
+    * log-probability of its tokens (LOW = typical text, HIGH =
     * out-of-distribution/garbled; filter on quantiles of this column).
     * `model` defaults to `docs` (score the corpus against itself); pass
     * a reference corpus to score one distribution against another.
@@ -105,7 +112,7 @@ object Bm25 {
     * token against it (broadcast when small, AQE decides otherwise) and
     * reduces per document with map-side partial averages — the scored
     * corpus is shuffled only as ~1 row per document. */
-  def unigramCrossEntropy(docs: DataFrame, textCol: String = "text",
+  def crossEntropy(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", model: DataFrame = null): DataFrame = {
     val m = Option(model).getOrElse(docs)
     val modelToks = m.select(explode(tokens(col(textCol))).as("term"))

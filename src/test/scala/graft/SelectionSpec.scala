@@ -61,7 +61,7 @@ class SelectionSpec extends SparkSuite {
       (2L, "a b")).toDF("doc_id", "text")
     // counts: a=4, b=1; N=5, V=2 → P(a)=(4+1)/7, P(b)=(1+1)/7
     val pa = math.log(5.0 / 7.0); val pb = math.log(2.0 / 7.0)
-    val got = graft.text.Bm25.unigramCrossEntropy(tiny)
+    val got = graft.text.UnigramLm.crossEntropy(tiny)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
     assert(got(1L)._1 === 3)
@@ -69,7 +69,7 @@ class SelectionSpec extends SparkSuite {
     assert(math.abs(got(2L)._2 - -(pa + pb) / 2.0) < 1e-12)
     // a doc full of model-unseen tokens scores the smoothing floor —
     // strictly worse (higher) than anything in-distribution
-    val ood = graft.text.Bm25.unigramCrossEntropy(
+    val ood = graft.text.UnigramLm.crossEntropy(
         Seq((9L, "zz qq ww")).toDF("doc_id", "text"), model = tiny)
       .collect()(0).getDouble(2)
     assert(ood > got(1L)._2 && ood > got(2L)._2)
