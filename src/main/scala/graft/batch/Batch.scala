@@ -84,7 +84,7 @@ object Batch {
       }(keyEnc)
       .flatMapGroups { (key: Row, it: Iterator[Row]) =>
         val rows = it.map(r => Row.fromSeq(dataIdx.map(r.get))).toVector
-        fn(rows).iterator.map(out => Row.merge(key, out))
+        fn(rows).iterator.map(out => Row.fromSeq(key.toSeq ++ out.toSeq))
       }(outEnc)
 
     val result =
@@ -121,7 +121,7 @@ object Batch {
     }
     val pivoted = long
       .groupBy(idKeys.map(col): _*)
-      .pivot(col(bandCol).cast("string"), bands)
+      .pivot(col(bandCol).cast("string"), bands.toSeq)
       .agg(aggs.head, aggs.tail: _*)
     // Spark names pivot outputs `<band>_<agg>` (or `<band>` for one agg);
     // normalize to the reference's `<col>_<band>`.

@@ -35,7 +35,7 @@ object Photometry {
         val bands = src.select(col(cm.band).cast("string")).distinct()
           .collect().map(_.getString(0)).sorted
         val pivoted = src.groupBy(col(cm.id))
-          .pivot(col(cm.band).cast("string"), bands)
+          .pivot(col(cm.band).cast("string"), bands.toSeq)
           .count().na.fill(0L, bands)
         val renamed = bands.foldLeft(pivoted) { (d, b) =>
           d.withColumnRenamed(b, s"nobs_$b")

@@ -156,7 +156,7 @@ object Similarity {
       seed: Long = 42L): Column = {
     val planes = hyperplanes(nPlanes, dim, seed)
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toSeq.map(lit): _*)
       when(dot(vec, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -248,7 +248,7 @@ object Similarity {
   private def centroidRank(vec: Column,
       centroids: Array[Array[Double]]): Seq[Column] =
     centroids.zipWithIndex.map { case (cen, i) =>
-      val cenLit = array(cen.map(lit): _*)
+      val cenLit = array(cen.toSeq.map(lit): _*)
       val cc = cen.map(x => x * x).sum
       struct((lit(cc) - lit(2.0) * dot(vec, cenLit)).as("d"),
         lit(i).as("i"))
@@ -325,7 +325,7 @@ object Similarity {
     array(codebooks.zipWithIndex.map { case (cb, j) =>
       val sv = slice(vec, j * sub + 1, sub)
       least(cb.zipWithIndex.map { case (cen, i) =>
-        val cenLit = array(cen.map(lit): _*)
+        val cenLit = array(cen.toSeq.map(lit): _*)
         val cc = cen.map(x => x * x).sum
         struct((lit(cc) - lit(2.0) * dot(sv, cenLit)).as("d"),
           lit(i).as("i"))
