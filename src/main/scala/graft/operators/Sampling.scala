@@ -42,6 +42,26 @@ object Sampling {
     df.filter(hashUniform(col(idCol), seed) < rateCol)
   }
 
+  /** Deterministic global shuffle for training-order randomization:
+    * orders the corpus by an md5-derived key of (id, seed) — a total
+    * order that is reproducible across reruns, engines and physical
+    * layouts, unlike `orderBy(rand())`. Planned as a range partition on
+    * the key + per-partition sort: no single-task stage, and writers
+    * preserve the global order across output files (partition i's rows
+    * all precede partition i+1's). Returns the rows with a
+    * `__shuffle_key` column so callers/tests can assert the order;
+    * drop it before writing if not wanted. Epoch reshuffles = new seed. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
+      numPartitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__shuffle_key",
+      hashUniform(col(idCol), seed))
+    val ranged =
+      if (numPartitions > 0)
+        keyed.repartitionByRange(numPartitions, col("__shuffle_key"))
+      else keyed.repartitionByRange(col("__shuffle_key"))
+    ranged.sortWithinPartitions(col("__shuffle_key"))
+  }
+
   /** Temperature-scaled mixture rates (the multilingual-sampling scheme of
     * mBERT/XLM-R, p_s ∝ share_s^τ): given per-stratum row counts n_s,
     * target sampled sizes m_s = F·N·(n_s^τ / Σ n_s'^τ) for overall target

@@ -216,6 +216,37 @@ class SelectionSpec extends SparkSuite {
     assert(!out2.contains(9001L))
   }
 
+  test("deterministicShuffle: total order, layout-stable, seed-sensitive") {
+    def order(df: DataFrame, seed: Long): Seq[Long] = {
+      val shuffled = Sampling.deterministicShuffle(df, "doc_id",
+        seed = seed, numPartitions = 4)
+      // global order = partition id, then within-partition position
+      shuffled.select(col("doc_id"), col("__shuffle_key"),
+          spark_partition_id().as("pid"))
+        .collect()
+        .sortBy(r => (r.getInt(2), r.getDouble(1)))
+        .map(_.getLong(0)).toSeq
+    }
+    val a = order(docs, 42L)
+    assert(a.toSet === docs.collect().map(_.getLong(0)).toSet)
+    assert(a !== a.sorted, "shuffle must not preserve id order")
+    // identical across physical layouts (rand() would differ)
+    assert(order(docs.repartition(7), 42L) === a)
+    // a new seed is a different permutation (the epoch reshuffle)
+    assert(order(docs, 7L) !== a)
+    // the range partitioning gives a true GLOBAL order: every key in
+    // partition i precedes every key in partition i+1
+    val parts = Sampling.deterministicShuffle(docs, "doc_id", 42L, 4)
+      .select(spark_partition_id().as("pid"), col("__shuffle_key"))
+      .collect().groupBy(_.getInt(0))
+      .view.mapValues(rs => rs.map(_.getDouble(1))).toMap
+    val pids = parts.keys.toSeq.sorted
+    pids.sliding(2).foreach {
+      case Seq(p, q) => assert(parts(p).max <= parts(q).min)
+      case _ =>
+    }
+  }
+
   test("temperatureRates: τ=1 proportional; τ<1 upsamples small strata") {
     val r1 = Sampling.temperatureRates(docs, "lang", 1.0, 0.5)
     assert(r1.values.forall(v => math.abs(v - 0.5) < 1e-9))
