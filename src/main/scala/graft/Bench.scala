@@ -49,7 +49,23 @@ object Bench {
     val med: Map[String, Double] = names.map { q => q -> median(runs.map(_(q))) }.toMap
     val qs = names.map { k => s"\"" + k + "\":" + med(k) }.mkString("{", ",", "}")
     val total = med.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"stat":"median"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"stat":"median"}"""
+    // stdout goes through sbt's [info] logger, which buries the line in
+    // Spark log noise (BENCH_r03/r04 recorded "parsed": null). Write the
+    // same line to a file the driver can read directly, and to the raw
+    // stdout FileDescriptor (bypasses sbt's stream capture).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    try {
+      val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      raw.write((json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      raw.flush()
+    } catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

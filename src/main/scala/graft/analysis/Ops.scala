@@ -12,6 +12,9 @@ import org.apache.spark.sql.types._
   */
 object Ops {
 
+  private[analysis] val log =
+    org.slf4j.LoggerFactory.getLogger("graft.analysis.Ops")
+
   /** Arbitrary per-group reducer over one column — the counterpart of
     * passing a plain numpy reducer to `batch`. For codegen-able reducers
     * prefer `source.groupBy(id).agg(...)`; this exists for custom Scala
@@ -68,12 +71,41 @@ object Ops {
       * weights, fixed full-set bin edges exactly like the reference,
       * median + quantile half-width across repetitions) that is
       * statistically the same estimator and is pinned by its own DuckDB
-      * oracle (q_sf2_bootstrap) and SF2RelationalSpec. */
+      * oracle (q_sf2_bootstrap) and SF2RelationalSpec.
+      *
+      * To stop that cost profile from surfacing as a bare executor OOM,
+      * a giant group + `estimateErr` request is REFUSED up front (one
+      * count aggregate, negligible next to the O(n²)·reps work the
+      * request implies) unless `allowGiantBootstrap = true`, which
+      * accepts the cost with a loud warning instead. */
     def sf2(
         args: sf.SFArgs = sf.SFArgs(),
         label: Option[String] = None,
-        giantThreshold: Long = 10000L
+        giantThreshold: Long = 10000L,
+        allowGiantBootstrap: Boolean = false
     ): DataFrame = {
+      if (args.estimateErr && giantThreshold > 0) {
+        val cm = ens.colMap
+        val giant =
+          if (args.combine) ens.source.count() > giantThreshold
+          else !ens.source.groupBy(col(cm.id), col(cm.band))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > giantThreshold)
+            .isEmpty
+        if (giant) {
+          val unit = if (args.combine) "combined ensemble" else "band"
+          val msg = s"sf2(estimateErr=true) on a $unit exceeding " +
+            s"$giantThreshold observations stays on the single-task " +
+            "reference-numerics batch path — O(n²)·repetitions pair " +
+            "triples in ONE task, a likely executor OOM. Scale path: " +
+            "ens.sf2Relational / SF2Relational.bootstrapped (distributed " +
+            "Poisson bootstrap, oracle-checked by q_sf2_bootstrap). Pass " +
+            "allowGiantBootstrap=true to accept the batch cost anyway."
+          if (!allowGiantBootstrap)
+            throw new IllegalArgumentException(msg)
+          Ops.log.warn(msg)
+        }
+      }
       val fn = StructureFunction2(args)
       val relationalArgsOk =
         !args.estimateErr && args.calculationRepetitions <= 1 &&

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact duplicate groups by normalized-text fingerprint: one row per
@@ -194,7 +196,9 @@ object Dedup {
     var n = e.count()
     var iter = 0
     var converged = n == 0
+    log.info(s"connectedComponents: start, $n distinct edges")
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nn = next.count()
       // both sides are distinct sets: equal size + containment ⇒ equal
@@ -202,6 +206,10 @@ object Dedup {
       e = next
       n = nn
       iter += 1
+      // one line per round: on a pathological 100 TB pair graph the
+      // driver log alone shows whether rounds are shrinking or thrashing
+      log.info(f"connectedComponents: round $iter%d, $nn%d edges, " +
+        f"converged=$converged%b, ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "rounds — pathological id ordering? raise maxIter")
@@ -342,9 +350,10 @@ object Dedup {
     * Scale shape (100 TB train, large bench): the probe keeps the
     * shuffled volume at |true contamination| + fpp·|train grams| instead
     * of |train grams|; `fpp` trades filter bytes for that residual.
-    * Building the filter runs two planning-time bench-side jobs (count
-    * for sizing + the filter aggregate) — bench is the small side by
-    * assumption. */
+    * The bench gram pipeline is evaluated ONCE (eager localCheckpoint)
+    * and its materialized hash set feeds the sizing count, the filter
+    * aggregate and the exact verify join — bench is the small side by
+    * assumption, so the checkpointed set is MBs. */
   /** The gram hash of `hashMode` — shared by the contamination ops. */
   private def gramHash(c: Column, hashMode: String): Column =
     if (hashMode == graft.functions.HashExpressions.ModeMd5)
@@ -365,11 +374,20 @@ object Dedup {
   def buildBenchGramBloom(bench: DataFrame, textCol: String, n: Int = 8,
       hashMode: String = graft.functions.HashExpressions.ModeXx,
       fpp: Double = 0.01, expectedGrams: Long = 0L)
+      : org.apache.spark.util.sketch.BloomFilter =
+    buildBloomFromGramHashes(
+      benchGramHashes(bench, textCol, n, hashMode), fpp, expectedGrams)
+
+  /** [[buildBenchGramBloom]] over an already-computed gram-hash frame —
+    * lets [[ngramContaminationBloom]] evaluate the bench gram pipeline
+    * once and feed both the filter build and the exact verify join. */
+  def buildBloomFromGramHashes(gramHashes: DataFrame, fpp: Double = 0.01,
+      expectedGrams: Long = 0L)
       : org.apache.spark.util.sketch.BloomFilter = {
-    val bg = benchGramHashes(bench, textCol, n, hashMode)
     val expected =
-      if (expectedGrams > 0) expectedGrams else math.max(bg.count(), 1)
-    bg.stat.bloomFilter("__gh", expected, fpp)
+      if (expectedGrams > 0) expectedGrams
+      else math.max(gramHashes.count(), 1)
+    gramHashes.stat.bloomFilter("__gh", expected, fpp)
   }
 
   def ngramContaminationBloom(train: DataFrame, bench: DataFrame,
@@ -377,9 +395,15 @@ object Dedup {
       hashMode: String = graft.functions.HashExpressions.ModeXx,
       fpp: Double = 0.01, expectedGrams: Long = 0L): DataFrame = {
     def h(c: Column): Column = gramHash(c, hashMode)
+    // localCheckpoint: the gram pipeline (tokenize → shingle → hash →
+    // distinct) feeds the sizing count, the filter aggregate AND the
+    // lazy verify join — eager-checkpointing it runs the pipeline ONCE
+    // and every consumer (including the caller's later action) reads the
+    // materialized blocks. Bench is the small side by assumption, so the
+    // checkpointed hash set is MBs.
     val bg = benchGramHashes(bench, textCol, n, hashMode)
-    val bf = buildBenchGramBloom(bench, textCol, n, hashMode, fpp,
-      expectedGrams)
+      .localCheckpoint(true)
+    val bf = buildBloomFromGramHashes(bg, fpp, expectedGrams)
     val grams = train.select(col(idCol),
       wordShingles(col(textCol), n).as("__gs"))
     val perDoc = grams.select(col(idCol),

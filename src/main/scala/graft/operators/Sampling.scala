@@ -29,15 +29,23 @@ object Sampling {
         concat_ws("|", key, lit(seed))), 11).cast("double") /
       lit(9007199254740992.0) // 2^53
 
+  /** Sentinel stratum for NULL values of the stratum column, so
+    * [[temperatureRates]] and [[stratifiedSample]] agree on where
+    * NULL-stratum rows land (a plain `===` match would silently send
+    * them to `defaultRate` while the rate map counted them). */
+  val NullStratum = "__null__"
+
   /** Keep each row iff hashUniform(id) < rate(stratum). Strata absent
-    * from `rates` fall back to `defaultRate`. Exact-rate-1 strata keep
-    * every row (u < 1.0 always holds since u < 1 by construction). */
+    * from `rates` fall back to `defaultRate`. NULL strata match the
+    * [[NullStratum]] sentinel key (the key [[temperatureRates]] emits
+    * for them). Exact-rate-1 strata keep every row (u < 1.0 always
+    * holds since u < 1 by construction). */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       seed: Long = 42L): DataFrame = {
+    val stratum = coalesce(col(stratumCol).cast("string"), lit(NullStratum))
     val rateCol = rates.foldLeft(lit(defaultRate)) {
-      case (acc, (stratum, r)) =>
-        when(col(stratumCol) === lit(stratum), lit(r)).otherwise(acc)
+      case (acc, (s, r)) => when(stratum === lit(s), lit(r)).otherwise(acc)
     }
     df.filter(hashUniform(col(idCol), seed) < rateCol)
   }
@@ -77,10 +85,15 @@ object Sampling {
     require(temperature > 0, s"temperature must be > 0, got $temperature")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0, 1], got $targetFraction")
-    val counts = df.groupBy(col(stratumCol))
+    // NULL strata are counted under the NullStratum sentinel (the raw
+    // r.get(0).toString would NPE, and stratifiedSample's === match
+    // could never send rows back to a null key anyway)
+    val counts = df
+      .groupBy(coalesce(col(stratumCol).cast("string"),
+        lit(NullStratum)).as("__s"))
       .agg(count(lit(1)).as("__n"))
       .collect()
-      .map(r => r.get(0).toString -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1))
     val powSum = counts.map { case (_, n) =>
       math.pow(n.toDouble, temperature) }.sum
     val total = counts.map(_._2).sum.toDouble

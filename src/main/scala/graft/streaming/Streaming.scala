@@ -121,10 +121,15 @@ object Streaming {
       if (hashMode == graft.functions.HashExpressions.ModeMd5)
         graft.functions.HashExpressions.md5Long(_)
       else xxhash64(_)
+    // coalesce: NULL text yields a NULL gram array and `exists` over it is
+    // NULL — but a gram-less document cannot be contaminated, and the
+    // one-sided contract above promises `false` is exact, so pin it false.
     src.withColumn("maybe_contaminated",
-      exists(graft.text.TextAnalysis.wordShingles(col(textCol), n),
-        g => graft.functions.BloomExpressions
-          .mightContainLong(hash(g), bf)))
+      coalesce(
+        exists(graft.text.TextAnalysis.wordShingles(col(textCol), n),
+          g => graft.functions.BloomExpressions
+            .mightContainLong(hash(g), bf)),
+        lit(false)))
   }
 
   /** Per-(id, band) running state: Welford's online mean/variance. */
@@ -173,8 +178,10 @@ object Streaming {
   /** Per-shard packer state: the open sequence's index and fill. */
   case class PackState(seq: Long, fill: Long)
 
-  val packedSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
+  /** Output schema of [[streamingNextFitPack]]; the id column carries the
+    * caller's `idCol` name, matching batch `Packing.packNextFit`. */
+  def packedSchema(idCol: String = "doc_id"): StructType = StructType(Seq(
+    StructField(idCol, LongType, nullable = false),
     StructField("shard", IntegerType, nullable = false),
     StructField("n_tokens", LongType, nullable = false),
     StructField("seq_id", LongType, nullable = false),
@@ -194,12 +201,12 @@ object Streaming {
   def streamingNextFitPack(src: DataFrame, textCol: String,
       idCol: String, capacity: Long, shards: Int): DataFrame = {
     require(capacity > 0 && shards > 0)
-    val projected = src.select(col(idCol).cast("long").as("doc_id"),
+    val projected = src.select(col(idCol).cast("long").as(idCol),
       pmod(col(idCol), lit(shards)).cast("int").as("shard"),
       graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long")
         .as("n_tokens"))
     val stateEnc = Encoders.product[PackState]
-    val outEnc = Encoders.row(packedSchema)
+    val outEnc = Encoders.row(packedSchema(idCol))
     projected
       .groupByKey(_.getInt(1))(Encoders.scalaInt)
       .flatMapGroupsWithState[PackState, Row](

@@ -29,6 +29,9 @@ object Bm25 {
   def termWeights(docs: DataFrame, terms: Seq[String],
       textCol: String, idCol: String,
       k1: Double, b: Double): DataFrame = {
+    // tokens() lowercases the corpus, so terms must be lowercased here
+    // too — a mixed-case term would silently match nothing
+    val normTerms = terms.map(_.toLowerCase).distinct
     // one scan computes both the per-doc token stream and the per-doc
     // length; the corpus constants reuse the same dl values
     val toks = docs.select(col(idCol).as("id"),
@@ -39,7 +42,7 @@ object Bm25 {
       avg(col("dl")).as("avgdl"))
     val tf = dls
       .select(col("id"), col("dl"), explode(col("__ts")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(normTerms: _*))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // df(term) = #docs containing it — tf already has one row per

@@ -203,13 +203,40 @@ class SF2RelationalSpec extends SparkSuite {
     assert(plan.contains("Join"), s"default-args giant must route:\n$plan")
   }
 
+  test("giant + estimateErr is refused up front unless explicitly allowed") {
+    // the batch path holds O(n²)·reps pair triples in ONE task for a
+    // giant band — the guard must surface that as an error naming the
+    // scale path, not as a bare executor OOM downstream
+    val ens = SparkEntry.eventsEnsemble(spark, sf0001)
+    val err = intercept[IllegalArgumentException] {
+      Ops.AnalysisOps(ens).sf2(
+        sf.SFArgs(estimateErr = true, calculationRepetitions = 2),
+        giantThreshold = 10)
+    }
+    assert(err.getMessage.contains("sf2Relational"),
+      s"guard must point at the distributed bootstrap: ${err.getMessage}")
+    // combine mode pools everything into one group — same guard applies
+    val errC = intercept[IllegalArgumentException] {
+      Ops.AnalysisOps(SparkEntry.eventsEnsemble(spark, sf0001)).sf2(
+        sf.SFArgs(estimateErr = true, combine = true,
+          calculationRepetitions = 2),
+        giantThreshold = 10)
+    }
+    assert(errC.getMessage.contains("allowGiantBootstrap"))
+    // no giant (threshold higher than any band) → no guard, no opt-in
+    val small = Ops.AnalysisOps(SparkEntry.eventsEnsemble(spark, sf0001))
+      .sf2(sf.SFArgs(estimateErr = true, calculationRepetitions = 2),
+        giantThreshold = 1000000L)
+    assert(small.columns.contains("sf2"))
+  }
+
   test("bootstrap auto-route stays on batch numerics; relational Poisson form is explicit") {
     // a silent reroute would change results under a fixed seed (numpy RNG
     // stream vs Poisson draws), so estimateErr must NOT auto-route...
     val ens = SparkEntry.eventsEnsemble(spark, sf0001)
     val res = Ops.AnalysisOps(ens).sf2(
       sf.SFArgs(estimateErr = true, calculationRepetitions = 2),
-      giantThreshold = 10)
+      giantThreshold = 10, allowGiantBootstrap = true)
     val plan = res.queryExecution.optimizedPlan.toString
     assert(plan.toLowerCase.contains("mapgroups"),
       s"bootstrap must stay on the batch apply:\n$plan")

@@ -101,6 +101,35 @@ class SelectionSpec extends SparkSuite {
     assert(ids3 !== ids)
   }
 
+  test("NULL strata: temperatureRates and stratifiedSample agree on the sentinel") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (5L, null), (6L, null)).toDF("doc_id", "lang")
+    // no NPE; NULL rows counted under the sentinel key
+    val rates = Sampling.temperatureRates(withNulls, "lang", 1.0, 1.0)
+    assert(rates.keySet === Set("en", Sampling.NullStratum))
+    assert(rates.values.forall(r => math.abs(r - 1.0) < 1e-12))
+    // the sample stage matches NULL rows back to that same key: with
+    // every rate 1.0 nothing may fall through to defaultRate = 0
+    val kept = Sampling.stratifiedSample(withNulls, "doc_id", "lang",
+      rates, defaultRate = 0.0)
+    assert(kept.count() === 6)
+    // and a rate map WITHOUT the sentinel sends NULL rows to defaultRate
+    val dropped = Sampling.stratifiedSample(withNulls, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    assert(dropped.count() === 4)
+  }
+
+  test("bm25 termWeights normalizes mixed-case terms like bm25TopK does") {
+    import spark.implicits._
+    val tiny = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val w = Bm25.termWeights(tiny, Seq("Apple", "APPLE"), "text",
+      "doc_id", 1.2, 0.75).collect()
+    assert(w.length === 1, "mixed-case duplicate terms must match once")
+    assert(w.head.getAs[String]("term") === "apple")
+  }
+
   test("packConcat: contiguous zero-waste layout, straddles marked") {
     import graft.operators.Packing
     val packed = Packing.packConcat(docs, "doc_id",

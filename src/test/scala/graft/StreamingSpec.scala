@@ -112,12 +112,16 @@ class StreamingSpec extends SparkSuite {
         Doc(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t)
       mem.addData(
         doc(1, benchText + " tail edit"), // shares bench 8-grams: MUST flag
-        doc(2, "totally unrelated words nothing shared here at all"))
+        doc(2, "totally unrelated words nothing shared here at all"),
+        doc(3, null)) // NULL text: gram-less, cannot be contaminated
       q.processAllAvailable()
       val out = spark.table("contam").collect()
         .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
       assert(out(1L)) // no false negatives, ever
       assert(!out(2L)) // short clean doc (<8 distinct grams hit nothing)
+      // the one-sided contract says false is EXACT — a NULL-text row must
+      // land false, not NULL (which would match neither routing predicate)
+      assert(!out(3L))
     } finally q.stop()
   }
 
@@ -143,6 +147,11 @@ class StreamingSpec extends SparkSuite {
       assert(got === Map(
         1L -> ((0L, 0L)), 2L -> ((0L, 5L)),
         3L -> ((1L, 0L)), 4L -> ((2L, 0L))))
+      // the id column carries the caller's name, like batch packNextFit
+      assert(packed.schema.fieldNames.head === "doc_id")
+      assert(Streaming.streamingNextFitPack(mem.toDF().withColumnRenamed(
+          "doc_id", "item_id"), "text", "item_id", 8L, 1)
+        .schema.fieldNames.head === "item_id")
     } finally q.stop()
   }
 
