@@ -248,6 +248,21 @@ object SparkEntry {
         round(col("amplitude"), 6).as("amplitude"),
         round(col("standard_deviation"), 6).as("standard_deviation"))
     }),
+    "q_otsu" -> ((s, dir) => {
+      // OtsuSplit (light-curve package parity, reference
+      // test_feature_extraction.py:61-93): per-object threshold
+      // maximizing inter-class variance over all bands, with the class
+      // moments hash-checked against a window-function replay in DuckDB
+      val ens = eventsEnsemble(s, dir)
+      val res = Ops.AnalysisOps(ens).extractFeatures(
+        Seq("otsu_mean_diff", "otsu_std_lower", "otsu_std_upper",
+          "otsu_lower_to_all_ratio"))
+      res.select(col("user_id"),
+        round(col("otsu_mean_diff"), 6).as("otsu_mean_diff"),
+        round(col("otsu_std_lower"), 6).as("otsu_std_lower"),
+        round(col("otsu_std_upper"), 6).as("otsu_std_upper"),
+        round(col("otsu_lower_to_all_ratio"), 6).as("otsu_lower_ratio"))
+    }),
     // ---------------------------------------- training-data: text analysis
     "q_text_stats" -> ((s, dir) => {
       import graft.text.TextAnalysis._
@@ -1218,6 +1233,50 @@ object SparkEntry {
         | round((max(value) - min(value)) / 2.0, 6) AS amplitude,
         | round(stddev_samp(value), 6) AS standard_deviation
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_otsu" ->
+      // Otsu replay: ascending prefix sums per object, inter-class
+      // variance i*(n-i)*(mu_l-mu_u)^2 over splits where the sorted value
+      // changes, argmax on the value ROUNDED to 6 decimals (tie -> lowest
+      // split) — the exact contract Features.otsuSplit implements
+      """WITH v AS (
+        |  SELECT user_id, value::DOUBLE AS m FROM events
+        |  WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, m,
+        |    row_number() OVER w AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(m) OVER w AS cs,
+        |    sum(m * m) OVER w AS cs2,
+        |    sum(m) OVER (PARTITION BY user_id) AS tot,
+        |    sum(m * m) OVER (PARTITION BY user_id) AS tot2,
+        |    lead(m) OVER (PARTITION BY user_id ORDER BY m) AS nxt
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sp AS (
+        |  SELECT user_id, i, n, cs, cs2, tot, tot2,
+        |    cs / i AS mu_l, (tot - cs) / (n - i) AS mu_u
+        |  FROM s WHERE i < n AND m < nxt),
+        |scored AS (
+        |  SELECT *,
+        |    round(i::DOUBLE * (n - i) * (mu_l - mu_u) * (mu_l - mu_u), 6)
+        |      AS icv
+        |  FROM sp),
+        |best AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY icv DESC, i ASC) AS rk
+        |  FROM scored)
+        |SELECT user_id,
+        |  round(mu_u - mu_l, 6) AS otsu_mean_diff,
+        |  round(CASE WHEN i = 1 THEN 0.0::DOUBLE
+        |    ELSE sqrt(greatest(0.0::DOUBLE,
+        |      (cs2 - cs * cs / i) / (i - 1))) END, 6) AS otsu_std_lower,
+        |  round(CASE WHEN n - i = 1 THEN 0.0::DOUBLE
+        |    ELSE sqrt(greatest(0.0::DOUBLE,
+        |      ((tot2 - cs2) - (tot - cs) * (tot - cs) / (n - i)) /
+        |      (n - i - 1))) END, 6) AS otsu_std_upper,
+        |  round(i / n::DOUBLE, 6) AS otsu_lower_ratio
+        |FROM best WHERE rk = 1""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | CASE WHEN len(trim(text)) = 0 THEN 0

@@ -40,10 +40,16 @@ final case class FeatureExtractor(
     // one periodogram pass when both period features are requested
     val periodFeatures = Set("period_peak", "periodogram_peak_power")
     lazy val lsPair = Features.periodogramPair(t, m)
+    // likewise ONE Otsu split serves all four otsu_* outputs
+    lazy val otsu = Features.otsuSplit(m)
     val values = features.map {
       case "period_peak" if features.count(periodFeatures) > 1 => lsPair._1
       case "periodogram_peak_power" if features.count(periodFeatures) > 1 =>
         lsPair._2
+      case "otsu_mean_diff"          => otsu._1
+      case "otsu_std_lower"          => otsu._2
+      case "otsu_std_upper"          => otsu._3
+      case "otsu_lower_to_all_ratio" => otsu._4
       case f => Features.evaluate(f, t, m, e)
     }
     Seq(Row.fromSeq(values))
@@ -69,6 +75,10 @@ object Features {
       case "ptp"             => m.max - m.min
       case "period_peak"     => periodPeak(t, m)
       case "periodogram_peak_power" => periodogramPeakPower(t, m)
+      case "otsu_mean_diff"          => otsuSplit(m)._1
+      case "otsu_std_lower"          => otsuSplit(m)._2
+      case "otsu_std_upper"          => otsuSplit(m)._3
+      case "otsu_lower_to_all_ratio" => otsuSplit(m)._4
       case other =>
         throw new IllegalArgumentException(s"unknown feature $other")
     }
@@ -206,6 +216,64 @@ object Features {
   /** Variance-normalized power of the highest peak. */
   def periodogramPeakPower(t: Array[Double], m: Array[Double]): Double =
     periodogramPair(t, m)._2
+
+  /** Otsu's-method split of the magnitude sample (Otsu 1979; the
+    * `OtsuSplit` feature of the reference's `light-curve` package —
+    * exercised by tests/tape_tests/test_feature_extraction.py:61-93):
+    * choose the threshold maximizing the inter-class variance
+    * w_lower·w_upper·(μ_lower − μ_upper)² between the `i` smallest values
+    * and the rest, over all split positions where the sorted values
+    * actually change (a threshold cannot separate equal values). Returns
+    * `(otsu_mean_diff, otsu_std_lower, otsu_std_upper,
+    * otsu_lower_to_all_ratio)` = (μ_upper − μ_lower, sample std of each
+    * class — 0.0 for a single-element class — , |lower|/n).
+    *
+    * Numeric contract shared with the DuckDB oracle (q_otsu): both sides
+    * compute class moments from ascending-order prefix sums and pick the
+    * argmax of the inter-class variance ROUNDED to 6 decimals (ties →
+    * smallest split), so fp summation-order noise between engines cannot
+    * flip the winning split. NaN magnitudes are dropped; flat or
+    * sub-2-point samples yield NaN×4 (the reference errors on flat
+    * data). */
+  def otsuSplit(mRaw: Array[Double]): (Double, Double, Double, Double) = {
+    val s = mRaw.filterNot(_.isNaN).sorted
+    val n = s.length
+    if (n < 2 || s(0) == s(n - 1))
+      return (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    // ascending prefix sums — the same accumulation the SQL window uses
+    val cs = new Array[Double](n)
+    val cs2 = new Array[Double](n)
+    var a = 0.0; var a2 = 0.0; var i = 0
+    while (i < n) {
+      a += s(i); a2 += s(i) * s(i); cs(i) = a; cs2(i) = a2; i += 1
+    }
+    val tot = cs(n - 1); val tot2 = cs2(n - 1)
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var bestI = -1; var bestIcv = Double.NegativeInfinity
+    i = 1
+    while (i < n) {
+      if (s(i - 1) < s(i)) {
+        val muL = cs(i - 1) / i
+        val muU = (tot - cs(i - 1)) / (n - i)
+        val icv = round6(i.toDouble * (n - i) * (muL - muU) * (muL - muU))
+        if (icv > bestIcv) { bestIcv = icv; bestI = i }
+      }
+      i += 1
+    }
+    val k = bestI
+    val muL = cs(k - 1) / k
+    val muU = (tot - cs(k - 1)) / (n - k)
+    val stdL =
+      if (k == 1) 0.0
+      else math.sqrt(math.max(0.0,
+        (cs2(k - 1) - cs(k - 1) * cs(k - 1) / k) / (k - 1)))
+    val stdU =
+      if (n - k == 1) 0.0
+      else math.sqrt(math.max(0.0,
+        ((tot2 - cs2(k - 1)) -
+          (tot - cs(k - 1)) * (tot - cs(k - 1)) / (n - k)) / (n - k - 1)))
+    (muU - muL, stdL, stdU, k.toDouble / n)
+  }
 
   /** (period of highest peak, its power) from ONE periodogram pass — use
     * when both features are wanted (the periodogram is the most expensive

@@ -47,4 +47,38 @@ class FeaturesSpec extends AnyFunSuite {
     assert(Features.stddev(Array(1.0)).isNaN)
     assert(Features.evaluate("mean", Array.empty, Array.empty, Array.empty).isNaN)
   }
+
+  test("otsuSplit: reference golden (test_feature_extraction.py:61-93)") {
+    // the reference's OtsuSplit expectation: flux [0 x5, 1 x5] splits at
+    // the value change -> mean_diff 1, both stds 0, lower ratio 0.5
+    val m = Array.fill(5)(0.0) ++ Array.fill(5)(1.0)
+    val (md, sl, su, r) = Features.otsuSplit(m)
+    assert(math.abs(md - 1.0) < 1e-12)
+    assert(sl === 0.0 && su === 0.0)
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("otsuSplit: bimodal sample, degenerate cases, equal-value splits") {
+    // well-separated bimodal: split must land between the modes
+    val m = Array(1.0, 1.1, 0.9, 1.05, 10.0, 10.2, 9.8)
+    val (md, sl, su, r) = Features.otsuSplit(m)
+    assert(md > 8.5 && md < 9.5, s"mean_diff $md")
+    assert(math.abs(r - 4.0 / 7.0) < 1e-12)
+    assert(sl > 0 && sl < 0.2 && su > 0 && su < 0.3)
+    // single-element class -> std 0.0, not NaN
+    val (_, sl1, _, r1) = Features.otsuSplit(Array(0.0, 10.0, 10.1, 10.2))
+    assert(sl1 === 0.0)
+    assert(math.abs(r1 - 0.25) < 1e-12)
+    // a threshold cannot separate equal values: [0,0,0,1] must split 3|1,
+    // never inside the run of zeros
+    val (_, _, _, rEq) = Features.otsuSplit(Array(0.0, 0.0, 0.0, 1.0))
+    assert(math.abs(rEq - 0.75) < 1e-12)
+    // flat and sub-2-point samples -> NaN x4 (the reference errors here)
+    assert(Features.otsuSplit(Array(5.0, 5.0, 5.0))._1.isNaN)
+    assert(Features.otsuSplit(Array(5.0))._1.isNaN)
+    // NaN magnitudes are dropped before the split
+    val (mdN, _, _, rN) = Features.otsuSplit(
+      Array(0.0, Double.NaN, 0.0, 1.0, 1.0))
+    assert(math.abs(mdN - 1.0) < 1e-12 && math.abs(rN - 0.5) < 1e-12)
+  }
 }

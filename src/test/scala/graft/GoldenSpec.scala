@@ -75,6 +75,38 @@ class GoldenSpec extends SparkSuite {
     }
   }
 
+  test("OtsuSplit via ensemble batch: reference golden (test_feature_extraction.py:61-93)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the reference fixture: object 1 all-g, object 2 half-g half-r, flux
+    // [0 x5, 1 x5] each; band_to_calc=None pools bands
+    val n = 10
+    val rows =
+      (0 until n).map(i => Row(1L, i.toDouble,
+        if (i < n / 2) 0.0 else 1.0, 0.1, "g")) ++
+      (0 until n).map(i => Row(2L, i.toDouble,
+        if (i < n / 2) 0.0 else 1.0, 0.1, if (i < n / 2) "g" else "r"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("time", DoubleType),
+      StructField("flux", DoubleType), StructField("err", DoubleType),
+      StructField("band", StringType)))
+    val otsuEns = graft.sources.EnsembleIO.fromRows(spark, rows, schema,
+      graft.core.ColumnMap("id", "time", "flux", "err", "band"))
+    val res = Ops.AnalysisOps(otsuEns).extractFeatures(
+      Seq("otsu_mean_diff", "otsu_std_lower", "otsu_std_upper",
+        "otsu_lower_to_all_ratio"), band = None)
+    val got = res.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet === Set(1L, 2L))
+    // reference expectation: [[1.0, 0.0, 0.0, 0.5]] * 2 (atol 1e-5)
+    got.values.foreach { case (md, sl, su, r) =>
+      assert(math.abs(md - 1.0) < 1e-5)
+      assert(math.abs(sl) < 1e-5 && math.abs(su) < 1e-5)
+      assert(math.abs(r - 0.5) < 1e-5)
+    }
+  }
+
   test("sf2 on PS1 fixture produces per-(id,band) binned rows") {
     val res = Ops.AnalysisOps(ens).sf2(sf.SFArgs(binCountTarget = 100))
     assert(res.count() > 0)
