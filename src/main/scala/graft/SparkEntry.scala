@@ -26,6 +26,23 @@ object SparkEntry {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** On-disk IVF index over `<dir>/embeddings.parquet`, built (once per
+    * JVM and data dir — Bench's 5 passes pay one write) under the sbt
+    * `target/` scratch dir so reruns in a fresh JVM rebuild from current
+    * data instead of trusting a stale index. */
+  private val ivfIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIndexBuilt.computeIfAbsent(dir, d => {
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_ivf_index_" + Integer.toHexString(d.hashCode))
+        .getAbsolutePath
+      graft.similarity.Similarity.writeIvfIndex(
+        table(s, d, "embeddings"), IvfOracleCentroids, path)
+      path
+    })
+
   /** events + derived (ts_days, err) — the TAPE source-table mapping.
     * `ts` is TIMESTAMP(NANOS) parquet, read as a long of epoch-nanos
     * (see graft.Spark), so the time arithmetic is integer-exact before the
@@ -434,6 +451,23 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
     }),
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      // The ON-DISK form of q_ann_ivf: the corpus is persisted as a
+      // cell-partitioned parquet index (once per JVM+dir), and the probe
+      // reads it back through knnIvfIndexed, whose literal cell IN (...)
+      // predicate becomes STATIC partition pruning — PartitionFilters on
+      // the scan, non-probed cell directories never open (asserted in
+      // SimilaritySpec). Same centroids, queries and ranking as
+      // q_ann_ivf, so the two share one oracle; only the storage path
+      // differs — which is exactly what makes ANN an index instead of a
+      // scan at 100 TB.
+      val queries = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.knnIvfIndexed(s, ivfIndexPath(s, dir),
+          queries, k = 5, IvfOracleCentroids, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // Fixed literal centroids, inlined identically into the oracle SQL —
       // cell assignment, nprobe probing, and ranking are then pure SQL and
@@ -619,6 +653,18 @@ object SparkEntry {
           Map("en" -> 0.3, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.75),
           defaultRate = 0.0, seed = 42L)
         .select(col("doc_id"), col("lang"))
+    }),
+    "q_train_order" -> ((s, dir) => {
+      // Deterministic training-order shuffle: the md5-derived order key
+      // is replayed bit-for-bit in DuckDB (53-bit integer / 2^53 is an
+      // exact double on both engines — no rounding), so a hash match
+      // pins the entire training permutation, not just membership. The
+      // operator itself range-partitions + sorts by this key; the
+      // permutation IS the key order.
+      val docs = table(s, dir, "documents")
+      graft.operators.Sampling.deterministicShuffle(docs, "doc_id",
+          seed = 42L)
+        .select(col("doc_id"), col("__shuffle_key").as("shuffle_key"))
     })
   )
 
@@ -1484,6 +1530,9 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_knn_lsh" -> knnLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    // the indexed form returns the identical ranking from the on-disk
+    // cell-partitioned layout, so it shares the oracle
+    "q_ann_ivf_indexed" -> annIvfOracle,
     "q_knn_pq" -> knnPqOracle,
     "q_stetson_j" -> stetsonJOracle,
     "q_sf2" -> sf2SizeOracle,
@@ -1566,7 +1615,12 @@ object SparkEntry {
         |    / 9007199254740992.0
         |  < (CASE lang WHEN 'en' THEN 0.3::DOUBLE WHEN 'de' THEN 0.5::DOUBLE
         |      WHEN 'es' THEN 0.25::DOUBLE WHEN 'zh' THEN 0.75::DOUBLE
-        |      ELSE 0.0::DOUBLE END)""".stripMargin
+        |      ELSE 0.0::DOUBLE END)""".stripMargin,
+    "q_train_order" ->
+      """SELECT doc_id,
+        |  (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |    / 9007199254740992.0 AS shuffle_key
+        |FROM documents""".stripMargin
   )
 
   /** SemDeDup replayed in SQL: the identical literal-centroid cell
