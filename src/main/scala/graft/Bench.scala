@@ -7,8 +7,20 @@ import org.apache.spark.sql.SparkSession
   * of those medians. A single-pass sample under machine load scatters 2-4x
   * per query (see BASELINE.md variance table), so the recorded artifact is
   * the median, not whichever pass happened to run last.
+  *
+  * The timed action is a NOOP WRITE, not count(): count() over a projection
+  * lets Catalyst prune every unused column, so a map-only query's expensive
+  * expressions (simhash, winnowing md5 chains, text stats) would never
+  * execute — q_simhash "cost" 0.13 s under count() vs ~4 s actually
+  * evaluated at sf0.1. The noop sink evaluates every output column and
+  * discards the rows, which is what Verify's parquet dump (the correctness
+  * artifact) pays minus the disk.
   */
 object Bench {
+
+  /** Evaluation-complete timed action shared with Prof. */
+  def run(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -27,7 +39,7 @@ object Bench {
     // codegen — worth ~2 s on whichever batch query runs first, measured
     // via graft.Prof). The engine warmup runs on the tiny sf0.001 slice,
     // so it adds ~1 s untimed, not a full-scale pass.
-    try SparkEntry.queries("q_select")(spark, sfDir).count()
+    try run(SparkEntry.queries("q_select")(spark, sfDir))
     catch { case _: Throwable => () }
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
@@ -42,7 +54,7 @@ object Bench {
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }

@@ -13,14 +13,15 @@ object Prof {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.get("GRAFT_PROF_N").flatMap(_.toIntOption).getOrElse(7)
     val names = if (args.nonEmpty) args.toSeq else Seq("q_dedup_exact")
-    // same warmup families as Bench
-    try SparkEntry.queries("q_select")(spark, sfDir).count()
+    // same warmup families as Bench; same evaluation-complete noop-write
+    // action (count() would let Catalyst prune the projected expressions)
+    try Bench.run(SparkEntry.queries("q_select")(spark, sfDir))
     catch { case _: Throwable => () }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try Bench.run(fn(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       val med = ts.sorted.apply(ts.length / 2)
