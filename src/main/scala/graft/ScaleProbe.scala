@@ -26,6 +26,10 @@ object ScaleProbe {
     if (args.headOption.contains("decontam")) {
       decontamProbe(spark, n); return
     }
+    if (args.headOption.contains("semdedup")) {
+      semdedupProbe(spark, args.lift(1)
+        .getOrElse("/root/repo/testdata-sf1")); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -172,6 +176,36 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE curation docs=${base * replicas} " +
       f"survivors=$survivors $secs%.1f s")
+    spark.stop()
+  }
+
+  /** SemDeDup cell-count scaling probe: the published method blocks
+    * pair work by IVF cell, so the pair volume is Σ|cell|²/2 — with a
+    * FIXED centroid count a 10× corpus means 10× cells sizes and ~100×
+    * pair work (the q_semdedup driver query pins 8 literal centroids
+    * for the DuckDB oracle, so ITS sf1 time is intentionally
+    * quadratic). Operationally k scales with n to keep |cell| bounded;
+    * this probe runs the same corpus both ways and prints both times.
+    * Usage: sbt "runMain graft.ScaleProbe semdedup [dir]"
+    */
+  private def semdedupProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nVec = emb.count()
+    def timeIt(label: String, centroids: Array[Array[Double]]): Unit = {
+      val t0 = System.nanoTime()
+      val kept = graft.similarity.Similarity
+        .semDedup(emb, centroids, 0.35).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE_PROBE semdedup vecs=$nVec k=${centroids.length} " +
+        f"kept=$kept $secs%.1f s [$label]")
+    }
+    timeIt("fixed-8 (oracle config — quadratic at scale)",
+      SparkEntry.IvfOracleCentroids)
+    // k ∝ n: one trained centroid per ~250 vectors keeps |cell| bounded
+    val k = math.max(8, (nVec / 250).toInt)
+    timeIt("k∝n (operational config)",
+      graft.similarity.Similarity.trainCentroids(emb, k, dim = 64))
     spark.stop()
   }
 }
