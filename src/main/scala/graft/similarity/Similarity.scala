@@ -107,6 +107,29 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  /** [[semDedup]] with the centroid count SIZED FROM THE CORPUS — the
+    * operational scale posture. SemDeDup's pair work is Σ|cell|²/2, so a
+    * FIXED k at a growing corpus is quadratic: 10× the vectors with the
+    * same centroids means 10× cell sizes and ~100× pair work (measured:
+    * `graft.ScaleProbe semdedup`, 23.2 s fixed-8 vs 4.5 s k∝n on the
+    * same 20k vectors — see BASELINE.md sf1 section). This entry point
+    * keeps |cell| ≈ `targetCellSize` by training k = max(8, n/target)
+    * centroids (one count + one seeded bounded sample — both
+    * driver-side metadata jobs), which restores ~linear scaling.
+    * Returns (kept rows, the trained centroids) so callers can reuse the
+    * codebook for incremental ingest ([[writeIvfIndex]],
+    * streamingIvfIngest). */
+  def semDedupAuto(df: DataFrame, threshold: Double,
+      targetCellSize: Long = 250L, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    val n = df.count()
+    val k = math.max(8L, n / targetCellSize).toInt
+    val centroids = trainCentroids(df, k, dim, vecCol, seed = seed)
+    (semDedup(df, centroids, threshold, idCol, vecCol), centroids)
+  }
+
   /** Exact keep-one-per-component SemDeDup: the within-cell duplicate
     * pairs feed the alternating large/small-star connected-components
     * labeling and only each component's minimum id survives — the

@@ -241,4 +241,19 @@ class SimilaritySpec extends SparkSuite {
     val nComps = comps.select("component").distinct().count()
     assert(ccKept.size === all.size - nNodes + nComps)
   }
+
+  test("semDedupAuto sizes the codebook from the corpus and equals semDedup on it") {
+    // k = max(8, n/target): 100 vectors at target 10 -> 10 cells
+    val n = emb.count()
+    val target = 10L
+    val (kept, centroids) = Similarity.semDedupAuto(emb, 0.35,
+      targetCellSize = target, dim = 64)
+    assert(centroids.length === math.max(8L, n / target).toInt)
+    assert(centroids.forall(_.length === 64))
+    // same result as calling semDedup with the returned codebook — the
+    // tuple exists so callers can reuse it for indexing/ingest
+    val direct = Similarity.semDedup(emb, centroids, 0.35)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.collect().map(_.getLong(0)).toSet === direct)
+  }
 }
