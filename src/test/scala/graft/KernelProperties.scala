@@ -84,4 +84,42 @@ object KernelProperties extends Properties("graft.kernels") {
         val tokens = List.fill(others.length + 1)(tok) ++ others
         simhash(scala.util.Random.shuffle(tokens)) == evalMd5Long(tok)
     }
+
+  // ------------------------------------------------------------ otsu split
+
+  private val otsuSample: Gen[Array[Double]] = Gen.chooseNum(2, 40)
+    .flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(-50.0, 50.0).map(x => math.rint(x * 4) / 4)))
+    .map(_.toArray)
+
+  property("otsu: ratio in (0,1), mean_diff > 0, order-blind") =
+    Prop.forAll(otsuSample) { m =>
+      val (md, sl, su, r) = graft.analysis.Features.otsuSplit(m)
+      val flat = m.distinct.length < 2
+      if (flat) md.isNaN
+      else {
+        val shuffled = scala.util.Random.shuffle(m.toList).toArray
+        val again = graft.analysis.Features.otsuSplit(shuffled)
+        md > 0 && r > 0 && r < 1 && sl >= 0 && su >= 0 &&
+          (md, sl, su, r) == again
+      }
+    }
+
+  property("otsu: split position invariant under positive affine map") =
+    Prop.forAll(otsuSample,
+        Gen.oneOf(0.5, 1.0, 1.5, 2.0, 2.5, 3.0),
+        Gen.chooseNum(-40, 40).map(_ / 4.0)) { (m, a, b) =>
+      val flat = m.distinct.length < 2
+      flat || {
+        // Otsu's argmax is scale/shift equivariant: x -> a·x + b scales
+        // every inter-class variance by a² and the class RATIO (the
+        // split position) must not move. Quarter-grid samples + the
+        // 6-decimal argmax rounding keep fp noise from flipping
+        // near-tied splits under the transform.
+        val r1 = graft.analysis.Features.otsuSplit(m)._4
+        val r2 = graft.analysis.Features.otsuSplit(
+          m.map(x => a * x + b))._4
+        math.abs(r1 - r2) < 1e-12
+      }
+    }
 }
