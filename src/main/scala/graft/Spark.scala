@@ -27,6 +27,12 @@ object Spark {
       .config("spark.ui.enabled", "false")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spark noise stays at WARN, but graft's own telemetry (e.g.
+    // connectedComponents' per-round convergence lines) logs at INFO —
+    // let it through so a pathological run is diagnosable from the
+    // driver log alone.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft", org.apache.logging.log4j.Level.INFO)
     spark
   }
 }
