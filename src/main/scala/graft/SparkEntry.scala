@@ -259,11 +259,13 @@ object SparkEntry {
     "q_features" -> ((s, dir) => {
       val ens = eventsEnsemble(s, dir)
       val res = Ops.AnalysisOps(ens).extractFeatures(
-        Seq("mean", "amplitude", "standard_deviation"))
+        Seq("mean", "amplitude", "standard_deviation",
+          "inter_percentile_range_25"))
       res.select(col("user_id"),
         round(col("mean"), 6).as("mean"),
         round(col("amplitude"), 6).as("amplitude"),
-        round(col("standard_deviation"), 6).as("standard_deviation"))
+        round(col("standard_deviation"), 6).as("standard_deviation"),
+        round(col("inter_percentile_range_25"), 6).as("ipr_25"))
     }),
     "q_otsu" -> ((s, dir) => {
       // OtsuSplit (light-curve package parity, reference
@@ -1275,10 +1277,40 @@ object SparkEntry {
         |        4) AS sigma_1
         |FROM perrep GROUP BY id, band, bin""".stripMargin,
     "q_features" ->
-      """SELECT user_id, round(avg(value), 6) AS mean,
-        | round((max(value) - min(value)) / 2.0, 6) AS amplitude,
-        | round(stddev_samp(value), 6) AS standard_deviation
-        |FROM events GROUP BY user_id""".stripMargin,
+      // ipr_25 replays the Hazen plotting-position quantile
+      // (h = p·n − 0.5, linear interp, clamp to [0, n−1]) the
+      // light-curve package uses — NOT quantile_cont (numpy R-7,
+      // which the 0.625 reference golden rules out)
+      """WITH v AS (
+        |  SELECT user_id, value::DOUBLE AS m FROM events
+        |  WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, list(m ORDER BY m) AS vs,
+        |    count(*) AS n,
+        |    avg(m) AS mean_v, max(m) AS max_v, min(m) AS min_v,
+        |    stddev_samp(m) AS std_v
+        |  FROM v GROUP BY user_id),
+        |h AS (
+        |  SELECT *,
+        |    greatest(0.0::DOUBLE, least(n - 1.0::DOUBLE,
+        |      0.25::DOUBLE * n - 0.5::DOUBLE)) AS h25,
+        |    greatest(0.0::DOUBLE, least(n - 1.0::DOUBLE,
+        |      0.75::DOUBLE * n - 0.5::DOUBLE)) AS h75
+        |  FROM a),
+        |q AS (
+        |  SELECT user_id, mean_v, max_v, min_v, std_v,
+        |    vs[floor(h25)::INT + 1] + (h25 - floor(h25)) *
+        |      (vs[least(floor(h25)::BIGINT + 1, n - 1)::INT + 1] -
+        |       vs[floor(h25)::INT + 1]) AS q25,
+        |    vs[floor(h75)::INT + 1] + (h75 - floor(h75)) *
+        |      (vs[least(floor(h75)::BIGINT + 1, n - 1)::INT + 1] -
+        |       vs[floor(h75)::INT + 1]) AS q75
+        |  FROM h)
+        |SELECT user_id, round(mean_v, 6) AS mean,
+        | round((max_v - min_v) / 2.0, 6) AS amplitude,
+        | round(std_v, 6) AS standard_deviation,
+        | round(q75 - q25, 6) AS ipr_25
+        |FROM q""".stripMargin,
     "q_otsu" ->
       // Otsu replay: ascending prefix sums per object, inter-class
       // variance i*(n-i)*(mu_l-mu_u)^2 over splits where the sorted value

@@ -79,6 +79,11 @@ object Features {
       case "otsu_std_lower"          => otsuSplit(m)._2
       case "otsu_std_upper"          => otsuSplit(m)._3
       case "otsu_lower_to_all_ratio" => otsuSplit(m)._4
+      case "anderson_darling_normal" => andersonDarlingNormal(m)
+      case ipr if ipr.startsWith("inter_percentile_range_") =>
+        // reference naming: inter_percentile_range_<q·100>, e.g. _25
+        val q = ipr.stripPrefix("inter_percentile_range_").toInt / 100.0
+        interPercentileRange(m, q)
       case other =>
         throw new IllegalArgumentException(s"unknown feature $other")
     }
@@ -216,6 +221,76 @@ object Features {
   /** Variance-normalized power of the highest peak. */
   def periodogramPeakPower(t: Array[Double], m: Array[Double]): Double =
     periodogramPair(t, m)._2
+
+  /** Standard normal CDF Φ(z) via Marsaglia's (2004) Taylor series —
+    * double-precision accurate for the |z| ≲ 6 range the A-D statistic
+    * evaluates; beyond that the series is clamped to the tail limit.
+    * Computed directly for negative z (no 1 − Φ cancellation). */
+  def phi(z: Double): Double = {
+    // deep tails: the series suffers 0.5-cancellation (Φ(−8) ≈ 6e−16
+    // would be a difference of ~0.5-sized terms), so switch to the
+    // asymptotic Mills-ratio expansion — relative error ≲ 3e−6 at the
+    // |z| = 6.5 crossover, shrinking further out
+    if (z < -6.5) {
+      val z2 = z * z
+      val mills = (1.0 - 1.0 / z2 + 3.0 / (z2 * z2) -
+        15.0 / (z2 * z2 * z2)) / (-z)
+      return mills * math.exp(-0.5 * z2 - 0.9189385332046727)
+    }
+    if (z > 6.5) return 1.0 - phi(-z)
+    var sum = z; var term = z; var i = 3
+    while (math.abs(term) > 1e-18 * math.abs(sum) + 1e-300) {
+      term = term * z * z / i
+      sum += term
+      i += 2
+    }
+    0.5 + sum * math.exp(-0.5 * z * z - 0.9189385332046727) // ln √(2π)
+  }
+
+  /** Anderson–Darling normality statistic with the sample-size bias
+    * correction the `light-curve` package applies:
+    * A*² = A²·(1 + 4/n − 25/n²), where
+    * A² = −n − (1/n)·Σ (2i−1)·[ln Φ(z_i) + ln(1 − Φ(z_{n+1−i}))]
+    * over the ascending standardized sample (sample std, N−1). The
+    * reference golden (test_feature_extraction.py:28-60: 0.114875 on
+    * linspace(1,2,5)) pins both the formula and the correction. */
+  def andersonDarlingNormal(mRaw: Array[Double]): Double = {
+    val s = mRaw.filterNot(_.isNaN).sorted
+    val n = s.length
+    if (n < 4) return Double.NaN // minimum for a meaningful A-D
+    val mu = s.sum / n
+    val sd = math.sqrt(s.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    if (sd == 0.0) return Double.NaN
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val zi = (s(i) - mu) / sd
+      val zr = (s(n - 1 - i) - mu) / sd
+      // ln(1 − Φ(zr)) = ln Φ(−zr), computed directly — no cancellation
+      acc += (2 * i + 1) * (math.log(phi(zi)) + math.log(phi(-zr)))
+      i += 1
+    }
+    val a2 = -n - acc / n
+    a2 * (1.0 + 4.0 / n - 25.0 / (n.toDouble * n))
+  }
+
+  /** Inter-percentile range at quantile q: ppf(1−q) − ppf(q), with the
+    * `light-curve` package's Hazen plotting-position quantile
+    * (h = p·n − 0.5, linear interpolation, clamped to [0, n−1]) — the
+    * reference golden 0.625 on linspace(1,2,5) at q = 0.25
+    * distinguishes Hazen from numpy's default (which gives 0.5). */
+  def interPercentileRange(mRaw: Array[Double], q: Double): Double = {
+    val s = mRaw.filterNot(_.isNaN).sorted
+    val n = s.length
+    if (n < 2) return Double.NaN
+    def ppf(p: Double): Double = {
+      val h = math.max(0.0, math.min(n - 1.0, p * n - 0.5))
+      val lo = math.floor(h).toInt
+      val hi = math.min(lo + 1, n - 1)
+      s(lo) + (h - lo) * (s(hi) - s(lo))
+    }
+    ppf(1.0 - q) - ppf(q)
+  }
 
   /** Otsu's-method split of the magnitude sample (Otsu 1979; the
     * `OtsuSplit` feature of the reference's `light-curve` package —

@@ -48,6 +48,45 @@ class FeaturesSpec extends AnyFunSuite {
     assert(Features.evaluate("mean", Array.empty, Array.empty, Array.empty).isNaN)
   }
 
+  test("AD-normal + IPR: reference goldens (test_feature_extraction.py:28-60)") {
+    // flux = linspace(1, 2, 5): the reference expects
+    // [anderson_darling_normal, inter_percentile_range_25, stetson_K]
+    // = [0.114875, 0.625, 0.848528] (atol 1e-5)
+    val m = Array(1.0, 1.25, 1.5, 1.75, 2.0)
+    assert(math.abs(Features.andersonDarlingNormal(m) - 0.114875) < 1e-5)
+    assert(math.abs(Features.interPercentileRange(m, 0.25) - 0.625) < 1e-12)
+    val e = Array.fill(5)(0.1)
+    assert(math.abs(Features.stetsonK(m, e) - 0.848528) < 1e-5)
+    // the 0.625 golden pins the HAZEN quantile (numpy default gives 0.5)
+    assert(math.abs(Features.evaluate("inter_percentile_range_25",
+      m, m, e) - 0.625) < 1e-12)
+    assert(math.abs(Features.evaluate("anderson_darling_normal",
+      m, m, e) - 0.114875) < 1e-5)
+  }
+
+  test("phi: normal CDF accuracy incl. deep tails; A-D sanity on normal/uniform") {
+    // spot values vs published Φ tables / scipy
+    assert(math.abs(Features.phi(0.0) - 0.5) < 1e-15)
+    assert(math.abs(Features.phi(1.0) - 0.8413447460685429) < 1e-12)
+    assert(math.abs(Features.phi(-1.96) - 0.024997895148220435) < 1e-12)
+    // z = −6 sits at the series/cancellation edge: relative ~1e−6 is the
+    // honest bound there (abs err ~1e−16 at the 0.5 scale), plenty for
+    // the log the A-D statistic takes
+    assert(math.abs(Features.phi(-6.0) / 9.865876450376946e-10 - 1) < 1e-6)
+    // tail branch: finite, positive, log-safe
+    val tail = Features.phi(-9.0)
+    assert(tail > 0 && tail < 1e-18 && !math.log(tail).isInfinite)
+    assert(math.abs(Features.phi(9.0) - 1.0) < 1e-15)
+    // A-D discriminates: gaussian sample scores low, uniform scores high
+    val rng = new java.util.Random(5)
+    val gauss = Array.fill(500)(rng.nextGaussian())
+    val unif = Array.fill(500)(rng.nextDouble())
+    val adG = Features.andersonDarlingNormal(gauss)
+    val adU = Features.andersonDarlingNormal(unif)
+    assert(adG < 1.0, s"gaussian A-D $adG") // ~0.3 expected
+    assert(adU > 3.0, s"uniform A-D $adU")  // uniform is far from normal
+  }
+
   test("otsuSplit: reference golden (test_feature_extraction.py:61-93)") {
     // the reference's OtsuSplit expectation: flux [0 x5, 1 x5] splits at
     // the value change -> mean_diff 1, both stds 0, lower ratio 0.5

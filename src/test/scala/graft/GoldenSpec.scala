@@ -75,6 +75,38 @@ class GoldenSpec extends SparkSuite {
     }
   }
 
+  test("multi-feature ensemble batch: reference golden (test_feature_extraction.py:28-60)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the reference fixture: object 1 = 5 g-band obs flux linspace(1,2,5)
+    // err 0.1; object 2 = the same series twice, once per band, err 0.01;
+    // band_to_calc="g" → both objects reduce to the same g-band series
+    val flux = Array(1.0, 1.25, 1.5, 1.75, 2.0)
+    val rows =
+      flux.zipWithIndex.map { case (f, i) =>
+        Row(1L, i.toDouble, f, 0.1, "g") } ++
+      (0 until 10).map(i => Row(2L, i.toDouble, flux(i % 5), 0.01,
+        if (i < 5) "g" else "r"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("time", DoubleType),
+      StructField("flux", DoubleType), StructField("err", DoubleType),
+      StructField("band", StringType)))
+    val featEns = graft.sources.EnsembleIO.fromRows(spark, rows.toSeq,
+      schema, graft.core.ColumnMap("id", "time", "flux", "err", "band"))
+    val res = Ops.AnalysisOps(featEns).extractFeatures(
+      Seq("anderson_darling_normal", "inter_percentile_range_25",
+        "stetson_K"), band = Some("g"))
+    val got = res.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    // reference expectation: [[0.114875, 0.625, 0.848528]] * 2 (atol 1e-5)
+    got.values.foreach { case (ad, ipr, k) =>
+      assert(math.abs(ad - 0.114875) < 1e-5)
+      assert(math.abs(ipr - 0.625) < 1e-5)
+      assert(math.abs(k - 0.848528) < 1e-5)
+    }
+  }
+
   test("OtsuSplit via ensemble batch: reference golden (test_feature_extraction.py:61-93)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
