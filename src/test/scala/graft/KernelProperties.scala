@@ -111,10 +111,10 @@ object KernelProperties extends Properties("graft.kernels") {
         Gen.chooseNum(-40, 40).map(_ / 4.0)) { (m, a, b) =>
       val flat = m.distinct.length < 2
       flat || {
-        // Otsu's argmax is scale/shift equivariant: x -> a·x + b scales
-        // every inter-class variance by a² and the class RATIO (the
-        // split position) must not move. Quarter-grid samples + the
-        // 6-decimal argmax rounding keep fp noise from flipping
+        // Otsu's argmax key (σ_b²/σ²) is affine-INVARIANT: x -> a·x + b
+        // scales numerator and denominator by a² alike, so the class
+        // RATIO (the split position) must not move. Quarter-grid samples
+        // + the 5-decimal argmax rounding keep fp noise from flipping
         // near-tied splits under the transform.
         val r1 = graft.analysis.Features.otsuSplit(m)._4
         val r2 = graft.analysis.Features.otsuSplit(
