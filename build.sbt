@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of re-logging each
+// line under sbt's "[info] " prefix. Bench prints ONE machine-parseable
+// JSON line; with the default LoggedOutput strategy that line arrives as
+// "[info] {...}" and the driver's parser records "parsed": null
+// (BENCH_r03..r05). StdoutOutput is the documented sbt escape hatch.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,9 +34,16 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexBuilt.computeIfAbsent(dir, d => {
+      // md5 of the dir string, not String.hashCode: a 32-bit hash
+      // collision between two data dirs in one JVM would silently
+      // overwrite the first dir's index while both cache entries kept
+      // pointing at the shared path.
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
       val path = new java.io.File(
         new java.io.File(System.getProperty("user.dir"), "target"),
-        "graft_ivf_index_" + Integer.toHexString(d.hashCode))
+        "graft_ivf_index_" + digest)
         .getAbsolutePath
       graft.similarity.Similarity.writeIvfIndex(
         table(s, d, "embeddings"), IvfOracleCentroids, path)
@@ -1373,8 +1380,9 @@ object SparkEntry {
         |  FROM s WHERE i < n AND m < nxt),
         |scored AS (
         |  SELECT *,
-        |    round(i::DOUBLE * (n - i) * (mu_l - mu_u) * (mu_l - mu_u) /
-        |      (n::DOUBLE * (tot2 - tot * tot / n)), 5) AS icv
+        |    floor(i::DOUBLE * (n - i) * (mu_l - mu_u) * (mu_l - mu_u) /
+        |      (n::DOUBLE * (tot2 - tot * tot / n)) * 100000.0 + 0.5)
+        |      / 100000.0 AS icv
         |  FROM sp),
         |best AS (
         |  SELECT *, row_number() OVER (

@@ -81,9 +81,17 @@ object Features {
       case "otsu_lower_to_all_ratio" => otsuSplit(m)._4
       case "anderson_darling_normal" => andersonDarlingNormal(m)
       case ipr if ipr.startsWith("inter_percentile_range_") =>
-        // reference naming: inter_percentile_range_<q·100>, e.g. _25
-        val q = ipr.stripPrefix("inter_percentile_range_").toInt / 100.0
-        interPercentileRange(m, q)
+        // reference naming: inter_percentile_range_<q·100>, e.g. _25.
+        // q must sit in (0, 0.5): at q ≥ 0.5 the "range" quantile(1−q) −
+        // quantile(q) inverts or degenerates; a non-numeric suffix falls
+        // through to the unknown-feature error rather than a
+        // NumberFormatException.
+        ipr.stripPrefix("inter_percentile_range_").toIntOption
+          .map(_ / 100.0).filter(q => q > 0.0 && q < 0.5) match {
+          case Some(q) => interPercentileRange(m, q)
+          case None =>
+            throw new IllegalArgumentException(s"unknown feature $ipr")
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown feature $other")
     }

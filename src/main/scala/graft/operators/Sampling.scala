@@ -32,13 +32,19 @@ object Sampling {
   /** Sentinel stratum for NULL values of the stratum column, so
     * [[temperatureRates]] and [[stratifiedSample]] agree on where
     * NULL-stratum rows land (a plain `===` match would silently send
-    * them to `defaultRate` while the rate map counted them). */
+    * them to `defaultRate` while the rate map counted them).
+    *
+    * RESERVED KEY: a stratum column whose *data* legitimately contains
+    * the string `"__null__"` is indistinguishable from NULL rows — both
+    * [[temperatureRates]] counting and [[stratifiedSample]] matching
+    * merge the two into one stratum. Callers with free-form string
+    * strata must rename or escape that value first. */
   val NullStratum = "__null__"
 
   /** Keep each row iff hashUniform(id) < rate(stratum). Strata absent
     * from `rates` fall back to `defaultRate`. NULL strata match the
     * [[NullStratum]] sentinel key (the key [[temperatureRates]] emits
-    * for them). Exact-rate-1 strata keep every row (u < 1.0 always
+    * for them; reserved — see its caveat). Exact-rate-1 strata keep every row (u < 1.0 always
     * holds since u < 1 by construction). */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
@@ -79,7 +85,9 @@ object Sampling {
     * fewer than F·N rows — rescale F upward if exact totals matter
     * (documented, not hidden). The per-stratum counts are ONE aggregate
     * over the table; the returned map is |strata|-sized driver metadata,
-    * like IVF centroids. */
+    * like IVF centroids. NULL strata are keyed under the reserved
+    * [[NullStratum]] sentinel — see its caveat about data that contains
+    * the literal string. */
   def temperatureRates(df: DataFrame, stratumCol: String,
       temperature: Double, targetFraction: Double): Map[String, Double] = {
     require(temperature > 0, s"temperature must be > 0, got $temperature")

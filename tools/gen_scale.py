@@ -80,6 +80,13 @@ def scale_embeddings(src, out, factor):
     t = pq.read_table(src)
     mat = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     dim = mat.shape[1]
+    # factor > dim would make k*(dim//factor) == 0 for every k: all
+    # copies byte-identical to the original, growing near-dup clusters
+    # by the factor — exactly the quadratic-by-construction artifact
+    # this decorrelating roll exists to avoid.
+    assert factor <= dim, (
+        f"scale factor {factor} > embedding dim {dim}: per-copy roll "
+        "would be 0 and copies would be byte-identical")
     parts = []
     for k in range(factor):
         c = t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
