@@ -706,6 +706,31 @@ object SparkEntry {
       graft.operators.Sampling.deterministicShuffle(docs, "doc_id",
           seed = 42L)
         .select(col("doc_id"), col("__shuffle_key").as("shuffle_key"))
+    }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. 2023): select k raw docs
+      // whose hashed-bigram distribution looks like the src1 target
+      // slice, via Gumbel-top-k over deterministic md5 noise. The oracle
+      // replays the bucket hash, both add-one models, the log-likelihood-
+      // ratio sum and the Gumbel chain in SQL, so the SELECTION ITSELF
+      // (ids + ranks) is hash-checked, not just the weights.
+      val docs = table(s, dir, "documents")
+      val target = docs.filter(col("source") === "src1")
+      graft.operators.Dsir.resample(docs, target, k = 100)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"),
+          round(col("score"), 6).as("score"), col("rank"))
+    }),
+    "q_chunks" -> ((s, dir) =>
+      // RAG chunking: 32-token windows, 8-token overlap, map-only
+      graft.text.Chunking.chunkDocuments(table(s, dir, "documents"),
+        chunkTokens = 32, overlapTokens = 8)),
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization of the event stream (0.2-day gap): the
+      // per-user lag + running-sum window and the session aggregate are
+      // replayed verbatim in SQL; ts_days is bit-exact cross-engine
+      val ev = eventsSource(s, dir)
+      graft.operators.Sessionize.sessionize(ev, "user_id", "ts_days",
+        maxGap = 0.2, tiebreakCol = "event_id")
     })
   )
 
@@ -1699,7 +1724,81 @@ object SparkEntry {
       """SELECT doc_id,
         |  (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
         |    / 9007199254740992.0 AS shuffle_key
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // DSIR: hashed-bigram buckets (md5 low bits, power-of-two mask so
+    // signed Spark == unsigned DuckDB), add-one-smoothed target/raw
+    // models, per-doc log-likelihood-ratio sum, Gumbel-top-k with the
+    // stratified-sampling uniform idiom
+    "q_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(g), 1, 16))::UBIGINT & 4095)::BIGINT AS f
+        |  FROM (SELECT doc_id, unnest(
+        |      CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+        |        ELSE [array_to_string(ts[i:i+1], ' ')
+        |          for i in range(1, len(ts))] END) AS g
+        |    FROM toks)),
+        |tc AS (SELECT f.f, count(*) AS tc FROM f
+        |  JOIN documents d USING (doc_id) WHERE d.source = 'src1'
+        |  GROUP BY 1),
+        |rc AS (SELECT f, count(*) AS rc FROM f GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(rc) FROM rc) AS rn,
+        |  (SELECT sum(tc) FROM tc) AS tn),
+        |model AS (
+        |  SELECT rc.f,
+        |    ln((coalesce(tc.tc, 0) + 1.0) / (tot.tn + 4096.0)) -
+        |    ln((rc.rc + 1.0) / (tot.rn + 4096.0)) AS lr
+        |  FROM rc LEFT JOIN tc ON rc.f = tc.f CROSS JOIN tot),
+        |w AS (SELECT f.doc_id, sum(m.lr) AS lw
+        |  FROM f JOIN model m USING (f) GROUP BY 1),
+        |sc AS (
+        |  SELECT d.doc_id, coalesce(w.lw, 0.0::DOUBLE) AS log_weight,
+        |    coalesce(w.lw, 0.0::DOUBLE) - ln(-ln(
+        |      (('0x' || substr(md5(concat_ws('|', d.doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |        / 9007199254740992.0)) AS score
+        |  FROM documents d LEFT JOIN w USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        |    AS rank FROM sc)
+        |SELECT doc_id, round(log_weight, 6) AS log_weight,
+        |  round(score, 6) AS score, rank::INT AS rank
+        |FROM r WHERE rank <= 100""".stripMargin,
+    // chunking: same tokenization, same inclusive-slice windows
+    "q_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |c AS (SELECT doc_id, ts,
+        |    CASE WHEN len(ts) = 0 THEN 0 WHEN len(ts) <= 32 THEN 1
+        |      ELSE ceil((len(ts) - 32) / 24.0)::INT + 1 END AS nch
+        |  FROM toks),
+        |x AS (SELECT doc_id, unnest(
+        |    [{'i': i, 'tk': ts[(i*24+1):(i*24+32)]}
+        |      for i in range(0, nch)]) AS u
+        |  FROM c)
+        |SELECT doc_id, u.i::INT AS chunk_id,
+        |  len(u.tk)::BIGINT AS n_chunk_tokens,
+        |  array_to_string(u.tk, ' ') AS chunk_text
+        |FROM x""".stripMargin,
+    "q_sessionize" -> (EvCte +
+      """,
+        |g AS (SELECT user_id, event_id, ts_days,
+        |    ts_days - lag(ts_days) OVER
+        |      (PARTITION BY user_id ORDER BY ts_days, event_id) AS gap
+        |  FROM ev),
+        |fl AS (SELECT user_id, ts_days,
+        |    (sum(CASE WHEN gap > 0.2 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts_days, event_id))::BIGINT
+        |      AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_days) AS start_ts, max(ts_days) AS end_ts,
+        |  max(ts_days) - min(ts_days) AS duration
+        |FROM fl GROUP BY 1, 2""".stripMargin)
   )
 
   /** SemDeDup replayed in SQL: the identical literal-centroid cell

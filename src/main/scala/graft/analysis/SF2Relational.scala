@@ -264,8 +264,19 @@ object SF2Relational {
       keys: Seq[String],
       binCountTarget: Int, combine: Boolean): (DataFrame, DataFrame) = {
     val keyCols = keys.map(col)
+    // barrier: dtc is read by grp0, the rank window AND (transitively,
+    // via grp) the edge grid — without materialization every one of those
+    // branches replays the pair-expansion self-join, and the static plan
+    // grows 5+ SortMergeJoin copies of it (measured: 84 parquet scans in
+    // one q_sf2_size_relational plan). One eager localCheckpoint keeps
+    // the expansion at the documented TWO executions (this one + the
+    // final binnedPairs join) and shrinks the plan to the distinct-Δt
+    // frame. Block storage is MEMORY_AND_DISK: at 100 TB the distinct-Δt
+    // frame spills rather than OOMs, and it is never larger than what
+    // the rank window must sort anyway.
     val dtc = pairs.groupBy((keyCols :+ col("dt")): _*)
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
     val grp0 = dtc.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("__m"), sum(col("__cnt")).as("__np"))
       .withColumn("__nbins",
@@ -286,6 +297,9 @@ object SF2Relational {
 
     import org.apache.spark.sql.expressions.Window
     val wRank = Window.partitionBy(keyCols: _*).orderBy(col("dt"))
+    // (uq is NOT checkpointed: the rank window re-executes per branch but
+    // reads the materialized dtc, and leaving it in the lineage keeps the
+    // window-partition-spec scale guard assertable on the final plan)
     val uq = dtc.join(grp, keys)
       .withColumn("__rn", row_number().over(wRank).cast("long") - 1)
 
