@@ -73,7 +73,7 @@ object SparkEntry {
       "abs(value) * 0.05 + 0.01 AS err FROM events)"
 
   /** Lateral-alias columns t0..t16/c0..c16 replaying
-    * SF2Relational.poissonInv's float-op order: t0 = exp(−λ),
+    * HashExpressions.Md5PoissonWeights's float-op order: t0 = exp(−λ),
     * tk = tk−1·λ/k, ck = ck−1 + tk. */
   private def poissonChainSql(lam: String): String =
     (s"exp(-($lam)) AS t0, t0 AS c0" +:
@@ -81,8 +81,8 @@ object SparkEntry {
         s"t${k - 1} * $lam / $k.0 AS t$k, c${k - 1} + t$k AS c$k"))
       .mkString(", ")
 
-  /** Inverse-CDF selection over the chain — mirrors the when-chain in
-    * SF2Relational.poissonInv (truncation at 17 included). */
+  /** Inverse-CDF selection over the chain — mirrors the inverse-CDF loop in
+    * HashExpressions.Md5PoissonWeights (truncation at 17 included). */
   private val PoissonCaseSql: String =
     "CASE " + (0 to 16).map(k => s"WHEN u < c$k THEN $k").mkString(" ") +
       " ELSE 17 END"
@@ -1288,7 +1288,7 @@ object SparkEntry {
     // plus a replay of the EXACT draw the Spark plan makes — md5-derived
     // uniform over (id|band|ia|ib|rep|seed), then the inverse-CDF chain in
     // the same float-operation order (term·λ/k, left-to-right cumulative
-    // sum; SF2Relational.poissonInv is the contract). DuckDB's lateral
+    // sum; HashExpressions.Md5PoissonWeights is the contract). DuckDB's lateral
     // column aliases keep the chain readable; quantile_cont matches
     // numpy/Spark linear interpolation.
     "q_sf2_bootstrap" ->

@@ -165,6 +165,16 @@ object SF2Relational {
     res
   }
 
+  /** Eager materialization barrier for multi-branch intermediates (see
+    * [[sizeBinned]]). Tests set the session conf
+    * `graft.sf2.barriers=false` to keep the full lineage inspectable —
+    * the window-partition-spec scale guard asserts on logical plans,
+    * which a checkpoint would sever. Results are identical either way;
+    * only materialization differs. */
+  private def barrier(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.sf2.barriers", "true") == "false") df
+    else df.localCheckpoint(true)
+
   /** 'length'/'loglength' binning: closed-form per-group edges, so the
     * expensive self-join runs exactly once — ranges derive from SOURCE
     * rows (n per group) rather than a second pair expansion:
@@ -274,9 +284,8 @@ object SF2Relational {
     // frame. Block storage is MEMORY_AND_DISK: at 100 TB the distinct-Δt
     // frame spills rather than OOMs, and it is never larger than what
     // the rank window must sort anyway.
-    val dtc = pairs.groupBy((keyCols :+ col("dt")): _*)
-      .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(true)
+    val dtc = barrier(pairs.groupBy((keyCols :+ col("dt")): _*)
+      .agg(count(lit(1)).as("__cnt")))
     val grp0 = dtc.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("__m"), sum(col("__cnt")).as("__np"))
       .withColumn("__nbins",
@@ -286,22 +295,22 @@ object SF2Relational {
     // when it has >1 lightcurve even at np == 1). The lightcurve count
     // comes from the SOURCE rows (cheap aggregate), not a third pair
     // expansion.
-    val grp =
+    val grp = barrier(
       if (!combine) grp0.filter(col("__np") > 1)
       else {
         val nlc = bandFiltered.groupBy(col("band"))
           .agg(countDistinct(col("lc_id")).as("__nlc"))
         grp0.join(nlc, keys)
           .filter(col("__np") > 1 || col("__nlc") > 1).drop("__nlc")
-      }
+      }) // one row per group; read by uq, ks, grid
 
     import org.apache.spark.sql.expressions.Window
     val wRank = Window.partitionBy(keyCols: _*).orderBy(col("dt"))
-    // (uq is NOT checkpointed: the rank window re-executes per branch but
-    // reads the materialized dtc, and leaving it in the lineage keeps the
-    // window-partition-spec scale guard assertable on the final plan)
-    val uq = dtc.join(grp, keys)
-      .withColumn("__rn", row_number().over(wRank).cast("long") - 1)
+    // barrier again: the ranked frame feeds uqLo, uqHi AND binMap — the
+    // rank window (the per-group-serial step) executes once, not three
+    // times
+    val uq = barrier(dtc.join(grp, keys)
+      .withColumn("__rn", row_number().over(wRank).cast("long") - 1))
 
     // edge grid: quantileSorted(unique, k/nbins) for k = 0..nbins, with
     // the same two-step float rounding (q first, then q·(m−1))
@@ -418,16 +427,16 @@ object SF2Relational {
         withBins.join(lam, Seq("lc_id", "band"))
       }
 
+    // all rep weights of a pair in ONE native pass (md5 + shift-divide +
+    // inverse-CDF chain fused; see Md5PoissonWeights for the
+    // byte/float-parity contract with the oracle's per-rep replay)
     val drawn = lamed
-      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__w", {
-        val key = concat_ws("|", col("lc_id"), col("band"),
-          col("__ia"), col("__ib"), col("__rep"), lit(seed))
-        val u = shiftrightunsigned(
-          graft.functions.HashExpressions.md5Long(key), 11).cast("double") /
-          lit(9007199254740992.0) // 2^53 — same DIVISION op as the oracle
-        poissonInv(u, col("__lam"))
-      })
+      .withColumn("__ws", graft.functions.HashExpressions.md5PoissonWeights(
+        concat_ws("|", col("lc_id"), col("band"),
+          col("__ia"), col("__ib")),
+        col("__lam"), reps, seed))
+      .select(col("*"), posexplode(col("__ws")).as(Seq("__rep", "__w")))
+      .drop("__ws")
       .filter(col("__w") > 0)
 
     val wd = col("__w").cast("double")
@@ -507,18 +516,6 @@ object SF2Relational {
     * (tail mass < 1e-14 at λ = 1). The float-operation ORDER — term·λ/k,
     * cumulative left-to-right addition — is the contract the DuckDB
     * oracle replays; don't "simplify" to pow/factorial. */
-  private def poissonInv(u: Column, lam: Column): Column = {
-    var term = exp(-lam)
-    var cum = term
-    var chain = when(u < cum, lit(0))
-    for (k <- 1 to 16) {
-      term = term * lam / lit(k.toDouble)
-      cum = cum + term
-      chain = chain.when(u < cum, lit(k))
-    }
-    chain.otherwise(lit(17))
-  }
-
   /** Explode a per-row range 0..(__n − 1) as `out`, in ≤65536-element
     * chunks so a giant group's range never materializes as ONE in-memory
     * sequence array (a 10⁸-bin group would otherwise build an 800 MB row

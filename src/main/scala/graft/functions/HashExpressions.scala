@@ -292,6 +292,79 @@ object HashExpressions {
     }
   }
 
+  /** All `reps` Poisson-bootstrap multiplicities of one SF² pair in a
+    * single pass (SF2Relational.bootstrapped). Element r equals the
+    * composed-Column formulation it replaces:
+    *
+    *   u_r = shiftrightunsigned(Md5Long(concat_ws("|", prefix, r, seed)),
+    *         11) / 2^53
+    *   w_r = inverse Poisson CDF of u_r at λ, as the unrolled chain
+    *         t₀ = exp(−λ); t_k = t_{k−1}·λ/k; c_k = c_{k−1} + t_k;
+    *         first k with u < c_k, truncated at 17
+    *
+    * byte-for-byte (key bytes: `prefix|r|seed` == the concat_ws) and
+    * float-op-for-float-op (the loop accumulates in exactly the chain's
+    * order, so the DuckDB oracle's lateral-alias replay keeps matching).
+    * Fusing matters because the Column form re-derives the whole uniform
+    * subtree (concat + interpreted md5) and every prefix term inside each
+    * of the 18 WHEN branches — measured ~2× the entire bootstrap query
+    * cost at sf0.1 — where this loop hashes once and accumulates 17
+    * terms. */
+  case class Md5PoissonWeights(left: Expression, right: Expression,
+      reps: Int, seed: Long)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    @transient private lazy val suffixes: Array[Array[Byte]] =
+      Array.tabulate(reps)(r => s"|$r|$seed".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    override def nullSafeEval(p: Any, l: Any): Any = {
+      val pre = p.asInstanceOf[UTF8String].getBytes
+      val lam = l.asInstanceOf[Double]
+      val t0 = math.exp(-lam)
+      val d = md5Digest.get()
+      val h = md5Out.get()
+      val out = new Array[Int](reps)
+      var r = 0
+      while (r < reps) {
+        d.reset()
+        d.update(pre)
+        d.update(suffixes(r))
+        d.digest(h, 0, 16)
+        val hl = ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+          ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+          ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+          ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+        val u = (hl >>> 11).toDouble / 9007199254740992.0 // 2^53
+        var w = 17
+        var term = t0
+        var cum = t0
+        if (u < cum) w = 0
+        else {
+          var k = 1
+          while (k <= 16 && w == 17) {
+            term = term * lam / k
+            cum += term
+            if (u < cum) w = k
+            k += 1
+          }
+        }
+        out(r) = w
+        r += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def md5PoissonWeights(prefix: Column, lam: Column, reps: Int,
+      seed: Long): Column =
+    column(Md5PoissonWeights(expression(prefix), expression(lam), reps, seed))
+
   def shingleHashes(text: Column, n: Int, mode: String = ModeXx): Column =
     column(ShingleHashes(expression(text), n, mode))
 

@@ -170,8 +170,15 @@ class SF2RelationalSpec extends SparkSuite {
     def ens() = graft.sources.EnsembleIO.fromDataFrame(spark, src(),
       graft.core.ColumnMap.events)
     val args = sf.SFArgs(binMethod = "size", binCountTarget = 50)
+    // window guard on the barrier-free lineage (the production plan puts
+    // the rank window behind an eager localCheckpoint, which severs the
+    // logical plan this assertion walks; graft.sf2.barriers=false builds
+    // the identical plan without the materialization boundaries)
+    spark.conf.set("graft.sf2.barriers", "false")
+    try assertWindowsPartitioned(
+      SF2Relational.SF2RelationalOps(ens()).sf2Relational(args))
+    finally spark.conf.unset("graft.sf2.barriers")
     val rel = SF2Relational.SF2RelationalOps(ens()).sf2Relational(args)
-    assertWindowsPartitioned(rel)
     val (relNan, _) = toNanSplit(rel)
     assert(relNan > 0, "fixture must actually produce empty bins")
     assertSizeAgrees(
