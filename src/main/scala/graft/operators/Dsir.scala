@@ -67,10 +67,17 @@ object Dsir {
   def importanceLogWeights(docs: DataFrame, target: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = DefaultBuckets): DataFrame = {
+    // the two bucket-count models are ≤`buckets` rows each but are read
+    // twice (totals + the log-ratio join); materializing them costs two
+    // tiny blocks and saves two full corpus scans (the feats explode
+    // re-runs per consumer otherwise — 6 scans measured in the static
+    // plan, 4 after)
     val rawF = feats(docs, textCol, idCol, buckets)
     val tgtC = feats(target, textCol, idCol, buckets)
       .groupBy(col("__f")).agg(count(lit(1)).as("__tc"))
+      .localCheckpoint(true)
     val rawC = rawF.groupBy(col("__f")).agg(count(lit(1)).as("__rc"))
+      .localCheckpoint(true)
     // every bucket a doc produces is in rawC by construction (raw = docs),
     // so a left join from rawC covers the scoring domain; totals are one
     // tiny aggregate each, cross-joined as broadcast literals-of-one-row

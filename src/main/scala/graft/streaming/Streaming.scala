@@ -232,6 +232,33 @@ object Streaming {
     * layout [[graft.similarity.Similarity.writeIvfIndex]] writes, so
     * [[graft.similarity.Similarity.knnIvfIndexed]] partition-prunes over
     * an index that grows in real time. Returns the started query. */
+  /** Streaming twin of [[graft.operators.Sessionize.sessionize]]: gap-based
+    * session aggregation over an event stream via Spark's native
+    * `session_window` (merging windows that extend while events arrive
+    * within `gap` of each other). Emits one row per closed session —
+    * (id, session start/end, n_events) — once the watermark passes the
+    * session's end. Same session-boundary semantics as the batch
+    * operator up to the open/closed distinction: the batch form numbers
+    * all sessions of a static table, the stream emits each session when
+    * it can no longer grow. State is one open window per active entity —
+    * the canonical bounded-state session pattern. */
+  def streamingSessionize(
+      src: DataFrame,
+      idCol: String,
+      tsCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    src
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("session"),
+        col(idCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(idCol),
+        col("session.start").as("start_ts"),
+        col("session.end").as("end_ts"),
+        col("n_events"))
+
   def streamingIvfIngest(
       src: DataFrame,
       centroids: Array[Array[Double]],

@@ -180,6 +180,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: gap-merged session windows across batches") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    def at(id: Long, hm: String, v: Double) =
+      Obs(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00"), v, 0.1, "g")
+    val mem = MemoryStream[Obs]
+    val sess = Streaming.streamingSessionize(mem.toDF(), "user_id", "ts",
+      gap = "30 minutes", watermark = "1 hour")
+    // session-window aggregation only supports Append on streams: a
+    // session row is emitted once the watermark passes its end and it
+    // can no longer grow
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 00:00 and 00:10 merge (gap < 30m); 02:00 is separate and, at
+      // watermark = 02:00 − 1h = 01:00, still open — only the first
+      // session (end 00:40 < 01:00) is emitted
+      mem.addData(at(1, "00:00", 1), at(1, "00:10", 2), at(1, "02:00", 3))
+      q.processAllAvailable()
+      def rows() = spark.table("sessions").collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      // session end = last event + gap (session_window semantics)
+      assert(rows() === Set(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:40:00.0", 2L)))
+      // 05:00 advances the watermark to 04:00, closing the 02:00 session;
+      // its own session stays open (unemitted)
+      mem.addData(at(1, "05:00", 4))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:40:00.0", 2L),
+        (1L, "2024-01-01 02:00:00.0", "2024-01-01 02:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest: cell-partitioned index grows, stays queryable") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
