@@ -731,6 +731,39 @@ object SparkEntry {
       val ev = eventsSource(s, dir)
       graft.operators.Sessionize.sessionize(ev, "user_id", "ts_days",
         maxGap = 0.2, tiebreakCol = "event_id")
+    }),
+    "q_stratified_exact_k" -> ((s, dir) =>
+      // exact-k mixture sampling: top-30 docs per language by md5
+      // uniform — a bounded-heap aggregate, never a full-stratum window;
+      // the uniform is a 53-bit integer / 2^53 (exact double), so ranks
+      // AND key values hash-match
+      graft.operators.Sampling.stratifiedExactK(
+        table(s, dir, "documents"), "doc_id", "lang", k = 30)),
+    "q_quality_classifier" -> ((s, dir) => {
+      // fastText-shaped hashed linear quality scorer: md5-derived weight
+      // family (the same derivation the oracle replays — no 4096-literal
+      // weight table crosses engines), mean-pooled, sigmoid; map-only
+      val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        b =>
+        shiftrightunsigned(graft.functions.HashExpressions.md5Long(
+          concat_ws("|", lit("w"), b, lit(7))), 11).cast("double") /
+          lit(9007199254740992.0) - lit(0.5)
+      table(s, dir, "documents").select(col("doc_id"),
+        round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
+          .as("quality_score"))
+    }),
+    "q_kmeans_refine" -> ((s, dir) => {
+      // two distributed Lloyd iterations over the full embeddings table,
+      // starting from the literal IVF codebook; the oracle replays BOTH
+      // iterations (assignment argmin, per-dim means, 1e-6 quantization,
+      // empty-cell carry-over) so the refined codebook itself is
+      // hash-checked
+      val refined = graft.similarity.Similarity.kmeansRefine(
+        table(s, dir, "embeddings"), IvfOracleCentroids, iters = 2)
+      import s.implicits._
+      refined.zipWithIndex.flatMap { case (cen, c) =>
+        cen.zipWithIndex.map { case (x, j) => (c, j, x) }
+      }.toSeq.toDF("cell", "dim", "coord")
     })
   )
 
@@ -1784,6 +1817,37 @@ object SparkEntry {
         |  len(u.tk)::BIGINT AS n_chunk_tokens,
         |  array_to_string(u.tk, ' ') AS chunk_text
         |FROM x""".stripMargin,
+    "q_stratified_exact_k" ->
+      """WITH u AS (
+        |  SELECT coalesce(lang, '__null__') AS stratum, doc_id,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY stratum ORDER BY u DESC, doc_id ASC) AS rank
+        |  FROM u)
+        |SELECT stratum, rank::INT AS rank, doc_id, u
+        |FROM r WHERE rank <= 30""".stripMargin,
+    "q_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(t), 1, 16))::UBIGINT & 4095)::BIGINT AS f
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)),
+        |w AS (
+        |  SELECT doc_id,
+        |    sum((('0x' || substr(md5(concat_ws('|', 'w', f, 7)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 - 0.5) AS sw,
+        |    count(*) AS n
+        |  FROM f GROUP BY 1)
+        |SELECT t.doc_id,
+        |  round(1.0 / (1.0 + exp(-(-0.1 + coalesce(w.sw / w.n, 0.0::DOUBLE)))), 6)
+        |    AS quality_score
+        |FROM toks t LEFT JOIN w USING (doc_id)""".stripMargin,
+    "q_kmeans_refine" -> kmeansRefineOracle,
     "q_sessionize" -> (EvCte +
       """,
         |g AS (SELECT user_id, event_id, ts_days,
@@ -1800,6 +1864,58 @@ object SparkEntry {
         |  max(ts_days) - min(ts_days) AS duration
         |FROM fl GROUP BY 1, 2""".stripMargin)
   )
+
+  /** Two full Lloyd iterations replayed in SQL: iteration-1 assignment is
+    * the [[annIvfOracle]] literal-centroid struct-sort; per-(cell, dim)
+    * means are quantized with the SAME floor(x·10⁶ + 0.5) idiom as
+    * [[graft.similarity.Similarity.kmeansRefine]]; empty cells fall back
+    * to the previous centroid via a left join from the full (cell, dim)
+    * init grid; iteration-2 assignment re-ranks against the COMPUTED
+    * centroids (list built in dim order, same cc − 2·v·c float ops,
+    * ties to the lower cell id exactly like the struct-sort). */
+  private def kmeansRefineOracle: String = {
+    def vecLit(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    val ranks = IvfOracleCentroids.zipWithIndex.map { case (cen, i) =>
+      val cc = cen.map(x => x * x).sum
+      s"{'d': ${cc.toString} - 2.0 * list_dot_product(v, ${vecLit(cen)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+    val initRows = IvfOracleCentroids.zipWithIndex.map { case (cen, c) =>
+      s"{'cell': $c, 'cen': ${vecLit(cen)}}"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |init AS (
+       |  SELECT s.cell, i - 1 AS j, s.cen[i] AS x
+       |  FROM (SELECT unnest($initRows) AS s), range(1, 65) r(i)),
+       |a1 AS MATERIALIZED (
+       |  SELECT vec_id, v, list_sort($ranks)[1].i AS cell FROM e),
+       |m1 AS (
+       |  SELECT cell, u.j, floor(avg(u.x) * 1000000.0 + 0.5) / 1000000.0 AS x
+       |  FROM (SELECT cell, unnest([{'j': i - 1, 'x': v[i]}
+       |      for i in range(1, 65)]) AS u FROM a1)
+       |  GROUP BY cell, u.j),
+       |c1 AS MATERIALIZED (
+       |  SELECT i.cell, i.j, coalesce(m1.x, i.x) AS x
+       |  FROM init i LEFT JOIN m1 ON i.cell = m1.cell AND i.j = m1.j),
+       |cent1 AS (
+       |  SELECT cell, list(x ORDER BY j) AS cen, sum(x * x) AS cc
+       |  FROM c1 GROUP BY cell),
+       |a2 AS MATERIALIZED (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY c.cc - 2.0 * list_dot_product(e.v, c.cen) ASC,
+       |        c.cell ASC) AS rk
+       |    FROM e CROSS JOIN cent1 c)
+       |  WHERE rk = 1),
+       |m2 AS (
+       |  SELECT cell, u.j, floor(avg(u.x) * 1000000.0 + 0.5) / 1000000.0 AS x
+       |  FROM (SELECT cell, unnest([{'j': i - 1, 'x': v[i]}
+       |      for i in range(1, 65)]) AS u FROM a2)
+       |  GROUP BY cell, u.j)
+       |SELECT c1.cell, c1.j::INT AS dim, coalesce(m2.x, c1.x) AS coord
+       |FROM c1 LEFT JOIN m2 ON c1.cell = m2.cell AND c1.j = m2.j""".stripMargin
+  }
 
   /** SemDeDup replayed in SQL: the identical literal-centroid cell
     * assignment as [[annIvfOracle]] (same (d, i) struct-sort, same

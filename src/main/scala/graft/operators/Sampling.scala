@@ -76,6 +76,35 @@ object Sampling {
     ranged.sortWithinPartitions(col("__shuffle_key"))
   }
 
+  /** EXACT-k per-stratum sample: the k rows of each stratum with the
+    * highest md5 uniform of (id, seed) — complements [[stratifiedSample]]
+    * (rate-based, approximate counts) when a mixture recipe demands
+    * exact per-stratum counts. Deterministic and engine-replayable
+    * (the selection order is `row_number() over (partition by stratum
+    * order by u desc, id asc) <= k`), but planned as the bounded-heap
+    * top-k AGGREGATE with map-side partials — a giant stratum reduces to
+    * ≤ partitions·k heap entries before the exchange, where the window
+    * formulation would drag the whole stratum through one task.
+    * Strata smaller than k keep all their rows. NULL strata fall under
+    * the reserved [[NullStratum]] key. `idCol` must be integral (the
+    * heap keys on long ids). Returns (stratum, rank, idCol, u) with
+    * rank 1 = highest uniform. */
+  def stratifiedExactK(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = hashUniform(col(idCol), seed)
+    df.select(
+        coalesce(col(stratumCol).cast("string"), lit(NullStratum))
+          .as("stratum"),
+        col(idCol).cast("long").as("__id"), u.as("__u"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKExpressions
+        .topKByScore(col("__u"), col("__id"), k).as("__top"))
+      .select(col("stratum"), posexplode(col("__top")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as(idCol), col("col.cosine").as("u"))
+  }
+
   /** Temperature-scaled mixture rates (the multilingual-sampling scheme of
     * mBERT/XLM-R, p_s ∝ share_s^τ): given per-stratum row counts n_s,
     * target sampled sizes m_s = F·N·(n_s^τ / Σ n_s'^τ) for overall target

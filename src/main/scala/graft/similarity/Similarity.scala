@@ -223,6 +223,49 @@ object Similarity {
     kmeansFit(sample, k, dim, iters, seed)
   }
 
+  /** Distributed Lloyd refinement of a codebook over the FULL corpus —
+    * the operational follow-up to [[trainCentroids]] at scale: the
+    * sample-trained codebook is good enough to start from, but its cells
+    * reflect 2k vectors, not 10¹¹; `iters` exact assign+recenter passes
+    * over the whole table tighten it. Each iteration is ONE map-only
+    * cell assignment (centroid literals on the native dot kernel — the
+    * same expression the IVF scan uses) plus ONE groupBy(cell) aggregate
+    * of per-dimension means (map-side partials; ≤ k rows reach the
+    * driver). Nothing corpus-sized shuffles or collects.
+    *
+    * Centroid coordinates are quantized to `roundDecimals` after every
+    * recenter with the floor(x·10ᵈ + 0.5) idiom: the mean's float
+    * summation order is partitioning-dependent, and quantizing each
+    * iteration's output makes the refinement deterministic across
+    * engines and physical layouts (and SQL-replayable — q_kmeans_refine
+    * replays two full iterations in DuckDB). Empty cells keep their
+    * previous centroid (standard Lloyd convention). */
+  def kmeansRefine(df: DataFrame, init: Array[Array[Double]], iters: Int,
+      vecCol: String = "embedding",
+      roundDecimals: Int = 6): Array[Array[Double]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dim = init.head.length
+    val p = math.pow(10, roundDecimals)
+    var cents = init
+    for (_ <- 0 until iters) {
+      val avgs = (0 until dim).map(j =>
+        avg(element_at(col("__v"), j + 1).cast("double")).as(s"__m$j"))
+      val rows = df
+        .select(cellId(col(vecCol), cents).as("__cell"), col(vecCol).as("__v"))
+        .groupBy(col("__cell"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        next(c) = Array.tabulate(dim)(j =>
+          math.floor(r.getDouble(j + 1) * p + 0.5) / p)
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Driver-side Lloyd iterations over an in-memory sample — shared by
     * [[trainCentroids]] (IVF) and [[trainPqCodebooks]] (per subspace). */
   private def kmeansFit(sample: Array[Array[Double]], k: Int, dim: Int,

@@ -139,6 +139,86 @@ class CurationOpsSpec extends SparkSuite {
       ("u2", 0L, 1L, 5.0, 5.0)))
   }
 
+  // ------------------------------------------- exact-k stratified sample
+
+  test("stratifiedExactK: exact counts, short strata kept whole") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val res = Sampling.stratifiedExactK(df, "doc_id", "lang", k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(res.count(_._1 == "big") === 10)
+    assert(res.count(_._1 == "small") === 10) // only 10 rows exist
+    // ranks contiguous from 1 within each stratum
+    assert(res.filter(_._1 == "big").map(_._2).sorted.toSeq === (1 to 10))
+    // matches the window formulation exactly
+    val expected = df
+      .withColumn("u", Sampling.hashUniform(col("doc_id"), 42L))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("u").desc, col("doc_id").asc)))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(res.toSet === expected)
+  }
+
+  // --------------------------------------------------- quality classifier
+
+  test("classifier: hand-computed score, empty doc, weight monotonicity") {
+    import spark.implicits._
+    import graft.text.Classifier
+    val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
+    // weights resolved through the real bucket hash so the lookup path
+    // is exercised end to end
+    val buckets = docs.select(
+      explode(Classifier.hashedTokenBuckets(col("text"), 4096))).as[Long]
+      .collect().distinct
+    val w = new Array[Double](4096)
+    val Seq(ba, bb) = docs.filter(col("doc_id") === 1L).select(
+      Classifier.hashedTokenBuckets(col("text"), 4096)).as[Seq[Long]]
+      .collect().head.distinct.toSeq
+    w(ba.toInt) = 0.6; w(bb.toInt) = -0.3
+    val scored = docs.select(col("doc_id"),
+      Classifier.scoreWithWeights(col("text"), w, bias = 0.1).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val logit1 = 0.1 + (0.6 + 0.6 - 0.3) / 3.0
+    assert(math.abs(scored(1L) - 1.0 / (1.0 + math.exp(-logit1))) < 1e-12)
+    assert(math.abs(scored(2L) - 1.0 / (1.0 + math.exp(-0.1))) < 1e-12)
+    assert(buckets.forall(b => b >= 0 && b < 4096))
+    // raising a token's weight raises the containing doc's score
+    w(bb.toInt) = 0.9
+    val rescored = docs.filter(col("doc_id") === 1L).select(
+      Classifier.scoreWithWeights(col("text"), w, bias = 0.1))
+      .collect().head.getDouble(0)
+    assert(rescored > scored(1L))
+  }
+
+  // ------------------------------------------------------- kmeans refine
+
+  test("kmeansRefine: recenters onto cluster means, keeps empty cells") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // two tight clusters in 2-D; init centroids deliberately offset, plus
+    // a third centroid no point is nearest to
+    val pts = Seq(
+      (1L, Array(0.0f, 0.1f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(10.0f, 9.9f)), (4L, Array(9.9f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val init = Array(Array(1.0, 1.0), Array(8.0, 8.0), Array(100.0, 100.0))
+    val r1 = Similarity.kmeansRefine(pts, init, iters = 1, roundDecimals = 6)
+    assert(r1(0).toSeq === Seq(0.05, 0.05))
+    assert(r1(1).toSeq === Seq(9.95, 9.95))
+    assert(r1(2).toSeq === Seq(100.0, 100.0)) // empty cell: carried over
+    // a second iteration is a fixpoint here
+    val r2 = Similarity.kmeansRefine(pts, init, iters = 2)
+    assert(r2.map(_.toSeq).toSeq === r1.map(_.toSeq).toSeq)
+    // iters = 0 returns the init unchanged
+    assert(Similarity.kmeansRefine(pts, init, iters = 0)
+      .map(_.toSeq).toSeq === init.map(_.toSeq).toSeq)
+  }
+
   test("sessionize: equal timestamps are one session, deterministic") {
     import spark.implicits._
     val ev = Seq(("u1", 2L, 1.0), ("u1", 1L, 1.0), ("u1", 3L, 1.0))
