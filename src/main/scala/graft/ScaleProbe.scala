@@ -30,6 +30,11 @@ object ScaleProbe {
       semdedupProbe(spark, args.lift(1)
         .getOrElse("/root/repo/testdata-sf1")); return
     }
+    if (args.headOption.contains("dsir")) { dsirProbe(spark, n); return }
+    if (args.headOption.contains("kmeans")) {
+      kmeansProbe(spark, args.lift(1)
+        .getOrElse("/root/repo/testdata-sf1")); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -104,6 +109,55 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE cc docs=${base * replicas} nodes=$nNodes " +
       f"components=$nComps pairs_stage=$tPairs%.1f s total=$secs%.1f s")
+    spark.stop()
+  }
+
+  /** DSIR probe: importance-resample k=1000 from the corpus replicated to
+    * ~n docs against the sf0.1 corpus as the target (replicas get
+    * distinct suffix tokens, so raw is a superset distribution of the
+    * target — the realistic "make the crawl look like the curated slice"
+    * shape). The model aggregates stay ≤4096 rows regardless of n; cost
+    * should scale with the 4 corpus scans. Usage:
+    *   SPARK_GRAFT_PROBE_N=500000 sbt "runMain graft.ScaleProbe dsir"
+    */
+  private def dsirProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.count()
+    val replicas = math.max(1, (n / base).toInt)
+    val corpus = docs.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+    val target = docs
+    val t0 = System.nanoTime()
+    val sel = graft.operators.Dsir.resample(corpus, target, k = 1000)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_PROBE dsir docs=${base * replicas} selected=$sel " +
+      f"$secs%.1f s")
+    spark.stop()
+  }
+
+  /** Full-corpus Lloyd refinement probe over the sf1 embeddings (20k ×
+    * 64-d): per-iteration wall time for the assign+recenter pass, k=8
+    * cells. The per-iteration cost is one map-only scan + one ≤k-row
+    * aggregate — linear in corpus size, constant in iterations. Usage:
+    *   sbt "runMain graft.ScaleProbe kmeans [dir]"
+    */
+  private def kmeansProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nv = emb.count()
+    var cents = SparkEntry.IvfOracleCentroids
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      cents = graft.similarity.Similarity.kmeansRefine(emb, cents, iters = 1)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE_PROBE kmeans vectors=$nv iter=$i $secs%.1f s")
+    }
     spark.stop()
   }
 

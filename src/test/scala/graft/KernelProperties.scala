@@ -105,6 +105,33 @@ object KernelProperties extends Properties("graft.kernels") {
       }
     }
 
+  private def poissonRef(u: Double, lam: Double): Int = {
+    var term = math.exp(-lam); var cum = term
+    if (u < cum) return 0
+    var k = 1
+    while (k <= 16) {
+      term = term * lam / k; cum += term
+      if (u < cum) return k
+      k += 1
+    }
+    17
+  }
+
+  property("md5PoissonWeights: element r = md5 uniform of prefix|r|seed " +
+      "through the exact CDF chain; bounded; deterministic") =
+    Prop.forAll(Gen.alphaNumStr, Gen.chooseNum(1, 12),
+        Gen.chooseNum(1, 100).map(_ / 100.0)) { (prefix, reps, lam) =>
+      val expr = Md5PoissonWeights(Literal.create(prefix, StringType),
+        Literal.create(lam, DoubleType), reps, 42L)
+      val got = expr.eval().asInstanceOf[ArrayData].toIntArray().toSeq
+      val ref = (0 until reps).map { r =>
+        poissonRef((md5Ref(s"$prefix|$r|42") >>> 11).toDouble /
+          9007199254740992.0, lam)
+      }
+      got == ref && got.forall(w => w >= 0 && w <= 17) &&
+        got == expr.eval().asInstanceOf[ArrayData].toIntArray().toSeq
+    }
+
   property("otsu: split position invariant under positive affine map") =
     Prop.forAll(otsuSample,
         Gen.oneOf(0.5, 1.0, 1.5, 2.0, 2.5, 3.0),
