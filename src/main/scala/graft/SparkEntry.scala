@@ -752,6 +752,20 @@ object SparkEntry {
         round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
           .as("quality_score"))
     }),
+    "q_bpe_merges" -> ((s, dir) => {
+      // distributed BPE tokenizer training: 8 merge rounds learned from
+      // the corpus word-frequency table. The merge sequence is selected
+      // on LONG counts with lexicographic tie-break — zero float
+      // arithmetic — and the oracle replays all 8 rounds (pair stats,
+      // argmax, greedy replace application) exactly.
+      import s.implicits._
+      graft.text.Bpe.trainMerges(table(s, dir, "documents"), merges = 8)
+        .toDF("round", "pair_a", "pair_b", "merged", "freq")
+    }),
+    "q_vocab" -> ((s, dir) =>
+      // tokenizer vocab building: top-50 words by count as a
+      // TakeOrderedAndProject (deterministic ties on the word)
+      graft.text.Bpe.vocabTopK(table(s, dir, "documents"), k = 50)),
     "q_kmeans_refine" -> ((s, dir) => {
       // two distributed Lloyd iterations over the full embeddings table,
       // starting from the literal IVF codebook; the oracle replays BOTH
@@ -1848,6 +1862,14 @@ object SparkEntry {
         |    AS quality_score
         |FROM toks t LEFT JOIN w USING (doc_id)""".stripMargin,
     "q_kmeans_refine" -> kmeansRefineOracle,
+    "q_bpe_merges" -> bpeMergesOracle(8),
+    "q_vocab" ->
+      """SELECT word, count(*)::BIGINT AS n
+        |FROM (SELECT unnest(CASE WHEN len(trim(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
     "q_sessionize" -> (EvCte +
       """,
         |g AS (SELECT user_id, event_id, ts_days,
@@ -1864,6 +1886,52 @@ object SparkEntry {
         |  max(ts_days) - min(ts_days) AS duration
         |FROM fl GROUP BY 1, 2""".stripMargin)
   )
+
+  /** The full T-round BPE training replayed in SQL: word counts once,
+    * then per round a pair-frequency aggregate (struct-comprehension
+    * adjacent pairs), the (freq DESC, a ASC, b ASC) argmax and the
+    * padded literal `replace` application — the identical greedy
+    * left-to-right primitive Spark's `replace` uses. Selection is on
+    * LONG counts, so rounds replay exactly with no float tolerance. A
+    * round whose best pair has freq < 2 emits no row (Bpe.trainMerges
+    * stops there; on this corpus all rounds stay far above 2). */
+  private def bpeMergesOracle(rounds: Int): String = {
+    val cte = new StringBuilder
+    cte ++=
+      """WITH toks AS (
+        |  SELECT CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |wc AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(ts) AS word FROM toks) GROUP BY 1),
+        |w0 AS MATERIALIZED (
+        |  SELECT array_to_string(string_split(word, ''), ' ') || ' </w>'
+        |    AS w, n FROM wc)""".stripMargin
+    for (i <- 1 to rounds) {
+      val prev = s"w${i - 1}"
+      cte ++= s""",
+        |p$i AS (
+        |  SELECT u.a, u.b, sum(n)::BIGINT AS freq
+        |  FROM (SELECT n, unnest([{'a': s[i], 'b': s[i+1]}
+        |      for i in range(1, len(s))]) AS u
+        |    FROM (SELECT string_split(w, ' ') AS s, n FROM $prev))
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (
+        |  SELECT a, b, freq FROM p$i
+        |  ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
+        |w$i AS MATERIALIZED (
+        |  SELECT trim(replace(' ' || w || ' ',
+        |    ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '))
+        |    AS w, n
+        |  FROM $prev CROSS JOIN m$i m)""".stripMargin
+    }
+    cte ++= "\n" + (1 to rounds).map { i =>
+      s"""SELECT $i AS round, a AS pair_a, b AS pair_b,
+         |  a || b AS merged, freq FROM m$i WHERE freq >= 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    cte.toString
+  }
 
   /** Two full Lloyd iterations replayed in SQL: iteration-1 assignment is
     * the [[annIvfOracle]] literal-centroid struct-sort; per-(cell, dim)

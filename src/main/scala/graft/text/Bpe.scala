@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.
+  * 2016) — the missing piece between the corpus and the `bpeTokenCount`
+  * heuristics: learn the merge table itself from data.
+  *
+  * Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus:
+  * one corpus scan aggregates (word, count) — a vocabulary-sized
+  * dimension table — and every merge round then runs on that table
+  * alone. That is the scale story: a 100 TB corpus costs ONE tokenize +
+  * groupBy pass; the T merge rounds touch only |vocab| rows each
+  * (weighted pair count + argmax + map-only merge application), so
+  * training cost is corpus-linear + T·|vocab|, never T·corpus.
+  *
+  * Representation: a word is its symbol sequence joined by single
+  * spaces, initially the word's characters with a `</w>` end-of-word
+  * marker; merging pair (a, b) rewrites `' a b '` to `' ab '` by plain
+  * left-to-right non-overlapping string replacement — which IS standard
+  * greedy BPE application, and is the identical primitive in Spark and
+  * DuckDB, so the full merge sequence replays in the oracle with ZERO
+  * float arithmetic (counts are longs; ties break on (freq DESC, a ASC,
+  * b ASC)).
+  *
+  * The per-round argmax pair is collected to the driver (one row per
+  * round — merge tables are driver metadata exactly like IVF
+  * centroids). */
+object Bpe {
+
+  /** Lower-cased whitespace words of the corpus with counts — the BPE
+    * training table. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Initial symbol string of a word: its characters space-joined, plus
+    * the `</w>` marker (e.g. "low" → "l o w </w>"). */
+  private def initSymbols(word: org.apache.spark.sql.Column) =
+    concat(array_join(split(word, ""), " "), lit(" </w>"))
+
+  /** Learn `merges` BPE merges from the corpus. Returns the merge table
+    * as (round, pair_a, pair_b, merged, freq) with round starting at 1;
+    * stops early (fewer rows) when no pair occurs twice. */
+  def trainMerges(docs: DataFrame, merges: Int,
+      textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    // one corpus scan; everything after runs on the vocab table
+    var words = wordCounts(docs, textCol)
+      .select(initSymbols(col("word")).as("w"), col("n"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= merges && !done) {
+      val top = bestPair(words)
+      top match {
+        case Some((a, b, freq)) if freq >= 2 =>
+          val merged = a + b
+          out += ((round, a, b, merged, freq))
+          words = words
+            .select(applyMerge(col("w"), a, b).as("w"), col("n"))
+            .localCheckpoint(true)
+        case _ => done = true
+      }
+      round += 1
+    }
+    out.toSeq
+  }
+
+  /** Left-to-right non-overlapping replacement of `' a b '` by
+    * `' ab '` on the padded symbol string — greedy BPE application.
+    * Exposed so tests and the tokenizer can share it. */
+  def applyMerge(w: org.apache.spark.sql.Column, a: String,
+      b: String): org.apache.spark.sql.Column =
+    // LITERAL replace (all occurrences, left-to-right, non-overlapping —
+    // identical semantics in DuckDB; no regex, so symbols containing
+    // metacharacters are safe); trim the sentinel pad afterwards
+    trim(org.apache.spark.sql.functions.replace(
+      concat(lit(" "), w, lit(" ")), lit(s" $a $b "), lit(s" $a$b ")))
+
+  /** The (a, b, weighted-freq) pair with the highest corpus frequency —
+    * ties to the lexicographically smallest pair (integer counts: this
+    * selection is EXACT, no float order sensitivity). */
+  private def bestPair(words: DataFrame): Option[(String, String, Long)] = {
+    val ts = split(col("w"), " ")
+    val prs = words
+      .select(col("w"), col("n"),
+        posexplode(slice(ts, lit(1), size(ts) - 1)).as(Seq("__p", "__a")))
+      .select(col("n"), col("__a"),
+        element_at(split(col("w"), " "), col("__p") + 2).as("__b"))
+    prs.groupBy(col("__a"), col("__b"))
+      .agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("__a").asc, col("__b").asc)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** Top-k corpus vocabulary by count — tokenizer vocab building as a
+    * TakeOrderedAndProject, ties to the lexicographically smaller word. */
+  def vocabTopK(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame =
+    wordCounts(docs, textCol)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+      .select(col("word"), col("n"))
+}

@@ -195,6 +195,77 @@ class CurationOpsSpec extends SparkSuite {
     assert(rescored > scored(1L))
   }
 
+  // ---------------------------------------------------------------- bpe
+
+  /** In-memory reference BPE (greedy left-to-right application, ties to
+    * the lexicographically smallest pair) to pin the distributed
+    * trainer. */
+  private def refBpe(wc: Map[String, Long],
+      t: Int): Seq[(Int, String, String, String, Long)] = {
+    var words: Seq[(Vector[String], Long)] = wc.toSeq.map { case (w, n) =>
+      (w.map(_.toString).toVector :+ "</w>") -> n
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (round <- 1 to t) {
+      val freqs = words.flatMap { case (s, n) =>
+        s.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)) -> n)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (freqs.nonEmpty) {
+        val ((a, b), f) = freqs.minBy { case ((a, b), f) => (-f, a, b) }
+        if (f >= 2) {
+          out += ((round, a, b, a + b, f))
+          words = words.map { case (s, n) =>
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                buf += (a + b); i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            buf.result() -> n
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe: learned merges match the in-memory reference on a corpus") {
+    import spark.implicits._
+    val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "new" -> 4L)
+    // one doc per word repetition so the word-count table matches wc
+    val docs = wc.toSeq.flatMap { case (w, n) =>
+      (1L to n).map(i => (w.hashCode.toLong * 100 + i, w))
+    }.toDF("doc_id", "text")
+    val got = graft.text.Bpe.trainMerges(docs, merges = 6)
+    assert(got === refBpe(wc, 6))
+    assert(got.length === 6) // corpus rich enough for all rounds
+  }
+
+  test("bpe: greedy overlap semantics and early stop") {
+    import spark.implicits._
+    // "aaa" -> a a a </w>; merging (a, a) greedily gives [aa, a, </w>]
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = graft.text.Bpe.trainMerges(docs, merges = 10)
+    assert(m.head._2 === "a"); assert(m.head._3 === "a")
+    val ref = refBpe(Map("aaa" -> 2L), 10)
+    assert(m === ref)
+    assert(m.length < 10) // stops when no pair repeats
+    // unique-word corpus: every pair has freq 1 -> zero merges
+    val lone = Seq((1L, "xyz")).toDF("doc_id", "text")
+    assert(graft.text.Bpe.trainMerges(lone, merges = 3).isEmpty)
+  }
+
+  test("vocabTopK: ordering, tie-break, bound") {
+    import spark.implicits._
+    val docs = Seq((1L, "b b b a a c c z"), (2L, "a z")).toDF("doc_id", "text")
+    val v = graft.text.Bpe.vocabTopK(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   // ------------------------------------------------------- kmeans refine
 
   test("kmeansRefine: recenters onto cluster means, keeps empty cells") {
