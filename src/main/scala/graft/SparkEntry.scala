@@ -766,6 +766,14 @@ object SparkEntry {
       // tokenizer vocab building: top-50 words by count as a
       // TakeOrderedAndProject (deterministic ties on the word)
       graft.text.Bpe.vocabTopK(table(s, dir, "documents"), k = 50)),
+    "q_bpe_tokenize" -> ((s, dir) => {
+      // inference side of the trained tokenizer: per-doc EXACT piece
+      // counts — merges applied to the distinct-word table only, docs
+      // join the broadcast word→pieces map
+      val docs = table(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, merges = 8)
+      graft.text.Bpe.tokenCounts(docs, merges)
+    }),
     "q_kmeans_refine" -> ((s, dir) => {
       // two distributed Lloyd iterations over the full embeddings table,
       // starting from the literal IVF codebook; the oracle replays BOTH
@@ -1863,6 +1871,7 @@ object SparkEntry {
         |FROM toks t LEFT JOIN w USING (doc_id)""".stripMargin,
     "q_kmeans_refine" -> kmeansRefineOracle,
     "q_bpe_merges" -> bpeMergesOracle(8),
+    "q_bpe_tokenize" -> bpeTokenizeOracle(8),
     "q_vocab" ->
       """SELECT word, count(*)::BIGINT AS n
         |FROM (SELECT unnest(CASE WHEN len(trim(text)) = 0
@@ -1895,19 +1904,19 @@ object SparkEntry {
     * LONG counts, so rounds replay exactly with no float tolerance. A
     * round whose best pair has freq < 2 emits no row (Bpe.trainMerges
     * stops there; on this corpus all rounds stay far above 2). */
-  private def bpeMergesOracle(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val cte = new StringBuilder
     cte ++=
       """WITH toks AS (
-        |  SELECT CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
         |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
         |  FROM documents),
         |wc AS MATERIALIZED (
         |  SELECT word, count(*)::BIGINT AS n
         |  FROM (SELECT unnest(ts) AS word FROM toks) GROUP BY 1),
         |w0 AS MATERIALIZED (
-        |  SELECT array_to_string(string_split(word, ''), ' ') || ' </w>'
-        |    AS w, n FROM wc)""".stripMargin
+        |  SELECT word, array_to_string(string_split(word, ''), ' ')
+        |    || ' </w>' AS w, n FROM wc)""".stripMargin
     for (i <- 1 to rounds) {
       val prev = s"w${i - 1}"
       cte ++= s""",
@@ -1921,17 +1930,37 @@ object SparkEntry {
         |  SELECT a, b, freq FROM p$i
         |  ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
         |w$i AS MATERIALIZED (
-        |  SELECT trim(replace(' ' || w || ' ',
+        |  SELECT word, trim(replace(' ' || w || ' ',
         |    ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '))
         |    AS w, n
         |  FROM $prev CROSS JOIN m$i m)""".stripMargin
     }
-    cte ++= "\n" + (1 to rounds).map { i =>
+    cte.toString
+  }
+
+  private def bpeMergesOracle(rounds: Int): String =
+    bpeCtes(rounds) + "\n" + (1 to rounds).map { i =>
       s"""SELECT $i AS round, a AS pair_a, b AS pair_b,
          |  a || b AS merged, freq FROM m$i WHERE freq >= 2""".stripMargin
     }.mkString("\nUNION ALL\n")
-    cte.toString
-  }
+
+  /** Per-doc piece counts under the 8-merge tokenizer: the SAME round
+    * CTEs as q_bpe_merges, then word→pieces from the final word table
+    * and a per-document token join + sum. */
+  private def bpeTokenizeOracle(rounds: Int): String =
+    bpeCtes(rounds) + s""",
+      |pieces AS (
+      |  SELECT word, len(string_split(w, ' '))::BIGINT AS p
+      |  FROM w$rounds),
+      |perdoc AS (
+      |  SELECT t.doc_id, count(*)::BIGINT AS n_words,
+      |    sum(p.p)::BIGINT AS n_pieces
+      |  FROM (SELECT doc_id, unnest(ts) AS word FROM toks) t
+      |  JOIN pieces p USING (word) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(pd.n_words, 0)::BIGINT AS n_words,
+      |  coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces
+      |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id"""
+      .stripMargin
 
   /** Two full Lloyd iterations replayed in SQL: iteration-1 assignment is
     * the [[annIvfOracle]] literal-centroid struct-sort; per-(cell, dim)

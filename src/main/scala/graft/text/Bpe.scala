@@ -101,6 +101,38 @@ object Bpe {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
   }
 
+  /** Tokenize with a learned merge table: per-document EXACT piece count
+    * under the trained tokenizer (the production replacement for the
+    * regex-heuristic `bpeTokenCount`). The merge sequence is applied to
+    * the DISTINCT-WORD table only (|vocab| rows × T map-only replaces),
+    * then each document joins its words against the word→pieces map —
+    * broadcast-sized by construction — and sums. The corpus is scanned
+    * twice (vocab build + scoring), never T times.
+    *
+    * Returns (idCol, n_words, n_pieces). Documents with no tokens get
+    * (0, 0). */
+  def tokenCounts(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pieces = merges.foldLeft(
+        wordCounts(docs, textCol).select(col("word"),
+          initSymbols(col("word")).as("w"))) {
+      case (df, (_, a, b, _, _)) =>
+        df.select(col("word"), applyMerge(col("w"), a, b).as("w"))
+    }.select(col("word"),
+      size(split(col("w"), " ")).cast("long").as("__pieces"))
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__pieces")).as("n_pieces"))
+    docs.select(col(idCol).as("__id")).join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
   /** Top-k corpus vocabulary by count — tokenizer vocab building as a
     * TakeOrderedAndProject, ties to the lexicographically smaller word. */
   def vocabTopK(docs: DataFrame, k: Int,

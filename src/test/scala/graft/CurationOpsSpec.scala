@@ -258,6 +258,25 @@ class CurationOpsSpec extends SparkSuite {
     assert(graft.text.Bpe.trainMerges(lone, merges = 3).isEmpty)
   }
 
+  test("bpe tokenCounts: pieces shrink with merges, empty doc is 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "newest"), (3L, ""))
+      .toDF("doc_id", "text")
+    // no merges: every word costs chars + 1 pieces
+    val raw = graft.text.Bpe.tokenCounts(docs, Seq.empty).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(raw(1L) === ((3L, (3 + 1) * 2 + (5 + 1) * 1)))
+    assert(raw(2L) === ((1L, 6 + 1)))
+    assert(raw(3L) === ((0L, 0L)))
+    // with trained merges, piece counts only go down, never below word count
+    val merges = graft.text.Bpe.trainMerges(docs, merges = 4)
+    val enc = graft.text.Bpe.tokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc(1L) < raw(1L)._2)
+    assert(enc(1L) >= 3L)
+    assert(enc(3L) === 0L)
+  }
+
   test("vocabTopK: ordering, tie-break, bound") {
     import spark.implicits._
     val docs = Seq((1L, "b b b a a c c z"), (2L, "a z")).toDF("doc_id", "text")
