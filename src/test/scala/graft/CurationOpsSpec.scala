@@ -309,6 +309,29 @@ class CurationOpsSpec extends SparkSuite {
       .map(_.toSeq).toSeq === init.map(_.toSeq).toSeq)
   }
 
+  // ------------------------------------------------------- plan guards
+
+  test("plan guards: exact-k is heap-aggregated, map-only ops stay " +
+      "shuffle-free") {
+    val ek = SparkEntry.queries("q_stratified_exact_k")(spark, sf0001)
+    val ekPlan = ek.queryExecution.executedPlan.toString
+    assert(ekPlan.contains("ObjectHashAggregate"),
+      "exact-k must select via the bounded-heap aggregate")
+    assert(!ekPlan.contains("Window"),
+      "exact-k must never plan a per-stratum window")
+    val ch = SparkEntry.queries("q_chunks")(spark, sf0001)
+    assert(!ch.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must stay map-only")
+    val qc = SparkEntry.queries("q_quality_classifier")(spark, sf0001)
+    assert(!qc.queryExecution.executedPlan.toString.contains("Exchange"),
+      "classifier scoring must stay map-only")
+    val se = SparkEntry.queries("q_sessionize")(spark, sf0001)
+    val sePlan = se.queryExecution.executedPlan.toString
+    // exactly the one per-entity hash exchange the semantics require
+    assert("Exchange hashpartitioning".r
+      .findAllIn(sePlan).length === 1, sePlan.linesIterator.take(5).mkString)
+  }
+
   test("sessionize: equal timestamps are one session, deterministic") {
     import spark.implicits._
     val ev = Seq(("u1", 2L, 1.0), ("u1", 1L, 1.0), ("u1", 3L, 1.0))
