@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.
@@ -46,7 +46,6 @@ object Bpe {
   def trainMerges(docs: DataFrame, merges: Int,
       textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    val spark = docs.sparkSession
     // one corpus scan; everything after runs on the vocab table
     var words = wordCounts(docs, textCol)
       .select(initSymbols(col("word")).as("w"), col("n"))
@@ -105,9 +104,13 @@ object Bpe {
     * under the trained tokenizer (the production replacement for the
     * regex-heuristic `bpeTokenCount`). The merge sequence is applied to
     * the DISTINCT-WORD table only (|vocab| rows × T map-only replaces),
-    * then each document joins its words against the word→pieces map —
-    * broadcast-sized by construction — and sums. The corpus is scanned
-    * twice (vocab build + scoring), never T times.
+    * then each document joins its words against the word→pieces map and
+    * sums. The corpus is scanned twice (vocab build + scoring), never T
+    * times. The pieces map is NOT force-broadcast: a web-scale vocab can
+    * be 10⁸ rows, so the join is left to AQE (broadcast when small,
+    * shuffled hash join on the word key otherwise — both sides
+    * vocab-keyed, no skew beyond natural word frequency, and the
+    * aggregate's map-side partials reduce the doc side to ~1 row/doc).
     *
     * Returns (idCol, n_words, n_pieces). Documents with no tokens get
     * (0, 0). */
@@ -124,7 +127,7 @@ object Bpe {
     val perDoc = docs
       .select(col(idCol).as("__id"),
         explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .join(broadcast(pieces), Seq("word"))
+      .join(pieces, Seq("word"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_words"), sum(col("__pieces")).as("n_pieces"))
     docs.select(col(idCol).as("__id")).join(perDoc, Seq("__id"), "left")
