@@ -6,7 +6,9 @@ import graft.operators.{Dsir, Sessionize}
 import graft.text.Chunking
 
 /** Round-6 curation additions: DSIR importance resampling, RAG chunking,
-  * gap sessionization. */
+  * gap sessionization, exact-k stratified sampling, hashed linear
+  * quality scoring, distributed k-means refinement, and BPE tokenizer
+  * training/inference. */
 class CurationOpsSpec extends SparkSuite {
 
   // ----------------------------------------------------------------- DSIR
