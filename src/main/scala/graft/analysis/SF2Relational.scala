@@ -108,17 +108,27 @@ object SF2Relational {
       if (args.combine) Seq("band") else Seq("lc_id", "band")
     val keyCols = keys.map(col)
 
-    // withBins: pair rows + "bin"; grid: full (keys, bin) lattice for the
-    // size scheme (batch emits NaN rows for empty bins), None otherwise.
-    val (withBins: DataFrame, grid: Option[DataFrame]) =
-      if (args.binMethod == "size") {
-        val (bp, g) =
-          sizeBinned(pairs, bandFiltered, keys, args.binCountTarget, args.combine)
-        (bp, Some(g))
-      } else (lengthBinned(pairs, bandFiltered, keys, args), None)
+    // size scheme: (distinct-Δt frame with estimator partial sums,
+    // dt→bin map, full (keys, bin) lattice — batch emits NaN rows for
+    // empty bins). Pair rows re-expand ONLY where per-pair values are
+    // irreducibly needed: the Poisson bootstrap (weights keyed by
+    // observation index) and macleod's percentile (a raw-df multiset
+    // statistic). Every avg-shaped estimator reads the dt-granular
+    // sums instead, so the DEFAULT SF² configuration expands the pair
+    // stream exactly once.
+    val sizeParts: Option[(DataFrame, DataFrame, DataFrame)] =
+      if (args.binMethod == "size")
+        Some(sizeBinned(pairs, bandFiltered, keys, args.binCountTarget,
+          args.combine))
+      else None
+    val grid: Option[DataFrame] = sizeParts.map(_._3)
+    def pairWithBins: DataFrame = sizeParts match {
+      case Some((_, binMap, _)) => pairs.join(binMap, keys :+ "dt")
+      case None => lengthBinned(pairs, bandFiltered, keys, args)
+    }
 
     if (bootstrap) {
-      val res0 = bootstrapped(withBins, grid, bandFiltered, keys, args)
+      val res0 = bootstrapped(pairWithBins, grid, bandFiltered, keys, args)
       val res =
         if (args.combine) res0.withColumn("lc_id", lit("combined"))
           .select((col("lc_id") +: res0.columns.filter(_ != "lc_id")
@@ -128,25 +138,48 @@ object SF2Relational {
       return res
     }
 
-    // per-(group, bin) estimator aggregate
-    val sf2Agg: Column = args.sfMethod match {
-      case "basic"       => avg(col("df") * col("df") - col("sse"))
-      case "bauer_2009a" => avg(col("df") * col("df")) - avg(col("sse"))
-      case "bauer_2009b" =>
-        lit(math.Pi / 2.0) * pow(avg(abs(col("df"))), 2) - avg(col("sse"))
-      case "schmidt_2010" =>
-        pow(avg(lit(math.sqrt(math.Pi / 2.0)) * abs(col("df")) -
-          sqrt(col("sse"))), 2)
-      case "macleod_2012" =>
-        pow(lit(0.74) * (percentile(col("df"), lit(0.75)) -
-          percentile(col("df"), lit(0.25))), 2)
-      case other => throw new IllegalArgumentException(
-        s"Unknown structure function calculator method: $other")
+    val grouped = sizeParts match {
+      case Some((dtc, binMap, _)) if args.sfMethod != "macleod_2012" =>
+        // dt-granular estimator aggregate over the partial sums carried
+        // by the dtc barrier (Σ per dt, then Σ per bin — same values as
+        // the per-pair avg up to double-summation grouping, the same
+        // tolerance class as partial aggregation order)
+        val w = col("__cnt").cast("double")
+        def wavg(s: Column): Column = sum(s) / sum(w)
+        val sf2AggDt: Column = args.sfMethod match {
+          case "basic"       => wavg(col("__s_d2se"))
+          case "bauer_2009a" => wavg(col("__s_d2")) - wavg(col("__s_sse"))
+          case "bauer_2009b" =>
+            lit(math.Pi / 2.0) * pow(wavg(col("__s_absdf")), 2) -
+              wavg(col("__s_sse"))
+          case "schmidt_2010" => pow(wavg(col("__s_schmidt")), 2)
+          case other => throw new IllegalArgumentException(
+            s"Unknown structure function calculator method: $other")
+        }
+        dtc.join(binMap, keys :+ "dt")
+          .groupBy((keyCols :+ col("bin")): _*)
+          .agg(wavg(col("dt") * w).as("dt"), sf2AggDt.as("sf2"))
+      case _ =>
+        // per-(group, bin) estimator aggregate over pair rows
+        val sf2Agg: Column = args.sfMethod match {
+          case "basic"       => avg(col("df") * col("df") - col("sse"))
+          case "bauer_2009a" => avg(col("df") * col("df")) - avg(col("sse"))
+          case "bauer_2009b" =>
+            lit(math.Pi / 2.0) * pow(avg(abs(col("df"))), 2) -
+              avg(col("sse"))
+          case "schmidt_2010" =>
+            pow(avg(lit(math.sqrt(math.Pi / 2.0)) * abs(col("df")) -
+              sqrt(col("sse"))), 2)
+          case "macleod_2012" =>
+            pow(lit(0.74) * (percentile(col("df"), lit(0.75)) -
+              percentile(col("df"), lit(0.25))), 2)
+          case other => throw new IllegalArgumentException(
+            s"Unknown structure function calculator method: $other")
+        }
+        pairWithBins
+          .groupBy((keyCols :+ col("bin")): _*)
+          .agg(avg(col("dt")).as("dt"), sf2Agg.as("sf2"))
     }
-
-    val grouped = withBins
-      .groupBy((keyCols :+ col("bin")): _*)
-      .agg(avg(col("dt")).as("dt"), sf2Agg.as("sf2"))
 
     val filled = grid match {
       case Some(g) => // scipy semantics: empty bins are NaN rows
@@ -264,15 +297,20 @@ object SF2Relational {
     *      values are not BOTH within one ulp of rn, i.e. per-group
     *      m·nbins ≲ 2⁶³ and (m−1)/nbins ≫ ulp — holds to ~10⁷-observation
     *      lightcurves at the default target).
-    *   6. pairs join the (small) distinct-Δt→bin map on (keys, dt).
-    * The self-join therefore executes exactly twice (once collapsed
-    * immediately by the groupBy, once for the bin join), with the source
-    * exchange reused between them.
+    *   6. consumers join the distinct-Δt→bin map on (keys, dt): the
+    *      avg-shaped estimators at DT granularity (the partial sums ride
+    *      the dtc barrier — no pair rows at all), macleod/bootstrap at
+    *      pair granularity (raw-df percentile / per-observation weights
+    *      are irreducibly pair-level).
+    * The pair self-join therefore executes exactly ONCE for the default
+    * configuration (collapsed immediately by this groupBy), and twice
+    * only for macleod/bootstrap.
     *
-    * Returns (binned pair rows, full (keys, bin) grid). */
+    * Returns (distinct-Δt frame with partial sums, (keys, dt, bin) map,
+    * full (keys, bin) grid). */
   private def sizeBinned(pairs: DataFrame, bandFiltered: DataFrame,
-      keys: Seq[String],
-      binCountTarget: Int, combine: Boolean): (DataFrame, DataFrame) = {
+      keys: Seq[String], binCountTarget: Int,
+      combine: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val keyCols = keys.map(col)
     // barrier: dtc is read by grp0, the rank window AND (transitively,
     // via grp) the edge grid — without materialization every one of those
@@ -284,8 +322,17 @@ object SF2Relational {
     // frame. Block storage is MEMORY_AND_DISK: at 100 TB the distinct-Δt
     // frame spills rather than OOMs, and it is never larger than what
     // the rank window must sort anyway.
+    // the distinct-Δt frame carries the per-dt estimator PARTIAL SUMS
+    // for every avg-shaped estimator, so the non-macleod, non-bootstrap
+    // paths never touch pair rows again after this aggregate
     val dtc = barrier(pairs.groupBy((keyCols :+ col("dt")): _*)
-      .agg(count(lit(1)).as("__cnt")))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("df") * col("df") - col("sse")).as("__s_d2se"),
+        sum(col("df") * col("df")).as("__s_d2"),
+        sum(col("sse")).as("__s_sse"),
+        sum(abs(col("df"))).as("__s_absdf"),
+        sum(lit(math.sqrt(math.Pi / 2.0)) * abs(col("df")) -
+          sqrt(col("sse"))).as("__s_schmidt")))
     val grp0 = dtc.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("__m"), sum(col("__cnt")).as("__np"))
       .withColumn("__nbins",
@@ -350,11 +397,10 @@ object SF2Relational {
         col("__nbins") - 1))
       .select((keyCols :+ col("dt") :+ col("bin")): _*)
 
-    val binnedPairs = pairs.join(binMap, keys :+ "dt")
     val grid = explodedRange(
       grp.select((keyCols :+ col("__nbins").as("__n")): _*), "bin")
       .select((keyCols :+ col("bin")): _*)
-    (binnedPairs, grid)
+    (dtc, binMap.select((keyCols :+ col("dt") :+ col("bin")): _*), grid)
   }
 
   /** POISSON-BOOTSTRAP error estimation — the distributed form of the
