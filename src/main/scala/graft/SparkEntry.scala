@@ -786,6 +786,26 @@ object SparkEntry {
       refined.zipWithIndex.flatMap { case (cen, c) =>
         cen.zipWithIndex.map { case (x, j) => (c, j, x) }
       }.toSeq.toDF("cell", "dim", "coord")
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join (the operator Spark SQL lacks natively): every click
+      // matched to the user's most recent purchase at-or-before it,
+      // within a 2-day tolerance. Union-tag + ONE key-partitioned window
+      // — a single shuffle on user_id, no join blow-up. All output values
+      // are bit-exact cross-engine (ts_days is integer-derived; value and
+      // ids are read, not computed), so the hash check needs no rounding.
+      val ev = eventsSource(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_days")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_days"),
+          col("event_id").as("p_event"), col("value"))
+      graft.operators.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts_days", "ts_days", rightCols = Seq("value", "p_event"),
+          tolerance = Some(2.0), rightTiebreak = Some("p_event"))
+        .select(col("event_id"), col("user_id"), col("ts_days"),
+          col("ts_days_matched"), col("value_matched"),
+          col("p_event_matched"))
     })
   )
 
@@ -1893,7 +1913,38 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_days) AS start_ts, max(ts_days) AS end_ts,
         |  max(ts_days) - min(ts_days) AS duration
-        |FROM fl GROUP BY 1, 2""".stripMargin)
+        |FROM fl GROUP BY 1, 2""".stripMargin),
+    // as-of join: the identical union-tag + key-partitioned-window
+    // formulation (right rows sort before left at equal times; greatest
+    // p_event wins equal-time ties; payload rides in one struct so
+    // last_value(IGNORE NULLS) cannot skip a legitimately-null field)
+    "q_asof_join" -> (EvCte +
+      """,
+        |l AS (SELECT event_id, user_id, ts_days FROM ev
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS p_event, user_id, ts_days, value FROM ev
+        |  WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, ts_days AS t, 1 AS tag, NULL::DOUBLE AS tb,
+        |      event_id, ts_days,
+        |      NULL::STRUCT(ts DOUBLE, v DOUBLE, pe BIGINT) AS p
+        |    FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts_days, 0, p_event::DOUBLE, NULL, NULL,
+        |      struct_pack(ts := ts_days, v := value, pe := p_event)
+        |    FROM r),
+        |m AS (SELECT *, last_value(p IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY t, tag, tb
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+        |  FROM u)
+        |SELECT event_id, user_id, ts_days,
+        |  CASE WHEN mp IS NOT NULL AND ts_days - mp.ts <= 2.0
+        |    THEN mp.ts END AS ts_days_matched,
+        |  CASE WHEN mp IS NOT NULL AND ts_days - mp.ts <= 2.0
+        |    THEN mp.v END AS value_matched,
+        |  CASE WHEN mp IS NOT NULL AND ts_days - mp.ts <= 2.0
+        |    THEN mp.pe END AS p_event_matched
+        |FROM m WHERE tag = 1""".stripMargin)
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,
