@@ -17,6 +17,11 @@ run / fork := true
 // "[info] {...}" and the driver's parser records "parsed": null
 // (BENCH_r03..r05). StdoutOutput is the documented sbt escape hatch.
 outputStrategy := Some(StdoutOutput)
+// Drop sbt's trailing "[success] Total time: ..." line so the bench JSON
+// (printed by the forked JVM as its last act) is also the last stdout
+// line — drivers that parse "the last line" (BENCH_r03..r05 recorded
+// "parsed": null) then see the JSON, not sbt epilogue.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
