@@ -806,7 +806,37 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts_days"),
           col("ts_days_matched"), col("value_matched"),
           col("p_event_matched"))
-    })
+    }),
+    "q_crossmatch" -> ((s, dir) => {
+      // zones crossmatch: synthetic sky positions from md5 uniforms (the
+      // oracle replays them bit-for-bit); each customer position picks
+      // its nearest supplier position within a 10° radius through the
+      // 3×3 cell-blocked EQUI join — never an all-pairs join. d² and the
+      // uniform derivations share one IEEE expression shape with the
+      // SQL, so values hash-match with no rounding.
+      import graft.functions.HashExpressions.md5Long
+      def u(tag: String, c: org.apache.spark.sql.Column) =
+        shiftrightunsigned(md5Long(concat_ws("|", lit(tag), c)), 11)
+          .cast("double") / lit(9007199254740992.0)
+      val lc = table(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (u("xm_ra", col("c_custkey")) * lit(360.0)).as("ra"),
+        ((u("xm_dec", col("c_custkey")) - lit(0.5)) * lit(180.0)).as("dec"))
+      val rc = table(s, dir, "supplier").select(
+        col("s_suppkey").as("id"),
+        (u("xs_ra", col("s_suppkey")) * lit(360.0)).as("ra"),
+        ((u("xs_dec", col("s_suppkey")) - lit(0.5)) * lit(180.0)).as("dec"))
+      graft.operators.Crossmatch.crossmatch(lc, rc, "id", "id",
+        "ra", "dec", "ra", "dec", radius = 10.0)
+    }),
+    "q_bigram_ce" -> ((s, dir) =>
+      // interpolated bigram LM scoring (KenLM-shaped, one order above
+      // q_unigram_ce): three vocab-bounded model aggregates + a scoring
+      // join, ~1 row/doc past the scan; the per-doc mean is the only
+      // order-sensitive float, rounded to 6 decimals on both sides
+      graft.text.UnigramLm.bigramCrossEntropy(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy")))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -1944,7 +1974,69 @@ object SparkEntry {
         |    THEN mp.v END AS value_matched,
         |  CASE WHEN mp IS NOT NULL AND ts_days - mp.ts <= 2.0
         |    THEN mp.pe END AS p_event_matched
-        |FROM m WHERE tag = 1""".stripMargin)
+        |FROM m WHERE tag = 1""".stripMargin),
+    // crossmatch: the oracle skips the zone blocking (an execution
+    // detail) and states the SEMANTICS — nearest in-radius neighbour
+    // with (d², id) tie-break — over the identical md5-uniform positions
+    "q_crossmatch" ->
+      """WITH lc AS (SELECT c_custkey AS id,
+        |    (('0x' || substr(md5(concat_ws('|', 'xm_ra', c_custkey)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 * 360.0 AS ra,
+        |    ((('0x' || substr(md5(concat_ws('|', 'xm_dec', c_custkey)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 - 0.5) * 180.0 AS dec
+        |  FROM customer),
+        |rc AS (SELECT s_suppkey AS id,
+        |    (('0x' || substr(md5(concat_ws('|', 'xs_ra', s_suppkey)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 * 360.0 AS ra,
+        |    ((('0x' || substr(md5(concat_ws('|', 'xs_dec', s_suppkey)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 - 0.5) * 180.0 AS dec
+        |  FROM supplier),
+        |cand AS (SELECT l.id AS lid, r.id AS rid,
+        |    (l.ra - r.ra) * (l.ra - r.ra) + (l.dec - r.dec) * (l.dec - r.dec) AS d2
+        |  FROM lc l, rc r
+        |  WHERE abs(l.dec - r.dec) <= 10.0 AND abs(l.ra - r.ra) <= 10.0
+        |    AND (l.ra - r.ra) * (l.ra - r.ra) + (l.dec - r.dec) * (l.dec - r.dec) <= 100.0),
+        |sel AS (SELECT lid, rid, d2,
+        |    row_number() OVER (PARTITION BY lid ORDER BY d2, rid) AS rn,
+        |    count(*) OVER (PARTITION BY lid) AS nc
+        |  FROM cand)
+        |SELECT lid AS id, rid AS matched_id, sqrt(d2) AS dist,
+        |  nc AS n_candidates
+        |FROM sel WHERE rn = 1""".stripMargin,
+    // bigram LM: identical tokenization to q_unigram_ce, adjacent pairs
+    // via the same list-comprehension idiom the BPE oracle uses, and the
+    // interpolated probability in one shared IEEE expression shape
+    "q_bigram_ce" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT doc_id, u.a AS a, u.b AS b
+        |  FROM (SELECT doc_id, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |      for i in range(1, len(ts))]) AS u
+        |    FROM tok)),
+        |c2 AS MATERIALIZED (
+        |  SELECT a, b, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2),
+        |cctx AS MATERIALIZED (
+        |  SELECT a, sum(c2)::BIGINT AS cctx FROM c2 GROUP BY 1),
+        |uni AS MATERIALIZED (
+        |  SELECT term AS b, count(*)::BIGINT AS tc
+        |  FROM (SELECT unnest(ts) AS term FROM tok) GROUP BY 1),
+        |stats AS (SELECT sum(tc)::BIGINT AS n_total,
+        |    count(*)::BIGINT AS vocab FROM uni),
+        |sc AS (SELECT p.doc_id,
+        |    ln(0.5 * coalesce(c.c2::DOUBLE / x.cctx, 0.0) +
+        |       0.5 * ((coalesce(u.tc, 0) + 1.0::DOUBLE) /
+        |         ((n_total + vocab)::DOUBLE))) AS logp
+        |  FROM pairs p
+        |  LEFT JOIN c2 c USING (a, b)
+        |  LEFT JOIN cctx x USING (a)
+        |  LEFT JOIN uni u USING (b)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(-avg(logp), 6) AS cross_entropy
+        |FROM sc GROUP BY doc_id""".stripMargin
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,

@@ -136,4 +136,72 @@ object UnigramLm {
     scored.select(col("id").as(idCol), col("n_tokens"),
       col("cross_entropy"))
   }
+
+  /** Adjacent-token bigrams of a token array as (a, b) structs; empty for
+    * docs shorter than two tokens. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => struct(x.as("a"), y.as("b"))))
+
+  /** Per-document cross-entropy against an interpolated BIGRAM model —
+    * one LM order up from [[crossEntropy]], the KenLM-shaped quality
+    * signal proper: P(b|a) = λ·C(a,b)/C(a,·) + (1−λ)·P₁(b), where
+    * C(a,·) is the count of `a` as a bigram context and P₁ is the same
+    * add-one unigram model `crossEntropy` uses (so an unseen context
+    * falls back entirely to the unigram term — simple interpolation
+    * backoff). A document scores the negative mean log-probability of
+    * its ADJACENT TOKEN PAIRS; docs with fewer than two tokens emit no
+    * row. LOW = fluent in-distribution text; HIGH = garbled or
+    * out-of-distribution — filter on quantiles of this column.
+    *
+    * Scale design: three model aggregates (bigram, context, unigram) are
+    * vocabulary²-bounded dimension tables built in one pass each over
+    * the model corpus; scoring joins each document bigram against them
+    * (broadcast when small, AQE decides otherwise) and reduces per
+    * document with map-side partial averages — the scored corpus
+    * shuffles only ~1 row per document past the scan. Nothing is
+    * quadratic in documents.
+    *
+    * Cross-engine determinism: counts are exact longs; the interpolated
+    * probability is one shared IEEE expression shape; only the per-doc
+    * mean is reduction-order-sensitive, so callers wanting hash-stable
+    * output round it (the q_bigram_ce oracle rounds to 6 decimals on
+    * both sides). Default λ = 0.5 keeps both interpolation weights
+    * exactly representable. */
+  def bigramCrossEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", lambda: Double = 0.5,
+      model: DataFrame = null): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
+    val m = Option(model).getOrElse(docs)
+    val toks = tokens(col(textCol))
+    val modelBi = m.select(explode(bigrams(toks)).as("bg"))
+      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx = modelBi.groupBy(col("a")).agg(sum(col("c2")).as("cctx"))
+    val uni = m.select(explode(toks).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val stats = uni.agg(sum(col("tc")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    val scored = docs
+      .select(col(idCol).as("id"), explode(bigrams(toks)).as("bg"))
+      .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .join(modelBi, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .join(uni, Seq("b"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), log(
+        lit(lambda) *
+          coalesce(col("c2").cast("double") / col("cctx"), lit(0.0)) +
+          lit(1.0 - lambda) *
+          ((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+            (col("n_total") + col("vocab")))).as("__logp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-avg(col("__logp"))).as("cross_entropy"))
+    scored.select(col("id").as(idCol), col("n_bigrams"),
+      col("cross_entropy"))
+  }
 }

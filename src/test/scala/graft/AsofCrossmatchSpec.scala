@@ -2,10 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, Crossmatch}
 
-/** Round-7 relational additions: as-of join (+ the zones crossmatch and
-  * bigram LM tested in their own sections as they land). */
+/** Round-7 relational additions: as-of join and the zones crossmatch. */
 class AsofCrossmatchSpec extends SparkSuite {
 
   // ------------------------------------------------------------ as-of join
@@ -86,5 +85,62 @@ class AsofCrossmatchSpec extends SparkSuite {
     assert(phys.contains("Window"))
     assert(!phys.matches("(?s).*Window \\[[^\\]]*windowspecdefinition\\(\\s*\\Q__asof_t\\E.*"),
       "window should be partitioned by the key, not global")
+  }
+
+  // ------------------------------------------------------------ crossmatch
+
+  private def leftCat = {
+    import spark.implicits._
+    Seq((1L, 10.0, 10.0),   // near r=100 (dist 1.0) and r=101 (dist 2.0)
+        (2L, 50.0, -30.0),  // exactly radius away from r=102
+        (3L, 200.0, 80.0),  // no neighbour within radius
+        (4L, 120.0, 0.0))   // equidistant from r=103 and r=104
+      .toDF("id", "ra", "dec")
+  }
+  private def rightCat = {
+    import spark.implicits._
+    Seq((100L, 10.0, 11.0), (101L, 10.0, 8.0), (102L, 50.0, -28.0),
+        (103L, 119.0, 0.0), (104L, 121.0, 0.0), (105L, 300.0, -80.0))
+      .toDF("id", "ra", "dec")
+  }
+  private def xm(radius: Double) = Crossmatch.crossmatch(
+    leftCat, rightCat, "id", "id", "ra", "dec", "ra", "dec", radius)
+
+  test("crossmatch: nearest within radius, inclusive edge, ties on id") {
+    val out = xm(2.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((100L, 1.0, 2L))) // nearest of two candidates
+    assert(out(2L) === ((102L, 2.0, 1L))) // dist exactly radius: inclusive
+    assert(out(4L)._1 === 103L)           // equidistant -> smaller id wins
+    assert(out(4L)._3 === 2L)             // both candidates counted
+    assert(!out.contains(3L))             // unmatched left row absent
+  }
+
+  test("crossmatch: neighbour found across a cell boundary") {
+    import spark.implicits._
+    // left at the very top of cell dec-zone 0, right just inside zone 1:
+    // only the 3x3 replication makes them meet
+    val l = Seq((1L, 5.0, 9.9)).toDF("id", "ra", "dec")
+    val r = Seq((2L, 5.0, 10.1)).toDF("id", "ra", "dec")
+    val out = Crossmatch.crossmatch(l, r, "id", "id", "ra", "dec",
+      "ra", "dec", radius = 10.0).collect()
+    assert(out.length === 1 && out.head.getLong(1) === 2L)
+    assert(math.abs(out.head.getDouble(2) - 0.2) < 1e-12)
+  }
+
+  test("crossmatch: zoneHeight below radius is rejected") {
+    intercept[IllegalArgumentException] {
+      Crossmatch.crossmatch(leftCat, rightCat, "id", "id", "ra", "dec",
+        "ra", "dec", radius = 5.0, zoneHeight = 2.0)
+    }
+  }
+
+  test("crossmatch plan: equi join on the cell key, never a cartesian") {
+    val phys = xm(2.0).queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      "zones blocking must produce an equi join, not a cartesian")
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      "zones blocking must produce an equi join, not a nested loop")
   }
 }

@@ -76,6 +76,37 @@ class SelectionSpec extends SparkSuite {
     assert(math.abs(ood - -math.log(1.0 / 7.0)) < 1e-12)
   }
 
+  test("bigramCrossEntropy: hand-computed; backoff; short docs emit none") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b"),
+      (2L, "a b"),
+      (3L, "a c"),
+      (4L, "a"),    // one token  -> no bigram, no row
+      (5L, " ")).toDF("doc_id", "text") // empty -> no row
+    // unigrams: a=4,b=2,c=1; N=7,V=3 → P1(b)=3/10, P1(c)=2/10
+    // bigrams: (a,b)=2,(a,c)=1; C(a,·)=3
+    val got = graft.text.UnigramLm.bigramCrossEntropy(tiny)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L)._1 === 1)
+    // doc1: P(b|a) = 0.5·(2/3) + 0.5·(3/10)
+    val p1 = 0.5 * (2.0 / 3.0) + 0.5 * (3.0 / 10.0)
+    assert(math.abs(got(1L)._2 - -math.log(p1)) < 1e-12)
+    // doc3: P(c|a) = 0.5·(1/3) + 0.5·(2/10)
+    val p3 = 0.5 * (1.0 / 3.0) + 0.5 * (2.0 / 10.0)
+    assert(math.abs(got(3L)._2 - -math.log(p3)) < 1e-12)
+    assert(got(1L)._2 < got(3L)._2) // frequent pair scores better
+    // unseen context "x b": bigram term 0, pure unigram backoff
+    val backoff = graft.text.UnigramLm.bigramCrossEntropy(
+        Seq((9L, "x b")).toDF("doc_id", "text"), model = tiny)
+      .collect()(0).getDouble(2)
+    assert(math.abs(backoff - -math.log(0.5 * (3.0 / 10.0))) < 1e-12)
+    // garbled OOD text scores strictly worse than anything in-corpus
+    assert(backoff > got(3L)._2)
+  }
+
   test("stratifiedSample: scoped, deterministic, roughly at rate") {
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.5), defaultRate = 0.0)
