@@ -836,7 +836,24 @@ object SparkEntry {
       // order-sensitive float, rounded to 6 decimals on both sides
       graft.text.UnigramLm.bigramCrossEntropy(table(s, dir, "documents"))
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("cross_entropy"), 6).as("cross_entropy")))
+          round(col("cross_entropy"), 6).as("cross_entropy"))),
+    "q_image_dhash" -> ((s, dir) => {
+      // image near-dup fingerprinting: REAL PNG decode → integer-exact
+      // 9×8 box downsample → 64-bit perceptual dHash (cross-multiplied
+      // integer comparisons, no floats). Planted corner-edited copies
+      // (+1000000) carry true near-dup structure for the banded
+      // hammingPairs engine; the oracle replays the hash codec-free from
+      // the deterministic pixel function (PNG is lossless), HUGEINT bit
+      // packing included.
+      import graft.multimodal.Multimodal._
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 15)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val media =
+        syntheticTexturedImages(docs.unionByName(planted), "doc_id")
+      dhashImages(media).select(col("media_id"), col("width"),
+        col("height"), col("dhash"))
+    })
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -2036,7 +2053,42 @@ object SparkEntry {
         |  CROSS JOIN stats)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  round(-avg(logp), 6) AS cross_entropy
-        |FROM sc GROUP BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    // image dHash: the oracle never touches a codec — PNG is lossless,
+    // so it recomputes every pixel from the deterministic texture
+    // function, box-assigns cells with the same integer division, and
+    // packs bits through HUGEINT with the signed-BIGINT fold the
+    // simhash oracle uses
+    "q_image_dhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS b FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id < 15),
+        |dims AS (SELECT id, b, b % 40 + 24 AS w, b % 32 + 16 AS h
+        |  FROM ids),
+        |px AS (SELECT id, w, h,
+        |    CASE WHEN id >= 1000000 AND x < 3 AND y < 3
+        |      THEN ((x * b + y * (b // 7) + x * y) % 241 + 100) % 241
+        |      ELSE (x * b + y * (b // 7) + x * y) % 241 END AS v,
+        |    (x * 9) // w AS ci, (y * 8) // h AS cj
+        |  FROM dims, unnest(range(w)) tx(x), unnest(range(h)) ty(y)),
+        |cells AS (SELECT id, w, h, ci, cj,
+        |    sum(v)::BIGINT AS s, count(*)::BIGINT AS n
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |bits AS (SELECT a.id, a.w, a.h,
+        |    CASE WHEN b.s * a.n > a.s * b.n
+        |      THEN (1::HUGEINT << (a.cj * 8 + a.ci)) ELSE 0::HUGEINT
+        |      END AS pw
+        |  FROM cells a JOIN cells b
+        |    ON a.id = b.id AND a.cj = b.cj AND b.ci = a.ci + 1),
+        |packed AS (SELECT id, w, h, sum(pw)::HUGEINT AS su
+        |  FROM bits GROUP BY 1, 2, 3)
+        |SELECT id AS media_id, w::INT AS width, h::INT AS height,
+        |  CASE WHEN su >= 9223372036854775808::HUGEINT
+        |    THEN (su - 18446744073709551616::HUGEINT)::BIGINT
+        |    ELSE su::BIGINT END AS dhash
+        |FROM packed""".stripMargin
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,

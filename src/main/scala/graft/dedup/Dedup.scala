@@ -441,18 +441,32 @@ object Dedup {
     * within-bucket pairing, like LSH. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, maxBucketSize: Int = 1000,
-      hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
+      hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"),
+        simhash64(col(textCol), hashMode).as("sh")),
+      "id", "sh", maxDist, maxBucketSize)
+
+  /** Near-duplicate pairs of ANY 64-bit fingerprint column (SimHash,
+    * image dHash/pHash, audio chromaprints …) with hamming distance ≤
+    * `maxDist` — the generic banding engine behind [[simhashPairs]].
+    * Candidate generation by the pigeonhole principle: any pair within
+    * distance d agrees exactly on ≥1 of d+1 chunks of the 64-bit key, so
+    * the self-join runs per exact-chunk bucket — linear work plus
+    * within-bucket pairing, like LSH. */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val nChunks = maxDist + 1
     val chunkBits = 64 / nChunks
     // Persist + eager barrier: the chunk frame feeds the size filter and
     // BOTH sides of the candidate self-join — without the cache, every
-    // branch re-tokenizes and re-fingerprints the full corpus (8 text
-    // scans in the plan; one pass cached is 16 bytes/row). Same lifecycle
-    // as minhashLshPairs: the small verified pair set is materialized
+    // branch re-derives the fingerprints (8 upstream scans in the plan;
+    // one pass cached is 16 bytes/row). Same lifecycle as
+    // minhashLshPairs: the small verified pair set is materialized
     // eagerly (localCheckpoint) so the big intermediate can be unpersisted
     // before returning.
-    val chunks = df.select(col(idCol).as("id"),
-        simhash64(col(textCol), hashMode).as("sh"))
+    val chunks = hashes
+      .select(col(idCol).as("id"), col(hashCol).as("sh"))
       .select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
           struct(c.as("chunk"),

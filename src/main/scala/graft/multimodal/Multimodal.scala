@@ -220,6 +220,128 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  // ------------------------------------------------- perceptual image hash
+
+  /** Deterministic textured grayscale pixel for synthetic dHash images:
+    * `v(x,y) = (x·b + y·(b/7) + x·y) mod 241` where `b = id mod 10⁶` —
+    * enough 2-D texture that dHash fingerprints vary per image (a plain
+    * linear gradient would hash identically corpus-wide). Ids ≥ 10⁶ mark
+    * planted near-copies: the 3×3 corner block is brightened by
+    * `(v+100) mod 241`, flipping only the hash bits whose cells touch
+    * that corner — a hamming distance of a few bits from the original. */
+  private[graft] def texturedPixel(id: Long, x: Int, y: Int): Int = {
+    val b = id % 1000000L
+    val base = ((x * b + y * (b / 7) + x.toLong * y) % 241L).toInt
+    if (id >= 1000000L && x < 3 && y < 3) ((base + 100) % 241) else base
+  }
+  private[graft] def texturedDims(id: Long): (Int, Int) = {
+    val b = id % 1000000L
+    ((b % 40 + 24).toInt, (b % 32 + 16).toInt)
+  }
+
+  /** Generate REAL grayscale PNG bytes per row from [[texturedPixel]]
+    * (same `mapPartitions` + ImageIO shape as [[syntheticImages]]). PNG
+    * is lossless and the pixels are integer-deterministic, so a codec-less
+    * engine can state the decoded values — and hence the dHash — in
+    * closed form. */
+  def syntheticTexturedImages(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = texturedDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = texturedPixel(id, x, y)
+            rowBuf(x) = v << 16 | v << 8 | v
+            x += 1
+          }
+          img.setRGB(0, y, w, 1, rowBuf, 0, w)
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray,
+          Row("png", w, h, null.asInstanceOf[java.lang.Long]))
+      }
+    }(enc).toDF()
+  }
+
+  /** Output schema of [[dhashImages]]. */
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** 64-bit difference hash (dHash) of each image — the classic
+    * perceptual fingerprint for image near-dup detection: decode
+    * (real ImageIO), box-downsample the red channel onto a 9×8 grid
+    * (cell of pixel x is `x·9/w` — integer-exact, no resampling filter
+    * to replicate), then bit `j·8+i` is set when cell `(i+1,j)` is
+    * brighter than cell `(i,j)`. Comparisons are cross-multiplied
+    * integer sums (`s₂·n₁ > s₁·n₂`), so the hash is bit-reproducible by
+    * any engine from the pixel values alone — no floats anywhere.
+    * dHash is invariant to global brightness shifts and to any
+    * monotone-preserving rescale, which is what makes it a NEAR-dup
+    * key rather than an exact checksum. Pair generation: feed the
+    * result to `Dedup.hammingPairs` (pigeonhole banding — linear in
+    * images, never all-pairs). Non-decodable rows keep a null hash.
+    *
+    * Scale design: map-only over the media column (one decode per row,
+    * ~100 bytes of state per image); the expensive candidate pairing is
+    * delegated to the banded hammingPairs exchange. */
+  def dhashImages(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(dhashSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val (_, img) = readImageOrNull(r, byIdx)
+        if (img == null) Row(id, null, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = Array.ofDim[Long](9, 8)
+          val counts = Array.ofDim[Long](9, 8)
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
+            val cj = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val ci = x * 9 / w
+              sums(ci)(cj) += (rowBuf(x) >> 16) & 0xff
+              counts(ci)(cj) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              if (sums(i + 1)(j) * counts(i)(j) >
+                  sums(i)(j) * counts(i + 1)(j))
+                hash |= 1L << (j * 8 + i)
+              i += 1
+            }
+            j += 1
+          }
+          Row(id, w, h, hash)
+        }
+      }
+    }(enc).toDF()
+  }
+
   // ------------------------------------------------------- real audio path
 
   /** Deterministic per-channel amplitude for synthetic WAVs: channel `c`

@@ -135,6 +135,74 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: dHash matches an independent pixel-space replay") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val media = Multimodal.syntheticTexturedImages(docs, "doc_id")
+    val got = Multimodal.dhashImages(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(got.size === 20)
+    got.foreach { case (id, (w, h, hash)) =>
+      val (ew, eh) = Multimodal.texturedDims(id)
+      assert((w, h) === ((ew, eh)))
+      // replay the hash straight from the pixel function — no codec
+      val sums = Array.ofDim[Long](9, 8); val cnt = Array.ofDim[Long](9, 8)
+      for (y <- 0 until eh; x <- 0 until ew) {
+        sums(x * 9 / ew)(y * 8 / eh) += Multimodal.texturedPixel(id, x, y)
+        cnt(x * 9 / ew)(y * 8 / eh) += 1
+      }
+      var exp = 0L
+      for (j <- 0 until 8; i <- 0 until 8)
+        if (sums(i + 1)(j) * cnt(i)(j) > sums(i)(j) * cnt(i + 1)(j))
+          exp |= 1L << (j * 8 + i)
+      assert(hash === exp, s"dhash of image $id")
+    }
+  }
+
+  test("multimodal: dHash near-dup pairs — planted corner edits are close, " +
+      "brightness shifts are distance 0") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 30)
+    // planted near-copies of the first 10: same base image params
+    // (id % 1e6) with the 3×3 corner perturbation switched on
+    val planted = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val media = Multimodal.syntheticTexturedImages(
+      docs.unionByName(planted), "doc_id")
+    val hashes = Multimodal.dhashImages(media)
+    val pairs = graft.dedup.Dedup.hammingPairs(hashes, "media_id", "dhash",
+        maxDist = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue)
+      .toMap
+    // every planted copy finds its original within distance 3
+    (0L until 10L).foreach { id =>
+      val d = pairs.get((id, id + 1000000L))
+      assert(d.isDefined, s"planted pair $id missing from hammingPairs")
+      assert(d.get <= 3)
+    }
+    // a uniform brightness shift leaves dHash unchanged (hamming 0):
+    // regenerate image 3 with all pixels +5 and compare hashes directly
+    val base = Multimodal.texturedDims(3L)
+    def pngOf(shift: Int): Array[Byte] = {
+      val (w, h) = base
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (Multimodal.texturedPixel(3L, x, y) + shift).min(255)
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val two = Seq((1L, pngOf(0)), (2L, pngOf(5))).toDF("media_id", "bytes")
+    val hs = Multimodal.dhashImages(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(hs(1L) === hs(2L), "dHash must be brightness-shift invariant")
+  }
+
   test("multimodal: jpeg decodes too; garbage bytes are flagged not thrown") {
     // JPEG roundtrip (lossy — assert dims/decodability, not pixel values)
     val img = new java.awt.image.BufferedImage(
