@@ -259,6 +259,78 @@ object Streaming {
         col("session.end").as("end_ts"),
         col("n_events"))
 
+  /** Per-key enrichment state: the newest reference row seen. */
+  case class AsofState(rt: Double, rid: Long, v: Double)
+
+  /** Output schema of [[streamingAsofEnrich]]. */
+  def asofEnrichedSchema(keyCol: String): StructType = StructType(Seq(
+    StructField(keyCol, LongType, nullable = false),
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", DoubleType, nullable = false),
+    StructField("matched_ts", DoubleType, nullable = true),
+    StructField("matched_id", LongType, nullable = true),
+    StructField("matched_value", DoubleType, nullable = true)))
+
+  /** Streaming as-of enrichment — the streaming twin of
+    * `AsofJoin.asofJoin(direction = "backward")`: one stream carries
+    * both reference updates (`isRef` rows — purchases, calibration
+    * epochs) and query rows; every query row is emitted once, enriched
+    * with the latest same-key reference AT OR BEFORE it, within
+    * `tolerance` (else nulls — left-outer, like the batch operator).
+    *
+    * State per key is ONE reference row — O(keys) state, no timeline
+    * buffering. Rows are time-ordered inside each micro-batch (refs
+    * before queries at equal times, greater reference id winning
+    * equal-time ties — the batch operator's semantics), so intra-batch
+    * disorder is handled; ACROSS batches the stream must deliver each
+    * key approximately time-ordered (the per-key-partitioned log
+    * contract). A reference arriving after a query it precedes cannot
+    * retro-enrich it — watermark-buffered reordering is a deliberate
+    * non-goal, matching processing-order enrichment joins. A reference
+    * older than the stored one never regresses the state. */
+  def streamingAsofEnrich(src: DataFrame, keyCol: String, timeCol: String,
+      idCol: String, valueCol: String, isRef: Column,
+      tolerance: Double = Double.PositiveInfinity): DataFrame = {
+    val projected = src.select(
+      col(keyCol).cast("long").as("key"),
+      col(idCol).cast("long").as("id"),
+      col(timeCol).cast("double").as("t"),
+      isRef.cast("boolean").as("ref"),
+      col(valueCol).cast("double").as("v"))
+    val outEnc = Encoders.row(asofEnrichedSchema(keyCol))
+    projected
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[AsofState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Row], state: GroupState[AsofState]) =>
+          // refs sort before queries at equal t (inclusive match), and
+          // by id so the greatest equal-time reference wins the state
+          val batch = rows.toArray.sortBy(r =>
+            (r.getDouble(2), if (r.getBoolean(3)) 0 else 1, r.getLong(1)))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[Row]
+          batch.foreach { r =>
+            val t = r.getDouble(2)
+            if (r.getBoolean(3)) {
+              if (st == null || t > st.rt ||
+                  (t == st.rt && r.getLong(1) >= st.rid))
+                st = AsofState(t, r.getLong(1),
+                  if (r.isNullAt(4)) Double.NaN else r.getDouble(4))
+            } else {
+              // st.rt <= t guards the backward contract against a query
+              // arriving out-of-order behind an already-advanced state
+              if (st != null && st.rt <= t && t - st.rt <= tolerance)
+                out += Row(key, r.getLong(1), t, st.rt, st.rid,
+                  if (st.v.isNaN) null else st.v)
+              else
+                out += Row(key, r.getLong(1), t, null, null, null)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }(Encoders.product[AsofState], outEnc).toDF()
+  }
+
   def streamingIvfIngest(
       src: DataFrame,
       centroids: Array[Array[Double]],

@@ -250,4 +250,51 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(streamed === mem2)
   }
+
+  case class Tick(user_id: Long, event_id: Long, t: Double,
+      event_type: String, value: Double)
+
+  test("streaming as-of enrich: state carries across batches, tolerance " +
+      "gates, intra-batch disorder sorted") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Tick]
+    val enriched = Streaming.streamingAsofEnrich(mem.toDF(), "user_id",
+      "t", "event_id", "value", isRef = col("event_type") === "purchase",
+      tolerance = 2.0)
+    val q = enriched.writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1, deliberately out of time order inside the batch: the
+      // click at t=1.5 must still see the purchase at t=1.0
+      mem.addData(
+        Tick(7, 100, 1.5, "click", 0.0),
+        Tick(7, 50, 1.0, "purchase", 10.0))
+      q.processAllAvailable()
+      // batch 2: state carried — click at t=2.5 matches the batch-1
+      // purchase; click at t=9 is beyond tolerance 2.0 → nulls
+      mem.addData(
+        Tick(7, 101, 2.5, "click", 0.0),
+        Tick(7, 102, 9.0, "click", 0.0))
+      q.processAllAvailable()
+      // batch 3: newer purchase replaces state; equal-time click matches
+      // it inclusively; other key stays independent (no state → nulls)
+      mem.addData(
+        Tick(7, 60, 9.5, "purchase", 20.0),
+        Tick(7, 103, 9.5, "click", 0.0),
+        Tick(8, 104, 1.0, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof").collect()
+        .map(r => r.getLong(1) ->
+          ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))))
+        .toMap
+      assert(got(100L) === ((Some(1.0), Some(50L), Some(10.0))))
+      assert(got(101L) === ((Some(1.0), Some(50L), Some(10.0))))
+      assert(got(102L) === ((None, None, None)))
+      assert(got(103L) === ((Some(9.5), Some(60L), Some(20.0))))
+      assert(got(104L) === ((None, None, None)))
+      // every query row emitted exactly once; refs never emitted
+      assert(got.size === 5)
+    } finally q.stop()
+  }
 }
