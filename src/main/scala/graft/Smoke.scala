@@ -24,9 +24,14 @@ object Smoke {
       // file stream sources take a directory; glob-filter to one table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      // session reads parquet TIMESTAMP(NANOS) as epoch-nanos long
-      // (see graft.Spark); event-time needs a real timestamp
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // event-time needs a real timestamp: TIMESTAMP(NANOS) generations
+      // arrive as an epoch-nanos long (graft.Spark's nanos-as-long) and
+      // need converting; TIMESTAMP(MICROS) generations arrive as a
+      // timestamp already and pass through
+      .withColumn("ts",
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts").cast(org.apache.spark.sql.types.TimestampType))
       .withColumn("err", abs(col("value")) * lit(0.05) + lit(0.01))
     val cm = graft.core.ColumnMap(id = "user_id", time = "ts",
       flux = "value", err = "err", band = "event_type")

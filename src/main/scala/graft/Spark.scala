@@ -9,9 +9,15 @@ import org.apache.spark.sql.SparkSession
   *    would size this to 2-3x total cores — it is a config, not code).
   *  - AQE on: runtime coalescing + skew-join handling, the knobs SURVEY §4
   *    calls out for the 100 TB path.
-  *  - parquet nanos-as-long: the driver testdata's `events.ts` is
-  *    TIMESTAMP(NANOS), which vanilla Spark refuses; reading it as a long
-  *    of epoch-nanos keeps the arithmetic integer-exact.
+  *  - parquet timestamp handling: driver testdata timestamps have been
+  *    TIMESTAMP(NANOS) (needs nanos-as-long to read at all) in some
+  *    generations and plain TIMESTAMP(MICROS, isAdjustedToUTC=false) in
+  *    others. nanos-as-long covers the former; disabling TIMESTAMP_NTZ
+  *    inference reads the latter as a regular TIMESTAMP, which under the
+  *    UTC session zone carries exactly the file's naive micros — the same
+  *    integers DuckDB's `epoch_us(ts)` sees, keeping oracle parity
+  *    bit-exact. `SparkEntry.eventsSource` dispatches on whichever dtype
+  *    actually arrives.
   */
 object Spark {
   def session(master: Option[String] = None): SparkSession = {
@@ -24,6 +30,7 @@ object Spark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,8 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Defensive runtime confs in case the driver hands us its own session
+    // (graft.Spark sets the same): naive parquet TIMESTAMP(MICROS) must
+    // read as a regular TIMESTAMP under UTC so its internal micros equal
+    // DuckDB's epoch_us(ts), and TIMESTAMP(NANOS) generations need
+    // nanos-as-long to read at all.
+    scala.util.Try {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** On-disk IVF index over `<dir>/embeddings.parquet`, built (once per
     * JVM and data dir — Bench's 5 passes pay one write) under the sbt
@@ -51,19 +62,25 @@ object SparkEntry {
     })
 
   /** events + derived (ts_days, err) — the TAPE source-table mapping.
-    * `ts` is TIMESTAMP(NANOS) parquet, read as a long of epoch-nanos
-    * (see graft.Spark), so the time arithmetic is integer-exact before the
-    * one double division and Spark and DuckDB agree bit-for-bit. */
+    * The time arithmetic is integer-exact (epoch micros as a long) before
+    * the one double division, so Spark and DuckDB (`epoch_us(ts)`) agree
+    * bit-for-bit. Driver testdata generations have shipped `ts` as
+    * TIMESTAMP(NANOS) (read as an epoch-nanos long under nanos-as-long)
+    * and as naive TIMESTAMP(MICROS) (read as TIMESTAMP under UTC, see
+    * `table`); dispatch on whichever dtype arrives. */
   def eventsSource(s: SparkSession, dir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads with
-    // this legacy flag (graft.Spark sets it; set defensively here in case
-    // the driver hands us its own session — it is a runtime SQL conf)
-    scala.util.Try(
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
-    table(s, dir, "events")
-      // integer-truncate nanos→micros to match DuckDB, whose TIMESTAMP
-      // type truncates TIMESTAMP_NS parquet on read
-      .withColumn("ts_days", expr("ts div 1000") / lit(86400e6))
+    val ev = table(s, dir, "events")
+    val tsMicros = ev.schema("ts").dataType match {
+      // TIMESTAMP(NANOS)-as-long: integer-truncate nanos→micros to match
+      // DuckDB, whose TIMESTAMP type truncates TIMESTAMP_NS on read
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      // NTZ can only appear if a driver-owned session read the file before
+      // table()'s conf took effect; its internal micros ARE the naive ones
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+    ev.withColumn("ts_days", tsMicros / lit(86400e6))
       .withColumn("err", abs(col("value")) * lit(0.05) + lit(0.01))
   }
 
