@@ -61,6 +61,26 @@ object SparkEntry {
       path
     })
 
+  /** On-disk IVF+PQ index (cell-partitioned parquet of id + pq_code +
+    * vec), built once per JVM and data dir — same lifecycle and path
+    * scheme as [[ivfIndexPath]]. */
+  private val ivfPqIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    ivfPqIndexBuilt.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_ivfpq_index_" + digest)
+        .getAbsolutePath
+      graft.similarity.Similarity.writeIvfPqIndex(
+        table(s, d, "embeddings"), IvfOracleCentroids, PqOracleCodebooks,
+        path)
+      path
+    })
+
   /** events + derived (ts_days, err) — the TAPE source-table mapping.
     * The time arithmetic is integer-exact (epoch micros as a long) before
     * the one double division, so Spark and DuckDB (`epoch_us(ts)`) agree
@@ -523,6 +543,37 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.similarity.Similarity.knnIvfIndexed(s, ivfIndexPath(s, dir),
           queries, k = 5, IvfOracleCentroids, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // FAISS-style IVFADC (Jégou et al. 2011): coarse cells route each
+      // query to nprobe cells, ADC over the PQ codes of ONLY those cells'
+      // members builds a 12-deep shortlist, and only the shortlist's raw
+      // vectors are re-ranked by exact cosine. Centroids AND codebooks
+      // are the fixed literals the oracle inlines, so cell routing, code
+      // assignment, ADC distances and both rankings are pure SQL.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.knnIvfPq(emb, queries, k = 5,
+          IvfOracleCentroids, PqOracleCodebooks, nprobe = 2,
+          shortlist = 12)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+    "q_ann_ivfpq_indexed" -> ((s, dir) => {
+      // The ON-DISK form of q_ann_ivfpq: the corpus persists as a
+      // cell-partitioned (id, pq_code, vec) index, the probe's literal
+      // cell IN (...) prunes partitions on BOTH scans, and the ADC scan's
+      // ReadSchema carries only (id, pq_code) — the vector bytes are read
+      // only for the shortlist re-rank (asserted in SimilaritySpec).
+      // Same literals, queries and ranking as q_ann_ivfpq → shared oracle.
+      val queries = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.knnIvfPqIndexed(s,
+          ivfPqIndexPath(s, dir), queries, k = 5, IvfOracleCentroids,
+          PqOracleCodebooks, nprobe = 2, shortlist = 12)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
@@ -1222,6 +1273,75 @@ object SparkEntry {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** IVF+PQ (IVFADC) replayed in SQL — the annIvfOracle cell routing
+    * composed with the knnPqOracle code/ADC arithmetic: probes = 2
+    * nearest cells per query (same (d,i) struct-sort), shortlist = 12
+    * lowest ADC distances among probed cells' members (dist asc, id asc),
+    * final = exact cosine re-rank of the shortlist (cos desc, id asc).
+    * Every float op is the same sequence as the Spark side, so both
+    * rankings are bit-identical. */
+  private def annIvfPqOracle: String = {
+    def vecLit(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    val ivfRanks = IvfOracleCentroids.zipWithIndex.map { case (cen, i) =>
+      val cc = cen.map(x => x * x).sum
+      s"{'d': ${cc.toString} - 2.0 * list_dot_product(v, ${vecLit(cen)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+    val sub = PqOracleCodebooks(0)(0).length
+    val codeCols = PqOracleCodebooks.zipWithIndex.map { case (cb, j) =>
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      val ranks = cb.zipWithIndex.map { case (cen, i) =>
+        val cc = cen.map(x => x * x).sum
+        s"{'d': ${cc.toString} - 2.0 * " +
+          s"list_dot_product(v[$lo:$hi], ${vecLit(cen)}), 'i': $i}"
+      }.mkString("[", ", ", "]")
+      s"list_sort($ranks)[1].i AS cd$j"
+    }.mkString(",\n       |    ")
+    val subCols = PqOracleCodebooks.zipWithIndex.map { case (cb, j) =>
+      val cbLit = cb.map(vecLit).mkString("[", ", ", "]")
+      val qd = s"pr.qv[${j * sub} + d]"
+      val cd = s"($cbLit)[cd.cd$j + 1][d]"
+      s"list_sum(list_transform(range(1, ${sub + 1}), " +
+        s"d -> ($qd - $cd) * ($qd - $cd))) AS sub$j"
+    }.mkString(",\n       |    ")
+    val dist = PqOracleCodebooks.indices.map(j => s"sub$j").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |rk AS (SELECT vec_id, v, list_sort($ivfRanks) AS ranks FROM e),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id AS neighbor_id, ranks[1].i AS cell FROM rk),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS neighbor_id,
+       |    $codeCols
+       |  FROM e),
+       |probes AS (SELECT vec_id AS query_id, v AS qv,
+       |    unnest(list_transform(ranks, s -> s.i)[1:2]) AS cell
+       |  FROM rk WHERE vec_id < 10),
+       |sl AS (
+       |  SELECT pr.query_id, c.neighbor_id, pr.qv,
+       |    $subCols,
+       |    $dist AS dist
+       |  FROM probes pr JOIN cells c USING (cell)
+       |    JOIN codes cd ON cd.neighbor_id = c.neighbor_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, qv FROM (
+       |    SELECT query_id, neighbor_id, qv,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist ASC, neighbor_id ASC) AS srank
+       |    FROM sl) WHERE srank <= 12),
+       |p AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(cand.qv, cand.qv)) * sqrt(list_dot_product(cv.v, cv.v)) = 0 THEN 0.0
+       |      ELSE list_dot_product(cand.qv, cv.v) /
+       |        (sqrt(list_dot_product(cand.qv, cand.qv)) * sqrt(list_dot_product(cv.v, cv.v))) END AS cos
+       |  FROM cand JOIN e cv ON cv.vec_id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   /** The iteratively re-weighted Stetson mean (≤20 iterations, alpha=beta=2,
     * tol 1e-6, with the reference's exact termination nuances — see
     * StetsonJ.stetsonMean) unrolled as 20 chained CTEs. Once a group's
@@ -1773,6 +1893,8 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_knn_lsh" -> knnLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
+    "q_ann_ivfpq_indexed" -> annIvfPqOracle,
     // the indexed form returns the identical ranking from the on-disk
     // cell-partitioned layout, so it shares the oracle
     "q_ann_ivf_indexed" -> annIvfOracle,

@@ -481,6 +481,17 @@ object Similarity {
     val cand = knnPqAdc(codes, queries, shortlist, codebooks,
         idCol, codeCol, queryIdCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) candidate set: only
+    * the candidates' raw vectors are fetched (broadcast semi-join of the
+    * Q·shortlist-row id set against the corpus — the 100 TB vector table
+    * is filtered, never shuffled) and ranked per query. Output schema
+    * matches [[knnBruteForce]]. */
+  private def rerankExact(corpus: DataFrame, cand: DataFrame,
+      queries: DataFrame, k: Int, idCol: String, vecCol: String,
+      queryIdCol: String): DataFrame = {
     val candVecs = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .join(broadcast(cand), Seq("neighbor_id"))
@@ -490,6 +501,131 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
     topKPerQuery(pairs, k)
+  }
+
+  // ------------------------------------- IVF+PQ (the composed ANN index)
+
+  private def probeLutSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("__cell",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("__lut",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        containsNull = false), nullable = false)))
+
+  /** Driver-side probe rows for a (small, by contract) collected query
+    * batch: one row per (query, probed cell), each carrying the query's
+    * [[adcLut]]. Cell ranking replays [[cellId]]'s exact float ops —
+    * `d = c·c − 2·q·c` with the same left-to-right double accumulation as
+    * the native DotProduct kernel — so the probed set is bit-identical to
+    * the column formulation and to the oracle SQL. Also returns the
+    * distinct probed cells (sorted) for partition pruning. */
+  private def probeLutRows(queries: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int,
+      queryIdCol: String, vecCol: String)
+      : (Seq[org.apache.spark.sql.Row], Array[Int]) = {
+    val ccs = centroids.map(c => c.map(x => x * x).sum)
+    val rows = queries.select(col(queryIdCol), col(vecCol)).collect()
+      .toSeq.flatMap { r =>
+        val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
+        val probed = centroids.indices.map { i =>
+          var acc = 0.0; var j = 0
+          while (j < q.length) { acc += q(j) * centroids(i)(j); j += 1 }
+          (ccs(i) - 2.0 * acc, i)
+        }.sorted.take(nprobe)
+        val lut = adcLut(q, codebooks).map(_.toSeq).toSeq
+        probed.map { case (_, cell) =>
+          org.apache.spark.sql.Row(r.getAs[Number](0).longValue(), cell, lut)
+        }
+      }
+    (rows, rows.map(_.getInt(1)).distinct.sorted.toArray)
+  }
+
+  /** ADC shortlist within probed cells: `coded` is (neighbor_id, __cell,
+    * __code), `probes` is the [[probeLutRows]] frame. One broadcast join
+    * on the cell id — only probed-cell rows ever produce pairs — then the
+    * bounded-heap top-`shortlist` per query on ascending ADC distance
+    * (ties on ascending id). */
+  private def shortlistAdc(coded: DataFrame, probes: DataFrame,
+      shortlist: Int): DataFrame =
+    topKPerQuery(coded.join(broadcast(probes), Seq("__cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-graft.functions.VectorExpressions
+          .adcDistance(col("__code"), col("__lut"))).as("cosine")),
+      shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+  /** FAISS-style IVF+PQ composed search (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — the IVFADC system): the
+    * coarse quantizer routes each query to `nprobe` cells, ADC over the
+    * m-int PQ codes ranks ONLY those cells' members into a
+    * `shortlist`-deep candidate set, and only the shortlist's raw vectors
+    * are fetched for the exact cosine re-rank. Per query the scan cost is
+    * ~nprobe/k_cells of the corpus in m-byte codes, plus `shortlist` raw
+    * vectors — at 100 TB neither the full vector table nor even the full
+    * code table is read. Semantics replayed by the q_ann_ivfpq oracle. */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 2, shortlist: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (rows, _) = probeLutRows(queries, centroids, codebooks, nprobe,
+      queryIdCol, vecCol)
+    val probes = corpus.sparkSession.createDataFrame(
+      rows.asJava, probeLutSchema)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      cellId(col(vecCol), centroids).as("__cell"),
+      pqCodes(col(vecCol), codebooks).as("__code"))
+    val cand = shortlistAdc(coded, probes, shortlist)
+    rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
+  }
+
+  /** Persist the corpus as an ON-DISK IVF+PQ index: parquet partitioned
+    * by coarse cell, rows of (id, pq_code, vec). A probe then composes
+    * BOTH prunings: partition pruning opens only probed cell directories,
+    * and column pruning reads only (id, pq_code) bytes for the ADC stage
+    * — the raw vector column's bytes are touched only for the shortlist
+    * re-rank fetch. m ints vs dim floats is a ~dim·4/m-fold reduction of
+    * the bytes the candidate scan reads. */
+  def writeIvfPqIndex(df: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    df.select(col(idCol), col(vecCol),
+        cellId(col(vecCol), centroids).as("cell"),
+        pqCodes(col(vecCol), codebooks).as("pq_code"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** knn over a [[writeIvfPqIndex]] index. The probed cell set is
+    * computed driver-side and inlined as a literal `cell IN (...)`
+    * predicate on BOTH scans (static partition pruning — non-probed
+    * directories never open); the ADC scan's ReadSchema carries only
+    * (id, pq_code), never the vector column (asserted in
+    * SimilaritySpec). Ranking identical to [[knnIvfPq]]. */
+  def knnIvfPqIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 2, shortlist: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (rows, needed) = probeLutRows(queries, centroids, codebooks,
+      nprobe, queryIdCol, vecCol)
+    val probes = spark.createDataFrame(rows.asJava, probeLutSchema)
+    val pruned = col("cell").isin(needed.map(Integer.valueOf).toSeq: _*)
+    val coded = spark.read.parquet(indexPath).filter(pruned)
+      .select(col(idCol).as("neighbor_id"), col("cell").as("__cell"),
+        col("pq_code").as("__code"))
+    val cand = shortlistAdc(coded, probes, shortlist)
+    val corpus = spark.read.parquet(indexPath).filter(pruned)
+      .select(col(idCol), col(vecCol))
+    rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
   }
 
   /** knn over a [[writeIvfIndex]] index. The probed cell set is computed

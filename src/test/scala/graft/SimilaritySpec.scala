@@ -77,6 +77,50 @@ class SimilaritySpec extends SparkSuite {
     assert(idx === mem)
   }
 
+  test("IVF+PQ: indexed parity, partition pruning, code-scan column pruning") {
+    val centroids = Similarity.trainCentroids(emb, k = 8, dim = 64)
+    val codebooks = Similarity.trainPqCodebooks(emb, m = 8, ks = 16, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_index")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(emb, centroids, codebooks, path)
+
+    val res = Similarity.knnIvfPqIndexed(spark, path, queries, k = 5,
+      centroids, codebooks, nprobe = 6, shortlist = 50)
+    val plan = res.queryExecution.executedPlan.toString
+    // probe filter reaches BOTH index scans (ADC code scan + re-rank
+    // vector fetch) as a partition filter; the queries-side scan of the
+    // raw embeddings table legitimately has none
+    val pfs = plan.linesIterator
+      .filter(_.contains("PartitionFilters: [cell")).toSeq
+    assert(pfs.length >= 2,
+      s"cell filter did not reach both index scans' PartitionFilters:\n$plan")
+    // the ADC candidate scan reads codes, never the raw vector bytes:
+    // some index scan's ReadSchema has pq_code without embedding
+    val rs = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs.exists(l => l.contains("pq_code") && !l.contains("embedding")),
+      s"no code-only scan (column pruning lost):\n${rs.mkString("\n")}")
+
+    // identical output to the in-memory composition
+    val mem = Similarity.knnIvfPq(emb, queries, k = 5, centroids, codebooks,
+        nprobe = 6, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val idx = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(idx === mem)
+
+    // ADC is approximate but the exact re-rank restores high recall
+    val exact = topIds(Similarity.knnBruteForce(emb, queries, k = 5))
+    val approx = topIds(res)
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Nil).toSet.intersect(ids.toSet).size / 5.0
+    }
+    // random unit vectors are PQ's worst case (no subspace cluster
+    // structure); m=8/ks=16 codes + a 10%-deep shortlist still clear 0.7,
+    // and the nprobe=6 cell-probing ceiling on this corpus is 0.84
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.7, s"IVF+PQ mean recall $meanRecall")
+  }
+
   test("LSH knn returns bucket-mates ranked by exact cosine") {
     val res = Similarity.knnLsh(emb, queries, k = 5, dim = 64, nPlanes = 4)
     val perQuery = topIds(res)
