@@ -193,22 +193,33 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var n = e.count()
+    // signature = (count, Σu, Σv) in one aggregate job over the
+    // checkpointed frame. Equal sets have equal signatures, so a CHANGED
+    // signature proves non-convergence without touching the expensive
+    // set-containment check; the authoritative `except` runs only on a
+    // signature match — once, at the fixed point, instead of every round.
+    // (Convergence is still decided by `except`: a signature collision
+    // between different sets costs one extra check, never a wrong stop.)
+    def signature(df: DataFrame): (Long, Any, Any) = {
+      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v"))).head
+      (r.getLong(0), r.get(1), r.get(2))
+    }
+    var sig = signature(e)
     var iter = 0
-    var converged = n == 0
-    log.info(s"connectedComponents: start, $n distinct edges")
+    var converged = sig._1 == 0
+    log.info(s"connectedComponents: start, ${sig._1} distinct edges")
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nn = next.count()
+      val nextSig = signature(next)
       // both sides are distinct sets: equal size + containment ⇒ equal
-      converged = nn == n && next.except(e).isEmpty
+      converged = nextSig == sig && next.except(e).isEmpty
       e = next
-      n = nn
+      sig = nextSig
       iter += 1
       // one line per round: on a pathological 100 TB pair graph the
       // driver log alone shows whether rounds are shrinking or thrashing
-      log.info(f"connectedComponents: round $iter%d, $nn%d edges, " +
+      log.info(f"connectedComponents: round $iter%d, ${nextSig._1}%d edges, " +
         f"converged=$converged%b, ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(converged, s"connectedComponents did not converge in $maxIter " +
