@@ -800,6 +800,34 @@ object SparkEntry {
       graft.operators.Sessionize.sessionize(ev, "user_id", "ts_days",
         maxGap = 0.2, tiebreakCol = "event_id")
     }),
+    "q_retention" -> ((s, dir) => {
+      // weekly cohort retention triangle: cohort = a user's first active
+      // epoch-week, n_active = how many of that cohort have ≥1 event at
+      // cohort+offset weeks. The bucket is INTEGER epoch-micros div
+      // week-micros (604800000000) — exact on both engines under either
+      // testdata ts dtype (see eventsSource), so counts hash-match.
+      val ev = table(s, dir, "events")
+      val us = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "ts div 1000"
+        case _ => "unix_micros(ts)"
+      }
+      graft.operators.Retention.cohortRetention(ev, "user_id",
+        expr(s"($us) div 604800000000"))
+    }),
+    "q_heavy_hitters" -> ((s, dir) =>
+      // corpus-wide top-50 terms by exact occurrence count (ties on
+      // ascending term): map-side partial counts per term, then a
+      // TakeOrderedAndProject — the full term table is never sorted
+      graft.text.Indexing.topKTerms(
+        table(s, dir, "documents"), "doc_id", "text", k = 50)),
+    "q_inverted_index" -> ((s, dir) =>
+      // posting-list build: exact df/tf per term with df >= 20, postings
+      // capped to the 15 lowest doc ids via the bounded-heap aggregate
+      // (constant score → ties keep ascending ids) — a stop word's full
+      // posting list never materializes as one row anywhere
+      graft.text.Indexing.invertedIndex(
+        table(s, dir, "documents"), "doc_id", "text",
+        minDf = 20L, maxPostings = 15)),
     "q_stratified_exact_k" -> ((s, dir) =>
       // exact-k mixture sampling: top-30 docs per language by md5
       // uniform — a bounded-heap aggregate, never a full-stratum window;
@@ -2100,6 +2128,56 @@ object SparkEntry {
         |  min(ts_days) AS start_ts, max(ts_days) AS end_ts,
         |  max(ts_days) - min(ts_days) AS duration
         |FROM fl GROUP BY 1, 2""".stripMargin),
+    // cohort retention: integer epoch-week buckets (micros // week) are
+    // exact on both engines; (user, bucket) pairs are pre-distinct so the
+    // final count(*) equals the distinct-user count
+    "q_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS bucket
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(bucket) AS cohort FROM active GROUP BY 1)
+        |SELECT c.cohort, a.bucket - c.cohort AS "offset",
+        |  count(*) AS n_active
+        |FROM active a JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // heavy hitters: the shared whitespace tokenization, exact counts,
+    // rank = row_number(tf desc, term asc) — the same total order the
+    // Spark TakeOrderedAndProject + window produce
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |  FROM documents),
+        |t AS (
+        |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM tok WHERE len(term) > 0 GROUP BY term),
+        |r AS (
+        |  SELECT term, tf, df,
+        |    row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+        |  FROM t)
+        |SELECT term, tf, df, rank FROM r WHERE rank <= 50""".stripMargin,
+    // inverted index: per-(term, doc) tf first, then term-level df/tf and
+    // the 15 lowest doc ids as the capped posting string
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |  FROM documents),
+        |td AS (
+        |  SELECT term, doc_id, count(*) AS tf1
+        |  FROM tok WHERE len(term) > 0 GROUP BY term, doc_id),
+        |t AS (
+        |  SELECT term, count(*) AS df, sum(tf1)::BIGINT AS tf,
+        |    array_to_string(list_sort(list(doc_id))[1:15], ',')
+        |      AS postings
+        |  FROM td GROUP BY term)
+        |SELECT term, df, tf, postings FROM t WHERE df >= 20""".stripMargin,
     // as-of join: the identical union-tag + key-partitioned-window
     // formulation (right rows sort before left at equal times; greatest
     // p_event wins equal-time ties; payload rides in one struct so

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus indexing primitives over a document table: heavy-hitter term
+  * statistics and inverted-index (posting list) construction — the build
+  * side of a search/retrieval stack (BM25 scoring over the same stats
+  * lives in [[Bm25]]).
+  *
+  * Tokenization is the shared whitespace contract used by every text
+  * operator ([[TextAnalysis.tokens]]: split(trim(lower(text)), "\\s+"),
+  * empty-text → no tokens), so the DuckDB oracles replay it verbatim.
+  *
+  * Scale design: both operators are one explode (map-only, linear in
+  * corpus tokens) followed by ONE aggregation exchange keyed on the term.
+  * Heavy hitters finish with a TakeOrderedAndProject (top-k never sorts
+  * the full term table); posting lists are per-term rows whose width is
+  * CAPPED (`maxPostings`) so a stop-word's million-doc posting list
+  * cannot materialize a single fat row — its df/tf stay exact (they are
+  * plain aggregates) while the stored postings truncate to the first
+  * `maxPostings` doc ids, the standard impact-ordered-prefix trade. */
+object Indexing {
+
+  private def termDoc(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Top-`k` most frequent terms corpus-wide: (term, tf, df, rank) where
+    * tf counts occurrences and df counts distinct documents. Exact — the
+    * per-term partial counts combine map-side, and only k rows pass the
+    * final ordering (count-min-sketch alternatives trade that exactness
+    * for one fewer exchange; at one bigint per distinct term the exact
+    * aggregate is the right default even at 100 TB). Rank ties break on
+    * ascending term for determinism. */
+  def topKTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    termDoc(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("term").asc)).cast("long"))
+  }
+
+  /** Inverted index: one row per term with exact document frequency,
+    * exact total term frequency, and the posting list of the first
+    * `maxPostings` doc ids (ascending, comma-joined — a bounded, sortable
+    * representation). `minDf` drops the hapax tail (terms in fewer docs),
+    * the usual index-size/recall trade. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L, maxPostings: Int = 20): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    // per-(term, doc) tf first: the explode collapses to one row per
+    // (term, doc) in the FIRST exchange, so the term-level aggregate
+    // sees df-many rows per term, not tf-many
+    val td = termDoc(docs, idCol, textCol)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("__tf"))
+    // postings via the bounded-heap top-k aggregate with a CONSTANT
+    // score: ties break on ascending id, so it keeps exactly the
+    // maxPostings lowest doc ids with ≤ maxPostings entries of state per
+    // map partition — a stop word's million-doc posting list never
+    // materializes anywhere (collect_list-then-slice would build the
+    // full fat row first)
+    td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("__tf")).as("tf"),
+        array_join(
+          transform(
+            graft.functions.TopKExpressions
+              .topKByScore(lit(0.0), col("doc_id"), maxPostings),
+            s => s.getField("neighbor_id")),
+          ",").as("postings"))
+      .filter(col("df") >= minDf)
+  }
+}
