@@ -814,6 +814,29 @@ object SparkEntry {
       graft.operators.Retention.cohortRetention(ev, "user_id",
         expr(s"($us) div 604800000000"))
     }),
+    "q_funnel" -> ((s, dir) => {
+      // first-touch ordered funnel view → click → purchase with a 7-day
+      // conversion window: each step is one user-keyed equi-join + min
+      // aggregate over ts_days (bit-exact cross-engine), so the step
+      // counts hash-match
+      val ev = eventsSource(s, dir)
+      graft.operators.Funnel.funnel(ev, "user_id", "ts_days",
+        "event_type", Seq("view", "click", "purchase"), window = 7.0)
+    }),
+    "q_corpus_stats" -> ((s, dir) => {
+      // per-source corpus profile: doc/token totals plus EXACT
+      // interpolated token-count quantiles (Spark percentile and DuckDB
+      // quantile_cont both use numpy-style linear interpolation)
+      val docs = table(s, dir, "documents")
+        .withColumn("__tok",
+          graft.text.TextAnalysis.wsTokenCount(col("text")))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).cast("long").as("total_tokens"),
+          round(avg(col("n_chars")), 6).as("mean_chars"),
+          round(expr("percentile(__tok, 0.5)"), 6).as("p50_tokens"),
+          round(expr("percentile(__tok, 0.95)"), 6).as("p95_tokens"))
+    }),
     "q_heavy_hitters" -> ((s, dir) =>
       // corpus-wide top-50 terms by exact occurrence count (ties on
       // ascending term): map-side partial counts per term, then a
@@ -2142,6 +2165,40 @@ object SparkEntry {
         |  count(*) AS n_active
         |FROM active a JOIN cohorts c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // funnel: per-step first-conversion CTEs — step i+1 joins step i on
+    // the user and keeps events strictly after t_i within the window
+    "q_funnel" -> (EvCte +
+      """,
+        |s1 AS (SELECT user_id, min(ts_days) AS t FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_days) AS t FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_days > s1.t
+        |    AND e.ts_days <= s1.t + 7.0 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_days) AS t FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_days > s2.t
+        |    AND e.ts_days <= s2.t + 7.0 GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1) AS n_entities
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+        .stripMargin),
+    // corpus stats: quantile_cont is the same linear interpolation as
+    // Spark's exact percentile; token counts are the shared whitespace
+    // contract
+    "q_corpus_stats" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(tok)::BIGINT AS total_tokens,
+        |  round(avg(n_chars), 6) AS mean_chars,
+        |  round(quantile_cont(tok, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(tok, 0.95), 6) AS p95_tokens
+        |FROM d GROUP BY source""".stripMargin,
     // heavy hitters: the shared whitespace tokenization, exact counts,
     // rank = row_number(tf desc, term asc) — the same total order the
     // Spark TakeOrderedAndProject + window produce

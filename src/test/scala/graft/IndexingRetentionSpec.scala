@@ -55,6 +55,37 @@ class IndexingRetentionSpec extends SparkSuite {
       s"unbounded collect_list in plan:\n$plan")
   }
 
+  test("funnel: strict ordering, window bound, first-touch conversion") {
+    val events = Seq(
+      // user 1 converts fully: view@0 → click@1 → purchase@2
+      (1L, 0.0, "view"), (1L, 1.0, "click"), (1L, 2.0, "purchase"),
+      // user 2: click BEFORE view — not a conversion; no click after
+      (2L, 1.0, "click"), (2L, 2.0, "view"),
+      // user 3: click outside the 7-day window
+      (3L, 0.0, "view"), (3L, 8.0, "click"),
+      // user 4: click at the SAME ts as view — strict > excludes it;
+      // a later in-window click converts (first-touch = min qualifying)
+      (4L, 0.0, "view"), (4L, 0.0, "click"), (4L, 3.0, "click"),
+      // user 5: purchase without click never counts for step 3
+      (5L, 0.0, "view"), (5L, 1.0, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Funnel.funnel(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), window = 7.0)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // all 5 users have a view (user 2's comes after their click, which
+    // counts for step 1 but not the click-after-view conversion)
+    assert(got === Set((1, "view", 5L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+    // window boundary is inclusive: click exactly at t+7 converts
+    val boundary = Seq((9L, 0.0, "view"), (9L, 7.0, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val b = graft.operators.Funnel.funnel(boundary, "user_id", "ts",
+        "event_type", Seq("view", "click"), window = 7.0)
+      .filter(col("step") === 2).head.getLong(2)
+    assert(b === 1L)
+  }
+
   test("cohortRetention: first-bucket cohorts, per-bucket distinct users") {
     val events = Seq(
       // user 10: weeks 0,0,1,3 — cohort 0, offsets {0,1,3}
