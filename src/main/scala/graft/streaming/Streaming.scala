@@ -331,6 +331,106 @@ object Streaming {
       }(Encoders.product[AsofState], outEnc).toDF()
   }
 
+  /** Per-entity funnel state: steps reached so far (1-based count) and
+    * the last conversion time. */
+  case class FunnelState(stage: Int, t: Double)
+
+  /** Output schema of [[streamingFunnel]]. */
+  def funnelSchema(idCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType, nullable = false),
+    StructField("step", IntegerType, nullable = false),
+    StructField("step_name", StringType, nullable = false),
+    StructField("converted_ts", DoubleType, nullable = false)))
+
+  /** Streaming twin of [[graft.operators.Funnel.funnel]]: per-entity
+    * first-touch funnel progression with the same strictly-after +
+    * inclusive-window step semantics, emitting ONE row per entity per
+    * newly reached step — `groupBy(step).count()` downstream is the live
+    * funnel. State is O(entities) and O(1) each (stage counter + last
+    * conversion time). Rows are time-ordered inside each micro-batch
+    * (step order breaks equal-time ties so a view processes before a
+    * same-batch click); across batches events must arrive approximately
+    * time-ordered per entity — a step arriving before its predecessor's
+    * batch cannot retro-convert, the same processing-order contract as
+    * [[streamingAsofEnrich]]. */
+  def streamingFunnel(src: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], window: Double): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(window > 0, s"window must be positive, got $window")
+    val stepIdx = steps.zipWithIndex.toMap
+    val outEnc = Encoders.row(funnelSchema(idCol))
+    src.select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("double").as("t"),
+        col(typeCol).cast("string").as("et"))
+      .filter(col("et").isin(steps: _*))
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Row], state: GroupState[FunnelState]) =>
+          val batch = rows.toArray.sortBy(r =>
+            (r.getDouble(1), stepIdx(r.getString(2))))
+          var st = state.getOption.getOrElse(FunnelState(0, 0.0))
+          val out = Vector.newBuilder[Row]
+          batch.foreach { r =>
+            val t = r.getDouble(1)
+            if (st.stage < steps.length && r.getString(2) == steps(st.stage)
+                && (st.stage == 0 ||
+                  (t > st.t && t <= st.t + window))) {
+              st = FunnelState(st.stage + 1, t)
+              out += Row(key, st.stage, steps(st.stage - 1), t)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }(Encoders.product[FunnelState], outEnc).toDF()
+  }
+
+  /** Per-entity retention state: the cohort bucket and the highest
+    * bucket already emitted. */
+  case class RetentionState(cohort: Long, maxBucket: Long)
+
+  /** Output schema of [[streamingRetention]]. */
+  def retentionSchema(idCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType, nullable = false),
+    StructField("cohort", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false)))
+
+  /** Streaming twin of [[graft.operators.Retention.cohortRetention]]:
+    * emits ONE (entity, cohort, offset) row the first time an entity is
+    * active in a new bucket — `groupBy(cohort, offset).count()`
+    * downstream is the live retention triangle. State is O(1) per
+    * entity (cohort + highest emitted bucket); within a micro-batch
+    * buckets are processed ascending, and ACROSS batches bucket
+    * activations must be non-decreasing per entity (a late bucket below
+    * the high-water mark is dropped rather than double-counted — the
+    * monotonic-log contract shared by the other streaming twins). */
+  def streamingRetention(src: DataFrame, idCol: String,
+      bucketCol: Column): DataFrame = {
+    val outEnc = Encoders.row(retentionSchema(idCol))
+    src.select(col(idCol).cast("long").as("id"),
+        bucketCol.cast("long").as("bucket"))
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[RetentionState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Row],
+            state: GroupState[RetentionState]) =>
+          val buckets = rows.map(_.getLong(1)).toArray.distinct.sorted
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[Row]
+          buckets.foreach { b =>
+            if (st == null) {
+              st = RetentionState(b, b)
+              out += Row(key, b, 0L)
+            } else if (b > st.maxBucket) {
+              st = RetentionState(st.cohort, b)
+              out += Row(key, st.cohort, b - st.cohort)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }(Encoders.product[RetentionState], outEnc).toDF()
+  }
+
   def streamingIvfIngest(
       src: DataFrame,
       centroids: Array[Array[Double]],

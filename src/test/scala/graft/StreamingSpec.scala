@@ -297,4 +297,63 @@ class StreamingSpec extends SparkSuite {
       assert(got.size === 5)
     } finally q.stop()
   }
+
+  test("streaming funnel: step advances across batches, window gates, " +
+      "intra-batch disorder sorted") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Tick]
+    val fun = Streaming.streamingFunnel(mem.toDF(), "user_id", "t",
+      "event_type", Seq("view", "click", "purchase"), window = 7.0)
+    val q = fun.writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1, out of order in the batch: view@1 then click@2 both
+      // convert once sorted; the same-ts click@1 would NOT have (strict >)
+      mem.addData(
+        Tick(1, 11, 2.0, "click", 0.0),
+        Tick(1, 10, 1.0, "view", 0.0),
+        Tick(2, 20, 1.0, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases in-window (step 3); user 2's click at
+      // t=9 is outside view@1 + 7 → stalls at step 1
+      mem.addData(
+        Tick(1, 12, 3.0, "purchase", 0.0),
+        Tick(2, 21, 9.0, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getDouble(3))).toSet
+      assert(got === Set(
+        (1L, 1, "view", 1.0), (1L, 2, "click", 2.0),
+        (1L, 3, "purchase", 3.0), (2L, 1, "view", 1.0)))
+    } finally q.stop()
+  }
+
+  test("streaming retention: cohort pinned, one emission per new bucket, " +
+      "late buckets dropped") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Tick]
+    val ret = Streaming.streamingRetention(mem.toDF(), "user_id",
+      col("t"))
+    val q = ret.writeStream.format("memory").queryName("retention")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 active in buckets 3 and 4 (duplicate 3 ignored)
+      mem.addData(Tick(1, 0, 3.0, "e", 0.0), Tick(1, 1, 3.0, "e", 0.0),
+        Tick(1, 2, 4.0, "e", 0.0))
+      q.processAllAvailable()
+      // batch 2: bucket 6 is new (offset 3); bucket 4 repeats (dropped);
+      // bucket 2 is LATE below the high-water mark (dropped); user 2
+      // starts its own cohort at 5
+      mem.addData(Tick(1, 3, 6.0, "e", 0.0), Tick(1, 4, 4.0, "e", 0.0),
+        Tick(1, 5, 2.0, "e", 0.0), Tick(2, 6, 5.0, "e", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("retention").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set(
+        (1L, 3L, 0L), (1L, 3L, 1L), (1L, 3L, 3L), (2L, 5L, 0L)))
+    } finally q.stop()
+  }
 }
