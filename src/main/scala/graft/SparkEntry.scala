@@ -81,6 +81,26 @@ object SparkEntry {
       path
     })
 
+  /** On-disk exact-dedup fingerprint index over documents with
+    * doc_id < 400 — the "existing corpus" side of q_incremental_dedup;
+    * built once per JVM and data dir like the ANN indexes. */
+  private val fpIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fpIndexPath(s: SparkSession, dir: String): String =
+    fpIndexBuilt.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_fp_index_" + digest)
+        .getAbsolutePath
+      graft.dedup.Dedup.writeFingerprintIndex(
+        table(s, d, "documents").filter(col("doc_id") < 400),
+        "text", "doc_id", path)
+      path
+    })
+
   /** events + derived (ts_days, err) — the TAPE source-table mapping.
     * The time arithmetic is integer-exact (epoch micros as a long) before
     * the one double division, so Spark and DuckDB (`epoch_us(ts)`) agree
@@ -813,6 +833,24 @@ object SparkEntry {
       }
       graft.operators.Retention.cohortRetention(ev, "user_id",
         expr(s"($us) div 604800000000"))
+    }),
+    "q_incremental_dedup" -> ((s, dir) => {
+      // index-probe dedup of an ingest batch against the persisted
+      // fingerprint index of the doc_id < 400 corpus. The batch is the
+      // remaining docs PLUS exact copies of 30 indexed docs (re-tagged
+      // ids, the q_minhash_lsh corpus-augmentation pattern) and an
+      // in-batch duplicate pair — the copies must drop (index hit), the
+      // in-batch dup keeps its min id, the rest survive. The index side
+      // is scanned map-only, never shuffled (DedupSpec plan assertion).
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .unionByName(docs.filter(col("doc_id") === 450)
+          .withColumn("doc_id", lit(2000000L)))
+      graft.dedup.Dedup.incrementalExactDedup(batch, "text", "doc_id",
+          fpIndexPath(s, dir))
+        .select(col("doc_id"))
     }),
     "q_funnel" -> ((s, dir) => {
       // first-touch ordered funnel view → click → purchase with a 7-day
@@ -2165,6 +2203,27 @@ object SparkEntry {
         |  count(*) AS n_active
         |FROM active a JOIN cohorts c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // incremental dedup: the same fingerprint, the same augmented batch,
+    // min-id-per-fingerprint within the batch, then the index anti-join
+    "q_incremental_dedup" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id < 400),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT 2000000, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id = 450),
+        |k AS (SELECT fp, min(doc_id) AS keep FROM b GROUP BY 1)
+        |SELECT b.doc_id FROM b
+        |JOIN k ON b.fp = k.fp AND b.doc_id = k.keep
+        |WHERE b.fp NOT IN (SELECT fp FROM idx)""".stripMargin,
     // funnel: per-step first-conversion CTEs — step i+1 joins step i on
     // the user and keeps events strictly after t_i within the window
     "q_funnel" -> (EvCte +

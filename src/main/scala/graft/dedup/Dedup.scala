@@ -41,6 +41,48 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  // --------------------------------------- incremental (index-probe) dedup
+
+  /** Persist the corpus's exact-dedup fingerprint index: one
+    * (fingerprint, idCol) row per distinct content, range-partitioned and
+    * sorted by fingerprint so probe scans benefit from parquet row-group
+    * min/max statistics and periodic compactions stay merge-friendly. */
+  def writeFingerprintIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, mode: String = "overwrite"): Unit =
+    df.groupBy(fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+      .repartitionByRange(col("fingerprint"))
+      .sortWithinPartitions("fingerprint")
+      .write.mode(mode).parquet(path)
+
+  /** Exact dedup of an INCREMENTAL batch against a persisted fingerprint
+    * index — the operational form of [[dropExactDuplicates]] at corpus
+    * scale: re-deduplicating 100 TB on every ingest is not a plan;
+    * probing the index with the (small) new batch is. Returns the batch
+    * rows that are genuinely new — not duplicated within the batch (the
+    * minimum id is kept) and not present in the index.
+    *
+    * Scale shape: the index is scanned MAP-ONLY and never shuffled — the
+    * batch's distinct fingerprints broadcast as the build side of a
+    * LeftSemi over the index scan, producing the (≤ batch-sized) set of
+    * already-known fingerprints, which then broadcasts into the final
+    * anti-join. The naive `batch LEFT ANTI index` would hash-build the
+    * unbuildable index side (or sort-merge-shuffle all of it); this
+    * two-step probe keeps every exchange batch-sized. */
+  def incrementalExactDedup(batch: DataFrame, textCol: String,
+      idCol: String, indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val fp = batch.withColumn("__fp", fingerprintMd5(col(textCol)))
+    val inBatch = fp.join(
+      fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
+      Seq("__fp", idCol), "left_semi")
+    val known = spark.read.parquet(indexPath)
+      .select(col("fingerprint").as("__fp"))
+      .join(broadcast(inBatch.select(col("__fp")).distinct()),
+        Seq("__fp"), "left_semi")
+    inBatch.join(broadcast(known), Seq("__fp"), "left_anti").drop("__fp")
+  }
+
   // ------------------------------------------------------- minhash + LSH
 
   /** k minhash values from an array of 64-bit shingle hashes: min over

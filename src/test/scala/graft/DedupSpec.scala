@@ -33,6 +33,40 @@ class DedupSpec extends SparkSuite {
     assert(kept.filter(col("doc_id") >= 20000).count() === 0)
   }
 
+  test("incremental dedup: index hits drop, in-batch dups keep min id, " +
+      "index never shuffled") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("fp_index")
+      .resolve("idx").toString
+    Dedup.writeFingerprintIndex(docs.filter(col("doc_id") < 100),
+      "text", "doc_id", path)
+    // batch: 50 new docs, 10 exact copies of indexed content (retagged
+    // ids), one in-batch duplicate pair of a new doc
+    val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 30000L))
+      .unionByName(docs.filter(col("doc_id") === 120)
+        .withColumn("doc_id", lit(40000L)))
+    val res = Dedup.incrementalExactDedup(batch, "text", "doc_id", path)
+    val ids = res.select("doc_id").collect().map(_.getLong(0)).toSet
+    // copies of indexed docs gone; in-batch dup resolved to min id (120)
+    assert(ids === (100L until 150L).toSet)
+    // two-step probe: every join broadcasts (no sort-merge shuffle of
+    // the index side anywhere in the plan)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"index side shuffled into a sort-merge join:\n$plan")
+
+    // append-style second ingest: the accepted batch joins the index
+    Dedup.writeFingerprintIndex(res, "text", "doc_id", path,
+      mode = "append")
+    val again = Dedup.incrementalExactDedup(
+      docs.filter(col("doc_id") === 120)
+        .withColumn("doc_id", lit(50000L)),
+      "text", "doc_id", path)
+    assert(again.count() === 0) // now an index hit
+  }
+
   test("minhash LSH recovers high-jaccard pairs (recall vs exact)") {
     val truth = Dedup.ngramJaccardPairs(docsWithDups, "text", "doc_id",
         n = 5, threshold = 0.9)
