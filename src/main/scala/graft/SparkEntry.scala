@@ -834,6 +834,28 @@ object SparkEntry {
       graft.operators.Retention.cohortRetention(ev, "user_id",
         expr(s"($us) div 604800000000"))
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // the q_dedup_cc planted corpus cleaned with a QUALITY keep policy:
+      // per near-dup component keep the LONGEST member (ties → min id)
+      // instead of the minimum id — the " qq"-suffixed copies are longer
+      // than their originals, so this query's keep-set provably diverges
+      // from q_dedup_cc's on every near-dup cluster
+      val docs = table(s, dir, "documents")
+      val nearCopies = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" qq")))
+      val exactCopies = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+      val corpus = docs.unionByName(nearCopies).unionByName(exactCopies)
+      val exact = graft.dedup.Dedup.dropExactDuplicates(
+        corpus, "text", "doc_id")
+      val pairs = graft.dedup.Dedup.minhashLshPairs(exact, "text",
+        "doc_id", shingleLen = 5, k = 64, bands = 8, threshold = 0.8,
+        maxBucketSize = 32, hashMode = "md5")
+      graft.dedup.Dedup.keepBestPerComponent(exact, pairs, "doc_id",
+          length(col("text")))
+        .select(col("doc_id"))
+    }),
     "q_incremental_dedup" -> ((s, dir) => {
       // index-probe dedup of an ingest batch against the persisted
       // fingerprint index of the doc_id < 400 corpus. The batch is the
@@ -1952,6 +1974,25 @@ object SparkEntry {
     "q_minhash_lsh" -> minhashLshOracle,
     "q_dedup_pipeline" -> dedupPipelineOracle,
     "q_dedup_cc" -> dedupCcOracle,
+    // keep-best: the same components as q_dedup_cc, argmax by
+    // (length, −id) per component via the shared struct-max idiom
+    "q_dedup_keep_best" ->
+      s"""$dedupChainSql,
+         |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |scored AS (SELECT c.doc_id, len(c.text) AS sc,
+         |    coalesce(cp.component, c.doc_id) AS component
+         |  FROM corpus c LEFT JOIN comp cp ON cp.id = c.doc_id),
+         |best AS (SELECT component,
+         |    max(struct_pack(sc := sc, nid := -doc_id)) AS b
+         |  FROM scored GROUP BY 1)
+         |SELECT (-(b.nid))::BIGINT AS doc_id FROM best""".stripMargin,
     // windows by codepoint position, hashed with the md5-64 trick, then
     // gaps-and-islands span merge — the same three steps the Spark plan
     // runs (WindowHashes → count>=2 semi-join → per-doc merge window)

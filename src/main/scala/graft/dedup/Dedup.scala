@@ -324,6 +324,30 @@ object Dedup {
     exact.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-aware representative selection: partition the near-duplicate
+    * graph into connected components and keep, per component, the member
+    * with the HIGHEST score (ties → minimum id) — the curation-grade
+    * alternative to min-id keeps when duplicates differ in quality
+    * (truncation, boilerplate, OCR noise): of a cluster of variants you
+    * keep the longest / highest-quality one, not the one with the
+    * smallest id. Rows in no pair form singleton components and keep
+    * themselves. Cost past the CC labeling: one aggregate + one
+    * semi-join, both keyed on bounded sets. */
+  def keepBestPerComponent(df: DataFrame, pairs: DataFrame, idCol: String,
+      score: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = df.select(col(idCol).as("id"), score.as("__score"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    // max(struct) orders by score, then by −id: highest score wins and
+    // equal scores resolve to the lowest id — deterministic
+    val best = scored.groupBy(col("component"))
+      .agg(max(struct(col("__score"), (-col("id")).as("__nid")))
+        .as("__b"))
+      .select((-col("__b.__nid")).as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     bind(size(array_intersect(a, b)).cast("double")) { inter =>

@@ -119,6 +119,20 @@ class DedupSpec extends SparkSuite {
       "planted near-dups must be dropped")
   }
 
+  test("keepBestPerComponent: highest score wins, ties to min id, " +
+      "singletons survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5), (2L, 9), (3L, 7),  // chain 1-2-3: 2 has the best score
+      (10L, 4), (11L, 4),         // pair with equal scores: min id (10)
+      (20L, 1))                   // singleton: kept regardless of score
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerComponent(df, pairs, "id", col("score"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 10L, 20L))
+  }
+
   test("connected components: chains, triangles and singleton-free output") {
     // chain 1-2-3-4-5 (one component), pair 10-11, triangle 20-21-22,
     // and a 0..19 path under a distinct id range to exercise iteration
