@@ -795,6 +795,17 @@ object SparkEntry {
           seed = 42L)
         .select(col("doc_id"), col("__shuffle_key").as("shuffle_key"))
     }),
+    "q_interleave" -> ((s, dir) =>
+      // deterministic weighted interleave: the data-mixing training
+      // order. Key = (rank-in-stratum + u)/weight with the md5 uniform u
+      // — integer + exact-double arithmetic, so keys (hence the whole
+      // mixing order) hash-match without rounding. 'zh' weight 0 drops
+      // the stratum; 'fr'/'es'/... ride defaultWeight
+      graft.operators.Sampling.interleaveByWeight(
+          table(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 2.0, "de" -> 1.0, "zh" -> 0.0), defaultWeight = 0.5)
+        .select(col("doc_id"), col("lang"),
+          col("__interleave_key").as("interleave_key"))),
     "q_dsir" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): select k raw docs
       // whose hashed-bigram distribution looks like the src1 target
@@ -833,6 +844,24 @@ object SparkEntry {
       }
       graft.operators.Retention.cohortRetention(ev, "user_id",
         expr(s"($us) div 604800000000"))
+    }),
+    "q_edit_pairs" -> ((s, dir) => {
+      // edit-distance near-dup verification over the q_dedup_cc planted
+      // corpus: LSH candidates (no Jaccard gate) verified by Levenshtein
+      // ≤ 3 on normalized text — the " qq" copies sit at exactly 3 edits.
+      // Both engines implement classic Levenshtein on characters.
+      val docs = table(s, dir, "documents")
+      val nearCopies = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" qq")))
+      val exactCopies = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+      val corpus = docs.unionByName(nearCopies).unionByName(exactCopies)
+      val exact = graft.dedup.Dedup.dropExactDuplicates(
+        corpus, "text", "doc_id")
+      graft.dedup.Dedup.editDistancePairs(exact, "text", "doc_id",
+        maxDistance = 3, shingleLen = 5, k = 64, bands = 8,
+        maxBucketSize = 32, hashMode = "md5")
     }),
     "q_dedup_keep_best" -> ((s, dir) => {
       // the q_dedup_cc planted corpus cleaned with a QUALITY keep policy:
@@ -1974,6 +2003,19 @@ object SparkEntry {
     "q_minhash_lsh" -> minhashLshOracle,
     "q_dedup_pipeline" -> dedupPipelineOracle,
     "q_dedup_cc" -> dedupCcOracle,
+    // edit pairs: the shared LSH chain's pre-threshold candidate set,
+    // verified by DuckDB's levenshtein on the same normalized text
+    "q_edit_pairs" ->
+      s"""$dedupChainSql,
+         |txt AS (SELECT doc_id AS id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM corpus)
+         |SELECT c.id_a, c.id_b,
+         |  levenshtein(ta.nt, tb.nt)::INT AS edit_distance
+         |FROM cand c
+         |JOIN txt ta ON ta.id = c.id_a
+         |JOIN txt tb ON tb.id = c.id_b
+         |WHERE levenshtein(ta.nt, tb.nt) <= 3""".stripMargin,
     // keep-best: the same components as q_dedup_cc, argmax by
     // (length, −id) per component via the shared struct-max idiom
     "q_dedup_keep_best" ->
@@ -2116,6 +2158,23 @@ object SparkEntry {
         |  (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
         |    / 9007199254740992.0 AS shuffle_key
         |FROM documents""".stripMargin,
+    // weighted interleave: identical uniform, rank window and key
+    // arithmetic — the mixing permutation itself is hash-checked
+    "q_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u,
+        |    CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 1.0
+        |      WHEN 'zh' THEN 0.0 ELSE 0.5 END AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, u, w,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u DESC, doc_id)
+        |      AS rn
+        |  FROM d WHERE w > 0)
+        |SELECT doc_id, lang, ((rn - 1) + u) / w AS interleave_key
+        |FROM r""".stripMargin,
     // DSIR: hashed-bigram buckets (md5 low bits, power-of-two mask so
     // signed Spark == unsigned DuckDB), add-one-smoothed target/raw
     // models, per-doc log-likelihood-ratio sum, Gumbel-top-k with the

@@ -348,6 +348,35 @@ object Dedup {
     df.join(best, Seq(idCol), "left_semi")
   }
 
+  /** Exact edit-distance verification of LSH candidate pairs: keeps
+    * pairs whose normalized texts are within `maxDistance` Levenshtein
+    * edits — an ABSOLUTE similarity bound shingle Jaccard cannot express
+    * ("≤ 3 edits" template/OCR-variant detection is length-robust where
+    * a Jaccard threshold scales with document size). Candidate
+    * generation stays the linear LSH path (threshold 0, so every
+    * bucket-collision pair reaches the verifier); only candidate pairs'
+    * texts are joined in — the corpus is never cross-joined, and the
+    * quadratic Levenshtein kernel runs on candidate pairs only. */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int, shingleLen: Int = 5, k: Int = 64,
+      bands: Int = 16, maxBucketSize: Int = 1000,
+      hashMode: String = graft.functions.HashExpressions.ModeXx)
+      : DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val cand = minhashLshPairs(df, textCol, idCol, shingleLen, k, bands,
+      0.0, maxBucketSize, hashMode).select(col("id_a"), col("id_b"))
+    val txt = df.select(col(idCol).as("__tid"),
+      normalizeText(col(textCol)).as("__nt"))
+    cand
+      .join(txt.select(col("__tid").as("id_a"), col("__nt").as("__ta")),
+        "id_a")
+      .join(txt.select(col("__tid").as("id_b"), col("__nt").as("__tb")),
+        "id_b")
+      .withColumn("edit_distance", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("edit_distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     bind(size(array_intersect(a, b)).cast("double")) { inter =>

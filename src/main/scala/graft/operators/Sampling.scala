@@ -117,6 +117,44 @@ object Sampling {
     * like IVF centroids. NULL strata are keyed under the reserved
     * [[NullStratum]] sentinel — see its caveat about data that contains
     * the literal string. */
+  /** Deterministic weighted interleave — the data-MIXING twin of
+    * [[deterministicShuffle]]: order the corpus so that sources appear
+    * in proportion to their weights throughout training (a weight-2
+    * source contributes ~2 rows for every 1 of a weight-1 source, evenly
+    * spread, not front-loaded). Each row gets the interleave key
+    * `(rank_in_stratum + u) / weight` where `rank_in_stratum` orders the
+    * stratum by the seeded md5 uniform (a deterministic within-source
+    * shuffle) and `u` is that uniform (a deterministic fractional jitter
+    * breaking cross-source phase lock); ascending key order IS the
+    * training order, exactly as q_train_order's contract.
+    *
+    * Scale: one window per stratum (PARTITION BY stratum — the same
+    * bounded-stratum posture as [[stratifiedExactK]]'s documentation),
+    * then a range partition by key; no global window anywhere. Strata
+    * missing from `weights` use `defaultWeight`; weight 0 drops the
+    * stratum. NULL strata fall under the reserved [[NullStratum]] key. */
+  def interleaveByWeight(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "weights must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__stratum")).orderBy(col("__u").desc, col(idCol))
+    val wExpr = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col("__stratum") === k, lit(v))
+        .otherwise(acc)
+    }
+    df.withColumn("__stratum",
+        coalesce(col(stratumCol).cast("string"), lit(NullStratum)))
+      .withColumn("__u", hashUniform(col(idCol), seed))
+      .withColumn("__w", wExpr)
+      .filter(col("__w") > 0)
+      .withColumn("__interleave_key",
+        ((row_number().over(w).cast("double") - 1) + col("__u")) /
+          col("__w"))
+      .drop("__stratum", "__w")
+  }
+
   def temperatureRates(df: DataFrame, stratumCol: String,
       temperature: Double, targetFraction: Double): Map[String, Double] = {
     require(temperature > 0, s"temperature must be > 0, got $temperature")

@@ -119,6 +119,27 @@ class DedupSpec extends SparkSuite {
       "planted near-dups must be dropped")
   }
 
+  test("editDistancePairs: near copies at exact distance, threshold gates") {
+    // docsWithDups: docs 0-9 have " xyzq"-suffixed copies → normalized
+    // distance exactly 5; exact copies were NOT predropped here, so
+    // 10-14's verbatim twins sit at distance 0
+    val pairs = Dedup.editDistancePairs(docsWithDups, "text", "doc_id",
+      maxDistance = 5, bands = 8, maxBucketSize = 64)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    (0L until 10L).foreach { i =>
+      assert(got.get((i, i + 10000)).contains(5), s"doc $i near copy")
+    }
+    (10L until 15L).foreach { i =>
+      assert(got.get((i, i + 20000)).contains(0), s"doc $i exact copy")
+    }
+    // a tighter threshold drops the 5-edit pairs but keeps the exact ones
+    val tight = Dedup.editDistancePairs(docsWithDups, "text", "doc_id",
+        maxDistance = 1, bands = 8, maxBucketSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight === (10L until 15L).map(i => (i, i + 20000)).toSet)
+  }
+
   test("keepBestPerComponent: highest score wins, ties to min id, " +
       "singletons survive") {
     import spark.implicits._

@@ -132,6 +132,41 @@ class SelectionSpec extends SparkSuite {
     assert(ids3 !== ids)
   }
 
+  test("interleaveByWeight: proportional mixing, zero-weight drop, " +
+      "deterministic keys") {
+    import spark.implicits._
+    val df = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (100 until 120).map(i => (i.toLong, "small")) ++
+      (200 until 210).map(i => (i.toLong, "off")))
+      .toDF("id", "src")
+    val out = graft.operators.Sampling.interleaveByWeight(df, "id", "src",
+      Map("big" -> 2.0, "small" -> 1.0, "off" -> 0.0))
+    val rows = out.orderBy("__interleave_key")
+      .select("src").collect().map(_.getString(0)).toSeq
+    // zero-weight stratum dropped entirely
+    assert(!rows.contains("off") && rows.length === 60)
+    // proportionality holds throughout: after any prefix long enough to
+    // hold both, big ≈ 2× small (weight-2 keys advance half as fast)
+    val firstHalf = rows.take(30)
+    val bigCount = firstHalf.count(_ == "big")
+    assert(bigCount >= 18 && bigCount <= 22, s"prefix mix $bigCount/30")
+    // 40 rows at weight 2 and 20 rows at weight 1 span the same key
+    // range [0, 20) — proportional mixing means both strata sustain the
+    // 2:1 ratio to the END rather than one running dry early
+    val lastQuarter = rows.takeRight(15)
+    assert(lastQuarter.count(_ == "big") >= 7 &&
+      lastQuarter.count(_ == "small") >= 3, s"tail mix $lastQuarter")
+    // deterministic: identical keys on a different layout
+    val again = graft.operators.Sampling.interleaveByWeight(
+      df.repartition(7), "id", "src",
+      Map("big" -> 2.0, "small" -> 1.0, "off" -> 0.0))
+    val a = out.select("id", "__interleave_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = again.select("id", "__interleave_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
   test("NULL strata: temperatureRates and stratifiedSample agree on the sentinel") {
     import spark.implicits._
     val withNulls = Seq(
