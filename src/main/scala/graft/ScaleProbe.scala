@@ -19,6 +19,9 @@ object ScaleProbe {
     val binMethod = sys.env.getOrElse("SPARK_GRAFT_PROBE_BIN", "length")
     val spark = Spark.session()
     if (args.headOption.contains("dedup")) { dedupProbe(spark, n); return }
+    if (args.headOption.contains("incremental")) {
+      incrementalProbe(spark, n); return
+    }
     if (args.headOption.contains("cc")) { ccProbe(spark, n); return }
     if (args.headOption.contains("curation")) {
       curationProbe(spark, n); return
@@ -78,6 +81,51 @@ object ScaleProbe {
       maxBucketSize = 64).count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE dedup docs=${base * replicas} pairs_found=$found $secs%.1f s")
+    spark.stop()
+  }
+
+  /** Incremental-dedup probe: index an n-doc corpus ONCE, then measure a
+    * 1000-doc ingest probe against it vs re-deduplicating the full
+    * corpus+batch — the operational claim behind
+    * Dedup.incrementalExactDedup (probe cost tracks the BATCH, full
+    * re-dedup tracks the CORPUS). Usage:
+    *   SPARK_GRAFT_PROBE_N=500000 sbt "runMain graft.ScaleProbe incremental"
+    */
+  private def incrementalProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.count()
+    val replicas = math.max(1, (n / base).toInt)
+    val corpus = docs.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+      .localCheckpoint(true)
+    val path = java.nio.file.Files.createTempDirectory("probe_fp")
+      .resolve("idx").toString
+    val t0 = System.nanoTime()
+    graft.dedup.Dedup.writeFingerprintIndex(corpus, "text", "doc_id", path)
+    val tIndex = (System.nanoTime() - t0) / 1e9
+    // batch: 500 fresh docs + 500 copies of indexed content
+    val batch = docs.limit(500)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+      .unionByName(corpus.limit(500)
+        .select((col("doc_id") + 950000000L).as("doc_id"), col("text")))
+      .localCheckpoint(true)
+    val t1 = System.nanoTime()
+    val kept = graft.dedup.Dedup.incrementalExactDedup(
+      batch, "text", "doc_id", path).count()
+    val tProbe = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val full = graft.dedup.Dedup.dropExactDuplicates(
+      corpus.unionByName(batch), "text", "doc_id").count()
+    val tFull = (System.nanoTime() - t2) / 1e9
+    println(f"SCALE_PROBE incremental corpus=${base * replicas} " +
+      f"index=$tIndex%.1f s probe(1000 docs)=$tProbe%.1f s kept=$kept " +
+      f"full_rededup=$tFull%.1f s (kept_full=$full)")
     spark.stop()
   }
 
