@@ -86,6 +86,22 @@ class IndexingRetentionSpec extends SparkSuite {
     assert(b === 1L)
   }
 
+  test("plan guards: heavy hitters take-ordered, retention expand-free, " +
+      "corpus stats single-exchange") {
+    val hh = SparkEntry.queries("q_heavy_hitters")(spark, sf0001)
+    assert(hh.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "top-k terms must never globally sort the term table")
+    val rt = SparkEntry.queries("q_retention")(spark, sf0001)
+    assert(!rt.queryExecution.executedPlan.toString.contains("Expand"),
+      "retention must count pre-distinct pairs, not plan a countDistinct " +
+        "expand")
+    val cs = SparkEntry.queries("q_corpus_stats")(spark, sf0001)
+    assert("Exchange hashpartitioning".r
+      .findAllIn(cs.queryExecution.executedPlan.toString).length === 1,
+      "corpus stats is one aggregation exchange")
+  }
+
   test("cohortRetention: first-bucket cohorts, per-bucket distinct users") {
     val events = Seq(
       // user 10: weeks 0,0,1,3 — cohort 0, offsets {0,1,3}
