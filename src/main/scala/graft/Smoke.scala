@@ -47,14 +47,32 @@ object Smoke {
       src, textCol = "props", tsCol = "ts")
     val q3 = deduped.writeStream.format("memory").queryName("smoke_dedup")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // live funnel + retention twins over the same replay (ts as epoch
+    // days / weeks so the window arithmetic is scale-meaningful)
+    val days = src.withColumn("__td",
+      unix_micros(col("ts")) / lit(86400e6))
+    val funnel = graft.streaming.Streaming.streamingFunnel(days,
+      "user_id", "__td", "event_type",
+      Seq("view", "click", "purchase"), window = 7.0)
+    val q4 = funnel.writeStream.format("memory").queryName("smoke_funnel")
+      .outputMode(OutputMode.Append).start()
+    val retention = graft.streaming.Streaming.streamingRetention(days,
+      "user_id", floor(col("__td") / lit(7.0)))
+    val q5 = retention.writeStream.format("memory")
+      .queryName("smoke_retention").outputMode(OutputMode.Append).start()
     try {
       q1.processAllAvailable(); q2.processAllAvailable()
-      q3.processAllAvailable()
+      q3.processAllAvailable(); q4.processAllAvailable()
+      q5.processAllAvailable()
       val nBins = spark.table("smoke_binned").count()
       val nStats = spark.table("smoke_running").count()
       val nDedup = spark.table("smoke_dedup").count()
-      println(s"SMOKE_STREAMING bins=$nBins running_stats=$nStats dedup_kept=$nDedup")
-      assert(nBins > 0 && nStats > 0 && nDedup > 0)
-    } finally { q1.stop(); q2.stop(); q3.stop() }
+      val nFunnel = spark.table("smoke_funnel").count()
+      val nRet = spark.table("smoke_retention").count()
+      println(s"SMOKE_STREAMING bins=$nBins running_stats=$nStats " +
+        s"dedup_kept=$nDedup funnel_steps=$nFunnel retention_rows=$nRet")
+      assert(nBins > 0 && nStats > 0 && nDedup > 0 && nFunnel > 0 &&
+        nRet > 0)
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop() }
   }
 }
