@@ -331,6 +331,19 @@ object Streaming {
       }(Encoders.product[AsofState], outEnc).toDF()
   }
 
+  /** Streaming twin of [[graft.text.Indexing.topKTerms]]'s counting
+    * stage: running exact term frequencies over a document stream as a
+    * plain Update-mode streaming aggregation — state is one long per
+    * distinct term (vocab-bounded, the canonical streaming-wordcount
+    * posture); a `Top-K` sink query over the in-memory table gives the
+    * live heavy hitters. */
+  def streamingTermCounts(src: DataFrame, textCol: String): DataFrame =
+    src.select(explode(graft.text.TextAnalysis.tokens(col(textCol)))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Per-entity funnel state: steps reached so far (1-based count) and
     * the last conversion time. */
   case class FunnelState(stage: Int, t: Double)

@@ -330,6 +330,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming term counts: frequencies accumulate across batches") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val counts = Streaming.streamingTermCounts(mem.toDF(), "text")
+    val q = counts.writeStream.format("memory").queryName("terms")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def doc(id: Long, t: String) =
+        Doc(id, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), t)
+      mem.addData(doc(1, "the cat"), doc(2, "the dog"))
+      q.processAllAvailable()
+      mem.addData(doc(3, "THE bird"))
+      q.processAllAvailable()
+      val got = spark.table("terms").collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rs) => t -> rs.map(_.getLong(1)).max }
+      assert(got("the") === 3L) // case-folded, carried across batches
+      assert(got("cat") === 1L && got("bird") === 1L)
+    } finally q.stop()
+  }
+
   test("streaming retention: cohort pinned, one emission per new bucket, " +
       "late buckets dropped") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
