@@ -795,6 +795,15 @@ object SparkEntry {
           seed = 42L)
         .select(col("doc_id"), col("__shuffle_key").as("shuffle_key"))
     }),
+    "q_split" -> ((s, dir) =>
+      // deterministic 80/10/10 train/val/test assignment from the seeded
+      // md5 uniform — map-only, and stable across runs and ingests (the
+      // property a rand() split loses); the oracle replays the identical
+      // uniform and interval walk
+      graft.operators.Sampling.assignSplits(
+          table(s, dir, "documents"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))),
     "q_interleave" -> ((s, dir) =>
       // deterministic weighted interleave: the data-mixing training
       // order. Key = (rank-in-stratum + u)/weight with the md5 uniform u
@@ -2158,6 +2167,15 @@ object SparkEntry {
         |  (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
         |    / 9007199254740992.0 AS shuffle_key
         |FROM documents""".stripMargin,
+    // split assignment: same uniform, same cumulative interval walk
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |    / 9007199254740992.0 AS u
+        |  FROM documents)""".stripMargin,
     // weighted interleave: identical uniform, rank window and key
     // arithmetic — the mixing permutation itself is hash-checked
     "q_interleave" ->

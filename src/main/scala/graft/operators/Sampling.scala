@@ -155,6 +155,31 @@ object Sampling {
       .drop("__stratum", "__w")
   }
 
+  /** Deterministic train/validation/test assignment: each row lands in
+    * the split whose cumulative-fraction interval contains its seeded
+    * md5 uniform — map-only, zero exchange, layout- and engine-stable
+    * (the same id always lands in the same split, across runs AND across
+    * incremental ingests — the property random splits lose). Fractions
+    * must sum to ≤ 1; any remainder falls into the LAST split, so pass
+    * fractions for all splits (e.g. 0.8/0.1/0.1). */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 42L,
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "split fractions must be >= 0")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    val u = hashUniform(col(idCol), seed)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // u < cum(i) picks the first interval containing u; the last split
+    // absorbs u >= last bound (incl. any unassigned remainder)
+    val expr = splits.init.zip(cum.init).reverse.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), bound)) =>
+        when(u < lit(bound), lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, expr)
+  }
+
   def temperatureRates(df: DataFrame, stratumCol: String,
       temperature: Double, targetFraction: Double): Map[String, Double] = {
     require(temperature > 0, s"temperature must be > 0, got $temperature")

@@ -132,6 +132,28 @@ class SelectionSpec extends SparkSuite {
     assert(ids3 !== ids)
   }
 
+  test("assignSplits: stable intervals, remainder to last, layout-proof") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = graft.operators.Sampling.assignSplits(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 1000)
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900, counts)
+    assert(counts("val") > 50 && counts("val") < 150, counts)
+    // identical assignment on a different layout
+    val again = graft.operators.Sampling.assignSplits(
+        df.repartition(13), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === got)
+    // fractions summing under 1: the remainder falls into the LAST split
+    val skewed = graft.operators.Sampling.assignSplits(df, "id",
+        Seq(("a", 0.1), ("b", 0.1)))
+      .collect().map(_.getString(1))
+    assert(skewed.count(_ == "b") > 800) // 0.1 + the 0.8 remainder
+  }
+
   test("interleaveByWeight: proportional mixing, zero-weight drop, " +
       "deterministic keys") {
     import spark.implicits._
