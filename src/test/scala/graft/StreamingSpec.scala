@@ -330,6 +330,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming twins agree with the batch operators on random " +
+      "in-order event sets") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val rng = new scala.util.Random(4242L)
+    val types = Seq("view", "click", "purchase")
+    val events = (1 to 400).map { i =>
+      (rng.nextInt(20).toLong, i.toLong,
+        rng.nextInt(40).toDouble / 2.0, types(rng.nextInt(3)))
+    }
+    val cols = Seq("user_id", "event_id", "t", "event_type")
+    val df = events.toDF(cols: _*)
+
+    // funnel: batch counts per step == streaming rows per step
+    val batchFunnel = graft.operators.Funnel.funnel(df, "user_id", "t",
+        "event_type", types, window = 7.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val memF = MemoryStream[(Long, Long, Double, String)]
+    val qf = Streaming.streamingFunnel(memF.toDF().toDF(cols: _*),
+        "user_id", "t",
+        "event_type", types, window = 7.0)
+      .writeStream.format("memory").queryName("tw_funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      memF.addData(events)
+      qf.processAllAvailable()
+      val streamFunnel = spark.table("tw_funnel").collect()
+        .groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
+      types.indices.foreach { i =>
+        assert(streamFunnel.getOrElse(i + 1, 0L) === batchFunnel(i + 1),
+          s"step ${i + 1}")
+      }
+    } finally qf.stop()
+
+    // retention: batch (cohort, offset) counts == streaming emissions
+    val batchRet = graft.operators.Retention.cohortRetention(df,
+        "user_id", floor(col("t")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val memR = MemoryStream[(Long, Long, Double, String)]
+    val qr = Streaming.streamingRetention(memR.toDF().toDF(cols: _*),
+        "user_id", floor(col("t")))
+      .writeStream.format("memory").queryName("tw_retention")
+      .outputMode(OutputMode.Append).start()
+    try {
+      memR.addData(events)
+      qr.processAllAvailable()
+      val streamRet = spark.table("tw_retention").collect()
+        .groupBy(r => (r.getLong(1), r.getLong(2)))
+        .view.mapValues(_.length.toLong).toMap
+      assert(streamRet === batchRet)
+    } finally qr.stop()
+  }
+
   test("streaming term counts: frequencies accumulate across batches") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
