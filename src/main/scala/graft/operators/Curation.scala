@@ -46,7 +46,8 @@ object Curation {
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0, seed: Long = 42L,
       capacity: Long = 256L, shards: Int = 8,
-      hashMode: String = graft.functions.HashExpressions.ModeXx)
+      hashMode: String = graft.functions.HashExpressions.ModeXx,
+      splits: Seq[(String, Double)] = Nil)
       : DataFrame = {
     val redacted = docs.withColumn(textCol,
       TextAnalysis.redactPii(col(textCol)))
@@ -76,9 +77,14 @@ object Curation {
     // eager manifest (≤1 row/surviving doc) so the big cached
     // intermediates can be released here; checkpoint blocks are
     // reclaimed when the returned frame is collected
-    val result = Packing.packConcat(sampled, idCol,
+    val packed = Packing.packConcat(sampled, idCol,
         TextAnalysis.wsTokenCount(col(textCol)), capacity, shards,
         carry = Seq("lang_pred"))
+    // optional deterministic train/val/test assignment rides the
+    // manifest as one extra map-only column (default: absent — the
+    // q_curation oracle contract is unchanged)
+    val result = (if (splits.isEmpty) packed
+      else Sampling.assignSplits(packed, idCol, splits, seed))
       .localCheckpoint(true)
     gated.unpersist()
     deduped.unpersist()

@@ -331,6 +331,17 @@ class SelectionSpec extends SparkSuite {
     // it passes the gates; the twins never co-survive
     assert(!(out2.contains(9000L) && out2.contains(9001L)))
     assert(!out2.contains(9001L))
+
+    // optional split stage: one extra column, same manifest otherwise
+    val withSplits = Curation.curate(docs, bench,
+      rates = Map("en" -> 0.8, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8),
+      defaultRate = 0.0, capacity = 64L, shards = 4,
+      splits = Seq(("train", 0.9), ("val", 0.1)))
+    assert(withSplits.columns.contains("split"))
+    val sRows = withSplits.collect()
+    assert(sRows.map(_.getLong(0)).toSet === outIds)
+    assert(sRows.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val")))
   }
 
   test("deterministicShuffle: total order, layout-stable, seed-sensitive") {
