@@ -1070,7 +1070,72 @@ object SparkEntry {
         syntheticTexturedImages(docs.unionByName(planted), "doc_id")
       dhashImages(media).select(col("media_id"), col("width"),
         col("height"), col("dhash"))
-    })
+    }),
+    "q_line_dedup" -> ((s, dir) => {
+      // C4/RefinedWeb-style global line dedup: the corpus is re-lined
+      // into 10-token lines (the flat synthetic docs carry no newlines),
+      // two full copies of docs 0-39 are planted so their lines reach
+      // corpus count 3, and every line with count >= 3 is removed from
+      // ALL its documents. The oracle replays the lining, the global
+      // line counts and the rebuild; cleaned text strings hash-match.
+      val docs = table(s, dir, "documents")
+      val c1 = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val c2 = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+      val corpus = docs.unionByName(c1).unionByName(c2)
+      val ts = split(trim(col("text")), "\\s+")
+      val nl = ceil(size(ts) / lit(10.0)).cast("int")
+      val lined = corpus.select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, lit(""))
+          .otherwise(concat_ws("\n",
+            transform(sequence(lit(0), nl - 1),
+              i => array_join(slice(ts, i * 10 + 1, lit(10)), " "))))
+          .as("text"))
+      graft.dedup.Dedup.removeRepeatedLines(lined, "text", "doc_id",
+        minCount = 3)
+    }),
+    "q_source_overlap" -> ((s, dir) => {
+      // cross-source exact-content overlap matrix: docs 0-59 replicated
+      // under source 'srcX' and 60-99 under 'srcY', so every original
+      // source shares content with the planted ones (plus any natural
+      // cross-source dups). Counts are integers; the one Jaccard division
+      // is a single IEEE op on integers — bit-exact cross-engine.
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val cx = docs.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          lit("srcX").as("source"))
+      val cy = docs.filter(col("doc_id") >= 60 && col("doc_id") < 100)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          lit("srcY").as("source"))
+      graft.dedup.Dedup.sourceOverlap(
+        docs.unionByName(cx).unionByName(cy), "text", "doc_id", "source")
+    }),
+    "q_fold" -> ((s, dir) =>
+      // phase-folded lightcurve binning at a fixed 0.37-day period, 25
+      // phase bins: the fold arithmetic (sub/div/floor) is plain IEEE
+      // double math replayed verbatim in SQL — bin assignment is
+      // bit-exact; only the bin mean is rounded (summation order).
+      graft.operators.LightCurveOps.foldBin(eventsSource(s, dir),
+        "user_id", "ts_days", "value", "event_type",
+        period = 0.37, t0 = 0.0, nBins = 25)),
+    "q_rolling" -> ((s, dir) =>
+      // trailing 0.5-day rolling stats per (object, band): one RANGE
+      // window per lightcurve — the batch twin of the streaming running
+      // stats, with a bounded look-back. count/min/max are exact; the
+      // rolling mean is rounded (sliding-frame summation order).
+      graft.operators.LightCurveOps.rollingStats(eventsSource(s, dir),
+        "user_id", "ts_days", "value", "event_type", window = 0.5)),
+    "q_token_budget" -> ((s, dir) =>
+      // token-budget mixture construction: per source, keep docs in
+      // seeded md5-uniform order until 400 cumulative whitespace tokens.
+      // The oracle replays the naive cumsum window; the Spark plan is the
+      // histogram-pruned two-phase equivalent (no full-stratum window).
+      graft.operators.Sampling.tokenBudgetSample(
+        table(s, dir, "documents"), "doc_id", "source",
+        graft.text.TextAnalysis.wsTokenCount(col("text")),
+        budgetTokens = 400L, seed = 42L))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -2539,7 +2604,114 @@ object SparkEntry {
         |  CASE WHEN su >= 9223372036854775808::HUGEINT
         |    THEN (su - 18446744073709551616::HUGEINT)::BIGINT
         |    ELSE su::BIGINT END AS dhash
-        |FROM packed""".stripMargin
+        |FROM packed""".stripMargin,
+    // global line dedup: re-line the corpus into 10-token lines, count
+    // every line corpus-wide, drop lines with count >= 3 everywhere,
+    // rebuild each doc in original line order
+    "q_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |    WHERE doc_id < 40
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents
+        |    WHERE doc_id < 40),
+        |toks AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM corpus),
+        |lined AS (SELECT doc_id, CASE WHEN len(ts) = 0 THEN ''
+        |    ELSE array_to_string(
+        |      [array_to_string(ts[(i*10+1):(i*10+10)], ' ')
+        |        for i in range(0, ceil(len(ts)/10.0)::INT)], chr(10)) END
+        |    AS text
+        |  FROM toks),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ll FROM lined),
+        |lines AS (SELECT doc_id,
+        |    unnest([{'p': i, 'l': ll[i+1]} for i in range(0, len(ll))]) AS u
+        |  FROM ls),
+        |banned AS (SELECT u.l AS line FROM lines GROUP BY 1
+        |  HAVING count(*) >= 3),
+        |flag AS (SELECT doc_id, u.p AS p, u.l AS l,
+        |    u.l IN (SELECT line FROM banned) AS dropit
+        |  FROM lines)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list(l ORDER BY p) FILTER (WHERE NOT dropit), chr(10)), '')
+        |    AS text,
+        |  count(*) AS n_lines,
+        |  sum(CASE WHEN dropit THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_removed_lines
+        |FROM flag GROUP BY doc_id""".stripMargin,
+    // cross-source overlap: distinct (normalized-text md5, source) pairs
+    // self-joined on the fingerprint; the Jaccard division is one IEEE
+    // op on integers — bit-exact
+    "q_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text, 'srcX' FROM documents
+        |    WHERE doc_id < 60
+        |  UNION ALL SELECT doc_id + 200000, text, 'srcY' FROM documents
+        |    WHERE doc_id >= 60 AND doc_id < 100),
+        |fps AS (SELECT DISTINCT
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    source
+        |  FROM corpus),
+        |sz AS (SELECT source, count(*) AS n FROM fps GROUP BY 1),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+        |  round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+        |FROM pr
+        |JOIN sz sa ON sa.source = pr.source_a
+        |JOIN sz sb ON sb.source = pr.source_b""".stripMargin,
+    // phase folding: identical IEEE fold arithmetic -> bit-exact bin
+    // assignment; only the bin mean is rounded (summation order)
+    "q_fold" -> (EvCte +
+      """,
+        |ph AS (SELECT user_id, event_type, value,
+        |    (ts_days - 0.0) / 0.37 AS cycles
+        |  FROM ev),
+        |b AS (SELECT user_id, event_type, value,
+        |    least(floor((cycles - floor(cycles)) * 25), 24.0)::INT
+        |      AS phase_bin
+        |  FROM ph)
+        |SELECT user_id, event_type, phase_bin,
+        |  count(*) AS n_obs, round(avg(value), 6) AS mean_val,
+        |  min(value) AS min_val, max(value) AS max_val
+        |FROM b GROUP BY 1, 2, 3""".stripMargin),
+    // rolling trailing-window stats: the same RANGE frame on bit-exact
+    // ts_days; count/min/max exact, mean rounded (sliding-frame
+    // summation order differs between engines)
+    "q_rolling" -> (EvCte +
+      """
+        |SELECT user_id, event_type, ts_days, value,
+        |  count(*) OVER fr AS n_win,
+        |  round(avg(value) OVER fr, 6) AS mean_win,
+        |  min(value) OVER fr AS min_win,
+        |  max(value) OVER fr AS max_win
+        |FROM ev
+        |WINDOW fr AS (PARTITION BY user_id, event_type ORDER BY ts_days
+        |  RANGE BETWEEN 0.5 PRECEDING AND CURRENT ROW)""".stripMargin),
+    // token-budget sampling: the naive per-stratum cumsum window over
+    // the seeded md5 uniform — the Spark side's histogram-pruned
+    // two-phase plan is provably the same prefix (tokens >= 0 makes the
+    // cumsum monotone)
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT source AS stratum, doc_id,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY stratum ORDER BY u, doc_id) AS cum_tokens
+        |  FROM t)
+        |SELECT stratum, doc_id, u, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 400""".stripMargin
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,

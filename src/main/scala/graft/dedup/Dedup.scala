@@ -677,4 +677,97 @@ object Dedup {
       .drop("__spans")
       .withColumn(textCol, col("__clean")).drop("__clean")
   }
+
+  // ------------------------------------------- global repeated-line dedup
+
+  /** Per-line corpus frequency: one row per distinct line (split on `sep`)
+    * with its corpus-wide occurrence count — the statistic behind
+    * C4/RefinedWeb-style line-level dedup, where boilerplate (nav menus,
+    * cookie banners, license footers) shows up as lines shared by many
+    * documents. One explode + one groupBy on the line string; map-side
+    * partial aggregation keeps the exchange at one row per distinct line
+    * per partition. */
+  def repeatedLineCounts(df: DataFrame, textCol: String,
+      sep: String = "\n"): DataFrame =
+    df.select(explode(split(col(textCol), java.util.regex.Pattern.quote(sep),
+        -1)).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("n"))
+
+  /** Remove every occurrence of any line whose corpus-wide count reaches
+    * `minCount` — the C4 / RefinedWeb line-dedup protocol (C4 §2.2 drops
+    * repeated three-sentence spans; RefinedWeb and CCNet drop duplicated
+    * lines outright). Returns one row per input document with the cleaned
+    * `textCol`, the original line count and the number of removed lines —
+    * documents whose every line was boilerplate survive with empty text,
+    * so downstream length gates (not silent row loss) decide their fate.
+    *
+    * Scale shape (100 TB): lines are exploded once; the banned set is the
+    * count≥minCount aggregate over the 16-byte md5 of each line — tiny
+    * relative to the corpus (it IS the boilerplate) — and joins back by
+    * hash equality, so AQE broadcasts it when it fits and falls back to a
+    * linear hash-partitioned join when a pathological corpus makes it
+    * huge. The rebuild is one groupBy(id) carrying (pos, line) structs:
+    * ~1 row per input line, the same cardinality the explode produced. */
+  def removeRepeatedLines(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 3, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("pos", "line")))
+    val banned = lines
+      .groupBy(md5(col("line")).as("__line_fp"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__line_fp"))
+    val flagged = lines
+      .join(banned, md5(col("line")) === banned("__line_fp"), "left")
+      .withColumn("__drop", col("__line_fp").isNotNull)
+    flagged.groupBy(col(idCol))
+      .agg(
+        coalesce(
+          array_join(transform(
+            array_sort(collect_list(when(!col("__drop"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")), sep),
+          lit("")).as(textCol),
+        count(lit(1)).as("n_lines"),
+        sum(col("__drop").cast("long")).as("n_removed_lines"))
+  }
+
+  // ------------------------------------------- cross-source overlap matrix
+
+  /** Pairwise exact-content overlap between corpus sources: for every
+    * source pair sharing at least one distinct normalized-text
+    * fingerprint, the number of shared contents, each side's distinct
+    * content count, and the Jaccard overlap of the two content sets —
+    * the "how contaminated is source A with source B" report that decides
+    * which crawls/dumps are worth keeping at 100 TB.
+    *
+    * Scale shape: one distinct over (fingerprint, source) — shuffle rows
+    * are 16-byte hash + source key; the self-join joins that distinct set
+    * to itself ON THE FINGERPRINT, so only fingerprints present in ≥2
+    * sources produce pairs (boilerplate shared by all S sources yields
+    * C(S,2) rows per content — bounded by the source count squared, not
+    * the corpus); per-source sizes are an S-row aggregate that broadcasts
+    * back onto the pair counts. */
+  def sourceOverlap(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame = {
+    val fps = df.select(
+      graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("fp"),
+      col(sourceCol).cast("string").as("source")).distinct()
+    val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
 }

@@ -180,6 +180,92 @@ object Sampling {
     df.withColumn(outCol, expr)
   }
 
+  /** TOKEN-budget corpus construction: per stratum, keep documents in
+    * seeded md5-uniform order until the cumulative token count reaches
+    * `budgetTokens` — mixture recipes are written in tokens, not document
+    * counts, and a doc-count sample over sources with different length
+    * distributions silently skews the token mixture. Semantics are the
+    * window formulation `sum(tokens) OVER (PARTITION BY stratum ORDER BY
+    * u, id) <= budget` (integer cumsum — engine-exact); rows keep their
+    * uniform, token count and cumulative count for auditability.
+    *
+    * Scale shape: the naive window drags ENTIRE strata through single
+    * tasks, so the plan is histogram-pruned instead. Pass A aggregates
+    * per-(stratum, uniform-bucket) token sums — |strata|·`buckets` rows of
+    * driver metadata, like IVF centroids — from which the driver derives
+    * each stratum's cutoff bucket (the first whose cumulative total
+    * crosses the budget). Pass B keeps every row BELOW its stratum's
+    * cutoff bucket map-only, and runs the exact cumsum window over the
+    * cutoff bucket's rows alone (~1/`buckets` of the stratum, budget's
+    * boundary only). Equivalence to the naive window is a spec property:
+    * the prefix sum is monotone (tokens ≥ 0), so below-cutoff rows always
+    * satisfy the bound and above-cutoff rows never do. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+      tokenCol: Column, budgetTokens: Long, seed: Long = 42L,
+      buckets: Int = 1024): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    require(buckets > 0, "buckets must be positive")
+    val base = df.select(
+      coalesce(col(stratumCol).cast("string"), lit(NullStratum))
+        .as("stratum"),
+      col(idCol).cast("long").as(idCol),
+      hashUniform(col(idCol), seed).as("u"),
+      tokenCol.cast("long").as("n_tokens"))
+    // u < 1 by construction, so bucket <= buckets - 1
+    val bucketed = base.withColumn("__b",
+      floor(col("u") * buckets).cast("int"))
+    // Pass A: (stratum, bucket) token histogram -> driver-side cutoffs.
+    // cutoff(s) = first bucket where the running total crosses the
+    // budget; consumed(s) = tokens in the buckets before it.
+    val hist = bucketed.groupBy(col("stratum"), col("__b"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect()
+      .groupBy(_.getString(0))
+    val cutoffs: Map[String, (Int, Long)] = hist.map { case (s, rows) =>
+      val byBucket = rows.map(r => r.getInt(1) -> r.getLong(2))
+        .sortBy(_._1)
+      var cum = 0L
+      var cut = buckets // past the last bucket = whole stratum fits
+      var consumed = 0L
+      byBucket.foreach { case (b, t) =>
+        if (cut == buckets) {
+          if (cum + t > budgetTokens) { cut = b; consumed = cum }
+          else cum += t
+        }
+      }
+      s -> (cut, consumed)
+    }
+    val cutCol = cutoffs.foldLeft(lit(buckets)) {
+      case (acc, (s, (cut, _))) =>
+        when(col("stratum") === lit(s), lit(cut)).otherwise(acc)
+    }
+    val consumedCol = cutoffs.foldLeft(lit(0L)) {
+      case (acc, (s, (_, consumed))) =>
+        when(col("stratum") === lit(s), lit(consumed)).otherwise(acc)
+    }
+    val marked = bucketed.withColumn("__cut", cutCol)
+      .withColumn("__consumed", consumedCol)
+    // below the cutoff bucket: kept outright, cum = consumed-so-far needs
+    // the in-bucket prefix too — recompute the full cum for the OUTPUT
+    // column via a window over the KEPT rows only (bounded by the budget,
+    // not the stratum; the heavy filtering already happened map-only).
+    val boundary = marked.filter(col("__b") === col("__cut"))
+      .withColumn("__cum_in",
+        sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum"))
+          .orderBy(col("u"), col(idCol))))
+      .filter(col("__consumed") + col("__cum_in") <= budgetTokens)
+    val kept = marked.filter(col("__b") < col("__cut"))
+      .unionByName(boundary.drop("__cum_in"))
+    kept
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum"))
+          .orderBy(col("u"), col(idCol))))
+      .select(col("stratum"), col(idCol), col("u"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   def temperatureRates(df: DataFrame, stratumCol: String,
       temperature: Double, targetFraction: Double): Map[String, Double] = {
     require(temperature > 0, s"temperature must be > 0, got $temperature")

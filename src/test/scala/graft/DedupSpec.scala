@@ -382,4 +382,60 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(floodRes === xxRes)
   }
+
+  test("removeRepeatedLines drops corpus-frequent lines, keeps order, " +
+      "and keeps fully-boilerplate docs with empty text") {
+    import spark.implicits._
+    // "nav" appears in 3 docs (count 3 >= minCount), "body N" lines are
+    // unique, doc 4 is ALL boilerplate, doc 5 repeats "nav" twice itself
+    // (within-doc occurrences count toward the global total)
+    val docs = Seq(
+      (1L, "nav\nbody one\nbody two"),
+      (2L, "body three\nnav"),
+      (3L, "nav\nbody four"),
+      (4L, "nav"),
+      (5L, "promo\npromo\npromo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedLines(docs, "text", "doc_id",
+        minCount = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // "nav" count = 4 (docs 1,2,3,4), "promo" count = 3 (all in doc 5)
+    assert(out(1L) === (("body one\nbody two", 3L, 1L)))
+    assert(out(2L) === (("body three", 2L, 1L)))
+    assert(out(3L) === (("body four", 2L, 1L)))
+    assert(out(4L) === (("", 1L, 1L))) // survives, empty — not dropped
+    assert(out(5L) === (("", 3L, 3L)))
+    assert(out.size === 5)
+  }
+
+  test("removeRepeatedLines below minCount leaves docs untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedLines(docs, "text", "doc_id",
+        minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a\nb")
+    assert(out(2L) === "a\nc")
+  }
+
+  test("sourceOverlap counts shared distinct contents and Jaccard") {
+    import spark.implicits._
+    // srcA: {x, y, z}; srcB: {x, y, w}; srcC: {q} (no overlap rows);
+    // duplicate rows of the same content within a source count ONCE
+    val docs = Seq(
+      (1L, "x", "srcA"), (2L, "y", "srcA"), (3L, "z", "srcA"),
+      (4L, "x", "srcB"), (5L, "y", "srcB"), (6L, "w", "srcB"),
+      (7L, "x", "srcB"), // within-source dup of content x
+      (8L, "q", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, "text", "doc_id", "source")
+      .collect()
+    assert(out.length === 1) // only the (srcA, srcB) pair overlaps
+    val r = out.head
+    assert(r.getString(0) === "srcA" && r.getString(1) === "srcB")
+    assert(r.getLong(2) === 2L) // shared contents {x, y}
+    assert(r.getLong(3) === 3L && r.getLong(4) === 3L)
+    assert(r.getDouble(5) === 0.5) // 2 / (3 + 3 - 2)
+  }
 }

@@ -387,4 +387,47 @@ class SelectionSpec extends SparkSuite {
       s"τ=0.5 must favor $smallest over $largest: $rt")
     assert(rt.values.forall(v => v > 0 && v <= 1.0))
   }
+
+  test("tokenBudgetSample ≡ the naive cumsum-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    val out = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+        tok, budgetTokens = 300L, seed = 42L, buckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    // naive: full per-stratum window, cum <= budget
+    val naive = docs
+      .select(col("source").as("stratum"), col("doc_id"),
+        Sampling.hashUniform(col("doc_id"), 42L).as("u"),
+        tok.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(Window
+        .partitionBy("stratum").orderBy(col("u"), col("doc_id"))))
+      .filter(col("cum_tokens") <= 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    assert(out === naive)
+    assert(out.nonEmpty)
+    // deterministic across reruns
+    val again = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+        tok, budgetTokens = 300L, seed = 42L, buckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    assert(again === out)
+  }
+
+  test("tokenBudgetSample: a budget above the stratum total keeps all; " +
+      "budget 0 keeps none") {
+    val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    val all = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      tok, budgetTokens = 100000000L, seed = 42L)
+    assert(all.count() === docs.count())
+    // kept cum never exceeds the budget; per-stratum totals respect it
+    val none = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      tok, budgetTokens = 0L, seed = 42L)
+    assert(none.count() === 0L)
+    val some = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      tok, budgetTokens = 500L, seed = 42L)
+    val maxCum = some.agg(max("cum_tokens")).head().getLong(0)
+    assert(maxCum <= 500L)
+  }
 }
