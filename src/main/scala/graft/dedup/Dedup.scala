@@ -742,23 +742,29 @@ object Dedup {
     * the "how contaminated is source A with source B" report that decides
     * which crawls/dumps are worth keeping at 100 TB.
     *
-    * Scale shape: one distinct over (fingerprint, source) — shuffle rows
-    * are 16-byte hash + source key; the self-join joins that distinct set
-    * to itself ON THE FINGERPRINT, so only fingerprints present in ≥2
-    * sources produce pairs (boilerplate shared by all S sources yields
-    * C(S,2) rows per content — bounded by the source count squared, not
-    * the corpus); per-source sizes are an S-row aggregate that broadcasts
-    * back onto the pair counts. */
+    * Scale shape: ONE corpus scan + one groupBy on the 16-byte
+    * fingerprint building the per-content source SET (collect_set is
+    * bounded by the source count S, not the corpus — sources are
+    * crawls/dumps, tens to hundreds). Pair counts explode a<b set
+    * combinations (≤ C(S,2) rows per shared content) and per-source sizes
+    * explode the same sets — both branches hang off the IDENTICAL
+    * aggregate subtree, so Catalyst's ReuseExchange materializes the
+    * fingerprint exchange once (a fingerprint×fingerprint self-join would
+    * instead replan the corpus scan per branch — measured 4 scans and
+    * ~6.5 s of constant overhead before this shape). The final size joins
+    * are S-row broadcasts. */
   def sourceOverlap(df: DataFrame, textCol: String, idCol: String,
       sourceCol: String): DataFrame = {
-    val fps = df.select(
-      graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("fp"),
-      col(sourceCol).cast("string").as("source")).distinct()
-    val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairs = fps.as("a")
-      .join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    val perFp = df.select(
+        graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("fp"),
+        col(sourceCol).cast("string").as("source"))
+      .groupBy(col("fp")).agg(collect_set(col("source")).as("__srcs"))
+    val sizes = perFp.select(explode(col("__srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = perFp.select(explode(col("__srcs")).as("sa"), col("__srcs"))
+      .select(col("sa"), explode(col("__srcs")).as("sb"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     pairs
       .join(broadcast(sizes.select(col("source").as("source_a"),
