@@ -1135,7 +1135,24 @@ object SparkEntry {
       graft.operators.Sampling.tokenBudgetSample(
         table(s, dir, "documents"), "doc_id", "source",
         graft.text.TextAnalysis.wsTokenCount(col("text")),
-        budgetTokens = 400L, seed = 42L))
+        budgetTokens = 400L, seed = 42L)),
+    "q_interval_join" -> ((s, dir) => {
+      // bucketed interval join: events matched into the session
+      // [start_ts, end_ts] ranges their own sessionization produced —
+      // a plain (key, cell) equi-join + BETWEEN post-filter, never a
+      // nested-loop range join. The oracle replays sessionize and joins
+      // with the raw inequality; ts_days is bit-exact on both engines.
+      val ev = eventsSource(s, dir)
+      val sess = graft.operators.Sessionize.sessionize(ev, "user_id",
+          "ts_days", maxGap = 0.2, tiebreakCol = "event_id")
+        .select(col("user_id"), col("session_id"),
+          col("start_ts"), col("end_ts"))
+      graft.operators.RangeJoin.intervalJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts_days")),
+          sess, "user_id", "ts_days", "start_ts", "end_ts", bucket = 0.25)
+        .select(col("event_id"), col("user_id"), col("ts_days"),
+          col("session_id"))
+    })
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -2711,7 +2728,28 @@ object SparkEntry {
         |    PARTITION BY stratum ORDER BY u, doc_id) AS cum_tokens
         |  FROM t)
         |SELECT stratum, doc_id, u, n_tokens, cum_tokens
-        |FROM c WHERE cum_tokens <= 400""".stripMargin
+        |FROM c WHERE cum_tokens <= 400""".stripMargin,
+    // interval join: replay sessionize (the q_sessionize chain), then the
+    // naive inequality containment join — the Spark side's bucketed
+    // equi-join is exactly this relation
+    "q_interval_join" -> (EvCte +
+      """,
+        |g AS (SELECT user_id, event_id, ts_days,
+        |    ts_days - lag(ts_days) OVER
+        |      (PARTITION BY user_id ORDER BY ts_days, event_id) AS gap
+        |  FROM ev),
+        |fl AS (SELECT user_id, ts_days,
+        |    (sum(CASE WHEN gap > 0.2 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts_days, event_id))::BIGINT
+        |      AS session_id
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id,
+        |    min(ts_days) AS start_ts, max(ts_days) AS end_ts
+        |  FROM fl GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_days, s.session_id
+        |FROM ev e JOIN sess s ON e.user_id = s.user_id
+        |  AND e.ts_days >= s.start_ts AND e.ts_days <= s.end_ts"""
+        .stripMargin)
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,

@@ -143,4 +143,64 @@ class AsofCrossmatchSpec extends SparkSuite {
     assert(!phys.contains("BroadcastNestedLoopJoin"),
       "zones blocking must produce an equi join, not a nested loop")
   }
+
+  // -------------------------------------------------------- interval join
+
+  private def pointsDf = {
+    import spark.implicits._
+    Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 7.5, 3L),
+        ("b", 2.0, 4L), ("c", 0.5, 5L))
+      .toDF("k", "t", "pid")
+  }
+  private def intervalsDf = {
+    import spark.implicits._
+    // [1.0, 2.0] tests inclusive bounds at BOTH ends; [5.0, 9.0] spans
+    // many 0.5-wide cells (replication must not duplicate matches);
+    // [3.0, 2.5] is degenerate (end < start — matches nothing); key "b"
+    // interval excludes b's point
+    Seq(("a", 1.0, 2.0, 100L), ("a", 5.0, 9.0, 101L),
+        ("a", 3.0, 2.5, 102L), ("b", 3.0, 4.0, 103L))
+      .toDF("k", "s", "e", "iid")
+  }
+
+  test("intervalJoin: inclusive containment, one row per match even " +
+      "when the interval spans many cells") {
+    val out = graft.operators.RangeJoin.intervalJoin(
+        pointsDf, intervalsDf, "k", "t", "s", "e", bucket = 0.5)
+      .select("pid", "iid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // points 1,2 hit [1,2] at its bounds; point 3 hits the wide interval
+    // exactly once; b's and c's points match nothing
+    assert(out === Set(1L -> 100L, 2L -> 100L, 3L -> 101L))
+  }
+
+  test("intervalJoin ≡ naive inequality join on the events sessions") {
+    val ev = SparkEntry.eventsSource(spark, sf0001)
+      .select("event_id", "user_id", "ts_days")
+    val sess = graft.operators.Sessionize.sessionize(
+        SparkEntry.eventsSource(spark, sf0001), "user_id", "ts_days",
+        maxGap = 0.2, tiebreakCol = "event_id")
+      .select(col("user_id"), col("session_id"),
+        col("start_ts"), col("end_ts"))
+    val bucketed = graft.operators.RangeJoin.intervalJoin(
+        ev, sess, "user_id", "ts_days", "start_ts", "end_ts", 0.25)
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val naive = ev.join(sess, Seq("user_id"))
+      .filter(col("ts_days") >= col("start_ts") &&
+        col("ts_days") <= col("end_ts"))
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(bucketed === naive)
+    // every event lands in exactly the session it generated
+    assert(bucketed.size === ev.count())
+  }
+
+  test("intervalJoin plan: equi join on (key, cell), never a nested loop") {
+    val phys = graft.operators.RangeJoin.intervalJoin(
+        pointsDf, intervalsDf, "k", "t", "s", "e", bucket = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"))
+    assert(!phys.contains("BroadcastNestedLoopJoin"))
+  }
 }
