@@ -38,6 +38,10 @@ object ScaleProbe {
       kmeansProbe(spark, args.lift(1)
         .getOrElse("/root/repo/testdata-sf1")); return
     }
+    if (args.headOption.contains("lines")) { linesProbe(spark, n); return }
+    if (args.headOption.contains("interval")) {
+      intervalProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -308,6 +312,73 @@ object ScaleProbe {
     val k = math.max(8, (nVec / 250).toInt)
     timeIt("k∝n (operational config)",
       graft.similarity.Similarity.trainCentroids(emb, k, dim = 64))
+    spark.stop()
+  }
+
+  /** Line-dedup probe: replicate the sf0.1 corpus to ~n docs with
+    * UNTAGGED text (a dup-dense worst case — every line of every
+    * original reaches count ≥ replicas, so the banned set is the whole
+    * distinct-line table and every doc is rebuilt), re-line into
+    * 10-token lines, and run removeRepeatedLines. The claim under test:
+    * cost stays linear in corpus lines even when the banned set is NOT
+    * small, because the banned join degrades to a hash join on the line
+    * hash, never a nested loop. Usage:
+    *   SPARK_GRAFT_PROBE_N=500000 sbt "runMain graft.ScaleProbe lines"
+    */
+  private def linesProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.count()
+    val replicas = math.max(1, (n / base).toInt)
+    val corpus = docs.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        col("text"))
+    val ts = split(trim(col("text")), "\\s+")
+    val nl = ceil(size(ts) / lit(10.0)).cast("int")
+    val lined = corpus.select(col("doc_id"),
+      concat_ws("\n", transform(sequence(lit(0), greatest(nl, lit(1)) - 1),
+        i => array_join(slice(ts, i * 10 + 1, lit(10)), " "))).as("text"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val out = graft.dedup.Dedup
+      .removeRepeatedLines(lined, "text", "doc_id", minCount = replicas)
+    val removed = out.agg(sum("n_removed_lines"), sum("n_lines")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_PROBE lines docs=${base * replicas} " +
+      f"lines=${removed.getLong(1)} removed=${removed.getLong(0)} " +
+      f"$secs%.1f s")
+    spark.stop()
+  }
+
+  /** Interval-join probe: n synthetic events over n/1000 entities with a
+    * bursty gap structure, sessionized and then interval-joined back —
+    * wall time for the (key, cell) equi-join at explosion factor
+    * span/bucket. Usage:
+    *   SPARK_GRAFT_PROBE_N=1000000 sbt "runMain graft.ScaleProbe interval"
+    */
+  private def intervalProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val perUser = 1000
+    val evd = spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") / perUser).cast("long").as("user_id"),
+      // bursts of 10 events 0.01 apart, then a 0.5-day gap
+      ((pmod(col("id"), lit(perUser)) / 10).cast("long") * 0.5 +
+        pmod(col("id"), lit(10)) * 0.01).as("ts_days"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val sess = graft.operators.Sessionize.sessionize(evd, "user_id",
+        "ts_days", maxGap = 0.2, tiebreakCol = "event_id")
+      .select(col("user_id"), col("session_id"),
+        col("start_ts"), col("end_ts"))
+    val joined = graft.operators.RangeJoin.intervalJoin(
+      evd, sess, "user_id", "ts_days", "start_ts", "end_ts", bucket = 0.25)
+    val rows = joined.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_PROBE interval events=$n matched=$rows $secs%.1f s")
     spark.stop()
   }
 }
