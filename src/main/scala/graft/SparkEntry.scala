@@ -1152,7 +1152,51 @@ object SparkEntry {
           sess, "user_id", "ts_days", "start_ts", "end_ts", bucket = 0.25)
         .select(col("event_id"), col("user_id"), col("ts_days"),
           col("session_id"))
-    })
+    }),
+    "q_pmi" -> ((s, dir) =>
+      // top-30 adjacent-token collocations by PMI (Church & Hanks):
+      // two exact count aggregates + vocab-bounded joins; counts are
+      // longs, the PMI expression is one shared IEEE shape rounded to 6,
+      // rank ties on ascending (a, b) — the q_bm25 convention
+      graft.text.Collocations.pmiTopK(
+        table(s, dir, "documents"), k = 30, minCount = 5L)),
+    "q_drift" -> ((s, dir) =>
+      // pairwise corpus-drift matrix over all 20 sources: add-one
+      // smoothed unigram distributions over the joint vocab, KL both
+      // directions + JS per (a < b) pair — one corpus count pass,
+      // everything downstream vocab-bounded; sums rounded to 6
+      graft.text.Drift.unigramDrift(
+        table(s, dir, "documents"), stratumCol = "source")),
+    "q_drift_terms" -> ((s, dir) =>
+      // drill-down of q_drift: the 30 terms driving KL(src0‖src1),
+      // contribution = p_a·ln(p_a/p_b) over the two-strata joint vocab
+      graft.text.Drift.driftTopTerms(
+        table(s, dir, "documents"), "src0", "src1", k = 30)),
+    "q_outliers" -> ((s, dir) =>
+      // per-label embedding outliers: distributed per-dim centroid means
+      // (quantized 1e-6, the kmeansRefine chain), map-only cosine
+      // distance on the native dot kernel, top-10 farthest per label via
+      // the bounded-heap aggregate — never a full-label window
+      graft.similarity.Outliers.centroidOutliers(
+        table(s, dir, "embeddings"), dim = 64, k = 10)),
+    "q_shards" -> ((s, dir) =>
+      // global training-shard layout: seeded md5-uniform order, global
+      // token cumsum via the bucket-offset two-phase plan (never a
+      // global window), shard = start div 20000. All columns exact longs
+      // or exact 53-bit uniforms — hash-checked with NO rounding against
+      // the oracle's naive single-window formulation.
+      graft.operators.Packing.assignShards(
+        table(s, dir, "documents"), "doc_id",
+        graft.text.TextAnalysis.wsTokenCount(col("text")),
+        tokensPerShard = 20000L, seed = 7L)),
+    "q_approx_stats" -> ((s, dir) =>
+      // sketch-based per-source profile — the declared 100 TB scale path
+      // of q_corpus_stats: HLL distinct terms + KLL percentile sketches.
+      // Sketch registers are engine-specific, so this query is
+      // deliberately rows-only (no oracleSql entry); accuracy is pinned
+      // against the exact twin in CorpusAnalysisSpec.
+      graft.text.Indexing.approxCorpusStats(
+        table(s, dir, "documents"), "source", "text"))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -2749,7 +2793,150 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts_days, s.session_id
         |FROM ev e JOIN sess s ON e.user_id = s.user_id
         |  AND e.ts_days >= s.start_ts AND e.ts_days <= s.end_ts"""
-        .stripMargin)
+        .stripMargin),
+    // PMI: shared tokenization, adjacent pairs as in q_bigram_ce, exact
+    // long counts, the one shared PMI expression shape, rank on the
+    // ROUNDED score with (a, b) ascending ties
+    "q_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |bi AS MATERIALIZED (
+        |  SELECT u.a AS a, u.b AS b, count(*)::BIGINT AS c_ab
+        |  FROM (SELECT unnest([{'a': ts[i], 'b': ts[i+1]}
+        |      for i in range(1, len(ts))]) AS u
+        |    FROM tok)
+        |  GROUP BY 1, 2),
+        |uni AS MATERIALIZED (
+        |  SELECT term, count(*)::BIGINT AS tc
+        |  FROM (SELECT unnest(ts) AS term FROM tok) GROUP BY 1),
+        |stats AS (SELECT (SELECT sum(c_ab)::BIGINT FROM bi) AS n_bi,
+        |    (SELECT sum(tc)::BIGINT FROM uni) AS n_uni),
+        |sc AS (
+        |  SELECT bi.a, bi.b, bi.c_ab, ua.tc AS c_a, ub.tc AS c_b,
+        |    round(ln((bi.c_ab::DOUBLE / n_bi) /
+        |      ((ua.tc::DOUBLE / n_uni) * (ub.tc::DOUBLE / n_uni))), 6)
+        |      AS pmi
+        |  FROM bi
+        |  JOIN uni ua ON bi.a = ua.term
+        |  JOIN uni ub ON bi.b = ub.term
+        |  CROSS JOIN stats
+        |  WHERE bi.c_ab >= 5),
+        |r AS (SELECT *, row_number() OVER
+        |    (ORDER BY pmi DESC, a ASC, b ASC)::INT AS rank
+        |  FROM sc)
+        |SELECT a, b, c_ab, c_a, c_b, pmi, rank FROM r WHERE rank <= 30"""
+        .stripMargin,
+    // drift matrix: add-one smoothing over the joint vocab (zero-count
+    // terms carry mass 1/(N_s+V)), the same KL/JS expression shapes,
+    // sums rounded to 6
+    "q_drift" ->
+      """WITH tok AS (
+        |  SELECT source AS stratum,
+        |    unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |  FROM documents),
+        |counts AS MATERIALIZED (
+        |  SELECT stratum, term, count(*)::BIGINT AS c
+        |  FROM tok GROUP BY 1, 2),
+        |totals AS (SELECT stratum, sum(c)::BIGINT AS n_s
+        |  FROM counts GROUP BY 1),
+        |vocab AS (SELECT DISTINCT term FROM counts),
+        |vs AS (SELECT count(*)::BIGINT AS v FROM vocab),
+        |dist AS MATERIALIZED (
+        |  SELECT s.stratum, t.term,
+        |    (coalesce(c.c, 0) + 1.0::DOUBLE) / (s.n_s + vs.v) AS p
+        |  FROM totals s CROSS JOIN vocab t CROSS JOIN vs
+        |  LEFT JOIN counts c ON c.stratum = s.stratum AND c.term = t.term)
+        |SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
+        |  round(sum(a.p * ln(a.p / b.p)), 6) AS kl_ab,
+        |  round(sum(b.p * ln(b.p / a.p)), 6) AS kl_ba,
+        |  round(sum(a.p * ln(a.p / ((a.p + b.p) / 2.0)) * 0.5 +
+        |    b.p * ln(b.p / ((a.p + b.p) / 2.0)) * 0.5), 6) AS js
+        |FROM dist a JOIN dist b
+        |  ON a.term = b.term AND a.stratum < b.stratum
+        |GROUP BY 1, 2""".stripMargin,
+    // drift drill-down: two-strata joint vocab, per-term KL contribution,
+    // rank on the rounded contribution with term ascending
+    "q_drift_terms" ->
+      """WITH tok AS (
+        |  SELECT source AS stratum,
+        |    unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |byterm AS MATERIALIZED (
+        |  SELECT term,
+        |    sum(CASE WHEN stratum = 'src0' THEN 1 ELSE 0 END)::BIGINT
+        |      AS c_a,
+        |    sum(CASE WHEN stratum = 'src1' THEN 1 ELSE 0 END)::BIGINT
+        |      AS c_b
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b,
+        |    count(*)::BIGINT AS v FROM byterm),
+        |sc AS (
+        |  SELECT term, c_a, c_b,
+        |    round(((c_a + 1.0::DOUBLE) / (n_a + v)) *
+        |      ln(((c_a + 1.0::DOUBLE) / (n_a + v)) /
+        |         ((c_b + 1.0::DOUBLE) / (n_b + v))), 6) AS contrib
+        |  FROM byterm CROSS JOIN tot),
+        |r AS (SELECT *, row_number() OVER
+        |    (ORDER BY contrib DESC, term ASC)::INT AS rank FROM sc)
+        |SELECT term, c_a, c_b, contrib, rank FROM r WHERE rank <= 30"""
+        .stripMargin,
+    // embedding outliers: per-label per-dim centroid means quantized with
+    // the floor(x·1e6+0.5) chain, cosine distance to the quantized
+    // centroid quantized with the same chain, top-10 farthest per label
+    // (ties keep the lower id — the TopKByScore contract)
+    "q_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS MATERIALIZED (
+        |  SELECT label, u.j,
+        |    floor(avg(u.x) * 1000000.0 + 0.5) / 1000000.0 AS x
+        |  FROM (SELECT label, unnest([{'j': i, 'x': v[i]}
+        |      for i in range(1, 65)]) AS u FROM e)
+        |  GROUP BY label, u.j),
+        |cvec AS (SELECT label, list(x ORDER BY j) AS cen FROM cent
+        |  GROUP BY label),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    floor((1.0 - (CASE WHEN
+        |        sqrt(list_dot_product(e.v, e.v)) *
+        |          sqrt(list_dot_product(c.cen, c.cen)) = 0 THEN 0.0
+        |      ELSE list_dot_product(e.v, c.cen) /
+        |        (sqrt(list_dot_product(e.v, e.v)) *
+        |         sqrt(list_dot_product(c.cen, c.cen))) END)) *
+        |      1000000.0 + 0.5) / 1000000.0 AS dist
+        |  FROM e JOIN cvec c ON e.label = c.label),
+        |r AS (SELECT label, vec_id, dist, row_number() OVER
+        |    (PARTITION BY label ORDER BY dist DESC, vec_id ASC)::INT
+        |    AS rank
+        |  FROM d)
+        |SELECT label, rank, vec_id, dist FROM r WHERE rank <= 10"""
+        .stripMargin,
+    // shard layout: the naive single-window formulation — provably equal
+    // to the Spark side's bucket-offset two-phase plan because the bucket
+    // key floor(u·1024) is order-aligned with u. Every column exact.
+    "q_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 7)), 1, 16))
+        |      ::UBIGINT >> 11) / 9007199254740992.0 AS u,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, u, floor(u * 1024)::BIGINT AS bucket,
+        |    n_tokens,
+        |    (sum(n_tokens) OVER (ORDER BY u, doc_id) - n_tokens)::BIGINT
+        |      AS global_start
+        |  FROM d)
+        |SELECT doc_id, u, bucket, n_tokens, global_start,
+        |  global_start // 20000 AS shard
+        |FROM c""".stripMargin
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,

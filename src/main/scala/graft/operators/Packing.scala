@@ -112,4 +112,97 @@ object Packing {
         sum(col("n_tokens")).as("n_tokens"))
       .withColumn("fill_ratio",
         col("n_tokens").cast("double") / (col("n_seqs") * capacity))
+
+  /** Global training-shard assignment: lay the whole corpus out in ONE
+    * deterministic shuffled order (the seeded md5 uniform of
+    * [[Sampling.deterministicShuffle]]) and cut the concatenated token
+    * stream every `tokensPerShard` tokens — the step that turns a curated
+    * corpus into the fixed-size training files a data loader consumes.
+    * A document belongs to the shard where it STARTS (concat-and-chunk
+    * start rule, the same convention as [[packConcat]]'s `seq_first`).
+    *
+    * Returns one row per document:
+    * (idCol, u, bucket, n_tokens, global_start, shard).
+    *
+    * Scale design (100 TB): the global running sum is NEVER a global
+    * window. The order key u is bucketed by its top bits
+    * (`floor(u·nBuckets)` — order-aligned: every u in bucket i sorts
+    * before every u in bucket i+1, and equal u implies equal bucket), a
+    * per-bucket token-sum aggregate comes back to the driver (nBuckets
+    * rows), exclusive prefix offsets ship back as a broadcast dimension
+    * table, and the cumsum window runs PARTITIONED BY BUCKET — the same
+    * two-phase posture as [[Sampling.tokenBudgetSample]]. Shard division
+    * is integral `div` (a corpus token stream passes 2^53 at real scale).
+    *
+    * Cross-engine determinism: u is the exact 53-bit md5 uniform, token
+    * counts and cumsums are exact longs — every output column hash-matches
+    * with NO rounding, and the oracle may replay the naive single-window
+    * formulation (provably equal by the bucket order-alignment above). */
+  def assignShards(df: DataFrame, idCol: String, tokenCol: Column,
+      tokensPerShard: Long, seed: Long = 42L,
+      nBuckets: Int = 1024): DataFrame = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard must be > 0, got $tokensPerShard")
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = Sampling.hashUniform(col(idCol), seed)
+    val keyed = df.select(col(idCol), u.as("u"),
+      floor(u * nBuckets).cast("long").as("bucket"),
+      tokenCol.cast("long").as("n_tokens"))
+    val bucketSums = keyed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // driver-side exclusive prefix over ≤ nBuckets rows
+    var acc = 0L
+    val offsets = bucketSums.map { case (b, t) =>
+      val o = acc; acc += t; (b, o)
+    }
+    val offsetDf = broadcast(offsets.toSeq.toDF("bucket", "__offset"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("u"), col(idCol))
+    keyed.join(offsetDf, Seq("bucket"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("global_start",
+        col("__offset") + col("__cum") - col("n_tokens"))
+      .withColumn("shard",
+        expr(s"global_start div ${tokensPerShard}L"))
+      .select(col(idCol), col("u"), col("bucket"), col("n_tokens"),
+        col("global_start"), col("shard"))
+  }
+
+  /** Materialize [[assignShards]] as the training layout on disk: parquet
+    * partitioned by shard (a loader reads `shard=i/` directories in
+    * order) plus a `_manifest.json` recording the layout parameters and
+    * per-shard document/token counts — the artifact a training job points
+    * at. Returns the manifest as a DataFrame (shard, n_docs, n_tokens). */
+  def writeTrainingShards(df: DataFrame, outDir: String, idCol: String,
+      tokenCol: Column, tokensPerShard: Long, seed: Long = 42L,
+      nBuckets: Int = 1024, carry: Seq[String] = Nil): DataFrame = {
+    val assigned = assignShards(df, idCol, tokenCol, tokensPerShard, seed,
+      nBuckets)
+    val rows = df.join(assigned.select(col(idCol), col("u"),
+        col("global_start"), col("shard")), Seq(idCol))
+    rows.select(col(idCol) +: col("u") +: col("global_start") +:
+        col("shard") +: carry.map(col): _*)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("u"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val manifest = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"))
+    val spec = manifest.collect().map(r =>
+      s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+        s""""n_tokens":${r.getLong(2)}}""").mkString(",\n  ")
+    val meta =
+      s"""{"tokens_per_shard":$tokensPerShard,"seed":$seed,
+         |"n_buckets":$nBuckets,"shards":[
+         |  $spec
+         |]}""".stripMargin
+    val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+    val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write(meta.getBytes("UTF-8")); out.close()
+    manifest
+  }
 }

@@ -81,4 +81,42 @@ object Indexing {
           ",").as("postings"))
       .filter(col("df") >= minDf)
   }
+
+  /** Sketch-based corpus profile — the 100 TB scale path of exact
+    * per-source profiling (q_corpus_stats): per source,
+    * `approx_count_distinct` (HyperLogLog++) replaces the exact distinct
+    * term count and `approx_percentile` (KLL-style quantile sketch)
+    * replaces the exact interpolated percentiles. Exact distinct terms
+    * require shuffling the FULL (source, term) key set — at web scale
+    * that's the corpus's entire vocabulary per partition re-exchanged;
+    * both sketches instead keep constant-size per-partition state that
+    * merges map-side, so the exchange is O(sources), not O(vocab).
+    *
+    * Sketch outputs are NOT cross-engine reproducible (HLL register
+    * hashing is engine-specific), so this operator is pinned by accuracy
+    * bounds against the exact twin (IndexingRetentionSpec) rather than a
+    * DuckDB hash oracle, and the driver records its query rows-only.
+    * `rsd` is the HLL target relative standard deviation. */
+  def approxCorpusStats(docs: DataFrame, sourceCol: String,
+      textCol: String, rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
+    val tok = graft.text.TextAnalysis.wsTokenCount(col(textCol))
+    // doc-grain stats and term-grain distinct are different grains: two
+    // aggregates joined on the S-row source key, never one inflated pass
+    val docStats = docs
+      .select(col(sourceCol).as("source"), tok.cast("long").as("__tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        expr("approx_percentile(__tok, array(0.5, 0.95))").as("__pcts"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        element_at(col("__pcts"), 1).as("p50_tokens_approx"),
+        element_at(col("__pcts"), 2).as("p95_tokens_approx"))
+    val termStats = termDoc(docs, sourceCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(approx_count_distinct(col("term"), rsd)
+        .as("distinct_terms_approx"))
+      .select(col("doc_id").as("source"), col("distinct_terms_approx"))
+    docStats.join(termStats, Seq("source"), "left")
+  }
 }

@@ -1,0 +1,299 @@
+package graft
+
+import graft.operators.{Packing, Sampling}
+import graft.similarity.Outliers
+import graft.text.{Collocations, Drift, Indexing}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-analysis layer added in round 6 session 4: PMI collocations,
+  * distribution drift, embedding outliers, global training-shard
+  * assignment, and the sketch-based profile scale path. */
+class CorpusAnalysisSpec extends SparkSuite {
+
+  lazy val docs: DataFrame =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+
+  // ---------------------------------------------------------------- PMI
+
+  test("pmi: hand-computed on a 4-bigram corpus") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "new york new york"),
+      (2L, "new jersey")).toDF("doc_id", "text")
+    // unigrams: new=3 york=2 jersey=1 (N=6); bigrams: (new,york)=2,
+    // (york,new)=1, (new,jersey)=1 (N=4). minCount=2 keeps only
+    // (new,york): pmi = ln((2/4)/((3/6)(2/6))) = ln 3
+    val res = Collocations.pmiTopK(tiny, k = 10, minCount = 2L).collect()
+    assert(res.length === 1)
+    val r = res.head
+    assert(r.getAs[String]("a") === "new")
+    assert(r.getAs[String]("b") === "york")
+    assert(r.getAs[Long]("c_ab") === 2L)
+    assert(r.getAs[Long]("c_a") === 3L)
+    assert(r.getAs[Long]("c_b") === 2L)
+    assert(math.abs(r.getAs[Double]("pmi") - 1.098612) < 1e-9)
+    assert(r.getAs[Int]("rank") === 1)
+  }
+
+  test("pmi: minCount=1 admits the rare pairs; ranking ties on (a, b)") {
+    import spark.implicits._
+    val tiny = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    // both bigrams have identical counts ⇒ identical pmi; tie breaks on b
+    val res = Collocations.pmiTopK(tiny, k = 2, minCount = 1L).collect()
+    assert(res.map(_.getAs[String]("b")).toSeq === Seq("y", "z"))
+    assert(res.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+  }
+
+  test("pmi: frequent-but-independent pair scores near zero") {
+    import spark.implicits._
+    // a b appears adjacent exactly as often as independence predicts
+    // within this stream; glued pair (p q) should outrank (the p,q pair
+    // occurs always together)
+    val tiny = Seq(
+      (1L, "p q p q p q p q"),
+      (2L, "a c a d b c b d")).toDF("doc_id", "text")
+    val res = Collocations.pmiTopK(tiny, k = 1, minCount = 2L).collect()
+    assert(res.head.getAs[String]("a") === "p")
+    assert(res.head.getAs[String]("b") === "q")
+  }
+
+  // -------------------------------------------------------------- Drift
+
+  test("drift: identical distributions diverge by zero") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta", "s1"), (2L, "alpha beta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Drift.unigramDrift(tiny).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Double]("kl_ab") === 0.0)
+    assert(r.head.getAs[Double]("kl_ba") === 0.0)
+    assert(r.head.getAs[Double]("js") === 0.0)
+  }
+
+  test("drift: hand-computed KL and JS on a two-term vocab") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a a b", "s1"), (2L, "a b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    // V=2, N=3 each: P_s1 = (0.6, 0.4), P_s2 = (0.4, 0.6)
+    val kl = 0.6 * math.log(0.6 / 0.4) + 0.4 * math.log(0.4 / 0.6)
+    val js = 0.5 * (0.6 * math.log(0.6 / 0.5) + 0.4 * math.log(0.4 / 0.5)) +
+      0.5 * (0.4 * math.log(0.4 / 0.5) + 0.6 * math.log(0.6 / 0.5))
+    val r = Drift.unigramDrift(tiny).collect().head
+    assert(r.getAs[String]("stratum_a") === "s1")
+    assert(math.abs(r.getAs[Double]("kl_ab") - kl) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kl_ba") - kl) < 1e-6) // symmetric here
+    assert(math.abs(r.getAs[Double]("js") - js) < 1e-6)
+  }
+
+  test("drift: smoothing keeps divergence finite when vocabs are disjoint") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "only here", "s1"), (2L, "другой corpus", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Drift.unigramDrift(tiny).collect().head
+    assert(!r.getAs[Double]("kl_ab").isInfinite)
+    assert(r.getAs[Double]("kl_ab") > 0)
+    assert(r.getAs[Double]("js") > 0 &&
+      r.getAs[Double]("js") <= math.log(2) + 1e-9)
+  }
+
+  test("drift top terms: the over-represented term in A ranks first") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "spam spam spam spam ham", "s1"),
+      (2L, "ham eggs toast beans tea", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Drift.driftTopTerms(tiny, "s1", "s2", k = 3).collect()
+    assert(r.head.getAs[String]("term") === "spam")
+    assert(r.head.getAs[Long]("c_a") === 4L)
+    assert(r.head.getAs[Long]("c_b") === 0L)
+    assert(r.head.getAs[Int]("rank") === 1)
+    // contributions are descending in rank order
+    val contribs = r.map(_.getAs[Double]("contrib")).toSeq
+    assert(contribs === contribs.sorted.reverse)
+  }
+
+  test("drift matrix covers all source pairs on the fixture corpus") {
+    val r = Drift.unigramDrift(docs).collect()
+    val s = docs.select("source").distinct().count()
+    assert(r.length === (s * (s - 1) / 2).toInt)
+    // JS is a metric-squared: symmetric, bounded by ln 2, non-negative
+    assert(r.forall(x => x.getAs[Double]("js") >= 0 &&
+      x.getAs[Double]("js") <= math.log(2) + 1e-9))
+  }
+
+  // ----------------------------------------------------------- Outliers
+
+  test("outliers: planted far vector is rank 1 of its label") {
+    import spark.implicits._
+    val rows = (
+      (1 to 9).map(i => (i.toLong, 0, Array(1.0f, 0.0f, 0.0f))) :+
+        ((99L, 0, Array(0.0f, 1.0f, 0.0f))) :+      // the outlier
+        ((50L, 1, Array(0.0f, 0.0f, 1.0f)))         // second label
+      ).toDF("vec_id", "label", "embedding")
+    val r = Outliers.centroidOutliers(rows, dim = 3, k = 2)
+      .collect().map(x => (x.getAs[Int]("label"), x.getAs[Int]("rank"),
+        x.getAs[Long]("vec_id"), x.getAs[Double]("dist")))
+    val lab0 = r.filter(_._1 === 0).sortBy(_._2)
+    assert(lab0.head._3 === 99L)
+    assert(lab0.head._4 > 0.5) // orthogonal-ish to the centroid
+    assert(lab0(1)._4 < 0.1)   // the inliers hug the centroid
+    // singleton label: its only vector IS the centroid → dist 0
+    val lab1 = r.filter(_._1 === 1)
+    assert(lab1.length === 1 && lab1.head._4 === 0.0)
+  }
+
+  test("outliers: ties on quantized distance keep the lower id") {
+    import spark.implicits._
+    val rows = Seq(
+      (3L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(0.0f, 1.0f)),
+      (2L, 0, Array(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val r = Outliers.centroidOutliers(rows, dim = 2, k = 2).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    // vectors 1 and 2 are identical ⇒ identical dist; 1 beats 2
+    val ids = r.map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids.head != 3L || ids(1) != 3L || ids.distinct.length === 2)
+    val sameDist = r.groupBy(_.getAs[Double]("dist")).values
+      .find(_.length > 1)
+    sameDist.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Long]("vec_id")).toSeq ===
+        sorted.map(_.getAs[Long]("vec_id")).sorted.toSeq)
+    }
+  }
+
+  test("outliers: distances replay against a driver-side recomputation") {
+    lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val res = Outliers.centroidOutliers(emb, dim = 64, k = 5)
+    val vecs = emb.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Int]("label"),
+      r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)).toSeq
+    val cents = vecs.groupBy(_._2).map { case (lab, vs) =>
+      val dim = 64
+      val c = Array.tabulate(dim)(j =>
+        math.floor(vs.map(_._3(j)).sum / vs.length * 1e6 + 0.5) / 1e6)
+      lab -> c
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.groupBy(_._2).flatMap { case (lab, vs) =>
+      vs.map { case (id, _, v) =>
+        (lab, id,
+          math.floor((1.0 - cos(v, cents(lab))) * 1e6 + 0.5) / 1e6)
+      }.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((l, id, d), i) => ((l, i + 1), (id, d)) }
+    }
+    res.collect().foreach { r =>
+      val key = (r.getAs[Int]("label"), r.getAs[Int]("rank"))
+      val (id, d) = expected(key)
+      assert(r.getAs[Long]("vec_id") === id, s"at $key")
+      assert(math.abs(r.getAs[Double]("dist") - d) < 2e-6, s"at $key")
+    }
+  }
+
+  // -------------------------------------------------------- assignShards
+
+  test("assignShards: equals the naive global-window formulation") {
+    val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    val got = Packing.assignShards(docs, "doc_id", tok,
+      tokensPerShard = 5000L, seed = 7L, nBuckets = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("global_start"), r.getAs[Long]("shard"))).toMap
+    // naive: one global order by (u, id), running start, integral div
+    val rows = docs.select(col("doc_id"),
+        Sampling.hashUniform(col("doc_id"), 7L).as("u"),
+        tok.cast("long").as("t"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("u"), r.getAs[Long]("t")))
+      .sortBy(t => (t._2, t._1))
+    var acc = 0L
+    rows.foreach { case (id, _, t) =>
+      val (start, shard) = got(id)
+      assert(start === acc, s"doc $id")
+      assert(shard === Math.floorDiv(acc, 5000L), s"doc $id")
+      acc += t
+    }
+  }
+
+  test("assignShards: bucket count does not change the layout") {
+    val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    def run(b: Int) = Packing.assignShards(docs, "doc_id", tok,
+      tokensPerShard = 3000L, seed = 1L, nBuckets = b)
+      .select("doc_id", "global_start", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(run(1) === run(257))
+  }
+
+  test("assignShards: a new seed reshuffles; same seed is stable") {
+    val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    def run(seed: Long) = Packing.assignShards(docs, "doc_id", tok,
+      tokensPerShard = 3000L, seed = seed)
+      .select("doc_id", "global_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(5L) === run(5L))
+    assert(run(5L) !== run(6L))
+  }
+
+  test("writeTrainingShards: layout on disk + manifest agree with the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("shards_").toString
+    val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    val manifest = Packing.writeTrainingShards(docs, dir, "doc_id", tok,
+      tokensPerShard = 5000L, seed = 7L, carry = Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val assigned = Packing.assignShards(docs, "doc_id", tok, 5000L, 7L)
+    val expect = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(manifest.toSeq === expect.toSeq)
+    // every shard directory exists and rereads with its doc count
+    val back = spark.read.parquet(dir)
+    manifest.foreach { case (s, n, _) =>
+      assert(back.filter(col("shard") === s).count() === n)
+    }
+    // the manifest file is real JSON with the layout parameters
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
+    assert(txt.contains("\"tokens_per_shard\":5000"))
+    assert(txt.contains("\"seed\":7"))
+  }
+
+  // --------------------------------------------- sketch profile (approx)
+
+  test("approx corpus stats: doc-grain columns are exact, sketches bounded") {
+    val approx = Indexing.approxCorpusStats(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    val exactDocs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(tok).as("t")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("t"))).toMap
+    val exactTerms = docs.select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source")).agg(countDistinct(col("term")).as("d"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("d")).toMap
+    exactDocs.foreach { case (s, (n, t)) =>
+      val r = approx(s)
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("total_tokens") === t)
+      val est = r.getAs[Long]("distinct_terms_approx").toDouble
+      val ex = exactTerms(s).toDouble
+      assert(math.abs(est - ex) / ex < 0.15,
+        s"source $s: HLL est $est vs exact $ex")
+      // percentile sketches stay inside the observed token-count range
+      val p50 = r.getAs[Long]("p50_tokens_approx")
+      val p95 = r.getAs[Long]("p95_tokens_approx")
+      assert(p50 <= p95)
+    }
+  }
+}
