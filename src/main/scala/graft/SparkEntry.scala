@@ -1196,7 +1196,32 @@ object SparkEntry {
       // deliberately rows-only (no oracleSql entry); accuracy is pinned
       // against the exact twin in CorpusAnalysisSpec.
       graft.text.Indexing.approxCorpusStats(
-        table(s, dir, "documents"), "source", "text"))
+        table(s, dir, "documents"), "source", "text")),
+    "q_knn_rp" -> ((s, dir) => {
+      // random-projection ANN: 32 seeded JL planes (literals — the
+      // oracle inlines them), top-100 shortlist ranked in the projected
+      // space, exact full-dimension cosine re-rank of the shortlist only
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.knnRandomProjection(emb, queries,
+          k = 5, dim = 64, targetDim = 32, seed = 7L, shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+    "q_signal_corr" -> ((s, dir) => {
+      // per-source Pearson correlation of four integer quality signals:
+      // all sufficient statistics are exact longs from one aggregate
+      // pass, the correlation one shared IEEE shape — only the final
+      // value is rounded
+      val st = graft.text.TextAnalysis.textStats(col("text"))
+      graft.text.Drift.signalCorrelation(
+        table(s, dir, "documents"),
+        Seq("n_chars" -> col("n_chars"),
+          "ws_tokens" -> st.getField("ws_tokens"),
+          "alpha" -> st.getField("alpha"),
+          "punct" -> st.getField("punct")))
+    })
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -1469,6 +1494,49 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM p)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** Random-projection ANN replayed in SQL: the 32 seeded JL planes as
+    * literals, proj = [v·p0, …, v·p31] (list_dot_product ≡ the native
+    * sequential dot kernel), top-100 shortlist per query ranked on the
+    * projected cosine (bit-exact: same IEEE shapes both engines), exact
+    * full-dim cosine re-rank of the shortlist. */
+  private def knnRpOracle: String = {
+    val planes = graft.similarity.Similarity.hyperplanes(32, 64, 7L)
+    val projExpr = planes.map { p =>
+      val plit = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_dot_product(v, $plit)"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pr AS MATERIALIZED (SELECT vec_id, v,
+       |    $projExpr AS pv
+       |  FROM e),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    q.v AS qv, c.v AS cv,
+       |    CASE WHEN sqrt(list_dot_product(q.pv, q.pv)) * sqrt(list_dot_product(c.pv, c.pv)) = 0 THEN 0.0
+       |      ELSE list_dot_product(q.pv, c.pv) /
+       |        (sqrt(list_dot_product(q.pv, q.pv)) * sqrt(list_dot_product(c.pv, c.pv))) END AS pcos
+       |  FROM pr q CROSS JOIN pr c
+       |  WHERE q.vec_id < 10),
+       |sl AS (
+       |  SELECT query_id, neighbor_id, qv, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pcos DESC, neighbor_id ASC) AS prk
+       |    FROM cand)
+       |  WHERE prk <= 100),
+       |ex AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0
+       |      ELSE list_dot_product(qv, cv) /
+       |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS cos
+       |  FROM sl),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM ex)
        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 5""".stripMargin
   }
@@ -2936,7 +3004,47 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, u, bucket, n_tokens, global_start,
         |  global_start // 20000 AS shard
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q_knn_rp" -> knnRpOracle,
+    // signal correlation: the q_text_stats char-class replays as exact
+    // BIGINT sums, then the one shared Pearson expression shape; only
+    // the final correlation rounds
+    "q_signal_corr" -> {
+      val sigs = Seq(
+        "n_chars" -> "n_chars::BIGINT",
+        "ws_tokens" -> ("(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE " +
+          "len(string_split_regex(trim(text), '\\s+')) END)::BIGINT"),
+        "alpha" -> "len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT",
+        "punct" ->
+          "len(regexp_extract_all(text, '[!-/:-@[-`{-~]'))::BIGINT")
+      val sumCols = sigs.map { case (n, _) =>
+        s"sum(__$n)::BIGINT AS s_$n, sum(__$n * __$n)::BIGINT AS ss_$n"
+      }.mkString(",\n    ")
+      val pairs = for {
+        i <- sigs.indices; j <- sigs.indices if i < j
+      } yield (sigs(i)._1, sigs(j)._1)
+      val prodCols = pairs.map { case (a, b) =>
+        s"sum(__$a * __$b)::BIGINT AS sp_${a}_$b" }.mkString(",\n    ")
+      val rows = pairs.map { case (a, b) =>
+        val den = s"(sqrt(n::DOUBLE * ss_$a::DOUBLE - " +
+          s"s_$a::DOUBLE * s_$a::DOUBLE) * sqrt(n::DOUBLE * " +
+          s"ss_$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE))"
+        s"SELECT stratum, '$a' AS signal_a, '$b' AS signal_b, " +
+          s"CASE WHEN $den = 0.0 THEN NULL ELSE " +
+          s"round((n::DOUBLE * sp_${a}_$b::DOUBLE - " +
+          s"s_$a::DOUBLE * s_$b::DOUBLE) / $den, 6) END AS corr FROM g"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT source AS stratum,
+         |    ${sigs.map { case (n, e) => s"$e AS __$n" }.mkString(",\n    ")}
+         |  FROM documents),
+         |g AS (
+         |  SELECT stratum, count(*)::BIGINT AS n,
+         |    $sumCols,
+         |    $prodCols
+         |  FROM d GROUP BY 1)
+         |$rows""".stripMargin
+    }
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,

@@ -659,4 +659,50 @@ object Similarity {
         cosine(col("__qv"), col("__cv")).as("cosine"))
     topKPerQuery(joined, k)
   }
+
+  // ------------------- Random projection (Johnson–Lindenstrauss sketch)
+
+  /** Project a vector column onto `planes` (the rows of a random Gaussian
+    * matrix): out[i] = v · plane_i. The Johnson–Lindenstrauss guarantee —
+    * pairwise distances survive to within (1±ε) for targetDim =
+    * O(log n / ε²) — with the planes shipped as literals, so the
+    * projection is a MAP-ONLY scan-time transform (no shuffle, no state).
+    * Normalization constants are dropped: cosine ranking is invariant to
+    * a uniform scale of every projected vector. */
+  def projectVector(vec: Column, planes: Array[Array[Double]]): Column =
+    array(planes.map(p =>
+      dot(vec, array(p.toSeq.map(lit): _*))): _*)
+
+  /** ANN via random-projection shortlist + exact re-rank: corpus and
+    * queries project to `targetDim` dims (same seeded planes as
+    * [[hyperplanes]] — deterministic, oracle-inlinable), a brute-force
+    * top-`shortlist` runs in the CHEAP projected space (dim/targetDim ×
+    * less arithmetic and memory traffic per row), and only shortlist
+    * survivors get exact full-dimension cosine — the classic
+    * sketch-then-verify ANN recipe, complementary to LSH (no bucket-miss
+    * failure mode: every query always ranks the full corpus in sketch
+    * space).
+    *
+    * Scale design (100 TB): projection is map-only; the projected
+    * shortlist pass is [[knnBruteForce]]'s broadcast-queries + bounded-
+    * heap plan (the corpus is scanned, never shuffled); the re-rank
+    * fetches only Q·shortlist raw vectors via a broadcast semi-join.
+    * For a standing corpus, persist the projected column next to the
+    * vectors and the sketch pass reads targetDim/dim of the bytes. */
+  def knnRandomProjection(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, targetDim: Int = 32, seed: Long = 7L, shortlist: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(targetDim > 0 && targetDim <= dim,
+      s"targetDim must be in 1..$dim, got $targetDim")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val planes = hyperplanes(targetDim, dim, seed)
+    val pc = corpus.select(col(idCol),
+      projectVector(col(vecCol), planes).as("__proj"))
+    val pq = queries.select(col(queryIdCol),
+      projectVector(col(vecCol), planes).as("__proj"))
+    val cand = knnBruteForce(pc, pq, shortlist, idCol, "__proj", queryIdCol)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
+  }
 }

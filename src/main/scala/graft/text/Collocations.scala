@@ -37,11 +37,17 @@ object Collocations {
     require(k > 0, s"k must be positive, got $k")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val toks = TextAnalysis.tokens(col(textCol))
+    // both count tables are vocab-bounded and read multiple times (uni
+    // twice via the two joins, each once more for the totals) — an eager
+    // localCheckpoint barrier makes each corpus scan happen ONCE (the
+    // DSIR model-table idiom) instead of replaying the explode per branch
     val bi = docs.select(explode(UnigramLm.bigrams(toks)).as("bg"))
       .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
       .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
     val uni = docs.select(explode(toks).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tc"))
+      .localCheckpoint(true)
     val stats = broadcast(
       bi.agg(sum(col("c_ab")).as("n_bi"))
         .crossJoin(uni.agg(sum(col("tc")).as("n_uni"))))

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus distribution drift: KL / Jensen-Shannon divergence between the
@@ -35,11 +35,14 @@ object Drift {
   private[graft] def smoothedUnigrams(docs: DataFrame, stratumCol: String,
       textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
+    // vocab×S-bounded and read three times (totals, vocab scaffold, the
+    // left join) — barrier so the corpus explode+count runs ONCE
     val counts = docs
       .select(col(stratumCol).cast("string").as("stratum"),
         explode(toks).as("term"))
       .groupBy(col("stratum"), col("term"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = counts.groupBy(col("stratum"))
       .agg(sum(col("c")).as("n_s"))
     val vocab = counts.select(col("term")).distinct()
@@ -59,7 +62,9 @@ object Drift {
     * m = (p_a + p_b)/2 and is symmetric and bounded by ln 2. */
   def unigramDrift(docs: DataFrame, stratumCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // the self-join reads the distribution table twice — barrier it
     val dist = smoothedUnigrams(docs, stratumCol, textCol)
+      .localCheckpoint(true)
     val a = dist.select(col("stratum").as("stratum_a"), col("term"),
       col("p").as("p_a"))
     val b = dist.select(col("stratum").as("stratum_b"), col("term"),
@@ -93,12 +98,14 @@ object Drift {
         explode(toks).as("term"))
       .groupBy(col("stratum"), col("term"))
       .agg(count(lit(1)).as("c"))
-    // vocab here = joint vocab of the two strata; smoothing as above
+    // vocab here = joint vocab of the two strata; smoothing as above.
+    // byTerm feeds both the totals and the scoring — barrier it.
     val byTerm = counts.groupBy(col("term"))
       .agg(sum(when(col("stratum") === stratumA, col("c")).otherwise(0L))
           .as("c_a"),
         sum(when(col("stratum") === stratumB, col("c")).otherwise(0L))
           .as("c_b"))
+      .localCheckpoint(true)
     val totals = broadcast(byTerm.agg(
       sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
       count(lit(1)).as("v")))
@@ -111,5 +118,58 @@ object Drift {
     scored.orderBy(col("contrib").desc, col("term")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("contrib").desc, col("term"))).cast("int"))
+  }
+
+  /** Pearson correlation matrix of integer quality signals per stratum —
+    * the monitoring pass that shows whether signals are redundant (two
+    * near-collinear filters gate the same documents) and whether their
+    * relationships shift between sources or snapshots.
+    *
+    * Signals must be INTEGER-valued columns (counts: chars, tokens,
+    * punctuation, …): all five sufficient statistics (n, Σx, Σx², Σxy)
+    * are then exact longs from ONE aggregate pass with map-side
+    * partials, and the correlation is a single shared IEEE expression
+    * over those exact integers — bit-exact cross-engine up to the final
+    * 6-decimal rounding. Output is long-format: one row per (stratum,
+    * signal_a, signal_b) unordered pair, corr NULL for degenerate
+    * (zero-variance) signals.
+    *
+    * Scale: one groupBy(stratum) over |signals|² sum columns; output is
+    * S·pairs rows. Caveat: Σx² of a count bounded by B over N rows needs
+    * N·B² < 2^63 — at petabyte scale shard the aggregate or lift the
+    * sums to decimal(38,0). */
+  def signalCorrelation(docs: DataFrame, signals: Seq[(String, Column)],
+      stratumCol: String = "source"): DataFrame = {
+    require(signals.size >= 2, "need at least two signals")
+    require(signals.map(_._1).distinct.size == signals.size,
+      "signal names must be unique")
+    val base = docs.select(
+      col(stratumCol).cast("string").as("stratum") +:
+        signals.map { case (n, c) => c.cast("long").as(s"__$n") }: _*)
+    val pairs = for {
+      i <- signals.indices; j <- signals.indices if i < j
+    } yield (signals(i)._1, signals(j)._1)
+    val sumAggs = signals.flatMap { case (n, _) => Seq(
+      sum(col(s"__$n")).as(s"__s_$n"),
+      sum(col(s"__$n") * col(s"__$n")).as(s"__ss_$n")) }
+    val prodAggs = pairs.map { case (a, b) =>
+      sum(col(s"__$a") * col(s"__$b")).as(s"__sp_${a}_$b") }
+    val g = base.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("__n"), (sumAggs ++ prodAggs): _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("__n").cast("double")
+      val sx = col(s"__s_$a").cast("double")
+      val sy = col(s"__s_$b").cast("double")
+      val sxx = col(s"__ss_$a").cast("double")
+      val syy = col(s"__ss_$b").cast("double")
+      val sxy = col(s"__sp_${a}_$b").cast("double")
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      struct(lit(a).as("signal_a"), lit(b).as("signal_b"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round((n * sxy - sx * sy) / den, 6)).as("corr"))
+    }
+    g.select(col("stratum"), explode(array(rows: _*)).as("p"))
+      .select(col("stratum"), col("p.signal_a").as("signal_a"),
+        col("p.signal_b").as("signal_b"), col("p.corr").as("corr"))
   }
 }

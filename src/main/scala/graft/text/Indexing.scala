@@ -94,7 +94,7 @@ object Indexing {
     *
     * Sketch outputs are NOT cross-engine reproducible (HLL register
     * hashing is engine-specific), so this operator is pinned by accuracy
-    * bounds against the exact twin (IndexingRetentionSpec) rather than a
+    * bounds against the exact twin (CorpusAnalysisSpec) rather than a
     * DuckDB hash oracle, and the driver records its query rows-only.
     * `rsd` is the HLL target relative standard deviation. */
   def approxCorpusStats(docs: DataFrame, sourceCol: String,

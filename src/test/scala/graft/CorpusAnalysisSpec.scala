@@ -266,6 +266,71 @@ class CorpusAnalysisSpec extends SparkSuite {
     assert(txt.contains("\"seed\":7"))
   }
 
+  // ------------------------------------------------- signal correlation
+
+  test("signal correlation: perfect, inverse and degenerate cases") {
+    import spark.implicits._
+    val tiny = Seq(
+      ("s", 1L, 2L, 9L, 4L), ("s", 2L, 4L, 8L, 4L),
+      ("s", 3L, 6L, 7L, 4L)).toDF("source", "a", "b", "c", "d")
+    val r = Drift.signalCorrelation(tiny,
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c"),
+          "d" -> col("d")))
+      .collect().map(x => (x.getAs[String]("signal_a"),
+        x.getAs[String]("signal_b")) ->
+        Option(x.getAs[java.lang.Double]("corr"))).toMap
+    assert(r(("a", "b")) === Some(1.0))  // b = 2a
+    assert(r(("a", "c")) === Some(-1.0)) // c = 10 − a
+    assert(r(("a", "d")) === None)       // d constant: zero variance
+    assert(r.size === 6)                 // unordered pairs only
+  }
+
+  test("signal correlation: matches a driver-side Pearson on the fixture") {
+    val st = graft.text.TextAnalysis.textStats(col("text"))
+    val res = Drift.signalCorrelation(docs,
+        Seq("n_chars" -> col("n_chars"), "alpha" -> st.getField("alpha")))
+      .collect().map(x => x.getAs[String]("stratum") ->
+        x.getAs[Double]("corr")).toMap
+    val rows = docs.select(col("source"), col("n_chars"),
+        st.getField("alpha").cast("long").as("al"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val n = g.length.toDouble
+      val xs = g.map(_._2.toDouble); val ys = g.map(_._3.toDouble)
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val sxy = g.map(t => t._2.toDouble * t._3.toDouble).sum
+      val expect = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(math.abs(res(src) - expect) < 1e-5, s"source $src")
+    }
+  }
+
+  // ------------------------------------------------------- plan guards
+
+  test("plan guards: pmi top-k take-ordered, outliers heap-aggregated " +
+      "and broadcast, shards never a global window") {
+    val pmi = SparkEntry.queries("q_pmi")(spark, sf0001)
+    val pmiPlan = pmi.queryExecution.executedPlan.toString
+    assert(pmiPlan.contains("TakeOrderedAndProject"),
+      "pmi must top-k via TakeOrderedAndProject, not a global sort")
+    val out = SparkEntry.queries("q_outliers")(spark, sf0001)
+    val outPlan = out.queryExecution.executedPlan.toString
+    assert(outPlan.contains("ObjectHashAggregate"),
+      "outliers must select via the bounded-heap aggregate")
+    assert(outPlan.contains("BroadcastHashJoin"),
+      "the centroid dimension table must broadcast")
+    assert(!outPlan.contains("Window"),
+      "outliers must never plan a per-label window")
+    val sh = SparkEntry.queries("q_shards")(spark, sf0001)
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(!shPlan.contains("Exchange SinglePartition") &&
+      !shPlan.contains("Exchange rangepartitioning"),
+      "the shard cumsum must stay bucket-partitioned — no global " +
+        "single-partition or range exchange")
+    assert(shPlan.contains("Window"), "bucket-partitioned window expected")
+  }
+
   // --------------------------------------------- sketch profile (approx)
 
   test("approx corpus stats: doc-grain columns are exact, sketches bounded") {

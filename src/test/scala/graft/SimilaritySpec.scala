@@ -300,4 +300,42 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept.collect().map(_.getLong(0)).toSet === direct)
   }
+
+  test("random-projection knn: high recall vs brute force, self rank 1") {
+    val exact = topIds(Similarity.knnBruteForce(emb, queries, k = 5))
+    // targetDim and shortlist are THE recall knobs: 16 dims / 40-of-500
+    // leaves ~0.5 recall on this clustered fixture (JL distortion
+    // ε ≈ √(ln n / d) swamps the near-tied top cosines); 32 dims with a
+    // 20% shortlist restores it
+    val approx = topIds(Similarity.knnRandomProjection(emb, queries,
+      k = 5, dim = 64, targetDim = 32, seed = 7L, shortlist = 100))
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Nil).toSet.intersect(ids.toSet).size / 5.0
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.7, s"RP mean recall $meanRecall")
+    // the exact re-rank puts self back at rank 1 (cosine 1 survives any
+    // projection that keeps self in the shortlist — it always does:
+    // projected self-cosine is exactly 1, the max)
+    approx.foreach { case (q, ids) => assert(ids.head === q) }
+  }
+
+  test("random-projection knn: shortlist = corpus equals brute force") {
+    val n = emb.count().toInt
+    val exact = topIds(Similarity.knnBruteForce(emb, queries, k = 5))
+    val full = topIds(Similarity.knnRandomProjection(emb, queries,
+      k = 5, dim = 64, targetDim = 8, seed = 1L, shortlist = n))
+    assert(full === exact)
+  }
+
+  test("random-projection knn: rejects shortlist < k and bad targetDim") {
+    intercept[IllegalArgumentException] {
+      Similarity.knnRandomProjection(emb, queries, k = 10, dim = 64,
+        shortlist = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnRandomProjection(emb, queries, k = 5, dim = 64,
+        targetDim = 65)
+    }
+  }
 }
