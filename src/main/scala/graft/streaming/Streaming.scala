@@ -344,6 +344,52 @@ object Streaming {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Streaming corpus-quality / drift monitor — the live twin of the
+    * batch cross-entropy quality filter ([[graft.text.UnigramLm]]) and
+    * drift pass ([[graft.text.Drift]]): per event-time window, the mean
+    * cross-entropy of incoming documents against a FIXED reference
+    * unigram model, plus doc count and mean quality score. A window
+    * whose mean CE jumps is a drifting / degrading ingest — the alert a
+    * 100 TB pipeline wants within minutes, with the exact batch drift
+    * matrix as the confirming follow-up.
+    *
+    * The model is driver metadata (like IVF centroids): a term→count map,
+    * typically the TOP-K vocabulary of a reference corpus
+    * ([[graft.text.Bpe.vocabTopK]] / [[graft.text.Indexing.topKTerms]])
+    * — it ships as a map literal in the plan, so per-doc scoring is
+    * MAP-ONLY (no stream-static join, no state) and the only state is
+    * the windowed aggregate itself, bounded by the watermark. Terms
+    * outside the model get the add-one floor 1/(N+V), exactly the batch
+    * convention; docs with no tokens score the floor too (they carry no
+    * evidence either way).
+    *
+    * @param model reference term counts; N = Σ counts, V = model size */
+  def streamingQualityMonitor(src: DataFrame, textCol: String,
+      tsCol: String, model: Map[String, Long],
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    require(model.nonEmpty, "empty reference model")
+    val n = model.values.sum
+    val v = model.size
+    val m = typedlit(model)
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    val floorP = 1.0 / (n + v).toDouble
+    val ce = graft.text.TextAnalysis.bind(toks) { ts =>
+      when(size(ts) === 0, -math.log(floorP))
+        .otherwise(-aggregate(ts, lit(0.0), (acc, t) =>
+          acc + log((coalesce(element_at(m, t), lit(0L)) + lit(1.0)) /
+            lit((n + v).toDouble))) / size(ts))
+    }
+    src
+      .withColumn("__ce", ce)
+      .withColumn("__q", graft.text.TextAnalysis.qualityScore(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("time_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("__ce")).as("mean_ce"),
+        avg(col("__q")).as("mean_quality"))
+  }
+
   /** Per-entity funnel state: steps reached so far (1-based count) and
     * the last conversion time. */
   case class FunnelState(stage: Int, t: Double)

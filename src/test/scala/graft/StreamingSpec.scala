@@ -432,4 +432,43 @@ class StreamingSpec extends SparkSuite {
         (1L, 3L, 0L), (1L, 3L, 1L), (1L, 3L, 3L), (2L, 5L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming quality monitor: in-model windows score low CE, " +
+      "drifted windows high, empty docs get the floor") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    // reference model: a tiny clean-corpus vocabulary
+    val model = Map("the" -> 10L, "cat" -> 5L, "sat" -> 5L, "mat" -> 5L)
+    val mon = Streaming.streamingQualityMonitor(mem.toDF(), "text", "ts",
+      model, windowDur = "1 hour", watermark = "1 hour")
+    val q = mon.writeStream.format("memory").queryName("qmon")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def doc(id: Long, hour: Int, t: String) = Doc(id,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00"), t)
+      // window 0: in-distribution; window 1: OOD tokens; window 2: empty
+      mem.addData(doc(1, 0, "the cat sat"), doc(2, 0, "the mat"),
+        doc(3, 1, "zzzq xkcd qqqq"), doc(4, 2, ""))
+      q.processAllAvailable()
+      val rows = spark.table("qmon").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toString.take(13),
+          r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(rows.map(_._2).toSeq === Seq(2L, 1L, 1L))
+      val Seq(w0, w1, w2) = rows.map(_._3).toSeq
+      assert(w0 < w1, s"in-model CE $w0 should be below drifted $w1")
+      // every OOD token scores the add-one floor, so the drifted window's
+      // mean CE equals the empty-doc floor value exactly
+      val n = model.values.sum; val v = model.size
+      val floor = -math.log(1.0 / (n + v))
+      assert(math.abs(w1 - floor) < 1e-12)
+      assert(math.abs(w2 - floor) < 1e-12)
+      // and the clean window replays the batch add-one formula by hand
+      def p(t: String) = (model.getOrElse(t, 0L) + 1.0) / (n + v)
+      val ce1 = -(math.log(p("the")) + math.log(p("cat")) +
+        math.log(p("sat"))) / 3
+      val ce2 = -(math.log(p("the")) + math.log(p("mat"))) / 2
+      assert(math.abs(w0 - (ce1 + ce2) / 2) < 1e-12)
+    } finally q.stop()
+  }
 }
