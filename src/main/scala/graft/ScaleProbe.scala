@@ -42,6 +42,7 @@ object ScaleProbe {
     if (args.headOption.contains("interval")) {
       intervalProbe(spark, n); return
     }
+    if (args.headOption.contains("shards")) { shardsProbe(spark, n); return }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -379,6 +380,41 @@ object ScaleProbe {
     val rows = joined.count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE interval events=$n matched=$rows $secs%.1f s")
+    spark.stop()
+  }
+
+  /** Shard-layout scale probe: the bucket-offset two-phase global cumsum
+    * of `Packing.assignShards` vs the naive ONE-GLOBAL-WINDOW
+    * formulation (every row through a single task — the plan the design
+    * exists to avoid). Both produce identical layouts (spot-checked by
+    * shard-count parity here; proven bit-exact in CorpusAnalysisSpec).
+    * Usage: SPARK_GRAFT_PROBE_N=5000000 sbt "runMain graft.ScaleProbe shards"
+    */
+  private def shardsProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+        (pmod(col("id") * 7919, lit(997)) + 5).as("tok"))
+      .localCheckpoint(true)
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .agg(countDistinct(col("shard")).as("s"), count(lit(1)).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val t0 = System.nanoTime()
+    val twoPhase = stats(graft.operators.Packing.assignShards(
+      docs, "doc_id", col("tok"), tokensPerShard = 1000000L, seed = 7L))
+    val t1 = System.nanoTime()
+    val u = graft.operators.Sampling.hashUniform(col("doc_id"), 7L)
+    val naive = stats(docs
+      .withColumn("__u", u)
+      .withColumn("__cum", sum(col("tok")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__u"), col("doc_id"))))
+      .withColumn("shard",
+        expr("(__cum - tok) div 1000000L")))
+    val t2 = System.nanoTime()
+    println(f"SCALE_PROBE shards n=$n " +
+      f"two_phase=${(t1 - t0) / 1e9}%.1f s (shards=${twoPhase._1}) " +
+      f"global_window=${(t2 - t1) / 1e9}%.1f s (shards=${naive._1}) " +
+      f"equal=${twoPhase == naive}")
     spark.stop()
   }
 }

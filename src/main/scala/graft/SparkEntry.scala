@@ -1221,6 +1221,27 @@ object SparkEntry {
           "ws_tokens" -> st.getField("ws_tokens"),
           "alpha" -> st.getField("alpha"),
           "punct" -> st.getField("punct")))
+    }),
+    "q_multi_dedup" -> ((s, dir) => {
+      // multi-signal dedup: exact-fingerprint star edges over a
+      // copy-planted corpus UNION embedding (SemDeDup-cell) near-dup
+      // edges — ONE exact connected-components pass, keep the
+      // highest-n_chars member per component (copies tie their
+      // originals, so ties resolve to the original's minimum id).
+      // Transitive chains ACROSS signals collapse: a planted copy of
+      // doc X merges with X's embedding-near-dup cluster.
+      val docs = table(s, dir, "documents")
+      val copies = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val corpus = docs.unionByName(copies)
+      val exactPairs = graft.dedup.Dedup.exactDuplicatePairs(
+        corpus, "text", "doc_id")
+      val embPairs = graft.similarity.Similarity.semDedupPairs(
+          table(s, dir, "embeddings"), IvfOracleCentroids, 0.35)
+        .select(col("id_a"), col("id_b"))
+      graft.dedup.Dedup.multiSignalDedup(corpus,
+          Seq(exactPairs, embPairs), "doc_id", col("n_chars"))
+        .select(col("doc_id"))
     })
   )
 
@@ -1496,6 +1517,61 @@ object SparkEntry {
        |  FROM p)
        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** Multi-signal dedup replayed in SQL: exact-fingerprint star edges
+    * (md5 of the normalized text, min-id star per group) unioned with
+    * the q_semdedup embedding cell pairs (identical literal-centroid
+    * struct-sort and exact-float cosine threshold), components by the
+    * recursive reachability closure, keep = the shared
+    * max(struct(score, −id)) argmax idiom on n_chars. */
+  private def multiDedupOracle: String = {
+    def vecLit(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    val ranks = IvfOracleCentroids.zipWithIndex.map { case (cen, i) =>
+      val cc = cen.map(x => x * x).sum
+      s"{'d': ${cc.toString} - 2.0 * list_dot_product(v, ${vecLit(cen)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE corpus AS MATERIALIZED (
+       |  SELECT doc_id, text, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, n_chars FROM documents
+       |  WHERE doc_id < 25),
+       |fp AS MATERIALIZED (SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM corpus),
+       |fmin AS (SELECT f, min(doc_id) AS m FROM fp GROUP BY 1),
+       |epairs AS (SELECT fm.m AS id_a, fp.doc_id AS id_b
+       |  FROM fp JOIN fmin fm ON fp.f = fm.f WHERE fp.doc_id <> fm.m),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, v, list_sort($ranks)[1].i AS cell FROM emb),
+       |vpairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE (CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+       |    ELSE list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END) >= 0.35),
+       |pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM epairs
+       |  UNION SELECT id_a, id_b FROM vpairs),
+       |nodes AS (SELECT id_a AS id FROM pairs
+       |  UNION SELECT id_b FROM pairs),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT reach.id, g.v FROM reach JOIN edges g ON reach.r = g.u),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |scored AS (SELECT c.doc_id, c.n_chars AS sc,
+       |    coalesce(cp.component, c.doc_id) AS component
+       |  FROM corpus c LEFT JOIN comp cp ON cp.id = c.doc_id),
+       |best AS (SELECT component,
+       |    max(struct_pack(sc := sc, nid := -doc_id)) AS b
+       |  FROM scored GROUP BY 1)
+       |SELECT (-(b.nid))::BIGINT AS doc_id FROM best""".stripMargin
   }
 
   /** Random-projection ANN replayed in SQL: the 32 seeded JL planes as
@@ -3006,6 +3082,7 @@ object SparkEntry {
         |  global_start // 20000 AS shard
         |FROM c""".stripMargin,
     "q_knn_rp" -> knnRpOracle,
+    "q_multi_dedup" -> multiDedupOracle,
     // signal correlation: the q_text_stats char-class replays as exact
     // BIGINT sums, then the one shared Pearson expression shape; only
     // the final correlation rounds

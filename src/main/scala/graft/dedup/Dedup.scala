@@ -41,6 +41,49 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Exact-duplicate EDGES: per fingerprint group, a star from the
+    * minimum id to every other member — (id_a, id_b) rows with
+    * id_a < id_b, the same pair schema the near-dup detectors emit, so
+    * exact dups can enter a combined duplicate graph
+    * ([[multiSignalDedup]]). A star is CC-equivalent to the clique at
+    * group-size−1 edges instead of O(size²). */
+  def exactDuplicatePairs(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val fp = df.select(fingerprintMd5(col(textCol)).as("__fp"),
+      col(idCol).cast("long").as("__id"))
+    val mins = fp.groupBy(col("__fp")).agg(min(col("__id")).as("__min"))
+    fp.join(mins, Seq("__fp"))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"))
+  }
+
+  /** Multi-signal dedup: union the duplicate-pair edge sets of several
+    * detectors — exact fingerprints ([[exactDuplicatePairs]]), MinHash
+    * LSH ([[minhashLshPairs]]), embedding near-dups
+    * ([[graft.similarity.Similarity.semDedupPairs]] keyed by the same
+    * ids), edit-distance pairs — into ONE duplicate graph, label its
+    * connected components exactly, and keep the best-scoring member per
+    * component ([[keepBestPerComponent]] semantics: highest score, ties
+    * → minimum id; unpaired rows keep themselves). The curation-grade
+    * property: a document flagged by ANY signal joins the cluster, and
+    * transitive chains ACROSS signals (A exact-dups B, B paraphrases C)
+    * collapse to one representative — separate per-signal passes keep
+    * one document per signal-cluster and can still emit near-identical
+    * survivors.
+    *
+    * Scale: the union is edge-set-sized (each detector already bounds
+    * its own pair generation); CC is the alternating large/small-star
+    * fixpoint on that edge set; the corpus itself is touched only by
+    * the detectors and the final semi-join. */
+  def multiSignalDedup(docs: DataFrame, pairSets: Seq[DataFrame],
+      idCol: String, score: Column): DataFrame = {
+    require(pairSets.nonEmpty, "need at least one pair set")
+    val edges = pairSets.map(_.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b")))
+      .reduce(_ unionByName _)
+    keepBestPerComponent(docs, edges, idCol, score)
+  }
+
   // --------------------------------------- incremental (index-probe) dedup
 
   /** Persist the corpus's exact-dedup fingerprint index: one

@@ -438,4 +438,56 @@ class DedupSpec extends SparkSuite {
     assert(r.getLong(3) === 3L && r.getLong(4) === 3L)
     assert(r.getDouble(5) === 0.5) // 2 / (3 + 3 - 2)
   }
+
+  test("exact duplicate pairs: star edges from the min id, singletons " +
+      "emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text"), (5L, "same  TEXT"), (3L, "Same text"),
+      (7L, "unique")).toDF("doc_id", "text")
+    val pairs = Dedup.exactDuplicatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // group {1, 3, 5} (normalization folds case/whitespace) → star from 1
+    assert(pairs === Set((1L, 3L), (1L, 5L)))
+  }
+
+  test("multi-signal dedup: chains across signals collapse to one " +
+      "representative") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha body", 10L), (2L, "ALPHA body", 12L), // exact pair 1-2
+      (3L, "beta body", 30L),                           // linked 2-3 below
+      (4L, "gamma body", 40L)                           // untouched
+    ).toDF("doc_id", "text", "n_chars")
+    val exact = Dedup.exactDuplicatePairs(docs, "text", "doc_id")
+    // a second signal (stand-in for embedding near-dup) links 2 and 3
+    val emb = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.multiSignalDedup(docs, Seq(exact, emb), "doc_id",
+      col("n_chars")).collect().map(_.getLong(0)).toSet
+    // {1,2,3} is ONE component (1-2 exact, 2-3 embedding): keep 3
+    // (n_chars 30); 4 is a singleton and keeps itself
+    assert(kept === Set(3L, 4L))
+    // per-signal passes would NOT collapse the chain: the exact pass
+    // alone keeps 1 (min id of {1,2}) and 3 — two surviving near-dups
+    val exactOnly = Dedup.multiSignalDedup(docs, Seq(exact), "doc_id",
+      col("n_chars")).collect().map(_.getLong(0)).toSet
+    assert(exactOnly === Set(2L, 3L, 4L)) // 2 wins 1-2 on n_chars 12>10
+  }
+
+  test("multi-signal dedup equals keepBestPerComponent on the edge union") {
+    val docs = docsWithDups
+    val exact = Dedup.exactDuplicatePairs(docs, "text", "doc_id")
+    val mh = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      shingleLen = 5, k = 64, bands = 16, threshold = 0.6,
+      maxBucketSize = 1000)
+      .select(col("id_a"), col("id_b"))
+    val multi = Dedup.multiSignalDedup(docs, Seq(exact, mh), "doc_id",
+      col("n_chars")).collect().map(_.getLong(0)).toSet
+    val union = exact.select("id_a", "id_b")
+      .unionByName(mh.select("id_a", "id_b"))
+    val direct = Dedup.keepBestPerComponent(docs, union, "doc_id",
+      col("n_chars")).collect().map(_.getLong(0)).toSet
+    assert(multi === direct)
+    assert(multi.size < docs.count()) // the planted dups really dropped
+  }
 }
