@@ -1222,6 +1222,31 @@ object SparkEntry {
           "alpha" -> st.getField("alpha"),
           "punct" -> st.getField("punct")))
     }),
+    "q_bpe_encode" -> ((s, dir) => {
+      // the tokenizer ENCODE step: per-doc piece-ID sequences under the
+      // trained 8-merge tokenizer and the deterministic (count desc,
+      // piece asc) vocabulary ids — the full id CSV of every document is
+      // hash-checked through the same 8-round CTEs plus a piece-vocab
+      // ranking and two ordered reassemblies
+      val docs = table(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, merges = 8)
+      graft.text.Bpe.encodeIds(docs, merges)
+    }),
+    "q_classifier_train" -> ((s, dir) => {
+      // distributed fastText-shaped classifier TRAINING: two full-batch
+      // logistic-regression iterations on y = (lang = 'en'), 64 hashed
+      // buckets, per-iteration 1e-9 weight quantization (the kmeansRefine
+      // convention). The MODEL ITSELF is hash-checked: the oracle replays
+      // both iterations' forward pass, both gradient aggregates and the
+      // quantized updates in SQL.
+      val (w, b) = graft.text.Classifier.train(
+        table(s, dir, "documents"),
+        (col("lang") === "en").cast("double"),
+        buckets = 64, iters = 2, lr = 1.0)
+      import s.implicits._
+      (w.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq :+
+        ((-1L, b))).toDF("bucket", "weight")
+    }),
     "q_multi_dedup" -> ((s, dir) => {
       // multi-signal dedup: exact-fingerprint star edges over a
       // copy-planted corpus UNION embedding (SemDeDup-cell) near-dup
@@ -1517,6 +1542,60 @@ object SparkEntry {
        |  FROM p)
        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** Classifier training replayed in SQL: the generic gradient-descent
+    * iteration unrolled `iters` times from the zero model — forward pass
+    * (σ of bias + mean pooled bucket weights, empty docs σ(bias)),
+    * per-bucket mean gradient Σ(p−y)·c/n / N, bias gradient Σ(p−y), and
+    * the floor(x·1e9+0.5)/1e9 weight quantization after every update.
+    * Per-doc weight sums and the gradient sums are
+    * reduction-order-sensitive at ~1e-16; the per-iteration quantum
+    * absorbs them, so the final MODEL hash-matches with no output
+    * rounding. */
+  private def classifierTrainOracle(iters: Int): String = {
+    def iterSql(k: Int) = s"""
+       |fs$k AS (SELECT t.doc_id, sum(w.wt * t.cnt) AS s
+       |  FROM bk t JOIN w${k - 1} w USING (b) GROUP BY 1),
+       |p$k AS MATERIALIZED (SELECT d.doc_id, d.y, d.n,
+       |    1.0 / (1.0 + exp(-(b${k - 1}.bias +
+       |      CASE WHEN d.n = 0 THEN 0.0
+       |        ELSE coalesce(f.s, 0.0) / d.n END))) AS p
+       |  FROM d LEFT JOIN fs$k f USING (doc_id) CROSS JOIN b${k - 1}),
+       |g$k AS (SELECT t.b, sum((p.p - p.y) * t.cnt / p.n) AS g
+       |  FROM p$k p JOIN bk t USING (doc_id) GROUP BY 1),
+       |w$k AS MATERIALIZED (SELECT s.b,
+       |    CASE WHEN g.g IS NULL THEN w.wt
+       |      ELSE floor((w.wt - 1.0 * g.g / nn.nd) * 1000000000.0 + 0.5)
+       |        / 1000000000.0 END AS wt
+       |  FROM scaf s JOIN w${k - 1} w USING (b)
+       |  LEFT JOIN g$k g USING (b) CROSS JOIN nn),
+       |b$k AS (SELECT floor((b${k - 1}.bias -
+       |      1.0 * (SELECT sum(p - y) FROM p$k) / nn.nd) *
+       |      1000000000.0 + 0.5) / 1000000000.0 AS bias
+       |  FROM b${k - 1} CROSS JOIN nn),""".stripMargin
+    s"""WITH d AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    (CASE WHEN len(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE
+       |      AS n
+       |  FROM documents),
+       |bk AS MATERIALIZED (SELECT doc_id,
+       |    (('0x' || substr(md5(t), 1, 16))::UBIGINT & 63)::BIGINT AS b,
+       |    count(*)::DOUBLE AS cnt
+       |  FROM (SELECT doc_id,
+       |      unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |        ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS t
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+       |scaf AS (SELECT i::BIGINT AS b FROM range(0, 64) t(i)),
+       |w0 AS (SELECT b, 0.0 AS wt FROM scaf),
+       |b0 AS (SELECT 0.0 AS bias),
+       |${(1 to iters).map(iterSql).mkString("\n")}
+       |fin AS (SELECT b AS bucket, wt AS weight FROM w$iters
+       |  UNION ALL SELECT -1, bias FROM b$iters)
+       |SELECT bucket, weight FROM fin""".stripMargin
   }
 
   /** Multi-signal dedup replayed in SQL: exact-fingerprint star edges
@@ -3083,6 +3162,8 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "q_knn_rp" -> knnRpOracle,
     "q_multi_dedup" -> multiDedupOracle,
+    "q_classifier_train" -> classifierTrainOracle(iters = 2),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
     // signal correlation: the q_text_stats char-class replays as exact
     // BIGINT sums, then the one shared Pearson expression shape; only
     // the final correlation rounds
@@ -3187,6 +3268,43 @@ object SparkEntry {
       |  JOIN pieces p USING (word) GROUP BY 1)
       |SELECT d.doc_id, coalesce(pd.n_words, 0)::BIGINT AS n_words,
       |  coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces
+      |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id"""
+      .stripMargin
+
+  /** Per-doc piece-ID sequences under the 8-merge tokenizer: the same
+    * round CTEs, then the piece vocabulary ranked (count desc, piece
+    * asc), word→id-CSV assembled in piece order, documents reassembled
+    * in token order — both orderings via `ORDER BY` inside string_agg,
+    * matching the Spark side's (position, fragment) struct sorts. */
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeCtes(rounds) + s""",
+      |pcs AS MATERIALIZED (
+      |  SELECT word, n, u.piece AS piece, u.pos AS pos
+      |  FROM (SELECT word, n,
+      |      unnest([{'pos': i, 'piece': s[i]}
+      |        for i in range(1, len(s) + 1)]) AS u
+      |    FROM (SELECT word, n, string_split(w, ' ') AS s
+      |      FROM w$rounds))),
+      |pv AS MATERIALIZED (
+      |  SELECT piece, row_number() OVER
+      |      (ORDER BY n_occ DESC, piece ASC) - 1 AS pid
+      |  FROM (SELECT piece, sum(n)::BIGINT AS n_occ FROM pcs
+      |    GROUP BY 1)),
+      |wp AS MATERIALIZED (
+      |  SELECT pcs.word, count(*)::BIGINT AS n_p,
+      |    string_agg(pv.pid::VARCHAR, ',' ORDER BY pcs.pos) AS wids
+      |  FROM pcs JOIN pv USING (piece) GROUP BY 1),
+      |perdoc AS (
+      |  SELECT t.doc_id, sum(wp.n_p)::BIGINT AS n_pieces,
+      |    string_agg(wp.wids, ',' ORDER BY t.pos) AS ids
+      |  FROM (SELECT doc_id, u.word AS word, u.pos AS pos
+      |    FROM (SELECT doc_id,
+      |        unnest([{'pos': i, 'word': ts[i]}
+      |          for i in range(1, len(ts) + 1)]) AS u
+      |      FROM toks)) t
+      |  JOIN wp USING (word) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces,
+      |  coalesce(pd.ids, '') AS ids
       |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id"""
       .stripMargin
 

@@ -390,6 +390,51 @@ object Streaming {
         avg(col("__q")).as("mean_quality"))
   }
 
+  /** Per-stratum exact-k sample state: the current top-k (u, id)
+    * entries, best-first. */
+  case class TopKSampleState(entries: List[(Double, Long)])
+
+  /** Streaming twin of [[graft.operators.Sampling.stratifiedExactK]]: a
+    * continuously maintained exact-k deterministic sample per stratum
+    * over an unbounded ingest. Membership is decided by the seeded md5
+    * uniform of the ID — not by arrival order — so unlike classical
+    * reservoir sampling the maintained sample is ORDER-INDEPENDENT and
+    * replay-idempotent: at every instant it equals the batch operator
+    * run over everything that has arrived, re-deliveries included.
+    * State is O(k) per stratum (the bounded heap as a sorted list);
+    * each batch that touches a stratum re-emits that stratum's full
+    * current sample (Update semantics: downstream keeps the newest
+    * (stratum, rank) row). Ranking matches the batch contract: highest
+    * u first, ties → lower id. */
+  def streamingStratifiedExactK(src: DataFrame, idCol: String,
+      stratumCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val outEnc = Encoders.row(StructType(Seq(
+      StructField("stratum", StringType, nullable = false),
+      StructField("rank", IntegerType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("u", DoubleType, nullable = false))))
+    src.select(
+        coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
+        col(idCol).cast("long").as("id"),
+        graft.operators.Sampling.hashUniform(col(idCol), seed).as("u"))
+      .groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[TopKSampleState, Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (stratum: String, rows: Iterator[Row],
+            state: GroupState[TopKSampleState]) =>
+          val cur = state.getOption.map(_.entries).getOrElse(Nil)
+          val merged = (cur ++ rows.map(r => (r.getDouble(2), r.getLong(1))))
+            .distinct // re-delivered ids merge away: same (u, id) pair
+            .sortBy { case (u, id) => (-u, id) }
+            .take(k)
+          state.update(TopKSampleState(merged))
+          merged.zipWithIndex.iterator.map { case ((u, id), i) =>
+            Row(stratum, i + 1, id, u) }
+      }(Encoders.product[TopKSampleState], outEnc).toDF()
+  }
+
   /** Per-entity funnel state: steps reached so far (1-based count) and
     * the last conversion time. */
   case class FunnelState(stage: Int, t: Double)

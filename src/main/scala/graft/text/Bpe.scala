@@ -144,4 +144,78 @@ object Bpe {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
       .select(col("word"), col("n"))
+
+  /** Distinct-word table with counts and the merged symbol string under
+    * `merges` — the shared substrate of [[pieceVocab]]/[[encodeIds]]. */
+  private def mergedWords(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)],
+      textCol: String): DataFrame =
+    merges.foldLeft(
+        wordCounts(docs, textCol).select(col("word"), col("n"),
+          initSymbols(col("word")).as("w"))) {
+      case (df, (_, a, b, _, _)) =>
+        df.select(col("word"), col("n"), applyMerge(col("w"), a, b).as("w"))
+    }
+
+  /** Piece vocabulary of the trained tokenizer: every distinct piece of
+    * the merged word table with its corpus occurrence count (token
+    * occurrences × per-word multiplicity), piece id = 0-based rank by
+    * (count desc, piece asc) — the deterministic id assignment a real
+    * tokenizer artifact pins. The global ranking window runs over the
+    * PIECE VOCABULARY (metadata scale, like the BPE merge argmax), never
+    * over corpus rows. */
+  def pieceVocab(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)],
+      textCol: String = "text"): DataFrame =
+    pieceVocabFromWords(mergedWords(docs, merges, textCol))
+
+  private def pieceVocabFromWords(words: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    words
+      .select(col("n"), explode(split(col("w"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("n_occ"))
+      .withColumn("pid", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("piece").asc))
+        .cast("long") - 1)
+  }
+
+  /** Per-document piece-ID SEQUENCE under the trained tokenizer — the
+    * actual encode step a training pipeline materializes (ids in token
+    * order, comma-joined). Two vocabulary-bounded maps do all the work:
+    * word → its in-order piece-id CSV (pieces posexploded, ids joined,
+    * reassembled per word), then documents posexplode their tokens and
+    * reassemble per doc — each reassembly is one groupBy over
+    * (position, fragment) structs, the removeRepeatedLines rebuild
+    * pattern, with row width bounded by the word/document length. Empty
+    * documents encode to ("", 0 pieces). */
+  def encodeIds(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = mergedWords(docs, merges, textCol).localCheckpoint(true)
+    val vocab = pieceVocabFromWords(words)
+      .select(col("piece"), col("pid"))
+    val wordIds = words
+      .select(col("word"), posexplode(split(col("w"), " "))
+        .as(Seq("pos", "piece")))
+      .join(vocab, Seq("piece"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_p"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("pid")))),
+          s => s.getField("pid").cast("string")), ",").as("wids"))
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("tpos", "word")))
+      .join(wordIds, Seq("word"))
+      .groupBy(col("__id"))
+      .agg(sum(col("n_p")).as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("wids")))),
+          s => s.getField("wids")), ",").as("ids"))
+    docs.select(col(idCol).as("__id")).join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("ids"), lit("")).as("ids"))
+  }
 }

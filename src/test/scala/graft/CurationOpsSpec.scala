@@ -279,6 +279,47 @@ class CurationOpsSpec extends SparkSuite {
     assert(enc(3L) === 0L)
   }
 
+  test("bpe encodeIds: sequences decode consistently with piece counts " +
+      "and the deterministic vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "newest"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = graft.text.Bpe.trainMerges(docs, merges = 4)
+    val vocab = graft.text.Bpe.pieceVocab(docs, merges).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("pid"),
+        r.getAs[Long]("n_occ")))
+    // ids are a contiguous 0-based range ordered by (count desc, piece)
+    assert(vocab.map(_._2).sorted.toSeq === vocab.indices.map(_.toLong))
+    val byPid = vocab.sortBy(_._2)
+    byPid.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    }
+    val enc = graft.text.Bpe.encodeIds(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the id sequence length IS the piece count (tokenCounts agreement)
+    val counts = graft.text.Bpe.tokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    enc.foreach { case (id, (np, ids)) =>
+      assert(np === counts(id), s"doc $id")
+      val seq = if (ids.isEmpty) Nil else ids.split(",").toSeq
+      assert(seq.length.toLong === np, s"doc $id")
+      // every id is a valid vocab id
+      seq.foreach(s => assert(s.toLong >= 0 && s.toLong < vocab.length))
+    }
+    assert(enc(3L) === ((0L, "")))
+    // decode check: mapping ids back to pieces and stripping the </w>
+    // markers reproduces doc 2's text
+    val pieceOf = byPid.map(t => t._2 -> t._1).toMap
+    val decoded = enc(2L)._2.split(",").map(s => pieceOf(s.toLong))
+      .mkString("").replace("</w>", " ").trim
+    assert(decoded === "newest")
+    // identical words encode identically: doc 1 is "low low lower", so
+    // its decoded text reproduces exactly (same id run for both "low"s)
+    val d1 = enc(1L)._2.split(",").map(s => pieceOf(s.toLong))
+      .mkString("").replace("</w>", " ").trim
+    assert(d1 === "low low lower")
+  }
+
   test("vocabTopK: ordering, tie-break, bound") {
     import spark.implicits._
     val docs = Seq((1L, "b b b a a c c z"), (2L, "a z")).toDF("doc_id", "text")
@@ -343,5 +384,57 @@ class CurationOpsSpec extends SparkSuite {
     assert(res.length === 1)
     assert(res.head.getLong(2) === 3L) // n_events
     assert(res.head.getDouble(5) === 0.0) // duration
+  }
+
+  test("classifier training: first step from zero matches the hand " +
+      "gradient; the trained model separates the classes") {
+    import graft.text.Classifier
+    import spark.implicits._
+    // class 1 speaks 'aaa', class 0 speaks 'bbb'; two docs each
+    val corpus = Seq(
+      (1L, "aaa aaa", 1.0), (2L, "aaa", 1.0),
+      (3L, "bbb bbb", 0.0), (4L, "bbb", 0.0))
+      .toDF("doc_id", "text", "y")
+    // one iteration from w = 0: p = 0.5 for every doc, so
+    // g_j = Σ_d (0.5 − y_d)·c_dj/n_d / N and w1_j = q(−lr·g_j)
+    val (w1, b1) = Classifier.train(corpus, col("y"), buckets = 16,
+      iters = 1, lr = 1.0)
+    val bA = spark.range(1).select(explode(
+      Classifier.hashedTokenBuckets(lit("aaa"), 16))).as[Long].head
+    val bB = spark.range(1).select(explode(
+      Classifier.hashedTokenBuckets(lit("bbb"), 16))).as[Long].head
+    assert(bA != bB) // fixture sanity: no hash collision at 16 buckets
+    def q(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    // docs 1, 2: (0.5 − 1)·(2/2 and 1/1); docs 3, 4 symmetric positive
+    assert(w1(bA.toInt) === q(-((-0.5) + (-0.5)) / 4))
+    assert(w1(bB.toInt) === q(-(0.5 + 0.5) / 4))
+    assert(b1 === q(-(4 * 0.5 - 2.0) / 4)) // Σ(0.5−y) = 0 here
+    // more iterations: the model separates the classes through the
+    // SHARED inference path
+    val (w, b) = Classifier.train(corpus, col("y"), buckets = 16,
+      iters = 20, lr = 2.0)
+    val scores = corpus.select(col("doc_id"),
+        Classifier.scoreWithWeights(col("text"), w, b).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.8 && scores(2L) > 0.8)
+    assert(scores(3L) < 0.2 && scores(4L) < 0.2)
+  }
+
+  test("classifier training: empty docs drive only the bias; layout " +
+      "does not change the model") {
+    import graft.text.Classifier
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "xx yy", 1.0), (2L, "", 1.0), (3L, "zz", 0.0))
+      .toDF("doc_id", "text", "y")
+    val (w, b) = Classifier.train(corpus, col("y"), buckets = 8,
+      iters = 3, lr = 0.5)
+    val (w2, b2) = Classifier.train(corpus.repartition(7), col("y"),
+      buckets = 8, iters = 3, lr = 0.5)
+    assert(w.toSeq === w2.toSeq)
+    assert(b === b2)
+    // the empty doc's pull on the bias is visible: with 2 positives and
+    // 1 negative the bias moves up from zero
+    assert(b > 0.0)
   }
 }

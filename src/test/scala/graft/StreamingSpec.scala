@@ -433,6 +433,54 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact-k sample: snapshots equal the batch operator " +
+      "over everything arrived, order-independent") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val sample = Streaming.streamingStratifiedExactK(
+      mem.toDF().withColumn("lang",
+        when(col("doc_id") % 2 === 0, "en").otherwise("de")),
+      "doc_id", "lang", k = 3, seed = 42L)
+    val snapshots =
+      scala.collection.mutable.Map[Long, Array[(String, Int, Long)]]()
+    val q = sample.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        snapshots.synchronized {
+          snapshots(id) = df.collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        }
+      }.start()
+    try {
+      def doc(id: Long) = Doc(id,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"text $id")
+      def expected(ids: Seq[Long]) = {
+        val df = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+          .withColumn("lang",
+            when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+        graft.operators.Sampling.stratifiedExactK(df, "doc_id", "lang",
+            k = 3, seed = 42L)
+          .collect()
+          .map(r => (r.getAs[String]("stratum"), r.getAs[Int]("rank"),
+            r.getAs[Long]("doc_id"))).toSet
+      }
+      val b1 = (1L to 10L)
+      mem.addData(b1.map(doc): _*)
+      q.processAllAvailable()
+      assert(snapshots(0).toSet === expected(b1))
+      // batch 2: more ids plus a RE-DELIVERY of id 4 — idempotent
+      val b2 = (11L to 20L) :+ 4L
+      mem.addData(b2.map(doc): _*)
+      q.processAllAvailable()
+      assert(snapshots(1).toSet === expected(b1 ++ b2))
+      // O(k) state: every snapshot emits exactly k rows per stratum
+      snapshots.values.foreach { snap =>
+        snap.groupBy(_._1).values.foreach(g => assert(g.length === 3))
+      }
+    } finally q.stop()
+  }
+
   test("streaming quality monitor: in-model windows score low CE, " +
       "drifted windows high, empty docs get the floor") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
