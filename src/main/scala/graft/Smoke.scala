@@ -60,19 +60,43 @@ object Smoke {
       "user_id", floor(col("__td") / lit(7.0)))
     val q5 = retention.writeStream.format("memory")
       .queryName("smoke_retention").outputMode(OutputMode.Append).start()
+    // live corpus-side twins over a documents file stream: the quality /
+    // drift monitor (event time synthesized from doc_id) and the
+    // order-independent exact-k sample per language
+    val dschema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val dsrc = spark.readStream.schema(dschema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("__ts",
+        timestamp_micros(col("doc_id") * lit(3600000000L)))
+    val monitor = graft.streaming.Streaming.streamingQualityMonitor(dsrc,
+      "text", "__ts", Map("the" -> 100L, "a" -> 80L, "of" -> 60L),
+      windowDur = "1 day", watermark = "1 day")
+    val q6 = monitor.writeStream.format("memory").queryName("smoke_qmon")
+      .outputMode(OutputMode.Update).start()
+    val sample = graft.streaming.Streaming.streamingStratifiedExactK(
+      dsrc, "doc_id", "lang", k = 5)
+    val q7 = sample.writeStream.format("memory").queryName("smoke_sample")
+      .outputMode(OutputMode.Update).start()
     try {
       q1.processAllAvailable(); q2.processAllAvailable()
       q3.processAllAvailable(); q4.processAllAvailable()
-      q5.processAllAvailable()
+      q5.processAllAvailable(); q6.processAllAvailable()
+      q7.processAllAvailable()
       val nBins = spark.table("smoke_binned").count()
       val nStats = spark.table("smoke_running").count()
       val nDedup = spark.table("smoke_dedup").count()
       val nFunnel = spark.table("smoke_funnel").count()
       val nRet = spark.table("smoke_retention").count()
+      val nMon = spark.table("smoke_qmon").count()
+      val nSamp = spark.table("smoke_sample").count()
       println(s"SMOKE_STREAMING bins=$nBins running_stats=$nStats " +
-        s"dedup_kept=$nDedup funnel_steps=$nFunnel retention_rows=$nRet")
+        s"dedup_kept=$nDedup funnel_steps=$nFunnel retention_rows=$nRet " +
+        s"monitor_windows=$nMon sample_rows=$nSamp")
       assert(nBins > 0 && nStats > 0 && nDedup > 0 && nFunnel > 0 &&
-        nRet > 0)
-    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop() }
+        nRet > 0 && nMon > 0 && nSamp > 0)
+    } finally {
+      q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop()
+      q6.stop(); q7.stop()
+    }
   }
 }
