@@ -1222,6 +1222,14 @@ object SparkEntry {
           "alpha" -> st.getField("alpha"),
           "punct" -> st.getField("punct")))
     }),
+    "q_ccnet_buckets" -> ((s, dir) =>
+      // CCNet perplexity bucketing: per-language head/middle/tail by
+      // EXACT rank tertiles of the rounded unigram cross-entropy
+      // (integer bounds, (ce, id) ties) + the published keep policy
+      // (head kept, middle md5-sampled at 0.5, tail dropped) — every
+      // column hash-exact
+      graft.text.UnigramLm.perplexityBuckets(
+        table(s, dir, "documents"))),
     "q_bpe_encode" -> ((s, dir) => {
       // the tokenizer ENCODE step: per-doc piece-ID sequences under the
       // trained 8-merge tokenizer and the deterministic (count desc,
@@ -3164,6 +3172,51 @@ object SparkEntry {
     "q_multi_dedup" -> multiDedupOracle,
     "q_classifier_train" -> classifierTrainOracle(iters = 2),
     "q_bpe_encode" -> bpeEncodeOracle(8),
+    // CCNet buckets: the q_unigram_ce model chain (rounded 6), exact
+    // per-lang rank windows, integral-div tertile bounds, md5-uniform
+    // middle sampling — no float comparisons anywhere past the rounding
+    "q_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |counts AS MATERIALIZED (
+        |  SELECT term, count(*)::BIGINT AS tc
+        |  FROM (SELECT unnest(ts) AS term FROM tok) GROUP BY term),
+        |stats AS (SELECT sum(tc)::BIGINT AS n_total,
+        |    count(*)::BIGINT AS vocab FROM counts),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    ln((coalesce(c.tc, 0) + 1.0::DOUBLE) /
+        |      ((n_total + vocab)::DOUBLE)) AS logp
+        |  FROM (SELECT doc_id, unnest(ts) AS term FROM tok) t
+        |  LEFT JOIN counts c USING (term) CROSS JOIN stats),
+        |ce AS (SELECT doc_id, round(-avg(logp), 6) AS ce
+        |  FROM sc GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.lang, c.ce
+        |  FROM documents d LEFT JOIN ce c USING (doc_id)),
+        |r AS (SELECT doc_id, lang, ce,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ce, doc_id)
+        |      AS rank,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM j WHERE ce IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, lang, ce, rank,
+        |    CASE WHEN rank <= (n + 2) // 3 THEN 'head'
+        |      WHEN rank <= (2 * n + 2) // 3 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |  FROM r
+        |  UNION ALL
+        |  SELECT doc_id, lang, NULL, NULL, 'tail'
+        |  FROM j WHERE ce IS NULL)
+        |SELECT doc_id, lang, ce, rank, bucket,
+        |  CASE WHEN bucket = 'head' THEN TRUE
+        |    WHEN bucket = 'middle' THEN
+        |      ((('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))
+        |        ::UBIGINT >> 11) / 9007199254740992.0) < 0.5
+        |    ELSE FALSE END AS keep
+        |FROM b""".stripMargin,
     // signal correlation: the q_text_stats char-class replays as exact
     // BIGINT sums, then the one shared Pearson expression shape; only
     // the final correlation rounds

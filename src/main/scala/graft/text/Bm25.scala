@@ -204,4 +204,59 @@ object UnigramLm {
     scored.select(col("id").as(idCol), col("n_bigrams"),
       col("cross_entropy"))
   }
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020): per language,
+    * documents split into equal-count head / middle / tail thirds by
+    * their LM score (here [[crossEntropy]] — lowest scores = most
+    * fluent = head), with the published keep policy: head kept, middle
+    * sampled at `middleRate` (seeded md5 uniform — reproducible), tail
+    * dropped. CCNet's split is BY RANK (equal counts), so this uses
+    * exact per-language rank windows rather than interpolated quantile
+    * cutoffs — integer arithmetic end to end: the rank, the tertile
+    * bounds ⌈n/3⌉ / ⌈2n/3⌉ (integral `div`), and the tie order
+    * (ce, id) are all hash-exact cross-engine once ce is rounded to 6.
+    *
+    * Scale: one rank window PER LANGUAGE (the bounded-stratum posture of
+    * [[graft.operators.Sampling.interleaveByWeight]] — a range-
+    * partitioned sort per stratum, the exact-semantics cost); at
+    * extreme scale swap the exact rank for `approx_percentile` cutoffs
+    * and the bucketing becomes map-only (the
+    * [[graft.text.Indexing.approxCorpusStats]] trade, documented not
+    * default). Docs with no tokens have no LM score: bucket `tail`,
+    * dropped. Returns (idCol, lang, ce, rank, bucket, keep). */
+  def perplexityBuckets(docs: DataFrame, langCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id",
+      middleRate: Double = 0.5, seed: Long = 42L,
+      model: DataFrame = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ce = crossEntropy(docs, textCol, idCol, model)
+      .select(col(idCol), round(col("cross_entropy"), 6).as("ce"))
+    val scored = docs.select(col(idCol),
+        col(langCol).cast("string").as("lang"))
+      .join(ce, Seq(idCol), "left")
+    val wR = Window.partitionBy(col("lang"))
+      .orderBy(col("ce"), col(idCol))
+    val ranked = scored.filter(col("ce").isNotNull)
+      .withColumn("rank", row_number().over(wR).cast("long"))
+    val nPer = broadcast(ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("__n")))
+    val bucketed = ranked.join(nPer, Seq("lang"))
+      .withColumn("bucket",
+        when(col("rank") <= expr("(__n + 2) div 3"), lit("head"))
+          .when(col("rank") <= expr("(2 * __n + 2) div 3"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__n")
+    val scoreless = scored.filter(col("ce").isNull)
+      .withColumn("rank", lit(null).cast("long"))
+      .withColumn("bucket", lit("tail"))
+    bucketed.unionByName(scoreless)
+      .withColumn("keep",
+        when(col("bucket") === "head", lit(true))
+          .when(col("bucket") === "middle",
+            graft.operators.Sampling.hashUniform(col(idCol), seed) <
+              middleRate)
+          .otherwise(lit(false)))
+      .select(col(idCol), col("lang"), col("ce"), col("rank"),
+        col("bucket"), col("keep"))
+  }
 }

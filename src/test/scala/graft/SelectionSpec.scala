@@ -430,4 +430,42 @@ class SelectionSpec extends SparkSuite {
     val maxCum = some.agg(max("cum_tokens")).head().getLong(0)
     assert(maxCum <= 500L)
   }
+
+  test("ccnet buckets: exact rank tertiles, ordering, keep policy, " +
+      "scoreless docs fall to tail") {
+    import spark.implicits._
+    val withEmpty = docs.unionByName(
+      Seq((900001L, "", "en", "srcX", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val res = graft.text.UnigramLm.perplexityBuckets(withEmpty)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[java.lang.Double]("ce")).map(_.doubleValue),
+        r.getString(4), r.getBoolean(5))).toSeq
+    // the empty doc is scoreless → tail, dropped
+    val empty = res.find(_._1 == 900001L).get
+    assert(empty._3.isEmpty && empty._4 === "tail" && !empty._5)
+    res.groupBy(_._2).foreach { case (lang, g) =>
+      val scoredDocs = g.filter(_._3.nonEmpty)
+      val n = scoredDocs.size
+      val byBucket = scoredDocs.groupBy(_._4)
+        .view.mapValues(_.size).toMap
+      // ceil splits: |head| = ⌈n/3⌉, |head|+|middle| = ⌈2n/3⌉
+      assert(byBucket.getOrElse("head", 0) === (n + 2) / 3, s"$lang")
+      assert(byBucket.getOrElse("head", 0) +
+        byBucket.getOrElse("middle", 0) === (2 * n + 2) / 3, s"$lang")
+      // rank order respects ce: max head ce <= min tail ce
+      val headMax = scoredDocs.filter(_._4 == "head").map(_._3.get).max
+      val tailMin = scoredDocs.filter(_._4 == "tail").map(_._3.get).min
+      assert(headMax <= tailMin, s"$lang")
+      // keep policy: head all kept, tail all dropped, middle by uniform
+      assert(scoredDocs.filter(_._4 == "head").forall(_._5))
+      assert(scoredDocs.filter(_._4 == "tail").forall(!_._5))
+    }
+    // middle keeps replay the stratified-sampling uniform exactly
+    val midKeep = res.filter(t => t._4 == "middle").map(t => t._1 -> t._5)
+    val u = withEmpty.select(col("doc_id"),
+        (Sampling.hashUniform(col("doc_id"), 42L) < 0.5).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    midKeep.foreach { case (id, k) => assert(k === u(id), s"doc $id") }
+  }
 }
