@@ -1222,6 +1222,24 @@ object SparkEntry {
           "alpha" -> st.getField("alpha"),
           "punct" -> st.getField("punct")))
     }),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // corpus interchange fidelity: documents written as gzip JSONL
+      // shards and read back with a pinned schema must hash-match the
+      // parquet original COLUMN FOR COLUMN (JSON escaping covers
+      // newlines/quotes/unicode; no inference scan on read). The oracle
+      // is simply the original table.
+      val docs = table(s, dir, "documents")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_jsonl_" + digest).getAbsolutePath
+      graft.sources.CorpusIO.writeJsonl(docs, path, partitions = 8)
+      graft.sources.CorpusIO.readJsonl(s, path, docs.schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }),
     "q_ccnet_buckets" -> ((s, dir) =>
       // CCNet perplexity bucketing: per-language head/middle/tail by
       // EXACT rank tertiles of the rounded unigram cross-entropy
@@ -3172,6 +3190,9 @@ object SparkEntry {
     "q_multi_dedup" -> multiDedupOracle,
     "q_classifier_train" -> classifierTrainOracle(iters = 2),
     "q_bpe_encode" -> bpeEncodeOracle(8),
+    // JSONL round-trip: the through-JSONL copy must equal the original
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // CCNet buckets: the q_unigram_ce model chain (rounded 6), exact
     // per-lang rank windows, integral-div tertile bounds, md5-uniform
     // middle sampling — no float comparisons anywhere past the rounding

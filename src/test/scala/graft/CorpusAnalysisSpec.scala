@@ -331,6 +331,50 @@ class CorpusAnalysisSpec extends SparkSuite {
     assert(shPlan.contains("Window"), "bucket-partitioned window expected")
   }
 
+  // -------------------------------------------------------- JSONL I/O
+
+  test("jsonl round-trip: newlines, quotes and unicode survive exactly") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "line one\nline two\ttabbed", "en"),
+      (2L, "\"quoted\" and \\backslash\\", "de"),
+      (3L, "ünïcødé — 中文 🙂", "fr"),
+      (4L, "", "es")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_").toString
+    graft.sources.CorpusIO.writeJsonl(nasty, dir, partitions = 2)
+    val back = graft.sources.CorpusIO.readJsonl(spark, dir, nasty.schema)
+    val a = nasty.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val b = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // shards really are gzip JSONL files
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.length === 2)
+  }
+
+  test("jsonl read is schema-pinned: no inference pass, wrong-type " +
+      "lines null out instead of poisoning the schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      ("{\"doc_id\": 1, \"text\": \"ok\"}\n" +
+        "{\"doc_id\": \"not a number\", \"text\": \"bad\"}\n")
+        .getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val got = graft.sources.CorpusIO.readJsonl(spark, dir, schema)
+    assert(got.schema === schema) // pinned, not inferred
+    val rows = got.collect()
+    assert(rows.length === 2)
+    assert(rows.count(_.isNullAt(0)) === 1) // bad line nulls, not throws
+  }
+
   // --------------------------------------------- sketch profile (approx)
 
   test("approx corpus stats: doc-grain columns are exact, sketches bounded") {
