@@ -149,4 +149,44 @@ object KernelProperties extends Properties("graft.kernels") {
         math.abs(r1 - r2) < 1e-12
       }
     }
+
+  // ---- vector kernels (the contract every ANN/outlier oracle replays)
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000).map(_ / 64.0))
+
+  private def arrLit(v: List[Double]) =
+    Literal.create(ArrayData.toArrayData(v.toArray),
+      ArrayType(DoubleType))
+
+  private def evalDot(a: List[Double], b: List[Double]): Double =
+    graft.functions.VectorExpressions.DotProduct(arrLit(a), arrLit(b))
+      .eval().asInstanceOf[Double]
+
+  private def evalCos(a: List[Double], b: List[Double]): Double =
+    graft.functions.VectorExpressions.CosineSimilarity(arrLit(a), arrLit(b))
+      .eval().asInstanceOf[Double]
+
+  property("dot = STRICT left-to-right double fold (the list_dot_product" +
+      " contract the oracles rely on)") =
+    Prop.forAll(vecGen) { a =>
+      val b = a.reverse
+      val ref = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x * y }
+      evalDot(a, b) == ref
+    }
+
+  property("cosine = dot/(sqrt(aa)·sqrt(bb)) bit-exact; zero norm → 0; " +
+      "bit-exact symmetric") =
+    Prop.forAll(vecGen) { a =>
+      val b = a.map(x => -x / 2.0 + 1.0)
+      val aa = evalDot(a, a); val bb = evalDot(b, b)
+      val expected =
+        if (math.sqrt(aa) * math.sqrt(bb) == 0) 0.0
+        else evalDot(a, b) / (math.sqrt(aa) * math.sqrt(bb))
+      val zeros = List.fill(a.length)(0.0)
+      evalCos(a, b) == expected &&
+        evalCos(a, b) == evalCos(b, a) &&
+        evalCos(a, zeros) == 0.0
+    }
 }
