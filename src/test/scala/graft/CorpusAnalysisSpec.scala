@@ -331,6 +331,35 @@ class CorpusAnalysisSpec extends SparkSuite {
     assert(shPlan.contains("Window"), "bucket-partitioned window expected")
   }
 
+  // --------------------------------------- curate → shards composition
+
+  test("curate output drives writeTrainingShards: the full corpus → " +
+      "training-files pipeline lands on disk with a manifest") {
+    import graft.operators.{Curation, Packing}
+    val bench = docs.filter(col("doc_id") < 5)
+    val manifest = Curation.curate(docs, bench,
+      capacity = 64L, shards = 4)
+    // the curated manifest carries one row per surviving doc with its
+    // exact token count — exactly the frame the shard writer expects
+    val survivors = manifest.select(col("doc_id"), col("n_tokens"))
+    val dir = java.nio.file.Files.createTempDirectory("curated_").toString
+    val shardStats = Packing.writeTrainingShards(survivors, dir,
+      "doc_id", col("n_tokens"),
+      tokensPerShard = 2000L, seed = 7L, carry = Seq("n_tokens"))
+      .collect()
+    assert(shardStats.nonEmpty)
+    // the on-disk layout holds every survivor exactly once, in shard
+    // dirs, with the manifest totals agreeing
+    val back = spark.read.parquet(dir)
+    assert(back.count() === survivors.count())
+    assert(back.select("doc_id").distinct().count() === survivors.count())
+    assert(shardStats.map(_.getLong(1)).sum === survivors.count())
+    // every shard except possibly the last starts a doc below the token
+    // budget boundary (start-rule contract)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("shard=")) === shardStats.length)
+  }
+
   // -------------------------------------------------------- JSONL I/O
 
   test("jsonl round-trip: newlines, quotes and unicode survive exactly") {
