@@ -3017,8 +3017,8 @@ object SparkEntry {
         |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
         |      AS n_tokens
         |  FROM documents),
-        |c AS (SELECT *, sum(n_tokens) OVER (
-        |    PARTITION BY stratum ORDER BY u, doc_id) AS cum_tokens
+        |c AS (SELECT *, (sum(n_tokens) OVER (
+        |    PARTITION BY stratum ORDER BY u, doc_id))::BIGINT AS cum_tokens
         |  FROM t)
         |SELECT stratum, doc_id, u, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 400""".stripMargin,

@@ -117,6 +117,87 @@ object Sampling {
     * like IVF centroids. NULL strata are keyed under the reserved
     * [[NullStratum]] sentinel — see its caveat about data that contains
     * the literal string. */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+      temperature: Double, targetFraction: Double): Map[String, Double] = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    // NULL strata are counted under the NullStratum sentinel (the raw
+    // r.get(0).toString would NPE, and stratifiedSample's === match
+    // could never send rows back to a null key anyway)
+    val counts = df
+      .groupBy(coalesce(col(stratumCol).cast("string"),
+        lit(NullStratum)).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val powSum = counts.map { case (_, n) =>
+      math.pow(n.toDouble, temperature) }.sum
+    val total = counts.map(_._2).sum.toDouble
+    counts.map { case (s, n) =>
+      val m = targetFraction * total *
+        math.pow(n.toDouble, temperature) / powSum
+      s -> math.min(1.0, m / n.toDouble)
+    }.toMap
+  }
+
+  /** Two-phase per-stratum `row_number` that never sorts a whole stratum
+    * in one task — the bucket-offset pattern of
+    * [[Packing.assignShards]] generalized to PER-STRATUM ranks.
+    *
+    * `Window.partitionBy(stratum)` hash-partitions by the stratum key, so
+    * ALL rows of one stratum land in ONE task and sort there — at corpus
+    * scale a dominant stratum (e.g. English at half a 100 TB corpus) is
+    * a single-task stage. Instead the caller supplies `bucketCol`, any
+    * long column ORDER-ALIGNED with `orderCols` inside each stratum
+    * (x before y ⇒ bucket(x) ≤ bucket(y), and equal order keys ⇒ equal
+    * bucket — e.g. the top bits of the order key). Phase A aggregates
+    * per-(stratum, bucket) row counts to the driver (|strata|·|buckets|
+    * rows of bounded metadata, the [[tokenBudgetSample]] histogram
+    * posture), computes each bucket's exclusive prefix offset within its
+    * stratum, and broadcasts the offsets back. Phase B runs the exact
+    * `row_number` window PARTITIONED BY (stratum, bucket) — every task
+    * sorts ~1/|buckets| of a stratum — and adds the offset.
+    *
+    * The result is BIT-IDENTICAL to
+    * `row_number().over(Window.partitionBy(stratum).orderBy(orderCols))`
+    * by the order-alignment contract: all rows of bucket i precede all
+    * rows of bucket i+1 in the stratum's total order, so
+    * global rank = (# rows in earlier buckets) + rank-in-bucket.
+    *
+    * Output = input columns + `outCol` (long, 1-based). The stratum
+    * column must be non-NULL (coalesce to [[NullStratum]] first — a NULL
+    * key would silently drop rows at the offset join). */
+  private[graft] def stratumBucketRank(df: DataFrame, stratumCol: String,
+      bucketCol: String, orderCols: Seq[Column],
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Phase A: (stratum, bucket) histogram -> driver-side exclusive
+    // prefix offsets within each stratum (bounded metadata, like the
+    // tokenBudgetSample cutoffs and assignShards offsets)
+    val counts = df.groupBy(col(stratumCol), col(bucketCol))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets: Seq[(String, Long, Long)] = counts
+      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, b, n) =>
+          val o = acc; acc += n; (s, b, o)
+        }
+      }
+    val offsetDf = broadcast(
+      offsets.toDF(stratumCol, bucketCol, "__sbr_offset"))
+    // Phase B: exact window over (stratum, bucket) — never a full stratum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col(bucketCol))
+      .orderBy(orderCols: _*)
+    df.join(offsetDf, Seq(stratumCol, bucketCol))
+      .withColumn(outCol,
+        col("__sbr_offset") + row_number().over(w).cast("long"))
+      .drop("__sbr_offset")
+  }
+
   /** Deterministic weighted interleave — the data-MIXING twin of
     * [[deterministicShuffle]]: order the corpus so that sources appear
     * in proportion to their weights throughout training (a weight-2
@@ -128,31 +209,38 @@ object Sampling {
     * breaking cross-source phase lock); ascending key order IS the
     * training order, exactly as q_train_order's contract.
     *
-    * Scale: one window per stratum (PARTITION BY stratum — the same
-    * bounded-stratum posture as [[stratifiedExactK]]'s documentation),
-    * then a range partition by key; no global window anywhere. Strata
-    * missing from `weights` use `defaultWeight`; weight 0 drops the
-    * stratum. NULL strata fall under the reserved [[NullStratum]] key. */
+    * Scale: `rank_in_stratum` is the [[stratumBucketRank]] two-phase
+    * plan — bucket = the top bits of the uniform (order-aligned with
+    * `u DESC`: higher u ⇒ lower bucket, equal u ⇒ equal bucket), so no
+    * stratum ever sorts in a single task even when one source is half
+    * the corpus. Bit-identical to the naive per-stratum window (the
+    * uniform order is unchanged — a spec property). Strata missing from
+    * `weights` use `defaultWeight`; weight 0 drops the stratum. NULL
+    * strata fall under the reserved [[NullStratum]] key. */
   def interleaveByWeight(df: DataFrame, idCol: String, stratumCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, nBuckets: Int = 1024): DataFrame = {
     require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
       "weights must be non-negative")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__stratum")).orderBy(col("__u").desc, col(idCol))
+    require(nBuckets > 0, "nBuckets must be positive")
     val wExpr = weights.foldLeft(lit(defaultWeight)) {
       case (acc, (k, v)) => when(col("__stratum") === k, lit(v))
         .otherwise(acc)
     }
-    df.withColumn("__stratum",
+    val keyed = df.withColumn("__stratum",
         coalesce(col(stratumCol).cast("string"), lit(NullStratum)))
       .withColumn("__u", hashUniform(col(idCol), seed))
       .withColumn("__w", wExpr)
       .filter(col("__w") > 0)
+      // descending-order-aligned bucket: u ∈ [0,1) ⇒ floor(u·B) ∈ [0,B),
+      // reversed so bucket 0 holds the HIGHEST uniforms (the rank order)
+      .withColumn("__b",
+        (lit(nBuckets - 1) - floor(col("__u") * nBuckets)).cast("long"))
+    stratumBucketRank(keyed, "__stratum", "__b",
+        Seq(col("__u").desc, col(idCol)), "__rank")
       .withColumn("__interleave_key",
-        ((row_number().over(w).cast("double") - 1) + col("__u")) /
-          col("__w"))
-      .drop("__stratum", "__w")
+        ((col("__rank").cast("double") - 1) + col("__u")) / col("__w"))
+      .drop("__stratum", "__w", "__b", "__rank")
   }
 
   /** Deterministic train/validation/test assignment: each row lands in
@@ -266,27 +354,4 @@ object Sampling {
         col("cum_tokens"))
   }
 
-  def temperatureRates(df: DataFrame, stratumCol: String,
-      temperature: Double, targetFraction: Double): Map[String, Double] = {
-    require(temperature > 0, s"temperature must be > 0, got $temperature")
-    require(targetFraction > 0 && targetFraction <= 1,
-      s"targetFraction must be in (0, 1], got $targetFraction")
-    // NULL strata are counted under the NullStratum sentinel (the raw
-    // r.get(0).toString would NPE, and stratifiedSample's === match
-    // could never send rows back to a null key anyway)
-    val counts = df
-      .groupBy(coalesce(col(stratumCol).cast("string"),
-        lit(NullStratum)).as("__s"))
-      .agg(count(lit(1)).as("__n"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val powSum = counts.map { case (_, n) =>
-      math.pow(n.toDouble, temperature) }.sum
-    val total = counts.map(_._2).sum.toDouble
-    counts.map { case (s, n) =>
-      val m = targetFraction * total *
-        math.pow(n.toDouble, temperature) / powSum
-      s -> math.min(1.0, m / n.toDouble)
-    }.toMap
-  }
 }

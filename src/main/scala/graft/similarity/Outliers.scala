@@ -45,19 +45,27 @@ object Outliers {
 
   /** Top-k outliers per label: (label, id, dist, rank) with
     * dist = round(1 − cosine(vec, centroid)) and rank 1 = farthest.
-    * Ties on dist keep the LOWER id (the TopKByScore contract). */
+    * Ties on dist keep the LOWER id (the TopKByScore contract).
+    *
+    * NULL labels form their own group: the centroid groupBy keeps the
+    * NULL group natively, and the centroid join is NULL-SAFE (`<=>`,
+    * still a broadcast hash join) — a plain equi-join would silently
+    * drop every unlabeled vector, which are exactly the rows an outlier
+    * detector should surface. */
   def centroidOutliers(df: DataFrame, dim: Int, k: Int,
       labelCol: String = "label", vecCol: String = "embedding",
       idCol: String = "vec_id", roundDecimals: Int = 6): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val p = math.pow(10, roundDecimals)
     val cents = labelCentroids(df, dim, labelCol, vecCol, roundDecimals)
+      .withColumnRenamed("label", "__clabel")
     val dist = (floor(
       (lit(1.0) - Similarity.cosine(col(vecCol), col("centroid"))) * p +
         lit(0.5)) / p).as("__dist")
     df.select(col(labelCol).as("label"), col(idCol).cast("long").as("__id"),
         col(vecCol))
-      .join(broadcast(cents), Seq("label"))
+      .join(broadcast(cents), col("label") <=> col("__clabel"))
+      .drop("__clabel")
       .select(col("label"), col("__id"), dist)
       .groupBy(col("label"))
       .agg(graft.functions.TopKExpressions

@@ -216,36 +216,85 @@ object UnigramLm {
     * bounds ⌈n/3⌉ / ⌈2n/3⌉ (integral `div`), and the tie order
     * (ce, id) are all hash-exact cross-engine once ce is rounded to 6.
     *
-    * Scale: one rank window PER LANGUAGE (the bounded-stratum posture of
-    * [[graft.operators.Sampling.interleaveByWeight]] — a range-
-    * partitioned sort per stratum, the exact-semantics cost); at
-    * extreme scale swap the exact rank for `approx_percentile` cutoffs
-    * and the bucketing becomes map-only (the
-    * [[graft.text.Indexing.approxCorpusStats]] trade, documented not
-    * default). Docs with no tokens have no LM score: bucket `tail`,
+    * Scale: the per-language rank is the
+    * [[graft.operators.Sampling.stratumBucketRank]] two-phase plan —
+    * score rows bucket by a monotone linear map of ce onto each
+    * language's [min, max] range (order-aligned: equal ce ⇒ equal
+    * bucket), per-(lang, bucket) counts come back to the driver, and the
+    * exact window partitions by (lang, bucket) — so a dominant language
+    * (English at half a 100 TB corpus) never sorts in a single task.
+    * Bit-identical to the naive per-language window (a spec property).
+    * With `exact = false` the tertile CUTOFFS come from an
+    * `approx_percentile` sketch instead and the bucketing is map-only
+    * past one sketch aggregate — the operational path at extreme scale
+    * (the [[graft.text.Indexing.approxCorpusStats]] trade); bucket
+    * boundaries then carry the sketch's rank tolerance, `rank` is NULL,
+    * and outputs are no longer oracle-replayable (keep `exact = true`
+    * when bit-exactness matters).
+    *
+    * NULL languages are ranked under the reserved
+    * [[graft.operators.Sampling.NullStratum]] sentinel (the
+    * stratifiedExactK convention) — a raw NULL key would silently drop
+    * every null-lang scored doc at the tertile join (null keys never
+    * equi-join). Docs with no tokens have no LM score: bucket `tail`,
     * dropped. Returns (idCol, lang, ce, rank, bucket, keep). */
   def perplexityBuckets(docs: DataFrame, langCol: String = "lang",
       textCol: String = "text", idCol: String = "doc_id",
       middleRate: Double = 0.5, seed: Long = 42L,
-      model: DataFrame = null): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      model: DataFrame = null, exact: Boolean = true,
+      nBuckets: Int = 1024): DataFrame = {
     val ce = crossEntropy(docs, textCol, idCol, model)
       .select(col(idCol), round(col("cross_entropy"), 6).as("ce"))
+    // one row per doc (id, lang, ce) — barriered because the two-phase
+    // rank (or the sketch) plus the scoreless branch read it repeatedly,
+    // and recomputing means re-exploding the corpus each time
     val scored = docs.select(col(idCol),
-        col(langCol).cast("string").as("lang"))
+        coalesce(col(langCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("lang"))
       .join(ce, Seq(idCol), "left")
-    val wR = Window.partitionBy(col("lang"))
-      .orderBy(col("ce"), col(idCol))
-    val ranked = scored.filter(col("ce").isNotNull)
-      .withColumn("rank", row_number().over(wR).cast("long"))
-    val nPer = broadcast(ranked.groupBy(col("lang"))
-      .agg(count(lit(1)).as("__n")))
-    val bucketed = ranked.join(nPer, Seq("lang"))
-      .withColumn("bucket",
-        when(col("rank") <= expr("(__n + 2) div 3"), lit("head"))
-          .when(col("rank") <= expr("(2 * __n + 2) div 3"), lit("middle"))
-          .otherwise(lit("tail")))
-      .drop("__n")
+      .localCheckpoint(true)
+    val withCe = scored.filter(col("ce").isNotNull)
+    val bucketed =
+      if (exact) {
+        // order-aligned bucket: monotone linear map of ce onto the
+        // language's [min, max] span (broadcast |langs|-row dimension);
+        // equal ce ⇒ equal bucket, so (ce, id) ties stay inside a bucket
+        val span = broadcast(withCe.groupBy(col("lang"))
+          .agg(min(col("ce")).as("__lo"), max(col("ce")).as("__hi")))
+        val keyed = withCe.join(span, Seq("lang"))
+          .withColumn("__b",
+            when(col("__hi") === col("__lo"), lit(0L))
+              .otherwise(least(lit(nBuckets - 1),
+                floor((col("ce") - col("__lo")) /
+                  (col("__hi") - col("__lo")) * nBuckets)).cast("long")))
+          .drop("__lo", "__hi")
+        val ranked = graft.operators.Sampling.stratumBucketRank(
+            keyed, "lang", "__b", Seq(col("ce"), col(idCol)), "rank")
+          .drop("__b")
+        val nPer = broadcast(ranked.groupBy(col("lang"))
+          .agg(count(lit(1)).as("__n")))
+        ranked.join(nPer, Seq("lang"))
+          .withColumn("bucket",
+            when(col("rank") <= expr("(__n + 2) div 3"), lit("head"))
+              .when(col("rank") <= expr("(2 * __n + 2) div 3"),
+                lit("middle"))
+              .otherwise(lit("tail")))
+          .drop("__n")
+      } else {
+        // approx path: per-language tertile cutoffs from ONE
+        // approx_percentile sketch aggregate, then map-only bucketing;
+        // no rank exists (the sketch orders nothing)
+        val cuts = broadcast(withCe.groupBy(col("lang"))
+          .agg(percentile_approx(col("ce"),
+            array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("__c")))
+        withCe.join(cuts, Seq("lang"))
+          .withColumn("bucket",
+            when(col("ce") <= col("__c").getItem(0), lit("head"))
+              .when(col("ce") <= col("__c").getItem(1), lit("middle"))
+              .otherwise(lit("tail")))
+          .withColumn("rank", lit(null).cast("long"))
+          .drop("__c")
+      }
     val scoreless = scored.filter(col("ce").isNull)
       .withColumn("rank", lit(null).cast("long"))
       .withColumn("bucket", lit("tail"))

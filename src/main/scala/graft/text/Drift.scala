@@ -37,8 +37,15 @@ object Drift {
     val toks = TextAnalysis.tokens(col(textCol))
     // vocab×S-bounded and read three times (totals, vocab scaffold, the
     // left join) — barrier so the corpus explode+count runs ONCE
+    // NULL strata fall under the reserved Sampling.NullStratum sentinel:
+    // a raw NULL stratum key would never match the left join below (null
+    // keys don't equi-join), degenerating that stratum's distribution to
+    // pure smoothing mass, and the a < b pair filter would then drop its
+    // comparisons entirely — NULL-source documents would vanish from the
+    // drift matrix without signal.
     val counts = docs
-      .select(col(stratumCol).cast("string").as("stratum"),
+      .select(coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
         explode(toks).as("term"))
       .groupBy(col("stratum"), col("term"))
       .agg(count(lit(1)).as("c"))
@@ -92,9 +99,13 @@ object Drift {
     require(k > 0, s"k must be positive, got $k")
     require(stratumA != stratumB, "strata must differ")
     val toks = TextAnalysis.tokens(col(textCol))
+    // same sentinel convention as smoothedUnigrams — pass
+    // Sampling.NullStratum as stratumA/B to target the NULL stratum
+    val sentinel = coalesce(col(stratumCol).cast("string"),
+      lit(graft.operators.Sampling.NullStratum))
     val counts = docs
-      .filter(col(stratumCol).cast("string").isin(stratumA, stratumB))
-      .select(col(stratumCol).cast("string").as("stratum"),
+      .filter(sentinel.isin(stratumA, stratumB))
+      .select(sentinel.as("stratum"),
         explode(toks).as("term"))
       .groupBy(col("stratum"), col("term"))
       .agg(count(lit(1)).as("c"))

@@ -125,7 +125,58 @@ class CorpusAnalysisSpec extends SparkSuite {
       x.getAs[Double]("js") <= math.log(2) + 1e-9))
   }
 
+  test("drift: NULL stratum is a real stratum under the sentinel, not " +
+      "pure smoothing mass") {
+    import spark.implicits._
+    // two sources with disjoint unigrams, one of them keyed NULL: the
+    // old raw-NULL key never matched the scaffold's left join, so the
+    // NULL side degenerated to pure smoothing mass and the a < b pair
+    // filter dropped the comparison — the NULL source vanished entirely
+    val d = Seq(
+      (1L, "alpha alpha alpha", "crawl1"),
+      (2L, "alpha alpha beta", "crawl1"),
+      (3L, "gamma gamma gamma", null),
+      (4L, "gamma delta delta", null)).toDF("doc_id", "text", "source")
+    val r = Drift.unigramDrift(d).collect()
+    assert(r.length === 1)
+    val pair = (r.head.getString(0), r.head.getString(1))
+    assert(pair === (Sampling.NullStratum, "crawl1") ||
+      pair === ("crawl1", Sampling.NullStratum))
+    // disjoint vocabs drift hard — far from the near-zero divergence a
+    // smoothing-only distribution would show (add-one smoothing over the
+    // tiny joint vocab caps JS around 0.2 here, vs ~0 for no drift)
+    assert(r.head.getAs[Double]("js") > 0.15)
+    // drill-down targets the NULL stratum via the sentinel key
+    val top = Drift.driftTopTerms(d, Sampling.NullStratum, "crawl1", k = 2)
+      .collect()
+    assert(top.head.getString(0) === "gamma") // over-represented in NULL
+    assert(top.head.getAs[Long]("c_a") === 4L) // 3 in doc 3 + 1 in doc 4
+  }
+
   // ----------------------------------------------------------- Outliers
+
+  test("outliers: NULL labels form their own group instead of being " +
+      "dropped by the centroid join") {
+    import spark.implicits._
+    val rows = (
+      (1 to 5).map(i => (i.toLong, java.lang.Integer.valueOf(0),
+        Array(1.0f, 0.0f, 0.0f))) ++
+        Seq((10L, null.asInstanceOf[java.lang.Integer],
+            Array(0.0f, 1.0f, 0.0f)),
+          (11L, null.asInstanceOf[java.lang.Integer],
+            Array(0.0f, 1.0f, 0.0f)),
+          (12L, null.asInstanceOf[java.lang.Integer],
+            Array(1.0f, 0.0f, 0.0f)))  // the odd one out among NULLs
+      ).toDF("vec_id", "label", "embedding")
+    val r = Outliers.centroidOutliers(rows, dim = 3, k = 3).collect()
+    val nulls = r.filter(_.isNullAt(0))
+    // all three unlabeled vectors surface, ranked against the
+    // NULL-group centroid — vector 12 is the farthest
+    assert(nulls.length === 3)
+    assert(nulls.minBy(_.getAs[Int]("rank")).getAs[Long]("vec_id") === 12L)
+    // labeled group untouched by the null-safe join change
+    assert(r.count(!_.isNullAt(0)) === 3) // k=3 of the 5 label-0 rows
+  }
 
   test("outliers: planted far vector is rank 1 of its label") {
     import spark.implicits._

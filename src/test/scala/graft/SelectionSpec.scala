@@ -468,4 +468,121 @@ class SelectionSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     midKeep.foreach { case (id, k) => assert(k === u(id), s"doc $id") }
   }
+
+  /** Partition-spec widths of every Window in the optimized plan. */
+  private def windowPartitionWidths(df: DataFrame): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.length
+    }
+
+  test("interleaveByWeight: bit-identical to the naive per-stratum " +
+      "window, and no window ever partitions by the stratum alone") {
+    import org.apache.spark.sql.expressions.Window
+    val weights = Map("en" -> 2.0, "de" -> 1.0, "zh" -> 0.0)
+    val out = Sampling.interleaveByWeight(docs, "doc_id", "lang",
+      weights, defaultWeight = 0.5)
+    // the naive single-window formulation the two-phase plan replaces
+    val wExpr = weights.foldLeft(lit(0.5)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc) }
+    val naive = docs
+      .withColumn("__u", Sampling.hashUniform(col("doc_id"), 42L))
+      .withColumn("__w", wExpr).filter(col("__w") > 0)
+      .withColumn("key",
+        ((row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("__u").desc, col("doc_id"))).cast("double") - 1) +
+          col("__u")) / col("__w"))
+      .select(col("doc_id"), col("key"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = out.select(col("doc_id"), col("__interleave_key"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === naive) // exact doubles — integer rank + exact uniform
+    // plan guard: every window partitions by (stratum, bucket) — a
+    // 1-wide partition spec would be the single-task-per-stratum shape
+    val widths = windowPartitionWidths(
+      Sampling.interleaveByWeight(docs, "doc_id", "lang", weights))
+    assert(widths.nonEmpty && widths.forall(_ >= 2), s"widths $widths")
+    // tiny bucket count stresses bucket-boundary ties; still identical
+    val coarse = Sampling.interleaveByWeight(docs, "doc_id", "lang",
+        weights, defaultWeight = 0.5, nBuckets = 3)
+      .select(col("doc_id"), col("__interleave_key"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(coarse === naive)
+  }
+
+  test("ccnet buckets: two-phase rank bit-identical to the naive " +
+      "per-language window; plan never partitions by language alone") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.text.UnigramLm.perplexityBuckets(docs)
+    val ce = graft.text.UnigramLm.crossEntropy(docs)
+      .select(col("doc_id"), round(col("cross_entropy"), 6).as("ce"))
+    val naive = docs.select(col("doc_id"), col("lang"))
+      .join(ce, Seq("doc_id"), "left").filter(col("ce").isNotNull)
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("lang")).orderBy(col("ce"), col("doc_id")))
+        .cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = out.filter(col("rank").isNotNull)
+      .select(col("doc_id"), col("rank"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive)
+    val widths = windowPartitionWidths(
+      graft.text.UnigramLm.perplexityBuckets(docs))
+    assert(widths.nonEmpty && widths.forall(_ >= 2), s"widths $widths")
+    // degenerate span (all ce equal within a language) collapses to one
+    // bucket but stays correct: ranks are still 1..n by id
+    import spark.implicits._
+    val flat = Seq((1L, "x x", "aa"), (2L, "x x", "aa"), (3L, "x x", "aa"))
+      .toDF("doc_id", "text", "lang")
+    val fr = graft.text.UnigramLm.perplexityBuckets(flat)
+      .select("doc_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fr === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("ccnet buckets: NULL languages rank under the sentinel instead " +
+      "of vanishing at the tertile join") {
+    import spark.implicits._
+    val withNulls = docs.select(col("doc_id"), col("text"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"))
+    val res = graft.text.UnigramLm.perplexityBuckets(withNulls)
+    // every input doc appears exactly once — nothing dropped
+    assert(res.count() === docs.count())
+    val nullLang = res.filter(col("lang") === Sampling.NullStratum)
+    val expected = withNulls.filter(col("lang").isNull).count()
+    assert(nullLang.count() === expected && expected > 0)
+    // the sentinel stratum is a real stratum: scored docs get ranks and
+    // ceil-tertile bucket sizes like any other language
+    val scored = nullLang.filter(col("rank").isNotNull)
+    val n = scored.count()
+    assert(n > 0)
+    assert(scored.filter(col("bucket") === "head").count() ===
+      (n + 2) / 3)
+  }
+
+  test("ccnet buckets: approx-cutoff variant agrees with exact tertiles " +
+      "within sketch tolerance, and is map-only past the sketch") {
+    val exact = graft.text.UnigramLm.perplexityBuckets(docs)
+      .select(col("doc_id"), col("bucket").as("b_exact"))
+    val approx = graft.text.UnigramLm.perplexityBuckets(docs,
+      exact = false)
+    // no rank exists on the approx path
+    assert(approx.filter(col("rank").isNotNull).count() === 0)
+    // no window at all in the approx plan — bucketing is map-only past
+    // the percentile sketch aggregate
+    assert(windowPartitionWidths(approx).isEmpty)
+    val joined = exact.join(
+      approx.select(col("doc_id"), col("bucket").as("b_approx")),
+      Seq("doc_id"))
+    val n = joined.count()
+    val agree = joined.filter(col("b_exact") === col("b_approx")).count()
+    // at accuracy 10000 on a few-thousand-doc fixture the sketch ranks
+    // are near-exact; disagreement is confined to cutoff boundaries
+    assert(agree.toDouble / n > 0.95, s"agree $agree/$n")
+    // keep policy semantics hold on the approx path too
+    val a = approx.collect()
+    assert(a.filter(_.getString(4) == "head").forall(_.getBoolean(5)))
+    assert(a.filter(_.getString(4) == "tail").forall(!_.getBoolean(5)))
+  }
 }

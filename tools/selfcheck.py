@@ -28,6 +28,20 @@ def compare(name, spark_df, duck_df):
     bad = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-drift gate: the driver's hash is TYPE-sensitive, so an
+        # integer column on one side vs a float on the other (e.g. a
+        # DuckDB HUGEINT window sum serialized as float64 against a Spark
+        # BIGINT) hash-fails even when every value compares equal. The
+        # old float-fallback path silently passed exactly that case
+        # (q_token_budget, round 6). NULL-bearing int columns legitimately
+        # arrive as float64 from BOTH engines, so only flag when the
+        # integer side is genuinely integer-typed.
+        ik, fk = ("iu", "f")
+        if (av.dtype.kind in ik and bv.dtype.kind in fk) or \
+           (av.dtype.kind in fk and bv.dtype.kind in ik):
+            bad.append(
+                f"{c}: DTYPE drift spark={av.dtype} duck={bv.dtype} "
+                f"(driver hash is type-sensitive — cast the oracle)")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float); bv = bv.astype(float)
             neq = ~((av == bv) | (av.isna() & bv.isna()) |
