@@ -43,6 +43,9 @@ object ScaleProbe {
       intervalProbe(spark, n); return
     }
     if (args.headOption.contains("shards")) { shardsProbe(spark, n); return }
+    if (args.headOption.contains("interleave")) {
+      interleaveProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -415,6 +418,63 @@ object ScaleProbe {
       f"two_phase=${(t1 - t0) / 1e9}%.1f s (shards=${twoPhase._1}) " +
       f"global_window=${(t2 - t1) / 1e9}%.1f s (shards=${naive._1}) " +
       f"equal=${twoPhase == naive}")
+    spark.stop()
+  }
+
+  /** Per-stratum-rank probe: grow ONE dominant stratum (90% of rows) and
+    * compare the two-phase `Sampling.stratumBucketRank` interleave plan
+    * against the naive `Window.partitionBy(stratum)` formulation — wall
+    * time AND the longest single task. The naive plan's max task tracks
+    * the dominant stratum (it sorts it whole in one task); the two-phase
+    * plan's stays roughly flat as the stratum grows 10×, because no task
+    * ever sorts more than ~1/1024 of a stratum. Usage:
+    *   SPARK_GRAFT_PROBE_N=2000000 sbt "runMain graft.ScaleProbe interleave"
+    */
+  private def interleaveProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val weights = Map("en" -> 2.0, "de" -> 1.0)
+    for (size <- Seq(n, n * 10)) {
+      // 90% "en": one stratum dominates, the single-task worst case
+      val docs = spark.range(size).select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(10)) < 9, lit("en")).otherwise(lit("de"))
+            .as("lang"))
+        .localCheckpoint(true)
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          var cur = maxTask.get()
+          while (d > cur && !maxTask.compareAndSet(cur, d))
+            cur = maxTask.get()
+        }
+      }
+      def timed(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        maxTask.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        Bench.run(df)
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        (secs, maxTask.get())
+      }
+      val (tp, tpMax) = timed(graft.operators.Sampling.interleaveByWeight(
+        docs, "doc_id", "lang", weights))
+      val wExpr = when(col("lang") === "en", lit(2.0))
+        .when(col("lang") === "de", lit(1.0)).otherwise(lit(1.0))
+      val (nv, nvMax) = timed(docs
+        .withColumn("__u",
+          graft.operators.Sampling.hashUniform(col("doc_id"), 42L))
+        .withColumn("__w", wExpr)
+        .withColumn("__interleave_key",
+          ((row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))
+            .orderBy(col("__u").desc, col("doc_id"))).cast("double") - 1) +
+            col("__u")) / col("__w")))
+      println(f"SCALE_PROBE interleave n=$size " +
+        f"two_phase=$tp%.1f s (max_task=${tpMax}ms) " +
+        f"stratum_window=$nv%.1f s (max_task=${nvMax}ms)")
+    }
     spark.stop()
   }
 }

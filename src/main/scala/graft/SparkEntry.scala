@@ -655,6 +655,20 @@ object SparkEntry {
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_b"), 6).as("mean_b"))
     }),
+    "q_video_mp4_meta" -> ((s, dir) => {
+      // REAL ISO-BMFF container parse, no codec: synthetic mp4s with a
+      // closed-form moov tree (two-entry stts, v0 boxes) are re-parsed
+      // from their BYTES — brand, timescale, duration, track dims and
+      // the summed sample count all hash-check against the oracle's
+      // analytic statement, and n_bytes pins the writer's structure
+      // (the box sizes are constant by construction).
+      import graft.multimodal.Multimodal._
+      val media = syntheticMp4s(table(s, dir, "documents"), "doc_id")
+      mp4Meta(media).select(col("media_id"), col("n_bytes"),
+        col("decoded"), col("major_brand"), col("timescale"),
+        col("duration"), round(col("duration_s"), 6).as("duration_s"),
+        col("n_tracks"), col("width"), col("height"), col("n_samples"))
+    }),
     // -------------------------------- training-data: selection & mixture
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup with the fixed literal IVF centroids (same ones as
@@ -1189,6 +1203,63 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id",
         graft.text.TextAnalysis.wsTokenCount(col("text")),
         tokensPerShard = 20000L, seed = 7L)),
+    "q_shards_files" -> ((s, dir) => {
+      // q_shards puts the LAYOUT COMPUTATION under the oracle; this puts
+      // the DISK ARTIFACT under it: writeTrainingShards materializes
+      // shard=i/ parquet + _manifest.json, and the query re-reads BOTH —
+      // per-doc rows from the partitioned files, per-shard counts from
+      // the manifest JSON (schema-pinned, no inference) — so a drifting
+      // writer, a dropped row, or a stale manifest all hash-fail.
+      val docs = table(s, dir, "documents")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_shards_" + digest).getAbsolutePath
+      graft.operators.Packing.writeTrainingShards(docs, path, "doc_id",
+        graft.text.TextAnalysis.wsTokenCount(col("text")),
+        tokensPerShard = 20000L, seed = 7L)
+      val mSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tokens_per_shard",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seed",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_buckets",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("shards",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("shard",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_docs",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_tokens",
+                org.apache.spark.sql.types.LongType)))))))
+      // Spark's file index hides "_"-prefixed files (metadata convention)
+      // even when named directly, so the manifest bytes come through the
+      // Hadoop FS API and parse via a one-row Dataset[String]
+      val mPath = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+      val fs = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val in = fs.open(mPath)
+      val mJson = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val manifest = s.read.schema(mSchema).option("multiLine", true)
+        .json(s.createDataset(Seq(mJson))(
+          org.apache.spark.sql.Encoders.STRING))
+        .select(explode(col("shards")).as("m"))
+        .select(col("m.shard").as("shard"),
+          col("m.n_docs").as("shard_docs"),
+          col("m.n_tokens").as("shard_tokens"))
+      s.read.parquet(path)
+        .select(col("doc_id"), col("u"), col("global_start"),
+          col("shard").cast("long").as("shard"))
+        .join(broadcast(manifest), Seq("shard"))
+        .select(col("doc_id"), col("u"), col("global_start"), col("shard"),
+          col("shard_docs"), col("shard_tokens"))
+    }),
     "q_approx_stats" -> ((s, dir) =>
       // sketch-based per-source profile — the declared 100 TB scale path
       // of q_corpus_stats: HLL distinct terms + KLL percentile sketches.
@@ -2382,6 +2453,22 @@ object SparkEntry {
         |  round(list_sum(list_transform(range(nf),
         |    k -> (doc_id * 83 + k * 5) % 256)) / nf::DOUBLE, 6) AS mean_b
         |FROM v""".stripMargin,
+    // mp4 container parse: every field is the synthetic writer's closed
+    // form; n_bytes = 332 pins the constant box-tree size (16 ftyp +
+    // 304 moov + 12 mdat)
+    "q_video_mp4_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id, 600 * (doc_id % 4 + 1) AS ts,
+        |    100 * (doc_id % 3 + 1) AS delta, doc_id % 20 + 5 AS ns,
+        |    16 * (doc_id % 8 + 2) AS w, 16 * (doc_id % 6 + 2) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 332::INT AS n_bytes, TRUE AS decoded,
+        |  'isom' AS major_brand, ts::BIGINT AS timescale,
+        |  (ns * delta)::BIGINT AS duration,
+        |  round((ns * delta)::DOUBLE / ts, 6) AS duration_s,
+        |  1::INT AS n_tracks, w::BIGINT AS width, h::BIGINT AS height,
+        |  ns::BIGINT AS n_samples
+        |FROM p""".stripMargin,
     // Generated oracles (constants shared with the Spark side — see the
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,
@@ -3186,6 +3273,31 @@ object SparkEntry {
         |SELECT doc_id, u, bucket, n_tokens, global_start,
         |  global_start // 20000 AS shard
         |FROM c""".stripMargin,
+    // shard FILES: the q_shards naive replay extended with per-shard
+    // window counts — what the manifest must agree with. The Spark side
+    // reads these from DISK (partitioned parquet + manifest JSON), so
+    // this row hash-checks the written artifact, not just the plan.
+    "q_shards_files" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 7)), 1, 16))
+        |      ::UBIGINT >> 11) / 9007199254740992.0 AS u,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, u, n_tokens,
+        |    (sum(n_tokens) OVER (ORDER BY u, doc_id) - n_tokens)::BIGINT
+        |      AS global_start
+        |  FROM d),
+        |sh AS (SELECT doc_id, u, global_start, n_tokens,
+        |    global_start // 20000 AS shard
+        |  FROM c)
+        |SELECT doc_id, u, global_start, shard,
+        |  (count(*) OVER (PARTITION BY shard))::BIGINT AS shard_docs,
+        |  (sum(n_tokens) OVER (PARTITION BY shard))::BIGINT
+        |    AS shard_tokens
+        |FROM sh""".stripMargin,
     "q_knn_rp" -> knnRpOracle,
     "q_multi_dedup" -> multiDedupOracle,
     "q_classifier_train" -> classifierTrainOracle(iters = 2),

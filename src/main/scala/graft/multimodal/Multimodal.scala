@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
   * frame sequence with `javax.imageio`'s GIF reader (frame count, dims,
   * per-frame delay metadata → duration/fps, exact channel means across
   * all frames) and [[sampleVideoFrames]] is real frame sampling — every
-  * `stride`-th frame decoded and re-encoded as PNG. Container codecs the
-  * JDK lacks (mp4/webm) go through [[decodeStub]] — the batching/schema
-  * contract is identical, and a javacv decoder drops into the same
-  * `mapPartitions` slot without changing any plan shape.
+  * `stride`-th frame decoded and re-encoded as PNG. mp4 CONTAINER
+  * metadata parses for real too — [[mp4Meta]] walks the ISO-BMFF box
+  * tree in pure bytes (brand, timescale/duration, track dims, sample
+  * counts), no codec needed. Only frame-PIXEL decode for codecs the JDK
+  * lacks (h264/vp9 inside mp4/webm) goes through [[decodeStub]] — the
+  * batching/schema contract is identical, and a javacv decoder drops
+  * into the same `mapPartitions` slot without changing any plan shape.
   *
   * Scale design (100 TB): media rows are fat (MBs each), so the
   * partitioner must balance *bytes*, not row counts —
@@ -754,6 +757,191 @@ object Multimodal {
           } finally iis.close()
         } catch {
           case scala.util.control.NonFatal(_) => Seq.empty[Row]
+        }
+      }
+    }(enc).toDF()
+  }
+
+  // ------------------------------------------------ mp4 container parse
+
+  /** Closed-form synthetic-mp4 parameters, shared with the DuckDB oracle
+    * (the [[checkerColors]] convention): movie timescale, per-sample
+    * delta, sample count, 16.16 track dimensions — all functions of the
+    * id alone. */
+  private[graft] def mp4Timescale(id: Long): Long = 600L * (id % 4 + 1)
+  private[graft] def mp4Delta(id: Long): Long = 100L * (id % 3 + 1)
+  private[graft] def mp4Samples(id: Long): Long = id % 20 + 5
+  private[graft] def mp4Width(id: Long): Long = 16L * (id % 8 + 2)
+  private[graft] def mp4Height(id: Long): Long = 16L * (id % 6 + 2)
+
+  /** Generate REAL ISO-BMFF (mp4) container bytes per row: ftyp + a full
+    * moov tree (mvhd, trak{tkhd, mdia{mdhd, minf{stbl{stts}}}}) + a
+    * token mdat, version-0 boxes, and a TWO-entry stts so the parser's
+    * multi-entry sample summation is exercised. No codec is involved —
+    * the container STRUCTURE is the artifact under test, and every field
+    * (and the total byte size, which is constant by construction) is a
+    * closed form of `id` the oracle states analytically. */
+  def syntheticMp4s(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val ts = mp4Timescale(id); val delta = mp4Delta(id)
+        val ns = mp4Samples(id); val dur = ns * delta
+        val w = mp4Width(id); val h = mp4Height(id)
+        def u32(vals: Long*): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+          vals.foreach(v => b.putInt((v & 0xffffffffL).toInt))
+          b.array()
+        }
+        def box(typ: String, payload: Array[Byte]): Array[Byte] =
+          u32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+        // unity transform matrix (16.16 / 2.30 fixed point)
+        val matrix = u32(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0,
+          0x40000000L)
+        val ftyp = box("ftyp",
+          "isom".getBytes("ISO-8859-1") ++ u32(0L))
+        val mvhd = box("mvhd", u32(0L, 0L, 0L, ts, dur,
+          0x00010000L,        // rate 1.0
+          0x01000000L,        // volume 1.0 + 2 reserved bytes
+          0L, 0L) ++ matrix ++ u32(0L, 0L, 0L, 0L, 0L, 0L, 2L))
+        val tkhd = box("tkhd", u32(7L,   // v0, flags enabled|in-movie
+          0L, 0L, 1L,         // creation, modification, track_id
+          0L, dur, 0L, 0L,    // reserved, duration, reserved×2
+          0L, 0L) ++ matrix ++ u32(w << 16, h << 16))
+        val mdhd = box("mdhd", u32(0L, 0L, 0L, ts, dur,
+          0x55c40000L))       // language 'und' + predefined
+        val stts = box("stts",
+          u32(0L, 2L, ns - 1, delta, 1L, delta))
+        val moov = box("moov", mvhd ++ box("trak", tkhd ++
+          box("mdia", mdhd ++ box("minf", box("stbl", stts)))))
+        val mdat = box("mdat", Array[Byte](0, 1, 2, 3))
+        val bytes = ftyp ++ moov ++ mdat
+        Row(id, "video", bytes,
+          Row("mp4", w.toInt, h.toInt,
+            math.round(dur * 1000.0 / ts)))
+      }
+    }(enc).toDF()
+  }
+
+  /** Output schema of the mp4 container parser. */
+  val mp4MetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("major_brand", StringType, nullable = true),
+    StructField("timescale", LongType, nullable = true),
+    StructField("duration", LongType, nullable = true),
+    StructField("duration_s", DoubleType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true)
+  ))
+
+  /** Box-tree walker over one mp4 byte array. Handles 64-bit largesize
+    * boxes (size == 1), to-end boxes (size == 0), version-0 AND
+    * version-1 mvhd/tkhd, and sums sample counts across every stts of
+    * every track. Truncated/corrupt subtrees stop cleanly (partial
+    * fields stay unset) instead of throwing. */
+  private[graft] final class Mp4Walk(bytes: Array[Byte]) {
+    var brand: String = _
+    var timescale: Long = -1
+    var duration: Long = -1
+    var nTracks: Int = 0
+    var width: Long = -1
+    var height: Long = -1
+    var nSamples: Long = 0
+    var sawMoov = false
+    private def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    private def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    private def fourcc(o: Int): String =
+      new String(bytes, o, 4, "ISO-8859-1")
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off.toInt)
+        val typ = fourcc(off.toInt + 4)
+        var hdr = 8L
+        if (size == 1 && off + 16 <= end) {
+          size = u64(off.toInt + 8); hdr = 16
+        } else if (size == 0) size = end - off
+        if (size < hdr || off + size > end) return // corrupt: stop clean
+        val p = (off + hdr).toInt
+        typ match {
+          case "ftyp" if brand == null && size >= hdr + 4 =>
+            brand = fourcc(p)
+          case "moov" => sawMoov = true; walk(off + hdr, off + size)
+          case "trak" => nTracks += 1; walk(off + hdr, off + size)
+          case "mdia" | "minf" | "stbl" => walk(off + hdr, off + size)
+          case "mvhd" if size >= hdr + 4 =>
+            val v = bytes(p) & 0xff
+            if (v == 1 && size >= hdr + 32) {
+              timescale = u32(p + 20); duration = u64(p + 24)
+            } else if (v == 0 && size >= hdr + 20) {
+              timescale = u32(p + 12); duration = u32(p + 16)
+            }
+          case "tkhd" if width < 0 && size >= hdr + 4 =>
+            val v = bytes(p) & 0xff
+            val woff = if (v == 1) 88 else 76 // past matrix, v1 has 64-bit times
+            if (size >= hdr + woff + 8) {
+              width = u32(p + woff) >> 16
+              height = u32(p + woff + 4) >> 16
+            }
+          case "stts" if size >= hdr + 8 =>
+            val n = u32(p + 4)
+            var i = 0L
+            while (i < n && off + hdr + 8 + i * 8 + 8 <= off + size) {
+              nSamples += u32((p + 8 + i * 8).toInt)
+              i += 1
+            }
+          case _ => ()
+        }
+        off += size
+      }
+    }
+  }
+
+  /** REAL mp4/ISO-BMFF CONTAINER parse — pure byte walking, no codec:
+    * ftyp major brand, mvhd timescale/movie duration (v0 and v1),
+    * first-tkhd 16.16 track dimensions, trak count, total sample count
+    * over every stts entry. This is the metadata a 100 TB video ingest
+    * filters and validates on (duration caps, resolution gates,
+    * corrupt-container rejection) WITHOUT decoding a frame — frame-pixel
+    * decode stays behind [[decodeStub]] (the JDK ships no h264/vp9
+    * codec; reference pipeline shape at tape's batch UDF boundary).
+    * Bytes without a parseable moov+mvhd yield `decoded = false` with
+    * null fields — the same poisoned-row containment as the other
+    * decoders. One iterator pass, no shuffle. */
+  def mp4Meta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mp4MetaSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        try {
+          val wk = new Mp4Walk(bytes)
+          wk.walk(0L, bytes.length.toLong)
+          if (wk.sawMoov && wk.timescale > 0)
+            Row(id, bytes.length, true, wk.brand, wk.timescale,
+              wk.duration, wk.duration.toDouble / wk.timescale,
+              wk.nTracks,
+              if (wk.width >= 0) wk.width else null,
+              if (wk.height >= 0) wk.height else null,
+              wk.nSamples)
+          else
+            Row(id, bytes.length, false, null, null, null, null, null,
+              null, null, null)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Row(id, bytes.length, false, null, null, null, null, null,
+              null, null, null)
         }
       }
     }(enc).toDF()

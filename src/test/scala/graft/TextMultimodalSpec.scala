@@ -355,6 +355,74 @@ class TextMultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeVideo(bad).collect()(0).getBoolean(2) === false)
   }
 
+  test("multimodal: REAL mp4 container parse recovers the synthetic " +
+      "moov tree exactly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 25)
+    val media = Multimodal.syntheticMp4s(docs, "doc_id")
+    // generated bytes open with a real ftyp box
+    val hdr = media.filter(col("media_id") === 0)
+      .select(col("bytes")).collect()(0).getAs[Array[Byte]](0)
+    assert(new String(hdr.slice(4, 8), "US-ASCII") === "ftyp")
+    assert(hdr.length === 332) // constant box tree by construction
+    val feats = Multimodal.mp4Meta(media).collect()
+    assert(feats.length === 25)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(2), s"mp4 $id failed to parse")
+      assert(r.getInt(1) === 332)
+      assert(r.getString(3) === "isom")
+      assert(r.getLong(4) === Multimodal.mp4Timescale(id))
+      val dur = Multimodal.mp4Samples(id) * Multimodal.mp4Delta(id)
+      assert(r.getLong(5) === dur)
+      assert(r.getDouble(6) ===
+        dur.toDouble / Multimodal.mp4Timescale(id))
+      assert(r.getInt(7) === 1)
+      assert(r.getLong(8) === Multimodal.mp4Width(id))
+      assert(r.getLong(9) === Multimodal.mp4Height(id))
+      // two stts entries sum back to the sample count
+      assert(r.getLong(10) === Multimodal.mp4Samples(id))
+    }
+  }
+
+  test("multimodal: mp4 parser handles v1 boxes, largesize and corrupt " +
+      "bytes") {
+    def u32(vals: Long*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+      vals.foreach(v => b.putInt((v & 0xffffffffL).toInt))
+      b.array()
+    }
+    def u64(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    // version-1 mvhd: 64-bit creation/modification/duration
+    val mvhdV1 = box("mvhd", u32(0x01000000L) ++ u64(0) ++ u64(0) ++
+      u32(700L) ++ u64(4200L) ++ new Array[Byte](80))
+    // moov wrapped as a LARGESIZE box (size == 1 + u64 real size)
+    val inner = mvhdV1
+    val moovLarge = u32(1L) ++ "moov".getBytes("ISO-8859-1") ++
+      u64(16L + inner.length) ++ inner
+    val ftyp = box("ftyp", "mp42".getBytes("ISO-8859-1") ++ u32(0L))
+    val wk = new Multimodal.Mp4Walk(ftyp ++ moovLarge)
+    wk.walk(0L, (ftyp.length + moovLarge.length).toLong)
+    assert(wk.sawMoov && wk.brand === "mp42")
+    assert(wk.timescale === 700L && wk.duration === 4200L)
+    // corrupt: a box claiming to run past the buffer stops cleanly
+    val bad = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L)) ++
+      u32(1000L) ++ "moov".getBytes("ISO-8859-1")
+    val wk2 = new Multimodal.Mp4Walk(bad)
+    wk2.walk(0L, bad.length.toLong)
+    assert(!wk2.sawMoov && wk2.brand === "isom")
+    // garbage bytes are flagged not thrown by the DataFrame operator
+    import spark.implicits._
+    val junk = Seq((1L, "video", "not an mp4 at all".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "bytes")
+    val out = Multimodal.mp4Meta(junk).collect()
+    assert(out.length === 1 && !out(0).getBoolean(2))
+    assert(out(0).isNullAt(3) && out(0).isNullAt(4))
+  }
+
   test("PII: counts and ordered redaction on crafted strings") {
     import spark.implicits._
     val rows = Seq(
