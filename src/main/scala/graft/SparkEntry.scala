@@ -388,6 +388,19 @@ object SparkEntry {
         round(punctRatio(col("text")), 6).as("punct_ratio"),
         round(meanWordLen(col("text")), 6).as("mean_word_len"))
     }),
+    "q_normalize" -> ((s, dir) => {
+      // unicode canonicalization under the oracle: deterministically
+      // dirtied text (combining accents NFC must compose, a C0 control
+      // char, ragged whitespace) cleaned by the native codegen'd NFC
+      // expression + control strip + whitespace collapse. DuckDB
+      // replays with ITS OWN nfc_normalize — two independent NFC
+      // implementations must agree byte for byte on every document.
+      val dirty = concat(lit("  e\u0301\u0001\t"), col("text"),
+        lit(" A\u030A  "))
+      val clean = graft.text.TextAnalysis.cleanText(dirty)
+      table(s, dir, "documents").select(col("doc_id"),
+        clean.as("clean"), length(clean).as("n_clean"))
+    }),
     "q_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals (duplicate-line and
       // duplicate-n-gram fractions). Docs with id % 7 == 0 are doubled
@@ -548,6 +561,21 @@ object SparkEntry {
           PqOracleCodebooks)
         .select(col("query_id"), col("neighbor_id"),
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+    }),
+    "q_knn_sq" -> ((s, dir) => {
+      // SQ8 scalar-quantized ANN (faiss SQ8 shape): per-dim min/max from
+      // one corpus aggregate → 8-bit codes + a stored reconstruction
+      // norm (1 byte/dim + 8 bytes vs 4 bytes/dim), searched by the
+      // asymmetric trick — one int-array dot against broadcast per-query
+      // weights, codes never dequantized. Params, codes, norms, biases
+      // and scores all replay bit-for-bit in the oracle's SQL.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (mins, scales) = graft.similarity.Similarity.sq8Params(emb, 64)
+      val codes = graft.similarity.Similarity.sq8Encode(emb, mins, scales)
+      graft.similarity.Similarity.knnSq8(codes, queries, k = 5,
+        mins, scales)
     }),
     "q_ann_ivf_indexed" -> ((s, dir) => {
       // The ON-DISK form of q_ann_ivf: the corpus is persisted as a
@@ -970,6 +998,15 @@ object SparkEntry {
       // AND key values hash-match
       graft.operators.Sampling.stratifiedExactK(
         table(s, dir, "documents"), "doc_id", "lang", k = 30)),
+    "q_weighted_sample" -> ((s, dir) =>
+      // WEIGHTED exact-k without replacement (Efraimidis–Spirakis A-ES):
+      // top-20 docs per source keyed on ln(u)/w with weight = n_chars —
+      // quality-weighted mixture selection. Key quantized with the
+      // floor(x·1e6+0.5)/1e6 chain before the bounded-heap selection, so
+      // ids, ranks AND keys hash-match the oracle's window replay
+      graft.operators.Sampling.weightedExactK(
+        table(s, dir, "documents"), "doc_id", "source",
+        col("n_chars"), k = 20)),
     "q_quality_classifier" -> ((s, dir) => {
       // fastText-shaped hashed linear quality scorer: md5-derived weight
       // family (the same derivation the oracle replays — no 4096-literal
@@ -1084,6 +1121,29 @@ object SparkEntry {
         syntheticTexturedImages(docs.unionByName(planted), "doc_id")
       dhashImages(media).select(col("media_id"), col("width"),
         col("height"), col("dhash"))
+    }),
+    "q_doc_line_dedup" -> ((s, dir) => {
+      // Dolma/RedPajama dedupe_paragraphs: WITHIN-document repeated
+      // lines drop, keeping the FIRST occurrence — map-only higher-order
+      // expressions, zero shuffle (vs q_line_dedup's corpus-GLOBAL
+      // boilerplate ban). Docs are re-lined into 10-token lines (the
+      // flat synthetic text has no newlines); docs % 5 == 0 are
+      // self-appended so genuine within-doc repeats exist; cleaned
+      // text and counts hash-match the oracle's indexed-filter replay.
+      val docs = table(s, dir, "documents")
+      val ts = split(trim(col("text")), "\\s+")
+      val nl = ceil(size(ts) / lit(10.0)).cast("int")
+      val lined = docs.select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, lit(""))
+          .otherwise(concat_ws("\n",
+            transform(sequence(lit(0), nl - 1),
+              i => array_join(slice(ts, i * 10 + 1, lit(10)), " "))))
+          .as("text"))
+      val planted = lined.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\n"), col("text")))
+          .otherwise(col("text")))
+      graft.dedup.Dedup.dedupWithinDocLines(planted, "text", "doc_id")
     }),
     "q_line_dedup" -> ((s, dir) => {
       // C4/RefinedWeb-style global line dedup: the corpus is re-lined
@@ -2293,6 +2353,21 @@ object SparkEntry {
         | round(CASE WHEN len(trim(text)) = 0 THEN 0.0
         |   ELSE list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), t -> len(t))) / len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE END, 6) AS mean_word_len
         |FROM documents""".stripMargin,
+    // unicode cleanup: chr(769)=U+0301 combining acute (e+́ → é under
+    // NFC), chr(778)=U+030A combining ring (A+̊ → Å), chr(1) stripped
+    // as C0 control; both engines' independent NFC agree byte-for-byte
+    "q_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |    '  e' || chr(769) || chr(1) || chr(9) || text ||
+        |      ' A' || chr(778) || '  ' AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM d)
+        |SELECT doc_id, clean, length(clean)::INT AS n_clean FROM c"""
+        .stripMargin,
     "q_quality_langid" ->
       """WITH d AS (
         |  SELECT doc_id, text,
@@ -2542,6 +2617,48 @@ object SparkEntry {
     // cell-partitioned layout, so it shares the oracle
     "q_ann_ivf_indexed" -> annIvfOracle,
     "q_knn_pq" -> knnPqOracle,
+    // SQ8: per-dim min/max params, 8-bit codes, bin-center norms, the
+    // asymmetric (bias + w·c)/(‖q‖·norm) score — all exact-IEEE replay
+    "q_knn_sq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT u.j, min(u.x) AS mn, max(u.x) AS mx
+        |  FROM (SELECT unnest([{'j': i, 'x': v[i]}
+        |      for i in range(1, 65)]) AS u FROM e)
+        |  GROUP BY u.j),
+        |prm AS (SELECT list(mn ORDER BY j) AS mins,
+        |    list((mx - mn) / 256.0 ORDER BY j) AS scales FROM p),
+        |c AS (SELECT vec_id,
+        |    [CASE WHEN scales[j] = 0 THEN 0 ELSE least(255,
+        |      floor((v[j] - mins[j]) / (scales[j] * 256.0) * 256.0))::INT
+        |      END for j in range(1, 65)] AS code
+        |  FROM e, prm),
+        |cn AS (SELECT vec_id, code,
+        |    sqrt(list_dot_product(
+        |      [mins[j] + (code[j] + 0.5) * scales[j]
+        |        for j in range(1, 65)],
+        |      [mins[j] + (code[j] + 0.5) * scales[j]
+        |        for j in range(1, 65)])) AS nrm
+        |  FROM c, prm),
+        |q AS (SELECT vec_id AS query_id,
+        |    list_dot_product(v, [mins[j] + 0.5 * scales[j]
+        |      for j in range(1, 65)]) AS bias,
+        |    sqrt(list_dot_product(v, v)) AS qnorm,
+        |    [v[j] * scales[j] for j in range(1, 65)] AS w
+        |  FROM e, prm WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, cn.vec_id AS neighbor_id,
+        |    CASE WHEN q.qnorm * cn.nrm = 0 THEN 0.0
+        |      ELSE round((q.bias +
+        |        list_dot_product(cn.code::DOUBLE[], q.w)) /
+        |        (q.qnorm * cn.nrm), 6) END AS cosine_sq
+        |  FROM q CROSS JOIN cn),
+        |r AS (SELECT query_id, neighbor_id, cosine_sq, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine_sq DESC,
+        |      neighbor_id ASC)::INT AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cosine_sq, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q_stetson_j" -> stetsonJOracle,
     "q_sf2" -> sf2SizeOracle,
     // the distributed twin executes the SAME size-binning formula the
@@ -2725,6 +2842,24 @@ object SparkEntry {
         |  FROM u)
         |SELECT stratum, rank::INT AS rank, doc_id, u
         |FROM r WHERE rank <= 30""".stripMargin,
+    // A-ES weighted sampling: the naive per-stratum window over the
+    // quantized ln(u)/w key — the engine's bounded-heap aggregate
+    // selects the identical set (spec-pinned heap ≡ window)
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT source AS stratum, doc_id,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u,
+        |    n_chars::DOUBLE AS w
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |s AS (SELECT stratum, doc_id,
+        |    floor((ln(u) / w) * 1000000.0 + 0.5) / 1000000.0 AS key
+        |  FROM t),
+        |r AS (SELECT stratum, doc_id, key, row_number() OVER (
+        |    PARTITION BY stratum ORDER BY key DESC, doc_id ASC) AS rank
+        |  FROM s)
+        |SELECT stratum, rank::INT AS rank, doc_id, key
+        |FROM r WHERE rank <= 20""".stripMargin,
     "q_quality_classifier" ->
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
@@ -3005,6 +3140,30 @@ object SparkEntry {
     // global line dedup: re-line the corpus into 10-token lines, count
     // every line corpus-wide, drop lines with count >= 3 everywhere,
     // rebuild each doc in original line order
+    // within-doc line dedup: the identical re-lining, self-append
+    // planting, and the indexed list_filter first-occurrence rule
+    "q_doc_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |lined AS (SELECT doc_id, CASE WHEN len(ts) = 0 THEN ''
+        |    ELSE array_to_string(
+        |      [array_to_string(ts[(i*10+1):(i*10+10)], ' ')
+        |        for i in range(0, ceil(len(ts)/10.0)::INT)], chr(10)) END
+        |    AS t
+        |  FROM toks),
+        |pl AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN t || chr(10) || t ELSE t END AS t FROM lined),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM pl)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(ls,
+        |    (x, i) -> list_position(ls, x) = i), chr(10)) AS text,
+        |  len(ls)::BIGINT AS n_lines,
+        |  (len(ls) - len(list_filter(ls,
+        |    (x, i) -> list_position(ls, x) = i)))::BIGINT
+        |    AS n_removed_lines
+        |FROM l""".stripMargin,
     "q_line_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -776,6 +776,39 @@ object Dedup {
         sum(col("__drop").cast("long")).as("n_removed_lines"))
   }
 
+  /** WITHIN-document line dedup — the complement of
+    * [[removeRepeatedLines]] (which bans corpus-GLOBAL boilerplate):
+    * inside each document, keep only the FIRST occurrence of every line
+    * (the Dolma/RedPajama `dedupe_paragraphs` rule — scraped pages
+    * repeat nav blocks and templated paragraphs within one page). Line
+    * order is preserved; a line is a duplicate only of an EARLIER line
+    * in the SAME document. Returns (idCol, textCol, n_lines,
+    * n_removed_lines).
+    *
+    * Scale design (100 TB): MAP-ONLY — zero shuffle, zero aggregation.
+    * The whole operation is higher-order expressions per row (split →
+    * indexed filter keeping positions where `array_position` finds the
+    * first match → re-join), so it composes into any scan and
+    * parallelizes embarrassingly. The split array is bound ONCE
+    * ([[graft.text.TextAnalysis.bind]]) so the per-line lambda touches a
+    * lambda variable, not a re-evaluated subtree; the first-occurrence
+    * probe is O(lines²) string compares per document — bounded by
+    * document size, the same class as shingling. */
+  def dedupWithinDocLines(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val ls0 = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val res = graft.text.TextAnalysis.bind(ls0) { ls =>
+      val kept = filter(ls, (x, i) =>
+        array_position(ls, x) === (i + 1).cast("long"))
+      struct(array_join(kept, sep).as("t"),
+        size(ls).cast("long").as("n"),
+        (size(ls) - size(kept)).cast("long").as("r"))
+    }
+    df.select(col(idCol), res.as("__r"))
+      .select(col(idCol), col("__r.t").as(textCol),
+        col("__r.n").as("n_lines"), col("__r.r").as("n_removed_lines"))
+  }
+
   // ------------------------------------------- cross-source overlap matrix
 
   /** Pairwise exact-content overlap between corpus sources: for every

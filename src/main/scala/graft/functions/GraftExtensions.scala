@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_md5long",
         "graft_md5long(text) - md5-derived 64-bit hash (oracle-stable)"),
       (args: Seq[Expression]) => HashExpressions.Md5Long(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC normalization (codegen'd)"),
+      (args: Seq[Expression]) => NormalizeExpression.NfcNormalize(args(0))))
     // Composed functions are hand-built as RESOLVED catalyst trees: the
     // Column→Expression bridge yields unresolved function nodes that the
     // SQL path never re-analyzes (internal codegen error), so the trees

@@ -105,6 +105,45 @@ object Sampling {
         col("col.neighbor_id").as(idCol), col("col.cosine").as("u"))
   }
 
+  /** WEIGHTED exact-k per-stratum sample without replacement — the
+    * Efraimidis–Spirakis A-ES scheme ("Weighted random sampling with a
+    * reservoir", IPL 2006): each row keys on `ln(u)/w` for the seeded
+    * md5 uniform u and weight w, and the k LARGEST keys per stratum are
+    * a weighted sample without replacement (equivalent to drawing
+    * without replacement with probability ∝ w at every step — the
+    * quality-weighted complement of [[stratifiedExactK]]'s uniform
+    * draw). Deterministic and engine-replayable: keys are quantized to
+    * 6 decimals with the floor(x·1e6 + 0.5)/1e6 chain BEFORE selection
+    * (ln is only ulp-reproducible cross-engine — the bm25 ranking
+    * convention), ties keep the LOWER id.
+    *
+    * Planned as the bounded-heap top-k AGGREGATE with map-side partials
+    * (never a per-stratum window — the [[stratifiedExactK]] posture):
+    * a giant stratum reduces to ≤ partitions·k heap entries before the
+    * exchange. Rows with NULL or non-positive weight never sample
+    * (weight 0 = excluded, matching [[interleaveByWeight]]). NULL
+    * strata fall under the reserved [[NullStratum]] key. `idCol` must
+    * be integral. Returns (stratum, rank, idCol, key), rank 1 = largest
+    * key. */
+  def weightedExactK(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: Column, k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = hashUniform(col(idCol), seed)
+    val w = weightCol.cast("double")
+    val key = floor((log(u) / w) * 1e6 + lit(0.5)) / 1e6
+    df.filter(w.isNotNull && w > 0)
+      .select(
+        coalesce(col(stratumCol).cast("string"), lit(NullStratum))
+          .as("stratum"),
+        col(idCol).cast("long").as("__id"), key.as("__key"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKExpressions
+        .topKByScore(col("__key"), col("__id"), k).as("__top"))
+      .select(col("stratum"), posexplode(col("__top")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as(idCol), col("col.cosine").as("key"))
+  }
+
   /** Temperature-scaled mixture rates (the multilingual-sampling scheme of
     * mBERT/XLM-R, p_s ∝ share_s^τ): given per-stratum row counts n_s,
     * target sampled sizes m_s = F·N·(n_s^τ / Σ n_s'^τ) for overall target

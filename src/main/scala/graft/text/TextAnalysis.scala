@@ -35,6 +35,20 @@ object TextAnalysis {
     * produces the identical key — the backbone of exact dedup. */
   def fingerprintMd5(c: Column): Column = md5(normalizeText(c))
 
+  /** Ingest-grade unicode cleanup (ftfy-lite), run BEFORE any hashing /
+    * dedup / tokenization so cross-encoding duplicates (precomposed `é`
+    * vs `e`+combining acute) collapse: NFC-compose (native codegen
+    * expression — see [[graft.functions.NormalizeExpression]]), strip C0
+    * control characters (except `\t`/`\n`/`\r`, which the next step
+    * absorbs as whitespace) and DEL, collapse whitespace runs to one
+    * space, trim. Unlike [[normalizeText]] (a LOSSY lowercase
+    * fingerprint KEY), cleanText is the text ITSELF after cleanup —
+    * case preserved. Map-only; allocation-free on already-clean ASCII. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.functions.NormalizeExpression.nfcNormalize(c),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "\\s+", " "))
+
   /** One-pass char-class statistics struct (native kernel; see
     * graft.functions.TextStatsExpression for field semantics). */
   def textStats(c: Column): Column =

@@ -166,6 +166,50 @@ class CurationOpsSpec extends SparkSuite {
     assert(res.toSet === expected)
   }
 
+  test("weightedExactK: heavy weights dominate, equal weights reduce " +
+      "to the uniform order, non-positive weights never sample") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // A-ES keys: ln(u)/w → a 1e6× weight puts the key ~1e6× closer to
+    // 0 than any light row's, so ALL heavy rows outrank all light ones
+    val mixed = ((1L to 10L).map(i => (i, "s", 1.0e6)) ++
+      (101L to 120L).map(i => (i, "s", 1.0e-3))).toDF("doc_id", "src", "w")
+    val top = Sampling.weightedExactK(mixed, "doc_id", "src",
+        col("w"), k = 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(top === (1L to 10L).toSet)
+    // equal weights: ln(u)/1 is monotone in u, so the selected SET and
+    // ORDER equal stratifiedExactK's uniform draw
+    val df = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val wk = Sampling.weightedExactK(df, "doc_id", "lang", lit(1.0),
+        k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val uk = Sampling.stratifiedExactK(df, "doc_id", "lang", k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(wk.toSet === uk.toSet)
+    // zero/negative/null weights are excluded entirely
+    val guarded = ((1L to 5L).map(i => (i, "s", 2.0)) ++
+      Seq((6L, "s", 0.0), (7L, "s", -1.0)))
+      .toDF("doc_id", "src", "w")
+      .unionByName(Seq((8L, "s", null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "src", "w"))
+    val kept = Sampling.weightedExactK(guarded, "doc_id", "src",
+      col("w"), k = 10).collect().map(_.getLong(2)).toSet
+    assert(kept === (1L to 5L).toSet)
+    // plan guard: bounded-heap aggregate, never a per-stratum window
+    val plan = Sampling.weightedExactK(df, "doc_id", "lang", lit(1.0),
+      k = 10).queryExecution.optimizedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+    // layout determinism
+    val again = Sampling.weightedExactK(df.repartition(7), "doc_id",
+        "lang", lit(1.0), k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSet === wk.toSet)
+  }
+
   // --------------------------------------------------- quality classifier
 
   test("classifier: hand-computed score, empty doc, weight monotonicity") {

@@ -383,6 +383,32 @@ class DedupSpec extends SparkSuite {
     assert(floodRes === xxRes)
   }
 
+  test("dedupWithinDocLines keeps first occurrences in order, is " +
+      "per-document, and plans map-only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb"),  // dups of a and b inside one doc
+      (2L, "a\nz"),           // 'a' repeats ACROSS docs — both kept
+      (3L, ""),               // empty text: one empty line, kept
+      (4L, "x\nx\nx\nx")).toDF("doc_id", "text")
+    val res = graft.dedup.Dedup.dedupWithinDocLines(docs, "text", "doc_id")
+    val got = res.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("a\nb\nc", 5L, 2L))) // order kept, first wins
+    assert(got(2L) === (("a\nz", 2L, 0L)))    // cross-doc repeat untouched
+    assert(got(3L) === (("", 1L, 0L)))
+    assert(got(4L) === (("x", 4L, 3L)))
+    // map-only contract: no aggregate, no join, no exchange — the whole
+    // op is per-row higher-order expressions
+    val plan = res.queryExecution.optimizedPlan
+    assert(plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case r: org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionOperation => r
+    }.isEmpty, plan.toString)
+  }
+
   test("removeRepeatedLines drops corpus-frequent lines, keeps order, " +
       "and keeps fully-boilerplate docs with empty text") {
     import spark.implicits._

@@ -39,6 +39,23 @@ class SqlExtensionsSpec extends SparkSuite {
     assert(r.getDouble(1) === apiU)
   }
 
+  test("graft_nfc composes from SQL and equals the Scala API") {
+    // NB: Spark SQL chr() wraps mod 256, so the combining acute must be
+    // a \u escape in the literal, not chr(769)
+    val r = spark.sql(
+      "SELECT graft_nfc('e\\u0301') AS c, " +
+        "length(graft_nfc('e\\u0301')) AS n, " +
+        "graft_nfc(NULL) AS z").collect()(0)
+    assert(r.getString(0) === "\u00e9") // precomposed e-acute
+    assert(r.getInt(1) === 1)
+    assert(r.isNullAt(2))
+    import org.apache.spark.sql.functions.lit
+    val api = spark.range(1).select(
+      graft.functions.NormalizeExpression.nfcNormalize(lit("e\u0301")))
+      .collect()(0).getString(0)
+    assert(api === r.getString(0))
+  }
+
   test("non-literal int parameter is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array(1L), cast(rand()*4 as int))")

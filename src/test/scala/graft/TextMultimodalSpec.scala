@@ -423,6 +423,37 @@ class TextMultimodalSpec extends SparkSuite {
     assert(out(0).isNullAt(3) && out(0).isNullAt(4))
   }
 
+  test("cleanText: NFC composition, control strip, whitespace collapse, " +
+      "idempotence; the NFC expression is real codegen") {
+    import spark.implicits._
+    import graft.text.TextAnalysis.cleanText
+    val df = Seq(
+      (1L, "  e\u0301\u0001\tx   y  "), // decomposed accent + C0 + ragged ws
+      (2L, "plain ascii"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = df.select(col("id"), cleanText(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("\u00e9 x y")) // composed é, one-space, trimmed
+    assert(out(2L) === Some("plain ascii")) // already clean: unchanged
+    assert(out(3L) === Some(""))
+    assert(out(4L) === None) // null in, null out
+    // idempotent: cleaning clean text is the identity
+    val twice = df.filter(col("id") === 1L)
+      .select(cleanText(cleanText(col("t")))).collect()(0).getString(0)
+    assert(twice === "\u00e9 x y")
+    // real doGenCode: over a non-foldable source (a literal-only frame
+    // constant-folds to LocalTableScan) the projection compiles into a
+    // whole-stage-codegen span — the "*(1)" stage marker — and the
+    // generated code evaluates correctly
+    val ranged = spark.range(4).select(
+      graft.functions.NormalizeExpression.nfcNormalize(
+        concat(lit("e\u0301 "), col("id").cast("string"))).as("c"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("*(1)"))
+    assert(ranged.collect().map(_.getString(0)).toSeq ===
+      (0 until 4).map(i => s"\u00e9 $i"))
+  }
+
   test("PII: counts and ordered redaction on crafted strings") {
     import spark.implicits._
     val rows = Seq(
