@@ -1105,6 +1105,71 @@ object SparkEntry {
       graft.text.UnigramLm.bigramCrossEntropy(table(s, dir, "documents"))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("cross_entropy"), 6).as("cross_entropy"))),
+    "q_c4_filter" -> ((s, dir) => {
+      // C4 page cleaning (Raffel et al. 2020 §2.2) on deterministically
+      // planted pages: every doc gains a terminal-punct main line, a
+      // too-short line, an unpunctuated line, and (by doc_id arithmetic)
+      // the published page-drop markers — lorem ipsum (%13) and a curly
+      // brace (%11); %5 docs get only one sentence so the min-sentence
+      // rule also separates. Map-only; the oracle replays every rule.
+      val planted = concat(col("text"), lit("."),
+        when(col("doc_id") % 5 =!= 0,
+          lit(" Extra tail sentence with words!")).otherwise(lit("")),
+        lit("\ntiny.\nno terminal punctuation line"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\njson { payload here.")).otherwise(lit("")))
+      graft.text.HeuristicFilters.c4Clean(
+        table(s, dir, "documents").withColumn("text", planted),
+        minLineWords = 3, minSentences = 2)
+    }),
+    "q_gopher_filter" -> ((s, dir) => {
+      // Gopher quality rules (Rae et al. 2021 A1) with planted
+      // violations: %9 docs drown in bullet lines, %7 docs end lines in
+      // ellipses, %13 docs carry symbol spam; word-count and stopword
+      // signals vary naturally. minWords lowered to 30 for the synthetic
+      // docs (published 50 would reject the whole fixture uniformly).
+      val planted = concat(col("text"),
+        when(col("doc_id") % 9 === 0, concat_ws("", (1 to 9).map(i =>
+          lit(s"\n• bullet $i")): _*)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nread more...\nclick here...\nsee also..."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" ## ## ## ## ##")).otherwise(lit("")))
+      graft.text.HeuristicFilters.gopherFilter(
+        table(s, dir, "documents").withColumn("text", planted),
+        minWords = 30)
+    }),
+    "q_tfidf_pairs" -> ((s, dir) => {
+      // sparse all-pairs TF-IDF cosine: two planted low-df tag terms per
+      // doc carry the pair structure. The df cap is CONSTANT (30) while
+      // the planted tag modulus scales with N (df ≈ 24 at every SF), so
+      // the output and the pair work grow LINEARLY with the corpus —
+      // exactly the operator's 100 TB survival story (pair work ≤
+      // maxDf · corpus tokens); the corpus's natural stop-frequency
+      // vocabulary prunes at the cap. Weights/norms touch ≤ 2 terms per
+      // doc, so every float is bit-exact cross-engine before the rounded
+      // threshold.
+      val docs = table(s, dir, "documents")
+      val m = math.max(docs.count() / 12, 1L)
+      val tagged = docs.withColumn("text",
+        concat(col("text"),
+          lit(" tag"), (col("doc_id") % m).cast("string"),
+          lit(" tag"), ((col("doc_id") * 7) % m).cast("string")))
+      graft.text.Indexing.tfidfCosinePairs(tagged, "doc_id", "text",
+        threshold = 0.4, maxDf = 30)
+    }),
+    "q_pca" -> ((s, dir) =>
+      // distributed PCA: two corpus aggregates (quantized means, exploded
+      // outer-product covariance) + driver power iteration with deflation
+      // (8 quantized steps per component) + map-only projection. The
+      // oracle replays the ENTIRE trajectory — covariance, both argmax
+      // starts, all 16 matvec/normalize steps, the deflation — in
+      // generated SQL, so pc1/pc2 are hash-checked end to end.
+      graft.similarity.Pca.fitProject(table(s, dir, "embeddings"),
+        idCol = "vec_id", nComponents = 2, iters = 8)),
     "q_image_dhash" -> ((s, dir) => {
       // image near-dup fingerprinting: REAL PNG decode → integer-exact
       // 9×8 box downsample → 64-bit perceptual dHash (cross-multiplied
@@ -3102,6 +3167,104 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  round(-avg(logp), 6) AS cross_entropy
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // C4 line/page rules replayed: same planted page, same terminal-punct
+    // + >=3-word line filter, sentence proxy = [.!?] count in kept text,
+    // page markers on the RAW planted text
+    "q_c4_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || '.' ||
+        |    CASE WHEN doc_id % 5 <> 0 THEN ' Extra tail sentence with words!' ELSE '' END ||
+        |    chr(10) || 'tiny.' || chr(10) || 'no terminal punctuation line' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'json { payload here.' ELSE '' END AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 3) AS kept
+        |  FROM d),
+        |c AS (SELECT doc_id, text,
+        |    array_to_string(kept, chr(10)) AS clean_text,
+        |    len(kept)::BIGINT AS n_lines_kept,
+        |    len(ls)::BIGINT AS n_lines_total,
+        |    len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))::BIGINT AS n_sentences,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace
+        |  FROM k)
+        |SELECT doc_id, clean_text, n_lines_kept, n_lines_total,
+        |  n_sentences, has_lorem, has_brace,
+        |  (n_sentences >= 2 AND NOT has_lorem AND NOT has_brace) AS keep
+        |FROM c""".stripMargin,
+    // Gopher A1 rules replayed: identical planted text, every signal the
+    // same integer-exact ratio rounded to 6, keep composed from the
+    // ROUNDED signals exactly as the engine does
+    "q_gopher_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 9 = 0 THEN chr(10) || '• bullet 1' || chr(10) || '• bullet 2' || chr(10) || '• bullet 3' || chr(10) || '• bullet 4' || chr(10) || '• bullet 5' || chr(10) || '• bullet 6' || chr(10) || '• bullet 7' || chr(10) || '• bullet 8' || chr(10) || '• bullet 9' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'read more...' || chr(10) || 'click here...' || chr(10) || 'see also...' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' ## ## ## ## ##' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM d),
+        |s AS (SELECT doc_id,
+        |    len(ts)::BIGINT AS n_words,
+        |    round(CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(ts, x -> len(x))) / len(ts)::DOUBLE END, 6) AS mean_word_len,
+        |    round(CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) / len(ts)::DOUBLE END, 6) AS symbol_word_ratio,
+        |    round(CASE WHEN len(ls) = 0 THEN 0.0
+        |      ELSE len(list_filter(ls, x -> starts_with(trim(x), '•') OR starts_with(trim(x), '- '))) / len(ls)::DOUBLE END, 6) AS bullet_line_frac,
+        |    round(CASE WHEN len(ls) = 0 THEN 0.0
+        |      ELSE len(list_filter(ls, x -> ends_with(trim(x), '...'))) / len(ls)::DOUBLE END, 6) AS ellipsis_line_frac,
+        |    round(CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) / len(ts)::DOUBLE END, 6) AS alpha_word_frac,
+        |    len(list_filter(ts, x -> list_contains(['the','be','to','of','and','that','have','with'], x)))::BIGINT AS n_stopword_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        |  n_stopword_hits,
+        |  (n_words >= 30 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_word_ratio <= 0.1 AND bullet_line_frac < 0.9
+        |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |    AND n_stopword_hits >= 2) AS keep
+        |FROM s""".stripMargin,
+    // sparse TF-IDF pair cosine: same tags, same integer-div df cap, the
+    // identical w = tf·ln(N/df) scalar (every per-doc float touches <= 2
+    // terms, so norms and dots are bit-exact before the rounded
+    // threshold)
+    "q_tfidf_pairs" ->
+      """WITH md AS (SELECT greatest(count(*) // 12, 1) AS m FROM documents),
+        |d AS (SELECT doc_id,
+        |    text || ' tag' || (doc_id % (SELECT m FROM md))::VARCHAR
+        |         || ' tag' || ((doc_id * 7) % (SELECT m FROM md))::VARCHAR AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM d),
+        |tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+        |  WHERE len(term) > 0 GROUP BY term, doc_id),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+        |  HAVING count(*) >= 1 AND count(*) <= 30),
+        |w AS MATERIALIZED (SELECT t.doc_id, t.term,
+        |    t.tf * ln((SELECT count(*) FROM documents)::DOUBLE / f.df) AS w
+        |  FROM tf t JOIN dfq f USING (term)),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |c AS (SELECT id_a, id_b,
+        |    round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM p JOIN nrm na ON na.doc_id = id_a
+        |         JOIN nrm nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
+    "q_pca" -> pcaOracle,
     // image dHash: the oracle never touches a codec — PNG is lossless,
     // so it recomputes every pixel from the deterministic texture
     // function, box-assigns cells with the same integer division, and
@@ -3703,6 +3866,63 @@ object SparkEntry {
        |  GROUP BY cell, u.j)
        |SELECT c1.cell, c1.j::INT AS dim, coalesce(m2.x, c1.x) AS coord
        |FROM c1 LEFT JOIN m2 ON c1.cell = m2.cell AND c1.j = m2.j""".stripMargin
+  }
+
+  /** Distributed PCA replayed END TO END in generated SQL: quantized
+    * per-dim means, the centered covariance (quantized with the shared
+    * floor(x·10⁶ + 0.5)/10⁶ idiom), then — for each of the 2 components —
+    * the argmax-diagonal basis start and all 8 power-iteration steps
+    * (matvec, norm, quantized normalize), the quantized eigenvalue,
+    * rank-1 deflation with the same left-associated λ·vᵢ·vⱼ product
+    * order, and the final centered-dot projections rounded to 6. Every
+    * DECISION (argmax, quantized iterates) runs on quantized values, so
+    * the trajectory is engine-exact; the only cross-engine float noise
+    * lives below the quantization grid. */
+  private def pcaOracle: String = {
+    val Q = "1000000.0"
+    def iters(tag: String, mat: String, n: Int): String =
+      (1 to n).map { t =>
+        val prev = if (t == 1) s"v${tag}_0" else s"v${tag}_${t - 1}"
+        s"""s${tag}_$t AS MATERIALIZED (SELECT c.i AS i, sum(c.cv * p.val) AS w
+           |  FROM $mat c JOIN $prev p ON c.j = p.i GROUP BY c.i),
+           |n${tag}_$t AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nw FROM s${tag}_$t),
+           |v${tag}_$t AS MATERIALIZED (SELECT i, floor(w / (SELECT nw FROM n${tag}_$t) * $Q + 0.5) / $Q AS val
+           |  FROM s${tag}_$t),""".stripMargin
+      }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |idx AS (SELECT unnest(range(1, 65))::INT AS i),
+       |mu AS (SELECT i.i AS i, floor(avg(e.v[i.i]) * $Q + 0.5) / $Q AS m
+       |  FROM e, idx i GROUP BY i.i),
+       |ml AS (SELECT list(m ORDER BY i) AS l FROM mu),
+       |ce AS MATERIALIZED (
+       |  SELECT vec_id, [v[k] - m.l[k] for k in range(1, 65)] AS c
+       |  FROM e CROSS JOIN ml m),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+       |cw AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |    floor(sum(ce.c[a.i] * ce.c[b.i]) / (SELECT n FROM nn) * $Q + 0.5) / $Q AS cv
+       |  FROM ce, idx a, idx b GROUP BY a.i, b.i),
+       |v1_0 AS (SELECT i.i AS i,
+       |    CASE WHEN i.i = (SELECT i FROM cw WHERE i = j ORDER BY cv DESC, i ASC LIMIT 1)
+       |      THEN 1.0 ELSE 0.0 END AS val
+       |  FROM idx i),
+       |${iters("1", "cw", 8)}
+       |l1 AS (SELECT floor((SELECT nw FROM n1_8) * $Q + 0.5) / $Q AS l),
+       |c2m AS MATERIALIZED (
+       |  SELECT c.i, c.j,
+       |    floor((c.cv - (SELECT l FROM l1) * a.val * b.val) * $Q + 0.5) / $Q AS cv
+       |  FROM cw c JOIN v1_8 a ON a.i = c.i JOIN v1_8 b ON b.i = c.j),
+       |v2_0 AS (SELECT i.i AS i,
+       |    CASE WHEN i.i = (SELECT i FROM c2m WHERE i = j ORDER BY cv DESC, i ASC LIMIT 1)
+       |      THEN 1.0 ELSE 0.0 END AS val
+       |  FROM idx i),
+       |${iters("2", "c2m", 8)}
+       |p1 AS (SELECT list(val ORDER BY i) AS v FROM v1_8),
+       |p2 AS (SELECT list(val ORDER BY i) AS v FROM v2_8)
+       |SELECT ce.vec_id,
+       |  round(list_dot_product(ce.c, (SELECT v FROM p1)), 6) AS pc1,
+       |  round(list_dot_product(ce.c, (SELECT v FROM p2)), 6) AS pc2
+       |FROM ce""".stripMargin
   }
 
   /** SemDeDup replayed in SQL: the identical literal-centroid cell

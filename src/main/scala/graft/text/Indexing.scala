@@ -82,6 +82,67 @@ object Indexing {
       .filter(col("df") >= minDf)
   }
 
+  /** Sparse all-pairs TF-IDF cosine similarity above a threshold — the
+    * lexical (bag-of-words) counterpart of the embedding near-dup pairs:
+    * finds document pairs whose PRUNED tf-idf vectors point the same way,
+    * without ever materializing dense vectors or comparing all O(n²)
+    * pairs.
+    *
+    * Pipeline: per-(term, doc) tf → per-term df → PRUNE terms with
+    * df > `maxDf` or df < `minDf` → weight w = tf · ln(N/df) → per-doc
+    * norm over the kept vocabulary → postings self-join on term
+    * (id_a < id_b) → one aggregate per pair sums the dot product →
+    * cosine = dot/(norm_a·norm_b), thresholded on the ROUNDED value so an
+    * engine's last-ulp noise can't flip a boundary pair.
+    *
+    * Scale design (the classic all-pairs-similarity bound): candidate
+    * pair work is Σ_term df², and with df capped at `maxDf` that is
+    * ≤ maxDf · Σ_term df = maxDf · (total corpus tokens) — LINEAR in the
+    * corpus for a constant cap. The cap is also semantically right:
+    * stopword-frequency terms carry idf ≈ 0 and contribute nothing to
+    * cosine, so pruning them changes little but removes exactly the
+    * terms whose df² explodes (a 10⁸-doc stopword would otherwise emit
+    * 10¹⁶ candidate rows). Per-term skew inside the cap is AQE's
+    * skew-join case. Documents whose kept vocabulary is empty have no
+    * norm and appear in no pair (they have no tf-idf direction).
+    *
+    * Returns (id_a, id_b, cosine) with cosine rounded to 6. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long, minDf: Long = 1L): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"threshold must be in [0,1]: $threshold")
+    require(minDf >= 1 && maxDf >= minDf,
+      s"bad df bounds [$minDf, $maxDf]")
+    val td = termDoc(docs, idCol, textCol)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // inner join = the vocabulary prune; idf on the broadcast N
+    val w = td.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("doc_id"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val pairs = w.as("a")
+      .join(w.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("id_a"),
+        col("norm").as("__na")), Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"),
+        col("norm").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (col("__na") * col("__nb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Sketch-based corpus profile — the 100 TB scale path of exact
     * per-source profiling (q_corpus_stats): per source,
     * `approx_count_distinct` (HyperLogLog++) replaces the exact distinct

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Pca
+import graft.text.{HeuristicFilters, Indexing}
+
+/** Round-7 additions: published heuristic filter rule sets (C4, Gopher),
+  * sparse TF-IDF all-pairs similarity, and distributed power-iteration
+  * PCA. */
+class FiltersSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------- C4
+
+  test("c4Clean: line rules keep exactly terminal-punct lines with >=3 words") {
+    val docs = Seq(
+      (1L, "This line ends well.\nno punct here\nShort.\n" +
+        "Another good sentence here!\nA third one with words?")
+    ).toDF("doc_id", "text")
+    val r = HeuristicFilters.c4Clean(docs, minSentences = 2).head()
+    assert(r.getAs[String]("clean_text") ===
+      "This line ends well.\nAnother good sentence here!\n" +
+        "A third one with words?")
+    assert(r.getAs[Long]("n_lines_kept") === 3L)
+    assert(r.getAs[Long]("n_lines_total") === 5L)
+    assert(r.getAs[Long]("n_sentences") === 3L)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("c4Clean: page rules drop lorem ipsum, braces, short pages") {
+    val docs = Seq(
+      (1L, "A fine sentence stands here.\nAnd another one follows it."),
+      (2L, "Lorem Ipsum dolor sit amet.\nAnd another one follows it."),
+      (3L, "A config { block } lurks.\nAnd another one follows it."),
+      (4L, "Only one real sentence here.")
+    ).toDF("doc_id", "text")
+    val keep = HeuristicFilters.c4Clean(docs, minSentences = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("c4Clean: closing quote is terminal; empty text yields empty page") {
+    val docs = Seq(
+      (1L, "He said the whole \"quote.\"\nplain trailer"),
+      (2L, "")).toDF("doc_id", "text")
+    val rows = HeuristicFilters.c4Clean(docs, minSentences = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("clean_text"), r.getAs[Boolean]("keep")))).toMap
+    assert(rows(1L)._1 === "He said the whole \"quote.\"")
+    assert(rows(1L)._2)
+    assert(rows(2L)._1 === "" && !rows(2L)._2)
+  }
+
+  // --------------------------------------------------------------- Gopher
+
+  test("gopherFilter: every signal computed; clean doc passes") {
+    val good = ("the quick brown fox jumps over and over with " +
+      "calm delight of that fine morning to be sure").trim
+    val docs = Seq((1L, good)).toDF("doc_id", "text")
+    val r = HeuristicFilters.gopherFilter(docs, minWords = 10).head()
+    assert(r.getAs[Long]("n_words") === 18L)
+    assert(r.getAs[Double]("alpha_word_frac") === 1.0)
+    assert(r.getAs[Long]("n_stopword_hits") >= 2L)
+    assert(r.getAs[Double]("bullet_line_frac") === 0.0)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("gopherFilter: each published rule fails its crafted violator") {
+    val base = "the meaning of life and all that have with it " // 10 words
+    val docs = Seq(
+      (1L, base * 2),                                    // passes (20 words)
+      (2L, "the of and"),                                // too few words
+      (3L, base + "#### ## # ## ## # ## # # #"),         // symbol ratio
+      (4L, "• one\n• two\n• three\n• four"),             // bullets
+      (5L, base + "\nsee more...\nread on...\nnext..."), // ellipsis lines
+      (6L, base + "12 34 56 78 90 11 22 33 44 55 66"),   // alpha-word frac
+      (7L, "zq qz zzz qqq www eee rrr ttt yyy uuu iii")  // no stopwords
+    ).toDF("doc_id", "text")
+    val got = HeuristicFilters.gopherFilter(docs, minWords = 15)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(got(1L))
+    assert(!got(2L) && !got(3L) && !got(4L) && !got(5L) && !got(6L) &&
+      !got(7L))
+    // boundary: bullet fraction is strict-less-than 0.9
+    val d4 = HeuristicFilters.gopherFilter(docs, minWords = 1)
+      .filter(col("doc_id") === 4L).head()
+    assert(d4.getAs[Double]("bullet_line_frac") === 1.0)
+  }
+
+  test("gopherFilter: empty document emits zero signals and fails") {
+    val r = HeuristicFilters.gopherFilter(
+      Seq((1L, "")).toDF("doc_id", "text")).head()
+    assert(r.getAs[Long]("n_words") === 0L)
+    assert(r.getAs[Double]("mean_word_len") === 0.0)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  // --------------------------------------------------- TF-IDF pair cosine
+
+  test("tfidfCosinePairs: hand-computed cosine on a 3-doc corpus") {
+    // vocab after prune (maxDf=2): terms in <=2 docs. "common" (df 3)
+    // must be pruned; "alpha" df 2, "beta"/"gamma" df 1.
+    val docs = Seq(
+      (1L, "common alpha alpha beta"),
+      (2L, "common alpha"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val got = Indexing.tfidfCosinePairs(docs, "doc_id", "text",
+      threshold = 0.0, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // w(alpha, d1) = 2 ln(3/2), w(beta, d1) = ln 3; w(alpha, d2) = ln(3/2)
+    val wa1 = 2 * math.log(3.0 / 2); val wb1 = math.log(3.0)
+    val wa2 = math.log(3.0 / 2)
+    val exp12 = wa1 * wa2 /
+      (math.sqrt(wa1 * wa1 + wb1 * wb1) * wa2)
+    assert(math.abs(got((1L, 2L)) - exp12) < 1e-6)
+    // doc 3 shares no kept term with anyone: no pair rows
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("tfidfCosinePairs: identical docs hit cosine 1; threshold gates") {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val all = Indexing.tfidfCosinePairs(docs, "doc_id", "text",
+      threshold = 0.99, maxDf = 10).collect()
+    assert(all.length === 1)
+    assert(all.head.getLong(0) === 1L && all.head.getLong(1) === 2L)
+    assert(all.head.getDouble(2) === 1.0)
+  }
+
+  test("tfidfCosinePairs: maxDf prune keeps pair work off stop terms") {
+    // "the" appears in every doc; with maxDf = 2 it generates no pairs
+    val docs = (1L to 6L).map(i => (i, s"the unique$i token$i"))
+      .toDF("doc_id", "text")
+    val got = Indexing.tfidfCosinePairs(docs, "doc_id", "text",
+      threshold = 0.0, maxDf = 2)
+    assert(got.count() === 0L)
+  }
+
+  // -------------------------------------------------------------- PCA
+
+  test("pca: recovers the dominant axis of an anisotropic cloud") {
+    // points spread along (1, 1, 0)/sqrt(2) with small noise off-axis
+    val rows = (0 until 200).map { i =>
+      val t = (i - 100) / 10.0
+      val n = ((i * 37) % 13 - 6) / 50.0
+      (i.toLong, Seq(t + n, t - n, n / 2).map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, nComponents = 2, iters = 12)
+    val c1 = m.components(0)
+    val s = 1 / math.sqrt(2)
+    // direction match up to sign
+    val dot = math.abs(c1(0) * s + c1(1) * s)
+    assert(dot > 0.999, s"pc1 ${c1.toSeq} not along (1,1,0): $dot")
+    assert(m.eigenvalues(0) > 10 * m.eigenvalues(1))
+    // unit length after quantization
+    assert(math.abs(c1.map(x => x * x).sum - 1.0) < 1e-4)
+  }
+
+  test("pca: projection replays the driver-side centered dot product") {
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Seq(i / 10.0f, (50 - i) / 25.0f, 1.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, nComponents = 1, iters = 8)
+    val got = Pca.project(df, m).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      var s = 0.0
+      for (j <- v.indices) s += (v(j).toDouble - m.means(j)) *
+        m.components(0)(j)
+      assert(math.abs(got(id) - math.floor(s * 1e6 + 0.5) / 1e6) <= 1e-6,
+        s"vec $id")
+    }
+  }
+
+  test("plans: filters are map-only; pca projection has no exchange") {
+    // the published-rule filters must stay first-stage 100 TB operators:
+    // pure expression trees, nothing that exchanges or windows
+    for (q <- Seq("q_c4_filter", "q_gopher_filter")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q plans an Exchange:\n$plan")
+      assert(!plan.contains("Window"), s"$q plans a Window:\n$plan")
+    }
+    val df = (0 until 40).map(i =>
+      (i.toLong, Seq((i % 5).toFloat, (i % 3).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Pca.fit(df, nComponents = 1, iters = 4)
+    val plan = Pca.project(df, m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pca projection plans an Exchange:\n$plan")
+  }
+
+  test("pca: fit is layout-invariant (repartition changes nothing)") {
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 11).toFloat, (i % 5).toFloat,
+        (i % 3).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val a = Pca.fit(df, nComponents = 2, iters = 8)
+    val b = Pca.fit(df.repartition(7), nComponents = 2, iters = 8)
+    assert(a.means.toSeq === b.means.toSeq)
+    assert(a.components.map(_.toSeq).toSeq ===
+      b.components.map(_.toSeq).toSeq)
+    assert(a.eigenvalues.toSeq === b.eigenvalues.toSeq)
+  }
+}
