@@ -1161,6 +1161,43 @@ object SparkEntry {
       graft.text.Indexing.tfidfCosinePairs(tagged, "doc_id", "text",
         threshold = 0.4, maxDf = 30)
     }),
+    "q_script_mix" -> ((s, dir) => {
+      // unicode script-mix detection: long planted script runs (repeat ×
+      // 200 beats any fixture doc length) flip the dominant script for
+      // three doc classes while counts stay exact for all seven ranges;
+      // map-only regex kernels, RE2-portable code-point classes
+      import graft.text.TextAnalysis._
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 1,
+          repeat(lit(" мир привет он"), 200)).otherwise(lit("")),
+        when(col("doc_id") % 4 === 2,
+          repeat(lit(" 你好世界汉字"), 200)).otherwise(lit("")),
+        when(col("doc_id") % 4 === 3,
+          repeat(lit(" مرحبا بالعالم"), 200)).otherwise(lit("")))
+      val docs = table(s, dir, "documents").withColumn("text", planted)
+      val cols = scriptCounts(col("text")).map { case (n, c) => c.as(n) }
+      docs.select(col("doc_id") +:
+        (cols :+ dominantScript(col("text")).as("dominant_script")): _*)
+    }),
+    "q_fertility" -> ((s, dir) =>
+      // tokenizer fertility by language (chars per BPE-ish token): one
+      // aggregation exchange on the |langs| key, exact integer sums,
+      // NULL langs (planted, %17) under the reserved sentinel
+      graft.text.Indexing.tokenizerFertility(
+        table(s, dir, "documents").withColumn("lang",
+          when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+            .otherwise(col("lang"))))),
+    "q_hard_negatives" -> ((s, dir) => {
+      // hard-negative mining: per query, top-10 corpus vectors in the
+      // cosine band [0.2, 0.6) — the broadcast-queries + bounded-heap
+      // brute-force plan with the band filter ahead of the heap; ranking
+      // and band compare on the ROUNDED cosine
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
+        lo = 0.2, hi = 0.6)
+    }),
     "q_pca" -> ((s, dir) =>
       // distributed PCA: two corpus aggregates (quantized means, exploded
       // outer-product covariance) + driver power iteration with deflation
@@ -3265,6 +3302,68 @@ object SparkEntry {
         |         JOIN nrm nb ON nb.doc_id = id_b)
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
     "q_pca" -> pcaOracle,
+    // script mix: identical planted runs, the same RE2 code-point
+    // classes, dominance by (count, declaration-order) argmax
+    "q_script_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 1 THEN repeat(' мир привет он', 200) ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN repeat(' 你好世界汉字', 200) ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 3 THEN repeat(' مرحبا بالعالم', 200) ELSE '' END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]'))::BIGINT AS n_latin,
+        |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]'))::BIGINT AS n_cyrillic,
+        |    len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]'))::BIGINT AS n_greek,
+        |    len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]'))::BIGINT AS n_arabic,
+        |    len(regexp_extract_all(text, '[\x{0900}-\x{097F}]'))::BIGINT AS n_devanagari,
+        |    len(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]'))::BIGINT AS n_cjk,
+        |    len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]'))::BIGINT AS n_hangul
+        |  FROM d)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic,
+        |  n_devanagari, n_cjk, n_hangul,
+        |  CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+        |      n_devanagari, n_cjk, n_hangul) = 0 THEN 'none'
+        |    ELSE CASE greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+        |        n_devanagari, n_cjk, n_hangul)
+        |      WHEN n_latin THEN 'latin' WHEN n_cyrillic THEN 'cyrillic'
+        |      WHEN n_greek THEN 'greek' WHEN n_arabic THEN 'arabic'
+        |      WHEN n_devanagari THEN 'devanagari' WHEN n_cjk THEN 'cjk'
+        |      ELSE 'hangul' END END AS dominant_script
+        |FROM s""".stripMargin,
+    // fertility: the q_text_stats BPE-ish token regex, integer sums per
+    // language, NULL langs under the shared sentinel
+    "q_fertility" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang,
+        |    text FROM documents),
+        |s AS (SELECT coalesce(lang, '__null__') AS lang,
+        |    len(text)::BIGINT AS ch,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS tk
+        |  FROM d)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(ch)::BIGINT AS total_chars, sum(tk)::BIGINT AS total_tokens,
+        |  CASE WHEN sum(tk) = 0 THEN NULL
+        |    ELSE round(sum(ch)::DOUBLE / sum(tk), 6) END AS chars_per_token,
+        |  round(sum(tk)::DOUBLE / count(*), 6) AS tokens_per_doc
+        |FROM s GROUP BY lang""".stripMargin,
+    // hard negatives: the q_knn_cosine pair/ranking chain with the band
+    // filter on the rounded cosine and the self row excluded
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+        |      ELSE list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END, 6) AS cos
+        |  FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |b AS (SELECT * FROM p WHERE cos >= 0.2 AND cos < 0.6),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM b)
+        |SELECT query_id, neighbor_id, cos AS cosine, rank
+        |FROM r WHERE rank <= 10""".stripMargin,
     // image dHash: the oracle never touches a codec — PNG is lossless,
     // so it recomputes every pixel from the deterministic texture
     // function, box-assigns cells with the same integer division, and

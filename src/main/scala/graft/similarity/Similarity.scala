@@ -63,6 +63,40 @@ object Similarity {
     topKPerQuery(joined, k)
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the DPR/ANCE
+    * recipe): for every query, the top-k corpus vectors whose cosine
+    * falls in the band [lo, hi) — similar enough to be informative
+    * negatives, but below the near-duplicate/positive ceiling that would
+    * poison training with false negatives. `excludeSelf` drops the
+    * query's own row when queries are drawn from the corpus.
+    *
+    * Same plan shape as [[knnBruteForce]] (broadcast queries, corpus
+    * scanned once and never shuffled, bounded-heap top-k — map-side
+    * partials keep the exchange at ≤ partitions·k rows per query); the
+    * band filter runs BEFORE the heap, so out-of-band candidates never
+    * even enter per-partition state. The cosine is ROUNDED to 6 before
+    * the band compare and the ranking, so an engine's last-ulp noise can
+    * neither flip a band edge nor reorder near-ties (ties break on
+    * ascending neighbor id). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      lo: Double, hi: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      excludeSelf: Boolean = true): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    require(k > 0, s"k must be positive, got $k")
+    val joined = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qv"))))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    val banded =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    topKPerQuery(banded, k)
+  }
+
   /** All-pairs near-duplicates above a cosine threshold, blocked by a
     * coarse partition column (e.g. an IVF cell or class label): pairs are
     * only generated *within* a block, the IVF-style pruning that makes

@@ -82,6 +82,38 @@ object Indexing {
       .filter(col("df") >= minDf)
   }
 
+  /** Tokenizer fertility per language — the standard tokenizer-quality
+    * diagnostic for multilingual corpora: characters per (BPE-ish) token
+    * by language. High fertility = the tokenizer fragments that language
+    * into short pieces (under-trained vocabulary), the signal used to
+    * rebalance tokenizer training mixes. One map-only stats pass + ONE
+    * aggregation exchange keyed on the |languages|-sized key; every
+    * ratio divides exact integer sums, so the output is deterministic to
+    * the last bit before its display rounding. NULL languages aggregate
+    * under the reserved [[graft.operators.Sampling.NullStratum]]
+    * sentinel instead of silently forming a NULL key.
+    *
+    * Returns (lang, n_docs, total_chars, total_tokens, chars_per_token,
+    * tokens_per_doc). */
+  def tokenizerFertility(docs: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+        coalesce(col(langCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("lang"),
+        length(col(textCol)).cast("long").as("__chars"),
+        TextAnalysis.bpeTokenCount(col(textCol)).cast("long").as("__toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("__toks")).as("total_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        when(col("total_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("total_chars").cast("double") /
+            col("total_tokens"), 6)).as("chars_per_token"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("tokens_per_doc"))
+
   /** Sparse all-pairs TF-IDF cosine similarity above a threshold — the
     * lexical (bag-of-words) counterpart of the embedding near-dup pairs:
     * finds document pairs whose PRUNED tf-idf vectors point the same way,

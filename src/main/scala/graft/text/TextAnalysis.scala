@@ -208,6 +208,47 @@ object TextAnalysis {
       regexp_replace(acc, pat, replacement)
     }
 
+  /** Unicode script ranges for [[scriptCounts]] — the major writing
+    * systems a multilingual curation pipeline routes on. Each entry is
+    * (name, regex character class), portable across Java regex and RE2
+    * (DuckDB) via explicit code-point ranges. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "devanagari" -> "[\\u0900-\\u097F]",
+    "cjk" -> "[\\u3040-\\u30FF\\u4E00-\\u9FFF]",
+    "hangul" -> "[\\uAC00-\\uD7AF]")
+
+  /** Per-script character counts as columns `n_<script>` — the script-mix
+    * signal multilingual pipelines route on (wrong-script text in a
+    * language bucket is the classic crawl-labeling failure). One regex
+    * scan per script, map-only, codegen'd; the DuckDB oracle replays the
+    * identical code-point classes. */
+  def scriptCounts(c: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (name, cls) =>
+      s"n_$name" -> size(regexp_extract_all(c, lit(cls), lit(0)))
+        .cast("long")
+    }
+
+  /** Dominant script of a document: the script with the highest character
+    * count (ties → the [[ScriptRanges]] declaration order, which ranks
+    * latin first), or "none" when no script character occurs. Linear
+    * expression tree via the array_max struct-ordering idiom (the same
+    * shape langId uses). */
+  def dominantScript(c: Column): Column = {
+    val scored = ScriptRanges.zipWithIndex.map { case ((name, cls), i) =>
+      struct(
+        size(regexp_extract_all(c, lit(cls), lit(0))).as("n"),
+        lit(-i).as("ni"), lit(name).as("s"))
+    }
+    bind(array_max(array(scored: _*))) { best =>
+      when(best.getField("n") === 0, lit("none"))
+        .otherwise(best.getField("s"))
+    }
+  }
+
   /** Distinct character n-grams (shingles) of the normalized text. */
   def charShingles(c: Column, n: Int): Column =
     bind(normalizeText(c)) { norm =>

@@ -138,6 +138,76 @@ class FiltersSpec extends SparkSuite {
     assert(got.count() === 0L)
   }
 
+  // -------------------------------------------- script mix & fertility
+
+  test("scriptCounts/dominantScript: mixed-script text counted exactly") {
+    import graft.text.TextAnalysis._
+    val docs = Seq(
+      (1L, "hello мир привет"),          // 5 latin, 9 cyrillic
+      (2L, "你好世界 ok"),               // 4 cjk, 2 latin
+      (3L, "123 !!"),                    // no script chars
+      (4L, "abc ابجد")                   // 3 latin, 4 arabic
+    ).toDF("doc_id", "text")
+    val cols = scriptCounts(col("text")).map { case (n, c) => c.as(n) }
+    val got = docs.select(col("doc_id") +:
+        (cols :+ dominantScript(col("text")).as("dom")): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_latin"), r.getAs[Long]("n_cyrillic"),
+          r.getAs[Long]("n_cjk"), r.getAs[Long]("n_arabic"),
+          r.getAs[String]("dom")))).toMap
+    assert(got(1L) === ((5L, 9L, 0L, 0L, "cyrillic")))
+    assert(got(2L) === ((2L, 0L, 4L, 0L, "cjk")))
+    assert(got(3L) === ((0L, 0L, 0L, 0L, "none")))
+    assert(got(4L) === ((3L, 0L, 0L, 4L, "arabic")))
+    // tie (3 latin vs 3 cyrillic) resolves to the declaration order
+    val tie = Seq((9L, "abc где")).toDF("doc_id", "text")
+      .select(dominantScript(col("text"))).head.getString(0)
+    assert(tie === "latin")
+  }
+
+  test("tokenizerFertility: exact integer sums, NULL lang sentinel") {
+    import graft.text.Indexing
+    val docs = Seq(
+      (1L, Option("en"), "ab cd"),     // 5 chars, 2 bpe tokens
+      (2L, Option("en"), "x,y"),       // 3 chars, 3 tokens (x , y)
+      (3L, None, "hello")              // 5 chars, 1 token → sentinel
+    ).toDF("doc_id", "lang", "text")
+    val got = Indexing.tokenizerFertility(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("en") === ((2L, 8L, 5L, 1.6, 2.5)))
+    assert(got("__null__") === ((1L, 5L, 1L, 5.0, 1.0)))
+  }
+
+  // ------------------------------------------------- hard negatives
+
+  test("hardNegatives: band gates, self excluded, rank by rounded cosine") {
+    import graft.similarity.Similarity
+    // query q along e1; corpus: self-copy (cos 1, above band), a ~0.6
+    // candidate, a ~0.4 candidate, an orthogonal (below band)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.6f, 0.8f)),       // cos 0.6
+      (3L, Seq(0.4f, 0.916515f)),  // cos ~0.4
+      (4L, Seq(0.0f, 1.0f))        // cos 0
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.hardNegatives(corpus, queries, k = 10,
+      lo = 0.2, hi = 0.95).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((2L, 1), (3L, 2)))
+    // self row sits at cosine 1.0 — outside [0.2, 0.95) anyway; with an
+    // open-ceiling band it is excludeSelf that must drop it
+    val withSelf = Similarity.hardNegatives(corpus, queries, k = 10,
+      lo = 0.2, hi = 1.1, excludeSelf = false).collect()
+    assert(withSelf.exists(r => r.getLong(1) === 1L))
+    val noSelf = Similarity.hardNegatives(corpus, queries, k = 10,
+      lo = 0.2, hi = 1.1).collect()
+    assert(!noSelf.exists(r => r.getLong(1) === 1L))
+  }
+
   // -------------------------------------------------------------- PCA
 
   test("pca: recovers the dominant axis of an anisotropic cloud") {
