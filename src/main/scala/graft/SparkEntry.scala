@@ -1198,6 +1198,33 @@ object SparkEntry {
       graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
         lo = 0.2, hi = 0.6)
     }),
+    "q_accent_fold" -> ((s, dir) => {
+      // accent folding: deterministically accented text (translate plants
+      // precomposed á/é/ö; the suffix adds a raw combining mark, naïve/
+      // café, and the NON-accent chars ø/ß that must survive) folded by
+      // the native NFD + strip-combining-marks expression. DuckDB replays
+      // with ITS OWN utf8proc-based strip_accents — two independent
+      // implementations must agree byte for byte.
+      val dirty = concat(translate(col("text"), "aeo", "áéö"),
+        lit(" é naïve café øre ß"))
+      val folded = graft.text.TextAnalysis.foldAccents(dirty)
+      table(s, dir, "documents").select(col("doc_id"),
+        folded.as("folded"), length(folded).as("n_folded"))
+    }),
+    "q_knn_pca" -> ((s, dir) => {
+      // PCA-reduced ANN: the q_pca model's 2 components as data-driven
+      // projection planes, top-50 shortlist ranked in the quantized
+      // 2-dim sketch space, exact full-dimension cosine re-rank. The
+      // oracle replays fit + both rankings end to end.
+      val emb = table(s, dir, "embeddings")
+      val model = graft.similarity.Pca.fit(emb, nComponents = 2, iters = 8)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.knnPcaReduced(emb, queries, k = 5,
+          model, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
     "q_pca" -> ((s, dir) =>
       // distributed PCA: two corpus aggregates (quantized means, exploded
       // outer-product covariance) + driver power iteration with deflation
@@ -3302,6 +3329,16 @@ object SparkEntry {
         |         JOIN nrm nb ON nb.doc_id = id_b)
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
     "q_pca" -> pcaOracle,
+    "q_knn_pca" -> knnPcaOracle,
+    // accent folding: chr(769) = U+0301 combining acute; ø and ß must
+    // pass through unchanged on both engines
+    "q_accent_fold" ->
+      """SELECT doc_id,
+        |  strip_accents(translate(text, 'aeo', 'áéö') ||
+        |    ' e' || chr(769) || ' naïve café øre ß') AS folded,
+        |  length(strip_accents(translate(text, 'aeo', 'áéö') ||
+        |    ' e' || chr(769) || ' naïve café øre ß'))::INT AS n_folded
+        |FROM documents""".stripMargin,
     // script mix: identical planted runs, the same RE2 code-point
     // classes, dominance by (count, declaration-order) argmax
     "q_script_mix" ->
@@ -3976,8 +4013,9 @@ object SparkEntry {
     * order, and the final centered-dot projections rounded to 6. Every
     * DECISION (argmax, quantized iterates) runs on quantized values, so
     * the trajectory is engine-exact; the only cross-engine float noise
-    * lives below the quantization grid. */
-  private def pcaOracle: String = {
+    * lives below the quantization grid. Ends with the `proj` CTE so
+    * [[pcaOracle]] and [[knnPcaOracle]] share the chain. */
+  private def pcaProjCtes: String = {
     val Q = "1000000.0"
     def iters(tag: String, mat: String, n: Int): String =
       (1 to n).map { t =>
@@ -4017,12 +4055,47 @@ object SparkEntry {
        |  FROM idx i),
        |${iters("2", "c2m", 8)}
        |p1 AS (SELECT list(val ORDER BY i) AS v FROM v1_8),
-       |p2 AS (SELECT list(val ORDER BY i) AS v FROM v2_8)
-       |SELECT ce.vec_id,
-       |  round(list_dot_product(ce.c, (SELECT v FROM p1)), 6) AS pc1,
-       |  round(list_dot_product(ce.c, (SELECT v FROM p2)), 6) AS pc2
-       |FROM ce""".stripMargin
+       |p2 AS (SELECT list(val ORDER BY i) AS v FROM v2_8),
+       |proj AS MATERIALIZED (
+       |  SELECT ce.vec_id,
+       |    round(list_dot_product(ce.c, (SELECT v FROM p1)), 6) AS pc1,
+       |    round(list_dot_product(ce.c, (SELECT v FROM p2)), 6) AS pc2
+       |  FROM ce)""".stripMargin
   }
+
+  private def pcaOracle: String =
+    pcaProjCtes + "\nSELECT vec_id, pc1, pc2 FROM proj"
+
+  /** PCA-reduced ANN replayed: the full [[pcaProjCtes]] fit chain, the
+    * 2-dim sketch-space shortlist (2-term dots — commutative-exact, so
+    * scos is bitwise identical cross-engine), then the exact full-dim
+    * re-rank of shortlist survivors with the q_knn_cosine float shape. */
+  private def knnPcaOracle: String =
+    pcaProjCtes + s""",
+       |q AS (SELECT vec_id AS query_id, [pc1, pc2] AS pv FROM proj
+       |  WHERE vec_id < 8),
+       |cpv AS (SELECT vec_id AS neighbor_id, [pc1, pc2] AS pv FROM proj),
+       |sp AS (SELECT q.query_id, c.neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(q.pv, q.pv)) * sqrt(list_dot_product(c.pv, c.pv)) = 0 THEN 0.0
+       |      ELSE list_dot_product(q.pv, c.pv) /
+       |        (sqrt(list_dot_product(q.pv, q.pv)) * sqrt(list_dot_product(c.pv, c.pv))) END AS scos
+       |  FROM q, cpv c),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY scos DESC, neighbor_id ASC) AS srk
+       |    FROM sp)
+       |  WHERE srk <= 50),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v)) = 0 THEN 0.0
+       |      ELSE list_dot_product(qe.v, ne.v) /
+       |        (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) END AS cos
+       |  FROM sl s JOIN e qe ON qe.vec_id = s.query_id
+       |            JOIN e ne ON ne.vec_id = s.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5""".stripMargin
 
   /** SemDeDup replayed in SQL: the identical literal-centroid cell
     * assignment as [[annIvfOracle]] (same (d, i) struct-sort, same

@@ -852,4 +852,51 @@ object Dedup {
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
   }
+
+  /** The LSH S-curve: probability that a pair with Jaccard `s` becomes a
+    * candidate under (bands, rowsPerBand) banding — 1 − (1 − s^r)^b. */
+  def lshCandidateProbability(s: Double, bands: Int,
+      rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Choose (bands, rowsPerBand) for a `signatureSize`-hash MinHash
+    * signature so the banding S-curve best approximates a step at
+    * `threshold` — the standard tuning (the same objective datasketch's
+    * `_optimal_param` minimizes): over every (b, r) with b·r ≤
+    * signatureSize, minimize
+    *
+    *   fpWeight · ∫₀^t P(s) ds  +  fnWeight · ∫ₜ¹ (1 − P(s)) ds
+    *
+    * (false positives below the threshold vs false negatives above it),
+    * integrals by 1000-point midpoint sums. Driver-side closed-form
+    * search over ≤ signatureSize² candidates — no data touched; feed the
+    * result straight into [[minhashLshPairs]]. Raise `fnWeight` when
+    * missing a true near-duplicate is worse than verifying a spurious
+    * candidate (the usual dedup asymmetry: candidates get verified
+    * exactly anyway, so false positives only cost compute). */
+  def optimalLshParams(threshold: Double, signatureSize: Int,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1): $threshold")
+    require(signatureSize >= 2, s"signatureSize too small: $signatureSize")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "weights must be non-negative and not both zero")
+    val steps = 1000
+    var best = (1, 1)
+    var bestErr = Double.MaxValue
+    for (b <- 1 to signatureSize; r <- 1 to signatureSize / b) {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = lshCandidateProbability(s, b, r)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      val err = (fpWeight * fp + fnWeight * fn) / steps
+      if (err < bestErr) { bestErr = err; best = (b, r) }
+    }
+    best
+  }
 }

@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_nfc",
         "graft_nfc(text) - Unicode NFC normalization (codegen'd)"),
       (args: Seq[Expression]) => NormalizeExpression.NfcNormalize(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_fold_accents"),
+      info("graft_fold_accents",
+        "graft_fold_accents(text) - NFD accent folding (combining marks " +
+          "stripped; codegen'd)"),
+      (args: Seq[Expression]) => NormalizeExpression.FoldAccents(args(0))))
     // Composed functions are hand-built as RESOLVED catalyst trees: the
     // Column→Expression bridge yields unresolved function nodes that the
     // SQL path never re-analyzes (internal codegen error), so the trees

@@ -54,4 +54,52 @@ object NormalizeExpression {
 
   /** NFC-normalize a string column. */
   def nfcNormalize(c: Column): Column = column(NfcNormalize(expression(c)))
+
+  /** Accent-folding kernel: NFD decomposition, then every non-spacing
+    * combining mark (Unicode category Mn) dropped, code-point-wise —
+    * `é`→`e`, `Å`→`A`, while non-accent letters (`ø`, `ß`) and
+    * non-Latin scripts pass through untouched. This is the match-key
+    * normalization for accent-insensitive dedup/search, and it agrees
+    * byte-for-byte with DuckDB's independent utf8proc-based
+    * `strip_accents` on Latin accents (pinned by the q_accent_fold
+    * oracle). Fast path: already-NFC text with no decomposition returns
+    * the input object zero-copy. */
+  def foldAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val d = java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFD)
+    var hasMark = false
+    var i = 0
+    while (i < d.length && !hasMark) {
+      if (Character.getType(d.charAt(i)) == Character.NON_SPACING_MARK)
+        hasMark = true
+      i += 1
+    }
+    if (!hasMark) { if (d == str) s else UTF8String.fromString(d) }
+    else {
+      val sb = new java.lang.StringBuilder(d.length)
+      d.codePoints().forEach { cp =>
+        if (Character.getType(cp) != Character.NON_SPACING_MARK)
+          sb.appendCodePoint(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  case class FoldAccents(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      foldAccents(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.NormalizeExpression.foldAccents($c)")
+    override def prettyName: String = "graft_fold_accents"
+  }
+
+  /** Accent-fold a string column (NFD + combining-mark strip). */
+  def accentFold(c: Column): Column = column(FoldAccents(expression(c)))
 }

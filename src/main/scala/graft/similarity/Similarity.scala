@@ -848,4 +848,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
   }
+
+  /** ANN via PCA-reduced shortlist + exact re-rank —
+    * [[knnRandomProjection]] with DATA-DRIVEN planes: the fitted
+    * [[Pca]] model's top components capture maximal corpus variance, so
+    * at equal targetDim the sketch preserves more ranking signal than
+    * seeded JL planes (the PCA preprocessing step of OPQ-style
+    * pipelines). The sketch coordinates are exactly [[Pca.project]]'s
+    * rounded centered dot products (components/means as literals —
+    * map-only, quantized, so the sketch space itself is engine-exact and
+    * the q_knn_pca oracle replays the full fit + both rankings).
+    *
+    * Same scale posture as the JL path: projection is scan-time, the
+    * shortlist pass is the broadcast-queries + bounded-heap plan over
+    * nComponents-wide sketches, and only Q·shortlist raw vectors are
+    * fetched for the exact re-rank. */
+  def knnPcaReduced(corpus: DataFrame, queries: DataFrame, k: Int,
+      model: Pca.PcaModel, shortlist: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      roundDecimals: Int = 6): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    def sketch(df: DataFrame, id: String): DataFrame = {
+      val muLit = array(model.means.map(lit): _*)
+      val centered = zip_with(col(vecCol).cast("array<double>"), muLit,
+        (x, m) => x - m)
+      df.select(col(id),
+        array(model.components.map(comp =>
+          round(dot(centered, array(comp.map(lit): _*)),
+            roundDecimals)): _*).as("__proj"))
+    }
+    val cand = knnBruteForce(sketch(corpus, idCol),
+        sketch(queries, queryIdCol), shortlist, idCol, "__proj",
+        queryIdCol)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
+  }
 }

@@ -49,6 +49,14 @@ object TextAnalysis {
       graft.functions.NormalizeExpression.nfcNormalize(c),
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "\\s+", " "))
 
+  /** Accent folding (NFD + combining-mark strip, native codegen
+    * expression): the match-key normalization for accent-insensitive
+    * dedup and search — `é`/`e`+acute/`É`-lowered all key as `e`.
+    * Compose with [[normalizeText]] for a full accent-insensitive
+    * fingerprint. */
+  def foldAccents(c: Column): Column =
+    graft.functions.NormalizeExpression.accentFold(c)
+
   /** One-pass char-class statistics struct (native kernel; see
     * graft.functions.TextStatsExpression for field semantics). */
   def textStats(c: Column): Column =

@@ -180,6 +180,59 @@ class FiltersSpec extends SparkSuite {
     assert(got("__null__") === ((1L, 5L, 1L, 5.0, 1.0)))
   }
 
+  // --------------------------------------------------- accent folding
+
+  test("foldAccents: precomposed and combining forms fold to one key") {
+    import graft.text.TextAnalysis.foldAccents
+    val docs = Seq(
+      (1L, "héllo"),            // precomposed é
+      (2L, "héllo"),           // e + combining acute
+      (3L, "naïve Ångström"),
+      (4L, "øre ß plain"), // ø/ß must NOT change
+      (5L, "ascii only")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), foldAccents(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "hello" && got(2L) === "hello")
+    assert(got(3L) === "naive Angstrom")
+    assert(got(4L) === "øre ß plain")
+    assert(got(5L) === "ascii only")
+    // idempotent
+    val twice = docs.select(foldAccents(foldAccents(col("text"))))
+      .collect().map(_.getString(0)).toSet
+    assert(twice === got.values.toSet)
+  }
+
+  // ------------------------------------------------ LSH parameter tuner
+
+  test("optimalLshParams: respects budget, beats neighbors, tracks threshold") {
+    import graft.dedup.Dedup
+    val (b, r) = Dedup.optimalLshParams(0.8, 64)
+    assert(b * r <= 64 && b >= 1 && r >= 1)
+    // the S-curve is steep around the threshold: well above t it must
+    // catch nearly everything, well below t nearly nothing
+    val pHi = Dedup.lshCandidateProbability(0.93, b, r)
+    val pLo = Dedup.lshCandidateProbability(0.5, b, r)
+    assert(pHi > 0.8, s"P(0.93)=$pHi at ($b,$r)")
+    assert(pLo < 0.1, s"P(0.5)=$pLo at ($b,$r)")
+    // a higher threshold demands a steeper curve: more rows per band
+    val (_, rHi) = Dedup.optimalLshParams(0.95, 64)
+    val (_, rLo) = Dedup.optimalLshParams(0.4, 64)
+    assert(rHi > rLo)
+    // the chosen point is at least as good as its (b±1) neighbors under
+    // the same objective
+    def err(bb: Int, rr: Int): Double = {
+      val steps = 1000
+      (0 until steps).map { i =>
+        val s = (i + 0.5) / steps
+        val p = Dedup.lshCandidateProbability(s, bb, rr)
+        if (s < 0.8) 0.5 * p else 0.5 * (1 - p)
+      }.sum / steps
+    }
+    for ((bb, rr) <- Seq((b - 1, r), (b + 1, r), (b, r - 1), (b, r + 1))
+         if bb >= 1 && rr >= 1 && bb * rr <= 64)
+      assert(err(b, r) <= err(bb, rr) + 1e-12, s"($bb,$rr) beats ($b,$r)")
+  }
+
   // ------------------------------------------------- hard negatives
 
   test("hardNegatives: band gates, self excluded, rank by rounded cosine") {
@@ -262,6 +315,32 @@ class FiltersSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"pca projection plans an Exchange:\n$plan")
+  }
+
+  test("knnPcaReduced: shortlist=corpus equals brute force; recall holds") {
+    import graft.similarity.{Pca, Similarity}
+    val rows = (0 until 120).map { i =>
+      (i.toLong, Seq.tabulate(8)(j =>
+        (math.sin(i * 0.37 + j) + (i % 11) * 0.1 * j).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val model = Pca.fit(corpus, nComponents = 3, iters = 8)
+    // full shortlist degenerates to exact brute force
+    val full = Similarity.knnPcaReduced(corpus, queries, k = 5, model,
+      shortlist = 120).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.knnBruteForce(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full === brute)
+    // a 25% shortlist on a 3-component sketch keeps good top-5 recall
+    val sk = Similarity.knnPcaReduced(corpus, queries, k = 5, model,
+      shortlist = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = brute.toSeq.map { case ((q, _), n) => (q, n) }
+      .count(p => sk.contains(p))
+    assert(hits >= 15, s"recall ${hits}/25 too low")
   }
 
   test("pca: fit is layout-invariant (repartition changes nothing)") {
