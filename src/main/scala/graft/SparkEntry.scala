@@ -1198,6 +1198,28 @@ object SparkEntry {
       graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
         lo = 0.2, hi = 0.6)
     }),
+    "q_fim" -> ((s, dir) =>
+      // fill-in-the-middle augmentation: seeded md5 uniforms pick the
+      // docs (rate 0.6) and both character cuts, PSM splice is pure
+      // string arithmetic — the oracle replays uniforms, cuts and the
+      // spliced text byte-for-byte
+      graft.text.Chunking.fimTransform(table(s, dir, "documents"),
+        rate = 0.6, seed = 42L)),
+    "q_zipf" -> ((s, dir) =>
+      // per-source Zipf slope over the top-100 term frequencies: the
+      // bounded-heap aggregate ranks counts (never a per-source window);
+      // tie order is irrelevant to the (rank → count) sequence, so the
+      // rounded OLS slope is engine-exact
+      graft.text.Indexing.zipfSlope(table(s, dir, "documents"),
+        "source", "text", k = 100)),
+    "q_mixture_entropy" -> ((s, dir) =>
+      // mixture-balance entropy of per-source token mass (NULL sources
+      // planted %19 under the sentinel): one row, the sorted-stratum
+      // fold makes the float accumulation order engine-fixed
+      graft.text.Drift.mixtureEntropy(
+        table(s, dir, "documents").withColumn("source",
+          when(col("doc_id") % 19 === 0, lit(null).cast("string"))
+            .otherwise(col("source"))))),
     "q_accent_fold" -> ((s, dir) => {
       // accent folding: deterministically accented text (translate plants
       // precomposed á/é/ö; the suffix adds a raw combining mark, naïve/
@@ -3330,6 +3352,68 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
     "q_pca" -> pcaOracle,
     "q_knn_pca" -> knnPcaOracle,
+    // FIM: the hashUniform replay (md5 hex → UBIGINT >> 11 / 2^53) for
+    // the apply decision (seed 42) and both cuts (seeds 43/44); same
+    // floor(u·(len+1)) arithmetic, same 1-based substr splice
+    "q_fim" ->
+      """WITH u AS (SELECT doc_id, text, len(text) AS n,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11) / 9007199254740992.0 AS u0,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 43)), 1, 16))::UBIGINT >> 11) / 9007199254740992.0 AS u1,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 44)), 1, 16))::UBIGINT >> 11) / 9007199254740992.0 AS u2
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n, u0 < 0.6 AS ap,
+        |    floor(least(u1, u2) * (n + 1))::BIGINT AS a,
+        |    floor(greatest(u1, u2) * (n + 1))::BIGINT AS b
+        |  FROM u)
+        |SELECT doc_id, ap AS fim_applied,
+        |  CASE WHEN ap THEN a END AS cut_a,
+        |  CASE WHEN ap THEN b END AS cut_b,
+        |  CASE WHEN ap THEN '<PRE>' || substr(text, 1, a::INT) ||
+        |      '<SUF>' || substr(text, (b + 1)::INT, (n - b)::INT) ||
+        |      '<MID>' || substr(text, (a + 1)::INT, (b - a)::INT)
+        |    ELSE text END AS text_out
+        |FROM c""".stripMargin,
+    // Zipf slope: per-source top-100 counts (tie order irrelevant), the
+    // same rank-ordered OLS fold, slope rounded 6
+    "q_zipf" ->
+      """WITH td AS (SELECT source,
+        |    unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, count(*)::BIGINT AS c FROM td
+        |  WHERE len(term) > 0 GROUP BY source, term),
+        |r AS (SELECT source, c, row_number() OVER (
+        |    PARTITION BY source ORDER BY c DESC, term ASC) AS rk FROM c),
+        |t AS (SELECT source, rk, ln(rk::DOUBLE) AS x, ln(c::DOUBLE) AS y
+        |  FROM r WHERE rk <= 100),
+        |l AS (SELECT source, count(*)::BIGINT AS n,
+        |    list(x ORDER BY rk) AS xs, list(y ORDER BY rk) AS ys
+        |  FROM t GROUP BY source)
+        |SELECT source, n AS n_terms_ranked,
+        |  CASE WHEN n < 2 THEN NULL ELSE round(
+        |    (n * list_sum([xs[i] * ys[i] for i in range(1, len(xs) + 1)])
+        |      - list_sum(xs) * list_sum(ys)) /
+        |    (n * list_sum([xs[i] * xs[i] for i in range(1, len(xs) + 1)])
+        |      - list_sum(xs) * list_sum(xs)), 6) END AS zipf_slope
+        |FROM l""".stripMargin,
+    // mixture entropy: same sentinel, same sorted-stratum fold, the
+    // exp(round(ent)) composition for effective strata
+    "q_mixture_entropy" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN doc_id % 19 = 0 THEN NULL ELSE source END AS source,
+        |    text FROM documents),
+        |per AS (SELECT coalesce(source, '__null__') AS stratum,
+        |    sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS t
+        |  FROM d GROUP BY 1 HAVING sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) > 0),
+        |tot AS (SELECT sum(t)::BIGINT AS tt FROM per),
+        |l AS (SELECT list(t ORDER BY stratum) AS ts FROM per),
+        |e AS (SELECT len(ts)::BIGINT AS n_strata, tt AS total_tokens,
+        |    round(-list_sum([x / tt::DOUBLE * ln(x / tt::DOUBLE)
+        |      for x in ts]), 6) AS entropy
+        |  FROM l CROSS JOIN tot)
+        |SELECT n_strata, total_tokens, entropy,
+        |  round(exp(entropy), 6) AS effective_strata
+        |FROM e""".stripMargin,
     // accent folding: chr(769) = U+0301 combining acute; ø and ß must
     // pass through unchanged on both engines
     "q_accent_fold" ->

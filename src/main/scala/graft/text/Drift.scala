@@ -183,4 +183,45 @@ object Drift {
       .select(col("stratum"), col("p.signal_a").as("signal_a"),
         col("p.signal_b").as("signal_b"), col("p.corr").as("corr"))
   }
+
+  /** Mixture-balance entropy of the corpus: the Shannon entropy of the
+    * per-stratum TOKEN mass distribution, plus its exponential (the
+    * "effective number of strata" — 6 sources contributing equally score
+    * 6.0; one source at 99% scores ≈ 1). The single-number monitor for
+    * training-mixture collapse — watch it drop when one crawl dominates
+    * an ingest.
+    *
+    * One stats scan + one |strata|-key aggregate; the entropy itself
+    * folds the stratum shares in SORTED stratum order (collect_list +
+    * sort_array over the |strata|-row aggregate — bounded metadata), so
+    * the float accumulation order is fixed on every engine. NULL strata
+    * count under the reserved sentinel. Returns one row (n_strata,
+    * total_tokens, entropy, effective_strata), entropy rounded to 6. */
+  def mixtureEntropy(docs: DataFrame, stratumCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val per = docs.select(
+        coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
+        TextAnalysis.bpeTokenCount(col(textCol)).cast("long").as("__tk"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("__tk")).as("__t"))
+      .filter(col("__t") > 0)
+    val packed = per.agg(
+      sort_array(collect_list(struct(col("stratum"), col("__t"))))
+        .as("__l"),
+      sum(col("__t")).as("total_tokens"))
+    val tot = col("total_tokens").cast("double")
+    val ent = -aggregate(col("__l"), lit(0.0),
+      (acc, s) => acc + bindD(s.getField("__t").cast("double") / tot)(
+        p => p * log(p)))
+    packed.select(size(col("__l")).cast("long").as("n_strata"),
+      col("total_tokens"),
+      round(ent, 6).as("entropy"),
+      round(exp(round(ent, 6)), 6).as("effective_strata"))
+  }
+
+  /** Evaluate `c` once inside a lambda body (the TextAnalysis.bind trick,
+    * local copy to keep the fold linear). */
+  private def bindD(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
 }

@@ -175,6 +175,56 @@ object Indexing {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-source Zipf slope — the corpus-health diagnostic that flags
+    * unnatural term distributions (natural language follows Zipf's law
+    * with slope ≈ −1 of ln(freq) vs ln(rank); template/machine-generated
+    * text flattens or steepens it): ordinary-least-squares slope over
+    * the top-`k` term frequencies of each source.
+    *
+    * Scale design: per-(source, term) counts aggregate once (map-side
+    * partials), then the top-k FREQUENCIES per source ride the bounded-
+    * heap top-k aggregate — ≤ k doubles of state per source per
+    * partition, never a per-source rank window (the single-task-stratum
+    * trap). Only frequencies matter for the slope, so equal-count tie
+    * order is irrelevant (the (rank → count) sequence is tie-invariant).
+    * The OLS sums fold the ordered array left-to-right — deterministic —
+    * and the slope rounds to 6.
+    *
+    * Returns (source, n_terms_ranked, zipf_slope); sources with < 2
+    * ranked terms emit a NULL slope. */
+  def zipfSlope(docs: DataFrame, sourceCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val counts = termDoc(docs, sourceCol, textCol)
+      .withColumnRenamed("doc_id", "source")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val tops = counts.groupBy(col("source"))
+      .agg(transform(
+        graft.functions.TopKExpressions.topKByScore(
+          col("c").cast("double"),
+          graft.functions.HashExpressions.md5Long(col("term")), k),
+        s => s.getField("cosine")).as("__cs"))
+    // OLS over (x=ln(rank), y=ln(count)) in rank order: one sequential
+    // fold builds all four sums, so the float accumulation order is
+    // fixed on every engine
+    val n = size(col("__cs")).cast("double")
+    def fold(f: (Column, Column) => Column): Column =
+      aggregate(zip_with(sequence(lit(1), size(col("__cs"))), col("__cs"),
+        (r, c) => struct(log(r.cast("double")).as("x"), log(c).as("y"))),
+        lit(0.0), (acc, p) => acc + f(p.getField("x"), p.getField("y")))
+    val sx = fold((x, _) => x)
+    val sy = fold((_, y) => y)
+    val sxy = fold((x, y) => x * y)
+    val sxx = fold((x, _) => x * x)
+    tops.select(col("source"),
+      size(col("__cs")).cast("long").as("n_terms_ranked"),
+      when(size(col("__cs")) < 2, lit(null).cast("double"))
+        .otherwise(round(
+          (n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+        .as("zipf_slope"))
+  }
+
   /** Sketch-based corpus profile — the 100 TB scale path of exact
     * per-source profiling (q_corpus_stats): per source,
     * `approx_count_distinct` (HyperLogLog++) replaces the exact distinct

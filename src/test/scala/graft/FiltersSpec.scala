@@ -261,6 +261,78 @@ class FiltersSpec extends SparkSuite {
     assert(!noSelf.exists(r => r.getLong(1) === 1L))
   }
 
+  // --------------------------------------------------- FIM transform
+
+  test("fimTransform: PSM pieces reconstruct the original; cuts bounded") {
+    import graft.text.Chunking
+    val docs = (1L to 50L).map(i => (i, s"document number $i body text"))
+      .toDF("doc_id", "text")
+    val out = Chunking.fimTransform(docs, rate = 1.0, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val texts = (1L to 50L).map(i => i -> s"document number $i body text")
+      .toMap
+    out.foreach { case (id, applied, a, b, t) =>
+      assert(applied)
+      val orig = texts(id)
+      assert(a >= 0 && a <= b && b <= orig.length, s"cuts $a,$b")
+      // parse <PRE>p<SUF>s<MID>m and check p+m+s == original
+      val body = t.stripPrefix("<PRE>")
+      val Array(p, rest) = body.split("<SUF>", 2)
+      val Array(sfx, mid) = rest.split("<MID>", 2)
+      assert(p + mid + sfx === orig, s"doc $id splice mismatch")
+      assert(p.length === a && mid.length === (b - a))
+    }
+    // rate 0: pure pass-through, null cuts
+    val none = Chunking.fimTransform(docs, rate = 0.0, seed = 7L)
+      .collect()
+    assert(none.forall(r => !r.getBoolean(1) && r.isNullAt(2) &&
+      r.getString(4) === texts(r.getLong(0))))
+    // deterministic across runs
+    val again = Chunking.fimTransform(docs, rate = 1.0, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    assert(again.toMap === out.map(o => (o._1, o._5)).toMap)
+  }
+
+  // ------------------------------------------- Zipf slope & entropy
+
+  test("zipfSlope: OLS on exact counts; short sources yield null") {
+    import graft.text.Indexing
+    // source A: term freqs 8,4,2,1 → hand-computed OLS slope
+    val a = (Seq.fill(8)("t1") ++ Seq.fill(4)("t2") ++ Seq.fill(2)("t3") ++
+      Seq("t4")).mkString(" ")
+    val docs = Seq(("A", a), ("B", "only")).toDF("source", "text")
+    val got = Indexing.zipfSlope(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val xs = (1 to 4).map(i => math.log(i.toDouble))
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val n = 4.0
+    val slope = (n * xs.zip(ys).map(p => p._1 * p._2).sum -
+      xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(got("A")._1 === 4L)
+    assert(math.abs(got("A")._2.get - slope) < 1e-6)
+    assert(got("B") === ((1L, None)))
+  }
+
+  test("mixtureEntropy: uniform mix hits ln(k); collapse hits 0") {
+    import graft.text.Drift
+    val even = Seq(("s1", "a b c d"), ("s2", "e f g h"))
+      .toDF("source", "text")
+    val r = Drift.mixtureEntropy(even).head()
+    assert(r.getLong(0) === 2L)
+    assert(math.abs(r.getDouble(2) - math.log(2)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-5)
+    val one = Seq(("s1", "a b c d")).toDF("source", "text")
+    val r1 = Drift.mixtureEntropy(one).head()
+    assert(r1.getDouble(2) === 0.0 && r1.getDouble(3) === 1.0)
+    // NULL stratum participates under the sentinel
+    val withNull = Seq((Option("s1"), "a b"), (None, "c d"))
+      .toDF("source", "text")
+    assert(Drift.mixtureEntropy(withNull).head().getLong(0) === 2L)
+  }
+
   // -------------------------------------------------------------- PCA
 
   test("pca: recovers the dominant axis of an anisotropic cloud") {
