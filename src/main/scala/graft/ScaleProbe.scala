@@ -46,6 +46,8 @@ object ScaleProbe {
     if (args.headOption.contains("interleave")) {
       interleaveProbe(spark, n); return
     }
+    if (args.headOption.contains("tfidf")) { tfidfProbe(spark, n); return }
+    if (args.headOption.contains("pca")) { pcaProbe(spark, n); return }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -353,6 +355,59 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE lines docs=${base * replicas} " +
       f"lines=${removed.getLong(1)} removed=${removed.getLong(0)} " +
+      f"$secs%.1f s")
+    spark.stop()
+  }
+
+  /** TF-IDF all-pairs probe — measures THE df-cap lever: a synthetic
+    * corpus where every doc carries one universal stop term plus two
+    * low-df tags. With the cap (maxDf = 32) the stop term prunes and
+    * pair work stays linear in docs; without it (maxDf = n) the stop
+    * term alone emits n(n−1)/2 candidate pairs — the quadratic cliff the
+    * docstring bound names. Run at n and 2n to see the capped path scale
+    * linearly while the uncapped one quadruples. Usage:
+    *   SPARK_GRAFT_PROBE_N=20000 sbt "runMain graft.ScaleProbe tfidf"
+    */
+  private def tfidfProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val m = math.max(n / 16, 1)
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("stopterm"),
+        concat(lit("tag"), pmod(col("id"), lit(m))),
+        concat(lit("tag"), pmod(col("id") * 7, lit(m)))).as("text"))
+      .localCheckpoint(true)
+    for ((label, cap) <- Seq("capped32" -> 32L, "uncapped" -> n.toLong)) {
+      val t0 = System.nanoTime()
+      val pairs = graft.text.Indexing.tfidfCosinePairs(corpus, "doc_id",
+        "text", threshold = 0.0, maxDf = cap).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE_PROBE tfidf $label docs=$n pairs=$pairs $secs%.1f s")
+    }
+    spark.stop()
+  }
+
+  /** PCA probe: wall time of the two-aggregate fit (means + d² exploded
+    * outer-product covariance) as the corpus replicates ×1/×4 — the
+    * O(n·d²) compute scales linearly and the exchange stays at
+    * partitions·d² rows regardless of n. Usage:
+    *   SPARK_GRAFT_PROBE_N=4 sbt "runMain graft.ScaleProbe pca"   (×n replicas)
+    */
+  private def pcaProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val reps = math.max(1, math.min(n, 64))
+    val corpus = base.crossJoin(
+        spark.range(reps).select(col("id").as("rep")))
+      .select((col("vec_id") * reps + col("rep")).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val rows = corpus.count()
+    val t0 = System.nanoTime()
+    val model = graft.similarity.Pca.fit(corpus, nComponents = 2,
+      iters = 8)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_PROBE pca rows=$rows eig1=${model.eigenvalues(0)}%.4f " +
       f"$secs%.1f s")
     spark.stop()
   }
