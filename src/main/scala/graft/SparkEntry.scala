@@ -1198,6 +1198,24 @@ object SparkEntry {
       graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
         lo = 0.2, hi = 0.6)
     }),
+    "q_rare_tokens" -> ((s, dir) =>
+      // rare-token suppression (memorization/privacy scrub): planted
+      // unique identifiers (%23) plus the natural hapax tail scrub to
+      // <UNK> at corpus count < 3; the rebuilt TEXT itself is
+      // hash-checked
+      graft.dedup.Dedup.suppressRareTokens(
+        table(s, dir, "documents").withColumn("text",
+          concat(col("text"), when(col("doc_id") % 23 === 0,
+            concat(lit(" rare"), col("doc_id").cast("string")))
+            .otherwise(lit("")))),
+        "text", "doc_id", minCount = 3)),
+    "q_span_corrupt" -> ((s, dir) =>
+      // T5-style span corruption: fixed 3-token blocks masked at rate
+      // 0.3 by the seeded (doc, block) uniform; ordinal sentinels,
+      // denoising input/target pair — both reassembled texts
+      // hash-checked token-for-token
+      graft.text.Chunking.spanCorrupt(table(s, dir, "documents"),
+        rate = 0.3, spanLen = 3, seed = 11L)),
     "q_fim" -> ((s, dir) =>
       // fill-in-the-middle augmentation: seeded md5 uniforms pick the
       // docs (rate 0.6) and both character cuts, PSM splice is pure
@@ -3352,6 +3370,69 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
     "q_pca" -> pcaOracle,
     "q_knn_pca" -> knnPcaOracle,
+    // rare-token scrub: case-sensitive raw whitespace tokens, corpus
+    // counts, <UNK> at count < 3, string_agg rebuild in position order
+    "q_rare_tokens" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 23 = 0 THEN ' rare' || doc_id::VARCHAR
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, u.i AS pos, u.t AS tok FROM (
+        |  SELECT doc_id,
+        |    unnest([{'i': i, 't': ts[i]} for i in range(1, len(ts) + 1)]) AS u
+        |  FROM (SELECT doc_id,
+        |      CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |        ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |    FROM d))),
+        |cnt AS (SELECT tok, count(*)::BIGINT AS n FROM tk GROUP BY tok),
+        |rep AS (SELECT tk.doc_id, tk.pos,
+        |    CASE WHEN c.n >= 3 THEN tk.tok ELSE '<UNK>' END AS t,
+        |    CASE WHEN c.n >= 3 THEN 0 ELSE 1 END AS sup
+        |  FROM tk JOIN cnt c USING (tok)),
+        |agg AS (SELECT doc_id,
+        |    string_agg(t, ' ' ORDER BY pos) AS text,
+        |    count(*)::BIGINT AS n_tokens,
+        |    sum(sup)::BIGINT AS n_suppressed
+        |  FROM rep GROUP BY doc_id)
+        |SELECT doc.doc_id, coalesce(a.text, '') AS text,
+        |  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(a.n_suppressed, 0)::BIGINT AS n_suppressed
+        |FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id"""
+        .stripMargin,
+    // span corruption: (doc, block) uniforms, fixed 3-blocks, ordinal
+    // sentinels via the prefix-count of earlier masked flags, both
+    // reassemblies replayed with list comprehensions
+    "q_span_corrupt" ->
+      """WITH tkn AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |b AS (SELECT doc_id, ts, len(ts) AS n,
+        |    cast(ceil(len(ts) / 3.0) AS INT) AS nb FROM tkn),
+        |f AS (SELECT doc_id, ts, n, nb,
+        |    [(('0x' || substr(md5(concat_ws('|', concat_ws('#', doc_id, j), 11)), 1, 16))::UBIGINT >> 11)
+        |       / 9007199254740992.0 < 0.3 for j in range(0, nb)] AS flags
+        |  FROM b),
+        |s AS (SELECT doc_id, n,
+        |    flatten([CASE WHEN flags[j + 1]
+        |        THEN ['<extra_id_' || len(list_filter(flags[1:j], x -> x))::VARCHAR || '>']
+        |        ELSE ts[j * 3 + 1 : j * 3 + 3] END
+        |      for j in range(0, nb)]) AS itoks,
+        |    flatten([CASE WHEN flags[j + 1]
+        |        THEN ['<extra_id_' || len(list_filter(flags[1:j], x -> x))::VARCHAR || '>'] || ts[j * 3 + 1 : j * 3 + 3]
+        |        ELSE []::VARCHAR[] END
+        |      for j in range(0, nb)]) AS ttoks,
+        |    len(list_filter(flags, x -> x)) AS nm,
+        |    coalesce(list_sum([CASE WHEN flags[j + 1]
+        |        THEN len(ts[j * 3 + 1 : j * 3 + 3]) ELSE 0 END
+        |      for j in range(0, nb)]), 0) AS nmt
+        |  FROM f)
+        |SELECT doc_id, n::BIGINT AS n_tokens, nmt::BIGINT AS n_masked_tokens,
+        |  coalesce(array_to_string(itoks, ' '), '') AS input_text,
+        |  CASE WHEN nm = 0 THEN coalesce(array_to_string(ttoks, ' '), '')
+        |    ELSE coalesce(array_to_string(ttoks, ' '), '') || ' <extra_id_' || nm::VARCHAR || '>'
+        |  END AS target_text
+        |FROM s""".stripMargin,
     // FIM: the hashUniform replay (md5 hex → UBIGINT >> 11 / 2^53) for
     // the apply decision (seed 42) and both cuts (seeds 43/44); same
     // floor(u·(len+1)) arithmetic, same 1-based substr splice

@@ -853,6 +853,59 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Rare-token suppression — the memorization/privacy scrub: every
+    * whitespace token whose CORPUS-WIDE count falls below `minCount` is
+    * replaced by `replacement`. Rare strings are where verbatim PII and
+    * unique identifiers live (a token seen twice in 100 TB is almost
+    * certainly an account number, not language), and rare-token removal
+    * is the standard counter to training-time memorization of them.
+    * Counting
+    * is case-sensitive on RAW whitespace tokens (this operator rewrites
+    * the text, so it must not fold case the way the analysis tokenizer
+    * does).
+    *
+    * Scale design: one (token → count) aggregate (map-side partials,
+    * vocab-keyed exchange); the scrub joins each token position against
+    * the KEEP set (count ≥ minCount — the vocabulary HEAD, much smaller
+    * than the rare tail it bans; AQE broadcasts it when it fits) and
+    * rebuilds documents with the ordered-groupBy pattern
+    * [[removeRepeatedLines]] established. Linear in corpus tokens; the
+    * doc rebuild is the only corpus-sized exchange.
+    *
+    * Returns (idCol, textCol, n_tokens, n_suppressed). */
+  def suppressRareTokens(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long, replacement: String = "<UNK>"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(col(idCol),
+        posexplode(when(length(trim(col(textCol))) === 0,
+          array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+          .as(Seq("pos", "tok")))
+    val keep = toks
+      .groupBy(md5(col("tok")).as("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__fp"))
+    val flagged = toks
+      .join(keep, md5(col("tok")) === keep("__fp"), "left")
+      .withColumn("__rare", col("__fp").isNull)
+    val rebuilt = flagged.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            when(col("__rare"), lit(replacement)).otherwise(col("tok"))
+              .as("t")))),
+          s => s.getField("t")), " ").as(textCol),
+        count(lit(1)).as("n_tokens"),
+        sum(col("__rare").cast("long")).as("n_suppressed"))
+    // tokenless docs emit no exploded rows — join them back as empty
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_suppressed"), lit(0L)).as("n_suppressed"))
+  }
+
   /** The LSH S-curve: probability that a pair with Jaccard `s` becomes a
     * candidate under (bands, rowsPerBand) banding — 1 − (1 − s^r)^b. */
   def lshCandidateProbability(s: Double, bands: Int,

@@ -92,4 +92,77 @@ object Chunking {
       when(applied, concat(lit(preTok), prefix, lit(sufTok), suffix,
         lit(midTok), middle)).otherwise(col(textCol)).as("text_out"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) with FIXED
+    * span blocks: whitespace tokens group into consecutive blocks of
+    * `spanLen`; each block masks independently with probability `rate`
+    * (seeded md5 uniform of (doc, block) — deterministic, replayable);
+    * the INPUT text replaces each masked block with an ordinal sentinel
+    * `<extra_id_k>` and the TARGET lists each sentinel followed by the
+    * tokens it hid, closed by the final sentinel — exactly the
+    * denoising-objective input/target pair, with the reference's
+    * variable-length span sampling simplified to fixed blocks so every
+    * decision is a pure per-block expression (no sequential state) and
+    * the q_span_corrupt oracle replays it token-for-token.
+    *
+    * Map-only: tokens, block flags, sentinel numbering (a prefix count
+    * over ≤ blocks² lambda steps — document-bounded) and both
+    * reassemblies are higher-order array expressions per row; nothing
+    * shuffles. Returns (idCol, n_tokens, n_masked_tokens, input_text,
+    * target_text). */
+  def spanCorrupt(docs: org.apache.spark.sql.DataFrame,
+      rate: Double = 0.15, spanLen: Int = 3, seed: Long = 42L,
+      textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    require(spanLen >= 1, s"spanLen must be >= 1: $spanLen")
+    import graft.operators.Sampling.hashUniform
+    def bind(c: Column)(f: Column => Column): Column =
+      element_at(transform(array(c), f), 1)
+    val ts = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val out = bind(ts) { t =>
+      val n = size(t)
+      val nblocks = ceil(n.cast("double") / spanLen).cast("int")
+      // empty docs: zero blocks — guard every sequence() behind it
+      val blockIdx = when(nblocks === 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), nblocks - 1, lit(1)))
+      bind(transform(blockIdx,
+        j => hashUniform(concat_ws("#", col(idCol), j), seed) <
+          rate)) { flags =>
+        // sentinel ordinal of block j = masked blocks before j
+        val sentIdx = (j: Column) =>
+          size(filter(slice(flags, lit(1), j), f => f))
+        val blockToks = (j: Column) => slice(t, j * spanLen + 1,
+          lit(spanLen))
+        val inputToks = flatten(transform(blockIdx,
+          j => when(element_at(flags, j + 1),
+            array(concat(lit("<extra_id_"), sentIdx(j), lit(">"))))
+            .otherwise(blockToks(j))))
+        val targetToks = flatten(transform(blockIdx,
+          j => when(element_at(flags, j + 1),
+            concat(array(concat(lit("<extra_id_"), sentIdx(j),
+              lit(">"))), blockToks(j)))
+            .otherwise(array().cast("array<string>"))))
+        val nMasked = size(filter(flags, f => f))
+        struct(
+          n.cast("long").as("n_tokens"),
+          aggregate(blockIdx, lit(0L),
+            (acc, j) => acc + when(element_at(flags, j + 1),
+              size(blockToks(j)).cast("long")).otherwise(lit(0L)))
+            .as("n_masked_tokens"),
+          array_join(inputToks, " ").as("input_text"),
+          when(nMasked === 0, array_join(targetToks, " "))
+            .otherwise(concat(array_join(targetToks, " "), lit(" "),
+              lit("<extra_id_"), nMasked, lit(">")))
+            .as("target_text"))
+      }
+    }
+    docs.select(col(idCol), out.as("__o"))
+      .select(col(idCol), col("__o.n_tokens").as("n_tokens"),
+        col("__o.n_masked_tokens").as("n_masked_tokens"),
+        col("__o.input_text").as("input_text"),
+        col("__o.target_text").as("target_text"))
+  }
 }

@@ -294,6 +294,77 @@ class FiltersSpec extends SparkSuite {
     assert(again.toMap === out.map(o => (o._1, o._5)).toMap)
   }
 
+  // --------------------------------------------- rare-token suppression
+
+  test("suppressRareTokens: corpus-global rare tokens scrub to <UNK>") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "alpha beta SECRET123 alpha"),
+      (2L, "alpha beta gamma"),
+      (3L, "beta gamma KEY456"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.suppressRareTokens(docs, "text", "doc_id",
+      minCount = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // alpha(3) beta(3) gamma(2) survive; SECRET123/KEY456 (1 each) scrub
+    assert(got(1L) === (("alpha beta <UNK> alpha", 4L, 1L)))
+    assert(got(2L) === (("alpha beta gamma", 3L, 0L)))
+    assert(got(3L) === (("beta gamma <UNK>", 3L, 1L)))
+    // empty doc survives with zero counts
+    assert(got(4L) === (("", 0L, 0L)))
+    // counting is case-sensitive: "Alpha" is NOT "alpha"
+    val cased = Seq((1L, "alpha Alpha"), (2L, "alpha"))
+      .toDF("doc_id", "text")
+    val c = Dedup.suppressRareTokens(cased, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c(1L) === "alpha <UNK>")
+  }
+
+  // --------------------------------------------------- span corruption
+
+  test("spanCorrupt: sentinels ordinal, target closes, splice recovers") {
+    import graft.text.Chunking
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 17).map(t => s"w${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Chunking.spanCorrupt(docs, rate = 0.4, spanLen = 3,
+      seed = 9L).collect()
+    rows.foreach { r =>
+      val (id, n, masked, inp, tgt) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3), r.getString(4))
+      assert(n === 17L)
+      val sentRe = "<extra_id_(\\d+)>".r
+      val inpSents = sentRe.findAllMatchIn(inp).map(_.group(1).toInt).toSeq
+      // input sentinels are 0,1,2,... in order
+      assert(inpSents === inpSents.indices.toSeq, s"doc $id: $inpSents")
+      if (masked > 0) {
+        // target ends with the closing sentinel = count of masked blocks
+        assert(tgt.endsWith(s"<extra_id_${inpSents.length}>"),
+          s"doc $id target: $tgt")
+        // splice: replacing each input sentinel with its target span
+        // recovers the original token sequence
+        val spans = tgt.split("<extra_id_\\d+>").map(_.trim)
+          .filter(_.nonEmpty)
+        var rebuilt = inp
+        inpSents.foreach { k =>
+          rebuilt = rebuilt.replace(s"<extra_id_$k>", spans(k))
+        }
+        assert(rebuilt.split("\\s+").toSeq ===
+          (1 to 17).map(t => s"w${id}_$t"), s"doc $id splice")
+      } else assert(tgt === "" && inp.split("\\s+").length === 17)
+    }
+    // some docs masked, some not, at rate 0.4
+    assert(rows.count(_.getLong(2) > 0) > 5)
+    assert(rows.exists(_.getLong(2) === 0) ||
+      rows.forall(_.getLong(2) > 0))
+    // empty doc: zero everything
+    val e = Chunking.spanCorrupt(Seq((1L, "")).toDF("doc_id", "text"))
+      .head()
+    assert(e.getLong(1) === 0L && e.getLong(2) === 0L &&
+      e.getString(3) === "" && e.getString(4) === "")
+  }
+
   // ------------------------------------------- Zipf slope & entropy
 
   test("zipfSlope: OLS on exact counts; short sources yield null") {
