@@ -102,6 +102,34 @@ object Streaming {
     }
   }
 
+  /** Streaming heuristic-filter + augmentation gate: the round-7
+    * published filter sets and augmentations composed as a STATELESS
+    * stream stage — C4 line cleaning rewrites the text, the Gopher A1
+    * verdict gates it, and FIM rewrites the survivors for training.
+    * Every stage is a pure per-row expression ([[graft.text
+    * .HeuristicFilters]], [[graft.text.Chunking.fimTransform]]), so the
+    * stream plan carries NO state store, no watermark, no stream-static
+    * join — replay-stable because the FIM cuts key on the seeded md5
+    * uniform of the id, not on arrival order. Identical semantics to
+    * running the batch operators over everything arrived (spec-pinned
+    * via foreachBatch snapshots). */
+  def streamingAugmentGate(src: DataFrame, textCol: String,
+      idCol: String, minWords: Int = 30, fimRate: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    import graft.text.{Chunking, HeuristicFilters}
+    val cleaned = HeuristicFilters.c4Clean(src, textCol, idCol,
+        minLineWords = 3, minSentences = 1)
+      .filter(col("keep"))
+      .select(col(idCol), col("clean_text").as(textCol))
+    // text rides THROUGH the gopher signals (passthrough) — a rejoin
+    // against the cleaned stream would be a stateful stream-stream join
+    val gated = HeuristicFilters.gopherFilter(cleaned, textCol, idCol,
+        minWords = minWords, passthrough = Seq(textCol))
+      .filter(col("keep"))
+      .select(col(idCol), col(textCol))
+    Chunking.fimTransform(gated, fimRate, seed, textCol, idCol)
+  }
+
   /** Streaming benchmark-contamination flag: mark stream documents that
     * (probably) share a word n-gram with a fixed benchmark corpus, via
     * the driver-built Bloom filter riding in the plan — a pure map-only

@@ -114,15 +114,17 @@ object HeuristicFilters {
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
-      minStopwordHits: Int = 2): DataFrame = {
+      minStopwordHits: Int = 2,
+      passthrough: Seq[String] = Nil): DataFrame = {
     require(minWords >= 0 && maxWords >= minWords,
       s"bad word bounds [$minWords, $maxWords]")
     val stopDict = array(GopherStopwords.map(lit): _*)
-    docs.select(col(idCol),
+    val pass = passthrough.map(col)
+    docs.select(col(idCol) +: pass ++: Seq(
         tokens(col(textCol)).as("__ts"),
         rawLines(col(textCol)).as("__ls"),
-        col(textCol).as("__text"))
-      .select(col(idCol),
+        col(textCol).as("__text")): _*)
+      .select(col(idCol) +: pass ++: Seq(
         size(col("__ts")).cast("long").as("n_words"),
         round(when(size(col("__ts")) === 0, lit(0.0)).otherwise(
           aggregate(col("__ts"), lit(0L), (acc, t) => acc + length(t))
@@ -146,7 +148,7 @@ object HeuristicFilters {
             .cast("double") / size(col("__ts"))), 6)
           .as("alpha_word_frac"),
         size(filter(col("__ts"), t => array_contains(stopDict, t)))
-          .cast("long").as("n_stopword_hits"))
+          .cast("long").as("n_stopword_hits")): _*)
       .withColumn("keep",
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= minMeanWordLen &&

@@ -93,6 +93,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming augment gate: c4 + gopher + fim, stateless, batch-equal") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val good = "The quick brown fox jumps over the lazy dog and runs on " +
+      "through the field to the river and that is the whole story of it."
+    val gated = Streaming.streamingAugmentGate(mem.toDF(), "text",
+      "doc_id", minWords = 10, fimRate = 1.0, seed = 7L)
+    // stateless by construction: the streaming plan must carry no
+    // stateful operator
+    val q = gated.writeStream.format("memory").queryName("augment")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, h: Int, t: String) =
+        Doc(id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), t)
+      mem.addData(
+        doc(1, 0, good),
+        doc(2, 1, "no terminal punctuation so c4 keeps nothing"),
+        doc(3, 2, good + "\nshort."))
+      q.processAllAvailable()
+      mem.addData(doc(4, 3, good))
+      q.processAllAvailable()
+      val out = spark.table("augment").collect()
+        .map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(out.keySet === Set(1L, 3L, 4L))
+      out.values.foreach(t => assert(t.startsWith("<PRE>")))
+      // replay-stable: the batch composition over the same docs yields
+      // the identical FIM output (cuts key on ids, not arrival)
+      val batch = graft.text.Chunking.fimTransform(
+        graft.text.HeuristicFilters.gopherFilter(
+          graft.text.HeuristicFilters.c4Clean(
+            Seq((1L, good), (4L, good)).toDF("doc_id", "text"),
+            minSentences = 1)
+            .filter(col("keep"))
+            .select(col("doc_id"), col("clean_text").as("text")),
+          minWords = 10, passthrough = Seq("text"))
+          .filter(col("keep")).select(col("doc_id"), col("text")),
+        rate = 1.0, seed = 7L).collect()
+        .map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(batch(1L) === out(1L) && batch(4L) === out(4L))
+    } finally q.stop()
+  }
+
   test("streaming contamination flag: bloom probe, no state, no misses") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
