@@ -101,6 +101,30 @@ object SparkEntry {
       path
     })
 
+  /** On-disk binary token shards (.bin/.idx + manifest) over the
+    * documents table — built once per JVM and data dir like the ANN
+    * indexes; ids are md5-derived per token so the oracle can replay
+    * them without a trained tokenizer. */
+  private val tokenShardsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tokenShardsPath(s: SparkSession, dir: String): String =
+    tokenShardsBuilt.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_token_shards_" + digest).getAbsolutePath
+      val ids = transform(
+        graft.text.TextAnalysis.tokens(col("text")),
+        t => pmod(graft.functions.HashExpressions.md5Long(t),
+          lit(32768L)).cast("int"))
+      graft.sources.TokenShards.writeTokenShards(
+        table(s, d, "documents").select(col("doc_id"), ids.as("ids")),
+        path, "doc_id", "ids", tokensPerShard = 4096L, seed = 42L)
+      path
+    })
+
   /** events + derived (ts_days, err) — the TAPE source-table mapping.
     * The time arithmetic is integer-exact (epoch micros as a long) before
     * the one double division, so Spark and DuckDB (`epoch_us(ts)`) agree
@@ -1169,11 +1193,11 @@ object SparkEntry {
       import graft.text.TextAnalysis._
       val planted = concat(col("text"),
         when(col("doc_id") % 4 === 1,
-          repeat(lit(" мир привет он"), 200)).otherwise(lit("")),
+          repeat(lit(" мир привет он"), 100)).otherwise(lit("")),
         when(col("doc_id") % 4 === 2,
-          repeat(lit(" 你好世界汉字"), 200)).otherwise(lit("")),
+          repeat(lit(" 你好世界汉字"), 100)).otherwise(lit("")),
         when(col("doc_id") % 4 === 3,
-          repeat(lit(" مرحبا بالعالم"), 200)).otherwise(lit("")))
+          repeat(lit(" مرحبا بالعالم"), 100)).otherwise(lit("")))
       val docs = table(s, dir, "documents").withColumn("text", planted)
       val cols = scriptCounts(col("text")).map { case (n, c) => c.as(n) }
       docs.select(col("doc_id") +:
@@ -1198,6 +1222,16 @@ object SparkEntry {
       graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
         lo = 0.2, hi = 0.6)
     }),
+    "q_token_shards" -> ((s, dir) =>
+      // the BINARY training artifact under the oracle: md5-derived token
+      // ids written as Megatron-style .bin/.idx shards, re-read by the
+      // byte parser; per-doc shard/offset/length and the token-id
+      // checksum FROM THE BYTES must equal the oracle's pure-SQL replay
+      // of ids + the seeded global layout
+      graft.sources.TokenShards.readTokenShards(s,
+          tokenShardsPath(s, dir))
+        .select(col("shard"), col("doc_id"), col("offset"),
+          col("n_tokens"), col("token_sum"))),
     "q_rare_tokens" -> ((s, dir) =>
       // rare-token suppression (memorization/privacy scrub): planted
       // unique identifiers (%23) plus the natural hapax tail scrub to
@@ -3370,6 +3404,32 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
     "q_pca" -> pcaOracle,
     "q_knn_pca" -> knnPcaOracle,
+    // token shards: md5 ids mod 32768 per token, the q_shards uniform +
+    // naive global-cumsum layout, shard by integral div, offset =
+    // global_start − the shard's first global_start (shard ranges are
+    // globally contiguous); every column cast off HUGEINT
+    "q_token_shards" ->
+      """WITH tok AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |idl AS (SELECT doc_id,
+        |    [(('0x' || substr(md5(t), 1, 16))::UBIGINT % 32768)::BIGINT
+        |      for t in ts] AS ids
+        |  FROM tok),
+        |siz AS (SELECT doc_id, len(ids)::BIGINT AS n,
+        |    coalesce(list_sum(ids), 0)::BIGINT AS tsum,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u
+        |  FROM idl),
+        |lay AS (SELECT doc_id, n, tsum, u,
+        |    (sum(n) OVER (ORDER BY u, doc_id) - n)::BIGINT AS gs
+        |  FROM siz),
+        |sh AS (SELECT doc_id, n, tsum, gs, gs // 4096 AS shard FROM lay)
+        |SELECT shard, doc_id,
+        |  (gs - min(gs) OVER (PARTITION BY shard))::BIGINT AS offset,
+        |  n AS n_tokens, tsum AS token_sum
+        |FROM sh""".stripMargin,
     // rare-token scrub: case-sensitive raw whitespace tokens, corpus
     // counts, <UNK> at count < 3, string_agg rebuild in position order
     "q_rare_tokens" ->
@@ -3509,9 +3569,9 @@ object SparkEntry {
     "q_script_mix" ->
       """WITH d AS (SELECT doc_id,
         |    text ||
-        |    CASE WHEN doc_id % 4 = 1 THEN repeat(' мир привет он', 200) ELSE '' END ||
-        |    CASE WHEN doc_id % 4 = 2 THEN repeat(' 你好世界汉字', 200) ELSE '' END ||
-        |    CASE WHEN doc_id % 4 = 3 THEN repeat(' مرحبا بالعالم', 200) ELSE '' END AS text
+        |    CASE WHEN doc_id % 4 = 1 THEN repeat(' мир привет он', 100) ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN repeat(' 你好世界汉字', 100) ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 3 THEN repeat(' مرحبا بالعالم', 100) ELSE '' END AS text
         |  FROM documents),
         |s AS (SELECT doc_id,
         |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]'))::BIGINT AS n_latin,

@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Binary token-shard files — the Megatron-style `.bin`/`.idx` pair that
+  * training jobs actually memory-map, written from the same seeded
+  * global shard layout [[graft.operators.Packing.assignShards]]
+  * computes:
+  *
+  *  - `shard_<s>.bin`: the shard's token ids, concatenated in layout
+  *    order, little-endian int32 each;
+  *  - `shard_<s>.idx`: magic `GRFT0001`, an int64 document count, then
+  *    per document (doc_id: int64, offset: int64 tokens, length: int64
+  *    tokens) — all little-endian;
+  *  - `_manifest.json`: layout parameters + per-shard doc/token counts.
+  *
+  * The format is defined by THIS file (byte-for-byte, see
+  * [[readTokenShards]] — the parser is the spec), written from scratch;
+  * it mirrors the shape of the public Megatron-LM indexed-dataset layout
+  * without copying it.
+  *
+  * Scale design: the layout is the bucket-offset two-phase plan (no
+  * global window); the write repartitions ON the shard id and streams
+  * each shard's rows through one sequential pass per shard (file I/O via
+  * the Hadoop FileSystem API, so the same code writes local disk, HDFS
+  * or an object store). Shard size is the `tokensPerShard` knob —
+  * pick it so one shard ≈ one task's worth of I/O. The read side
+  * parallelizes per shard file.
+  *
+  * Verification: q_token_shards puts the BINARY ARTIFACT itself under
+  * the DuckDB oracle — the driver query re-reads the written bytes and
+  * emits per-doc (shard, offset, length, token checksum), which must
+  * hash-equal the oracle's pure-SQL replay of ids + layout. */
+object TokenShards {
+
+  val Magic: Array[Byte] = "GRFT0001".getBytes("US-ASCII")
+
+  /** Write `df`'s documents — `idCol` (long) + `idsCol` (array<int>
+    * token ids) — as binary token shards under `dir`. Returns the
+    * manifest (shard, n_docs, n_tokens). */
+  def writeTokenShards(df: DataFrame, dir: String, idCol: String,
+      idsCol: String, tokensPerShard: Long, seed: Long = 42L,
+      nBuckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    val withN = df.select(col(idCol), col(idsCol).as("__ids"))
+    val assigned = graft.operators.Packing.assignShards(
+      withN.select(col(idCol), size(col("__ids")).as("__n")),
+      idCol, col("__n"), tokensPerShard, seed, nBuckets)
+    val rows = withN.join(
+      assigned.select(col(idCol), col("u"), col("shard")), Seq(idCol))
+    val manifestRows = rows
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("u"), col(idCol))
+      .select(col("shard"), col(idCol).as("__id"), col("__ids"))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)]
+        var cur = Long.MinValue
+        var bin: java.io.DataOutputStream = null
+        var entries: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)] =
+          null
+        var off = 0L
+        var docs = 0L
+        def le32(v: Int): Array[Byte] = Array(
+          (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        def le64(v: Long): Array[Byte] =
+          (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+        def close(): Unit = if (bin != null) {
+          bin.close()
+          val p = new org.apache.hadoop.fs.Path(dir, f"shard_$cur%05d.idx")
+          val fs = p.getFileSystem(conf)
+          val ix = fs.create(p, true)
+          ix.write(Magic)
+          ix.write(le64(entries.length.toLong))
+          entries.foreach { case (id, o, l) =>
+            ix.write(le64(id)); ix.write(le64(o)); ix.write(le64(l))
+          }
+          ix.close()
+          out += ((cur, docs, off))
+          bin = null
+        }
+        it.foreach { r =>
+          val s = r.getLong(0)
+          if (s != cur) {
+            close()
+            cur = s
+            val p = new org.apache.hadoop.fs.Path(dir,
+              f"shard_$cur%05d.bin")
+            val fs = p.getFileSystem(conf)
+            bin = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(fs.create(p, true)))
+            entries = scala.collection.mutable.ArrayBuffer.empty
+            off = 0L; docs = 0L
+          }
+          val ids = r.getSeq[Int](2)
+          entries += ((r.getLong(1), off, ids.length.toLong))
+          ids.foreach(v => bin.write(le32(v)))
+          off += ids.length
+          docs += 1
+        }
+        close()
+        out.iterator
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("shard", "n_docs", "n_tokens")
+      .orderBy(col("shard"))
+    val manifest = manifestRows.collect()
+    val spec = manifest.map(r =>
+      s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+        s""""n_tokens":${r.getLong(2)}}""").mkString(",\n  ")
+    val mp = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    val fs = mp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val os = fs.create(mp, true)
+    os.write(
+      (s"""{"format":"graft-token-shards-v1","tokens_per_shard":""" +
+        s"""$tokensPerShard,"seed":$seed,"shards":[\n  $spec\n]}""")
+        .getBytes("UTF-8"))
+    os.close()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(manifest.toSeq),
+      manifestRows.schema)
+  }
+
+  /** Parse the shards back: one row per document — (shard, doc_id,
+    * offset, n_tokens, token_sum, ids). `token_sum` is the int64 sum of
+    * the document's token ids read FROM THE .bin BYTES, so comparing it
+    * against an independently computed expectation checks the binary
+    * content, not just the index. Parallel per shard file. */
+  def readTokenShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = spark.read.format("binaryFile").load(s"$dir/shard_*.idx")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, b) => (shardOf(p), b) }
+      .toDF("shard", "__idx")
+    val bin = spark.read.format("binaryFile").load(s"$dir/shard_*.bin")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, b) => (shardOf(p), b) }
+      .toDF("shard", "__bin")
+    idx.join(bin, Seq("shard"))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .flatMap { case (shard, ix, data) =>
+        require(ix.take(8).sameElements(Magic),
+          s"bad magic in shard $shard index")
+        val n = le64(ix, 8)
+        (0 until n.toInt).map { i =>
+          val base = 16 + 24 * i
+          val id = le64(ix, base)
+          val off = le64(ix, base + 8)
+          val len = le64(ix, base + 16)
+          var sum = 0L
+          val ids = new Array[Int](len.toInt)
+          var j = 0
+          while (j < len) {
+            val v = le32(data, ((off + j) * 4).toInt)
+            ids(j.toInt) = v
+            sum += v
+            j += 1
+          }
+          (shard, id, off, len, sum, ids.toSeq)
+        }
+      }
+      .toDF("shard", "doc_id", "offset", "n_tokens", "token_sum", "ids")
+  }
+
+  private def shardOf(path: String): Long =
+    "shard_(\\d+)\\.".r.findFirstMatchIn(path)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"unrecognized shard file name: $path"))
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private def le64(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
+    v
+  }
+}

@@ -404,6 +404,51 @@ class FiltersSpec extends SparkSuite {
     assert(Drift.mixtureEntropy(withNull).head().getLong(0) === 2L)
   }
 
+  // ----------------------------------------------- binary token shards
+
+  test("tokenShards: bin/idx round-trip exact; offsets contiguous") {
+    import graft.sources.TokenShards
+    val docs = (1L to 60L).map { i =>
+      (i, (0 until (i % 7 + 1).toInt).map(t => (i * 31 + t).toInt % 32768))
+    }.toDF("doc_id", "ids")
+    val dir = new java.io.File(
+      new java.io.File(System.getProperty("user.dir"), "target"),
+      "token_shards_spec").getAbsolutePath
+    val manifest = TokenShards.writeTokenShards(docs, dir, "doc_id",
+      "ids", tokensPerShard = 40L, seed = 5L).collect()
+    assert(manifest.map(_.getLong(1)).sum === 60L)
+    val back = TokenShards.readTokenShards(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2),
+        r.getSeq[Int](5)))).toMap
+    // every document's ids survive the binary round trip exactly
+    val expect = (1L to 60L).map { i =>
+      i -> (0 until (i % 7 + 1).toInt).map(t => (i * 31 + t).toInt % 32768)
+    }.toMap
+    assert(back.keySet === expect.keySet)
+    expect.foreach { case (id, ids) =>
+      assert(back(id)._3 === ids, s"doc $id ids")
+    }
+    // offsets tile each shard contiguously and match the manifest
+    val byShard = TokenShards.readTokenShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val mTokens = manifest.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byShard.foreach { case (s, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var off = 0L
+      sorted.foreach { case (_, o, l) =>
+        assert(o === off, s"shard $s gap at $o"); off += l
+      }
+      assert(off === mTokens(s), s"shard $s token total")
+    }
+    // deterministic: a rewrite produces the identical layout
+    val again = TokenShards.writeTokenShards(docs, dir, "doc_id", "ids",
+      tokensPerShard = 40L, seed = 5L).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === manifest.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   // -------------------------------------------------------------- PCA
 
   test("pca: recovers the dominant axis of an anisotropic cloud") {
