@@ -1222,6 +1222,19 @@ object SparkEntry {
       graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
         lo = 0.2, hi = 0.6)
     }),
+    "q_readability" -> ((s, dir) => {
+      // classic readability heuristics (Flesch / FK grade / LIX) with
+      // planted sentence structure (%3 docs get extra terminal
+      // punctuation runs) — all inputs exact integer counts from shared
+      // regexes, one rounded float expression per score
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(". Extra part here! Done?"))
+          .otherwise(lit("")))
+      val docs = table(s, dir, "documents").withColumn("text", planted)
+      val cols = graft.text.TextAnalysis.readabilityScores(col("text"))
+        .map { case (n, c) => c.as(n) }
+      docs.select(col("doc_id") +: cols: _*)
+    }),
     "q_token_shards" -> ((s, dir) =>
       // the BINARY training artifact under the oracle: md5-derived token
       // ids written as Megatron-style .bin/.idx shards, re-read by the
@@ -3404,6 +3417,35 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
     "q_pca" -> pcaOracle,
     "q_knn_pca" -> knnPcaOracle,
+    // readability: shared token/sentence/syllable regexes, integer
+    // counts, the three published formulas rounded 6
+    "q_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |      THEN '. Extra part here! Done?' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |    len(ts)::BIGINT AS w, s::BIGINT AS s,
+        |    coalesce(list_sum(list_transform(ts,
+        |      x -> len(regexp_extract_all(x, '[aeiouy]+')))), 0)::BIGINT AS y,
+        |    len(list_filter(ts, x -> len(x) > 6))::BIGINT AS lw
+        |  FROM t)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+        |  CASE WHEN w = 0 THEN NULL ELSE
+        |    round(206.835 - 1.015 * (w::DOUBLE / s) - 84.6 * (y::DOUBLE / w), 6)
+        |  END AS flesch,
+        |  CASE WHEN w = 0 THEN NULL ELSE
+        |    round(0.39 * (w::DOUBLE / s) + 11.8 * (y::DOUBLE / w) - 15.59, 6)
+        |  END AS fk_grade,
+        |  CASE WHEN w = 0 THEN NULL ELSE
+        |    round(w::DOUBLE / s + 100.0 * (lw::DOUBLE / w), 6)
+        |  END AS lix
+        |FROM m""".stripMargin,
     // token shards: md5 ids mod 32768 per token, the q_shards uniform +
     // naive global-cumsum layout, shard by integral div, offset =
     // global_start − the shard's first global_start (shard ranges are

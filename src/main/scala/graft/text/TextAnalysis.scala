@@ -188,6 +188,62 @@ object TextAnalysis {
     (lenScore + alpha + punct + mwlScore) / 4.0
   }
 
+  /** Heuristic syllable count of one (lowercased) word: the number of
+    * vowel groups (`[aeiouy]+` runs) — the standard readability-formula
+    * approximation, deliberately simple so any regex engine reproduces
+    * it exactly. */
+  def syllables(word: Column): Column =
+    size(regexp_extract_all(word, lit("[aeiouy]+"), lit(0)))
+
+  /** Classic readability scores as columns — the long-standing
+    * document-difficulty heuristics often used as cheap quality/register
+    * signals in corpus curation (academic vs conversational vs spam
+    * text separate cleanly on them):
+    *
+    *  - `flesch`: Reading Ease, 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    *  - `fk_grade`: Flesch–Kincaid grade, 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *  - `lix`: W/S + 100·(long words > 6 chars)/W  (Björnsson's index)
+    *
+    * with W = tokens, S = sentence count (runs of `[.!?]+`, floor 1 so
+    * punctuation-free text counts as one sentence), Y = total vowel-group
+    * syllables. Every input is an exact integer count from shared
+    * regexes, so the one float expression per score is engine-exact
+    * before its 6-decimal rounding. Empty documents score NULL. */
+  def readabilityScores(c: Column): Seq[(String, Column)] = {
+    val w = bind(tokens(c)) { ts =>
+      struct(size(ts).as("w"),
+        greatest(lit(1),
+          size(regexp_extract_all(c, lit("[.!?]+"), lit(0)))).as("s"),
+        aggregate(ts, lit(0L), (acc, t) => acc + syllables(t)).as("y"),
+        size(filter(ts, t => length(t) > 6)).as("lw"))
+    }
+    Seq(
+      "n_words" -> bind(w)(x => x.getField("w").cast("long")),
+      "n_sentences" -> bind(w)(x => x.getField("s").cast("long")),
+      "n_syllables" -> bind(w)(x => x.getField("y").cast("long")),
+      "flesch" -> bind(w) { x =>
+        when(x.getField("w") === 0, lit(null).cast("double")).otherwise(
+          round(lit(206.835) -
+            lit(1.015) * (x.getField("w").cast("double") /
+              x.getField("s")) -
+            lit(84.6) * (x.getField("y").cast("double") /
+              x.getField("w")), 6))
+      },
+      "fk_grade" -> bind(w) { x =>
+        when(x.getField("w") === 0, lit(null).cast("double")).otherwise(
+          round(lit(0.39) * (x.getField("w").cast("double") /
+            x.getField("s")) +
+            lit(11.8) * (x.getField("y").cast("double") /
+              x.getField("w")) - lit(15.59), 6))
+      },
+      "lix" -> bind(w) { x =>
+        when(x.getField("w") === 0, lit(null).cast("double")).otherwise(
+          round(x.getField("w").cast("double") / x.getField("s") +
+            lit(100.0) * (x.getField("lw").cast("double") /
+              x.getField("w")), 6))
+      })
+  }
+
   /** PII detection patterns, shared VERBATIM by the Spark expressions and
     * the DuckDB oracle SQL (single source → the two regex engines must
     * agree; the patterns deliberately use only portable constructs —

@@ -404,6 +404,31 @@ class FiltersSpec extends SparkSuite {
     assert(Drift.mixtureEntropy(withNull).head().getLong(0) === 2L)
   }
 
+  // ------------------------------------------------------- readability
+
+  test("readabilityScores: hand-computed Flesch/FK/LIX; empty is null") {
+    import graft.text.TextAnalysis
+    // "the cat sat. it ran away!" → 6 words, 2 sentences,
+    // syllables: the(1) cat(1) sat.(1) it(1) ran(1) away!(2) = 7,
+    // long words (>6 incl punct): none
+    val docs = Seq((1L, "the cat sat. it ran away!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val cols = TextAnalysis.readabilityScores(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val r = docs.select(col("doc_id") +: cols: _*).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val a = r(1L)
+    assert(a.getAs[Long]("n_words") === 6L)
+    assert(a.getAs[Long]("n_sentences") === 2L)
+    assert(a.getAs[Long]("n_syllables") === 7L)
+    val flesch = 206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 6)
+    assert(math.abs(a.getAs[Double]("flesch") - flesch) < 1e-6)
+    val lix = 3.0 + 100.0 * 0.0
+    assert(math.abs(a.getAs[Double]("lix") - lix) < 1e-6)
+    assert(r(2L).isNullAt(4) && r(2L).isNullAt(5) && r(2L).isNullAt(6))
+    assert(r(2L).getAs[Long]("n_sentences") === 1L)
+  }
+
   // ----------------------------------------------- binary token shards
 
   test("tokenShards: bin/idx round-trip exact; offsets contiguous") {
