@@ -1222,6 +1222,19 @@ object SparkEntry {
       graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
         lo = 0.2, hi = 0.6)
     }),
+    "q_leak_safe_split" -> ((s, dir) => {
+      // leakage-safe splits: exact copies planted (+1000000 for
+      // doc_id < 30) MUST land in the same train/val/test split — the
+      // seeded uniform keys on the dedup-component representative, not
+      // the document id
+      val docs = table(s, dir, "documents")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val edges = graft.dedup.Dedup.exactDuplicatePairs(corpus, "text",
+        "doc_id")
+      graft.operators.Sampling.leakSafeSplits(corpus, edges, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+    }),
     "q_readability" -> ((s, dir) => {
       // classic readability heuristics (Flesch / FK grade / LIX) with
       // planted sentence structure (%3 docs get extra terminal
@@ -3417,6 +3430,29 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
     "q_pca" -> pcaOracle,
     "q_knn_pca" -> knnPcaOracle,
+    // leak-safe splits: star-edge CC over exact fingerprints = min id
+    // per multi-member group; the q_split interval walk keyed on the
+    // component
+    "q_leak_safe_split" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30),
+        |fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |  FROM c),
+        |comp AS (SELECT doc_id,
+        |    CASE WHEN count(*) OVER (PARTITION BY f) > 1
+        |      THEN min(doc_id) OVER (PARTITION BY f)
+        |      ELSE doc_id END AS component
+        |  FROM fp),
+        |u AS (SELECT doc_id, component,
+        |    (('0x' || substr(md5(concat_ws('|', component, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u
+        |  FROM comp)
+        |SELECT doc_id, component,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM u""".stripMargin,
     // readability: shared token/sentence/syllable regexes, integer
     // counts, the three published formulas rounded 6
     "q_readability" ->

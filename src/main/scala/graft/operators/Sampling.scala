@@ -307,6 +307,34 @@ object Sampling {
     df.withColumn(outCol, expr)
   }
 
+  /** LEAKAGE-SAFE train/val/test assignment: split by DEDUP COMPONENT,
+    * not by document — near-duplicate pairs straddling a random split
+    * leak training content into evaluation (the classic benchmark-
+    * inflation failure), so every document in one duplicate component
+    * must land in the same split. `edges` is any detector's (id_a,
+    * id_b) pair set (exact, MinHash, SemDeDup, or their
+    * [[graft.dedup.Dedup.multiSignalDedup]] union); components come
+    * from the exact CC fixpoint, isolated docs are their own singleton
+    * component, and the split decision keys the seeded md5 uniform on
+    * the COMPONENT REPRESENTATIVE (min id) — the [[assignSplits]]
+    * interval walk otherwise unchanged.
+    *
+    * Scale: CC is the alternating large/small-star plan (edge-set
+    * sized); the corpus pays one left join against the component map
+    * and a map-only uniform — no window, no skew point. Returns
+    * (idCol, component, split). */
+  def leakSafeSplits(df: DataFrame, edges: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    val comp = graft.dedup.Dedup.connectedComponents(edges)
+      .select(col("id").as(idCol), col("component"))
+    val withComp = df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+    assignSplits(withComp, "component", splits, seed)
+      .select(col(idCol), col("component"), col("split"))
+  }
+
   /** TOKEN-budget corpus construction: per stratum, keep documents in
     * seeded md5-uniform order until the cumulative token count reaches
     * `budgetTokens` — mixture recipes are written in tokens, not document

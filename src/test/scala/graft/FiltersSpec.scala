@@ -404,6 +404,28 @@ class FiltersSpec extends SparkSuite {
     assert(Drift.mixtureEntropy(withNull).head().getLong(0) === 2L)
   }
 
+  // ------------------------------------------------- leak-safe splits
+
+  test("leakSafeSplits: duplicate components co-assign; chains collapse") {
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    // chain 1-2-3 (transitive) + pair (10, 11); everything else isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Sampling.leakSafeSplits(docs, edges, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getString(2)))).toMap
+    assert(got(1L)._1 === 1L && got(2L)._1 === 1L && got(3L)._1 === 1L)
+    assert(got(1L)._2 === got(2L)._2 && got(2L)._2 === got(3L)._2)
+    assert(got(10L)._2 === got(11L)._2)
+    // isolated docs are their own component
+    assert(got(50L)._1 === 50L)
+    // proportions roughly honored over isolated docs
+    val splits = got.values.map(_._2).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    assert(splits("train") > 120 && splits.getOrElse("test", 0) < 60)
+  }
+
   // ------------------------------------------------------- readability
 
   test("readabilityScores: hand-computed Flesch/FK/LIX; empty is null") {
