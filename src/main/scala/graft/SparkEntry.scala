@@ -1222,6 +1222,20 @@ object SparkEntry {
       graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
         lo = 0.2, hi = 0.6)
     }),
+    "q_pagerank" -> ((s, dir) => {
+      // crawl-graph centrality: a deterministic directed graph over the
+      // doc ids (two out-edges per doc by modular arithmetic), 8 damped
+      // PageRank rounds with dangling redistribution — every iterate
+      // quantized, so the rank column is bit-exact cross-engine and the
+      // oracle replays all rounds
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 1) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 11) % n).as("dst")))
+      graft.graph.GraphRank.pageRank(edges, iters = 8)
+    }),
     "q_leak_safe_split" -> ((s, dir) => {
       // leakage-safe splits: exact copies planted (+1000000 for
       // doc_id < 30) MUST land in the same train/val/test split — the
@@ -3430,6 +3444,7 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin,
     "q_pca" -> pcaOracle,
     "q_knn_pca" -> knnPcaOracle,
+    "q_pagerank" -> pageRankOracle,
     // leak-safe splits: star-edge CC over exact fingerprints = min id
     // per multi-member group; the q_split interval walk keyed on the
     // component
@@ -4399,6 +4414,55 @@ object SparkEntry {
        |  FROM rr)
        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** PageRank replayed END TO END: the deterministic modular edge set,
+    * dedup/self-filter, out-degrees, then 8 damped rounds — each round a
+    * quantized dangling scalar, the per-target contribution sum, and the
+    * quantized update with the identical float shape
+    * ((1−d)/N + d·(in + D/N)). All decisions happen on quantized
+    * values, so ranks are bit-exact cross-engine (no output rounding). */
+  private def pageRankOracle: String = {
+    val Q = "1000000000.0"
+    val rounds = (1 to 8).map { t =>
+      val prev = s"r${t - 1}"
+      s"""d$t AS MATERIALIZED (
+         |  SELECT coalesce(floor(sum(r.rank) * $Q + 0.5) / $Q, 0.0) AS dm
+         |  FROM $prev r LEFT JOIN odeg o ON o.id = r.id
+         |  WHERE o.outdeg IS NULL),
+         |c$t AS MATERIALIZED (
+         |  SELECT e.dst AS id, sum(r.rank / o.outdeg) AS inm
+         |  FROM e JOIN $prev r ON r.id = e.src
+         |         JOIN odeg o ON o.id = e.src
+         |  GROUP BY e.dst),
+         |r$t AS MATERIALIZED (
+         |  SELECT n.id,
+         |    floor(((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 *
+         |      (coalesce(c.inm, 0.0) + (SELECT dm FROM d$t) / (SELECT n FROM nn)))
+         |      * $Q + 0.5) / $Q AS rank
+         |  FROM nodes n LEFT JOIN c$t c ON c.id = n.id),""".stripMargin
+    }.mkString("\n")
+    s"""WITH nd AS (SELECT count(*) AS c FROM documents),
+       |raw AS (
+       |  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM nd) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 7 + 11) % (SELECT c FROM nd)
+       |  FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |odeg AS MATERIALIZED (
+       |  SELECT src AS id, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT id, floor(1.0 / (SELECT n FROM nn) * $Q + 0.5) / $Q AS rank
+       |  FROM nodes),
+       |$rounds
+       |fin AS (SELECT id, rank FROM r8)
+       |SELECT id, rank FROM fin""".stripMargin
+  }
 
   /** SemDeDup replayed in SQL: the identical literal-centroid cell
     * assignment as [[annIvfOracle]] (same (d, i) struct-sort, same

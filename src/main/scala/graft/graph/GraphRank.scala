@@ -1,0 +1,84 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus curation — PageRank over a directed
+  * edge set. Web-scale training pipelines weight sources by crawl-graph
+  * centrality (host-level ranks are a standard quality prior for
+  * Common-Crawl-derived corpora: heavily-linked hosts are rarely spam),
+  * and the same operator ranks citation/reference graphs extracted from
+  * the corpus itself.
+  *
+  * Standard damped iteration with dangling-mass redistribution:
+  *
+  *   r'(v) = (1−d)/N + d · ( Σ_{u→v} r(u)/outdeg(u) + D/N )
+  *
+  * where D is the total rank of dangling nodes (no out-edges). Fixed
+  * `iters` rounds; every iterate AND the dangling scalar are quantized
+  * with the floor(x·10ᵈ + 0.5)/10ᵈ idiom, so — like the k-means,
+  * classifier and PCA trajectories — the whole computation is
+  * deterministic across engines, partitionings and layouts, and the
+  * q_pagerank oracle replays all rounds in generated SQL.
+  *
+  * Scale design (100 TB graph): per round exactly (a) one join of the
+  * edge table against the N-row rank table on src (AQE-planned), (b)
+  * one groupBy(dst) sum with map-side partials, (c) one scalar dangling
+  * aggregate to the driver, (d) one left join building the next rank
+  * table — all edge-/node-linear, no windows, no collects beyond the
+  * one scalar. Lineage truncates per round with an eager
+  * localCheckpoint (the CC pattern). Rank mass is NOT renormalized —
+  * quantization drift stays below 10^-d·N per round by construction. */
+object GraphRank {
+
+  def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      roundDecimals: Int = 9): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    val p = math.pow(10, roundDecimals)
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * p + lit(0.5)) / p
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val base = (1.0 - damping) / n
+    var rank = nodes.select(col("id"),
+      q(lit(1.0) / n).as("rank")).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val withDeg = rank.join(outdeg, Seq("id"), "left")
+      // dangling mass: ONE scalar to the driver, quantized so the
+      // broadcast-back value is engine-exact
+      val dRow = withDeg.filter(col("outdeg").isNull)
+        .agg(sum(col("rank"))).head()
+      val dangling =
+        if (dRow.isNullAt(0)) 0.0
+        else math.floor(dRow.getDouble(0) * p + 0.5) / p
+      val contrib = e
+        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"),
+          (col("rank") / col("outdeg")).as("__c"))
+        .groupBy(col("id"))
+        .agg(sum(col("__c")).as("__in"))
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          q(lit(base) + lit(damping) *
+            (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+}

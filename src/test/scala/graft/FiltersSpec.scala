@@ -404,6 +404,30 @@ class FiltersSpec extends SparkSuite {
     assert(Drift.mixtureEntropy(withNull).head().getLong(0) === 2L)
   }
 
+  // ------------------------------------------------------- page rank
+
+  test("pageRank: hub ranks highest, dangling mass returns, mass ~1") {
+    import graft.graph.GraphRank
+    // 1→3, 2→3, 3→4; 4 dangling — the hub 3 outranks everyone, 4 gets
+    // 3's forwarded mass, total stays ≈ 1
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphRank.pageRank(edges, iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size === 4)
+    assert(r(3L) > r(1L) && r(3L) > r(2L))
+    assert(r(4L) > r(1L)) // fed by the hub
+    assert(math.abs(r.values.sum - 1.0) < 1e-3)
+    // layout invariance: repartitioned edges give bit-identical ranks
+    val r2 = GraphRank.pageRank(edges.repartition(5), iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r === r2)
+    // duplicate + self edges are ignored
+    val r3 = GraphRank.pageRank(
+      edges.unionByName(Seq((1L, 3L), (2L, 2L)).toDF("src", "dst")),
+      iters = 20).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r === r3)
+  }
+
   // ------------------------------------------------- leak-safe splits
 
   test("leakSafeSplits: duplicate components co-assign; chains collapse") {
