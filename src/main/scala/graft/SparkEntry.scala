@@ -1222,6 +1222,38 @@ object SparkEntry {
       graft.similarity.Similarity.hardNegatives(emb, queries, k = 10,
         lo = 0.2, hi = 0.6)
     }),
+    "q_curation_heuristic" -> ((s, dir) => {
+      // the published-heuristics pipeline end to end on the q_c4_filter
+      // planted corpus (+%41 exact page copies so the dedup stage has
+      // real work): C4 clean → Gopher gate → exact dedup (min-id keep)
+      // → seeded train/val split; every stage replayed in one oracle
+      val planted = concat(col("text"), lit("."),
+        when(col("doc_id") % 5 =!= 0,
+          lit(" Extra tail sentence with words!")).otherwise(lit("")),
+        lit("\ntiny.\nno terminal punctuation line"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\njson { payload here.")).otherwise(lit("")))
+      val base = table(s, dir, "documents")
+        .withColumn("text", planted)
+      val corpus = base.unionByName(base.filter(col("doc_id") % 41 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(7000000L)))
+      graft.operators.Curation.curateHeuristic(corpus,
+        minSentences = 2, minWords = 30)
+    }),
+    "q_corpus_diff" -> ((s, dir) => {
+      // snapshot diff: the "new" corpus drops %17 docs (removed), edits
+      // %13 docs (changed), and adds 20 fresh ids (added); one
+      // full-outer join classifies every id
+      val docs = table(s, dir, "documents")
+      val newV = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + lit(5000000L)))
+      graft.dedup.Dedup.corpusDiff(docs, newV, "text", "doc_id")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // crawl-graph centrality: a deterministic directed graph over the
       // doc ids (two out-edges per doc by modular arithmetic), 8 damped
@@ -3445,6 +3477,81 @@ object SparkEntry {
     "q_pca" -> pcaOracle,
     "q_knn_pca" -> knnPcaOracle,
     "q_pagerank" -> pageRankOracle,
+    // heuristic curation composed: c4 plant + line/page rules → gopher
+    // rounded-signal gate on the CLEANED text → min-id exact dedup →
+    // the seeded split walk
+    "q_curation_heuristic" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    text || '.' ||
+        |    CASE WHEN doc_id % 5 <> 0 THEN ' Extra tail sentence with words!' ELSE '' END ||
+        |    chr(10) || 'tiny.' || chr(10) || 'no terminal punctuation line' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'json { payload here.' ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT * FROM d0
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, text FROM d0 WHERE doc_id % 41 = 0),
+        |k AS (SELECT doc_id, text,
+        |    array_to_string(list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 3),
+        |      chr(10)) AS ct
+        |  FROM d),
+        |c AS (SELECT doc_id, ct FROM k
+        |  WHERE len(regexp_extract_all(ct, '[.!?]')) >= 2
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')),
+        |t AS (SELECT doc_id, ct,
+        |    CASE WHEN len(trim(ct)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(ct)), '\s+') END AS ts,
+        |    string_split(ct, chr(10)) AS ls
+        |  FROM c),
+        |g AS (SELECT doc_id, ct FROM (
+        |    SELECT doc_id, ct,
+        |      len(ts)::BIGINT AS w,
+        |      round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE list_sum(list_transform(ts, x -> len(x))) / len(ts)::DOUBLE END, 6) AS mwl,
+        |      round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE (len(regexp_extract_all(ct, '#')) + len(regexp_extract_all(ct, '\.\.\.'))) / len(ts)::DOUBLE END, 6) AS sym,
+        |      round(CASE WHEN len(ls) = 0 THEN 0.0 ELSE len(list_filter(ls, x -> starts_with(trim(x), '•') OR starts_with(trim(x), '- '))) / len(ls)::DOUBLE END, 6) AS bul,
+        |      round(CASE WHEN len(ls) = 0 THEN 0.0 ELSE len(list_filter(ls, x -> ends_with(trim(x), '...'))) / len(ls)::DOUBLE END, 6) AS ell,
+        |      round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) / len(ts)::DOUBLE END, 6) AS alw,
+        |      len(list_filter(ts, x -> list_contains(['the','be','to','of','and','that','have','with'], x)))::BIGINT AS sth
+        |    FROM t)
+        |  WHERE w >= 30 AND w <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND sym <= 0.1 AND bul < 0.9 AND ell <= 0.3 AND alw >= 0.8
+        |    AND sth >= 2),
+        |f AS (SELECT doc_id, ct,
+        |    md5(trim(regexp_replace(lower(ct), '\s+', ' ', 'g'))) AS fp
+        |  FROM g),
+        |m AS (SELECT doc_id, ct FROM (
+        |    SELECT doc_id, ct, min(doc_id) OVER (PARTITION BY fp) AS mn
+        |    FROM f)
+        |  WHERE doc_id = mn)
+        |SELECT doc_id, ct AS text,
+        |  len(regexp_extract_all(ct, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens,
+        |  CASE WHEN (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 < 0.9 THEN 'train' ELSE 'val' END AS split
+        |FROM m""".stripMargin,
+    // corpus diff: same normalized-md5 fingerprints, full outer join,
+    // the identical status classification
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS old_fp
+        |  FROM documents),
+        |nv AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text FROM documents WHERE doc_id < 20),
+        |n AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS new_fp
+        |  FROM nv)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN o.old_fp = n.new_fp THEN 'unchanged'
+        |    ELSE 'changed' END AS status,
+        |  o.old_fp, n.new_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     // leak-safe splits: star-edge CC over exact fingerprints = min id
     // per multi-member group; the q_split interval walk keyed on the
     // component

@@ -853,6 +853,33 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Corpus snapshot diff — the ingest-monitoring primitive: classify
+    * every document of two corpus versions as `added` (id only in new),
+    * `removed` (id only in old), `changed` (same id, different content
+    * fingerprint) or `unchanged`. Run between crawl refreshes to bound
+    * reprocessing (only added/changed docs need re-curation — feed them
+    * to [[incrementalExactDedup]]) and to catch silent pipeline breaks
+    * (a 40% `changed` rate between adjacent snapshots is a parser
+    * regression, not the web).
+    *
+    * One full outer join on the id, fingerprints compared with the
+    * null-safe `<=>` — linear, no windows; the join is AQE's case.
+    * Returns (idCol, status, old_fp, new_fp). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol),
+      graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol),
+      graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   /** Rare-token suppression — the memorization/privacy scrub: every
     * whitespace token whose CORPUS-WIDE count falls below `minCount` is
     * replaced by `replacement`. Rare strings are where verbatim PII and

@@ -90,4 +90,44 @@ object Curation {
     deduped.unpersist()
     result
   }
+
+  /** The published-heuristics curation pipeline (the C4/Gopher/
+    * RefinedWeb recipe, complementary to [[curate]]'s score-based one):
+    *
+    *  1. C4 line/page cleaning — rewrites the text, drops boilerplate
+    *     pages (map-only);
+    *  2. Gopher A1 quality gate on the CLEANED text (map-only; the text
+    *     rides through the signal projection via passthrough);
+    *  3. exact dedup of the cleaned text (min-id keep — one fingerprint
+    *     shuffle; cleaning runs FIRST so pages differing only in
+    *     stripped boilerplate deduplicate together);
+    *  4. seeded train/val split on the surviving ids (map-only; swap in
+    *     [[Sampling.leakSafeSplits]] when a near-dup edge set exists).
+    *
+    * Returns (idCol, textCol cleaned, n_tokens, split), deterministic
+    * end to end. The gated frame is barriered before dedup because the
+    * fingerprint aggregate and the keep join both consume it. */
+  def curateHeuristic(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minLineWords: Int = 3,
+      minSentences: Int = 2, minWords: Int = 30,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.1),
+      seed: Long = 42L): DataFrame = {
+    val cleaned = graft.text.HeuristicFilters.c4Clean(docs, textCol,
+        idCol, minLineWords, minSentences)
+      .filter(col("keep"))
+      .select(col(idCol), col("clean_text").as(textCol))
+    val gated = graft.text.HeuristicFilters.gopherFilter(cleaned,
+        textCol, idCol, minWords = minWords,
+        passthrough = Seq(textCol))
+      .filter(col("keep"))
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    val deduped = Dedup.dropExactDuplicates(gated, textCol, idCol)
+    Sampling.assignSplits(deduped, idCol, splits, seed)
+      .select(col(idCol), col(textCol),
+        TextAnalysis.bpeTokenCount(col(textCol)).cast("long")
+          .as("n_tokens"),
+        col("split"))
+  }
 }

@@ -404,6 +404,44 @@ class FiltersSpec extends SparkSuite {
     assert(Drift.mixtureEntropy(withNull).head().getLong(0) === 2L)
   }
 
+  // ------------------------------------------- heuristic curation
+
+  test("curateHeuristic: gates compose; copies dedup; splits assigned") {
+    import graft.operators.Curation
+    val good = "The quick brown fox jumps over the lazy dog and runs " +
+      "on through the field to the river and that is the whole story " +
+      "of it all told here. And then another sentence follows it now!"
+    val docs = Seq(
+      (1L, good),
+      (2L, good),                           // exact copy → deduped
+      (3L, "no terminal punctuation page"), // c4 drops every line
+      (4L, "Too few words here now.")       // c4-clean but gopher-short
+    ).toDF("doc_id", "text")
+    val out = Curation.curateHeuristic(docs, minSentences = 1,
+      minWords = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out.keySet === Set(1L)) // min-id copy survives, rest gated
+    assert(out(1L)._1 === good)    // both lines end in terminal punct
+    assert(Set("train", "val").contains(out(1L)._3))
+    assert(out(1L)._2 > 30L)
+  }
+
+  // ----------------------------------------------------- corpus diff
+
+  test("corpusDiff: added/removed/changed/unchanged classified exactly") {
+    import graft.dedup.Dedup
+    val oldV = Seq((1L, "same text"), (2L, "goes away"), (3L, "edited v1"),
+      (4L, "Same  TEXT")).toDF("doc_id", "text")
+    val newV = Seq((1L, "same text"), (3L, "edited v2"), (5L, "brand new"),
+      (4L, "same text")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldV, newV, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "removed",
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"))
+    // 4 is "unchanged" because fingerprints NORMALIZE case/whitespace
+  }
+
   // ------------------------------------------------------- page rank
 
   test("pageRank: hub ranks highest, dangling mass returns, mass ~1") {
