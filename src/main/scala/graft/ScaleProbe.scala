@@ -48,6 +48,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("tfidf")) { tfidfProbe(spark, n); return }
     if (args.headOption.contains("pca")) { pcaProbe(spark, n); return }
+    if (args.headOption.contains("pagerank")) {
+      pagerankProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -409,6 +412,27 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE pca rows=$rows eig1=${model.eigenvalues(0)}%.4f " +
       f"$secs%.1f s")
+    spark.stop()
+  }
+
+  /** PageRank probe: n nodes with 3 modular out-edges each (3n edges),
+    * 8 rounds — wall time should scale linearly in edges since every
+    * round is one join + one aggregate. Usage:
+    *   SPARK_GRAFT_PROBE_N=1000000 sbt "runMain graft.ScaleProbe pagerank"
+    */
+  private def pagerankProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val ids = spark.range(n)
+    val edges = Seq(3L, 7L, 13L).map(k =>
+      ids.select(col("id").as("src"),
+        ((col("id") * k + 1) % n).as("dst")))
+      .reduce(_.unionByName(_))
+    val t0 = System.nanoTime()
+    val ranks = graft.graph.GraphRank.pageRank(edges, iters = 8)
+    val top = ranks.agg(sum(col("rank")), count(lit(1))).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE_PROBE pagerank nodes=${top.getLong(1)} " +
+      f"edges=${3L * n} mass=${top.getDouble(0)}%.6f $secs%.1f s")
     spark.stop()
   }
 
