@@ -189,4 +189,42 @@ object KernelProperties extends Properties("graft.kernels") {
         evalCos(a, b) == evalCos(b, a) &&
         evalCos(a, zeros) == 0.0
     }
+
+  // ------------------------- unicode normalization kernels (round 7)
+
+  import org.apache.spark.unsafe.types.UTF8String
+  private def nfcK(s: String): String =
+    graft.functions.NormalizeExpression.nfc(
+      UTF8String.fromString(s)).toString
+  private def foldK(s: String): String =
+    graft.functions.NormalizeExpression.foldAccents(
+      UTF8String.fromString(s)).toString
+
+  private val accented: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf("é", "é", "Å", "Å", "ü", "ñ", "ø", "ß"),
+    1 -> Gen.oneOf(" ", "中", "м", "́"))).map(_.mkString)
+
+  property("nfc is idempotent and length-bounded") =
+    Prop.forAll(accented) { s =>
+      val once = nfcK(s)
+      nfcK(once) == once && once.length <= s.length
+    }
+
+  property("foldAccents: idempotent; composed ≡ decomposed input; " +
+      "no combining marks survive") =
+    Prop.forAll(accented) { s =>
+      val f = foldK(s)
+      foldK(f) == f &&
+        foldK(nfcK(s)) == f &&
+        f.codePoints().toArray.forall(cp =>
+          Character.getType(cp) != Character.NON_SPACING_MARK)
+    }
+
+  property("foldAccents preserves mark-free text verbatim") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.oneOf("ø", "ß", " ", "中")))
+      .map(_.mkString)) { s =>
+      foldK(s) == s
+    }
 }
