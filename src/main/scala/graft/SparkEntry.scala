@@ -1699,6 +1699,51 @@ object SparkEntry {
       graft.dedup.Dedup.multiSignalDedup(corpus,
           Seq(exactPairs, embPairs), "doc_id", col("n_chars"))
         .select(col("doc_id"))
+    }),
+    "q_classifier_eval" -> ((s, dir) => {
+      // the evaluation half of the quality-classifier loop: the
+      // q_quality_classifier md5-derived hashed scorer scored against
+      // the lang='en' label — tie-aware midrank ROC AUC (integer 2·U
+      // sufficient statistic) + the full confusion matrix at 0.5, all
+      // from ONE per-distinct-score aggregate. The oracle replays the
+      // score chain, the cumulative-negative rank-sum and every derived
+      // metric; only the final divisions round.
+      val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        b =>
+        shiftrightunsigned(graft.functions.HashExpressions.md5Long(
+          concat_ws("|", lit("w"), b, lit(7))), 11).cast("double") /
+          lit(9007199254740992.0) - lit(0.5)
+      val scored = table(s, dir, "documents").select(
+        round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
+          .as("score"),
+        (col("lang") === "en").cast("int").as("label"))
+      graft.text.Eval.binaryMetrics(scored, "score", "label",
+        threshold = 0.5)
+    }),
+    "q_dup_profile" -> ((s, dir) => {
+      // dedup telemetry: per-source duplication stats over a corpus with
+      // PLANTED duplicates (copies of the first 25 docs land back in
+      // their own sources, so every affected source's dup_rate and
+      // max_group move); NULL sources (%31 scrub) under the sentinel
+      val docs = table(s, dir, "documents").withColumn("source",
+        when(col("doc_id") % 31 === 0, lit(null).cast("string"))
+          .otherwise(col("source")))
+      val copies = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.dedup.Dedup.duplicationProfile(
+        docs.unionByName(copies), "text", "doc_id", "source")
+    }),
+    "q_dup_hist" -> ((s, dir) => {
+      // duplicate-cluster size histogram: the planted corpus doubles the
+      // first 25 docs TWICE (two copy generations), so sizes 1, 2 and 3
+      // all appear; cross-source groups counted once
+      val docs = table(s, dir, "documents")
+      val c1 = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val c2 = docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+      graft.dedup.Dedup.dupSizeHistogram(
+        docs.unionByName(c1).unionByName(c2), "text", "doc_id")
     })
   )
 
@@ -4271,7 +4316,96 @@ object SparkEntry {
          |    $prodCols
          |  FROM d GROUP BY 1)
          |$rows""".stripMargin
-    }
+    },
+    // classifier eval: the q_quality_classifier score chain + the
+    // tie-aware midrank rank-sum (integer 2·U over the distinct-score
+    // table) + confusion at 0.5 — every count BIGINT-cast (the
+    // q_token_budget HUGEINT lesson), only the final divisions round
+    "q_classifier_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(t), 1, 16))::UBIGINT & 4095)::BIGINT AS f
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)),
+        |w AS (
+        |  SELECT doc_id,
+        |    sum((('0x' || substr(md5(concat_ws('|', 'w', f, 7)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 - 0.5) AS sw,
+        |    count(*) AS n
+        |  FROM f GROUP BY 1),
+        |sc AS (
+        |  SELECT round(1.0 / (1.0 + exp(-(-0.1 + coalesce(w.sw / w.n, 0.0::DOUBLE)))), 6) AS s,
+        |    (t.lang = 'en')::INT AS y
+        |  FROM toks t LEFT JOIN w USING (doc_id)),
+        |ps AS (
+        |  SELECT s, sum(y)::BIGINT AS p, (count(*) - sum(y))::BIGINT AS n
+        |  FROM sc GROUP BY s),
+        |cb AS (
+        |  SELECT s, p, n, coalesce(sum(n) OVER (ORDER BY s ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS nb
+        |  FROM ps),
+        |a AS (
+        |  SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+        |    sum((2 * nb + n) * p)::BIGINT AS u2,
+        |    sum(CASE WHEN s >= 0.5 THEN p ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN s >= 0.5 THEN n ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN s < 0.5 THEN n ELSE 0 END)::BIGINT AS tn,
+        |    sum(CASE WHEN s < 0.5 THEN p ELSE 0 END)::BIGINT AS fn
+        |  FROM cb)
+        |SELECT n_pos, n_neg, tp, fp, tn, fn,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN round(u2 / (2.0 * n_pos * n_neg), 6) END AS auc,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(tp / (tp + fp)::DOUBLE, 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN round(tp / (tp + fn)::DOUBLE, 6) END AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0
+        |      AND tp / (tp + fp)::DOUBLE + tp / (tp + fn)::DOUBLE > 0
+        |    THEN round(2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
+        |      / (tp / (tp + fp)::DOUBLE + tp / (tp + fn)::DOUBLE), 6) END AS f1,
+        |  round((tp + tn) / (tp + fp + tn + fn)::DOUBLE, 6) AS accuracy
+        |FROM a""".stripMargin,
+    // dup profile: the same %31 NULL-source scrub + planted copies,
+    // per-(source, fingerprint) counts then per-source rollup
+    "q_dup_profile" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 31 = 0 THEN NULL ELSE source END AS source,
+        |    doc_id, text FROM documents),
+        |u AS (
+        |  SELECT * FROM d
+        |  UNION ALL
+        |  SELECT source, doc_id + 1000000, text FROM d WHERE doc_id < 25),
+        |fp AS (
+        |  SELECT coalesce(source, '__null__') AS source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    count(*)::BIGINT AS n
+        |  FROM u GROUP BY 1, 2)
+        |SELECT source, sum(n)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_distinct,
+        |  (sum(n) - count(*))::BIGINT AS n_dup_docs,
+        |  round((sum(n) - count(*)) / sum(n)::DOUBLE, 6) AS dup_rate,
+        |  max(n)::BIGINT AS max_group
+        |FROM fp GROUP BY source""".stripMargin,
+    // dup histogram: two planted copy generations -> sizes 1/2/3;
+    // groups counted once across sources
+    "q_dup_hist" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+        |fp AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    count(*)::BIGINT AS n
+        |  FROM u GROUP BY 1)
+        |SELECT n AS group_size, count(*)::BIGINT AS n_groups,
+        |  sum(n)::BIGINT AS n_docs
+        |FROM fp GROUP BY 1""".stripMargin
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,

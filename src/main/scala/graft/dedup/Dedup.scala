@@ -57,6 +57,56 @@ object Dedup {
       .select(col("__min").as("id_a"), col("__id").as("id_b"))
   }
 
+  /** Per-source duplication profile — the dedup TELEMETRY a curation
+    * pipeline publishes every snapshot: how much of each source is
+    * redundant (a crawl source whose dup rate jumps is the canary for a
+    * broken fetcher or a mirror site). One row per source:
+    * `n_docs`, `n_distinct` (distinct normalized fingerprints),
+    * `n_dup_docs = n_docs − n_distinct`, `dup_rate` (rounded — the one
+    * float), and `max_group` (the largest exact-duplicate cluster
+    * within the source). NULL sources report under the reserved
+    * [[graft.operators.Sampling.NullStratum]] sentinel rather than
+    * silently merging or vanishing.
+    *
+    * Scale: one aggregate keyed on (source, 16-byte fingerprint) with
+    * map-side partials, then one |sources|-key aggregate — the second
+    * exchange is metadata-sized. Never collects, never windows. */
+  def duplicationProfile(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame = {
+    val src = coalesce(col(sourceCol).cast("string"),
+      lit(graft.operators.Sampling.NullStratum))
+    df.groupBy(src.as("source"),
+        fingerprintMd5(col(textCol)).as("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("source"))
+      .agg(sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("__n")) - count(lit(1))).as("n_dup_docs"),
+        round((sum(col("__n")) - count(lit(1))).cast("double") /
+          sum(col("__n")), 6).as("dup_rate"),
+        max(col("__n")).as("max_group"))
+  }
+
+  /** Corpus-wide duplicate-cluster size histogram: one row per distinct
+    * exact-duplicate group size with the number of groups of that size
+    * and the documents they hold — the "how heavy is the duplicate
+    * tail" distribution (a power-law tail here means boilerplate or
+    * mirrors; dedup telemetry's second standard plot).
+    *
+    * Scale: two chained exact aggregates — per-fingerprint counts
+    * (map-side partials on the 16-byte key), then a group-by on the
+    * size whose key cardinality is at most the largest cluster size.
+    * Cross-source by design (the same content in two sources is ONE
+    * group), which is why this is not derivable from
+    * [[duplicationProfile]]'s per-source rows. */
+  def dupSizeHistogram(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.groupBy(fingerprintMd5(col(textCol)).as("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__n").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__n")).as("n_docs"))
+
   /** Multi-signal dedup: union the duplicate-pair edge sets of several
     * detectors — exact fingerprints ([[exactDuplicatePairs]]), MinHash
     * LSH ([[minhashLshPairs]]), embedding near-dups

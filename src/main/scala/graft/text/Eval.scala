@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation over a scored, binary-labeled table — the
+  * missing half of the quality-classifier loop ([[Classifier]] trains and
+  * scores; this measures). A curation pipeline that gates 100 TB of crawl
+  * on a classifier score needs the classifier's ROC AUC and operating-
+  * point metrics computed ON THE CLUSTER, against however many labeled
+  * documents exist (often millions of distilled labels, not thousands).
+  *
+  * Beyond-parity training-data mandate (SURVEY.md §2.9); the reference
+  * engine has no model-evaluation layer.
+  *
+  * Scale design: the corpus is touched by exactly ONE aggregate pass —
+  * `groupBy(rounded score)` with map-side partial (n_pos, n_neg) counts.
+  * Everything downstream runs on the DISTINCT-SCORE table, whose
+  * cardinality the rounding contract bounds by construction (a
+  * `roundDecimals = 6` sigmoid score has at most 10⁶ + 1 distinct
+  * values — metadata scale, the same bounded-cardinality argument the
+  * vocab aggregates make). The ROC rank-sum therefore never windows over
+  * documents: the cumulative-negative window runs over ≤ 10⁶ rows.
+  *
+  * Exactness: AUC uses the tie-aware Mann–Whitney U with midranks,
+  * accumulated as the INTEGER `2·U` — each distinct score `s` with
+  * `p` positives and `n` negatives contributes
+  * `(2·negBelow(s) + n) · p` to `2·U` (the `n·p/2` midrank half-credit
+  * kept doubled so the sufficient statistic stays a BIGINT). The only
+  * float operations are the final divisions, each rounded — so the
+  * result is bit-stable across engines, partitionings and layouts, and
+  * the DuckDB oracle replays it exactly. Threshold metrics (confusion
+  * counts, precision/recall/F1/accuracy) come from the SAME per-score
+  * table: a score grid cell is entirely ≥ or < the threshold, so the
+  * confusion counts are exact integer sums.
+  */
+object Eval {
+
+  /** One-row evaluation of a binary classifier: ROC AUC (tie-aware
+    * midrank Mann–Whitney) plus the confusion matrix and derived metrics
+    * at `threshold` (predict positive when score ≥ threshold).
+    *
+    * `scoreCol` is rounded to `roundDecimals` BEFORE anything else —
+    * part of the operator's definition (it bounds the distinct-score
+    * table; see the object doc) — and `labelCol` is cast to int
+    * (0/false = negative, anything else = positive; NULL labels are
+    * excluded — unlabeled rows carry no evaluation signal).
+    *
+    * Degenerate inputs follow sklearn's conventions: AUC is NULL when
+    * either class is empty; precision is NULL at zero predicted
+    * positives, recall NULL at zero actual positives, F1 NULL when
+    * precision + recall is 0 or either is NULL.
+    */
+  def binaryMetrics(scored: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double = 0.5, roundDecimals: Int = 6): DataFrame = {
+    require(roundDecimals >= 1 && roundDecimals <= 9,
+      s"roundDecimals must be in [1, 9], got $roundDecimals")
+    // One corpus pass: per-distinct-score class counts (map-side partials)
+    val perScore = scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(round(col(scoreCol), roundDecimals).as("__s"),
+        (col(labelCol).cast("int") =!= 0).cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__p"),
+        (count(lit(1)) - sum(col("__y"))).as("__n"))
+    // Cumulative negatives strictly below each score: a window over the
+    // bounded distinct-score table (NOT the corpus) — ≤ 10^roundDecimals
+    // rows for a [0, 1] score by the rounding contract.
+    val wAsc = Window.orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = perScore.withColumn("__negBelow",
+      coalesce(sum(col("__n")).over(wAsc), lit(0L)))
+    val agg = withBelow.agg(
+      sum(col("__p")).as("n_pos"),
+      sum(col("__n")).as("n_neg"),
+      // 2·U as an exact BIGINT (midrank half-credit kept doubled)
+      sum((lit(2L) * col("__negBelow") + col("__n")) * col("__p"))
+        .as("__u2"),
+      sum(when(col("__s") >= threshold, col("__p")).otherwise(0L))
+        .as("tp"),
+      sum(when(col("__s") >= threshold, col("__n")).otherwise(0L))
+        .as("fp"),
+      sum(when(col("__s") < threshold, col("__n")).otherwise(0L))
+        .as("tn"),
+      sum(when(col("__s") < threshold, col("__p")).otherwise(0L))
+        .as("fn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp")))
+    val rec = when(col("tp") + col("fn") > 0,
+      col("tp").cast("double") / (col("tp") + col("fn")))
+    agg.select(
+        col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("tn"),
+        col("fn"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"),
+        round(prec, 6).as("precision"),
+        round(rec, 6).as("recall"),
+        when(prec.isNotNull && rec.isNotNull && prec + rec > 0,
+          round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("tn") + col("fn")), 6)
+          .as("accuracy"))
+  }
+}
