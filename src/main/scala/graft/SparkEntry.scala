@@ -1744,6 +1744,56 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 2000000L)
       graft.dedup.Dedup.dupSizeHistogram(
         docs.unionByName(c1).unionByName(c2), "text", "doc_id")
+    }),
+    "q_rrf_hybrid" -> ((s, dir) => {
+      // hybrid retrieval: the q_bm25 sparse top-20 fused with a dense
+      // cosine top-20 (vec_id aligned to doc_id — the fixture contract)
+      // by reciprocal rank fusion; the fused order runs on the ROUNDED
+      // score with an id tie-break, so ranks, provenance columns and
+      // the final order replay exactly in the oracle
+      val docs = table(s, dir, "documents")
+      val sparse = graft.text.Bm25.bm25TopK(docs,
+          Seq("dup", "spark", "vector"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val dense = graft.similarity.Similarity
+        .knnBruteForce(emb, queries, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.Indexing.rrfFuse(Seq(sparse, dense), "doc_id", "rank",
+        k = 15)
+    }),
+    "q_json_props" -> ((s, dir) => {
+      // schema-pinned extraction of the embedded JSON payload: %41 rows
+      // scrubbed to NULL and %37 to a non-JSON literal exercise the
+      // per-row corrupt channel (bad rows null out, never poison the
+      // batch); the aggregation runs on the EXTRACTED typed column. The
+      // oracle parses the same payloads with regexes — two independent
+      // parsers must agree on every field and flag.
+      val ev = table(s, dir, "events").withColumn("props",
+        when(col("event_id") % 41 === 0, lit(null).cast("string"))
+          .when(col("event_id") % 37 === 0, lit("oops"))
+          .otherwise(col("props")))
+      val parsed = graft.sources.CorpusIO.parseJsonColumn(ev, "props",
+        new org.apache.spark.sql.types.StructType().add("k", "long"))
+      parsed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("json_valid").cast("long")).as("n_valid"),
+          sum(col("props").isNull.cast("long")).as("n_null_props"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+    }),
+    "q_whiten" -> ((s, dir) => {
+      // PCA whitening: the q_pca model's components rescaled to unit
+      // variance (z = (x−μ)·v / sqrt(λ)) — sqrt runs once on the
+      // quantized driver-side eigenvalue, so the oracle replays the
+      // full fit chain plus one division per component
+      val emb = table(s, dir, "embeddings")
+      val model = graft.similarity.Pca.fit(emb)
+      graft.similarity.Pca.whitenProject(emb, model)
     })
   )
 
@@ -4405,7 +4455,85 @@ object SparkEntry {
         |  FROM u GROUP BY 1)
         |SELECT n AS group_size, count(*)::BIGINT AS n_groups,
         |  sum(n)::BIGINT AS n_docs
-        |FROM fp GROUP BY 1""".stripMargin
+        |FROM fp GROUP BY 1""".stripMargin,
+    // RRF hybrid: the q_bm25 chain + the q_knn_cosine chain (single
+    // query vec 0) full-outer joined, score = sum of reciprocal ranks
+    // in fixed left-to-right order, fused rank on the rounded score
+    "q_rrf_hybrid" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |dl AS MATERIALIZED (SELECT doc_id, len(ts)::BIGINT AS dl, ts FROM tok),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, t AS term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM dl)
+        |  WHERE t IN ('dup', 'spark', 'vector')
+        |  GROUP BY doc_id, dl, t),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |    ln(((n_docs - df)::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |      * tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)
+        |      / (tf::DOUBLE + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+        |          + (0.75::DOUBLE * dl::DOUBLE) / avgdl)) AS weight
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        |s AS (SELECT doc_id, round(sum(weight), 6) AS bm25 FROM w GROUP BY doc_id),
+        |br AS (SELECT doc_id, bm25,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+        |  FROM s),
+        |bmr AS (SELECT doc_id, rank FROM br WHERE rank <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+        |      ELSE list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
+        |  FROM e q, e c WHERE q.vec_id = 0),
+        |dr AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+        |  FROM p),
+        |dns AS (SELECT doc_id, rank FROM dr WHERE rank <= 20),
+        |fu AS (
+        |  SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+        |    b.rank AS rank_1, d.rank AS rank_2,
+        |    round(coalesce(1.0 / (60 + b.rank), 0.0)
+        |      + coalesce(1.0 / (60 + d.rank), 0.0), 6) AS rrf_score
+        |  FROM bmr b FULL OUTER JOIN dns d ON b.doc_id = d.doc_id),
+        |r2 AS (
+        |  SELECT doc_id, rank_1, rank_2, rrf_score,
+        |    row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        |  FROM fu)
+        |SELECT doc_id, rank_1, rank_2, rrf_score, rank
+        |FROM r2 WHERE rank <= 15""".stripMargin,
+    // JSON props: the oracle parses with a regex instead of a JSON
+    // library — an INDEPENDENT implementation that must agree with
+    // from_json on every extracted field and validity flag
+    "q_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 41 = 0 THEN NULL
+        |      WHEN event_id % 37 = 0 THEN 'oops'
+        |      ELSE props END AS props
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, props,
+        |    CASE WHEN props IS NOT NULL
+        |        AND regexp_matches(props, '^\{"k": [0-9]+\}$')
+        |      THEN regexp_extract(props, '[0-9]+')::BIGINT END AS k,
+        |    (props IS NOT NULL
+        |      AND regexp_matches(props, '^\{"k": [0-9]+\}$')) AS valid
+        |  FROM e)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  sum(valid::INT)::BIGINT AS n_valid,
+        |  sum((props IS NULL)::INT)::BIGINT AS n_null_props,
+        |  sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+        |  max(k)::BIGINT AS max_k,
+        |  round(avg(k), 6) AS avg_k
+        |FROM p GROUP BY event_type""".stripMargin,
+    "q_whiten" -> whitenOracle
   )
 
   /** The full T-round BPE training replayed in SQL: word counts once,
@@ -4624,6 +4752,23 @@ object SparkEntry {
 
   private def pcaOracle: String =
     pcaProjCtes + "\nSELECT vec_id, pc1, pc2 FROM proj"
+
+  /** Whitening replayed: the [[pcaProjCtes]] fit chain, the second
+    * quantized eigenvalue (l2 — l1 already exists for deflation), and
+    * one `dot / sqrt(λ)` division per component on the UNROUNDED dot
+    * (whitening does not double-round through proj's pc columns). */
+  private def whitenOracle: String =
+    pcaProjCtes + s""",
+       |l2 AS (SELECT floor((SELECT nw FROM n2_8) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS l),
+       |wh AS (
+       |  SELECT ce.vec_id,
+       |    round(list_dot_product(ce.c, (SELECT v FROM p1))
+       |      / sqrt((SELECT l FROM l1)), 6) AS wpc1,
+       |    round(list_dot_product(ce.c, (SELECT v FROM p2))
+       |      / sqrt((SELECT l FROM l2)), 6) AS wpc2
+       |  FROM ce)
+       |SELECT vec_id, wpc1, wpc2 FROM wh""".stripMargin
 
   /** PCA-reduced ANN replayed: the full [[pcaProjCtes]] fit chain, the
     * 2-dim sketch-space shortlist (2-term dots — commutative-exact, so

@@ -148,6 +148,32 @@ object Pca {
     df.select(col(idCol) +: projCols.toSeq: _*)
   }
 
+  /** WHITENED projection — each component score scaled to unit variance
+    * (`z_k = (x−μ)·v_k / sqrt(λ_k)`): the standard embedding
+    * preprocessing before cosine ANN or OPQ-style quantization, where
+    * a dominant variance direction would otherwise swamp every
+    * distance. Same map-only plan as [[project]]; `sqrt(λ)` is DRIVER
+    * arithmetic on the model's quantized eigenvalue (one IEEE sqrt —
+    * correctly rounded, hence engine-exact), so the whole output
+    * replays in the oracle. A degenerate component (λ ≤ 0, possible
+    * only on near-zero-variance data) yields NULL rather than an
+    * unstable blow-up. */
+  def whitenProject(df: DataFrame, model: PcaModel,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundDecimals: Int = 6): DataFrame = {
+    val muLit = array(model.means.map(lit): _*)
+    val centered = zip_with(col(vecCol).cast("array<double>"), muLit,
+      (x, m) => x - m)
+    val cols = model.components.zipWithIndex.map { case (comp, k) =>
+      val lam = model.eigenvalues(k)
+      val raw = VectorExpressions.dotProduct(centered,
+        array(comp.map(lit): _*))
+      (if (lam > 0) round(raw / lit(math.sqrt(lam)), roundDecimals)
+       else lit(null).cast("double")).as(s"wpc${k + 1}")
+    }
+    df.select(col(idCol) +: cols.toSeq: _*)
+  }
+
   /** fit + project in one call — the common path for 2-D corpus maps. */
   def fitProject(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nComponents: Int = 2,

@@ -42,4 +42,40 @@ object CorpusIO {
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Parse an embedded JSON-string column (event properties, crawl
+    * metadata, API payloads — the semi-structured tail every corpus
+    * drags along) against a PINNED schema, flattening the declared
+    * fields to top-level columns plus a `json_valid` flag.
+    *
+    * The same two 100 TB contracts as [[readJsonl]]: the schema is
+    * DECLARED (never inferred — no extra scan, no type drift between
+    * batches), and malformed payloads degrade per-ROW instead of
+    * poisoning the pipeline: a bad row gets NULL fields and
+    * `json_valid = false` (detected via the PERMISSIVE corrupt-record
+    * channel, so `{"k": null}` — parseable, null field — stays VALID
+    * while `oops` does not). NULL payloads are invalid. Fields the
+    * payload lacks parse to NULL without tripping validity; fields the
+    * schema lacks are ignored. Map-only — `from_json` is a codegen'd
+    * expression, no shuffle, no UDF. */
+  def parseJsonColumn(df: DataFrame, jsonCol: String,
+      schema: StructType): DataFrame = {
+    val corrupt = "__corrupt"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema must not declare the reserved field $corrupt")
+    require(!df.columns.contains("json_valid"),
+      "input already has a json_valid column")
+    val full = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val parsed = org.apache.spark.sql.functions.from_json(
+      org.apache.spark.sql.functions.col(jsonCol), full,
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corrupt))
+    import org.apache.spark.sql.functions.col
+    val tmp = df.withColumn("__parsed", parsed)
+    val fields = schema.fieldNames.toSeq.map(f =>
+      col(s"__parsed.$f").as(f))
+    tmp.select((df.columns.toSeq.map(col) ++ fields :+
+        (col(jsonCol).isNotNull && col(s"__parsed.$corrupt").isNull)
+          .as("json_valid")): _*)
+  }
 }

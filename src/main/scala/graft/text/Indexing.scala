@@ -262,4 +262,56 @@ object Indexing {
       .select(col("doc_id").as("source"), col("distinct_terms_approx"))
     docStats.join(termStats, Seq("source"), "left")
   }
+
+  /** Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the standard
+    * hybrid-retrieval combiner: given N per-retriever top-k rankings
+    * (e.g. BM25 sparse + embedding-cosine dense), each candidate scores
+    * `Σ 1/(kConst + rank_i)` over the rankings that retrieved it, and
+    * the fused list re-ranks on that score. Rank-based (not score-based)
+    * fusion needs no per-retriever score calibration, which is why RRF
+    * is the default in production hybrid search.
+    *
+    * Inputs carry `(queryCols..., idCol, rankCol)`; pass `queryCols`
+    * when fusing a batch of queries at once (the fuse then re-ranks
+    * within each query). Output: the join keys, one nullable
+    * `rank_i` provenance column per input ranking (1-based, in input
+    * order), `rrf_score` (rounded — ranking runs on the ROUNDED score
+    * with an id tie-break, so order is engine-exact), and the fused
+    * `rank`, capped at `k`.
+    *
+    * Scale: the heavy lifting lives in the retrievers (whose plans are
+    * already bounded); fusion only ever touches their top-k OUTPUTS —
+    * N full-outer joins on bounded tables and a rank window over
+    * ≤ Σ kᵢ rows per query. Metadata-scale by construction. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, kConst: Int = 60,
+      queryCols: Seq[String] = Seq.empty): DataFrame = {
+    require(rankings.size >= 2,
+      s"need at least 2 rankings to fuse, got ${rankings.size}")
+    require(k > 0, s"k must be positive, got $k")
+    require(kConst >= 1, s"kConst must be >= 1, got $kConst")
+    val keys = queryCols :+ idCol
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select((keys.map(col) :+
+        col(rankCol).as(s"rank_${i + 1}")): _*)
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, keys, "full_outer"))
+    // fixed left-to-right addition order => engine-exact double
+    val score = renamed.indices.map { i =>
+      val r = col(s"rank_${i + 1}")
+      when(r.isNotNull,
+        lit(1.0) / (lit(kConst.toDouble) + r.cast("double")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val w = if (queryCols.isEmpty)
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf_score").desc, col(idCol).asc)
+    else
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(queryCols.map(col): _*)
+        .orderBy(col("rrf_score").desc, col(idCol).asc)
+    joined.withColumn("rrf_score", round(score, 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -93,6 +93,140 @@ class EvalSpec extends SparkSuite {
     assert(a === b)
   }
 
+  // ------------------------------------------------- Indexing.rrfFuse
+
+  test("rrf: both-list items outrank single-list items; hand-computed") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val rows = graft.text.Indexing.rrfFuse(Seq(a, b), "doc_id", "rank",
+        k = 10, kConst = 60)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 20: 1/62 + 1/61 = 0.032522; doc 10: 1/61 = 0.016393
+    assert(rows(20L).getAs[Double]("rrf_score") === 0.032522)
+    assert(rows(20L).getAs[Int]("rank") === 1)
+    assert(rows(10L).getAs[Double]("rrf_score") === 0.016393)
+    assert(rows(40L).getAs[Double]("rrf_score") === 0.016129)
+    // provenance: doc 10 never retrieved by b, doc 40 never by a
+    assert(rows(10L).isNullAt(rows(10L).fieldIndex("rank_2")))
+    assert(rows(40L).isNullAt(rows(40L).fieldIndex("rank_1")))
+  }
+
+  test("rrf: k caps the fused list and ties break on id") {
+    import spark.implicits._
+    // identical ranks -> identical scores -> ascending-id order
+    val a = Seq((3L, 1), (1L, 2)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val out = graft.text.Indexing.rrfFuse(Seq(a, b), "doc_id", "rank",
+        k = 2)
+      .orderBy(col("rank")).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("doc_id") === 3L)
+    assert(out(1).getAs[Long]("doc_id") === 1L) // 1 before 2 on the tie
+  }
+
+  test("rrf: queryCols fuse each query independently") {
+    import spark.implicits._
+    val a = Seq(("q1", 10L, 1), ("q2", 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q1", 10L, 1), ("q2", 30L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.text.Indexing.rrfFuse(Seq(a, b), "doc_id", "rank",
+        k = 5, queryCols = Seq("query_id"))
+      .collect().map(r =>
+        (r.getAs[String]("query_id"), r.getAs[Long]("doc_id")) ->
+          r.getAs[Int]("rank")).toMap
+    assert(out(("q1", 10L)) === 1)
+    assert(out(("q2", 20L)) === 1) // q2's own rank 1, not global
+    assert(out(("q2", 30L)) === 2)
+    assert(out.size === 3)
+  }
+
+  test("rrf: rejects fewer than two rankings") {
+    import spark.implicits._
+    val a = Seq((1L, 1)).toDF("doc_id", "rank")
+    intercept[IllegalArgumentException] {
+      graft.text.Indexing.rrfFuse(Seq(a), "doc_id", "rank", k = 5)
+    }
+  }
+
+  // ---------------------------------------- CorpusIO.parseJsonColumn
+
+  test("json: pinned-schema parse flattens fields and flags validity") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val df = Seq(
+      (1L, """{"k": 7, "name": "a"}"""), // clean
+      (2L, """{"k": null}"""), // parseable null field -> VALID
+      (3L, """{"name": "c"}"""), // missing field -> null, still valid
+      (4L, "oops"), // malformed -> invalid
+      (5L, null.asInstanceOf[String])) // null payload -> invalid
+      .toDF("id", "props")
+    val schema = new StructType().add("k", "long").add("name", "string")
+    val rows = graft.sources.CorpusIO.parseJsonColumn(df, "props", schema)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("k") === 7L)
+    assert(rows(1L).getAs[String]("name") === "a")
+    assert(rows(1L).getAs[Boolean]("json_valid"))
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("k")))
+    assert(rows(2L).getAs[Boolean]("json_valid"))
+    assert(rows(3L).getAs[Boolean]("json_valid"))
+    assert(!rows(4L).getAs[Boolean]("json_valid"))
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("k")))
+    assert(!rows(5L).getAs[Boolean]("json_valid"))
+  }
+
+  test("json: undeclared payload fields are ignored, input cols kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val df = Seq((1L, """{"k": 1, "extra": [1,2,3]}""")).toDF("id", "props")
+    val out = graft.sources.CorpusIO.parseJsonColumn(df, "props",
+      new StructType().add("k", "long"))
+    assert(out.columns.toSeq === Seq("id", "props", "k", "json_valid"))
+    assert(out.collect()(0).getAs[Long]("k") === 1L)
+  }
+
+  // ------------------------------------------------ Pca.whitenProject
+
+  test("whiten: hand-replayed from the model; unit variance on the axis") {
+    import spark.implicits._
+    import graft.similarity.Pca
+    // anisotropic cloud: x-variance 100x the y-variance
+    val pts = (0 until 200).map { i =>
+      val u = (i * 37 % 200) / 200.0 - 0.5
+      val v = (i * 53 % 200) / 200.0 - 0.5
+      (i.toLong, Seq(u * 10.0, v))
+    }
+    val df = pts.toDF("id", "v")
+    val model = Pca.fit(df, "v", nComponents = 1, iters = 8)
+    val out = Pca.whitenProject(df, model, "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver replay: z = (x - mu) . comp / sqrt(lambda), rounded
+    val lam = model.eigenvalues(0)
+    pts.foreach { case (id, x) =>
+      var dot = 0.0
+      for (j <- x.indices) dot += (x(j) - model.means(j)) *
+        model.components(0)(j)
+      val exp = math.floor(dot / math.sqrt(lam) * 1e6 + 0.5) / 1e6
+      assert(math.abs(out(id) - exp) < 1e-9, s"id $id")
+    }
+    // whitened scores have (population) variance ~1
+    val zs = out.values.toSeq
+    val mz = zs.sum / zs.size
+    val varz = zs.map(z => (z - mz) * (z - mz)).sum / zs.size
+    assert(varz > 0.9 && varz < 1.1, s"variance $varz")
+  }
+
+  test("whiten: degenerate eigenvalue yields NULL, not a blow-up") {
+    import spark.implicits._
+    import graft.similarity.Pca
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    val model = Pca.PcaModel(Array(0.0, 0.0),
+      Array(Array(1.0, 0.0)), Array(0.0))
+    val r = Pca.whitenProject(df, model, "id", "v").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("wpc1")))
+  }
+
   // -------------------------------------------- Dedup.duplicationProfile
 
   test("dup profile: per-source stats, sentinel for NULL sources") {
