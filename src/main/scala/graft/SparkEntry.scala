@@ -1794,6 +1794,18 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       val model = graft.similarity.Pca.fit(emb)
       graft.similarity.Pca.whitenProject(emb, model)
+    }),
+    "q_mmr" -> ((s, dir) => {
+      // MMR diversified re-ranking: greedy k=8 over a 20-candidate
+      // shortlist at lambda 0.7, sequential in k but parallel across
+      // the 6 queries (one max_by aggregate per round). The oracle
+      // replays the ENTIRE greedy trajectory — shortlist, pair sims,
+      // all 8 winner selections and maxSim updates — in generated SQL.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.mmrRerank(emb, queries, k = 8,
+        lambda = 0.7, shortlist = 20)
     })
   )
 
@@ -4533,8 +4545,68 @@ object SparkEntry {
         |  max(k)::BIGINT AS max_k,
         |  round(avg(k), 6) AS avg_k
         |FROM p GROUP BY event_type""".stripMargin,
-    "q_whiten" -> whitenOracle
+    "q_whiten" -> whitenOracle,
+    "q_mmr" -> mmrOracle(k = 8, shortlist = 20, lambda = 0.7, nQueries = 6)
   )
+
+  /** The MMR greedy trajectory replayed in generated SQL (the
+    * pcaOracle/bpeCtes pattern): the raw-cosine shortlist window (the
+    * q_knn_cosine shape), within-query pair cosines rounded 6, then per
+    * round a winner window (mmr DESC, id ASC) and the maxSim update
+    * join. λ and 1−λ ship as full-precision double literals so the
+    * score arithmetic is bit-identical to the engine's. */
+  private def mmrOracle(k: Int, shortlist: Int, lambda: Double,
+      nQueries: Int): String = {
+    val lam = s"${lambda}::DOUBLE"
+    val oneMinus = s"${1.0 - lambda}::DOUBLE"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |praw AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+      |      ELSE list_dot_product(q.v, c.v) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
+      |  FROM e q, e c WHERE q.vec_id < $nQueries),
+      |sl AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, round(cos, 6) AS rel
+      |  FROM (SELECT query_id, neighbor_id, cos, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+      |    FROM praw)
+      |  WHERE rk <= $shortlist),
+      |ps AS MATERIALIZED (
+      |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+      |    round(CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) = 0 THEN 0.0
+      |      ELSE list_dot_product(x.v, y.v) /
+      |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) END, 6) AS sim
+      |  FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+      |  JOIN e x ON x.vec_id = a.neighbor_id
+      |  JOIN e y ON y.vec_id = b.neighbor_id),
+      |rem_0 AS (SELECT query_id, neighbor_id, rel, 0.0 AS maxsim FROM sl)""".stripMargin
+    for (r <- 1 to k) {
+      val prev = s"rem_${r - 1}"
+      sb ++= s""",
+        |sel_$r AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, rel, mmr FROM (
+        |    SELECT query_id, neighbor_id, rel, mmr, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rk
+        |    FROM (SELECT query_id, neighbor_id, rel,
+        |        round($lam * rel - $oneMinus * maxsim, 6) AS mmr
+        |      FROM $prev))
+        |  WHERE rk = 1)""".stripMargin
+      if (r < k) sb ++= s""",
+        |rem_$r AS MATERIALIZED (
+        |  SELECT t.query_id, t.neighbor_id, t.rel,
+        |    greatest(t.maxsim, coalesce(ps.sim, 0.0)) AS maxsim
+        |  FROM $prev t JOIN sel_$r s ON t.query_id = s.query_id
+        |    AND t.neighbor_id <> s.neighbor_id
+        |  LEFT JOIN ps ON ps.query_id = t.query_id
+        |    AND ps.id_a = t.neighbor_id AND ps.id_b = s.neighbor_id)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k).map(r =>
+      s"SELECT query_id, neighbor_id, rel AS cosine, mmr AS mmr_score, " +
+        s"$r AS rank FROM sel_$r").mkString("\nUNION ALL\n")
+    sb.toString
+  }
 
   /** The full T-round BPE training replayed in SQL: word counts once,
     * then per round a pair-frequency aggregate (struct-comprehension

@@ -97,6 +97,104 @@ object Similarity {
     topKPerQuery(banded, k)
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking: greedily pick `k` results that balance
+    * relevance to the query against redundancy with what is already
+    * picked — `score = λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s)` — the
+    * standard diversity pass over a dense-retrieval shortlist (λ = 1 is
+    * plain top-k; λ → 0 maximizes spread).
+    *
+    * Plan, in the only shape that scales to a large query batch:
+    * the greedy loop is sequential in k but PARALLEL ACROSS QUERIES —
+    * each of the k rounds is one `max_by` aggregate (≤ |Q| winner rows)
+    * plus bounded joins, never a per-query driver loop.
+    *
+    *  1. shortlist: [[knnBruteForce]]'s broadcast-queries +
+    *     bounded-heap plan, top-`shortlist` per query (swap in any ANN
+    *     variant upstream for the 100 TB corpus — MMR only ever sees
+    *     the shortlist);
+    *  2. candidate vectors fetched by broadcasting the Q·N-row
+    *     shortlist against the corpus scan (map-only);
+    *  3. within-query pairwise cosines — Q·N² rows, computed ONCE
+    *     behind an eager localCheckpoint barrier and reused by every
+    *     round;
+    *  4. per round: score remaining candidates, `max_by` the winner per
+    *     query (ties → lowest id), update `maxSim` by joining the
+    *     winners back through the pair table; localCheckpoint per round
+    *     (the PageRank/CC barrier pattern) keeps lineage flat.
+    *
+    * Determinism contract: relevance and pair cosines are ROUNDED to 6
+    * before any comparison, the MMR score is rounded after the fixed
+    * `λ·rel − (1−λ)·maxSim` arithmetic (both coefficients ship as
+    * full-precision literals), so the greedy trajectory replays exactly
+    * in the DuckDB oracle. A query whose shortlist is exhausted before
+    * round k simply stops contributing rows. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+      lambda: Double = 0.7, shortlist: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda not in [0,1]: $lambda")
+    val top = knnBruteForce(corpus, queries, shortlist, idCol, vecCol,
+        queryIdCol)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("rel"))
+    // barrier: the shortlist (and the corpus scan + heap behind it) is
+    // evaluated ONCE — pair generation and the round loop reuse Q·N rows
+    val cand = broadcast(top).join(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("__v"))
+      .localCheckpoint(true)
+    val pairSims = cand.select(col("query_id"),
+        col("neighbor_id").as("__pa"), col("__v").as("__va"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("__pb"),
+        col("__v").as("__vb")), Seq("query_id"))
+      .filter(col("__pa") =!= col("__pb"))
+      .select(col("query_id"), col("__pa"), col("__pb"),
+        round(cosine(col("__va"), col("__vb")), 6).as("__sim"))
+      .localCheckpoint(true)
+    var remaining = cand.select(col("query_id"), col("neighbor_id"),
+        col("rel"))
+      .withColumn("__maxSim", lit(0.0)).localCheckpoint(true)
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val scored = remaining.withColumn("__mmr",
+        round(lit(lambda) * col("rel")
+          - lit(1.0 - lambda) * col("__maxSim"), 6))
+      val winners = scored.groupBy(col("query_id"))
+        .agg(max_by(
+          struct(col("neighbor_id"), col("rel"), col("__mmr")),
+          struct(col("__mmr"), (-col("neighbor_id")).as("__nid")))
+          .as("__w"))
+        .select(col("query_id"),
+          col("__w.neighbor_id").as("neighbor_id"),
+          col("__w.rel").as("rel"), col("__w.__mmr").as("__mmr"))
+        .withColumn("rank", lit(r))
+        .localCheckpoint(true)
+      selected =
+        if (selected == null) winners else selected.unionByName(winners)
+      if (r < k) {
+        val wj = winners.select(col("query_id"),
+          col("neighbor_id").as("__wid"))
+        remaining = remaining.join(wj, Seq("query_id"))
+          .filter(col("neighbor_id") =!= col("__wid"))
+          .join(pairSims,
+            pairSims("query_id") === remaining("query_id") &&
+              pairSims("__pa") === remaining("neighbor_id") &&
+              pairSims("__pb") === col("__wid"), "left")
+          .select(remaining("query_id"), remaining("neighbor_id"),
+            remaining("rel"),
+            greatest(col("__maxSim"), coalesce(col("__sim"), lit(0.0)))
+              .as("__maxSim"))
+          .localCheckpoint(true)
+      }
+    }
+    selected.select(col("query_id"), col("neighbor_id"),
+      col("rel").as("cosine"), col("__mmr").as("mmr_score"), col("rank"))
+  }
+
   /** All-pairs near-duplicates above a cosine threshold, blocked by a
     * coarse partition column (e.g. an IVF cell or class label): pairs are
     * only generated *within* a block, the IVF-style pruning that makes

@@ -186,6 +186,58 @@ class EvalSpec extends SparkSuite {
     assert(out.collect()(0).getAs[Long]("k") === 1L)
   }
 
+  // ----------------------------------------------- Similarity.mmrRerank
+
+  test("mmr: redundant near-twin is deferred in favor of the diverse pick") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // query at 0 deg; candidates at 10, 12 and -40 deg. Pure relevance
+    // ranks 1, 2, 3 — but 2 is nearly identical to 1 (2 deg apart), so
+    // MMR at lambda 0.5 picks 1, then the diverse 3, then 2.
+    def v(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq((1L, v(10)), (2L, v(12)), (3L, v(-40)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, v(0))).toDF("query_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, q, k = 3, lambda = 0.5,
+        shortlist = 3)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 3L, 2L))
+    // rank 1 is pure relevance: mmr = round(0.5 * rel, 6)
+    val rel1 = out(0).getAs[Double]("cosine")
+    assert(out(0).getAs[Double]("mmr_score")
+      === math.floor(0.5 * rel1 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("mmr: lambda 1 reduces to plain relevance order") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("query_id", "embedding")
+    val mmr = Similarity.mmrRerank(corpus, q, k = 5, lambda = 1.0,
+        shortlist = 8)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("neighbor_id"))
+    val plain = Similarity.knnBruteForce(corpus, q, 5)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("neighbor_id"))
+    assert(mmr.toSeq === plain.toSeq)
+  }
+
+  test("mmr: exhausted shortlist stops contributing, ranks stay dense") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((9L, Seq(1.0f, 1.0f))).toDF("query_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, q, k = 5, lambda = 0.7,
+      shortlist = 5)
+    assert(out.count() === 2) // only 2 candidates exist
+    assert(out.select("rank").collect().map(_.getInt(0)).sorted
+      === Array(1, 2))
+  }
+
   // ------------------------------------------------ Pca.whitenProject
 
   test("whiten: hand-replayed from the model; unit variance on the axis") {
