@@ -1806,6 +1806,60 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.similarity.Similarity.mmrRerank(emb, queries, k = 8,
         lambda = 0.7, shortlist = 20)
+    }),
+    "q_classifier_eval_by" -> ((s, dir) => {
+      // per-stratum eval — the fairness view: the same scorer judged
+      // per LANGUAGE (with a %23 NULL-lang scrub reporting under the
+      // sentinel); label = doc_id % 3 so every stratum holds both
+      // classes. One corpus pass keyed (stratum, score); the rank
+      // window partitions by stratum over the per-stratum score grid.
+      val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        b =>
+        shiftrightunsigned(graft.functions.HashExpressions.md5Long(
+          concat_ws("|", lit("w"), b, lit(7))), 11).cast("double") /
+          lit(9007199254740992.0) - lit(0.5)
+      val scored = table(s, dir, "documents").select(
+        round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
+          .as("score"),
+        (col("doc_id") % 3 === 0).cast("int").as("label"),
+        when(col("doc_id") % 23 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"))
+      graft.text.Eval.binaryMetricsBy(scored, "score", "label", "lang",
+        threshold = 0.5)
+    }),
+    "q_calibration" -> ((s, dir) => {
+      // reliability diagram: the scorer's 10-bin calibration table
+      // against the lang='en' label — every output one rounded division
+      // of exact integers (scores accumulate as micro-units). Weights
+      // amplified ×25 so the sigmoid actually spreads across bins (the
+      // unamplified scorer clusters everything near 0.47 = one bin).
+      val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        b =>
+        (shiftrightunsigned(graft.functions.HashExpressions.md5Long(
+          concat_ws("|", lit("w"), b, lit(7))), 11).cast("double") /
+          lit(9007199254740992.0) - lit(0.5)) * lit(25.0)
+      val scored = table(s, dir, "documents").select(
+        round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
+          .as("score"),
+        (col("lang") === "en").cast("int").as("label"))
+      graft.text.Eval.calibrationBins(scored, "score", "label", bins = 10)
+    }),
+    "q_ece" -> ((s, dir) => {
+      // the calibration table folded to the single ECE number
+      // (ascending-bin fold — float order engine-fixed); same ×25
+      // amplified weights as q_calibration
+      val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        b =>
+        (shiftrightunsigned(graft.functions.HashExpressions.md5Long(
+          concat_ws("|", lit("w"), b, lit(7))), 11).cast("double") /
+          lit(9007199254740992.0) - lit(0.5)) * lit(25.0)
+      val scored = table(s, dir, "documents").select(
+        round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
+          .as("score"),
+        (col("lang") === "en").cast("int").as("label"))
+      graft.text.Eval.expectedCalibrationError(
+        graft.text.Eval.calibrationBins(scored, "score", "label",
+          bins = 10))
     })
   )
 
@@ -4546,7 +4600,126 @@ object SparkEntry {
         |  round(avg(k), 6) AS avg_k
         |FROM p GROUP BY event_type""".stripMargin,
     "q_whiten" -> whitenOracle,
-    "q_mmr" -> mmrOracle(k = 8, shortlist = 20, lambda = 0.7, nQueries = 6)
+    "q_mmr" -> mmrOracle(k = 8, shortlist = 20, lambda = 0.7, nQueries = 6),
+    // per-stratum eval: the q_classifier_eval rank-sum PARTITIONED BY
+    // the (sentinel-coalesced) language; label = doc_id % 3
+    "q_classifier_eval_by" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(t), 1, 16))::UBIGINT & 4095)::BIGINT AS f
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)),
+        |w AS (
+        |  SELECT doc_id,
+        |    sum((('0x' || substr(md5(concat_ws('|', 'w', f, 7)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 - 0.5) AS sw,
+        |    count(*) AS n
+        |  FROM f GROUP BY 1),
+        |sc AS (
+        |  SELECT coalesce(CASE WHEN t.doc_id % 23 = 0 THEN NULL
+        |      ELSE t.lang END, '__null__') AS stratum,
+        |    round(1.0 / (1.0 + exp(-(-0.1 + coalesce(w.sw / w.n, 0.0::DOUBLE)))), 6) AS s,
+        |    (t.doc_id % 3 = 0)::INT AS y
+        |  FROM toks t LEFT JOIN w USING (doc_id)),
+        |ps AS (
+        |  SELECT stratum, s, sum(y)::BIGINT AS p,
+        |    (count(*) - sum(y))::BIGINT AS n
+        |  FROM sc GROUP BY stratum, s),
+        |cb AS (
+        |  SELECT stratum, s, p, n, coalesce(sum(n) OVER (
+        |    PARTITION BY stratum ORDER BY s ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS nb
+        |  FROM ps),
+        |a AS (
+        |  SELECT stratum, sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+        |    sum((2 * nb + n) * p)::BIGINT AS u2,
+        |    sum(CASE WHEN s >= 0.5 THEN p ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN s >= 0.5 THEN n ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN s < 0.5 THEN n ELSE 0 END)::BIGINT AS tn,
+        |    sum(CASE WHEN s < 0.5 THEN p ELSE 0 END)::BIGINT AS fn
+        |  FROM cb GROUP BY stratum)
+        |SELECT stratum, n_pos, n_neg, tp, fp, tn, fn,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN round(u2 / (2.0 * n_pos * n_neg), 6) END AS auc,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(tp / (tp + fp)::DOUBLE, 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN round(tp / (tp + fn)::DOUBLE, 6) END AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0
+        |      AND tp / (tp + fp)::DOUBLE + tp / (tp + fn)::DOUBLE > 0
+        |    THEN round(2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
+        |      / (tp / (tp + fp)::DOUBLE + tp / (tp + fn)::DOUBLE), 6) END AS f1,
+        |  round((tp + tn) / (tp + fp + tn + fn)::DOUBLE, 6) AS accuracy
+        |FROM a""".stripMargin,
+    // calibration bins: micro-unit mean scores — every output column a
+    // rounded division of exact integers
+    "q_calibration" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(t), 1, 16))::UBIGINT & 4095)::BIGINT AS f
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)),
+        |w AS (
+        |  SELECT doc_id,
+        |    sum(((('0x' || substr(md5(concat_ws('|', 'w', f, 7)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 - 0.5) * 25.0) AS sw,
+        |    count(*) AS n
+        |  FROM f GROUP BY 1),
+        |sc AS (
+        |  SELECT round(1.0 / (1.0 + exp(-(-0.1 + coalesce(w.sw / w.n, 0.0::DOUBLE)))), 6) AS s,
+        |    (t.lang = 'en')::INT AS y
+        |  FROM toks t LEFT JOIN w USING (doc_id)),
+        |c AS (SELECT least(greatest(s, 0.0), 1.0) AS cs, y FROM sc),
+        |b AS (SELECT least(floor(cs * 10), 9)::BIGINT AS bin,
+        |    round(cs * 1000000.0)::BIGINT AS u, y FROM c)
+        |SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |  round(sum(u)::DOUBLE / (1000000.0 * count(*)), 6) AS mean_score,
+        |  round(sum(y)::DOUBLE / count(*), 6) AS frac_pos,
+        |  round(bin::DOUBLE / 10, 6) AS bin_lo,
+        |  round((bin + 1)::DOUBLE / 10, 6) AS bin_hi
+        |FROM b GROUP BY bin""".stripMargin,
+    // ECE: the calibration table folded in ascending-bin order
+    "q_ece" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(t), 1, 16))::UBIGINT & 4095)::BIGINT AS f
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)),
+        |w AS (
+        |  SELECT doc_id,
+        |    sum(((('0x' || substr(md5(concat_ws('|', 'w', f, 7)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 - 0.5) * 25.0) AS sw,
+        |    count(*) AS n
+        |  FROM f GROUP BY 1),
+        |sc AS (
+        |  SELECT round(1.0 / (1.0 + exp(-(-0.1 + coalesce(w.sw / w.n, 0.0::DOUBLE)))), 6) AS s,
+        |    (t.lang = 'en')::INT AS y
+        |  FROM toks t LEFT JOIN w USING (doc_id)),
+        |c AS (SELECT least(greatest(s, 0.0), 1.0) AS cs, y FROM sc),
+        |b AS (SELECT least(floor(cs * 10), 9)::BIGINT AS bin,
+        |    round(cs * 1000000.0)::BIGINT AS u, y FROM c),
+        |g AS (SELECT bin, count(*)::BIGINT AS n,
+        |    round(sum(u)::DOUBLE / (1000000.0 * count(*)), 6) AS ms,
+        |    round(sum(y)::DOUBLE / count(*), 6) AS fp
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT list({'n': n, 'fp': fp, 'ms': ms} ORDER BY bin) AS l,
+        |    sum(n)::BIGINT AS nn FROM g)
+        |SELECT len(l)::BIGINT AS n_bins_nonempty, nn AS n,
+        |  round(list_sum([x['n'] / nn::DOUBLE * abs(x['fp'] - x['ms'])
+        |    for x in l]), 6) AS ece
+        |FROM t""".stripMargin
   )
 
   /** The MMR greedy trajectory replayed in generated SQL (the

@@ -53,25 +53,54 @@ object Eval {
     * precision + recall is 0 or either is NULL.
     */
   def binaryMetrics(scored: DataFrame, scoreCol: String, labelCol: String,
-      threshold: Double = 0.5, roundDecimals: Int = 6): DataFrame = {
+      threshold: Double = 0.5, roundDecimals: Int = 6): DataFrame =
+    metricsCore(scored, scoreCol, labelCol, None, threshold,
+      roundDecimals)
+
+  /** Per-stratum [[binaryMetrics]] — one metrics row per value of
+    * `stratumCol` (per-language / per-source classifier quality, the
+    * fairness view a multilingual curation gate needs: a global AUC of
+    * 0.9 can hide a 0.5 on the minority language). Same single corpus
+    * pass, keyed on (stratum, score); the rank window partitions by
+    * stratum over the per-stratum score grid. NULL strata report under
+    * the reserved [[graft.operators.Sampling.NullStratum]] sentinel. */
+  def binaryMetricsBy(scored: DataFrame, scoreCol: String,
+      labelCol: String, stratumCol: String, threshold: Double = 0.5,
+      roundDecimals: Int = 6): DataFrame =
+    metricsCore(scored, scoreCol, labelCol, Some(stratumCol), threshold,
+      roundDecimals)
+
+  private def metricsCore(scored: DataFrame, scoreCol: String,
+      labelCol: String, stratumCol: Option[String], threshold: Double,
+      roundDecimals: Int): DataFrame = {
     require(roundDecimals >= 1 && roundDecimals <= 9,
       s"roundDecimals must be in [1, 9], got $roundDecimals")
+    val keyCols = stratumCol.toSeq.map(c =>
+      coalesce(col(c).cast("string"),
+        lit(graft.operators.Sampling.NullStratum)).as("stratum"))
+    val keys = stratumCol.toSeq.map(_ => "stratum")
     // One corpus pass: per-distinct-score class counts (map-side partials)
     val perScore = scored
       .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
-      .select(round(col(scoreCol), roundDecimals).as("__s"),
-        (col(labelCol).cast("int") =!= 0).cast("long").as("__y"))
-      .groupBy(col("__s"))
+      .select(keyCols :+
+        round(col(scoreCol), roundDecimals).as("__s") :+
+        (col(labelCol).cast("int") =!= 0).cast("long").as("__y"): _*)
+      .groupBy((keys.map(col) :+ col("__s")): _*)
       .agg(sum(col("__y")).as("__p"),
         (count(lit(1)) - sum(col("__y"))).as("__n"))
     // Cumulative negatives strictly below each score: a window over the
     // bounded distinct-score table (NOT the corpus) — ≤ 10^roundDecimals
-    // rows for a [0, 1] score by the rounding contract.
-    val wAsc = Window.orderBy(col("__s").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // rows per stratum for a [0, 1] score by the rounding contract.
+    val wBase =
+      if (keys.isEmpty) Window.orderBy(col("__s").asc)
+      else Window.partitionBy(keys.map(col): _*).orderBy(col("__s").asc)
+    val wAsc = wBase.rowsBetween(Window.unboundedPreceding, -1)
     val withBelow = perScore.withColumn("__negBelow",
       coalesce(sum(col("__n")).over(wAsc), lit(0L)))
-    val agg = withBelow.agg(
+    val grouped =
+      if (keys.isEmpty) withBelow.groupBy()
+      else withBelow.groupBy(keys.map(col): _*)
+    val agg = grouped.agg(
       sum(col("__p")).as("n_pos"),
       sum(col("__n")).as("n_neg"),
       // 2·U as an exact BIGINT (midrank half-credit kept doubled)
@@ -89,7 +118,7 @@ object Eval {
       col("tp").cast("double") / (col("tp") + col("fp")))
     val rec = when(col("tp") + col("fn") > 0,
       col("tp").cast("double") / (col("tp") + col("fn")))
-    agg.select(
+    agg.select(keys.map(col) ++ Seq(
         col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("tn"),
         col("fn"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
@@ -101,6 +130,60 @@ object Eval {
           round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"),
         round((col("tp") + col("tn")).cast("double") /
           (col("tp") + col("fp") + col("tn") + col("fn")), 6)
-          .as("accuracy"))
+          .as("accuracy")): _*)
+  }
+
+  /** Reliability / calibration bins for a probabilistic classifier:
+    * scores in [0, 1] (out-of-range values clamp — part of the
+    * contract) land in `bins` equal-width buckets; each non-empty
+    * bucket reports its count, positive count, MEAN SCORE and
+    * POSITIVE FRACTION — the reliability-diagram table whose gap
+    * |frac_pos − mean_score| is what "calibrated" means.
+    *
+    * One aggregate pass. Exactness: the mean score is accumulated as
+    * INTEGER micro-units (the ROUNDED score × 10⁶ is exact in a long),
+    * so every output is one rounded division of exact integers —
+    * engine- and layout-stable, no float summation anywhere. */
+  def calibrationBins(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val s6 = round(col(scoreCol), 6)
+    val clamped = least(greatest(s6, lit(0.0)), lit(1.0))
+    val bucket = least(floor(clamped * bins).cast("long"),
+      lit(bins - 1L))
+    scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(bucket.as("bin"),
+        round(clamped * 1000000.0, 0).cast("long").as("__u"),
+        (col(labelCol).cast("int") =!= 0).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        round(sum(col("__u")).cast("double") /
+          (lit(1000000.0) * count(lit(1))), 6).as("mean_score"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"))
+      .withColumn("bin_lo",
+        round(col("bin").cast("double") / bins, 6))
+      .withColumn("bin_hi",
+        round((col("bin") + 1).cast("double") / bins, 6))
+  }
+
+  /** Expected Calibration Error from a [[calibrationBins]] table:
+    * `ECE = Σ_b (n_b / N) · |frac_pos_b − mean_score_b|`, folded in
+    * ascending-bin order over the collected ≤`bins`-row table (the
+    * mixtureEntropy sorted-fold idiom — float accumulation order is
+    * engine-fixed). One row: (n_bins_nonempty, n, ece). */
+  def expectedCalibrationError(binsDf: DataFrame): DataFrame = {
+    val packed = binsDf.agg(
+      sort_array(collect_list(struct(col("bin"), col("n"),
+        col("frac_pos"), col("mean_score")))).as("__l"),
+      sum(col("n")).as("n"))
+    val tot = col("n").cast("double")
+    val ece = aggregate(col("__l"), lit(0.0),
+      (acc, b) => acc + b.getField("n").cast("double") / tot *
+        abs(b.getField("frac_pos") - b.getField("mean_score")))
+    packed.select(size(col("__l")).cast("long").as("n_bins_nonempty"),
+      col("n"), round(ece, 6).as("ece"))
   }
 }

@@ -186,6 +186,65 @@ class EvalSpec extends SparkSuite {
     assert(out.collect()(0).getAs[Long]("k") === 1L)
   }
 
+  // -------------------------------------- Eval.binaryMetricsBy / ECE
+
+  test("eval by stratum: per-group metrics, NULL stratum under sentinel") {
+    import spark.implicits._
+    val scored = Seq(
+      // stratum a: perfect separation
+      (0.9, 1, Some("a")), (0.8, 1, Some("a")),
+      (0.2, 0, Some("a")), (0.1, 0, Some("a")),
+      // stratum b: perfectly wrong
+      (0.9, 0, Some("b")), (0.1, 1, Some("b")),
+      // NULL stratum: one of each
+      (0.7, 1, None), (0.3, 0, None))
+      .toDF("score", "label", "lang")
+    val rows = Eval.binaryMetricsBy(scored, "score", "label", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getAs[Double]("auc") === 1.0)
+    assert(rows("b").getAs[Double]("auc") === 0.0)
+    val n = rows(graft.operators.Sampling.NullStratum)
+    assert(n.getAs[Double]("auc") === 1.0)
+    assert(n.getAs[Long]("n_pos") === 1L)
+    // the global one-row variant still agrees with a pooled computation
+    assert(Eval.binaryMetrics(scored, "score", "label").collect()(0)
+      .getAs[Long]("n_pos") === 4L)
+  }
+
+  test("calibration: bin bounds, micro-unit means, hand-computed ece") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, 0), (0.15, 0), (0.18, 1), // bins 0 and 1
+      (0.95, 1), (0.93, 1), (0.91, 0)) // bin 9
+      .toDF("score", "label")
+    val bins = Eval.calibrationBins(scored, "score", "label", bins = 10)
+    val m = bins.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet === Set(0L, 1L, 9L))
+    assert(m(1L).getAs[Long]("n") === 2L)
+    assert(m(1L).getAs[Double]("mean_score") === 0.165)
+    assert(m(1L).getAs[Double]("frac_pos") === 0.5)
+    assert(m(9L).getAs[Double]("bin_lo") === 0.9)
+    assert(m(9L).getAs[Double]("bin_hi") === 1.0)
+    val e = Eval.expectedCalibrationError(bins).collect()(0)
+    assert(e.getAs[Long]("n_bins_nonempty") === 3L)
+    assert(e.getAs[Long]("n") === 6L)
+    // ece = 1/6*|0-0.05| + 2/6*|0.5-0.165| + 3/6*|0.666667-0.93|
+    val exp = 1.0 / 6 * 0.05 + 2.0 / 6 * 0.335 +
+      3.0 / 6 * math.abs(0.666667 - 0.93)
+    assert(math.abs(e.getAs[Double]("ece") -
+      math.floor(exp * 1e6 + 0.5) / 1e6) <= 1e-6)
+  }
+
+  test("calibration: out-of-range scores clamp into the edge bins") {
+    import spark.implicits._
+    val scored = Seq((-0.3, 0), (1.7, 1)).toDF("score", "label")
+    val m = Eval.calibrationBins(scored, "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet === Set(0L, 9L))
+    assert(m(0L).getAs[Double]("mean_score") === 0.0)
+    assert(m(9L).getAs[Double]("mean_score") === 1.0)
+  }
+
   // ----------------------------------------------- Similarity.mmrRerank
 
   test("mmr: redundant near-twin is deferred in favor of the diverse pick") {
