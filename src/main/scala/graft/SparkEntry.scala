@@ -1860,6 +1860,19 @@ object SparkEntry {
       graft.text.Eval.expectedCalibrationError(
         graft.text.Eval.calibrationBins(scored, "score", "label",
           bins = 10))
+    }),
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs & authorities over the q_pagerank modular crawl graph:
+      // 4 mutual-reinforcement rounds, every per-node sum, norm scalar
+      // and normalized iterate quantized — the oracle replays all 8
+      // half steps, hub and authority hash-exact with no rounding
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 1) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 11) % n).as("dst")))
+      graft.graph.GraphRank.hits(edges, iters = 4)
     })
   )
 
@@ -4719,7 +4732,8 @@ object SparkEntry {
         |SELECT len(l)::BIGINT AS n_bins_nonempty, nn AS n,
         |  round(list_sum([x['n'] / nn::DOUBLE * abs(x['fp'] - x['ms'])
         |    for x in l]), 6) AS ece
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    "q_hits" -> hitsOracle(iters = 4)
   )
 
   /** The MMR greedy trajectory replayed in generated SQL (the
@@ -5052,6 +5066,54 @@ object SparkEntry {
     * quantized update with the identical float shape
     * ((1−d)/N + d·(in + D/N)). All decisions happen on quantized
     * values, so ranks are bit-exact cross-engine (no output rounding). */
+  /** The HITS trajectory replayed in generated SQL (the pageRankOracle
+    * pattern): same modular edge/nodes CTEs, then per round the
+    * quantized in-sum, the quantized L2 norm scalar and the quantized
+    * normalized iterate — authority half step then hub half step. */
+  private def hitsOracle(iters: Int): String = {
+    val Q = "1000000000.0"
+    def q(x: String) = s"floor(($x) * $Q + 0.5) / $Q"
+    val rounds = (1 to iters).map { t =>
+      val prev = s"h${t - 1}"
+      s""",
+         |ar$t AS MATERIALIZED (
+         |  SELECT n.id, ${q("coalesce(t.s, 0.0)")} AS ar
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(h.h) AS s
+         |    FROM e JOIN $prev h ON h.id = e.src GROUP BY e.dst) t
+         |    ON t.id = n.id),
+         |na$t AS (SELECT ${q("sqrt(sum(ar * ar))")} AS v FROM ar$t),
+         |a$t AS MATERIALIZED (
+         |  SELECT id, ${q(s"ar / (SELECT v FROM na$t)")} AS a FROM ar$t),
+         |hr$t AS MATERIALIZED (
+         |  SELECT n.id, ${q("coalesce(t.s, 0.0)")} AS hr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS id, sum(a.a) AS s
+         |    FROM e JOIN a$t a ON a.id = e.dst GROUP BY e.src) t
+         |    ON t.id = n.id),
+         |nh$t AS (SELECT ${q("sqrt(sum(hr * hr))")} AS v FROM hr$t),
+         |h$t AS MATERIALIZED (
+         |  SELECT id, ${q(s"hr / (SELECT v FROM nh$t)")} AS h FROM hr$t)""".stripMargin
+    }.mkString("")
+    s"""WITH nd AS (SELECT count(*) AS c FROM documents),
+       |raw AS (
+       |  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM nd) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 7 + 11) % (SELECT c FROM nd)
+       |  FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |h0 AS MATERIALIZED (
+       |  SELECT id, ${q("1.0 / (SELECT n FROM nn)")} AS h FROM nodes)$rounds
+       |SELECT h.id, h.h AS hub, a.a AS authority
+       |FROM h$iters h JOIN a$iters a USING (id)""".stripMargin
+  }
+
   private def pageRankOracle: String = {
     val Q = "1000000000.0"
     val rounds = (1 to 8).map { t =>

@@ -81,4 +81,77 @@ object GraphRank {
     }
     rank
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the second classic
+    * link-graph prior: an AUTHORITY is a page many good hubs point to,
+    * a HUB points to many good authorities. For corpus curation the
+    * authority score complements [[pageRank]]: link-directory/spam-farm
+    * pages rank high as hubs but low as authorities, which a single
+    * PageRank score cannot separate.
+    *
+    * Standard mutual-reinforcement iteration, L2-normalized each half
+    * step: `a ∝ Eᵀh`, `h ∝ E a`, fixed `iters` rounds from the uniform
+    * start. Determinism contract as [[pageRank]]: every per-node sum,
+    * both norm scalars and both normalized iterates are quantized with
+    * the floor(x·10ᵈ + 0.5)/10ᵈ idiom, so the whole trajectory is
+    * engine-/partitioning-/layout-exact and the q_hits oracle replays
+    * all rounds in generated SQL.
+    *
+    * Scale design: per round two edge-table joins (src then dst), two
+    * map-side-partial groupBy sums, two SCALAR norm aggregates to the
+    * driver — node-/edge-linear, no windows, localCheckpoint per half
+    * step (the PageRank barrier pattern). Nodes with no in-edges
+    * (resp. out-edges) score authority 0 (resp. hub 0). */
+  def hits(edges: DataFrame, iters: Int = 8,
+      srcCol: String = "src", dstCol: String = "dst",
+      roundDecimals: Int = 9): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val p = math.pow(10, roundDecimals)
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * p + lit(0.5)) / p
+    def qd(x: Double) = math.floor(x * p + 0.5) / p
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    var hub = nodes.select(col("id"), q(lit(1.0 / n)).as("hub"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      // authority half step: a(v) = q(Σ_{u→v} h(u)), then L2-normalize
+      val aRaw = nodes.join(
+          e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("hub")).as("__s")),
+          Seq("id"), "left")
+        .select(col("id"), q(coalesce(col("__s"), lit(0.0))).as("__ar"))
+        .localCheckpoint(true)
+      val na = qd(math.sqrt(
+        aRaw.agg(sum(col("__ar") * col("__ar"))).head().getDouble(0)))
+      require(na > 0, "authority vector collapsed")
+      auth = aRaw.select(col("id"), q(col("__ar") / lit(na)).as("authority"))
+        .localCheckpoint(true)
+      // hub half step: h(u) = q(Σ_{u→v} a(v)), then L2-normalize
+      val hRaw = nodes.join(
+          e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(sum(col("authority")).as("__s")),
+          Seq("id"), "left")
+        .select(col("id"), q(coalesce(col("__s"), lit(0.0))).as("__hr"))
+        .localCheckpoint(true)
+      val nh = qd(math.sqrt(
+        hRaw.agg(sum(col("__hr") * col("__hr"))).head().getDouble(0)))
+      require(nh > 0, "hub vector collapsed")
+      hub = hRaw.select(col("id"), q(col("__hr") / lit(nh)).as("hub"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, Seq("id"))
+  }
 }

@@ -338,6 +338,38 @@ class EvalSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("wpc1")))
   }
 
+  // ------------------------------------------------- GraphRank.hits
+
+  test("hits: star graph — pure authority at the center, equal hubs") {
+    import spark.implicits._
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = graft.graph.GraphRank.hits(edges, iters = 4)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(3L).getAs[Double]("authority") === 1.0)
+    assert(r(3L).getAs[Double]("hub") === 0.0)
+    assert(r(1L).getAs[Double]("authority") === 0.0)
+    // hubs split the unit L2 mass: 1/sqrt(2) on the 1e-9 grid
+    assert(math.abs(r(1L).getAs[Double]("hub") - 0.707106781) < 1e-9)
+    assert(r(1L).getAs[Double]("hub") === r(2L).getAs[Double]("hub"))
+  }
+
+  test("hits: self/duplicate edges are hygiene-dropped; layout-invariant") {
+    import spark.implicits._
+    val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val dirty = clean
+      .unionByName(Seq((1L, 1L), (1L, 2L)).toDF("src", "dst"))
+    val a = graft.graph.GraphRank.hits(clean, iters = 3).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2))).sorted
+    val b = graft.graph.GraphRank.hits(dirty.repartition(7), iters = 3)
+      .collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2))).sorted
+    assert(a.toSeq === b.toSeq)
+    // L2 mass of each vector is ~1 on the quantization grid
+    val sa = a.map(t => t._3 * t._3).sum
+    assert(math.abs(sa - 1.0) < 1e-6)
+  }
+
   // -------------------------------------------- Dedup.duplicationProfile
 
   test("dup profile: per-source stats, sentinel for NULL sources") {
