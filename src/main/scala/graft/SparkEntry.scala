@@ -1873,6 +1873,40 @@ object SparkEntry {
         .unionByName(docs.select(col("doc_id").as("src"),
           ((col("doc_id") * 7 + 11) % n).as("dst")))
       graft.graph.GraphRank.hits(edges, iters = 4)
+    }),
+    "q_ann_recall" -> ((s, dir) => {
+      // ANN acceptance metric: per-query recall@5 of the hyperplane-LSH
+      // run against the exact brute-force ground truth — the same two
+      // runs q_knn_cosine / q_knn_lsh already hash-check individually
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = graft.similarity.Similarity.knnBruteForce(
+        emb, queries, k = 5)
+      val approx = graft.similarity.Similarity.knnLsh(emb, queries,
+        k = 5, dim = 64, nPlanes = 8, seed = 42L)
+      graft.text.RankingEval.annRecallAtK(exact, approx, k = 5)
+    }),
+    "q_ranking_eval" -> ((s, dir) => {
+      // TREC-style retrieval metrics over a dense run: exact cosine
+      // top-10 per query (self excluded) graded against label-proximity
+      // qrels (same label rel=2, adjacent label rel=1) — per query
+      // nDCG@10 / MRR / AP@10 / P@10 / R@10, every fold order-pinned
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val run = graft.similarity.Similarity.knnBruteForce(
+          emb, queries, k = 10, excludeSelf = true)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      val qrels = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          abs(col("label") - col("__ql")) <= 1 &&
+            col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          (lit(2) - abs(col("label") - col("__ql"))).cast("double")
+            .as("rel"))
+      graft.text.RankingEval.rankingMetrics(run, qrels, k = 10)
     })
   )
 
@@ -2127,6 +2161,109 @@ object SparkEntry {
 
   /** Hyperplane-LSH knn: the 8 seeded planes inlined as literals; the
     * signature is the same sum-of-bit-terms the Spark side builds. */
+  private val knnCosineOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+      |      ELSE list_dot_product(q.v, c.v) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
+      |  FROM e q, e c WHERE q.vec_id < 10),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM p)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** ANN recall@5 replayed by composing the two runs' own oracles as
+    * nested CTEs — ground-truth universe on the exact side, one
+    * (query, neighbor) overlap join, one rounded division. */
+  private def annRecallOracle: String =
+    s"""WITH ex AS MATERIALIZED (
+       |$knnCosineOracle
+       |), ap AS MATERIALIZED (
+       |${knnLshOracle}
+       |),
+       |te AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+       |ta AS (SELECT query_id, count(*)::BIGINT AS n_approx FROM ap GROUP BY 1),
+       |ov AS (SELECT e.query_id, count(*)::BIGINT AS n_overlap
+       |  FROM ex e JOIN ap a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1)
+       |SELECT te.query_id, te.n_exact,
+       |  coalesce(ta.n_approx, 0)::BIGINT AS n_approx,
+       |  coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       |  round(coalesce(ov.n_overlap, 0) / te.n_exact::DOUBLE, 6) AS recall
+       |FROM te LEFT JOIN ta USING (query_id) LEFT JOIN ov USING (query_id)""".stripMargin
+
+  /** The retrieval-metrics table replayed in SQL: the exact self-excluded
+    * top-10 run, label-proximity qrels (2 − |Δlabel| grades), then every
+    * metric as a fold over the SAME ascending-rank list the engine
+    * collects — DCG by stored rank, ideal DCG by 1-based list position
+    * (generate_series), AP via the nested O(k²) filter — so float
+    * accumulation order is pinned on both engines. */
+  private def rankingEvalOracle: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |    CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+      |      ELSE list_dot_product(q.v, c.v) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
+      |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |run AS MATERIALIZED (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+      |    FROM p) WHERE rank <= 10),
+      |qr AS MATERIALIZED (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |    (2 - abs(c.label - q.label))::DOUBLE AS rel
+      |  FROM e q JOIN e c
+      |    ON abs(c.label - q.label) <= 1 AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |pq AS (
+      |  SELECT query_id,
+      |    list_sort(list({'rank': rank, 'rel': coalesce(qr.rel, 0.0)})) AS l
+      |  FROM run LEFT JOIN qr USING (query_id, doc_id)
+      |  GROUP BY 1),
+      |ideal AS (
+      |  SELECT query_id, count(*)::BIGINT AS n_rel,
+      |    (list_sort(list(rel), 'DESC'))[1:10] AS g
+      |  FROM qr GROUP BY 1),
+      |m AS (
+      |  SELECT p.query_id, coalesce(i.n_rel, 0)::BIGINT AS n_rel, p.l,
+      |    coalesce(i.g, []::DOUBLE[]) AS g
+      |  FROM pq p LEFT JOIN ideal i USING (query_id)),
+      |x AS (
+      |  SELECT query_id, n_rel,
+      |    len(list_filter(l, x -> x.rel > 0))::BIGINT AS hits,
+      |    list_min(list_transform(list_filter(l, x -> x.rel > 0),
+      |      x -> x.rank)) AS first_rel,
+      |    list_sum(list_transform(l,
+      |      x -> x.rel / (ln(x.rank + 1.0) / ln(2.0)))) AS dcg,
+      |    list_sum(list_transform(generate_series(1, len(g)),
+      |      i -> g[i] / (ln(i + 1.0) / ln(2.0)))) AS idcg,
+      |    list_sum(list_transform(l, x -> CASE WHEN x.rel > 0
+      |      THEN len(list_filter(l, y -> y.rel > 0 AND y.rank <= x.rank))
+      |        / x.rank::DOUBLE
+      |      ELSE 0.0 END)) AS ap_sum
+      |  FROM m)
+      |SELECT query_id, n_rel, hits,
+      |  round(hits / 10.0, 6) AS precision_k,
+      |  CASE WHEN n_rel > 0 THEN round(hits / n_rel::DOUBLE, 6) END
+      |    AS recall_k,
+      |  round(coalesce(1.0 / first_rel, 0.0), 6) AS rr,
+      |  CASE WHEN n_rel > 0 THEN
+      |    round(coalesce(ap_sum, 0.0) / least(n_rel, 10)::DOUBLE, 6) END
+      |    AS ap_k,
+      |  round(coalesce(dcg, 0.0), 6) AS dcg_k,
+      |  round(coalesce(idcg, 0.0), 6) AS idcg_k,
+      |  CASE WHEN coalesce(idcg, 0.0) > 0
+      |    THEN round(coalesce(dcg, 0.0) / idcg, 6) END AS ndcg_k
+      |FROM x""".stripMargin
+
   private def knnLshOracle: String = {
     val planes = graft.similarity.Similarity.hyperplanes(8, 64, 42L)
     val sigExpr = planes.zipWithIndex.map { case (p, i) =>
@@ -2867,20 +3004,9 @@ object SparkEntry {
         |      ELSE len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE END AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.6""".stripMargin,
-    "q_knn_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
-        |      ELSE list_dot_product(q.v, c.v) /
-        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
-        |  FROM e q, e c WHERE q.vec_id < 10),
-        |r AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-        |  FROM p)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
-        |FROM r WHERE rank <= 5""".stripMargin,
+    "q_knn_cosine" -> knnCosineOracle,
+    "q_ann_recall" -> annRecallOracle,
+    "q_ranking_eval" -> rankingEvalOracle,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (

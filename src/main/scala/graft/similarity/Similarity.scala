@@ -50,17 +50,23 @@ object Similarity {
   /** Exact brute-force cosine top-k: for every query vector, the k nearest
     * corpus vectors. Queries are broadcast (must be small — typically a
     * batch of probes); the corpus is scanned once, never shuffled; ties
-    * break on ascending corpus id for determinism. */
+    * break on ascending corpus id for determinism. `excludeSelf` drops
+    * the query's own corpus row (for queries drawn from the corpus —
+    * the retrieval-eval run shape). */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id",
+      excludeSelf: Boolean = false): DataFrame = {
     val joined = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("__cv"))
       .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
         col(vecCol).as("__qv"))))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    topKPerQuery(joined, k)
+    val cand =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    topKPerQuery(cand, k)
   }
 
   /** Hard-negative mining for retrieval/embedding training (the DPR/ANCE

@@ -370,6 +370,87 @@ class EvalSpec extends SparkSuite {
     assert(math.abs(sa - 1.0) < 1e-6)
   }
 
+  // ------------------------------------------ RankingEval.rankingMetrics
+
+  test("ranking metrics: hand-computed nDCG/MRR/AP/P/R on one query") {
+    import spark.implicits._
+    // run: docs a..d at ranks 1..4; qrels: b grade 2, d grade 1, and e
+    // (never retrieved) grade 1
+    val run = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (1L, "d", 4))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, "b", 2.0), (1L, "d", 1.0), (1L, "e", 1.0))
+      .toDF("query_id", "doc_id", "rel")
+    val r = graft.text.RankingEval.rankingMetrics(run, qrels, k = 4)
+      .collect()(0)
+    assert(r.getAs[Long]("n_rel") === 3L)
+    assert(r.getAs[Long]("hits") === 2L)
+    assert(r.getAs[Double]("precision_k") === 0.5)
+    assert(r.getAs[Double]("recall_k") === 0.666667)
+    assert(r.getAs[Double]("rr") === 0.5)
+    // AP = (1/2 + 2/4) / min(3, 4)
+    assert(r.getAs[Double]("ap_k") === 0.333333)
+    // DCG = 2/log2(3) + 1/log2(5); IDCG = 2 + 1/log2(3) + 1/2
+    assert(r.getAs[Double]("dcg_k") === 1.692536)
+    assert(r.getAs[Double]("idcg_k") === 3.13093)
+    assert(r.getAs[Double]("ndcg_k") === 0.540586)
+  }
+
+  test("ranking metrics: no qrels -> zero n_rel and NULL recall/AP/nDCG") {
+    import spark.implicits._
+    val run = Seq((1L, "a", 1), (1L, "b", 2))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((2L, "a", 1.0)).toDF("query_id", "doc_id", "rel")
+    val out = graft.text.RankingEval.rankingMetrics(run, qrels, k = 2)
+      .collect()
+    // query 2 has qrels but no run rows: absent by contract
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("query_id") === 1L)
+    assert(r.getAs[Long]("n_rel") === 0L)
+    assert(r.getAs[Long]("hits") === 0L)
+    assert(r.getAs[Double]("rr") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("recall_k")))
+    assert(r.isNullAt(r.fieldIndex("ap_k")))
+    assert(r.getAs[Double]("idcg_k") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("ndcg_k")))
+  }
+
+  test("ranking metrics: rows past k are ignored; rel<=0 qrels too") {
+    import spark.implicits._
+    val run = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, "c", 1.0), (1L, "a", 0.0))
+      .toDF("query_id", "doc_id", "rel")
+    val r = graft.text.RankingEval.rankingMetrics(run, qrels, k = 2)
+      .collect()(0)
+    // c is relevant but ranked past the cutoff; a's grade 0 is ignored
+    assert(r.getAs[Long]("n_rel") === 1L)
+    assert(r.getAs[Long]("hits") === 0L)
+    assert(r.getAs[Double]("rr") === 0.0)
+    assert(r.getAs[Double]("dcg_k") === 0.0)
+    assert(r.getAs[Double]("idcg_k") === 1.0)
+    assert(r.getAs[Double]("ndcg_k") === 0.0)
+  }
+
+  // ------------------------------------------- RankingEval.annRecallAtK
+
+  test("ann recall: overlap over exact ground truth, per query") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    // q1 finds 2 of 3 (plus a spurious 4th past k); q2 misses entirely
+    val approx = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 12L, 3),
+      (1L, 10L, 4)).toDF("query_id", "neighbor_id", "rank")
+    val r = graft.text.RankingEval.annRecallAtK(exact, approx, k = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_overlap") === 2L)
+    assert(r(1L).getAs[Double]("recall") === 0.666667)
+    assert(r(2L).getAs[Long]("n_approx") === 0L)
+    assert(r(2L).getAs[Double]("recall") === 0.0)
+    assert(r.size === 2)
+  }
+
   // -------------------------------------------- Dedup.duplicationProfile
 
   test("dup profile: per-source stats, sentinel for NULL sources") {
