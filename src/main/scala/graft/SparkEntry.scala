@@ -1907,6 +1907,26 @@ object SparkEntry {
           (lit(2) - abs(col("label") - col("__ql"))).cast("double")
             .as("rel"))
       graft.text.RankingEval.rankingMetrics(run, qrels, k = 10)
+    }),
+    "q_heaps" -> ((s, dir) =>
+      // Heaps-law vocabulary growth at 10 doc-id cutoffs + the OLS
+      // exponent: first-seen positions via min(doc_id) per term (no
+      // windows), cutoff totals via a broadcast 10-row join, the ln-ln
+      // fit folded in checkpoint order — every row hash-checked
+      graft.text.Indexing.heapsGrowth(table(s, dir, "documents"),
+        checkpoints = 10)),
+    "q_cartography" -> ((s, dir) => {
+      // dataset cartography over the quantized LR trajectory: 3 training
+      // epochs on y = (lang = 'en'), then per-doc confidence/variability/
+      // correctness from the post-update snapshot of each epoch — the
+      // oracle unrolls a 4th training round to replay all three forward
+      // passes, and every statistic is integer micro-unit arithmetic
+      val docs = table(s, dir, "documents")
+      val traj = graft.text.Classifier.trainTrajectory(docs,
+        (col("lang") === "en").cast("double"),
+        buckets = 64, iters = 3, lr = 1.0)
+      graft.text.Classifier.cartography(docs,
+        (col("lang") === "en").cast("int"), traj)
     })
   )
 
@@ -2264,6 +2284,63 @@ object SparkEntry {
       |    THEN round(coalesce(dcg, 0.0) / idcg, 6) END AS ndcg_k
       |FROM x""".stripMargin
 
+  /** Heaps growth replayed in SQL: integer cutoffs i·max(doc_id)/10,
+    * per-term min(doc_id) first-seen, LEFT JOIN cutoff totals, and the
+    * ln-ln OLS over the checkpoint-sorted point list with list_sum in
+    * the engine's fold order; beta stays unrounded inside heaps_k. */
+  private def heapsOracle: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |ck AS MATERIALIZED (
+      |  SELECT i::BIGINT AS checkpoint,
+      |    (i * (SELECT m FROM mx)) // 10 AS cutoff_doc_id
+      |  FROM range(1, 11) t(i)),
+      |dt AS MATERIALIZED (SELECT doc_id,
+      |    (CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+      |      AS n
+      |  FROM documents),
+      |fd AS MATERIALIZED (SELECT term, min(doc_id) AS fdoc
+      |  FROM (SELECT doc_id,
+      |      unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+      |        ELSE string_split_regex(trim(lower(text)), '\s+') END)
+      |        AS term
+      |    FROM documents)
+      |  GROUP BY 1),
+      |ct AS (SELECT c.checkpoint, c.cutoff_doc_id,
+      |    count(d.doc_id)::BIGINT AS n_docs,
+      |    coalesce(sum(d.n), 0)::BIGINT AS cum_tokens
+      |  FROM ck c LEFT JOIN dt d ON d.doc_id <= c.cutoff_doc_id
+      |  GROUP BY 1, 2),
+      |cv AS (SELECT c.checkpoint, count(f.term)::BIGINT AS vocab
+      |  FROM ck c LEFT JOIN fd f ON f.fdoc <= c.cutoff_doc_id
+      |  GROUP BY 1),
+      |g AS MATERIALIZED (
+      |  SELECT ct.checkpoint, ct.cutoff_doc_id, ct.n_docs,
+      |    ct.cum_tokens, cv.vocab
+      |  FROM ct JOIN cv USING (checkpoint)),
+      |pts AS (SELECT list_sort(list(
+      |    {'checkpoint': checkpoint, 'x': ln(cum_tokens::DOUBLE),
+      |     'y': ln(vocab::DOUBLE)})) AS l
+      |  FROM g WHERE cum_tokens > 0 AND vocab > 0),
+      |s AS (SELECT len(l)::DOUBLE AS n, len(l) AS np,
+      |    list_sum(list_transform(l, p -> p.x)) AS sx,
+      |    list_sum(list_transform(l, p -> p.y)) AS sy,
+      |    list_sum(list_transform(l, p -> p.x * p.y)) AS sxy,
+      |    list_sum(list_transform(l, p -> p.x * p.x)) AS sxx
+      |  FROM pts),
+      |fit AS (SELECT
+      |    CASE WHEN np >= 2 AND (n * sxx - sx * sx) <> 0 THEN
+      |      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END
+      |      AS heaps_beta,
+      |    CASE WHEN np >= 2 AND (n * sxx - sx * sx) <> 0 THEN
+      |      round(exp(sy / n -
+      |        ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)),
+      |        6) END AS heaps_k
+      |  FROM s)
+      |SELECT g.checkpoint, g.cutoff_doc_id, g.n_docs, g.cum_tokens,
+      |  g.vocab, fit.heaps_beta, fit.heaps_k
+      |FROM g CROSS JOIN fit""".stripMargin
+
   private def knnLshOracle: String = {
     val planes = graft.similarity.Similarity.hyperplanes(8, 64, 42L)
     val sigExpr = planes.zipWithIndex.map { case (p, i) =>
@@ -2296,7 +2373,51 @@ object SparkEntry {
     * reduction-order-sensitive at ~1e-16; the per-iteration quantum
     * absorbs them, so the final MODEL hash-matches with no output
     * rounding. */
-  private def classifierTrainOracle(iters: Int): String = {
+  private def classifierTrainOracle(iters: Int): String =
+    s"""${classifierCtes(iters)}
+       |fin AS (SELECT b AS bucket, wt AS weight FROM w$iters
+       |  UNION ALL SELECT -1, bias FROM b$iters)
+       |SELECT bucket, weight FROM fin""".stripMargin
+
+  /** Dataset cartography replayed in SQL: the training CTEs unrolled
+    * one EXTRA round so p(t+1) — the forward pass under the post-update
+    * snapshot w(t) — exists for every epoch t; each epoch probability
+    * quantizes to integer micro-units and the three statistics are
+    * integer sums with one rounded division each (std exact under 2⁵³). */
+  private def cartographyOracle(epochs: Int): String = {
+    val joins = (3 to epochs + 1)
+      .map(k => s"JOIN p$k USING (doc_id)").mkString(" ")
+    val uu = (2 to epochs + 1)
+      .map(k => s"floor(p$k.p * 1000000.0 + 0.5)::BIGINT")
+      .mkString("[", ",\n       |     ", "]")
+    s"""${classifierCtes(epochs + 1)}
+       |u AS (SELECT p2.doc_id, p2.y::INT AS y,
+       |    $uu AS uu
+       |  FROM p2 $joins),
+       |cf AS (SELECT doc_id, y,
+       |    list_transform(uu, x -> CASE WHEN y = 1 THEN x
+       |      ELSE 1000000 - x END) AS conf,
+       |    list_sum(list_transform(uu, x -> CASE
+       |      WHEN (x >= 500000) = (y = 1) THEN 1 ELSE 0 END))::BIGINT
+       |      AS nc
+       |  FROM u),
+       |st AS (SELECT doc_id, y, nc,
+       |    list_sum(conf)::BIGINT AS su,
+       |    list_sum(list_transform(conf, c -> c * c))::BIGINT AS su2
+       |  FROM cf)
+       |SELECT doc_id, y, ${epochs}::BIGINT AS n_epochs,
+       |  round(su / ($epochs * 1000000.0), 6) AS confidence,
+       |  round(sqrt(($epochs * su2 - su * su)::DOUBLE) /
+       |    ($epochs * 1000000.0), 6) AS variability,
+       |  round(nc / ${epochs}.0, 6) AS correctness
+       |FROM st""".stripMargin
+  }
+
+  /** The shared training-trajectory CTE chain (d/bk/nn/scaf/w0/b0 plus
+    * `rounds` unrolled gradient-descent rounds, trailing comma) —
+    * [[classifierTrainOracle]] reads the final model,
+    * [[cartographyOracle]] reads the per-round forward passes. */
+  private def classifierCtes(rounds: Int): String = {
     def iterSql(k: Int) = s"""
        |fs$k AS (SELECT t.doc_id, sum(w.wt * t.cnt) AS s
        |  FROM bk t JOIN w${k - 1} w USING (b) GROUP BY 1),
@@ -2335,10 +2456,7 @@ object SparkEntry {
        |scaf AS (SELECT i::BIGINT AS b FROM range(0, 64) t(i)),
        |w0 AS (SELECT b, 0.0 AS wt FROM scaf),
        |b0 AS (SELECT 0.0 AS bias),
-       |${(1 to iters).map(iterSql).mkString("\n")}
-       |fin AS (SELECT b AS bucket, wt AS weight FROM w$iters
-       |  UNION ALL SELECT -1, bias FROM b$iters)
-       |SELECT bucket, weight FROM fin""".stripMargin
+       |${(1 to rounds).map(iterSql).mkString("\n")}""".stripMargin
   }
 
   /** Multi-signal dedup replayed in SQL: exact-fingerprint star edges
@@ -3007,6 +3125,8 @@ object SparkEntry {
     "q_knn_cosine" -> knnCosineOracle,
     "q_ann_recall" -> annRecallOracle,
     "q_ranking_eval" -> rankingEvalOracle,
+    "q_heaps" -> heapsOracle,
+    "q_cartography" -> cartographyOracle(epochs = 3),
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (

@@ -83,7 +83,20 @@ object Classifier {
     * the quantum. Returns (weights, bias). */
   def train(docs: DataFrame, label: Column, textCol: String = "text",
       idCol: String = "doc_id", buckets: Int = 64, iters: Int = 2,
-      lr: Double = 1.0, roundDecimals: Int = 9): (Array[Double], Double) = {
+      lr: Double = 1.0, roundDecimals: Int = 9): (Array[Double], Double) =
+    trainTrajectory(docs, label, textCol, idCol, buckets, iters, lr,
+      roundDecimals).last
+
+  /** [[train]], returning the WHOLE quantized trajectory — the
+    * post-update (weights, bias) snapshot after every iteration
+    * (`result.last` is what [[train]] returns). The per-iteration
+    * quantization makes each snapshot engine-exact, so the trajectory is
+    * a deterministic artifact downstream operators can replay —
+    * [[cartography]] scores every epoch's model from it. */
+  def trainTrajectory(docs: DataFrame, label: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 64, iters: Int = 2, lr: Double = 1.0,
+      roundDecimals: Int = 9): Seq[(Array[Double], Double)] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"lr must be positive, got $lr")
     val p = math.pow(10, roundDecimals)
@@ -102,6 +115,7 @@ object Classifier {
     val nDocs = docF.count().toDouble
     var w = new Array[Double](buckets)
     var bias = 0.0
+    val trajectory = Seq.newBuilder[(Array[Double], Double)]
     for (_ <- 0 until iters) {
       val wLit = array(w.map(lit): _*)
       val featSum = bucketF
@@ -128,7 +142,81 @@ object Classifier {
       }
       w = next
       bias = quant(bias - lr * gb / nDocs)
+      trajectory += ((w, bias))
     }
-    (w, bias)
+    trajectory.result()
+  }
+
+  /** Dataset cartography (Swayamdipta et al. 2020): per-example training
+    * dynamics over the epochs of a [[trainTrajectory]] run —
+    *
+    *   - `confidence`  — mean over epochs of the model's probability on
+    *                     the GOLD label (p if y=1 else 1−p)
+    *   - `variability` — population std of that probability
+    *   - `correctness` — fraction of epochs the prediction (p ≥ 0.5) was
+    *                     right
+    *
+    * High-confidence/low-variability examples are easy-to-learn (safe to
+    * downsample), low-confidence ones hard-to-learn (often label noise —
+    * audit before training), high-variability ones ambiguous (the
+    * highest-value training data) — the standard data-map triage for a
+    * labeled corpus.
+    *
+    * Scale design: the corpus is tokenized ONCE into the same
+    * (doc × distinct-bucket count) frame training uses; ONE
+    * groupBy(doc) computes every epoch's feature sum in the same pass
+    * (T sums per row, weight vectors broadcast as literals), then the
+    * epoch scores and all three statistics are map-only arithmetic —
+    * shuffle count independent of T.
+    *
+    * Exactness: each epoch probability is quantized to INTEGER
+    * micro-units u = floor(p·10⁶ + 0.5) immediately; mean/std/
+    * correctness are then integer sums — std via
+    * sqrt(T·Σu² − (Σu)²)/(T·10⁶), exact under 2⁵³ — so every output is
+    * one rounded expression over exact integers (prediction compares
+    * u ≥ 500000, i.e. ON the grid). Engine-/layout-stable modulo the
+    * ~1e-16 feature-sum noise far below the micro quantum (the
+    * [[train]] acceptance argument). */
+  def cartography(docs: DataFrame, label: Column,
+      trajectory: Seq[(Array[Double], Double)], textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(trajectory.nonEmpty, "empty trajectory")
+    val t = trajectory.size
+    val buckets = trajectory.head._1.length
+    val bs = hashedTokenBuckets(col(textCol), buckets)
+    val docF = docs.select(col(idCol).cast("long").as("id"),
+      label.cast("int").as("y"), size(bs).cast("double").as("n"))
+    val bucketF = docs
+      .select(col(idCol).cast("long").as("id"), explode(bs).as("b"))
+      .groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    // every epoch's feature sum in ONE aggregate pass
+    val sums = bucketF
+      .select(col("id") +: trajectory.zipWithIndex.map { case ((w, _), i) =>
+        (element_at(array(w.map(lit): _*), (col("b") + 1).cast("int")) *
+          col("cnt")).as(s"__t$i")
+      }: _*)
+      .groupBy(col("id"))
+      .agg(sum(col("__t0")).as("__s0"),
+        (1 until t).map(i => sum(col(s"__t$i")).as(s"__s$i")): _*)
+    val scored = docF.join(sums, Seq("id"), "left")
+    // per-epoch gold-label probability in micro-units (integer)
+    val us = trajectory.zipWithIndex.map { case ((_, b), i) =>
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(b) +
+        when(col("n") === 0, lit(0.0))
+          .otherwise(coalesce(col(s"__s$i"), lit(0.0)) / col("n")))))
+      val u = floor(p * 1000000.0 + lit(0.5)).cast("long")
+      (when(col("y") === 1, u).otherwise(lit(1000000L) - u),
+        when((u >= 500000L) === (col("y") === 1), 1L).otherwise(0L))
+    }
+    val su = us.map(_._1).reduce(_ + _)
+    val su2 = us.map(x => x._1 * x._1).reduce(_ + _)
+    val nc = us.map(_._2).reduce(_ + _)
+    scored.select(col("id").as(idCol), col("y"),
+      lit(t.toLong).as("n_epochs"),
+      round(su.cast("double") / (t * 1000000.0), 6).as("confidence"),
+      round(sqrt((lit(t.toLong) * su2 - su * su).cast("double")) /
+        (t * 1000000.0), 6).as("variability"),
+      round(nc.cast("double") / t, 6).as("correctness"))
   }
 }

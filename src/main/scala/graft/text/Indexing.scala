@@ -225,6 +225,77 @@ object Indexing {
         .as("zipf_slope"))
   }
 
+  /** Heaps-law vocabulary growth (Heaps 1978): distinct-vocabulary size
+    * as a function of cumulative corpus tokens, sampled at `checkpoints`
+    * equal doc-id cutoffs, plus the fitted Heaps exponent —
+    * `V(n) ≈ k·n^β` (natural text: β ≈ 0.4–0.6; template/duplicated
+    * corpora flatten β, OCR noise / concatenated-language corpora
+    * inflate it — the corpus-health sibling of [[zipfSlope]]). The
+    * ingestion order is the ascending `idCol` (the corpus's canonical
+    * order), so the curve is deterministic.
+    *
+    * Scale design: no windows and nothing per-doc ever sorts — a term's
+    * FIRST-SEEN position is `min(doc_id)` (one vocab-keyed aggregate
+    * with map-side partials), and each cutoff's totals come from a
+    * broadcast ≤`checkpoints`-row nested-loop join whose output
+    * collapses map-side to `checkpoints` rows per partition. The OLS fit
+    * of ln V on ln n runs over the collected ≤`checkpoints`-point table
+    * with the [[zipfSlope]] ordered-fold idiom (float accumulation order
+    * fixed), and `heaps_k = exp(ȳ − β·x̄)`.
+    *
+    * Returns one row per checkpoint: (checkpoint, cutoff_doc_id, n_docs,
+    * cum_tokens, vocab, heaps_beta, heaps_k) — beta/k repeated on every
+    * row (points with zero tokens or vocab are excluded from the fit;
+    * NULL beta/k when < 2 points remain). */
+  def heapsGrowth(docs: DataFrame, checkpoints: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(checkpoints >= 2,
+      s"checkpoints must be >= 2, got $checkpoints")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxId = docs.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    val ck = broadcast((1 to checkpoints).map(i =>
+        (i.toLong, i.toLong * maxId / checkpoints))
+      .toDF("checkpoint", "cutoff_doc_id"))
+    val docTok = docs.select(col(idCol).cast("long").as("__id"),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("__n"))
+    val cumTok = ck.join(docTok, col("__id") <= col("cutoff_doc_id"),
+        "left")
+      .groupBy(col("checkpoint"), col("cutoff_doc_id"))
+      .agg(count(col("__id")).as("n_docs"),
+        coalesce(sum(col("__n")), lit(0L)).as("cum_tokens"))
+    val firstSeen = termDoc(docs, idCol, textCol)
+      .groupBy(col("term")).agg(min(col("doc_id")).as("__fd"))
+    val cumVocab = ck.join(firstSeen, col("__fd") <= col("cutoff_doc_id"),
+        "left")
+      .groupBy(col("checkpoint"))
+      .agg(count(col("term")).as("vocab"))
+    val growth = cumTok.join(cumVocab, Seq("checkpoint"))
+    // OLS of y = ln(vocab) on x = ln(cum_tokens) over the ≤P positive
+    // points, folded in checkpoint order so float accumulation is fixed
+    val pts = growth.filter(col("cum_tokens") > 0 && col("vocab") > 0)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("checkpoint"),
+        log(col("cum_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y")))).as("__l"))
+    val n = size(col("__l")).cast("double")
+    def fold(f: (Column, Column) => Column): Column =
+      aggregate(col("__l"), lit(0.0),
+        (acc, p) => acc + f(p.getField("x"), p.getField("y")))
+    val sx = fold((x, _) => x)
+    val sy = fold((_, y) => y)
+    val sxy = fold((x, y) => x * y)
+    val sxx = fold((x, _) => x * x)
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // the guard also catches a vertical point stack (all x equal →
+    // denominator 0): NULL fit, never NaN
+    val ok = size(col("__l")) >= 2 && (n * sxx - sx * sx) =!= 0.0
+    val fit = pts.select(
+      when(ok, round(beta, 6)).as("heaps_beta"),
+      when(ok, round(exp(sy / n - beta * (sx / n)), 6)).as("heaps_k"))
+    growth.crossJoin(broadcast(fit))
+  }
+
   /** Sketch-based corpus profile — the 100 TB scale path of exact
     * per-source profiling (q_corpus_stats): per source,
     * `approx_count_distinct` (HyperLogLog++) replaces the exact distinct

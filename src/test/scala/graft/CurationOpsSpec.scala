@@ -481,4 +481,66 @@ class CurationOpsSpec extends SparkSuite {
     // 1 negative the bias moves up from zero
     assert(b > 0.0)
   }
+
+  test("trainTrajectory: last snapshot IS train's model; snapshots " +
+      "differ across epochs") {
+    import graft.text.Classifier
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aaa aaa", 1.0), (2L, "aaa", 1.0),
+      (3L, "bbb bbb", 0.0), (4L, "bbb", 0.0))
+      .toDF("doc_id", "text", "y")
+    val traj = Classifier.trainTrajectory(corpus, col("y"), buckets = 16,
+      iters = 3, lr = 1.0)
+    val (w, b) = Classifier.train(corpus, col("y"), buckets = 16,
+      iters = 3, lr = 1.0)
+    assert(traj.size === 3)
+    assert(traj.last._1.toSeq === w.toSeq && traj.last._2 === b)
+    assert(traj(0)._1.toSeq !== traj(1)._1.toSeq)
+  }
+
+  test("cartography: clean examples gain confidence, a mislabeled one " +
+      "stays low; micro-unit stats are layout-invariant") {
+    import graft.text.Classifier
+    import spark.implicits._
+    // doc 5 is 'aaa'-speak labeled 0 — deliberate label noise
+    val corpus = Seq(
+      (1L, "aaa aaa", 1), (2L, "aaa", 1),
+      (3L, "bbb bbb", 0), (4L, "bbb", 0),
+      (5L, "aaa aaa", 0))
+      .toDF("doc_id", "text", "y")
+    val traj = Classifier.trainTrajectory(corpus, col("y").cast("double"),
+      buckets = 16, iters = 8, lr = 2.0)
+    val m = Classifier.cartography(corpus, col("y"), traj)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // the mislabeled twin of doc 1 scores the SAME p per epoch but its
+    // gold-label confidence is the complement — strictly worse
+    assert(m(1L)._1 > 0.5 && m(5L)._1 < 0.5)
+    assert(m(1L)._1 + m(5L)._1 === 1.0) // complement on the micro grid
+    assert(m(5L)._3 < m(1L)._3) // correctness: noise never catches up
+    // layout invariance of every statistic
+    val m2 = Classifier.cartography(corpus.repartition(7), col("y"), traj)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(m === m2)
+  }
+
+  test("cartography: empty doc scores sigma(bias) every epoch; " +
+      "single-epoch variability is exactly 0") {
+    import graft.text.Classifier
+    import spark.implicits._
+    val corpus = Seq((1L, "", 1), (2L, "zz", 0))
+      .toDF("doc_id", "text", "y")
+    val traj = Classifier.trainTrajectory(corpus,
+      col("y").cast("double"), buckets = 8, iters = 1, lr = 1.0)
+    val rows = Classifier.cartography(corpus, col("y"), traj)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def sigma(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val u = math.floor(sigma(traj.head._2) * 1e6 + 0.5) / 1e6
+    assert(rows(1L).getDouble(3) === u)
+    assert(rows(1L).getDouble(4) === 0.0)
+    assert(rows(2L).getDouble(4) === 0.0)
+    assert(rows(1L).getLong(2) === 1L)
+  }
 }

@@ -387,6 +387,52 @@ class FiltersSpec extends SparkSuite {
     assert(got("B") === ((1L, None)))
   }
 
+  test("heapsGrowth: cutoffs, first-seen vocab, exact power-law fit") {
+    import graft.text.Indexing
+    // doc 0: 2 tokens/2 new terms; doc 1: +2 tokens, +1 new term;
+    // doc 2: empty; doc 3: +1 token, +1 new term
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "  "), (3L, "d"))
+      .toDF("doc_id", "text")
+    val rows = Indexing.heapsGrowth(docs, checkpoints = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // cutoffs: 1·3/3=1, 2·3/3=2, 3·3/3=3
+    assert(rows(1L) === ((1L, 2L, 4L, 3L)))
+    assert(rows(2L) === ((2L, 3L, 4L, 3L)))
+    assert(rows(3L) === ((3L, 4L, 5L, 4L)))
+    // exact power law V = n^β through all distinct points → beta recovers
+    // exactly: (4,3) and (5,4) with (4,3) duplicated — still 3 points, so
+    // check beta against the hand OLS
+    val pts = Seq((4.0, 3.0), (4.0, 3.0), (5.0, 4.0))
+      .map { case (x, y) => (math.log(x), math.log(y)) }
+    val n = 3.0
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val k = math.exp(sy / n - beta * (sx / n))
+    val fit = Indexing.heapsGrowth(docs, checkpoints = 3)
+      .select("heaps_beta", "heaps_k").head()
+    assert(math.abs(fit.getDouble(0) - beta) < 1e-6)
+    assert(math.abs(fit.getDouble(1) - k) < 1e-6)
+  }
+
+  test("heapsGrowth: degenerate single point yields NULL fit") {
+    import graft.text.Indexing
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val rows = Indexing.heapsGrowth(docs, checkpoints = 2).collect()
+    assert(rows.length === 2)
+    // both cutoffs are 0 (max id 0): a vertical point stack — the
+    // zero-denominator guard yields NULL beta/k, never NaN
+    rows.foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === 3L &&
+        r.getLong(4) === 3L)
+      assert(r.isNullAt(r.fieldIndex("heaps_beta")))
+      assert(r.isNullAt(r.fieldIndex("heaps_k")))
+    }
+  }
+
   test("mixtureEntropy: uniform mix hits ln(k); collapse hits 0") {
     import graft.text.Drift
     val even = Seq(("s1", "a b c d"), ("s2", "e f g h"))
