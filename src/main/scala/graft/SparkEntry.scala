@@ -1927,6 +1927,43 @@ object SparkEntry {
         buckets = 64, iters = 3, lr = 1.0)
       graft.text.Classifier.cartography(docs,
         (col("lang") === "en").cast("int"), traj)
+    }),
+    "q_containment" -> ((s, dir) => {
+      // asymmetric n-gram containment: 80-char prefix fragments of the
+      // first 10 docs are planted (+1000 ids) — near-total containment
+      // in their originals at Jaccard ≤ ~0.4, the partial-dup case the
+      // symmetric metric misses; both directions hash-checked
+      val docs = table(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000L).as("doc_id"),
+            substring(col("text"), 1, 80).as("text")))
+      graft.dedup.Dedup.ngramContainmentPairs(corpus, "text", "doc_id",
+          n = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("c_a_in_b"), 6).as("c_a_in_b"),
+          round(col("c_b_in_a"), 6).as("c_b_in_a"))
+    }),
+    "q_char_entropy" -> ((s, dir) =>
+      // per-doc character-distribution Shannon entropy — the gibberish /
+      // template-collapse signal; map-only sorted-run fold, no shuffle
+      table(s, dir, "documents").select(col("doc_id"),
+        round(graft.text.TextAnalysis.charEntropy(col("text")), 6)
+          .as("char_entropy"))),
+    "q_grad_align" -> ((s, dir) => {
+      // LESS/TracIn-style gradient-alignment selection: train the LR
+      // quality model 2 iterations, take docs < 50 as the target set,
+      // score every training doc by ⟨its gradient, target mean
+      // gradient⟩ — the oracle unrolls a 3rd forward pass and replays
+      // the quantized ḡ and every alignment
+      val docs = table(s, dir, "documents")
+      val (w, b) = graft.text.Classifier.train(docs,
+        (col("lang") === "en").cast("double"),
+        buckets = 64, iters = 2, lr = 1.0)
+      graft.text.Classifier.gradientAlignment(docs,
+        docs.filter(col("doc_id") < 50), w, b,
+        (col("lang") === "en").cast("double"))
     })
   )
 
@@ -2412,6 +2449,33 @@ object SparkEntry {
        |  round(nc / ${epochs}.0, 6) AS correctness
        |FROM st""".stripMargin
   }
+
+  /** Gradient alignment replayed in SQL: the training CTEs unrolled a
+    * 3rd round so p3 — the forward pass under the trained (w2, b2) —
+    * exists; the target mean gradient quantizes per bucket with the
+    * 1e-9 floor chain exactly like the weight updates, and each train
+    * doc's alignment is one rounded expression. */
+  private def gradAlignOracle: String =
+    s"""${classifierCtes(3)}
+       |nt AS (SELECT count(*)::DOUBLE AS c FROM documents
+       |  WHERE doc_id < 50),
+       |gb AS (SELECT floor(((SELECT sum(p - y) FROM p3 WHERE doc_id < 50)
+       |      / nt.c) * 1000000000.0 + 0.5) / 1000000000.0 AS g
+       |  FROM nt),
+       |gbar AS MATERIALIZED (SELECT t.b,
+       |    floor((sum((p.p - p.y) * t.cnt / p.n) / nt.c)
+       |      * 1000000000.0 + 0.5) / 1000000000.0 AS g
+       |  FROM p3 p JOIN bk t USING (doc_id) CROSS JOIN nt
+       |  WHERE p.doc_id < 50
+       |  GROUP BY t.b, nt.c),
+       |gs AS (SELECT t.doc_id, sum(g.g * t.cnt) AS s
+       |  FROM bk t JOIN gbar g USING (b) GROUP BY 1)
+       |SELECT p.doc_id, p.y::INT AS y,
+       |  round((p.p - p.y) *
+       |    (CASE WHEN p.n = 0 THEN 0.0
+       |      ELSE coalesce(gs.s, 0.0) / p.n END + (SELECT g FROM gb)),
+       |    6) AS alignment
+       |FROM p3 p LEFT JOIN gs USING (doc_id)""".stripMargin
 
   /** The shared training-trajectory CTE chain (d/bk/nn/scaf/w0/b0 plus
     * `rounds` unrolled gradient-descent rounds, trailing comma) —
@@ -3127,6 +3191,50 @@ object SparkEntry {
     "q_ranking_eval" -> rankingEvalOracle,
     "q_heaps" -> heapsOracle,
     "q_cartography" -> cartographyOracle(epochs = 3),
+    "q_containment" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 1000, substr(text, 1, 80) FROM documents
+        |  WHERE doc_id < 10),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(nt) < 3 THEN []::VARCHAR[]
+        |      ELSE list_distinct([substr(nt, i, 3) for i in range(1, len(nt) - 1)]) END AS sh
+        |  FROM (SELECT doc_id,
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |    FROM corpus)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE AS i,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |c AS (SELECT id_a, id_b,
+        |    CASE WHEN na = 0 THEN 0.0 ELSE i / na END AS ca,
+        |    CASE WHEN nb = 0 THEN 0.0 ELSE i / nb END AS cb
+        |  FROM p)
+        |SELECT id_a, id_b, round(ca, 6) AS c_a_in_b,
+        |  round(cb, 6) AS c_b_in_a
+        |FROM c WHERE greatest(ca, cb) >= 0.9""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(text) = 0
+        |      THEN []::VARCHAR[]
+        |      ELSE string_split_regex(text, '') END) AS c
+        |  FROM documents),
+        |ct AS (SELECT doc_id, c, count(*)::DOUBLE AS n
+        |  FROM ch GROUP BY 1, 2),
+        |l AS (SELECT doc_id, list_sort(list({'c': c, 'n': n})) AS cl
+        |  FROM ct GROUP BY 1),
+        |e AS (SELECT doc_id,
+        |    list_sum(list_transform(cl, x -> x.n)) AS tot,
+        |    list_sum(list_transform(cl, x -> x.n * ln(x.n))) AS s
+        |  FROM l)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN e.tot IS NULL OR e.tot = 0 THEN 0.0
+        |    ELSE ln(e.tot) - e.s / e.tot END, 6) AS char_entropy
+        |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
+    "q_grad_align" -> gradAlignOracle,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (

@@ -492,6 +492,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact all-pairs n-gram CONTAINMENT (Broder 1997's asymmetric
+    * companion to [[ngramJaccardPairs]]): `C(A→B) = |S(A)∩S(B)| / |S(A)|`
+    * — near 1 when A is (mostly) a substring-level subset of B even if B
+    * is much larger, the partial-duplicate case symmetric Jaccard
+    * structurally misses (a doc quoted inside a 10× larger page has
+    * Jaccard ≤ ~0.1 but containment ≈ 1). Emits both directions per
+    * unordered pair, kept when `greatest(c_a_in_b, c_b_in_a) ≥
+    * threshold`; an empty shingle set contains nothing and scores 0.
+    *
+    * O(n²) verification baseline like [[ngramJaccardPairs]] — run on
+    * bounded subsets or LSH candidates; the same shingle sets feed both
+    * metrics, so the candidate generator is shared. */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      charShingles(col(textCol), n).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+          .as("__i"),
+        size(col("a.sh")).as("__na"), size(col("b.sh")).as("__nb"))
+      .select(col("id_a"), col("id_b"),
+        when(col("__na") === 0, lit(0.0))
+          .otherwise(col("__i") / col("__na")).as("c_a_in_b"),
+        when(col("__nb") === 0, lit(0.0))
+          .otherwise(col("__i") / col("__nb")).as("c_b_in_a"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+  }
+
   /** Benchmark decontamination: flag training documents that share any
     * word n-gram with a benchmark/eval corpus (the published n-gram
     * overlap protocol of GPT-3 appendix C / PaLM §9 — typically n≈13 for

@@ -147,6 +147,91 @@ object Classifier {
     trajectory.result()
   }
 
+  /** Gradient-alignment data selection (the LESS / influence-function
+    * recipe specialized to this 1-layer architecture, Xia et al. 2024 /
+    * Pruthi et al. 2020 TracIn): score every training example by the dot
+    * product of ITS loss gradient with the TARGET SET's mean gradient
+    * under a trained model — one gradient-descent step on a positively-
+    * aligned example reduces target loss (Δℓ_target ≈ −η·⟨g_d, ḡ⟩), so
+    * ranking by `alignment` desc picks the most target-relevant training
+    * data. For the hashed LR model the example gradient is
+    * `(p_d − y_d)·[x_d ; 1]` with `x_d` the mean-pooled bucket vector,
+    * so the score needs no per-example vector materialization:
+    * `a_d = (p_d − y_d)·(Σ_b ḡ[b]·c_db/n_d + ḡ_bias)`.
+    *
+    * Scale design: the target pass is the training gradient aggregate
+    * (B+1 rows to the driver, quantized 1e-9 like the weight trajectory
+    * — ḡ is MODEL-side metadata); the train pass is the inference plan
+    * (one tokenize scan, one groupBy(doc) over bucket rows with the ḡ
+    * AND weight literals looked up in the same pass) — nothing scales
+    * with |target| at score time and the corpus is never joined against
+    * the target set. Output: (idCol, y, alignment), rounded to 6. */
+  def gradientAlignment(train: DataFrame, target: DataFrame,
+      weights: Array[Double], bias: Double, label: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      roundDecimals: Int = 9): DataFrame = {
+    val buckets = weights.length
+    val p = math.pow(10, roundDecimals)
+    def quant(x: Double): Double = math.floor(x * p + 0.5) / p
+    val bs = hashedTokenBuckets(col(textCol), buckets)
+    def prepared(docs: DataFrame): (DataFrame, DataFrame) = {
+      val docF = docs.select(col(idCol).cast("long").as("id"),
+        label.cast("double").as("y"), size(bs).cast("double").as("n"))
+      val bucketF = docs
+        .select(col(idCol).cast("long").as("id"), explode(bs).as("b"))
+        .groupBy(col("id"), col("b"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      (docF, bucketF)
+    }
+    val wLit = array(weights.map(lit): _*)
+    def scoredOf(docF: DataFrame, bucketF: DataFrame): DataFrame = {
+      val featSum = bucketF
+        .select(col("id"),
+          (element_at(wLit, (col("b") + 1).cast("int")) * col("cnt"))
+            .as("__t"))
+        .groupBy(col("id")).agg(sum(col("__t")).as("__s"))
+      docF.join(featSum, Seq("id"), "left")
+        .select(col("id"), col("y"), col("n"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(bias) +
+            when(col("n") === 0, lit(0.0))
+              .otherwise(coalesce(col("__s"), lit(0.0)) / col("n"))))))
+            .as("p"))
+    }
+    // target mean gradient ḡ — (B+1)-dim model-side metadata, quantized
+    val (tDocF, tBucketF) = prepared(target)
+    val tScored = scoredOf(tDocF, tBucketF).localCheckpoint(true)
+    val nT = tScored.count().toDouble
+    require(nT > 0, "empty target set")
+    val gBias = quant(
+      tScored.agg(sum(col("p") - col("y"))).head().getDouble(0) / nT)
+    val gBar = new Array[Double](buckets)
+    tScored.join(tBucketF, Seq("id"))
+      .groupBy(col("b"))
+      .agg(sum((col("p") - col("y")) * col("cnt") / col("n")).as("g"))
+      .collect()
+      .foreach(r => gBar(r.getLong(0).toInt) = quant(r.getDouble(1) / nT))
+    // train pass: alignment = (p − y)·(Σ_b ḡ[b]·c/n + ḡ_bias), map-side
+    val gLit = array(gBar.map(lit): _*)
+    val (dF, bF) = prepared(train)
+    val gSum = bF
+      .select(col("id"),
+        (element_at(wLit, (col("b") + 1).cast("int")) * col("cnt"))
+          .as("__t"),
+        (element_at(gLit, (col("b") + 1).cast("int")) * col("cnt"))
+          .as("__gt"))
+      .groupBy(col("id"))
+      .agg(sum(col("__t")).as("__s"), sum(col("__gt")).as("__gs"))
+    dF.join(gSum, Seq("id"), "left")
+      .select(col("id").as(idCol), col("y").cast("int").as("y"),
+        round((lit(1.0) / (lit(1.0) + exp(-(lit(bias) +
+            when(col("n") === 0, lit(0.0))
+              .otherwise(coalesce(col("__s"), lit(0.0)) / col("n")))))
+          - col("y")) *
+          (when(col("n") === 0, lit(0.0))
+            .otherwise(coalesce(col("__gs"), lit(0.0)) / col("n")) +
+            lit(gBias)), 6).as("alignment"))
+  }
+
   /** Dataset cartography (Swayamdipta et al. 2020): per-example training
     * dynamics over the epochs of a [[trainTrajectory]] run —
     *

@@ -87,6 +87,39 @@ object TextAnalysis {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(lower(c)), "\\s+"))
 
+  /** Shannon entropy (nats) of the document's raw CHARACTER
+    * distribution — the cheap gibberish detector: natural language sits
+    * ≈ 2.8–3.3 nats, base64/hex blobs push toward ln(charset) with a
+    * flat histogram, and template spam (repeated runs) collapses toward
+    * 0. Computed as `ln(L) − (Σ_c n_c·ln n_c)/L` over character run
+    * lengths of the SORTED character array — one map-only column
+    * expression, no explode, no shuffle; the fold order (ascending char)
+    * is deterministic so the value is engine-exact under a final
+    * rounding. Empty text scores 0. */
+  def charEntropy(c: Column): Column = {
+    val chars = when(length(c) === 0, array().cast("array<string>"))
+      .otherwise(array_sort(split(c, "")))
+    bind(chars) { cs =>
+      val n = size(cs).cast("double")
+      // fold runs of equal chars: acc = (prev char, run length, Σ n_c·ln n_c)
+      val acc = aggregate(cs,
+        struct(lit("").as("prev"), lit(0.0).as("run"), lit(0.0).as("s")),
+        (a, x) => {
+          val closed = a.getField("s") +
+            when(a.getField("run") > 0,
+              a.getField("run") * log(a.getField("run"))).otherwise(lit(0.0))
+          when(x === a.getField("prev"),
+            struct(x.as("prev"), (a.getField("run") + 1).as("run"),
+              a.getField("s").as("s")))
+            .otherwise(struct(x.as("prev"), lit(1.0).as("run"),
+              closed.as("s")))
+        },
+        a => a.getField("s") + when(a.getField("run") > 0,
+          a.getField("run") * log(a.getField("run"))).otherwise(lit(0.0)))
+      when(n === 0, lit(0.0)).otherwise(log(n) - acc / n)
+    }
+  }
+
   /** Mean token length (0 for empty documents): Σ token lengths equals the
     * non-whitespace char count of the trimmed text — one native stats pass,
     * no tokenization. */

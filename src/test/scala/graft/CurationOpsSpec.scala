@@ -526,6 +526,32 @@ class CurationOpsSpec extends SparkSuite {
     assert(m === m2)
   }
 
+  test("gradientAlignment: target-aligned examples score positive, " +
+      "off-distribution and mislabeled negative; layout-invariant") {
+    import graft.text.Classifier
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aaa aaa", 1.0), (2L, "aaa", 1.0),
+      (3L, "bbb bbb", 0.0), (4L, "bbb", 0.0),
+      (5L, "aaa", 0.0)) // mislabeled twin of doc 2
+      .toDF("doc_id", "text", "y")
+    val (w, b) = Classifier.train(corpus, col("y"), buckets = 16,
+      iters = 5, lr = 1.0)
+    val target = corpus.filter(col("doc_id") <= 2) // class-1 slice
+    val m = Classifier.gradientAlignment(corpus, target, w, b, col("y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // training on an 'aaa' positive moves the model toward the target;
+    // its mislabeled twin pulls exactly the other way, and the 'bbb'
+    // negatives are off-distribution (only the bias couples them)
+    assert(m(1L) > 0 && m(2L) > 0)
+    assert(m(5L) < 0)
+    assert(m(5L) < m(3L) && m(5L) < m(4L))
+    val m2 = Classifier.gradientAlignment(corpus.repartition(7), target,
+      w, b, col("y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m === m2)
+  }
+
   test("cartography: empty doc scores sigma(bias) every epoch; " +
       "single-epoch variability is exactly 0") {
     import graft.text.Classifier

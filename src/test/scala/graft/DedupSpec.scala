@@ -84,6 +84,25 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9")
   }
 
+  test("containment: a prefix fragment is fully contained while " +
+      "jaccard stays low; empty side scores 0") {
+    import spark.implicits._
+    // A = prefix of B: S(A) = {abc,bcd,cde,def} ⊂ S(B) (6 shingles)
+    val docs = Seq((1L, "abcdef"), (2L, "abcdefgh"), (3L, "zzzz"),
+      (4L, "")).toDF("doc_id", "text")
+    val rows = Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows((1L, 2L)) === ((1.0, 4.0 / 6.0)))
+    // the symmetric metric on the same pair: 4/6 < the 0.7 gate the
+    // asymmetric max direction clears
+    assert(rows.size === 1) // zzzz and the empty doc pair with nobody
+    val none = Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 1.01)
+    assert(none.count() === 0)
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val pairs = Dedup.simhashPairs(docsWithDups, "text", "doc_id",
       maxDist = 3)

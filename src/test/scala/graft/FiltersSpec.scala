@@ -387,6 +387,27 @@ class FiltersSpec extends SparkSuite {
     assert(got("B") === ((1L, None)))
   }
 
+  test("charEntropy: collapse is 0, uniform hits ln(k), mixed is exact") {
+    import graft.text.TextAnalysis
+    val cases = Seq(
+      ("", 0.0), ("aaaa", 0.0), ("ab", math.log(2)),
+      ("abab", math.log(2)), ("abcd", math.log(4)),
+      // 3×a + 1×b: ln(4) − (3·ln3 + 1·ln1)/4
+      ("aaab", math.log(4) - 3 * math.log(3) / 4))
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.charEntropy(col("t")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (t, want) =>
+      assert(math.abs(got(t) - want) < 1e-12, s"entropy('$t')")
+    }
+    // whitespace and newlines are characters like any other
+    val ws = Seq("a a\na").toDF("t")
+      .select(TextAnalysis.charEntropy(col("t"))).head().getDouble(0)
+    // chars: a,a,a,' ','\n' → ln5 − (3ln3)/5
+    assert(math.abs(ws - (math.log(5) - 3 * math.log(3) / 5)) < 1e-12)
+  }
+
   test("heapsGrowth: cutoffs, first-seen vocab, exact power-law fit") {
     import graft.text.Indexing
     // doc 0: 2 tokens/2 new terms; doc 1: +2 tokens, +1 new term;
