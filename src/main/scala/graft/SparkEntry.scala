@@ -1964,7 +1964,24 @@ object SparkEntry {
       graft.text.Classifier.gradientAlignment(docs,
         docs.filter(col("doc_id") < 50), w, b,
         (col("lang") === "en").cast("double"))
-    })
+    }),
+    "q_length_batches" -> ((s, dir) =>
+      // dynamic-batching assignment: global (tokens asc, id) rank via
+      // the two-phase bucket-offset pattern (never a single-task
+      // window), cut into 32-doc batches; per-batch padding waste
+      // n·max−Σ is what the grouping minimizes — all-integer output
+      graft.operators.Packing.lengthGroupedBatches(
+        table(s, dir, "documents"), batchSize = 32,
+        graft.text.TextAnalysis.wsTokenCount(col("text")))),
+    "q_zorder" -> ((s, dir) =>
+      // Morton z-values over (user, minute, scaled value) — the
+      // layout key behind OPTIMIZE ZORDER BY; pure bit interleaving,
+      // one codegen projection, replayed term-for-term in SQL
+      table(s, dir, "events").select(col("event_id"),
+        graft.operators.ZOrder.zValue(Seq(
+          col("user_id"),
+          expr("(CAST(ts AS LONG) - 1704067200) div 60"),
+          floor(col("value") * 100).cast("long")), bits = 16).as("z")))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -2448,6 +2465,24 @@ object SparkEntry {
        |    ($epochs * 1000000.0), 6) AS variability,
        |  round(nc / ${epochs}.0, 6) AS correctness
        |FROM st""".stripMargin
+  }
+
+  /** The Morton interleave replayed term-for-term: each dim clamped to
+    * [0, 2^16), bit i of dim j shifted to position i·k + j, summed
+    * (disjoint bits, so + is |). */
+  private def zorderOracle: String = {
+    val dims = Seq(
+      "least(greatest(user_id, 0), 65535)",
+      "least(greatest((epoch_us(ts) // 1000000 - 1704067200) // 60, 0), 65535)",
+      "least(greatest(floor(value * 100)::BIGINT, 0), 65535)")
+    val k = dims.size
+    val terms = for {
+      i <- 0 until 16
+      (d, j) <- dims.zipWithIndex
+    } yield s"(((($d) >> $i) & 1) << ${i * k + j})"
+    s"""SELECT event_id,
+       |  (${terms.mkString("\n   + ")})::BIGINT AS z
+       |FROM events""".stripMargin
   }
 
   /** Gradient alignment replayed in SQL: the training CTEs unrolled a
@@ -3235,6 +3270,21 @@ object SparkEntry {
         |    ELSE ln(e.tot) - e.s / e.tot END, 6) AS char_entropy
         |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
     "q_grad_align" -> gradAlignOracle,
+    "q_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |      AS nt
+        |  FROM documents),
+        |r AS (SELECT nt,
+        |    row_number() OVER (ORDER BY nt, doc_id) AS rk FROM t),
+        |b AS (SELECT (rk - 1) // 32 AS batch_id, nt FROM r)
+        |SELECT batch_id, count(*)::BIGINT AS n,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens,
+        |  sum(nt)::BIGINT AS sum_tokens,
+        |  (count(*) * max(nt) - sum(nt))::BIGINT AS padding
+        |FROM b GROUP BY 1""".stripMargin,
+    "q_zorder" -> zorderOracle,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (

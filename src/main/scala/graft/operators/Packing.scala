@@ -176,6 +176,43 @@ object Packing {
     * order) plus a `_manifest.json` recording the layout parameters and
     * per-shard document/token counts — the artifact a training job points
     * at. Returns the manifest as a DataFrame (shard, n_docs, n_tokens). */
+  /** Length-grouped batch assignment (the HF `group_by_length` /
+    * dynamic-batching recipe): order documents by (token count asc,
+    * id) and cut consecutive runs of `batchSize` into batches, so each
+    * padded batch wastes `n·max − Σ` tokens on near-equal lengths
+    * instead of the random-order worst case (a batch's pad cost is set
+    * by its LONGEST member — mixing a 2k-token doc into a batch of
+    * 100-token docs pads every row to 2k).
+    *
+    * Scale design: the global length rank uses the
+    * [[Sampling.stratumBucketRank]] two-phase bucket-offset pattern
+    * (bucket = tokens >> 4, order-aligned with the rank; driver prefix
+    * offsets; window partitioned by (stratum, bucket)) — never a
+    * single-task global window. The per-batch rollup is ONE keyed
+    * aggregate on batch_id. Returns one row per batch: (batch_id, n,
+    * min_tokens, max_tokens, sum_tokens, padding); the last batch may
+    * be short. */
+  def lengthGroupedBatches(df: DataFrame, batchSize: Int,
+      tokenCol: Column, idCol: String = "doc_id"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val t = df.select(col(idCol).cast("long").as("__id"),
+        tokenCol.cast("long").as("__n"))
+      .withColumn("__s", lit("_"))
+      .withColumn("__b", shiftright(col("__n"), 4))
+    val ranked = Sampling.stratumBucketRank(t, "__s", "__b",
+      Seq(col("__n").asc, col("__id").asc), "__rk")
+    ranked
+      .select((floor((col("__rk") - 1) / batchSize)).cast("long")
+        .as("batch_id"), col("__n"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"),
+        sum(col("__n")).as("sum_tokens"))
+      .withColumn("padding",
+        col("n") * col("max_tokens") - col("sum_tokens"))
+  }
+
   def writeTrainingShards(df: DataFrame, outDir: String, idCol: String,
       tokenCol: Column, tokensPerShard: Long, seed: Long = 42L,
       nBuckets: Int = 1024, carry: Seq[String] = Nil): DataFrame = {

@@ -585,4 +585,84 @@ class SelectionSpec extends SparkSuite {
     assert(a.filter(_.getString(4) == "head").forall(_.getBoolean(5)))
     assert(a.filter(_.getString(4) == "tail").forall(!_.getBoolean(5)))
   }
+
+  // ---------------------------------------- Packing.lengthGroupedBatches
+
+  test("lengthGroupedBatches: sorted runs cut at batchSize; padding is " +
+      "n·max − Σ; short tail batch allowed") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq((1L, 10L), (2L, 1L), (3L, 11L), (4L, 2L), (5L, 3L))
+      .toDF("doc_id", "tok")
+    val rows = Packing.lengthGroupedBatches(docs, batchSize = 2,
+        col("tok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // sorted tokens: 1,2,3,10,11 → [1,2] [3,10] [11]
+    assert(rows(0L) === ((2L, 1L, 2L, 3L, 1L)))
+    assert(rows(1L) === ((2L, 3L, 10L, 13L, 7L)))
+    assert(rows(2L) === ((1L, 11L, 11L, 11L, 0L)))
+    // grouping beats a random batch over the same docs: total padding
+    // 8 here vs e.g. pairing (1,11) and (2,10) which already pads 18
+    assert(rows.values.map(_._5).sum === 8L)
+  }
+
+  test("lengthGroupedBatches: ties break on doc id; layout-invariant") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = (1L to 100L).map(i => (i, i % 7)).toDF("doc_id", "tok")
+    val a = Packing.lengthGroupedBatches(docs, 8, col("tok"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = Packing.lengthGroupedBatches(docs.repartition(13), 8,
+        col("tok"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_(1).asInstanceOf[Long]).sum === 100L)
+  }
+
+  // --------------------------------------------------- ZOrder
+
+  test("zValue: hand-computed interleave; clamping at the cube edge") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    // x=3 (011), y=5 (101), 3 bits: z = 1 + 2 + 4 + 32 = 39
+    val r = Seq((3L, 5L)).toDF("x", "y")
+      .select(ZOrder.zValue(Seq(col("x"), col("y")), bits = 3))
+      .head().getLong(0)
+    assert(r === 39L)
+    val clamped = Seq((-5L, 100L)).toDF("x", "y")
+      .select(ZOrder.zValue(Seq(col("x"), col("y")), bits = 3))
+      .head().getLong(0)
+    // (-5 → 0, 100 → 7): bits of y at odd positions → 2 + 8 + 32
+    assert(clamped === 42L)
+    // one dim degenerates to its own value
+    val one = Seq(Tuple1(123L)).toDF("x")
+      .select(ZOrder.zValue(Seq(col("x")), bits = 16)).head().getLong(0)
+    assert(one === 123L)
+  }
+
+  test("zValue: interleave preserves locality both ways — every " +
+      "clustered partition's bbox is a tile, not a stripe") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    // full 16×16 grid; 4 range partitions of the morton curve ≈ the
+    // 4 quadrants: BOTH x- and y-extents stay ~8, where any row-major
+    // layout gives stripes with a full-width 16 extent in one dim
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val parts = ZOrder.cluster(grid, Seq(col("x"), col("y")),
+        numPartitions = 4, bits = 4)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid")
+      .agg((max(col("x")) - min(col("x"))).as("xr"),
+        (max(col("y")) - min(col("y"))).as("yr"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(parts.map(_.getAs[Long]("n")).sum === 256L)
+    parts.filter(_.getAs[Long]("n") > 16).foreach { p =>
+      assert(p.getAs[Long]("xr") <= 11L, s"x extent too wide: $p")
+      assert(p.getAs[Long]("yr") <= 11L, s"y extent too wide: $p")
+    }
+  }
 }
