@@ -1981,7 +1981,39 @@ object SparkEntry {
         graft.operators.ZOrder.zValue(Seq(
           col("user_id"),
           expr("(CAST(ts AS LONG) - 1704067200) div 60"),
-          floor(col("value") * 100).cast("long")), bits = 16).as("z")))
+          floor(col("value") * 100).cast("long")), bits = 16).as("z"))),
+    "q_quota_sample" -> ((s, dir) =>
+      // Hamilton largest-remainder apportionment of a 100-row budget
+      // across languages + the exact-k bounded-heap draw per stratum;
+      // quotas, ranks and uniforms all hash-checked
+      graft.operators.Sampling.quotaExactK(
+        table(s, dir, "documents"), "doc_id", "lang", totalK = 100)),
+    "q_psi" -> ((s, dir) => {
+      // PSI drift gate between the 'en' stratum and the rest over a
+      // squashed-length score in [0,1): Laplace-smoothed bins so empty
+      // bins stay finite, total folded in bin order
+      val docs = table(s, dir, "documents")
+      val score = (col("n_chars").cast("double") /
+        (col("n_chars") + lit(500)).cast("double")).as("s")
+      graft.text.Drift.populationStabilityIndex(
+        docs.filter(col("lang") === "en").select(score),
+        docs.filter(col("lang") =!= "en" || col("lang").isNull)
+          .select(score),
+        "s", bins = 10)
+    }),
+    "q_dup_ngram_frac" -> ((s, dir) => {
+      // memorization-risk signal with planted duplication: exact copies
+      // of the first 15 docs (+1e6 ids) drive their dup_frac — and the
+      // originals' — to 1.0; md5 gram hashes replay in SQL
+      val docs = table(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.dedup.Dedup.dupNgramFraction(corpus, "text", "doc_id",
+          n = 8, minDf = 2, hashMode = "md5")
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+          round(col("dup_frac"), 6).as("dup_frac"))
+    })
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3285,6 +3317,90 @@ object SparkEntry {
         |  (count(*) * max(nt) - sum(nt))::BIGINT AS padding
         |FROM b GROUP BY 1""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "q_quota_sample" ->
+      """WITH c AS (SELECT coalesce(lang, '__null__') AS stratum,
+        |    count(*)::BIGINT AS ns
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(ns)::BIGINT AS n FROM c),
+        |base AS (SELECT stratum, ns, (100 * ns) // t.n AS q,
+        |    (100 * ns) % t.n AS rem
+        |  FROM c CROSS JOIN tot t),
+        |lft AS (SELECT 100 - sum(q)::BIGINT AS l FROM base),
+        |rk AS (SELECT stratum, ns, q, row_number() OVER
+        |    (ORDER BY rem DESC, stratum ASC) AS r
+        |  FROM base),
+        |quota AS MATERIALIZED (SELECT stratum,
+        |    least(q + CASE WHEN r <= (SELECT l FROM lft) THEN 1 ELSE 0
+        |      END, ns)::BIGINT AS quota
+        |  FROM rk),
+        |u AS (SELECT coalesce(lang, '__null__') AS stratum, doc_id,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY stratum ORDER BY u DESC, doc_id ASC) AS rank
+        |  FROM u)
+        |SELECT r.stratum, q.quota, r.rank::INT AS rank, r.doc_id, r.u
+        |FROM r JOIN quota q USING (stratum) WHERE r.rank <= q.quota""".stripMargin,
+    "q_psi" ->
+      """WITH ref AS (SELECT n_chars / (n_chars + 500)::DOUBLE AS s
+        |  FROM documents WHERE lang = 'en'),
+        |cur AS (SELECT n_chars / (n_chars + 500)::DOUBLE AS s
+        |  FROM documents WHERE lang <> 'en' OR lang IS NULL),
+        |rb AS (SELECT least(floor(least(greatest(round(s, 6), 0.0), 1.0)
+        |      * 10)::BIGINT, 9) AS bin, count(*)::BIGINT AS n
+        |  FROM ref GROUP BY 1),
+        |cb AS (SELECT least(floor(least(greatest(round(s, 6), 0.0), 1.0)
+        |      * 10)::BIGINT, 9) AS bin, count(*)::BIGINT AS n
+        |  FROM cur GROUP BY 1),
+        |sc AS (SELECT i::BIGINT AS bin FROM range(0, 10) t(i)),
+        |j AS MATERIALIZED (SELECT sc.bin,
+        |    coalesce(rb.n, 0)::BIGINT AS n_ref,
+        |    coalesce(cb.n, 0)::BIGINT AS n_cur
+        |  FROM sc LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+        |t AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc
+        |  FROM j),
+        |terms AS MATERIALIZED (SELECT bin, n_ref, n_cur,
+        |    (n_ref + 1) / (t.tr + 10)::DOUBLE AS p,
+        |    (n_cur + 1) / (t.tc + 10)::DOUBLE AS q,
+        |    ((n_cur + 1) / (t.tc + 10)::DOUBLE
+        |      - (n_ref + 1) / (t.tr + 10)::DOUBLE)
+        |      * ln(((n_cur + 1) / (t.tc + 10)::DOUBLE)
+        |        / ((n_ref + 1) / (t.tr + 10)::DOUBLE)) AS tm
+        |  FROM j CROSS JOIN t),
+        |psi AS (SELECT round(list_sum(list_transform(
+        |    list_sort(list({'bin': bin, 't': tm})), x -> x.t)), 6) AS psi
+        |  FROM terms)
+        |SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref,
+        |  round(q, 6) AS p_cur, round(tm, 6) AS psi_term, psi.psi
+        |FROM terms CROSS JOIN psi""".stripMargin,
+    "q_dup_ngram_frac" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 15),
+        |tg AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 8 THEN []::VARCHAR[]
+        |      ELSE list_distinct([array_to_string(ts[i:i+7], ' ')
+        |        for i in range(1, len(ts) - 6)]) END AS gs
+        |  FROM (SELECT doc_id,
+        |      CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |        ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |    FROM corpus)),
+        |ex AS MATERIALIZED (
+        |  SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS gh
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM tg)),
+        |dfc AS (SELECT gh, count(*)::BIGINT AS df FROM ex GROUP BY 1),
+        |hits AS (SELECT e.doc_id, count(*)::BIGINT AS n_dup
+        |  FROM ex e JOIN dfc USING (gh) WHERE dfc.df >= 2
+        |  GROUP BY e.doc_id)
+        |SELECT t.doc_id, len(t.gs)::BIGINT AS n_grams,
+        |  coalesce(h.n_dup, 0)::BIGINT AS n_dup_grams,
+        |  round(CASE WHEN len(t.gs) = 0 THEN 0.0
+        |    ELSE coalesce(h.n_dup, 0) / len(t.gs)::DOUBLE END, 6)
+        |    AS dup_frac
+        |FROM tg t LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (

@@ -566,6 +566,48 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Per-document duplicate-n-gram fraction — the MEMORIZATION-RISK
+    * signal (Lee et al. 2022 / the Quantifying-Memorization line: what a
+    * model memorizes first is text whose n-grams repeat across the
+    * corpus): for every document, the fraction of its DISTINCT word
+    * n-grams that occur in ≥ `minDf` distinct documents corpus-wide.
+    * Exact copies and boilerplate-heavy pages score → 1; unique prose
+    * scores → 0. Complements the pairwise dedup detectors with a
+    * per-doc scalar a curation gate can threshold directly.
+    *
+    * Scale: one explode into distinct (doc, gram-hash) pairs, one
+    * gram-keyed count aggregate (the document frequency), one gram-keyed
+    * join back, one per-doc rollup — all map-side-combining keyed
+    * aggregates, no windows. A stop-gram's fat key group is join-side
+    * skew that AQE's skew-join split handles; the df table itself is one
+    * row per distinct gram. Gram-less (short/empty) docs keep a row with
+    * fraction 0. `hashMode` as in [[ngramContamination]]. */
+  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, minDf: Int = 2,
+      hashMode: String = graft.functions.HashExpressions.ModeXx)
+      : DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    def h(c: Column): Column =
+      if (hashMode == graft.functions.HashExpressions.ModeMd5)
+        graft.functions.HashExpressions.md5Long(c)
+      else xxhash64(c)
+    val tg = df
+      .select(col(idCol), explode_outer(wordShingles(col(textCol), n))
+        .as("__g"))
+      .select(col(idCol),
+        when(col("__g").isNotNull, h(col("__g"))).as("__gh"))
+    val dfc = tg.filter(col("__gh").isNotNull)
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
+    tg.join(dfc, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__gh")).as("n_grams"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L))
+          .as("n_dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") / col("n_grams")))
+  }
+
   /** [[ngramContamination]] for benchmark sets too large to broadcast as
     * exact hashes: bench grams build a Bloom filter (~1.2 bytes/gram at
     * 1% fpp vs 8 for the hash set), the train side pre-filters with a

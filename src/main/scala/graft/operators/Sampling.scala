@@ -105,6 +105,57 @@ object Sampling {
         col("col.neighbor_id").as(idCol), col("col.cosine").as("u"))
   }
 
+  /** Largest-remainder (Hamilton) QUOTA sampling: apportion a single
+    * overall budget `totalK` across strata proportionally to their row
+    * counts — `quota_s = ⌊K·n_s/N⌋` plus one extra for the largest
+    * remainders until the budget is spent (ties on remainder break by
+    * ascending stratum name) — then draw exactly `quota_s` rows per
+    * stratum with [[stratifiedExactK]]'s seeded-uniform bounded heap.
+    * This is the "sample exactly 10M docs, proportionally by language"
+    * operator: rate-based sampling only hits the budget in expectation,
+    * and a flat per-stratum k over-samples small strata.
+    *
+    * Scale: one count aggregate (|strata| rows to the driver — the
+    * apportionment is integer metadata arithmetic), then ONE bounded-
+    * heap pass at k = max quota and a broadcast quota join that trims
+    * each stratum to its own quota. Quotas cap at n_s (a stratum cannot
+    * supply more rows than it has; the shortfall is NOT redistributed —
+    * documented, callers wanting exact totals at K > N have no valid
+    * ask). NULL strata fall under [[NullStratum]].
+    * Returns (stratum, quota, rank, idCol, u), rank ≤ quota. */
+  def quotaExactK(df: DataFrame, idCol: String, stratumCol: String,
+      totalK: Int, seed: Long = 42L): DataFrame = {
+    require(totalK > 0, s"totalK must be positive, got $totalK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(
+        coalesce(col(stratumCol).cast("string"), lit(NullStratum))
+          .as("stratum"))
+      .groupBy(col("stratum")).agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val n = counts.map(_._2).sum
+    require(n > 0, "empty input")
+    val base = counts.map { case (s, ns) =>
+      (s, ns, totalK * ns / n, totalK * ns % n)
+    }
+    var left = totalK - base.map(_._3).sum
+    val bump = scala.collection.mutable.Set[String]()
+    for ((s, _, _, _) <- base.sortBy { case (s, _, _, rem) => (-rem, s) }
+         if left > 0) {
+      bump += s; left -= 1
+    }
+    val quotas = base.map { case (s, ns, q, _) =>
+      (s, math.min(q + (if (bump(s)) 1L else 0L), ns))
+    }
+    val maxQ = quotas.map(_._2).max.toInt
+    val qDf = broadcast(quotas.toDF("stratum", "quota"))
+    stratifiedExactK(df, idCol, stratumCol, math.max(maxQ, 1), seed)
+      .join(qDf, Seq("stratum"))
+      .filter(col("rank") <= col("quota"))
+      .select(col("stratum"), col("quota"), col("rank"), col(idCol),
+        col("u"))
+  }
+
   /** WEIGHTED exact-k per-stratum sample without replacement — the
     * Efraimidis–Spirakis A-ES scheme ("Weighted random sampling with a
     * reservoir", IPL 2006): each row keys on `ln(u)/w` for the seeded

@@ -220,6 +220,63 @@ object Drift {
       round(exp(round(ent, 6)), 6).as("effective_strata"))
   }
 
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * sample of a bounded score (the credit-risk monitoring classic, now
+    * the standard drift gate on classifier/quality scores feeding a
+    * curation pipeline): scores clamp into `bins` equal-width buckets on
+    * [0, 1] (the calibrationBins contract) and
+    * `PSI = Σ_b (q_b − p_b)·ln(q_b/p_b)` over LAPLACE-SMOOTHED bin
+    * fractions `p_b = (n_b + 1)/(N + bins)` — smoothing keeps every term
+    * finite (an empty bin on one side is exactly the signal PSI must
+    * not drop). Rule of thumb: < 0.1 stable, 0.1–0.25 moderate shift,
+    * > 0.25 action.
+    *
+    * Scale: one count aggregate per side (map-side partials, ≤ `bins`
+    * rows out), a broadcast scaffold join so empty bins surface, and the
+    * total folds over the ≤`bins`-row table in ascending-bin order (the
+    * ECE idiom — float accumulation order pinned). Returns one row per
+    * bin: (bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi) with `psi`
+    * repeated (all rounded to 6). */
+  def populationStabilityIndex(ref: DataFrame, cur: DataFrame,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def binned(df: DataFrame, out: String) = {
+      val clamped = least(greatest(round(col(scoreCol), 6), lit(0.0)),
+        lit(1.0))
+      df.filter(col(scoreCol).isNotNull)
+        .select(least(floor(clamped * bins).cast("long"),
+          lit(bins - 1L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    }
+    val scaffold = (0L until bins.toLong).toDF("bin")
+    val j = scaffold
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = j.groupBy().agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val p = (col("n_ref") + 1).cast("double") /
+      (col("__tr") + bins).cast("double")
+    val q = (col("n_cur") + 1).cast("double") /
+      (col("__tc") + bins).cast("double")
+    val terms = j.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        p.as("__p"), q.as("__q"),
+        ((q - p) * log(q / p)).as("__t"))
+    val psi = terms.groupBy()
+      .agg(sort_array(collect_list(struct(col("bin"), col("__t"))))
+        .as("__l"))
+      .select(round(aggregate(col("__l"), lit(0.0),
+        (a, x) => a + x.getField("__t")), 6).as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__p"), 6).as("p_ref"), round(col("__q"), 6).as("p_cur"),
+        round(col("__t"), 6).as("psi_term"), col("psi"))
+  }
+
   /** Evaluate `c` once inside a lambda body (the TextAnalysis.bind trick,
     * local copy to keep the fold linear). */
   private def bindD(c: Column)(f: Column => Column): Column =

@@ -485,4 +485,44 @@ class CorpusAnalysisSpec extends SparkSuite {
       assert(p50 <= p95)
     }
   }
+
+  // --------------------------------- Drift.populationStabilityIndex
+
+  test("PSI: identical samples score 0; a hard shift crosses the 0.25 " +
+      "action line; empty bins stay finite via smoothing") {
+    import spark.implicits._
+    import graft.text.Drift
+    val ref = Seq(0.05, 0.15, 0.15, 0.25, 0.35).toDF("s")
+    val same = Drift.populationStabilityIndex(ref, ref, "s", bins = 10)
+      .collect()
+    assert(same.length === 10)
+    assert(same.head.getAs[Double]("psi") === 0.0)
+    // all mass moved to the top bin: PSI blows past 0.25 and every
+    // term — including the now-empty ref-side bins — is finite
+    val cur = Seq(0.95, 0.96, 0.97, 0.98, 0.99).toDF("s")
+    val shifted = Drift.populationStabilityIndex(ref, cur, "s",
+      bins = 10).collect()
+    val psi = shifted.head.getAs[Double]("psi")
+    assert(psi > 0.25, s"psi $psi")
+    assert(shifted.forall(r => !r.getAs[Double]("psi_term").isNaN &&
+      !r.getAs[Double]("psi_term").isInfinite))
+    // per-bin counts land where the clamped binning says
+    val byBin = shifted.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byBin(0L) === ((1L, 0L)) && byBin(9L) === ((0L, 5L)))
+    assert(byBin(1L) === ((2L, 0L)))
+  }
+
+  test("PSI: out-of-range scores clamp into the edge bins") {
+    import spark.implicits._
+    import graft.text.Drift
+    val ref = Seq(-3.0, 0.5).toDF("s")
+    val cur = Seq(7.7, 0.5).toDF("s")
+    val rows = Drift.populationStabilityIndex(ref, cur, "s", bins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows(0L) === ((1L, 0L)))
+    assert(rows(9L) === ((0L, 1L)))
+    assert(rows(5L) === ((1L, 1L)))
+  }
 }

@@ -103,6 +103,33 @@ class DedupSpec extends SparkSuite {
     assert(none.count() === 0)
   }
 
+  test("dupNgramFraction: copies and their originals hit 1.0, unique " +
+      "prose 0, gram-less docs keep a zero row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five"), // copied below
+      (2L, "one two three four five"),
+      (3L, "six seven eight nine ten eleven"), // unique
+      (4L, "short"), // < n tokens: no grams
+      (5L, "")) // empty
+      .toDF("doc_id", "text")
+    val rows = Dedup.dupNgramFraction(docs, "text", "doc_id", n = 3,
+        minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) === ((3L, 3L, 1.0)))
+    assert(rows(2L) === ((3L, 3L, 1.0)))
+    assert(rows(3L) === ((4L, 0L, 0.0)))
+    assert(rows(4L) === ((0L, 0L, 0.0)))
+    assert(rows(5L) === ((0L, 0L, 0.0)))
+    // layout invariance
+    val again = Dedup.dupNgramFraction(docs.repartition(7), "text",
+        "doc_id", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again === rows)
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val pairs = Dedup.simhashPairs(docsWithDups, "text", "doc_id",
       maxDist = 3)

@@ -586,6 +586,38 @@ class SelectionSpec extends SparkSuite {
     assert(a.filter(_.getString(4) == "tail").forall(!_.getBoolean(5)))
   }
 
+  // ------------------------------------------------ Sampling.quotaExactK
+
+  test("quotaExactK: Hamilton apportionment with remainder ties on " +
+      "stratum name; quotas cap at stratum size; budget exact") {
+    import spark.implicits._
+    // A:6 B:3 C:1 rows, K=5 → floors (3,1,0), one leftover seat;
+    // remainders B=C=5 tie → B (name asc) takes it → quotas 3/2/1…
+    // but C's floor 0 + no seat = 0: exact shares 3.0/1.5/0.5
+    val df = ((1 to 6).map(i => (i.toLong, "A")) ++
+      (11 to 13).map(i => (i.toLong, "B")) ++ Seq((21L, "C")))
+      .toDF("doc_id", "src")
+    val got = graft.operators.Sampling.quotaExactK(df, "doc_id", "src",
+        totalK = 5)
+      .collect()
+    val byStratum = got.groupBy(_.getString(0)).view
+      .mapValues(_.length).toMap
+    assert(byStratum === Map("A" -> 3, "B" -> 2))
+    assert(got.length === 5)
+    // every rank within its quota, quota column consistent
+    assert(got.forall(r => r.getInt(2) <= r.getLong(1)))
+    // cap: a 1-row stratum cannot supply more than 1 even at K = N
+    val capped = graft.operators.Sampling.quotaExactK(df, "doc_id",
+        "src", totalK = 10).collect()
+    assert(capped.groupBy(_.getString(0)).view.mapValues(_.length)
+      .toMap === Map("A" -> 6, "B" -> 3, "C" -> 1))
+    // layout invariance
+    val again = graft.operators.Sampling.quotaExactK(df.repartition(7),
+        "doc_id", "src", totalK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(again === got.map(r => (r.getString(0), r.getLong(3))).toSet)
+  }
+
   // ---------------------------------------- Packing.lengthGroupedBatches
 
   test("lengthGroupedBatches: sorted runs cut at batchSize; padding is " +
