@@ -2013,7 +2013,32 @@ object SparkEntry {
           n = 8, minDf = 2, hashMode = "md5")
         .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
           round(col("dup_frac"), 6).as("dup_frac"))
-    })
+    }),
+    "q_bpe_decode" -> ((s, dir) => {
+      // tokenizer ROUND-TRIP: decode(encode(doc)) — every decoded
+      // string (= the lower-cased ws-normalized text) hash-checked
+      // through the full merge/vocab/encode/decode chain
+      val docs = table(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, merges = 8)
+      graft.text.Bpe.decodeIds(
+        graft.text.Bpe.encodeIds(docs, merges),
+        graft.text.Bpe.pieceVocab(docs, merges))
+    }),
+    "q_keep_threshold" -> ((s, dir) =>
+      // curation-gate calibration: the exact grid threshold keeping
+      // ≥ 30% of docs by the squashed-length score — grid cumulative
+      // over the distinct-score table, never the corpus
+      graft.operators.Sampling.keepRateThreshold(
+        table(s, dir, "documents")
+          .select((col("n_chars").cast("double") /
+            (col("n_chars") + lit(500)).cast("double")).as("s")),
+        "s", keepRate = 0.3)),
+    "q_robust_stats" -> ((s, dir) =>
+      // per-source robust location/scale of doc length: lower median +
+      // MAD from the distinct-value grid — no per-stratum sort, no
+      // collection; all grid arithmetic, hash-exact
+      graft.text.Drift.robustStats(table(s, dir, "documents"),
+        "source", "n_chars"))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -4879,6 +4904,45 @@ object SparkEntry {
     "q_multi_dedup" -> multiDedupOracle,
     "q_classifier_train" -> classifierTrainOracle(iters = 2),
     "q_bpe_encode" -> bpeEncodeOracle(8),
+    "q_bpe_decode" -> bpeDecodeOracle(8),
+    "q_keep_threshold" ->
+      """WITH sc AS (SELECT round(n_chars / (n_chars + 500)::DOUBLE, 6)
+        |    AS s
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |ps AS (SELECT s, count(*)::BIGINT AS c FROM sc GROUP BY 1),
+        |cum AS (SELECT s, c, sum(c) OVER
+        |    (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS cm
+        |  FROM ps),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM ps),
+        |j AS (SELECT cum.s, cum.cm, t.n,
+        |    ceil(0.3 * t.n::DOUBLE)::BIGINT AS tgt
+        |  FROM cum CROSS JOIN tot t),
+        |best AS (SELECT max(s) AS threshold FROM j WHERE cm >= tgt)
+        |SELECT j.n, j.tgt AS n_target, b.threshold, j.cm AS n_kept,
+        |  round(j.cm / j.n::DOUBLE, 6) AS actual_rate
+        |FROM j JOIN best b ON j.s = b.threshold""".stripMargin,
+    "q_robust_stats" ->
+      """WITH g AS (SELECT coalesce(source, '__null__') AS stratum,
+        |    n_chars::DOUBLE AS v, count(*)::BIGINT AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT stratum, sum(c)::BIGINT AS n FROM g GROUP BY 1),
+        |c1 AS (SELECT stratum, v, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY v ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cm
+        |  FROM g),
+        |m1 AS (SELECT c1.stratum, min(c1.v) AS median
+        |  FROM c1 JOIN t USING (stratum)
+        |  WHERE c1.cm * 2 >= t.n GROUP BY 1),
+        |d AS (SELECT g.stratum, abs(g.v - m1.median) AS v,
+        |    sum(g.c)::BIGINT AS c
+        |  FROM g JOIN m1 USING (stratum) GROUP BY 1, 2),
+        |c2 AS (SELECT stratum, v, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY v ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cm
+        |  FROM d),
+        |m2 AS (SELECT c2.stratum, min(c2.v) AS mad
+        |  FROM c2 JOIN t USING (stratum)
+        |  WHERE c2.cm * 2 >= t.n GROUP BY 1)
+        |SELECT t.stratum, t.n, m1.median, m2.mad
+        |FROM t JOIN m1 USING (stratum) JOIN m2 USING (stratum)""".stripMargin,
     // JSONL round-trip: the through-JSONL copy must equal the original
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
@@ -5387,6 +5451,41 @@ object SparkEntry {
     * in token order — both orderings via `ORDER BY` inside string_agg,
     * matching the Spark side's (position, fragment) struct sorts. */
   private def bpeEncodeOracle(rounds: Int): String =
+    bpeEncodeCtes(rounds) + s"""
+      |SELECT d.doc_id, coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces,
+      |  coalesce(pd.ids, '') AS ids
+      |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id"""
+      .stripMargin
+
+  /** The decode round-trip replayed: the full encode chain, then ids
+    * split back with 1-based positions, pieces looked up in pv,
+    * reassembled in order and `</w>` markers turned into spaces —
+    * every decoded string equals the lower-cased ws-normalized text. */
+  private def bpeDecodeOracle(rounds: Int): String =
+    bpeEncodeCtes(rounds) + s""",
+      |enc AS MATERIALIZED (
+      |  SELECT d.doc_id, coalesce(pd.ids, '') AS ids
+      |  FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id),
+      |px AS (
+      |  SELECT doc_id, u.i AS i, u.pid AS pid
+      |  FROM (SELECT doc_id,
+      |      unnest([{'i': i, 'pid': s[i]::BIGINT}
+      |        for i in range(1, len(s) + 1)]) AS u
+      |    FROM (SELECT doc_id, string_split(ids, ',') AS s
+      |      FROM enc WHERE len(ids) > 0))),
+      |dcd AS (
+      |  SELECT px.doc_id,
+      |    string_agg(pv.piece, '' ORDER BY px.i) AS joined
+      |  FROM px JOIN pv USING (pid) GROUP BY 1)
+      |SELECT e.doc_id,
+      |  coalesce(trim(replace(d.joined, '</w>', ' ')), '') AS text
+      |FROM enc e LEFT JOIN dcd d USING (doc_id)""".stripMargin
+
+  /** The shared encode CTE chain (merge training + piece split + piece
+    * vocab + per-word and per-doc id reassembly) — [[bpeEncodeOracle]]
+    * reads the final CSVs, [[bpeDecodeOracle]] continues into the
+    * inverse. */
+  private def bpeEncodeCtes(rounds: Int): String =
     bpeCtes(rounds) + s""",
       |pcs AS MATERIALIZED (
       |  SELECT word, n, u.piece AS piece, u.pos AS pos
@@ -5412,11 +5511,7 @@ object SparkEntry {
       |        unnest([{'pos': i, 'word': ts[i]}
       |          for i in range(1, len(ts) + 1)]) AS u
       |      FROM toks)) t
-      |  JOIN wp USING (word) GROUP BY 1)
-      |SELECT d.doc_id, coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces,
-      |  coalesce(pd.ids, '') AS ids
-      |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id"""
-      .stripMargin
+      |  JOIN wp USING (word) GROUP BY 1)""".stripMargin
 
   /** Two full Lloyd iterations replayed in SQL: iteration-1 assignment is
     * the [[annIvfOracle]] literal-centroid struct-sort; per-(cell, dim)

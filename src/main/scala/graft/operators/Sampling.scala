@@ -105,6 +105,46 @@ object Sampling {
         col("col.neighbor_id").as(idCol), col("col.cosine").as("u"))
   }
 
+  /** Exact score threshold for a TARGET KEEP RATE — calibrating a
+    * curation gate ("keep the best 30%") without guessing: the largest
+    * ROUNDED-grid threshold `t` such that `count(score ≥ t) ≥
+    * ⌈keepRate·N⌉`. Grid ties mean the actual kept count can exceed the
+    * target by at most one grid cell's population — the exact guarantee
+    * a threshold on a rounded score can make (reported, not hidden).
+    *
+    * The [[graft.text.Eval]] distinct-score pattern: ONE corpus
+    * aggregate onto the rounded-score grid (map-side partials), then the
+    * cumulative window runs over the grid-bounded distinct-score table
+    * (≤ 10^roundDecimals + 1 rows for a [0,1] score — never the
+    * corpus). NULL scores are excluded. Returns one row:
+    * (n, n_target, threshold, n_kept, actual_rate). */
+  def keepRateThreshold(df: DataFrame, scoreCol: String,
+      keepRate: Double, roundDecimals: Int = 6): DataFrame = {
+    require(keepRate > 0 && keepRate <= 1,
+      s"keepRate must be in (0, 1], got $keepRate")
+    require(roundDecimals >= 1 && roundDecimals <= 9,
+      s"roundDecimals must be in [1, 9], got $roundDecimals")
+    val ps = df.filter(col(scoreCol).isNotNull)
+      .select(round(col(scoreCol), roundDecimals).as("__s"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = ps.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = cum.groupBy().agg(sum(col("__c")).as("n"))
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("__target",
+        ceil(lit(keepRate) * col("n").cast("double")).cast("long"))
+    val best = j.filter(col("__cum") >= col("__target"))
+      .groupBy().agg(max(col("__s")).as("threshold"))
+    j.join(broadcast(best), col("__s") === col("threshold"))
+      .select(col("n"), col("__target").as("n_target"),
+        col("threshold"), col("__cum").as("n_kept"),
+        round(col("__cum").cast("double") / col("n"), 6)
+          .as("actual_rate"))
+  }
+
   /** Largest-remainder (Hamilton) QUOTA sampling: apportion a single
     * overall budget `totalK` across strata proportionally to their row
     * counts — `quota_s = ⌊K·n_s/N⌋` plus one extra for the largest

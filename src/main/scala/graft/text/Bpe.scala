@@ -218,4 +218,35 @@ object Bpe {
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
         coalesce(col("ids"), lit("")).as("ids"))
   }
+
+  /** DECODE — the inverse of [[encodeIds]], closing the tokenizer
+    * round-trip a serving/inspection path needs: piece-id CSVs back to
+    * text. Ids split and look their pieces up in the (broadcast,
+    * vocabulary-bounded) id→piece table, reassemble in sequence order
+    * (the removeRepeatedLines rebuild pattern — one groupBy over
+    * (position, piece) structs, row width bounded by the sequence
+    * length), then the `</w>` end-of-word markers become spaces.
+    * Exact contract: `decode(encode(doc)) = the lower-cased whitespace-
+    * normalized document` (tokenization is lossy by design — case and
+    * whitespace runs don't survive; the PIECES round-trip losslessly).
+    * Empty sequences decode to "". */
+  def decodeIds(encoded: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", idsCol: String = "ids"): DataFrame = {
+    val v = broadcast(vocab.select(col("pid"), col("piece")))
+    val joined = encoded
+      .filter(length(col(idsCol)) > 0)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(idsCol), ",")).as(Seq("__pos", "__pid_s")))
+      .select(col("__id"), col("__pos"),
+        col("__pid_s").cast("long").as("pid"))
+      .join(v, Seq("pid"))
+      .groupBy(col("__id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("piece")))),
+        s => s.getField("piece")), "").as("__joined"))
+    encoded.select(col(idCol).as("__id")).join(joined, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(trim(regexp_replace(col("__joined"), "</w>", " ")),
+          lit("")).as("text"))
+  }
 }

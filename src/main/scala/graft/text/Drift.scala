@@ -220,6 +220,55 @@ object Drift {
       round(exp(round(ent, 6)), 6).as("effective_strata"))
   }
 
+  /** Robust per-stratum location/scale — MEDIAN and MAD (median absolute
+    * deviation) of a GRID-VALUED signal (integers, or scores pre-rounded
+    * to a fixed grid — the caller's contract), per stratum: the
+    * outlier-resistant monitoring stats a mean/std corrupts under the
+    * heavy-tailed signals corpora actually have (one 100 MB page moves a
+    * source's mean length arbitrarily; it moves the median not at all).
+    *
+    * Exact WITHOUT per-stratum sorting or collection: the signal's
+    * distinct-value grid per stratum is one count aggregate (map-side
+    * partials); the LOWER median is the smallest value whose cumulative
+    * count reaches ⌈n/2⌉ — a window over the grid-bounded per-stratum
+    * value table, never the corpus (the Eval distinct-score argument).
+    * MAD repeats the same trick on the |v − median| grid of the SAME
+    * table (grid-sized, no second corpus pass). All integer/grid
+    * arithmetic — engine-exact. NULL signals are excluded; NULL strata
+    * report under [[graft.operators.Sampling.NullStratum]]. Returns
+    * (stratum, n, median, mad). */
+  def robustStats(df: DataFrame, stratumCol: String, signalCol: String)
+      : DataFrame = {
+    val grid = df.filter(col(signalCol).isNotNull)
+      .select(coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
+        col(signalCol).cast("double").as("__v"))
+      .groupBy(col("stratum"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = grid.groupBy(col("stratum")).agg(sum(col("__c")).as("__n"))
+    // lower median of a (stratum, value, count) grid: smallest v whose
+    // cumulative count reaches ⌈n/2⌉ (2·cum ≥ n in integers)
+    def lowerMedian(g: DataFrame, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stratum")).orderBy(col("__v").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      g.withColumn("__cum", sum(col("__c")).over(w))
+        .join(tot, Seq("stratum"))
+        .filter(col("__cum") * 2 >= col("__n"))
+        .groupBy(col("stratum")).agg(min(col("__v")).as(out))
+    }
+    val med = lowerMedian(grid, "median")
+    val dGrid = grid.join(med, Seq("stratum"))
+      .select(col("stratum"), abs(col("__v") - col("median")).as("__v"),
+        col("__c"))
+      .groupBy(col("stratum"), col("__v")).agg(sum(col("__c")).as("__c"))
+    val mad = lowerMedian(dGrid, "mad")
+    tot.join(med, Seq("stratum")).join(mad, Seq("stratum"))
+      .select(col("stratum"), col("__n").as("n"), col("median"),
+        col("mad"))
+  }
+
   /** Population Stability Index between a REFERENCE and a CURRENT
     * sample of a bounded score (the credit-risk monitoring classic, now
     * the standard drift gate on classifier/quality scores feeding a

@@ -486,6 +486,39 @@ class CorpusAnalysisSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------- Drift.robustStats
+
+  test("robustStats: lower median and MAD per stratum; immune to one " +
+      "giant outlier; NULL stratum under the sentinel") {
+    import spark.implicits._
+    import graft.text.Drift
+    // A: 1,2,3,4,100 → median 3, |d| = 2,1,0,1,97 → MAD 1
+    // B: 5,5,7 → median 5, MAD 0 ; one NULL-stratum row
+    val df = (Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"),
+      (100L, "A"), (5L, "B"), (5L, "B"), (7L, "B")) :+
+      ((9L, null.asInstanceOf[String])))
+      .toDF("v", "src")
+    val got = Drift.robustStats(df, "src", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("A") === ((5L, 3.0, 1.0)))
+    assert(got("B") === ((3L, 5.0, 0.0)))
+    assert(got(graft.operators.Sampling.NullStratum) === ((1L, 9.0, 0.0)))
+    // the mean would be 22 for A; the median doesn't move — that's the
+    // point
+  }
+
+  test("robustStats: even-count stratum takes the lower median") {
+    import spark.implicits._
+    import graft.text.Drift
+    val df = Seq((1L, "E"), (2L, "E"), (3L, "E"), (4L, "E"))
+      .toDF("v", "src")
+    val r = Drift.robustStats(df, "src", "v").head()
+    // ⌈4/2⌉ = 2 → lower median 2; |d| grid 1,0,1,2 → cum at 1 (count
+    // 2... d values: 1,0,1,2 → grid {0:1, 1:2, 2:1}; ⌈4/2⌉=2 → MAD 1
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 1.0)
+  }
+
   // --------------------------------- Drift.populationStabilityIndex
 
   test("PSI: identical samples score 0; a hard shift crosses the 0.25 " +

@@ -526,6 +526,29 @@ class CurationOpsSpec extends SparkSuite {
     assert(m === m2)
   }
 
+  test("bpe decodeIds: full round-trip equals the normalized text; " +
+      "empty docs decode to empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "Low  LOW lower"), (2L, "newest widest"),
+      (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val merges = graft.text.Bpe.trainMerges(docs, merges = 6)
+    val dec = graft.text.Bpe.decodeIds(
+        graft.text.Bpe.encodeIds(docs, merges),
+        graft.text.Bpe.pieceVocab(docs, merges))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // decode(encode(x)) = lower-cased whitespace-normalized x
+    assert(dec(1L) === "low low lower")
+    assert(dec(2L) === "newest widest")
+    assert(dec(3L) === "" && dec(4L) === "")
+    // layout invariance through the whole chain
+    val dec2 = graft.text.Bpe.decodeIds(
+        graft.text.Bpe.encodeIds(docs.repartition(5), merges),
+        graft.text.Bpe.pieceVocab(docs, merges))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec2 === dec)
+  }
+
   test("gradientAlignment: target-aligned examples score positive, " +
       "off-distribution and mislabeled negative; layout-invariant") {
     import graft.text.Classifier

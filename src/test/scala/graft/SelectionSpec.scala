@@ -586,6 +586,28 @@ class SelectionSpec extends SparkSuite {
     assert(a.filter(_.getString(4) == "tail").forall(!_.getBoolean(5)))
   }
 
+  // ------------------------------------------- Sampling.keepRateThreshold
+
+  test("keepRateThreshold: largest grid threshold reaching the target; " +
+      "ties overshoot by one cell at most") {
+    import spark.implicits._
+    // scores 0.9, 0.8, 0.8, 0.7, 0.6 — keep 40% of 5 → target 2;
+    // cum(0.9)=1, cum(0.8)=3 → threshold 0.8, kept 3 (tie overshoot)
+    val df = Seq(0.9, 0.8, 0.8, 0.7, 0.6).toDF("s")
+    val r = graft.operators.Sampling.keepRateThreshold(df, "s", 0.4)
+      .head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("n_target") === 2L)
+    assert(r.getAs[Double]("threshold") === 0.8)
+    assert(r.getAs[Long]("n_kept") === 3L)
+    assert(r.getAs[Double]("actual_rate") === 0.6)
+    // keepRate 1.0 keeps everything at the minimum score
+    val all = graft.operators.Sampling.keepRateThreshold(df, "s", 1.0)
+      .head()
+    assert(all.getAs[Double]("threshold") === 0.6)
+    assert(all.getAs[Long]("n_kept") === 5L)
+  }
+
   // ------------------------------------------------ Sampling.quotaExactK
 
   test("quotaExactK: Hamilton apportionment with remainder ties on " +
