@@ -77,11 +77,21 @@ object Smoke {
       dsrc, "doc_id", "lang", k = 5)
     val q7 = sample.writeStream.format("memory").queryName("smoke_sample")
       .outputMode(OutputMode.Update).start()
+    // live PSI drift gate over a squashed-length score vs a uniform
+    // reference — the distribution-shift alarm next to the CE monitor
+    val psiSrc = dsrc.withColumn("__s",
+      col("n_chars").cast("double") /
+        (col("n_chars") + lit(500)).cast("double"))
+    val psiMon = graft.streaming.Streaming.streamingPsiMonitor(
+      psiSrc, "__s", "__ts", Seq.fill(10)(10L),
+      windowDur = "1 day", watermark = "1 day")
+    val q8 = psiMon.writeStream.format("memory").queryName("smoke_psi")
+      .outputMode(OutputMode.Update).start()
     try {
       q1.processAllAvailable(); q2.processAllAvailable()
       q3.processAllAvailable(); q4.processAllAvailable()
       q5.processAllAvailable(); q6.processAllAvailable()
-      q7.processAllAvailable()
+      q7.processAllAvailable(); q8.processAllAvailable()
       val nBins = spark.table("smoke_binned").count()
       val nStats = spark.table("smoke_running").count()
       val nDedup = spark.table("smoke_dedup").count()
@@ -89,14 +99,15 @@ object Smoke {
       val nRet = spark.table("smoke_retention").count()
       val nMon = spark.table("smoke_qmon").count()
       val nSamp = spark.table("smoke_sample").count()
+      val nPsi = spark.table("smoke_psi").count()
       println(s"SMOKE_STREAMING bins=$nBins running_stats=$nStats " +
         s"dedup_kept=$nDedup funnel_steps=$nFunnel retention_rows=$nRet " +
-        s"monitor_windows=$nMon sample_rows=$nSamp")
+        s"monitor_windows=$nMon sample_rows=$nSamp psi_windows=$nPsi")
       assert(nBins > 0 && nStats > 0 && nDedup > 0 && nFunnel > 0 &&
-        nRet > 0 && nMon > 0 && nSamp > 0)
+        nRet > 0 && nMon > 0 && nSamp > 0 && nPsi > 0)
     } finally {
       q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop()
-      q6.stop(); q7.stop()
+      q6.stop(); q7.stop(); q8.stop()
     }
   }
 }

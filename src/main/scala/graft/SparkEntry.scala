@@ -2038,7 +2038,16 @@ object SparkEntry {
       // MAD from the distinct-value grid — no per-stratum sort, no
       // collection; all grid arithmetic, hash-exact
       graft.text.Drift.robustStats(table(s, dir, "documents"),
-        "source", "n_chars"))
+        "source", "n_chars")),
+    "q_bitext_margin" -> ((s, dir) => {
+      // Artetxe–Schwenk margin mining between the two halves of the
+      // embedding table: ratio margin vs k=4 neighborhood density,
+      // 1e-6-quantized before the argmax, mutual-best flagged
+      val emb = table(s, dir, "embeddings")
+      graft.similarity.BitextMining.marginPairs(
+        emb.filter(col("vec_id") < 250),
+        emb.filter(col("vec_id") >= 250), k = 4, threshold = 1.0)
+    })
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3342,6 +3351,47 @@ object SparkEntry {
         |  (count(*) * max(nt) - sum(nt))::BIGINT AS padding
         |FROM b GROUP BY 1""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "q_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |xs AS MATERIALIZED (SELECT * FROM e WHERE vec_id < 250),
+        |ys AS MATERIALIZED (SELECT * FROM e WHERE vec_id >= 250),
+        |p AS MATERIALIZED (
+        |  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+        |    CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) = 0 THEN 0.0
+        |      ELSE list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) END AS cos
+        |  FROM xs x, ys y),
+        |fwd AS MATERIALIZED (SELECT x_id, y_id, cos FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY x_id ORDER BY cos DESC, y_id ASC) AS rk
+        |    FROM p) WHERE rk <= 4),
+        |bwd AS MATERIALIZED (SELECT x_id, y_id, cos FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY y_id ORDER BY cos DESC, x_id ASC) AS rk
+        |    FROM p) WHERE rk <= 4),
+        |ax AS (SELECT x_id, sum(cos) / count(*) AS ax
+        |  FROM fwd GROUP BY 1),
+        |ay AS (SELECT y_id, sum(cos) / count(*) AS ay
+        |  FROM bwd GROUP BY 1),
+        |fm AS (SELECT f.x_id, f.y_id, f.cos,
+        |    floor(f.cos / ((ax.ax + ay.ay) / 2.0) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS m
+        |  FROM fwd f JOIN ax USING (x_id) JOIN ay USING (y_id)),
+        |bm AS (SELECT b.x_id, b.y_id,
+        |    floor(b.cos / ((ax.ax + ay.ay) / 2.0) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS m
+        |  FROM bwd b JOIN ax USING (x_id) JOIN ay USING (y_id)),
+        |bx AS (SELECT x_id,
+        |    max(struct_pack(m := m, ny := -y_id, cos := cos)) AS b
+        |  FROM fm GROUP BY 1),
+        |byy AS (SELECT y_id,
+        |    (max(struct_pack(m := m, nx := -x_id))).nx AS nx
+        |  FROM bm GROUP BY 1)
+        |SELECT bx.x_id, (-(bx.b.ny))::BIGINT AS y_id,
+        |  round(bx.b.cos, 6) AS cosine, bx.b.m AS margin,
+        |  coalesce(-byy.nx = bx.x_id, false) AS mutual
+        |FROM bx LEFT JOIN byy ON byy.y_id = -(bx.b.ny)
+        |WHERE bx.b.m >= 1.0""".stripMargin,
     "q_quota_sample" ->
       """WITH c AS (SELECT coalesce(lang, '__null__') AS stratum,
         |    count(*)::BIGINT AS ns

@@ -418,6 +418,52 @@ object Streaming {
         avg(col("__q")).as("mean_quality"))
   }
 
+  /** Streaming PSI drift monitor — the live twin of
+    * [[graft.text.Drift.populationStabilityIndex]]: per event-time
+    * window, the Population Stability Index of a bounded score against
+    * FIXED reference bin counts (driver metadata from a batch PSI /
+    * calibration run). The windowed side bins exactly like the batch
+    * operator (clamp to [0,1], equal-width, top-closed) and both sides
+    * Laplace-smooth, so a window over the reference sample itself
+    * scores 0. PSI > 0.25 in a live window = the ingest's score
+    * distribution has shifted — page before the corpus does.
+    *
+    * Streaming-safe in ONE aggregate: the per-bin counts are `bins`
+    * conditional sums inside the single windowed agg (no second-level
+    * aggregation, which Structured Streaming forbids), and the PSI fold
+    * runs in the SELECT over those bounded columns in fixed bin order.
+    * State = one row per window, bounded by the watermark. */
+  def streamingPsiMonitor(src: DataFrame, scoreCol: String,
+      tsCol: String, refCounts: Seq[Long], windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val bins = refCounts.size
+    require(bins >= 2, s"need >= 2 reference bins, got $bins")
+    require(refCounts.forall(_ >= 0), "negative reference count")
+    val refN = refCounts.sum
+    val clamped = least(greatest(round(col(scoreCol), 6), lit(0.0)),
+      lit(1.0))
+    val bucket = least(floor(clamped * bins).cast("long"),
+      lit(bins - 1L))
+    val agg0 = src
+      .filter(col(scoreCol).isNotNull)
+      .withColumn("__bin", bucket)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("time_bin"))
+      .agg(count(lit(1)).as("n"),
+        (0 until bins).map(b =>
+          sum(when(col("__bin") === b, 1L).otherwise(0L))
+            .as(s"__b$b")): _*)
+    // fixed-order PSI fold over the bounded per-window bin columns;
+    // p from the broadcastable reference literals, q from the window
+    val psi = (0 until bins).map { b =>
+      val p = lit((refCounts(b) + 1).toDouble / (refN + bins).toDouble)
+      val q = (col(s"__b$b") + 1).cast("double") /
+        (col("n") + bins).cast("double")
+      (q - p) * log(q / p)
+    }.reduce(_ + _)
+    agg0.select(col("time_bin"), col("n"), round(psi, 6).as("psi"))
+  }
+
   /** Per-stratum exact-k sample state: the current top-k (u, id)
     * entries, best-first. */
   case class TopKSampleState(entries: List[(Double, Long)])

@@ -392,4 +392,52 @@ class SimilaritySpec extends SparkSuite {
         targetDim = 65)
     }
   }
+
+  // ------------------------------------------ BitextMining.marginPairs
+
+  test("margin mining: exact matches win with margin > 1 and mutual; " +
+      "density normalization computes the hand value") {
+    import spark.implicits._
+    import graft.similarity.BitextMining
+    val x = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val y = Seq((10L, Seq(1.0, 0.0, 0.0)), (11L, Seq(0.0, 1.0, 0.0)),
+      (12L, Seq(0.6, 0.6, 0.52)))
+      .toDF("vec_id", "embedding")
+    val got = BitextMining.marginPairs(x, y, k = 2, threshold = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    // x1's best is its copy y10, mutually
+    assert(got(1L)._1 === 10L && got(1L)._3)
+    assert(got(2L)._1 === 11L && got(2L)._3)
+    // hand margin for (x1, y10): avg_x1 = (1 + cos(x1, y12))/2,
+    // avg_y10 = (1 + 0)/2 → margin = 1 / ((avg_x1 + avg_y10)/2)
+    val cosR = 0.6 / math.sqrt(0.36 + 0.36 + 0.2704)
+    val want = 1.0 / (((1.0 + cosR) / 2 + 0.5) / 2)
+    assert(math.abs(got(1L)._2 - want) < 1e-6)
+    assert(got(1L)._2 > 1.0)
+    // layout invariance (margins quantized before the argmax)
+    val again = BitextMining.marginPairs(x.repartition(3),
+        y.repartition(2), k = 2, threshold = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(again === got)
+  }
+
+  test("margin mining: a hub that is everyone's nearest neighbor " +
+      "cannot be everyone's mutual match") {
+    import spark.implicits._
+    import graft.similarity.BitextMining
+    // y20 is a hub: fairly close to BOTH x vectors; x's true partners
+    // are elsewhere — mutuality breaks the hub's monopoly: at most one
+    // x can be mutual with it
+    val x = Seq((1L, Seq(1.0, 0.2, 0.0)), (2L, Seq(0.2, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val y = Seq((20L, Seq(0.7, 0.7, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = BitextMining.marginPairs(x, y, k = 1, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(got.count(_._2) <= 1)
+    assert(got.length === 2) // both x still report their best pair
+  }
 }

@@ -562,4 +562,43 @@ class StreamingSpec extends SparkSuite {
       assert(math.abs(w0 - (ce1 + ce2) / 2) < 1e-12)
     } finally q.stop()
   }
+
+  case class Scored(id: Long, ts: java.sql.Timestamp, s: Double)
+
+  test("streaming PSI monitor: reference-shaped window scores 0, " +
+      "shifted window crosses the action line — batch-twin exact") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Scored]
+    // reference: one obs in each of bins 0,1,2,3 (scores .05/.15/.25/.35)
+    val ref = Seq(1L, 1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val mon = Streaming.streamingPsiMonitor(mem.toDF(), "s", "ts", ref,
+      windowDur = "1 hour", watermark = "1 hour")
+    val q = mon.writeStream.format("memory").queryName("psimon")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def at(id: Long, hour: Int, s: Double) = Scored(id,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00"), s)
+      // window 0 replays the reference shape; window 1 is all-top-bin
+      mem.addData(at(1, 0, 0.05), at(2, 0, 0.15), at(3, 0, 0.25),
+        at(4, 0, 0.35),
+        at(5, 1, 0.95), at(6, 1, 0.97), at(7, 1, 0.99))
+      q.processAllAvailable()
+      val rows = spark.table("psimon").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toString.take(13),
+          r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(rows.map(_._2).toSeq === Seq(4L, 3L))
+      val Seq(w0, w1) = rows.map(_._3).toSeq
+      assert(w0 === 0.0, s"reference-shaped window scored $w0")
+      assert(w1 > 0.25, s"shifted window only $w1")
+      // batch-twin exactness: the streaming window-1 PSI equals the
+      // batch operator on the same data
+      import org.apache.spark.sql.functions.col
+      val batch = graft.text.Drift.populationStabilityIndex(
+          Seq(0.05, 0.15, 0.25, 0.35).toDF("s"),
+          Seq(0.95, 0.97, 0.99).toDF("s"), "s", bins = 10)
+        .select(col("psi")).head().getDouble(0)
+      assert(w1 === batch)
+    } finally q.stop()
+  }
 }
