@@ -2047,7 +2047,25 @@ object SparkEntry {
       graft.similarity.BitextMining.marginPairs(
         emb.filter(col("vec_id") < 250),
         emb.filter(col("vec_id") >= 250), k = 4, threshold = 1.0)
-    })
+    }),
+    "q_psi_quantile" -> ((s, dir) => {
+      // decile PSI: equal-frequency bin edges from the reference's
+      // exact grid quantiles (B−1 driver doubles), then the same
+      // Laplace-smoothed ordered fold as q_psi
+      val docs = table(s, dir, "documents")
+      val score = (col("n_chars").cast("double") /
+        (col("n_chars") + lit(500)).cast("double")).as("s")
+      graft.text.Drift.populationStabilityIndexQuantile(
+        docs.filter(col("lang") === "en").select(score),
+        docs.filter(col("lang") =!= "en" || col("lang").isNull)
+          .select(score),
+        "s", bins = 10)
+    }),
+    "q_cms_topk" -> ((s, dir) =>
+      // Count-Min-Sketch heavy hitters: 4×1024 integer counter grid,
+      // min-of-rows estimates, top-30 by estimate — the bounded-memory
+      // sketch, deterministic enough to hash-match the oracle
+      graft.text.Indexing.cmsTopK(table(s, dir, "documents"), k = 30))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3392,6 +3410,69 @@ object SparkEntry {
         |  coalesce(-byy.nx = bx.x_id, false) AS mutual
         |FROM bx LEFT JOIN byy ON byy.y_id = -(bx.b.ny)
         |WHERE bx.b.m >= 1.0""".stripMargin,
+    "q_psi_quantile" ->
+      """WITH ref AS MATERIALIZED (
+        |  SELECT round(n_chars / (n_chars + 500)::DOUBLE, 6) AS s
+        |  FROM documents WHERE lang = 'en'),
+        |cur AS MATERIALIZED (
+        |  SELECT round(n_chars / (n_chars + 500)::DOUBLE, 6) AS s
+        |  FROM documents WHERE lang <> 'en' OR lang IS NULL),
+        |g AS (SELECT s AS v, count(*)::BIGINT AS c FROM ref GROUP BY 1),
+        |cumt AS (SELECT v, sum(c) OVER
+        |    (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cm
+        |  FROM g),
+        |nn AS (SELECT sum(c)::BIGINT AS n FROM g),
+        |el AS (SELECT list(e ORDER BY i) AS es FROM (
+        |  SELECT i, (SELECT min(v) FROM cumt, nn
+        |    WHERE cm * 10 >= i * nn.n) AS e
+        |  FROM range(1, 10) t(i))),
+        |rb AS (SELECT len(list_filter((SELECT es FROM el),
+        |      e -> s > e))::BIGINT AS bin, count(*)::BIGINT AS n
+        |  FROM ref GROUP BY 1),
+        |cb AS (SELECT len(list_filter((SELECT es FROM el),
+        |      e -> s > e))::BIGINT AS bin, count(*)::BIGINT AS n
+        |  FROM cur GROUP BY 1),
+        |sc AS (SELECT i::BIGINT AS bin FROM range(0, 10) t(i)),
+        |j AS MATERIALIZED (SELECT sc.bin,
+        |    coalesce(rb.n, 0)::BIGINT AS n_ref,
+        |    coalesce(cb.n, 0)::BIGINT AS n_cur
+        |  FROM sc LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+        |t AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc
+        |  FROM j),
+        |terms AS MATERIALIZED (SELECT bin, n_ref, n_cur,
+        |    (n_ref + 1) / (t.tr + 10)::DOUBLE AS p,
+        |    (n_cur + 1) / (t.tc + 10)::DOUBLE AS q,
+        |    ((n_cur + 1) / (t.tc + 10)::DOUBLE
+        |      - (n_ref + 1) / (t.tr + 10)::DOUBLE)
+        |      * ln(((n_cur + 1) / (t.tc + 10)::DOUBLE)
+        |        / ((n_ref + 1) / (t.tr + 10)::DOUBLE)) AS tm
+        |  FROM j CROSS JOIN t),
+        |psi AS (SELECT round(list_sum(list_transform(
+        |    list_sort(list({'bin': bin, 't': tm})), x -> x.t)), 6) AS psi
+        |  FROM terms)
+        |SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref,
+        |  round(q, 6) AS p_cur, round(tm, 6) AS psi_term, psi.psi
+        |FROM terms CROSS JOIN psi""".stripMargin,
+    "q_cms_topk" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT unnest(CASE WHEN len(trim(text)) = 0
+        |      THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |  FROM documents),
+        |rws AS MATERIALIZED (
+        |  SELECT term, d.i::INT AS d,
+        |    (('0x' || substr(md5(term || '|' || d.i::VARCHAR), 1, 16))::UBIGINT & 1023)::BIGINT AS b
+        |  FROM tok CROSS JOIN range(0, 4) d(i)),
+        |counters AS (SELECT d, b, count(*)::BIGINT AS c
+        |  FROM rws GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT term, d, b FROM rws),
+        |est AS (SELECT term, min(c)::BIGINT AS est
+        |  FROM probes JOIN counters USING (d, b) GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER
+        |    (ORDER BY est DESC, term ASC) AS rank
+        |  FROM est)
+        |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_quota_sample" ->
       """WITH c AS (SELECT coalesce(lang, '__null__') AS stratum,
         |    count(*)::BIGINT AS ns

@@ -289,8 +289,6 @@ object Drift {
   def populationStabilityIndex(ref: DataFrame, cur: DataFrame,
       scoreCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val spark = ref.sparkSession
-    import spark.implicits._
     def binned(df: DataFrame, out: String) = {
       val clamped = least(greatest(round(col(scoreCol), 6), lit(0.0)),
         lit(1.0))
@@ -299,10 +297,67 @@ object Drift {
           lit(bins - 1L)).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(out))
     }
+    psiFromBinned(ref.sparkSession, binned(ref, "n_ref"),
+      binned(cur, "n_cur"), bins)
+  }
+
+  /** [[populationStabilityIndex]] with EQUAL-FREQUENCY bins derived
+    * from the reference — the industry-standard decile PSI: bin edges
+    * are the reference's exact grid quantiles (edge_i = smallest
+    * rounded value whose cumulative count reaches ⌈i·N/B⌉ — the
+    * [[robustStats]] lower-quantile convention, computed on the
+    * distinct-value grid, never a sort of the corpus), so every
+    * reference bin holds ≈ N/B rows by construction and the statistic
+    * stops depending on an arbitrary [0,1] scale assumption — scores
+    * with any bounded or unbounded range work. Edges are B−1 driver
+    * doubles (model-side metadata); binning is a fixed sum of ≤ B−1
+    * comparisons fused into one projection. Skewed references can
+    * produce duplicate edges → structurally empty bins; the Laplace
+    * smoothing keeps them finite (and they carry drift signal when the
+    * current side lands there). */
+  def populationStabilityIndexQuantile(ref: DataFrame, cur: DataFrame,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = ref.sparkSession
+    // reference grid quantile edges, i = 1..B-1
+    val grid = ref.filter(col(scoreCol).isNotNull)
+      .select(round(col(scoreCol), 6).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = grid.withColumn("__cum", sum(col("__c")).over(w))
+      .collect().sortBy(_.getDouble(0))
+    val n = if (cum.isEmpty) 0L else cum.last.getLong(2)
+    require(n > 0, "empty reference")
+    val edges = (1 until bins).map { i =>
+      // smallest v with cum·B ≥ i·N (integer arithmetic)
+      cum.find(r => r.getLong(2) * bins >= i.toLong * n).get.getDouble(0)
+    }
+    def binned(df: DataFrame, out: String) = {
+      val s6 = round(col(scoreCol), 6)
+      // RIGHT-CLOSED bins: a value equal to an edge closes the lower
+      // bin — with lower-quantile edges this makes the reference
+      // deciles exactly N/B (up to grid ties)
+      val bin = edges.map(e => when(s6 > e, 1L).otherwise(0L))
+        .reduce(_ + _)
+      df.filter(col(scoreCol).isNotNull)
+        .select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    }
+    psiFromBinned(spark, binned(ref, "n_ref"), binned(cur, "n_cur"),
+      bins)
+  }
+
+  private def psiFromBinned(spark: org.apache.spark.sql.SparkSession,
+      refBinned: DataFrame, curBinned: DataFrame, bins: Int)
+      : DataFrame = {
+    import spark.implicits._
     val scaffold = (0L until bins.toLong).toDF("bin")
     val j = scaffold
-      .join(binned(ref, "n_ref"), Seq("bin"), "left")
-      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .join(refBinned, Seq("bin"), "left")
+      .join(curBinned, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = j.groupBy().agg(sum(col("n_ref")).as("__tr"),

@@ -225,6 +225,56 @@ object Indexing {
         .as("zipf_slope"))
   }
 
+  /** Count-Min-Sketch top-k terms — the BOUNDED-MEMORY scale path of
+    * the exact heavy-hitter aggregate (Cormode & Muthukrishnan 2005):
+    * term occurrences hash into a depth×width counter grid (depth
+    * independent hash rows; power-of-two width), and a term's estimate
+    * is the MIN of its depth counters — an OVERESTIMATE by at most
+    * ~εN = (e/width)·N with probability 1−(1/2)^depth, never an
+    * underestimate. The counter state is depth·width integers TOTAL
+    * regardless of vocabulary size — the sketch a 100 TB stream keeps
+    * when the exact per-term table (one bigint per distinct term)
+    * stops fitting.
+    *
+    * Plan: one token scan exploded ×depth (map-only), ONE
+    * (depth, bucket)-keyed count aggregate whose output is the bounded
+    * grid, then the distinct-term table probes the grid with depth
+    * broadcast joins folded into one (term, d, bucket) join + min
+    * aggregate. The final top-k ranks the ESTIMATES (ties → ascending
+    * term); the ranking window runs over the vocabulary-bounded
+    * estimate table. Deterministic end-to-end (md5 bucket hashing,
+    * integer counters), so the oracle replays it exactly — the rare
+    * sketch that hash-matches cross-engine. */
+  def cmsTopK(docs: DataFrame, k: Int, depth: Int = 4,
+      width: Int = 1024, textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8]: $depth")
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    def bucket(t: Column, d: Int): Column =
+      graft.functions.HashExpressions.md5Long(
+        concat(t, lit("|"), lit(d.toString)))
+        .bitwiseAND(lit((width - 1).toLong))
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val rows = toks.select(col("term"), explode(array(
+      (0 until depth).map(d =>
+        struct(lit(d).as("d"), bucket(col("term"), d).as("b"))): _*))
+      .as("__db"))
+      .select(col("term"), col("__db.d").as("d"), col("__db.b").as("b"))
+    val counters = rows.groupBy(col("d"), col("b"))
+      .agg(count(lit(1)).as("__c"))
+    val probes = rows.distinct()
+    val est = probes.join(counters, Seq("d", "b"))
+      .groupBy(col("term")).agg(min(col("__c")).as("est"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est").desc, col("term").asc)
+    est.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("term"), col("est"))
+  }
+
   /** Heaps-law vocabulary growth (Heaps 1978): distinct-vocabulary size
     * as a function of cumulative corpus tokens, sampled at `checkpoints`
     * equal doc-id cutoffs, plus the fitted Heaps exponent —

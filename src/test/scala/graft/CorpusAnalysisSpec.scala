@@ -546,6 +546,28 @@ class CorpusAnalysisSpec extends SparkSuite {
     assert(byBin(1L) === ((2L, 0L)))
   }
 
+  test("quantile PSI: equal-frequency reference bins; scale-free " +
+      "(unbounded scores); identical -> 0, shift detected") {
+    import spark.implicits._
+    import graft.text.Drift
+    // unbounded score range — the fixed-width [0,1] variant can't bin
+    // this; quantile edges come from the reference itself
+    val ref = (1 to 100).map(_.toDouble * 37).toDF("s")
+    val same = Drift.populationStabilityIndexQuantile(ref, ref, "s",
+      bins = 10).collect()
+    assert(same.head.getAs[Double]("psi") === 0.0)
+    // every reference decile holds exactly 10 of the 100 rows
+    assert(same.forall(_.getAs[Long]("n_ref") === 10L))
+    // current sample squeezed into the top decile
+    val cur = Seq.fill(50)(97.0 * 37).toDF("s")
+    val shifted = Drift.populationStabilityIndexQuantile(ref, cur, "s",
+      bins = 10).collect()
+    assert(shifted.head.getAs[Double]("psi") > 0.25)
+    // all current mass in bin 9 (score ≥ the 90th-percentile edge)
+    val byBin = shifted.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byBin(9L) === 50L && byBin(0L) === 0L)
+  }
+
   test("PSI: out-of-range scores clamp into the edge bins") {
     import spark.implicits._
     import graft.text.Drift

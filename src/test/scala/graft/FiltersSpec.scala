@@ -387,6 +387,31 @@ class FiltersSpec extends SparkSuite {
     assert(got("B") === ((1L, None)))
   }
 
+  test("cmsTopK: estimates never underestimate; ample width recovers " +
+      "the exact heavy hitters; tiny width overestimates but ranks " +
+      "the giant first") {
+    import graft.text.Indexing
+    import spark.implicits._
+    val docs = Seq((1L,
+      (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
+        Seq.fill(5)("gamma") ++ Seq("delta", "eps")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = Map("alpha" -> 50L, "beta" -> 20L, "gamma" -> 5L,
+      "delta" -> 1L, "eps" -> 1L)
+    val wide = Indexing.cmsTopK(docs, k = 5, depth = 4, width = 1024)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // CMS property: est >= exact always; at width 1024 over 5 terms,
+    // collisions are absent and the estimates are exact
+    exact.foreach { case (t, c) => assert(wide(t) === c) }
+    // tiny width forces collisions: still no underestimates, and the
+    // dominant term still ranks first
+    val tiny = Indexing.cmsTopK(docs, k = 5, depth = 2, width = 2)
+      .collect()
+    val tinyMap = tiny.map(r => r.getString(1) -> r.getLong(2)).toMap
+    exact.foreach { case (t, c) => assert(tinyMap(t) >= c, t) }
+    assert(tiny.minBy(_.getInt(0)).getString(1) === "alpha")
+  }
+
   test("charEntropy: collapse is 0, uniform hits ln(k), mixed is exact") {
     import graft.text.TextAnalysis
     val cases = Seq(
