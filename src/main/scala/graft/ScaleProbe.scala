@@ -51,6 +51,7 @@ object ScaleProbe {
     if (args.headOption.contains("pagerank")) {
       pagerankProbe(spark, n); return
     }
+    if (args.headOption.contains("cms")) { cmsProbe(spark, n); return }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -433,6 +434,48 @@ object ScaleProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SCALE_PROBE pagerank nodes=${top.getLong(1)} " +
       f"edges=${3L * n} mass=${top.getDouble(0)}%.6f $secs%.1f s")
+    spark.stop()
+  }
+
+  /** CMS probe: n synthetic docs over a Zipf-ish vocabulary that GROWS
+    * with n (10 heavy terms + n/10 unique tail terms), top-30 via the
+    * exact heavy-hitter aggregate vs the 4×4096 Count-Min sketch —
+    * wall time and the state-size asymmetry (exact exchanges one
+    * counter PER DISTINCT TERM, the sketch a constant 16k grid), plus
+    * the heavy-set agreement and the no-underestimate overcount.
+    * Usage: SPARK_GRAFT_PROBE_N=1000000 sbt "runMain graft.ScaleProbe cms"
+    */
+  private def cmsProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    // each doc: one heavy term (10 distinct) ×5 + one unique tail term
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("h"), pmod(col("id"), lit(10))),
+        concat(lit("h"), pmod(col("id"), lit(10))),
+        concat(lit("h"), pmod(col("id"), lit(10))),
+        concat(lit("h"), pmod(col("id"), lit(10))),
+        concat(lit("h"), pmod(col("id"), lit(10))),
+        concat(lit("t"), (col("id") / 10).cast("long"))).as("text"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val exact = graft.text.Indexing.topKTerms(docs, "doc_id", "text",
+        k = 30)
+      .collect().map(r => r.getAs[String]("term") ->
+        r.getAs[Long]("tf")).toMap
+    val tExact = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val sketch = graft.text.Indexing.cmsTopK(docs, k = 30, depth = 4,
+        width = 4096)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val tCms = (System.nanoTime() - t1) / 1e9
+    val heavy = (0 until 10).map(i => s"h$i")
+    val agree = heavy.count(h => sketch.contains(h))
+    val over = heavy.map(h => sketch.getOrElse(h, 0L) -
+      exact.getOrElse(h, 0L)).max
+    val distinctTerms = n / 10 + 10
+    println(f"SCALE_PROBE cms n=$n distinct=~$distinctTerms " +
+      f"exact=$tExact%.1f s cms=$tCms%.1f s state_exact=$distinctTerms " +
+      f"state_cms=${4 * 4096} heavy_found=$agree/10 max_overcount=$over")
     spark.stop()
   }
 

@@ -2065,7 +2065,16 @@ object SparkEntry {
       // Count-Min-Sketch heavy hitters: 4×1024 integer counter grid,
       // min-of-rows estimates, top-30 by estimate — the bounded-memory
       // sketch, deterministic enough to hash-match the oracle
-      graft.text.Indexing.cmsTopK(table(s, dir, "documents"), k = 30))
+      graft.text.Indexing.cmsTopK(table(s, dir, "documents"), k = 30)),
+    "q_robust_outliers" -> ((s, dir) =>
+      // per-doc modified z-scores |0.6745·(v−med)/MAD| vs the 3.5 line
+      // — the actionable form of q_robust_stats; every row's score and
+      // flag hash-checked (planted giants via doc_id amplification)
+      graft.text.Drift.robustOutliers(
+        table(s, dir, "documents").withColumn("len2",
+          when(col("doc_id") % 100 === 0, col("n_chars") * 50)
+            .otherwise(col("n_chars"))),
+        "source", "len2", "doc_id"))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3473,6 +3482,43 @@ object SparkEntry {
         |    (ORDER BY est DESC, term ASC) AS rank
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
+    "q_robust_outliers" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 100 = 0 THEN n_chars * 50
+        |      ELSE n_chars END AS len2
+        |  FROM documents),
+        |g AS (SELECT coalesce(source, '__null__') AS stratum,
+        |    len2::DOUBLE AS v, count(*)::BIGINT AS c
+        |  FROM src WHERE len2 IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT stratum, sum(c)::BIGINT AS n FROM g GROUP BY 1),
+        |c1 AS (SELECT stratum, v, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY v ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cm
+        |  FROM g),
+        |m1 AS (SELECT c1.stratum, min(c1.v) AS median
+        |  FROM c1 JOIN t USING (stratum)
+        |  WHERE c1.cm * 2 >= t.n GROUP BY 1),
+        |d AS (SELECT g.stratum, abs(g.v - m1.median) AS v,
+        |    sum(g.c)::BIGINT AS c
+        |  FROM g JOIN m1 USING (stratum) GROUP BY 1, 2),
+        |c2 AS (SELECT stratum, v, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY v ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cm
+        |  FROM d),
+        |m2 AS (SELECT c2.stratum, min(c2.v) AS mad
+        |  FROM c2 JOIN t USING (stratum)
+        |  WHERE c2.cm * 2 >= t.n GROUP BY 1),
+        |st AS (SELECT t.stratum, m1.median, m2.mad
+        |  FROM t JOIN m1 USING (stratum) JOIN m2 USING (stratum))
+        |SELECT st.stratum, s.doc_id, s.len2::DOUBLE AS signal,
+        |  CASE WHEN st.mad <> 0.0 THEN
+        |    floor(0.6745 * (s.len2::DOUBLE - st.median) / st.mad
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS m,
+        |  CASE WHEN st.mad <> 0.0 THEN
+        |    abs(0.6745 * (s.len2::DOUBLE - st.median) / st.mad) > 3.5
+        |  ELSE s.len2::DOUBLE <> st.median END AS outlier
+        |FROM src s JOIN st
+        |  ON st.stratum = coalesce(s.source, '__null__')
+        |WHERE s.len2 IS NOT NULL""".stripMargin,
     "q_quota_sample" ->
       """WITH c AS (SELECT coalesce(lang, '__null__') AS stratum,
         |    count(*)::BIGINT AS ns

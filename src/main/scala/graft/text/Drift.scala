@@ -269,6 +269,41 @@ object Drift {
         col("mad"))
   }
 
+  /** Per-row robust outlier flags from [[robustStats]] — the modified
+    * z-score of Iglewicz & Hoaglin (1993): `M = 0.6745·(v − median)/MAD`,
+    * flagged when |M| > `zThreshold` (their recommended 3.5). The
+    * mean/std z-score breaks exactly when outliers exist (the outliers
+    * inflate the std that is supposed to expose them); the median/MAD
+    * version doesn't — this is the per-document actionable form of the
+    * per-stratum stats ("drop these specific pages").
+    *
+    * Plan: [[robustStats]]' two grid passes + ONE broadcast join of the
+    * S-row stats table back onto the corpus — map-only scoring, no
+    * second corpus shuffle. Degenerate strata (MAD = 0: over half the
+    * stratum sits on one value) get a NULL score and flag
+    * `v ≠ median` — any deviation from a collapsed distribution is an
+    * outlier. Returns (stratum, idCol, signal, m, outlier). */
+  def robustOutliers(df: DataFrame, stratumCol: String,
+      signalCol: String, idCol: String, zThreshold: Double = 3.5)
+      : DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
+    val stats = robustStats(df, stratumCol, signalCol)
+    val m = lit(0.6745) * (col("__v") - col("median")) / col("mad")
+    df.filter(col(signalCol).isNotNull)
+      .select(coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
+        col(idCol), col(signalCol).cast("double").as("__v"))
+      .join(broadcast(stats), Seq("stratum"))
+      .select(col("stratum"), col(idCol), col("__v").as("signal"),
+        // floor-chain quantization, not round(): the division can land
+        // exactly on a .5e-6 boundary where engine round() conventions
+        // split — the floor(x·10⁶ + 0.5) double chain is bit-identical
+        when(col("mad") =!= 0.0,
+          floor(m * 1e6 + lit(0.5)) / 1e6).as("m"),
+        when(col("mad") =!= 0.0, abs(m) > zThreshold)
+          .otherwise(col("__v") =!= col("median")).as("outlier"))
+  }
+
   /** Population Stability Index between a REFERENCE and a CURRENT
     * sample of a bounded score (the credit-risk monitoring classic, now
     * the standard drift gate on classifier/quality scores feeding a

@@ -508,6 +508,30 @@ class CorpusAnalysisSpec extends SparkSuite {
     // point
   }
 
+  test("robustOutliers: the planted giant flags, inliers don't; " +
+      "MAD-0 stratum flags any deviation with NULL score") {
+    import spark.implicits._
+    import graft.text.Drift
+    // A: tight cluster + one giant; B: collapsed distribution + one dev
+    val df = (Seq((1L, 100L, "A"), (2L, 101L, "A"), (3L, 99L, "A"),
+      (4L, 102L, "A"), (5L, 5000L, "A"),
+      (6L, 7L, "B"), (7L, 7L, "B"), (8L, 7L, "B"), (9L, 8L, "B")))
+      .toDF("id", "v", "src")
+    val got = Drift.robustOutliers(df, "src", "v", "id")
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+    // A: lower median 101 (ceil(5/2)=3rd of 99..5000), |d| grid
+    // 0,1,1,2,4899 → MAD 1; giant M = .6745·4899
+    assert(got(5L)._2 && got(5L)._1.get > 1000)
+    assert(!got(1L)._2 && !got(2L)._2 && !got(4L)._2)
+    assert(got(4L)._1.get === 0.6745) // (102−101)/1 on the 1e-6 grid
+    assert(got(3L)._1.get === -(0.6745 * 2)) // 99 is 2 below the median
+    // B: median 7, MAD 0 → NULL score, deviation flags
+    assert(got(6L)._1.isEmpty && !got(6L)._2)
+    assert(got(9L)._1.isEmpty && got(9L)._2)
+  }
+
   test("robustStats: even-count stratum takes the lower median") {
     import spark.implicits._
     import graft.text.Drift
