@@ -2074,7 +2074,44 @@ object SparkEntry {
         table(s, dir, "documents").withColumn("len2",
           when(col("doc_id") % 100 === 0, col("n_chars") * 50)
             .otherwise(col("n_chars"))),
-        "source", "len2", "doc_id"))
+        "source", "len2", "doc_id")),
+    "q_mojibake" -> ((s, dir) => {
+      // ftfy-lite: cp1252-mojibake artifacts planted on the first 40
+      // docs; detector counts before/after and the fully repaired text
+      // are all hash-checked through the identical replace chain
+      import graft.text.TextAnalysis
+      val artE = TextAnalysis.MojibakePairs
+        .find(_._2 == "é").get._1
+      val artD = TextAnalysis.MojibakePairs
+        .find(_._2 == "—").get._1
+      val corpus = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") < 40,
+          concat(col("text"), lit(s" caf$artE $artD broken")))
+          .otherwise(col("text")).as("text"))
+      corpus.select(col("doc_id"),
+        TextAnalysis.mojibakeCount(col("text")).as("n_moji_before"),
+        TextAnalysis.mojibakeCount(
+          TextAnalysis.repairMojibake(col("text"))).as("n_moji_after"),
+        TextAnalysis.repairMojibake(col("text")).as("text_repaired"))
+    }),
+    "q_winsorize" -> ((s, dir) =>
+      // per-source [p05, p95] winsorization of the amplified length
+      // signal — exact grid quantiles, broadcast clamp; every clamped
+      // value and clip flag hash-checked
+      graft.text.Drift.winsorize(
+        table(s, dir, "documents").withColumn("len2",
+          when(col("doc_id") % 100 === 0, col("n_chars") * 50)
+            .otherwise(col("n_chars"))),
+        "source", "len2", "doc_id", pLo = 0.05, pHi = 0.95)),
+    "q_corpus_kmv" -> ((s, dir) => {
+      // KMV corpus-overlap estimate between two overlapping doc-id
+      // windows (100 shared of 300 each): bottom-128 of the fingerprint
+      // union, deterministic md5 order — estimate and counts exact
+      val docs = table(s, dir, "documents")
+      graft.dedup.Dedup.corpusJaccardKmv(
+        docs.filter(col("doc_id") < 300),
+        docs.filter(col("doc_id") >= 200), "text", k = 128)
+    })
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -2558,6 +2595,36 @@ object SparkEntry {
        |    ($epochs * 1000000.0), 6) AS variability,
        |  round(nc / ${epochs}.0, 6) AS correctness
        |FROM st""".stripMargin
+  }
+
+  /** Mojibake repair replayed from the SAME generated pair table: the
+    * planted artifact suffix, the three marker-count length tricks and
+    * the full literal replace chain in the identical fold order. */
+  private def mojibakeOracle: String = {
+    import graft.text.TextAnalysis
+    def sq(s: String) = s.replace("'", "''")
+    val artE = TextAnalysis.MojibakePairs.find(_._2 == "é").get._1
+    val artD = TextAnalysis.MojibakePairs.find(_._2 == "—").get._1
+    val planted = sq(s" caf$artE $artD broken")
+    def repaired(src: String): String =
+      TextAnalysis.MojibakePairs.foldLeft(src) {
+        case (acc, (from, to)) =>
+          s"replace($acc, '${sq(from)}', '${sq(to)}')"
+      }
+    def cnt(src: String): String = {
+      def occ(marker: String, mlen: Int) =
+        s"(length($src) - length(replace($src, '${sq(marker)}', ''))) / $mlen"
+      s"(${occ("Ã", 1)} + ${occ("â€", 2)} + ${occ("Â", 1)})::BIGINT"
+    }
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id < 40 THEN text || '$planted'
+       |      ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id, ${cnt("text")} AS n_moji_before,
+       |  ${cnt(repaired("text"))} AS n_moji_after,
+       |  ${repaired("text")} AS text_repaired
+       |FROM corpus""".stripMargin
   }
 
   /** The Morton interleave replayed term-for-term: each dim clamped to
@@ -3482,6 +3549,59 @@ object SparkEntry {
         |    (ORDER BY est DESC, term ASC) AS rank
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
+    "q_mojibake" -> mojibakeOracle,
+    "q_winsorize" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 100 = 0 THEN n_chars * 50
+        |      ELSE n_chars END AS len2
+        |  FROM documents),
+        |g AS (SELECT coalesce(source, '__null__') AS stratum,
+        |    len2::DOUBLE AS v, count(*)::BIGINT AS c
+        |  FROM src WHERE len2 IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT stratum, sum(c)::BIGINT AS n FROM g GROUP BY 1),
+        |c1 AS (SELECT g.stratum, g.v,
+        |    sum(g.c) OVER (PARTITION BY g.stratum
+        |      ORDER BY g.v ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cm,
+        |    t.n
+        |  FROM g JOIN t USING (stratum)),
+        |lo AS (SELECT stratum, min(v) AS lo FROM c1
+        |  WHERE cm >= ceil(0.05 * n::DOUBLE)::BIGINT GROUP BY 1),
+        |hi AS (SELECT stratum, min(v) AS hi FROM c1
+        |  WHERE cm >= ceil(0.95 * n::DOUBLE)::BIGINT GROUP BY 1),
+        |band AS (SELECT lo.stratum, lo.lo, hi.hi
+        |  FROM lo JOIN hi USING (stratum))
+        |SELECT b.stratum, s.doc_id, s.len2::DOUBLE AS signal,
+        |  b.lo, b.hi,
+        |  least(greatest(s.len2::DOUBLE, b.lo), b.hi) AS winsorized,
+        |  (s.len2::DOUBLE < b.lo OR s.len2::DOUBLE > b.hi) AS clipped
+        |FROM src s JOIN band b
+        |  ON b.stratum = coalesce(s.source, '__null__')
+        |WHERE s.len2 IS NOT NULL""".stripMargin,
+    "q_corpus_kmv" ->
+      """WITH ha AS MATERIALIZED (
+        |  SELECT DISTINCT ('0x' || substr(md5(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |      1, 16))::UBIGINT AS h
+        |  FROM documents WHERE doc_id < 300),
+        |hb AS MATERIALIZED (
+        |  SELECT DISTINCT ('0x' || substr(md5(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |      1, 16))::UBIGINT AS h
+        |  FROM documents WHERE doc_id >= 200),
+        |merged AS (
+        |  SELECT h, max(a)::BIGINT AS a, max(b)::BIGINT AS b FROM (
+        |    SELECT h, 1 AS a, 0 AS b FROM ha
+        |    UNION ALL SELECT h, 0, 1 FROM hb)
+        |  GROUP BY h),
+        |bottom AS (SELECT * FROM merged ORDER BY h ASC LIMIT 128),
+        |cnts AS (SELECT (SELECT count(*) FROM ha)::BIGINT AS n_a,
+        |  (SELECT count(*) FROM hb)::BIGINT AS n_b)
+        |SELECT count(*)::BIGINT AS k_used, cnts.n_a, cnts.n_b,
+        |  sum(a * b)::BIGINT AS n_common_topk,
+        |  round(sum(a * b) / count(*)::DOUBLE, 6) AS jaccard_est
+        |FROM bottom CROSS JOIN cnts
+        |GROUP BY cnts.n_a, cnts.n_b""".stripMargin,
     "q_robust_outliers" ->
       """WITH src AS MATERIALIZED (
         |  SELECT doc_id, source,

@@ -566,6 +566,53 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** KMV (k-minimum-values) corpus-similarity estimate — "how much does
+    * snapshot B overlap snapshot A?" WITHOUT the full-intersection
+    * join: over the union of both sides' distinct content fingerprints,
+    * keep the k smallest hashes (unsigned md5 order); the fraction of
+    * that bottom-k present on BOTH sides estimates the Jaccard of the
+    * two corpora (Beyer et al. 2007 — the classic distinct-sketch
+    * argument: the bottom-k of the union is a uniform sample of it).
+    * Error ~1/√k, and — unlike HLL — the construction is DETERMINISTIC
+    * (md5 order, ties impossible on distinct hashes), so it oracles
+    * exactly.
+    *
+    * Plan: one distinct-fingerprint aggregate per side, one hash-keyed
+    * flag merge, then a TakeOrdered(k) — the only thing that ever
+    * leaves the executors is k rows plus two counts. The exact
+    * distinct counts ride along (they are one aggregate each — cheap;
+    * the JOIN is what KMV avoids). Returns one row:
+    * (k_used, n_a, n_b, n_common_topk, jaccard_est). */
+  def corpusJaccardKmv(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 16, s"k must be >= 16 for a usable estimate, got $k")
+    def hashes(df: DataFrame) = df.select(
+        graft.functions.HashExpressions.md5Long(
+          graft.text.TextAnalysis.normalizeText(col(textCol))).as("h"))
+      .distinct()
+    val merged = hashes(a).select(col("h"), lit(1L).as("__a"),
+        lit(0L).as("__b"))
+      .unionByName(hashes(b).select(col("h"), lit(0L).as("__a"),
+        lit(1L).as("__b")))
+      .groupBy(col("h"))
+      .agg(max(col("__a")).as("__a"), max(col("__b")).as("__b"))
+    // bottom-k in UNSIGNED hash order: the sign-bit flip makes signed
+    // ordering equal unsigned ordering (TakeOrderedAndProject, never a
+    // full sort)
+    val bottom = merged
+      .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)).asc).limit(k)
+    val counts = hashes(a).agg(count(lit(1)).as("n_a"))
+      .crossJoin(hashes(b).agg(count(lit(1)).as("n_b")))
+    bottom.groupBy()
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("__a") * col("__b")).as("n_common_topk"))
+      .crossJoin(broadcast(counts))
+      .select(col("k_used"), col("n_a"), col("n_b"),
+        col("n_common_topk"),
+        round(col("n_common_topk").cast("double") / col("k_used"), 6)
+          .as("jaccard_est"))
+  }
+
   /** Per-document duplicate-n-gram fraction — the MEMORIZATION-RISK
     * signal (Lee et al. 2022 / the Quantifying-Memorization line: what a
     * model memorizes first is text whose n-grams repeat across the

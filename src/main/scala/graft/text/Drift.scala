@@ -269,6 +269,53 @@ object Drift {
         col("mad"))
   }
 
+  /** Per-stratum WINSORIZATION: clamp a grid-valued signal to its
+    * stratum's exact [pLo, pHi] quantile band — the standard tail
+    * treatment before means/regressions on heavy-tailed corpus signals
+    * (one 100 MB page stops dominating a source's mean length while the
+    * row itself survives, unlike a drop filter). Quantiles are the
+    * LOWER grid quantiles (smallest value whose cumulative count
+    * reaches ⌈p·n⌉ — the [[robustStats]] convention, computed on the
+    * distinct-value grid: no corpus sort, no collection); the clamp is
+    * a broadcast S-row join + map-only `least`/`greatest`. Returns
+    * (stratum, idCol, signal, lo, hi, winsorized, clipped). */
+  def winsorize(df: DataFrame, stratumCol: String, signalCol: String,
+      idCol: String, pLo: Double = 0.01, pHi: Double = 0.99)
+      : DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val grid = df.filter(col(signalCol).isNotNull)
+      .select(coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
+        col(signalCol).cast("double").as("__v"))
+      .groupBy(col("stratum"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = grid.groupBy(col("stratum")).agg(sum(col("__c")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = grid.withColumn("__cum", sum(col("__c")).over(w))
+      .join(tot, Seq("stratum"))
+    def quantile(p: Double, out: String): DataFrame = cum
+      .filter(col("__cum") >=
+        ceil(lit(p) * col("__n").cast("double")).cast("long"))
+      .groupBy(col("stratum")).agg(min(col("__v")).as(out))
+    val band = quantile(pLo, "lo").join(quantile(pHi, "hi"),
+      Seq("stratum"))
+    df.filter(col(signalCol).isNotNull)
+      .select(coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
+        col(idCol), col(signalCol).cast("double").as("signal"))
+      .join(broadcast(band), Seq("stratum"))
+      .select(col("stratum"), col(idCol), col("signal"), col("lo"),
+        col("hi"),
+        least(greatest(col("signal"), col("lo")), col("hi"))
+          .as("winsorized"),
+        (col("signal") < col("lo") || col("signal") > col("hi"))
+          .as("clipped"))
+  }
+
   /** Per-row robust outlier flags from [[robustStats]] — the modified
     * z-score of Iglewicz & Hoaglin (1993): `M = 0.6745·(v − median)/MAD`,
     * flagged when |M| > `zThreshold` (their recommended 3.5). The

@@ -87,6 +87,75 @@ object TextAnalysis {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(lower(c)), "\\s+"))
 
+  /** cp1252 mapping of the 0x80-0x9F control range — what a UTF-8
+    * continuation byte DISPLAYS as when mis-decoded by Windows-1252
+    * (the usual web mojibake path; plain Latin-1 bytes map to
+    * themselves). */
+  private val Cp1252: Map[Int, Char] = Map(
+    0x80 -> '\u20ac', 0x82 -> '\u201a', 0x83 -> '\u0192',
+    0x84 -> '\u201e', 0x85 -> '\u2026', 0x86 -> '\u2020',
+    0x87 -> '\u2021', 0x88 -> '\u02c6', 0x89 -> '\u2030',
+    0x8a -> '\u0160', 0x8b -> '\u2039', 0x8c -> '\u0152',
+    0x8e -> '\u017d', 0x91 -> '\u2018', 0x92 -> '\u2019',
+    0x93 -> '\u201c', 0x94 -> '\u201d', 0x95 -> '\u2022',
+    0x96 -> '\u2013', 0x97 -> '\u2014', 0x98 -> '\u02dc',
+    0x99 -> '\u2122', 0x9a -> '\u0161', 0x9b -> '\u203a',
+    0x9c -> '\u0153', 0x9e -> '\u017e', 0x9f -> '\u0178')
+
+  /** The mojibake artifact a character shows as after the
+    * UTF-8-decoded-as-cp1252 round trip: each UTF-8 byte rendered as
+    * its cp1252 glyph. */
+  private def mojibakeOf(ch: Char): String =
+    ch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map { b =>
+        val u = b & 0xff
+        if (u < 0x80) u.toChar else Cp1252.getOrElse(u, u.toChar)
+      }.mkString
+
+  /** The mojibake repair table — UTF-8 bytes mis-decoded as cp1252
+    * (the single most common web-crawl encoding damage: "caf\u00e9"
+    * shipped as "caf\u00c3\u00a9"), GENERATED from the target
+    * characters so the artifacts are exact by construction. Ordered
+    * longest-artifact-first so three-byte artifacts repair before any
+    * two-byte prefix could mangle them; ties order by artifact string
+    * for a fixed fold. Deliberately conservative: punctuation, western
+    * accents and NBSP only — sequences that essentially never occur in
+    * intentional text. NBSP repairs to a PLAIN space. */
+  val MojibakePairs: Seq[(String, String)] = {
+    val targets = Seq('\u2018', '\u2019', '\u201c', '\u201d',
+      '\u2013', '\u2014', '\u2026', '\u00e1', '\u00e9', '\u00ed',
+      '\u00f3', '\u00fa', '\u00f1', '\u00fc', '\u00f6', '\u00e4',
+      '\u00e7', '\u00e0', '\u00e8', '\u00eb', '\u00ef', '\u00f4',
+      '\u00fb', '\u00df', '\u00b0', '\u00b7')
+    val pairs = targets.map(ch => mojibakeOf(ch) -> ch.toString) :+
+      (mojibakeOf('\u00a0') -> " ")
+    pairs.sortBy { case (from, _) => (-from.length, from) }
+  }
+
+  /** Count of mojibake artifact markers in the text — the detector the
+    * repair decision and the telemetry share: occurrences of the
+    * tell-tale lead characters U+00C3 and U+00C2 plus the U+00E2
+    * U+20AC pair (computed by the length-difference idiom, one native
+    * pass per marker). */
+  def mojibakeCount(c: Column): Column = {
+    def occurrences(marker: String): Column =
+      (length(c) - length(regexp_replace(c,
+        java.util.regex.Pattern.quote(marker), ""))) / marker.length
+    (occurrences("\u00c3") + occurrences("\u00e2\u20ac") +
+      occurrences("\u00c2")).cast("long")
+  }
+
+  /** Repair double-encoded UTF-8 (ftfy's core case, reduced to the
+    * deterministic table of [[MojibakePairs]]): a left fold of literal
+    * replaces in the table's fixed order — map-only, no shuffle, and
+    * the DuckDB oracle replays the identical replace chain. Text
+    * without artifacts passes through byte-identical. */
+  def repairMojibake(c: Column): Column =
+    MojibakePairs.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))
+    }
+
   /** Shannon entropy (nats) of the document's raw CHARACTER
     * distribution — the cheap gibberish detector: natural language sits
     * ≈ 2.8–3.3 nats, base64/hex blobs push toward ln(charset) with a

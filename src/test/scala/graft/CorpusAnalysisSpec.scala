@@ -532,6 +532,25 @@ class CorpusAnalysisSpec extends SparkSuite {
     assert(got(9L)._1.isEmpty && got(9L)._2)
   }
 
+  test("winsorize: exact grid quantile band, clamp and flags; the " +
+      "giant survives clamped instead of dropped") {
+    import spark.implicits._
+    import graft.text.Drift
+    // 1..100 in one stratum: p05 -> 5 (cum>=ceil(5)), p95 -> 95
+    val df = ((1L to 100L).map(v => (v, v, "A")) :+ ((999L, 100000L, "A")))
+      .toDF("id", "v", "src")
+    val got = Drift.winsorize(df, "src", "v", "id",
+        pLo = 0.05, pHi = 0.95)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    // n=101: ceil(.05*101)=6 -> lo=6; ceil(.95*101)=96 -> hi=96
+    assert(got(50L) === ((6.0, 96.0, 50.0, false)))
+    assert(got(3L) === ((6.0, 96.0, 6.0, true)))
+    assert(got(999L) === ((6.0, 96.0, 96.0, true)))
+    assert(got.size === 101)
+  }
+
   test("robustStats: even-count stratum takes the lower median") {
     import spark.implicits._
     import graft.text.Drift

@@ -103,6 +103,28 @@ class DedupSpec extends SparkSuite {
     assert(none.count() === 0)
   }
 
+  test("corpusJaccardKmv: k covering the union makes the estimate " +
+      "exact; bottom-k is layout-invariant") {
+    import spark.implicits._
+    // A: t1..t6, B: t4..t9 → |∩| = 3, |∪| = 9, J = 1/3
+    val a = (1 to 6).map(i => (i.toLong, s"text number $i"))
+      .toDF("doc_id", "text")
+    val b = (4 to 9).map(i => (i.toLong, s"text number $i"))
+      .toDF("doc_id", "text")
+    val r = Dedup.corpusJaccardKmv(a, b, "text", k = 16).head()
+    assert(r.getAs[Long]("k_used") === 9L) // whole union fits
+    assert(r.getAs[Long]("n_a") === 6L && r.getAs[Long]("n_b") === 6L)
+    assert(r.getAs[Long]("n_common_topk") === 3L)
+    assert(r.getAs[Double]("jaccard_est") === 0.333333)
+    val r2 = Dedup.corpusJaccardKmv(a.repartition(5), b.repartition(3),
+      "text", k = 16).head()
+    assert(r2.toSeq === r.toSeq)
+    // duplicate TEXTS collapse to one fingerprint before the sketch
+    val dupA = a.unionByName(a)
+    val r3 = Dedup.corpusJaccardKmv(dupA, b, "text", k = 16).head()
+    assert(r3.toSeq === r.toSeq)
+  }
+
   test("dupNgramFraction: copies and their originals hit 1.0, unique " +
       "prose 0, gram-less docs keep a zero row") {
     import spark.implicits._

@@ -482,4 +482,44 @@ class TextMultimodalSpec extends SparkSuite {
       .collect()
     assert(again.forall(r => r.getLong(0) + r.getLong(1) + r.getLong(2) == 0))
   }
+
+  // ------------------------------------------ TextAnalysis mojibake
+
+  test("mojibake: repair inverts the cp1252 round trip; clean text " +
+      "passes byte-identical; repair is idempotent") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    // build the damaged form OF a clean string exactly the way the web
+    // damages it: UTF-8 bytes re-decoded as cp1252
+    val clean = "café — “quoted” ño… 15°"
+    def damage(s: String): String =
+      TextAnalysis.MojibakePairs.foldLeft(s) { case (acc, (from, to)) =>
+        if (to == " ") acc else acc.replace(to, from)
+      }
+    val broken = damage(clean)
+    assert(broken != clean)
+    val df = Seq((1L, broken), (2L, clean), (3L, "plain ascii, 100%"))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        TextAnalysis.repairMojibake(col("t")).as("r"),
+        TextAnalysis.mojibakeCount(col("t")).as("nb"),
+        TextAnalysis.mojibakeCount(
+          TextAnalysis.repairMojibake(col("t"))).as("na"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 === clean)
+    assert(out(1L)._2 > 0 && out(1L)._3 === 0L)
+    assert(out(2L)._1 === clean && out(2L)._2 === 0L)
+    assert(out(3L)._1 === "plain ascii, 100%")
+    // idempotency: repairing repaired text changes nothing
+    val twice = df.select(TextAnalysis.repairMojibake(
+        TextAnalysis.repairMojibake(col("t"))).as("r2"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice === out.values.map(_._1).toSet)
+    // the NBSP artifact repairs to a PLAIN space
+    val nbspArt = TextAnalysis.MojibakePairs.find(_._2 == " ").get._1
+    val sp = Seq(Tuple1(s"a${nbspArt}b")).toDF("t")
+      .select(TextAnalysis.repairMojibake(col("t"))).head().getString(0)
+    assert(sp === "a b")
+  }
 }
