@@ -2111,7 +2111,12 @@ object SparkEntry {
       graft.dedup.Dedup.corpusJaccardKmv(
         docs.filter(col("doc_id") < 300),
         docs.filter(col("doc_id") >= 200), "text", k = 128)
-    })
+    }),
+    "q_mlm_mask" -> ((s, dir) =>
+      // BERT MLM masking: per-(doc, position) seeded 15% selection with
+      // the 80/10/10 mask/random/keep split — masked text, counts and
+      // the pos:original label stream all hash-checked
+      graft.text.Chunking.mlmMask(table(s, dir, "documents")))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -4709,6 +4714,37 @@ object SparkEntry {
         |    ELSE coalesce(array_to_string(ttoks, ' '), '') || ' <extra_id_' || nm::VARCHAR || '>'
         |  END AS target_text
         |FROM s""".stripMargin,
+    // MLM: per-(doc#pos) uniform replays (seeds 42/43/44), the 80/10/10
+    // action split, the doc-multiset random draw and both reassemblies
+    "q_mlm_mask" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |d AS (SELECT doc_id, ts, len(ts) AS n,
+        |    [{'i': i,
+        |      'sel': (('0x' || substr(md5(concat_ws('|', concat_ws('#', doc_id, i), 42)), 1, 16))::UBIGINT >> 11) / 9007199254740992.0 < 0.15,
+        |      'u2': (('0x' || substr(md5(concat_ws('|', concat_ws('#', doc_id, i), 43)), 1, 16))::UBIGINT >> 11) / 9007199254740992.0,
+        |      'u3': (('0x' || substr(md5(concat_ws('|', concat_ws('#', doc_id, i), 44)), 1, 16))::UBIGINT >> 11) / 9007199254740992.0}
+        |      for i in range(1, len(ts) + 1)] AS dec
+        |  FROM base),
+        |m AS (SELECT doc_id, ts, n, dec,
+        |    [CASE WHEN NOT x.sel THEN ts[x.i]
+        |       WHEN x.u2 < 0.8 THEN '[MASK]'
+        |       WHEN x.u2 < 0.9 THEN ts[(1 + floor(x.u3 * n))::INT]
+        |       ELSE ts[x.i] END for x in dec] AS toks,
+        |    [x.i::VARCHAR || ':' || ts[x.i] for x in dec if x.sel]
+        |      AS labs
+        |  FROM d)
+        |SELECT doc_id, n::BIGINT AS n_tokens,
+        |  len(list_filter(dec, x -> x.sel))::BIGINT AS n_selected,
+        |  len(list_filter(dec, x -> x.sel AND x.u2 < 0.8))::BIGINT
+        |    AS n_mask,
+        |  len(list_filter(dec, x -> x.sel AND x.u2 >= 0.8
+        |    AND x.u2 < 0.9))::BIGINT AS n_random,
+        |  coalesce(array_to_string(toks, ' '), '') AS text_masked,
+        |  coalesce(array_to_string(labs, ' '), '') AS labels
+        |FROM m""".stripMargin,
     // FIM: the hashUniform replay (md5 hex → UBIGINT >> 11 / 2^53) for
     // the apply decision (seed 42) and both cuts (seeds 43/44); same
     // floor(u·(len+1)) arithmetic, same 1-based substr splice

@@ -165,4 +165,73 @@ object Chunking {
         col("__o.input_text").as("input_text"),
         col("__o.target_text").as("target_text"))
   }
+
+  /** BERT-style MLM masking (Devlin et al. 2018 §3.1) — the third
+    * classic augmentation next to [[fimTransform]] and [[spanCorrupt]]:
+    * each whitespace token is SELECTED with probability `rate`
+    * (seeded md5 uniform of (doc, position) — deterministic,
+    * replayable); a selected token becomes `maskTok` 80% of the time,
+    * a RANDOM token 10% (drawn deterministically from the document's
+    * own token multiset — the distributed stand-in for a vocab draw;
+    * no broadcast, no shuffle), and stays itself 10% (the
+    * keep-but-predict case). `labels` records every selected position
+    * as `pos:original` — the MLM prediction targets.
+    *
+    * Map-only: every decision is a pure per-(doc, position) expression
+    * over the token array; nothing shuffles, nothing is sequential.
+    * Returns (idCol, n_tokens, n_selected, n_mask, n_random,
+    * text_masked, labels). */
+  def mlmMask(docs: org.apache.spark.sql.DataFrame, rate: Double = 0.15,
+      seed: Long = 42L, textCol: String = "text",
+      idCol: String = "doc_id", maskTok: String = "[MASK]")
+      : org.apache.spark.sql.DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    import graft.operators.Sampling.hashUniform
+    def bind(c: Column)(f: Column => Column): Column =
+      element_at(transform(array(c), f), 1)
+    val ts = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val out = bind(ts) { t =>
+      val n = size(t)
+      val idx = when(n === 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), n, lit(1)))
+      bind(transform(idx, i => {
+        val key = concat_ws("#", col(idCol), i)
+        val sel = hashUniform(key, seed) < rate
+        val u2 = hashUniform(key, seed + 1)
+        val u3 = hashUniform(key, seed + 2)
+        val tok = element_at(t, i)
+        struct(
+          when(!sel, tok)
+            .when(u2 < 0.8, lit(maskTok))
+            .when(u2 < 0.9,
+              element_at(t, (lit(1) + floor(u3 * n)).cast("int")))
+            .otherwise(tok).as("out"),
+          sel.as("sel"),
+          (sel && u2 < 0.8).as("is_mask"),
+          (sel && u2 >= 0.8 && u2 < 0.9).as("is_rand"),
+          when(sel, concat(i.cast("string"), lit(":"), tok)).as("lab"))
+      })) { dec =>
+        struct(n.cast("long").as("n_tokens"),
+          size(filter(dec, x => x.getField("sel"))).cast("long")
+            .as("n_selected"),
+          size(filter(dec, x => x.getField("is_mask"))).cast("long")
+            .as("n_mask"),
+          size(filter(dec, x => x.getField("is_rand"))).cast("long")
+            .as("n_random"),
+          array_join(transform(dec, x => x.getField("out")), " ")
+            .as("text_masked"),
+          array_join(filter(transform(dec, x => x.getField("lab")),
+            x => x.isNotNull), " ").as("labels"))
+      }
+    }
+    docs.select(col(idCol), out.as("__o"))
+      .select(col(idCol), col("__o.n_tokens").as("n_tokens"),
+        col("__o.n_selected").as("n_selected"),
+        col("__o.n_mask").as("n_mask"),
+        col("__o.n_random").as("n_random"),
+        col("__o.text_masked").as("text_masked"),
+        col("__o.labels").as("labels"))
+  }
 }

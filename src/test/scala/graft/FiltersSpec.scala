@@ -365,6 +365,50 @@ class FiltersSpec extends SparkSuite {
       e.getString(3) === "" && e.getString(4) === "")
   }
 
+  test("mlmMask: seeded determinism, 80/10/10 bookkeeping, labels " +
+      "carry the originals, empty doc is a zero row") {
+    import graft.text.Chunking
+    import spark.implicits._
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to 40).map(j => s"w$j").mkString(" "))) :+ ((99L, " "))
+    val df = docs.toDF("doc_id", "text")
+    val rows = Chunking.mlmMask(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // empty doc: zero counts, empty outputs
+    val e = rows(99L)
+    assert(e.getLong(1) === 0L && e.getString(5) === "" &&
+      e.getString(6) === "")
+    // selection bookkeeping: n_mask + n_random <= n_selected; the
+    // keep-10% case explains the remainder
+    rows.values.foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) <= r.getLong(2))
+      // one label per selected position
+      val labs = r.getString(6)
+      val nLabs = if (labs.isEmpty) 0 else labs.split(" ").length
+      assert(nLabs.toLong === r.getLong(2), s"doc ${r.getLong(0)}")
+      // token count preserved in the masked text
+      val nOut = if (r.getString(5).isEmpty) 0
+        else r.getString(5).split(" ").length
+      assert(nOut.toLong === r.getLong(1))
+    }
+    // aggregate rate ≈ 15% over 2000 positions (4σ bounds)
+    val totSel = rows.values.filter(_.getLong(0) != 99L)
+      .map(_.getLong(2)).sum
+    assert(totSel > 230 && totSel < 370, s"selected $totSel of 2000")
+    // unselected positions pass through: rebuild from labels
+    val r1 = rows(1L)
+    val masked = r1.getString(5).split(" ")
+    val selPos = if (r1.getString(6).isEmpty) Set.empty[Int]
+      else r1.getString(6).split(" ").map(_.split(":")(0).toInt).toSet
+    (1 to 40).filterNot(selPos).foreach { i =>
+      assert(masked(i - 1) === s"w$i", s"pos $i changed unselected")
+    }
+    // determinism across layouts
+    val again = Chunking.mlmMask(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(again === rows.view.mapValues(_.getString(5)).toMap)
+  }
+
   // ------------------------------------------- Zipf slope & entropy
 
   test("zipfSlope: OLS on exact counts; short sources yield null") {
