@@ -1673,7 +1673,7 @@ object SparkEntry {
       // quantized updates in SQL.
       val (w, b) = graft.text.Classifier.train(
         table(s, dir, "documents"),
-        (col("lang") === "en").cast("double"),
+        (col("lang") <=> "en").cast("double"),
         buckets = 64, iters = 2, lr = 1.0)
       import s.implicits._
       (w.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq :+
@@ -1716,7 +1716,7 @@ object SparkEntry {
       val scored = table(s, dir, "documents").select(
         round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
           .as("score"),
-        (col("lang") === "en").cast("int").as("label"))
+        (col("lang") <=> "en").cast("int").as("label"))
       graft.text.Eval.binaryMetrics(scored, "score", "label",
         threshold = 0.5)
     }),
@@ -1841,7 +1841,7 @@ object SparkEntry {
       val scored = table(s, dir, "documents").select(
         round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
           .as("score"),
-        (col("lang") === "en").cast("int").as("label"))
+        (col("lang") <=> "en").cast("int").as("label"))
       graft.text.Eval.calibrationBins(scored, "score", "label", bins = 10)
     }),
     "q_ece" -> ((s, dir) => {
@@ -1856,7 +1856,7 @@ object SparkEntry {
       val scored = table(s, dir, "documents").select(
         round(graft.text.Classifier.score(col("text"), 4096, -0.1)(w), 6)
           .as("score"),
-        (col("lang") === "en").cast("int").as("label"))
+        (col("lang") <=> "en").cast("int").as("label"))
       graft.text.Eval.expectedCalibrationError(
         graft.text.Eval.calibrationBins(scored, "score", "label",
           bins = 10))
@@ -1923,10 +1923,10 @@ object SparkEntry {
       // passes, and every statistic is integer micro-unit arithmetic
       val docs = table(s, dir, "documents")
       val traj = graft.text.Classifier.trainTrajectory(docs,
-        (col("lang") === "en").cast("double"),
+        (col("lang") <=> "en").cast("double"),
         buckets = 64, iters = 3, lr = 1.0)
       graft.text.Classifier.cartography(docs,
-        (col("lang") === "en").cast("int"), traj)
+        (col("lang") <=> "en").cast("int"), traj)
     }),
     "q_containment" -> ((s, dir) => {
       // asymmetric n-gram containment: 80-char prefix fragments of the
@@ -1959,11 +1959,11 @@ object SparkEntry {
       // the quantized ḡ and every alignment
       val docs = table(s, dir, "documents")
       val (w, b) = graft.text.Classifier.train(docs,
-        (col("lang") === "en").cast("double"),
+        (col("lang") <=> "en").cast("double"),
         buckets = 64, iters = 2, lr = 1.0)
       graft.text.Classifier.gradientAlignment(docs,
         docs.filter(col("doc_id") < 50), w, b,
-        (col("lang") === "en").cast("double"))
+        (col("lang") <=> "en").cast("double"))
     }),
     "q_length_batches" -> ((s, dir) =>
       // dynamic-batching assignment: global (tokens asc, id) rank via

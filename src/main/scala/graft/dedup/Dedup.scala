@@ -586,8 +586,11 @@ object Dedup {
   def corpusJaccardKmv(a: DataFrame, b: DataFrame, textCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 16, s"k must be >= 16 for a usable estimate, got $k")
-    def hashes(df: DataFrame) = df.select(
-        graft.functions.HashExpressions.md5Long(
+    // NULL texts are excluded BEFORE hashing: a NULL hash would sort
+    // into the bottom-k differently per engine (Spark NULLS FIRST vs
+    // DuckDB NULLS LAST) and carries no content anyway
+    def hashes(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(graft.functions.HashExpressions.md5Long(
           graft.text.TextAnalysis.normalizeText(col(textCol))).as("h"))
       .distinct()
     val merged = hashes(a).select(col("h"), lit(1L).as("__a"),

@@ -195,8 +195,10 @@ object Packing {
   def lengthGroupedBatches(df: DataFrame, batchSize: Int,
       tokenCol: Column, idCol: String = "doc_id"): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    // NULL token counts coalesce to 0 — a NULL bucket key would
+    // silently drop the row at the two-phase offset join
     val t = df.select(col(idCol).cast("long").as("__id"),
-        tokenCol.cast("long").as("__n"))
+        coalesce(tokenCol.cast("long"), lit(0L)).as("__n"))
       .withColumn("__s", lit("_"))
       .withColumn("__b", shiftright(col("__n"), 4))
     val ranked = Sampling.stratumBucketRank(t, "__s", "__b",

@@ -31,8 +31,11 @@ object ZOrder {
       s"k*bits must fit a positive long: k=${dims.size}, bits=$bits")
     val k = dims.size
     val lim = (1L << bits) - 1L
+    // NULL dims clamp to the origin (not a NULL z that a range
+    // partitioner would segregate arbitrarily)
     val clamped = dims.map(d =>
-      least(greatest(d.cast("long"), lit(0L)), lit(lim)))
+      least(greatest(coalesce(d.cast("long"), lit(0L)), lit(0L)),
+        lit(lim)))
     val terms = for {
       i <- 0 until bits
       (d, j) <- clamped.zipWithIndex

@@ -166,7 +166,10 @@ object TextAnalysis {
     * is deterministic so the value is engine-exact under a final
     * rounding. Empty text scores 0. */
   def charEntropy(c: Column): Column = {
-    val chars = when(length(c) === 0, array().cast("array<string>"))
+    // NULL text scores 0 like empty text (missing content carries no
+    // distribution — and the grouped-oracle formulation agrees)
+    val chars = when(c.isNull || length(c) === 0,
+        array().cast("array<string>"))
       .otherwise(array_sort(split(c, "")))
     bind(chars) { cs =>
       val n = size(cs).cast("double")

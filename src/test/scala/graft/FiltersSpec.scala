@@ -365,6 +365,37 @@ class FiltersSpec extends SparkSuite {
       e.getString(3) === "" && e.getString(4) === "")
   }
 
+  test("null-key conventions: batching keeps null-count rows, zorder " +
+      "nulls land at the origin, KMV and charEntropy ignore null text, " +
+      "classifier labels treat null lang as class 0") {
+    import spark.implicits._
+    // lengthGroupedBatches: a NULL token count must NOT vanish at the
+    // two-phase offset join — it batches as 0 tokens
+    val lb = graft.operators.Packing.lengthGroupedBatches(
+      Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+        .toDF("doc_id", "tok"), 2, col("tok"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(lb === 3L)
+    // zorder: null dim = origin coordinate, z stays non-null
+    val z = Seq((Some(3L), None.asInstanceOf[Option[Long]]))
+      .toDF("x", "y")
+      .select(graft.operators.ZOrder.zValue(Seq(col("x"), col("y")), 3))
+      .head()
+    assert(!z.isNullAt(0) && z.getLong(0) === 5L) // interleave(3, 0)
+    // KMV: null texts occupy no bottom-k slot on either side
+    val a = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "x")).toDF("doc_id", "text")
+    val kmv = graft.dedup.Dedup.corpusJaccardKmv(a, b, "text", k = 16)
+      .head()
+    assert(kmv.getAs[Long]("n_a") === 1L &&
+      kmv.getAs[Double]("jaccard_est") === 1.0)
+    // charEntropy(NULL) = 0.0, not NULL
+    val ce = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(graft.text.TextAnalysis.charEntropy(col("t"))).head()
+    assert(!ce.isNullAt(0) && ce.getDouble(0) === 0.0)
+  }
+
   test("mlmMask: seeded determinism, 80/10/10 bookkeeping, labels " +
       "carry the originals, empty doc is a zero row") {
     import graft.text.Chunking
