@@ -2116,7 +2116,13 @@ object SparkEntry {
       // BERT MLM masking: per-(doc, position) seeded 15% selection with
       // the 80/10/10 mask/random/keep split — masked text, counts and
       // the pos:original label stream all hash-checked
-      graft.text.Chunking.mlmMask(table(s, dir, "documents")))
+      graft.text.Chunking.mlmMask(table(s, dir, "documents"))),
+    "q_epoch_order" -> ((s, dir) =>
+      // the complete 3-epoch training schedule: per-epoch independent
+      // seeded shuffles + the global step counter, ranks via the
+      // two-phase bucket-offset pattern — every step hash-checked
+      graft.operators.Sampling.multiEpochOrder(
+        table(s, dir, "documents"), epochs = 3))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3555,6 +3561,18 @@ object SparkEntry {
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_mojibake" -> mojibakeOracle,
+    "q_epoch_order" ->
+      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |eu AS (SELECT e.i::BIGINT AS epoch, doc_id,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42 + e.i)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u
+        |  FROM documents CROSS JOIN range(0, 3) e(i)),
+        |r AS (SELECT epoch, doc_id, u, row_number() OVER
+        |    (PARTITION BY epoch ORDER BY u, doc_id) AS rk
+        |  FROM eu)
+        |SELECT epoch, doc_id, u,
+        |  (epoch * (SELECT n FROM nn) + rk - 1)::BIGINT AS step
+        |FROM r""".stripMargin,
     "q_winsorize" ->
       """WITH src AS MATERIALIZED (
         |  SELECT doc_id, source,

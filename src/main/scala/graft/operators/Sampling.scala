@@ -105,6 +105,40 @@ object Sampling {
         col("col.neighbor_id").as(idCol), col("col.cosine").as("u"))
   }
 
+  /** Multi-epoch training order: the complete data order of an E-epoch
+    * run — each epoch is an INDEPENDENT deterministic shuffle (the
+    * seeded md5 uniform at `seed + epoch`, so no two epochs repeat a
+    * permutation — the "reshuffle each epoch" contract every serious
+    * training loop wants, made reproducible), concatenated with a
+    * global 0-based `step` = epoch·N + rank-in-epoch. A data-loader
+    * ordering by `step` replays the exact run; a checkpoint at step s
+    * resumes mid-epoch by filtering `step >= s`.
+    *
+    * Scale: the per-epoch rank uses the [[stratumBucketRank]] two-phase
+    * bucket-offset pattern (stratum = epoch, bucket = the uniform's top
+    * bits — order-aligned) — never a per-epoch single-task window; the
+    * output is E·N rows, the run's actual schedule. Returns
+    * (epoch, idCol, u, step). */
+  def multiEpochOrder(df: DataFrame, epochs: Int,
+      idCol: String = "doc_id", seed: Long = 42L,
+      nBuckets: Int = 1024): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    val n = df.count()
+    val perEpoch = (0 until epochs).map { e =>
+      df.select(lit(e.toLong).as("epoch"),
+        col(idCol).cast("long").as(idCol),
+        hashUniform(col(idCol), seed + e).as("u"))
+    }.reduce(_ unionByName _)
+    val bucketed = perEpoch
+      .withColumn("__s", col("epoch").cast("string"))
+      .withColumn("__b", floor(col("u") * nBuckets).cast("long"))
+    stratumBucketRank(bucketed, "__s", "__b",
+      Seq(col("u").asc, col(idCol).asc), "__rk")
+      .select(col("epoch"), col(idCol), col("u"),
+        (col("epoch") * n + col("__rk") - 1).as("step"))
+  }
+
   /** Exact score threshold for a TARGET KEEP RATE — calibrating a
     * curation gate ("keep the best 30%") without guessing: the largest
     * ROUNDED-grid threshold `t` such that `count(score ≥ t) ≥

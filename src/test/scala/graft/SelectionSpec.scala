@@ -586,6 +586,37 @@ class SelectionSpec extends SparkSuite {
     assert(a.filter(_.getString(4) == "tail").forall(!_.getBoolean(5)))
   }
 
+  // --------------------------------------------- Sampling.multiEpochOrder
+
+  test("multiEpochOrder: every doc once per epoch, contiguous global " +
+      "steps, epochs shuffle independently, layout-invariant") {
+    import spark.implicits._
+    val df = (1L to 60L).toDF("doc_id")
+    val out = graft.operators.Sampling.multiEpochOrder(df, epochs = 3)
+      .collect()
+    assert(out.length === 180)
+    // steps are exactly 0..179, each doc once per epoch
+    assert(out.map(_.getLong(3)).sorted.toSeq === (0L until 180L))
+    (0 until 3).foreach { e =>
+      val ep = out.filter(_.getLong(0) == e)
+      assert(ep.map(_.getLong(1)).sorted.toSeq === (1L to 60L))
+      // epoch e occupies steps [e*60, (e+1)*60)
+      assert(ep.map(_.getLong(3)).min === e * 60L &&
+        ep.map(_.getLong(3)).max === e * 60L + 59L)
+    }
+    // different epochs permute differently
+    def order(e: Int) = out.filter(_.getLong(0) == e)
+      .sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+    assert(order(0) !== order(1))
+    assert(order(1) !== order(2))
+    val again = graft.operators.Sampling.multiEpochOrder(
+        df.repartition(7), epochs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    assert(again === out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(3))).toSet)
+  }
+
   // ------------------------------------------- Sampling.keepRateThreshold
 
   test("keepRateThreshold: largest grid threshold reaching the target; " +
