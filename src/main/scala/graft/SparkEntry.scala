@@ -2122,7 +2122,12 @@ object SparkEntry {
       // seeded shuffles + the global step counter, ranks via the
       // two-phase bucket-offset pattern — every step hash-checked
       graft.operators.Sampling.multiEpochOrder(
-        table(s, dir, "documents"), epochs = 3))
+        table(s, dir, "documents"), epochs = 3)),
+    "q_grid_quantiles" -> ((s, dir) =>
+      // exact per-source p25/p50/p75/p90/p99 of doc length from the
+      // distinct-value grid — the exact twin of the sketch profile
+      graft.text.Drift.gridQuantiles(table(s, dir, "documents"),
+        "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99)))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3561,6 +3566,31 @@ object SparkEntry {
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_mojibake" -> mojibakeOracle,
+    "q_grid_quantiles" ->
+      """WITH g AS (SELECT coalesce(source, '__null__') AS stratum,
+        |    n_chars::DOUBLE AS v, count(*)::BIGINT AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT stratum, sum(c)::BIGINT AS n FROM g GROUP BY 1),
+        |cm AS (SELECT g.stratum, g.v,
+        |    sum(g.c) OVER (PARTITION BY g.stratum
+        |      ORDER BY g.v ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cm,
+        |    t.n
+        |  FROM g JOIN t USING (stratum)),
+        |q25 AS (SELECT stratum, min(v) AS p25 FROM cm
+        |  WHERE cm >= ceil(0.25 * n::DOUBLE)::BIGINT GROUP BY 1),
+        |q50 AS (SELECT stratum, min(v) AS p50 FROM cm
+        |  WHERE cm >= ceil(0.5 * n::DOUBLE)::BIGINT GROUP BY 1),
+        |q75 AS (SELECT stratum, min(v) AS p75 FROM cm
+        |  WHERE cm >= ceil(0.75 * n::DOUBLE)::BIGINT GROUP BY 1),
+        |q90 AS (SELECT stratum, min(v) AS p90 FROM cm
+        |  WHERE cm >= ceil(0.9 * n::DOUBLE)::BIGINT GROUP BY 1),
+        |q99 AS (SELECT stratum, min(v) AS p99 FROM cm
+        |  WHERE cm >= ceil(0.99 * n::DOUBLE)::BIGINT GROUP BY 1)
+        |SELECT t.stratum, t.n, q25.p25, q50.p50, q75.p75, q90.p90,
+        |  q99.p99
+        |FROM t JOIN q25 USING (stratum) JOIN q50 USING (stratum)
+        |  JOIN q75 USING (stratum) JOIN q90 USING (stratum)
+        |  JOIN q99 USING (stratum)""".stripMargin,
     "q_epoch_order" ->
       """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
         |eu AS (SELECT e.i::BIGINT AS epoch, doc_id,

@@ -269,6 +269,44 @@ object Drift {
         col("mad"))
   }
 
+  /** Per-stratum EXACT quantile profile of a grid-valued signal — the
+    * monitoring table (p25/p50/p75/p90/p99 of doc length, score, token
+    * count per source) computed the [[robustStats]] way: lower grid
+    * quantiles (smallest value whose cumulative count reaches ⌈p·n⌉)
+    * from ONE distinct-value-grid aggregate + one cumulative window
+    * over the grid — no corpus sort, no per-stratum collection, exact
+    * where `approxCorpusStats`' sketches are not. One |ps|-way column
+    * pivot via S-row joins. Column names: p25, p50, p99_9 (dots → _). */
+  def gridQuantiles(df: DataFrame, stratumCol: String, signalCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must be in (0, 1]: $ps")
+    val grid = df.filter(col(signalCol).isNotNull)
+      .select(coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
+        col(signalCol).cast("double").as("__v"))
+      .groupBy(col("stratum"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = grid.groupBy(col("stratum")).agg(sum(col("__c")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = grid.withColumn("__cum", sum(col("__c")).over(w))
+      .join(tot, Seq("stratum"))
+      .localCheckpoint(true) // read once per requested quantile
+    def name(p: Double): String =
+      "p" + BigDecimal(p * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+    ps.foldLeft(tot) { (acc, p) =>
+      acc.join(cum
+        .filter(col("__cum") >=
+          ceil(lit(p) * col("n").cast("double")).cast("long"))
+        .groupBy(col("stratum")).agg(min(col("__v")).as(name(p))),
+        Seq("stratum"))
+    }
+  }
+
   /** Per-stratum WINSORIZATION: clamp a grid-valued signal to its
     * stratum's exact [pLo, pHi] quantile band — the standard tail
     * treatment before means/regressions on heavy-tailed corpus signals

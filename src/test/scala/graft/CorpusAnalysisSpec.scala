@@ -551,6 +551,20 @@ class CorpusAnalysisSpec extends SparkSuite {
     assert(got.size === 101)
   }
 
+  test("gridQuantiles: lower quantiles land on exact grid values; " +
+      "p100 is the max; column naming handles fractional percents") {
+    import spark.implicits._
+    import graft.text.Drift
+    val df = (1L to 100L).map(v => (v, "A")).toDF("v", "src")
+    val r = Drift.gridQuantiles(df, "src", "v",
+      Seq(0.25, 0.5, 0.999, 1.0)).head()
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Double]("p25") === 25.0)
+    assert(r.getAs[Double]("p50") === 50.0)
+    assert(r.getAs[Double]("p99_9") === 100.0) // ceil(99.9) = 100
+    assert(r.getAs[Double]("p100") === 100.0)
+  }
+
   test("robustStats: even-count stratum takes the lower median") {
     import spark.implicits._
     import graft.text.Drift
