@@ -2127,7 +2127,12 @@ object SparkEntry {
       // exact per-source p25/p50/p75/p90/p99 of doc length from the
       // distinct-value grid — the exact twin of the sketch profile
       graft.text.Drift.gridQuantiles(table(s, dir, "documents"),
-        "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99)))
+        "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99))),
+    "q_top_terms_by_lang" -> ((s, dir) =>
+      // per-language top-10 terms — the slice vocabulary summary; rank
+      // window over the vocab×S-bounded count table only
+      graft.text.Indexing.topKTermsByStratum(
+        table(s, dir, "documents"), "lang", "text", k = 10))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3566,6 +3571,19 @@ object SparkEntry {
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_mojibake" -> mojibakeOracle,
+    "q_top_terms_by_lang" ->
+      """WITH td AS (SELECT coalesce(lang, '__null__') AS stratum,
+        |    unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |  FROM documents),
+        |c AS (SELECT stratum, term, count(*)::BIGINT AS tf
+        |  FROM td WHERE len(term) > 0 GROUP BY 1, 2),
+        |r AS (SELECT stratum, term, tf, row_number() OVER
+        |    (PARTITION BY stratum ORDER BY tf DESC, term ASC) AS rank
+        |  FROM c)
+        |SELECT stratum, rank::INT AS rank, term, tf
+        |FROM r WHERE rank <= 10""".stripMargin,
     "q_grid_quantiles" ->
       """WITH g AS (SELECT coalesce(source, '__null__') AS stratum,
         |    n_chars::DOUBLE AS v, count(*)::BIGINT AS c

@@ -225,6 +225,34 @@ object Indexing {
         .as("zipf_slope"))
   }
 
+  /** Per-stratum top-k terms: the heavy-hitter table sliced by source /
+    * language / snapshot — "what does each slice of the corpus talk
+    * about", the vocabulary summary a mixture recipe review starts
+    * from. One exact (stratum, term) count aggregate (map-side
+    * partials), then the rank window runs over the VOCAB×S-bounded
+    * count table — never the corpus (the zipfSlope posture; its
+    * bounded-heap trick is unavailable here because the TERM must
+    * survive, not just its count). Ties break on ascending term. NULL
+    * strata report under [[graft.operators.Sampling.NullStratum]].
+    * Returns (stratum, rank, term, tf). */
+  def topKTermsByStratum(docs: DataFrame, stratumCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = docs
+      .select(coalesce(col(stratumCol).cast("string"),
+          lit(graft.operators.Sampling.NullStratum)).as("stratum"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("stratum"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("tf").desc, col("term").asc)
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("stratum"), col("rank"), col("term"), col("tf"))
+  }
+
   /** Count-Min-Sketch top-k terms — the BOUNDED-MEMORY scale path of
     * the exact heavy-hitter aggregate (Cormode & Muthukrishnan 2005):
     * term occurrences hash into a depth×width counter grid (depth

@@ -462,6 +462,26 @@ class FiltersSpec extends SparkSuite {
     assert(got("B") === ((1L, None)))
   }
 
+  test("topKTermsByStratum: per-stratum ranks, tie on term, NULL " +
+      "stratum under the sentinel") {
+    import graft.text.Indexing
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "x x x y y z"), ("A", "x"),
+      ("B", "q q p p"), (null.asInstanceOf[String], "n n m"))
+      .toDF("src", "text")
+    val rows = Indexing.topKTermsByStratum(docs, "src", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(rows(("A", 1)) === (("x", 4L)))
+    assert(rows(("A", 2)) === (("y", 2L)))
+    // B: p and q tie at 2 → ascending term
+    assert(rows(("B", 1)) === (("p", 2L)))
+    assert(rows(("B", 2)) === (("q", 2L)))
+    assert(rows((graft.operators.Sampling.NullStratum, 1)) ===
+      (("n", 2L)))
+  }
+
   test("cmsTopK: estimates never underestimate; ample width recovers " +
       "the exact heavy hitters; tiny width overestimates but ranks " +
       "the giant first") {
