@@ -2132,7 +2132,19 @@ object SparkEntry {
       // per-language top-10 terms — the slice vocabulary summary; rank
       // window over the vocab×S-bounded count table only
       graft.text.Indexing.topKTermsByStratum(
-        table(s, dir, "documents"), "lang", "text", k = 10))
+        table(s, dir, "documents"), "lang", "text", k = 10)),
+    "q_cluster_sample" -> ((s, dir) =>
+      // two-stage audit sample: 4 languages by stage-1 uniform, then
+      // exact-12 docs inside each — both stages' uniforms, ranks and
+      // membership hash-checked
+      graft.operators.Sampling.clusterSample(
+        table(s, dir, "documents"), "doc_id", "lang",
+        kStrata = 4, kPerStratum = 12)),
+    "q_embedding_stats" -> ((s, dir) =>
+      // embedding-space health: anisotropy ‖μ‖²/E[‖x‖²], mean norms —
+      // one scalar aggregate + one dim-bounded per-dim pass
+      graft.similarity.Similarity.embeddingStats(
+        table(s, dir, "embeddings")))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3571,6 +3583,49 @@ object SparkEntry {
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_mojibake" -> mojibakeOracle,
+    "q_cluster_sample" ->
+      """WITH su AS (SELECT stratum,
+        |    (('0x' || substr(md5(concat_ws('|', stratum, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS stratum_u
+        |  FROM (SELECT DISTINCT coalesce(lang, '__null__') AS stratum
+        |    FROM documents)),
+        |picked AS MATERIALIZED (
+        |  SELECT stratum, stratum_u FROM su
+        |  ORDER BY stratum_u DESC, stratum ASC LIMIT 4),
+        |u AS (SELECT coalesce(lang, '__null__') AS stratum, doc_id,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 43)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u
+        |  FROM documents),
+        |r AS (SELECT u.stratum, u.doc_id, u.u, row_number() OVER
+        |    (PARTITION BY u.stratum ORDER BY u.u DESC, u.doc_id ASC)
+        |      AS rank
+        |  FROM u JOIN picked USING (stratum))
+        |SELECT r.stratum, p.stratum_u, r.rank::INT AS rank, r.doc_id,
+        |  r.u
+        |FROM r JOIN picked p USING (stratum) WHERE r.rank <= 12""".stripMargin,
+    "q_embedding_stats" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT embedding::DOUBLE[] AS v,
+        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+        |      AS n2
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |scal AS (SELECT count(*)::BIGINT AS n, avg(sqrt(n2)) AS mnorm,
+        |    avg(n2) AS msq
+        |  FROM e),
+        |dims AS (SELECT u.d AS d, sum(u.x) AS s FROM (
+        |    SELECT unnest([{'d': i - 1, 'x': v[i]}
+        |      for i in generate_series(1, len(v))]) AS u
+        |    FROM e)
+        |  GROUP BY 1),
+        |l AS (SELECT list({'d': d, 's': s} ORDER BY d) AS dl FROM dims),
+        |mu AS (SELECT list_sum(list_transform(l.dl,
+        |    x -> (x.s / scal.n) * (x.s / scal.n))) AS mu2,
+        |    len(l.dl)::BIGINT AS dim
+        |  FROM l CROSS JOIN scal)
+        |SELECT scal.n, mu.dim, round(scal.mnorm, 6) AS mean_norm,
+        |  round(sqrt(mu.mu2), 6) AS norm_of_mean,
+        |  round(mu.mu2 / scal.msq, 6) AS anisotropy
+        |FROM scal CROSS JOIN mu""".stripMargin,
     "q_top_terms_by_lang" ->
       """WITH td AS (SELECT coalesce(lang, '__null__') AS stratum,
         |    unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]

@@ -105,6 +105,42 @@ object Sampling {
         col("col.neighbor_id").as(idCol), col("col.cosine").as("u"))
   }
 
+  /** Two-stage CLUSTER sampling (the survey-statistics design, applied
+    * to corpus audits): stage 1 samples `kStrata` whole strata
+    * (sources/domains/shards) by seeded uniform, stage 2 draws an
+    * exact-`kPerStratum` sample inside each selected stratum — the
+    * audit-sample shape when inspecting a stratum has fixed overhead
+    * (fetch a crawl segment, brief an annotator) and spreading k·m rows
+    * over every stratum would be wasteful. Fully deterministic: both
+    * stages key on md5 uniforms (stratum at `seed`, rows at `seed+1`),
+    * so the audit sample is reproducible and append-stable.
+    *
+    * Scale: stage 1 ranks the |strata|-bounded distinct table
+    * (metadata); stage 2 is [[stratifiedExactK]]'s bounded heap after a
+    * broadcast semi-join on the selected strata. Returns
+    * (stratum, stratum_u, rank, idCol, u). */
+  def clusterSample(df: DataFrame, idCol: String, stratumCol: String,
+      kStrata: Int, kPerStratum: Int, seed: Long = 42L): DataFrame = {
+    require(kStrata > 0, s"kStrata must be positive, got $kStrata")
+    require(kPerStratum > 0,
+      s"kPerStratum must be positive, got $kPerStratum")
+    val st = coalesce(col(stratumCol).cast("string"), lit(NullStratum))
+    val strata = df.select(st.as("stratum")).distinct()
+      .withColumn("stratum_u", hashUniform(col("stratum"), seed))
+    val picked = broadcast(strata
+      .orderBy(col("stratum_u").desc, col("stratum").asc)
+      .limit(kStrata))
+    // semi-join BEFORE the heap: unselected strata never enter
+    // per-partition heap state
+    val filtered = df.withColumn("__st", st)
+      .join(picked.select(col("stratum").as("__st")), Seq("__st"),
+        "left_semi")
+    stratifiedExactK(filtered, idCol, "__st", kPerStratum, seed + 1)
+      .join(picked, Seq("stratum"))
+      .select(col("stratum"), col("stratum_u"), col("rank"), col(idCol),
+        col("u"))
+  }
+
   /** Multi-epoch training order: the complete data order of an E-epoch
     * run — each epoch is an INDEPENDENT deterministic shuffle (the
     * seeded md5 uniform at `seed + epoch`, so no two epochs repeat a

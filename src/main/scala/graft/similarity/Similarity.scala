@@ -988,4 +988,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
   }
+
+  /** Embedding-space health diagnostics — the collapse/anisotropy check
+    * (Ethayarajh 2019 line) run before trusting any cosine-based
+    * retrieval or dedup: `anisotropy = ‖μ‖² / E[‖x‖²]` ≈ the expected
+    * pairwise cosine of random vectors. Near 0 = well-spread space;
+    * near 1 = all vectors point the same way and every cosine
+    * threshold in the pipeline is meaningless. Also reports the mean
+    * vector's norm and the mean row norm.
+    *
+    * Scale: ONE scalar aggregate (n, E[‖x‖], E[‖x‖²] via the native
+    * dot kernel) + one per-dim sum (posexplode → dim-keyed aggregate,
+    * dim-bounded output); ‖μ‖² folds over the dim-sorted collected
+    * list (the ECE idiom — order pinned). Returns one row:
+    * (n, dim, mean_norm, norm_of_mean, anisotropy), rounded to 6. */
+  def embeddingStats(emb: DataFrame, vecCol: String = "embedding")
+      : DataFrame = {
+    val v = col(vecCol)
+    val rows = emb.filter(v.isNotNull)
+      .select(v.as("__v"),
+        graft.functions.VectorExpressions.dotProduct(v, v).as("__n2"))
+      .localCheckpoint(true) // read by the scalar AND the per-dim pass
+    val scal = rows.agg(count(lit(1)).as("n"),
+      avg(sqrt(col("__n2"))).as("__mnorm"),
+      avg(col("__n2")).as("__msq"))
+    val dims = rows
+      .select(posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(sum(col("__x").cast("double")).as("__s"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("__d"), col("__s"))))
+        .as("__l"))
+    val joined = dims.crossJoin(broadcast(scal))
+    val mu2 = aggregate(col("__l"), lit(0.0), (acc, x) =>
+      acc + (x.getField("__s") / col("n")) *
+        (x.getField("__s") / col("n")))
+    joined.select(col("n"),
+      size(col("__l")).cast("long").as("dim"),
+      round(col("__mnorm"), 6).as("mean_norm"),
+      round(sqrt(mu2), 6).as("norm_of_mean"),
+      round(mu2 / col("__msq"), 6).as("anisotropy"))
+  }
 }

@@ -586,6 +586,38 @@ class SelectionSpec extends SparkSuite {
     assert(a.filter(_.getString(4) == "tail").forall(!_.getBoolean(5)))
   }
 
+  // ------------------------------------------------ Sampling.clusterSample
+
+  test("clusterSample: stage-1 picks whole strata, stage-2 exact-k " +
+      "inside; small strata keep all; deterministic") {
+    import spark.implicits._
+    val df = (for (s <- 'a' to 'f'; i <- 1 to 10)
+      yield (s"${s}${i}".hashCode.toLong.abs + i, s.toString))
+      .distinct.toDF("doc_id", "src")
+    val out = graft.operators.Sampling.clusterSample(df, "doc_id",
+      "src", kStrata = 2, kPerStratum = 3).collect()
+    val strata = out.map(_.getString(0)).distinct
+    assert(strata.length === 2)
+    assert(out.groupBy(_.getString(0)).forall(_._2.length == 3))
+    // the picked strata are exactly the top-2 by stage-1 uniform over
+    // ALL six strata (recompute via a 1-stratum-per-row call)
+    val all = graft.operators.Sampling.clusterSample(df, "doc_id",
+      "src", kStrata = 6, kPerStratum = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).distinct
+    val top2 = all.sortBy { case (s, u) => (-u, s) }.take(2).map(_._1)
+    assert(strata.sorted.toSeq === top2.sorted.toSeq)
+    // a stratum smaller than k keeps everything
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y"))
+      .toDF("doc_id", "src")
+    val t = graft.operators.Sampling.clusterSample(tiny, "doc_id",
+      "src", kStrata = 1, kPerStratum = 5).collect()
+    assert(t.length === 2 || t.length === 1) // whichever stratum won
+    val again = graft.operators.Sampling.clusterSample(df.repartition(7),
+        "doc_id", "src", kStrata = 2, kPerStratum = 3)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(again === out.map(r => (r.getString(0), r.getLong(3))).toSet)
+  }
+
   // --------------------------------------------- Sampling.multiEpochOrder
 
   test("multiEpochOrder: every doc once per epoch, contiguous global " +

@@ -393,6 +393,27 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------ Similarity.embeddingStats
+
+  test("embeddingStats: anisotropy 0.5 for orthogonal pair, 1.0 for " +
+      "collapse, 0 for opposed; null vectors excluded") {
+    import spark.implicits._
+    def stats(vs: Seq[Seq[Double]]) = Similarity.embeddingStats(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding"))
+      .head()
+    val ortho = stats(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    assert(ortho.getAs[Long]("n") === 2L &&
+      ortho.getAs[Long]("dim") === 2L)
+    assert(ortho.getAs[Double]("mean_norm") === 1.0)
+    assert(ortho.getAs[Double]("anisotropy") === 0.5)
+    val collapse = stats(Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)))
+    assert(collapse.getAs[Double]("anisotropy") === 1.0)
+    val opposed = stats(Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+    assert(opposed.getAs[Double]("anisotropy") === 0.0)
+    assert(opposed.getAs[Double]("norm_of_mean") === 0.0)
+  }
+
   // ------------------------------------------ BitextMining.marginPairs
 
   test("margin mining: exact matches win with margin > 1 and mutual; " +
