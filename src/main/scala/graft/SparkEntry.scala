@@ -2144,7 +2144,12 @@ object SparkEntry {
       // embedding-space health: anisotropy ‖μ‖²/E[‖x‖²], mean norms —
       // one scalar aggregate + one dim-bounded per-dim pass
       graft.similarity.Similarity.embeddingStats(
-        table(s, dir, "embeddings")))
+        table(s, dir, "embeddings"))),
+    "q_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-budget curve: corpus token coverage of the top-k
+      // vocabulary at five checkpoints — vocab-bounded windows only
+      graft.text.Indexing.vocabCoverage(table(s, dir, "documents"),
+        Seq(5, 10, 20, 50, 1000)))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3583,6 +3588,27 @@ object SparkEntry {
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_mojibake" -> mojibakeOracle,
+    "q_vocab_coverage" ->
+      """WITH c AS (SELECT term, count(*)::BIGINT AS tf FROM (
+        |    SELECT unnest(CASE WHEN len(trim(text)) = 0
+        |      THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0 GROUP BY 1),
+        |r AS (SELECT tf, row_number() OVER
+        |      (ORDER BY tf DESC, term ASC)::BIGINT AS rk,
+        |    sum(tf) OVER (ORDER BY tf DESC, term ASC
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM c),
+        |t AS (SELECT sum(tf)::BIGINT AS total_tokens FROM c),
+        |ck AS (SELECT k::BIGINT AS vocab_size
+        |  FROM (VALUES (5), (10), (20), (50), (1000)) v(k))
+        |SELECT ck.vocab_size, max(r.rk) AS n_terms,
+        |  max(r.cum) AS tokens_covered, t.total_tokens,
+        |  round(max(r.cum) / t.total_tokens::DOUBLE, 6) AS coverage
+        |FROM r JOIN ck ON r.rk <= ck.vocab_size CROSS JOIN t
+        |GROUP BY ck.vocab_size, t.total_tokens""".stripMargin,
     "q_cluster_sample" ->
       """WITH su AS (SELECT stratum,
         |    (('0x' || substr(md5(concat_ws('|', stratum, 42)), 1, 16))::UBIGINT >> 11)

@@ -225,6 +225,51 @@ object Indexing {
         .as("zipf_slope"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-budget planning table:
+    * for each candidate vocabulary size k, the fraction of ALL corpus
+    * token occurrences covered by the k most frequent terms (the
+    * complement is the OOV/byte-fallback rate a word-level vocab of
+    * that size would pay). Zipfian text covers ~90%+ with a few
+    * thousand terms; the curve's knee is where growing the vocab stops
+    * paying.
+    *
+    * One exact term-count aggregate; the rank + cumulative windows run
+    * over the VOCABULARY-bounded count table (never the corpus — the
+    * Eval bounded-table argument), and the checkpoint rollup is a
+    * broadcast join. All integers except the final rounded division.
+    * Returns (vocab_size, n_terms, tokens_covered, total_tokens,
+    * coverage) per checkpoint; `n_terms = min(k, V)`. */
+  def vocabCoverage(docs: DataFrame, checkpoints: Seq[Int],
+      textCol: String = "text"): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1),
+      s"checkpoints must be >= 1: $checkpoints")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term").asc)
+    val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val ranked = counts
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("tf")).over(wc))
+    val tot = ranked.groupBy().agg(sum(col("tf")).as("total_tokens"))
+    val ck = broadcast(checkpoints.distinct.sorted.map(_.toLong)
+      .toDF("vocab_size"))
+    ranked.join(ck, col("__rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(max(col("__rk")).as("n_terms"),
+        max(col("__cum")).as("tokens_covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("n_terms"), col("tokens_covered"),
+        col("total_tokens"),
+        round(col("tokens_covered").cast("double") /
+          col("total_tokens"), 6).as("coverage"))
+  }
+
   /** Per-stratum top-k terms: the heavy-hitter table sliced by source /
     * language / snapshot — "what does each slice of the corpus talk
     * about", the vocabulary summary a mixture recipe review starts

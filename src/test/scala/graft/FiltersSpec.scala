@@ -462,6 +462,20 @@ class FiltersSpec extends SparkSuite {
     assert(got("B") === ((1L, None)))
   }
 
+  test("vocabCoverage: hand-computed curve; checkpoints past the " +
+      "vocab saturate at 1.0") {
+    import graft.text.Indexing
+    import spark.implicits._
+    // tf: a=5, b=3, c=1, d=1 → total 10
+    val docs = Seq((1L, "a a a a a b b b c d")).toDF("doc_id", "text")
+    val rows = Indexing.vocabCoverage(docs, Seq(1, 2, 10))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(rows(1L) === ((1L, 5L, 0.5)))
+    assert(rows(2L) === ((2L, 8L, 0.8)))
+    assert(rows(10L) === ((4L, 10L, 1.0)))
+  }
+
   test("topKTermsByStratum: per-stratum ranks, tie on term, NULL " +
       "stratum under the sentinel") {
     import graft.text.Indexing
