@@ -2149,7 +2149,14 @@ object SparkEntry {
       // tokenizer-budget curve: corpus token coverage of the top-k
       // vocabulary at five checkpoints — vocab-bounded windows only
       graft.text.Indexing.vocabCoverage(table(s, dir, "documents"),
-        Seq(5, 10, 20, 50, 1000)))
+        Seq(5, 10, 20, 50, 1000))),
+    "q_triplets" -> ((s, dir) =>
+      // contrastive triplet mining: best positive at cosine ≥ 0.3,
+      // top-3 hard negatives from [0.1, 0.25) — every triplet row
+      // hash-checked through the shared rounded-cosine heap contract
+      graft.similarity.Similarity.tripletMining(
+        table(s, dir, "embeddings"), posThreshold = 0.3,
+        negLo = 0.1, negHi = 0.25, kNeg = 3))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3588,6 +3595,26 @@ object SparkEntry {
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_mojibake" -> mojibakeOracle,
+    "q_triplets" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS MATERIALIZED (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS nid,
+        |    round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+        |      ELSE list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END, 6) AS rc
+        |  FROM e q, e c WHERE q.vec_id <> c.vec_id),
+        |pos AS (SELECT anchor_id, nid AS pos_id, rc AS pos_cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY rc DESC, nid ASC) AS rk
+        |    FROM p WHERE rc >= 0.3 AND rc < 1.1) WHERE rk = 1),
+        |neg AS (SELECT anchor_id, nid AS neg_id, rc AS neg_cos,
+        |    rk AS neg_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY rc DESC, nid ASC) AS rk
+        |    FROM p WHERE rc >= 0.1 AND rc < 0.25) WHERE rk <= 3)
+        |SELECT pos.anchor_id, pos.pos_id, pos.pos_cos, neg.neg_id,
+        |  neg.neg_cos, neg.neg_rank::INT AS neg_rank
+        |FROM pos JOIN neg USING (anchor_id)""".stripMargin,
     "q_vocab_coverage" ->
       """WITH c AS (SELECT term, count(*)::BIGINT AS tf FROM (
         |    SELECT unnest(CASE WHEN len(trim(text)) = 0

@@ -989,6 +989,41 @@ object Similarity {
     rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
   }
 
+  /** Contrastive TRIPLET mining — the training-data construction for
+    * embedding models (SBERT/DPR-style): for every anchor, its best
+    * in-corpus positive (most-similar other vector at cosine ≥
+    * `posThreshold` — pseudo-labeling by similarity, the standard
+    * bootstrap when no labeled pairs exist) joined with its top-`kNeg`
+    * HARD negatives from the [negLo, negHi) band ([[hardNegatives]] —
+    * similar enough to be informative, below the false-negative
+    * ceiling). One row per (anchor, negative); anchors missing either
+    * side drop (no positive = nothing to contrast; no in-band negative
+    * = only trivial negatives exist).
+    *
+    * Both selections ride the same broadcast-queries bounded-heap plan,
+    * rank on the ROUNDED cosine (ties → ascending id — the
+    * hardNegatives determinism contract), and the join is
+    * anchor-keyed and k-bounded. Returns (anchor_id, pos_id, pos_cos,
+    * neg_id, neg_cos, neg_rank). */
+  def tripletMining(emb: DataFrame, posThreshold: Double, negLo: Double,
+      negHi: Double, kNeg: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(posThreshold > negHi,
+      s"positive threshold $posThreshold must exceed the negative " +
+        s"band ceiling $negHi (overlap would mine false negatives)")
+    val queries = emb.select(col(idCol).as("query_id"), col(vecCol))
+    val pos = hardNegatives(emb, queries, 1, posThreshold, 1.1, idCol,
+        vecCol)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("pos_id"), col("cosine").as("pos_cos"))
+    val negs = hardNegatives(emb, queries, kNeg, negLo, negHi, idCol,
+        vecCol)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("neg_id"), col("cosine").as("neg_cos"),
+        col("rank").as("neg_rank"))
+    pos.join(negs, Seq("anchor_id"))
+  }
+
   /** Embedding-space health diagnostics — the collapse/anisotropy check
     * (Ethayarajh 2019 line) run before trusting any cosine-based
     * retrieval or dedup: `anisotropy = ‖μ‖² / E[‖x‖²]` ≈ the expected

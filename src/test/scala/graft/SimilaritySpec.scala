@@ -393,6 +393,38 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------ Similarity.tripletMining
+
+  test("tripletMining: best positive above the band, hard negatives " +
+      "inside it, anchors missing either side drop") {
+    import spark.implicits._
+    // anchor a1: near-dup a2 (positive), mid-similar n1/n2 (negatives),
+    // orthogonal z (out of band). a2 symmetric. z: no positive → drops.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.95, 0.3122, 0.0)), // cos(a1, a2) ≈ 0.95
+      (3L, Seq(0.4, 0.9165, 0.0)),  // cos(a1, n1) ≈ 0.4
+      (4L, Seq(0.3, 0.0, 0.9539)),  // cos(a1, n2) ≈ 0.3
+      (5L, Seq(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.tripletMining(vecs, posThreshold = 0.9,
+        negLo = 0.25, negHi = 0.6, kNeg = 2)
+      .collect()
+    val byAnchor = got.groupBy(_.getLong(0))
+    // anchor 1: positive = 2, negatives = {3, 4} ranked by cosine desc
+    val a1 = byAnchor(1L).sortBy(_.getInt(5))
+    assert(a1.head.getLong(1) === 2L)
+    assert(a1.map(_.getLong(3)).toSeq === Seq(3L, 4L))
+    assert(a1.head.getDouble(4) > a1.last.getDouble(4))
+    // vector 5 has no positive at 0.9 → no triplets
+    assert(!byAnchor.contains(5L))
+    // overlap guard
+    intercept[IllegalArgumentException] {
+      Similarity.tripletMining(vecs, posThreshold = 0.5, negLo = 0.2,
+        negHi = 0.6, kNeg = 2)
+    }
+  }
+
   // ------------------------------------------ Similarity.embeddingStats
 
   test("embeddingStats: anisotropy 0.5 for orthogonal pair, 1.0 for " +
