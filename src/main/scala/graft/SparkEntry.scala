@@ -2156,7 +2156,15 @@ object SparkEntry {
       // hash-checked through the shared rounded-cosine heap contract
       graft.similarity.Similarity.tripletMining(
         table(s, dir, "embeddings"), posThreshold = 0.3,
-        negLo = 0.1, negHi = 0.25, kNeg = 3))
+        negLo = 0.1, negHi = 0.25, kNeg = 3)),
+    "q_mixture_epochs" -> ((s, dir) =>
+      // GPT-3-style epochs-per-source mixing: en ×2.5, de ×1, rest
+      // ×0.5 — fractional epochs realized per doc by seeded uniform,
+      // copies spread by the global two-phase shuffle rank; every
+      // (doc, copy, step) hash-checked
+      graft.operators.Sampling.mixtureEpochs(
+        table(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 2.5, "de" -> 1.0), defaultEpochs = 0.5))
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3595,6 +3603,31 @@ object SparkEntry {
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_mojibake" -> mojibakeOracle,
+    "q_mixture_epochs" ->
+      """WITH d AS (SELECT coalesce(lang, '__null__') AS stratum, doc_id,
+        |    CASE WHEN coalesce(lang, '__null__') = 'en' THEN 2.5
+        |      WHEN coalesce(lang, '__null__') = 'de' THEN 1.0
+        |      ELSE 0.5 END AS e,
+        |    (('0x' || substr(md5(concat_ws('|', doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u0
+        |  FROM documents),
+        |r AS (SELECT stratum, doc_id,
+        |    (floor(e)::BIGINT + CASE WHEN u0 < e - floor(e) THEN 1
+        |      ELSE 0 END) AS reps
+        |  FROM d),
+        |x AS (SELECT stratum, doc_id,
+        |    unnest(generate_series(0, reps - 1)) AS copy
+        |  FROM r WHERE reps > 0),
+        |s AS (SELECT stratum, doc_id, copy,
+        |    (('0x' || substr(md5(concat_ws('|', concat_ws('#', doc_id, copy), 43)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u
+        |  FROM x),
+        |o AS (SELECT *, row_number() OVER (ORDER BY u, doc_id, copy)
+        |    AS rk
+        |  FROM s)
+        |SELECT stratum, doc_id, copy::BIGINT AS copy, u,
+        |  (rk - 1)::BIGINT AS step
+        |FROM o""".stripMargin,
     "q_triplets" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS MATERIALIZED (

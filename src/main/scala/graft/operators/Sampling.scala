@@ -105,6 +105,52 @@ object Sampling {
         col("col.neighbor_id").as(idCol), col("col.cosine").as("u"))
   }
 
+  /** Data mixing by EPOCHS-PER-SOURCE — the GPT-3-table-2.2 primitive
+    * ("Wikipedia ×3.4 epochs, CommonCrawl ×0.44"): each stratum's
+    * documents repeat `e_s` times in the training stream, with
+    * fractional epochs realized per document (a doc repeats ⌊e_s⌋
+    * times plus once more with probability frac(e_s), decided by its
+    * seeded uniform — so EXACTLY the requested token share in
+    * expectation, deterministic per document, and replay-stable).
+    * Copies shuffle globally by the seeded uniform of (doc, copy), so
+    * repeats spread through the run instead of clustering; `step` is
+    * the 0-based global order via the two-phase bucket rank.
+    *
+    * Map-only expansion (explode of a ≤⌈e_max⌉-element sequence per
+    * row) + the [[stratumBucketRank]] two-phase global rank — no
+    * single-task window. Strata absent from the map use
+    * `defaultEpochs`; epochs 0 drops the stratum. NULL strata key on
+    * [[NullStratum]]. Returns (stratum, idCol, copy, u, step). */
+  def mixtureEpochs(df: DataFrame, idCol: String, stratumCol: String,
+      epochsPerStratum: Map[String, Double], defaultEpochs: Double = 1.0,
+      seed: Long = 42L, nBuckets: Int = 1024): DataFrame = {
+    require((epochsPerStratum.values ++ Seq(defaultEpochs))
+      .forall(e => e >= 0 && e <= 100), "epochs must be in [0, 100]")
+    val st = coalesce(col(stratumCol).cast("string"), lit(NullStratum))
+    val eCol = epochsPerStratum.foldLeft(lit(defaultEpochs)) {
+      case (acc, (s, e)) => when(st === s, lit(e)).otherwise(acc)
+    }
+    val base = floor(eCol).cast("long")
+    val frac = eCol - floor(eCol)
+    val reps = base +
+      when(hashUniform(col(idCol), seed) < frac, 1L).otherwise(0L)
+    val exploded = df
+      .select(st.as("stratum"), col(idCol).cast("long").as(idCol),
+        reps.as("__r"))
+      .filter(col("__r") > 0)
+      .select(col("stratum"), col(idCol),
+        explode(sequence(lit(0L), col("__r") - 1)).as("copy"))
+      .withColumn("u", hashUniform(
+        concat_ws("#", col(idCol), col("copy")), seed + 1))
+    val bucketed = exploded
+      .withColumn("__s", lit("_"))
+      .withColumn("__b", floor(col("u") * nBuckets).cast("long"))
+    stratumBucketRank(bucketed, "__s", "__b",
+      Seq(col("u").asc, col(idCol).asc, col("copy").asc), "__rk")
+      .select(col("stratum"), col(idCol), col("copy"), col("u"),
+        (col("__rk") - 1).as("step"))
+  }
+
   /** Two-stage CLUSTER sampling (the survey-statistics design, applied
     * to corpus audits): stage 1 samples `kStrata` whole strata
     * (sources/domains/shards) by seeded uniform, stage 2 draws an

@@ -586,6 +586,40 @@ class SelectionSpec extends SparkSuite {
     assert(a.filter(_.getString(4) == "tail").forall(!_.getBoolean(5)))
   }
 
+  // ------------------------------------------------ Sampling.mixtureEpochs
+
+  test("mixtureEpochs: integer epochs repeat exactly, fractional " +
+      "epochs hit the expected share, zero drops, steps contiguous") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, "b")) ++
+      (201L to 250L).map(i => (i, "c")))
+      .toDF("doc_id", "src")
+    val out = graft.operators.Sampling.mixtureEpochs(df, "doc_id",
+      "src", Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0)).collect()
+    val byS = out.groupBy(_.getString(0))
+    // integer epochs: every 'a' doc exactly twice
+    assert(byS("a").length === 200)
+    assert(byS("a").groupBy(_.getLong(1)).forall(_._2.length == 2))
+    // fractional: 'b' keeps ~half (4σ bounds on binomial(100, .5))
+    val nb = byS("b").length
+    assert(nb > 30 && nb < 70, s"b kept $nb")
+    assert(byS("b").groupBy(_.getLong(1)).forall(_._2.length == 1))
+    // zero epochs: stratum absent
+    assert(!byS.contains("c"))
+    // steps are exactly 0..total-1 and copies of one doc spread out
+    assert(out.map(_.getLong(4)).sorted.toSeq ===
+      (0L until out.length.toLong))
+    // layout invariance
+    val again = graft.operators.Sampling.mixtureEpochs(
+        df.repartition(7), "doc_id", "src",
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    assert(again === out.map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(4))).toSet)
+  }
+
   // ------------------------------------------------ Sampling.clusterSample
 
   test("clusterSample: stage-1 picks whole strata, stage-2 exact-k " +
