@@ -2164,7 +2164,18 @@ object SparkEntry {
       // (doc, copy, step) hash-checked
       graft.operators.Sampling.mixtureEpochs(
         table(s, dir, "documents"), "doc_id", "lang",
-        Map("en" -> 2.5, "de" -> 1.0), defaultEpochs = 0.5))
+        Map("en" -> 2.5, "de" -> 1.0), defaultEpochs = 0.5)),
+    "q_frontier" -> ((s, dir) => {
+      // the quality-vs-quantity frontier of the squashed-length score
+      // at five thresholds — docs AND tokens surviving each gate, one
+      // corpus pass
+      val docs = table(s, dir, "documents").withColumn("s",
+        col("n_chars").cast("double") /
+          (col("n_chars") + lit(500)).cast("double"))
+      graft.operators.Sampling.thresholdFrontier(docs, "s",
+        graft.text.TextAnalysis.wsTokenCount(col("text")),
+        Seq(0.2, 0.4, 0.6, 0.8, 0.9))
+    })
   )
 
   // ------------------------------------------------- oracle SQL generators
@@ -3603,6 +3614,28 @@ object SparkEntry {
         |  FROM est)
         |SELECT rank::INT AS rank, term, est FROM r WHERE rank <= 30""".stripMargin,
     "q_mojibake" -> mojibakeOracle,
+    "q_frontier" ->
+      """WITH d AS (SELECT
+        |    n_chars / (n_chars + 500)::DOUBLE AS s,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |      AS tok
+        |  FROM documents),
+        |t AS (SELECT count(*)::BIGINT AS n, sum(tok)::BIGINT AS tt
+        |  FROM d),
+        |th AS (SELECT x::DOUBLE AS threshold
+        |  FROM (VALUES (0.2), (0.4), (0.6), (0.8), (0.9)) v(x)),
+        |k AS (SELECT th.threshold,
+        |    sum(CASE WHEN d.s >= th.threshold THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_kept,
+        |    sum(CASE WHEN d.s >= th.threshold THEN d.tok ELSE 0
+        |      END)::BIGINT AS tokens_kept
+        |  FROM d CROSS JOIN th GROUP BY 1)
+        |SELECT k.threshold, t.n AS n_docs, k.n_kept,
+        |  round(k.n_kept / t.n::DOUBLE, 6) AS frac_docs,
+        |  t.tt AS total_tokens, k.tokens_kept,
+        |  round(k.tokens_kept / t.tt::DOUBLE, 6) AS frac_tokens
+        |FROM k CROSS JOIN t""".stripMargin,
     "q_mixture_epochs" ->
       """WITH d AS (SELECT coalesce(lang, '__null__') AS stratum, doc_id,
         |    CASE WHEN coalesce(lang, '__null__') = 'en' THEN 2.5

@@ -105,6 +105,49 @@ object Sampling {
         col("col.neighbor_id").as(idCol), col("col.cosine").as("u"))
   }
 
+  /** Curation FRONTIER: the quality-vs-quantity table behind choosing a
+    * filter operating point — for every candidate threshold, how many
+    * documents AND tokens survive `score ≥ t`. Reading this next to a
+    * benchmark-vs-threshold curve is how the keep/drop line actually
+    * gets picked; computing it in one pass beats re-running the filter
+    * per candidate.
+    *
+    * ONE corpus aggregate builds every threshold's conditional sums as
+    * columns (map-side partials); the per-threshold rows then unfold
+    * from a T-element struct array — the corpus is scanned once no
+    * matter how many thresholds. All integers + two rounded divisions.
+    * NULL scores count as kept by no threshold (they appear in the
+    * totals — visible, not vanished). Returns one row per threshold:
+    * (threshold, n_docs, n_kept, frac_docs, total_tokens, tokens_kept,
+    * frac_tokens). */
+  def thresholdFrontier(df: DataFrame, scoreCol: String,
+      tokenCol: Column, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val ts = thresholds.distinct.sorted
+    val tok = coalesce(tokenCol.cast("long"), lit(0L))
+    val aggs = Seq(count(lit(1)).as("__n"), sum(tok).as("__tok")) ++
+      ts.zipWithIndex.flatMap { case (t, i) =>
+        Seq(sum(when(col(scoreCol) >= t, 1L).otherwise(0L))
+            .as(s"__k$i"),
+          sum(when(col(scoreCol) >= t, tok).otherwise(0L))
+            .as(s"__kt$i"))
+      }
+    val one = df.groupBy().agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(ts.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"__k$i").as("n_kept"),
+        col(s"__kt$i").as("tokens_kept"))
+    }: _*))
+    one.select(col("__n"), col("__tok"), rows.as("__r"))
+      .select(col("__r.threshold").as("threshold"),
+        col("__n").as("n_docs"), col("__r.n_kept").as("n_kept"),
+        round(col("__r.n_kept").cast("double") / col("__n"), 6)
+          .as("frac_docs"),
+        col("__tok").as("total_tokens"),
+        col("__r.tokens_kept").as("tokens_kept"),
+        round(col("__r.tokens_kept").cast("double") / col("__tok"), 6)
+          .as("frac_tokens"))
+  }
+
   /** Data mixing by EPOCHS-PER-SOURCE — the GPT-3-table-2.2 primitive
     * ("Wikipedia ×3.4 epochs, CommonCrawl ×0.44"): each stratum's
     * documents repeat `e_s` times in the training stream, with

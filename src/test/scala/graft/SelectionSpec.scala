@@ -683,6 +683,24 @@ class SelectionSpec extends SparkSuite {
       (r.getLong(0), r.getLong(1), r.getLong(3))).toSet)
   }
 
+  // ------------------------------------------ Sampling.thresholdFrontier
+
+  test("thresholdFrontier: one-pass doc and token survival at every " +
+      "threshold; NULL scores keep nothing but stay in totals") {
+    import spark.implicits._
+    val df = Seq((Some(0.9), 10L), (Some(0.5), 20L), (Some(0.1), 30L),
+      (None: Option[Double], 40L))
+      .toDF("s", "tok")
+    val rows = graft.operators.Sampling.thresholdFrontier(df, "s",
+        col("tok"), Seq(0.4, 0.8))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    // totals include the NULL-score row (visible, not vanished)
+    assert(rows(0.4) === ((4L, 2L, 100L, 30L)))
+    assert(rows(0.8) === ((4L, 1L, 100L, 10L)))
+  }
+
   // ------------------------------------------- Sampling.keepRateThreshold
 
   test("keepRateThreshold: largest grid threshold reaching the target; " +
