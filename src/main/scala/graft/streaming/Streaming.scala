@@ -464,6 +464,37 @@ object Streaming {
     agg0.select(col("time_bin"), col("n"), round(psi, 6).as("psi"))
   }
 
+  /** Streaming Count-Min Sketch — the BOUNDED-STATE running term
+    * counter (the live twin of [[graft.text.Indexing.cmsTopK]]'s
+    * grid): tokens hash into the same depth×width rows and the
+    * streaming aggregation keyed on (d, bucket) maintains the running
+    * counters in Update mode. The state is PROVABLY ≤ depth·width rows
+    * forever — where a raw streaming term-count's state grows with the
+    * unbounded live vocabulary — which is the whole point of running
+    * the sketch on a stream. Downstream probes terms against the
+    * latest counter snapshot exactly like the batch estimate
+    * (min over rows ≥ true count, never an underestimate).
+    *
+    * Emits (d, b, c) counter updates; no watermark needed (the
+    * counters are global, not windowed — state is bounded by
+    * construction, not by time). */
+  def streamingCms(src: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8]: $depth")
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    src
+      .select(explode(graft.text.TextAnalysis.tokens(col(textCol)))
+        .as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          graft.text.Indexing.cmsBucket(col("__t"), d, width)
+            .as("b"))): _*)).as("__db"))
+      .groupBy(col("__db.d").as("d"), col("__db.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Per-stratum exact-k sample state: the current top-k (u, id)
     * entries, best-first. */
   case class TopKSampleState(entries: List[(Double, Long)])

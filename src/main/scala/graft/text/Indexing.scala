@@ -298,6 +298,13 @@ object Indexing {
       .select(col("stratum"), col("rank"), col("term"), col("tf"))
   }
 
+  /** The CMS row hash: md5 of `term|d` masked to the power-of-two
+    * width — shared by the batch sketch and its streaming twin. */
+  private[graft] def cmsBucket(t: Column, d: Int, width: Int): Column =
+    graft.functions.HashExpressions.md5Long(
+      concat(t, lit("|"), lit(d.toString)))
+      .bitwiseAND(lit((width - 1).toLong))
+
   /** Count-Min-Sketch top-k terms — the BOUNDED-MEMORY scale path of
     * the exact heavy-hitter aggregate (Cormode & Muthukrishnan 2005):
     * term occurrences hash into a depth×width counter grid (depth
@@ -324,10 +331,7 @@ object Indexing {
     require(depth >= 1 && depth <= 8, s"depth must be in [1,8]: $depth")
     require(width > 0 && (width & (width - 1)) == 0,
       s"width must be a power of two, got $width")
-    def bucket(t: Column, d: Int): Column =
-      graft.functions.HashExpressions.md5Long(
-        concat(t, lit("|"), lit(d.toString)))
-        .bitwiseAND(lit((width - 1).toLong))
+    def bucket(t: Column, d: Int): Column = cmsBucket(t, d, width)
     val toks = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)

@@ -565,6 +565,50 @@ class StreamingSpec extends SparkSuite {
 
   case class Scored(id: Long, ts: java.sql.Timestamp, s: Double)
 
+  test("streaming CMS: running counters equal the batch sketch grid; " +
+      "state bounded at depth x width") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val cms = Streaming.streamingCms(mem.toDF(), "text", depth = 2,
+      width = 8)
+    val q = cms.writeStream.format("memory").queryName("cmsmon")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def doc(id: Long, t: String) = Doc(id,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t)
+      mem.addData(doc(1, "a a b"), doc(2, "b c"))
+      q.processAllAvailable()
+      mem.addData(doc(3, "a d d d"))
+      q.processAllAvailable()
+      // Update mode re-emits changed counters: keep the LATEST per key
+      val latest = spark.table("cmsmon").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // state bound: at most depth×width distinct counter keys
+      assert(latest.size <= 16)
+      // twin equality: the batch sketch over all the data so far
+      val batch = Seq((1L, "a a b"), (2L, "b c"), (3L, "a d d d"))
+        .toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.text.TextAnalysis.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("t"))
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array((0 until 2).map(d =>
+            org.apache.spark.sql.functions.struct(
+              org.apache.spark.sql.functions.lit(d).as("d"),
+              graft.text.Indexing.cmsBucket(
+                org.apache.spark.sql.functions.col("t"), d, 8)
+                .as("b"))): _*)).as("db"))
+        .groupBy("db.d", "db.b").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(latest === batch)
+      // every counter row sums tokens: total mass = depth × total tokens
+      assert(latest.values.sum === 2L * 9L)
+    } finally q.stop()
+  }
+
   test("streaming PSI monitor: reference-shaped window scores 0, " +
       "shifted window crosses the action line — batch-twin exact") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
