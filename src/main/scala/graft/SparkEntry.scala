@@ -2175,8 +2175,87 @@ object SparkEntry {
       graft.operators.Sampling.thresholdFrontier(docs, "s",
         graft.text.TextAnalysis.wsTokenCount(col("text")),
         Seq(0.2, 0.4, 0.6, 0.8, 0.9))
+    }),
+    "q_url_normalize" -> ((s, dir) =>
+      // URL canonicalization over deterministically synthesized crawl
+      // URLs (mixed-case schemes/hosts, default + exotic ports,
+      // tracking params, fragments, trailing dots/slashes, schemeless
+      // entries — every rule branch exercised by doc_id arithmetic);
+      // map-only scalar expressions, oracle replays the identical
+      // regex pipeline
+      table(s, dir, "documents")
+        .withColumn("url", syntheticUrl)
+        .select(col("doc_id"), col("url"),
+          graft.text.UrlOps.normalizeUrl(col("url")).as("norm_url"),
+          graft.text.UrlOps.host(col("url")).as("host"),
+          graft.text.UrlOps.registeredDomain(
+            graft.text.UrlOps.host(col("url"))).as("domain"))),
+    "q_url_dedup" -> ((s, dir) =>
+      // URL-level dedup — the FIRST dedup a crawl pipeline runs: the
+      // synthetic URL space folds tracking params / fragments /
+      // trailing slashes so distinct raw URLs collide canonically
+      // (period 840/4200 in doc_id); keep-min-id via groupBy+semi-join
+      // (no window, map-side partials)
+      graft.text.UrlOps.urlDedup(
+        table(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id")
+        .select("doc_id", "norm_url", "n_variants")),
+    "q_domain_stats" -> ((s, dir) =>
+      // per-registered-domain corpus profile (eTLD+1 grouping incl.
+      // multi-part suffixes co.uk / com.au): doc count, distinct
+      // canonical URLs, token + char totals — the table domain caps
+      // and blocklists are decided from; one |domains|-row aggregate
+      graft.text.UrlOps.domainStats(
+        table(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "text")),
+    "q_domain_block" -> ((s, dir) => {
+      // domain blocklist gate: broadcast anti-join on the registered
+      // domain (blocklists are small dims even at millions of rows);
+      // survivors counted per (lang, source) so the oracle pins the
+      // whole kept set
+      val blocked = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("example.com.au"),
+          org.apache.spark.sql.Row("news-site.com")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      graft.text.UrlOps.filterBlockedDomains(
+        table(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", blocked)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
     })
   )
+
+  /** Deterministic synthetic crawl URL per document (doc_id arithmetic;
+    * FIXTURES.md conventions) — documents carries no URL column, so the
+    * fixture plants one that exercises every canonicalization branch.
+    * The oracle rebuilds the identical string in SQL ([[synUrlSql]]). */
+  private def syntheticUrl: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val scheme = when(pmod(d, lit(3)) === 0, lit("HTTP://"))
+      .when(pmod(d, lit(3)) === 1, lit("https://")).otherwise(lit(""))
+    val hostC = when(pmod(d, lit(7)) === 0, lit("WWW.News-Site.COM"))
+      .when(pmod(d, lit(7)) === 1, lit("blog.example.co.uk"))
+      .when(pmod(d, lit(7)) === 2, lit("Example.COM."))
+      .when(pmod(d, lit(7)) === 3, lit("cdn.media.org"))
+      .when(pmod(d, lit(7)) === 4, lit("shop.example.com.au"))
+      .when(pmod(d, lit(7)) === 5, lit("example.com"))
+      .otherwise(lit("sub.a.example.com"))
+    val port = when(pmod(d, lit(5)) === 0, lit(":80"))
+      .when(pmod(d, lit(5)) === 1, lit(":443"))
+      .when(pmod(d, lit(5)) === 2, lit(":8080")).otherwise(lit(""))
+    val path = concat(lit("/p/"), pmod(d, lit(40)),
+      when(pmod(d, lit(2)) === 0, lit("/")).otherwise(lit("")))
+    val query = when(pmod(d, lit(4)) === 0,
+        concat(lit("?utm_source=feed&b="), pmod(d, lit(6)), lit("&a=1")))
+      .when(pmod(d, lit(4)) === 1, concat(lit("?a=1&b="), pmod(d, lit(6))))
+      .when(pmod(d, lit(4)) === 2, lit("?fbclid=xyz")).otherwise(lit(""))
+    val frag = when(pmod(d, lit(2)) === 0, lit("#sec")).otherwise(lit(""))
+    concat(scheme, hostC, port, path, query, frag)
+  }
 
   // ------------------------------------------------- oracle SQL generators
   //
@@ -5890,8 +5969,100 @@ object SparkEntry {
         |  round(list_sum([x['n'] / nn::DOUBLE * abs(x['fp'] - x['ms'])
         |    for x in l]), 6) AS ece
         |FROM t""".stripMargin,
-    "q_hits" -> hitsOracle(iters = 4)
+    "q_hits" -> hitsOracle(iters = 4),
+    "q_url_normalize" ->
+      (urlCtes + "\nSELECT doc_id, url, norm_url, host, domain FROM dom"),
+    "q_url_dedup" -> (urlCtes +
+      """
+        |SELECT min(doc_id) AS doc_id, norm_url,
+        |  count(*)::BIGINT AS n_variants
+        |FROM dom GROUP BY norm_url""".stripMargin),
+    "q_domain_stats" -> (urlCtes +
+      """
+        |SELECT domain, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT norm_url)::BIGINT AS n_urls,
+        |  (sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END))::BIGINT
+        |    AS total_tokens,
+        |  round(avg(len(text)), 6) AS avg_chars
+        |FROM dom GROUP BY domain""".stripMargin),
+    "q_domain_block" -> (urlCtes +
+      """
+        |SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM dom
+        |WHERE domain NOT IN ('example.com.au', 'news-site.com')
+        |GROUP BY lang, source""".stripMargin)
   )
+
+  /** SQL twin of [[syntheticUrl]] + the UrlOps canonicalization pipeline
+    * as a CTE chain ending in `dom` with columns
+    * (doc_id, text, lang, source, n_chars, url, norm_url, host, domain).
+    * Same regexes, same rule order — DuckDB replays every branch. */
+  private lazy val urlCtes: String = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)" +
+      "(?:\\?([^#]*))?(?:#.*)?$"
+    val track = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid" +
+      "|ref)(=|$)"
+    val suffixes = graft.text.UrlOps.MultiPartSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH syn AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://'
+       |      WHEN 1 THEN 'https://' ELSE '' END)
+       |    || (CASE doc_id % 7 WHEN 0 THEN 'WWW.News-Site.COM'
+       |      WHEN 1 THEN 'blog.example.co.uk' WHEN 2 THEN 'Example.COM.'
+       |      WHEN 3 THEN 'cdn.media.org' WHEN 4 THEN 'shop.example.com.au'
+       |      WHEN 5 THEN 'example.com' ELSE 'sub.a.example.com' END)
+       |    || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+       |      WHEN 2 THEN ':8080' ELSE '' END)
+       |    || '/p/' || (doc_id % 40)::VARCHAR
+       |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+       |    || (CASE doc_id % 4
+       |      WHEN 0 THEN '?utm_source=feed&b=' || (doc_id % 6)::VARCHAR
+       |        || '&a=1'
+       |      WHEN 1 THEN '?a=1&b=' || (doc_id % 6)::VARCHAR
+       |      WHEN 2 THEN '?fbclid=xyz' ELSE '' END)
+       |    || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+       |  FROM documents),
+       |u2 AS (SELECT *, CASE
+       |    WHEN regexp_matches(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://')
+       |    THEN trim(url) ELSE 'https://' || trim(url) END AS u FROM syn),
+       |pr AS (SELECT *,
+       |    lower(coalesce(regexp_extract(u, '$re', 1), '')) AS scheme,
+       |    coalesce(regexp_extract(u, '$re', 2), '') AS auth,
+       |    coalesce(regexp_extract(u, '$re', 3), '') AS rawpath,
+       |    coalesce(regexp_extract(u, '$re', 4), '') AS rawq
+       |  FROM u2),
+       |hp AS (SELECT *,
+       |    regexp_replace(regexp_replace(regexp_replace(lower(auth),
+       |      '^[^@]*@', ''), ':[0-9]*$$', ''), '\\.$$', '') AS host,
+       |    coalesce(regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+       |      ':([0-9]+)$$', 1), '') AS port
+       |  FROM pr),
+       |np AS (SELECT *,
+       |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+       |        OR (scheme = 'https' AND port = '443'))
+       |      THEN ':' || port ELSE '' END AS portpart,
+       |    CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+       |      ELSE regexp_replace(rawpath, '/+$$', '') END AS path,
+       |    coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(rawq, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '$track'))), '&'), '')
+       |      AS keptq
+       |  FROM hp),
+       |canon AS (SELECT *,
+       |    scheme || '://' || host || portpart || path ||
+       |      (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END)
+       |      AS norm_url,
+       |    string_split(host, '.') AS labels
+       |  FROM np),
+       |dom AS (SELECT *, CASE WHEN len(labels) <= 2 THEN host
+       |    WHEN (labels[-2] || '.' || labels[-1]) IN ($suffixes)
+       |    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       |    ELSE labels[-2] || '.' || labels[-1] END AS domain
+       |  FROM canon)""".stripMargin
+  }
 
   /** The MMR greedy trajectory replayed in generated SQL (the
     * pcaOracle/bpeCtes pattern): the raw-cosine shortlist window (the

@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation layer for web-crawl corpora.
+  *
+  * Web-scale training sets are keyed by URL long before they are keyed by
+  * content: the first dedup any crawl pipeline runs is URL-level (the same
+  * page is fetched through infinite tracking-parameter variants), and the
+  * first quality gate is domain-level (blocklists, per-domain caps,
+  * per-domain quality stats). The reference engine has no web layer, so
+  * this module is beyond-parity surface built the same way as the rest of
+  * the text package: pure Catalyst expressions (regexp + higher-order
+  * array functions), no UDFs, map-only until the single domain-keyed
+  * aggregate.
+  *
+  * Canonicalization rules (deliberately deterministic + oracle-replayable,
+  * the common subset of the crawl-industry canonicalizers):
+  *   - missing scheme → assume `https://`
+  *   - scheme and host lowercased; trailing dot on host dropped;
+  *     `userinfo@` dropped
+  *   - default ports dropped (`:80` for http, `:443` for https)
+  *   - empty path → `/`; trailing slashes trimmed on non-root paths
+  *   - fragment dropped
+  *   - tracking parameters dropped (utm_*, fbclid, gclid, msclkid,
+  *     mc_eid, igshid, ref); surviving query params sorted
+  *     lexicographically
+  *
+  * Design note (100 TB): normalization, host and registered-domain
+  * extraction are per-row scalar expressions — embarrassingly parallel,
+  * zero shuffle, codegen-friendly. `urlDedup` and `domainStats` shuffle
+  * once on the url/domain key with map-side partial aggregation; the
+  * blocklist filter is a broadcast anti-join (real blocklists run to a
+  * few million rows — still broadcastable; past that, the same call with
+  * the hint removed becomes a shuffle join, no code change).
+  */
+object UrlOps {
+
+  /** One regex splits the URL into (scheme, authority, path, query):
+    * `^(scheme)://(authority)(path)(?:\?(query))?(?:#fragment)?$`.
+    * RE2-portable (non-capturing groups only, no backrefs) so the DuckDB
+    * oracle runs the identical pattern. */
+  private val UrlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+  /** Keys stripped by [[normalizeUrl]] — the ubiquitous click-tracking
+    * parameters that multiply one page into thousands of crawl URLs. */
+  val TrackingParamRe: String =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"
+
+  /** `url` with a scheme guaranteed — schemeless crawl entries (host/path
+    * fragments out of link extractors) are read as https. */
+  private def withScheme(url: Column): Column = {
+    val t = trim(url)
+    when(t.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), t)
+      .otherwise(concat(lit("https://"), t))
+  }
+
+  /** Lowercased host of `url` (userinfo and port stripped, trailing dot
+    * dropped). Empty string when the URL does not parse. */
+  def host(url: Column): Column = {
+    val auth = regexp_extract(withScheme(url), UrlRe, 2)
+    // strip userinfo, then port, then trailing dot
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(auth), "^[^@]*@", ""),
+        ":[0-9]*$", ""),
+      "\\.$", "")
+  }
+
+  /** Canonical form of `url` under the header's rule set. Pure scalar
+    * expression tree — safe to call per-row at any scale. */
+  def normalizeUrl(url: Column): Column = {
+    val u = withScheme(url)
+    val scheme = lower(regexp_extract(u, UrlRe, 1))
+    val h = host(url)
+    val port = regexp_extract(
+      regexp_replace(regexp_extract(u, UrlRe, 2), "^[^@]*@", ""),
+      ":([0-9]+)$", 1)
+    val keepPort = (port =!= "") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val rawPath = regexp_extract(u, UrlRe, 3)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "",
+      lit("/")).otherwise(regexp_replace(rawPath, "/+$", ""))
+    val rawQuery = regexp_extract(u, UrlRe, 4)
+    val kept = array_join(
+      array_sort(filter(split(rawQuery, "&"),
+        p => (p =!= "") && !p.rlike(TrackingParamRe))), "&")
+    val queryPart =
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept))
+    concat(scheme, lit("://"), h, portPart, path, queryPart)
+  }
+
+  /** Multi-part public suffixes recognized by [[registeredDomain]] — a
+    * deliberately small, pinned subset of the public-suffix list (the
+    * full list is data, not code: load it as a table and join when
+    * fidelity matters; this built-in set keeps the common ccTLD pairs
+    * from collapsing to the wrong level). */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "co.nz")
+
+  /** eTLD+1 ("registered domain") of a host: the last two labels, or the
+    * last three when the last two form a recognized multi-part suffix.
+    * The grouping key for every domain-level curation decision. */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    when(n <= 2, hostCol)
+      .otherwise(when(last2.isin(MultiPartSuffixes: _*), last3)
+        .otherwise(last2))
+  }
+
+  /** Per-registered-domain corpus profile: document count, distinct
+    * canonical URLs, total whitespace tokens, mean characters (rounded so
+    * the cross-engine hash is stable). One shuffle on the domain key with
+    * map-side partials; output is |domains| rows. */
+  def domainStats(docs: DataFrame, urlCol: String, textCol: String)
+      : DataFrame = {
+    docs
+      .withColumn("__norm", normalizeUrl(col(urlCol)))
+      .withColumn("__domain", registeredDomain(host(col(urlCol))))
+      .groupBy(col("__domain").as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__norm")).as("n_urls"),
+        sum(TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+          .as("total_tokens"),
+        round(avg(length(col(textCol))), 6).as("avg_chars"))
+  }
+
+  /** Drop documents whose registered domain appears in `blocked` (one
+    * column `domain`). Broadcast anti-join: the probe side never moves. */
+  def filterBlockedDomains(docs: DataFrame, urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    val flagged = docs.withColumn("__domain",
+      registeredDomain(host(col(urlCol))))
+    flagged.join(broadcast(blocked.select(col("domain").as("__domain"))),
+        Seq("__domain"), "left_anti")
+      .drop("__domain")
+  }
+
+  /** URL-level dedup: one representative (minimum `idCol`) per canonical
+    * URL. The groupBy-min + semi-join shape instead of a window — the
+    * aggregate gets map-side partials and AQE skew handling, and no
+    * single task ever holds a whole URL group. */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val withNorm = docs.withColumn("norm_url", normalizeUrl(col(urlCol)))
+    val keep = withNorm.groupBy("norm_url")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
+    withNorm.join(keep, Seq("norm_url", idCol))
+  }
+}
