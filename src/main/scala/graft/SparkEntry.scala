@@ -2176,6 +2176,31 @@ object SparkEntry {
         graft.text.TextAnalysis.wsTokenCount(col("text")),
         Seq(0.2, 0.4, 0.6, 0.8, 0.9))
     }),
+    "q_soft_dedup" -> ((s, dir) => {
+      // SoftDedup (Muennighoff 2023 data-constrained scaling): every row
+      // survives with weight = n_dups^-0.5 — planted copies (+1e6 for
+      // doc_id<50, +2e6 for <20) create exact clusters of size 2 and 3;
+      // one fingerprint aggregate + join back, no windows
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+      graft.dedup.Dedup.softDedupWeights(corpus, "text", "doc_id",
+          alpha = 0.5)
+        .select("doc_id", "n_dups", "weight")
+    }),
+    "q_fuzzy_link" -> ((s, dir) =>
+      // blocked fuzzy entity linkage: 24 synthetic person names with
+      // deterministic corruptions (char swap / delete / duplicate by
+      // doc_id%4), (first-char, length-bucket) blocking, native
+      // Jaro-Winkler verify at 0.88 — the DuckDB oracle's INDEPENDENT
+      // jaro_winkler_similarity must agree on every rounded score
+      graft.dedup.Linkage.fuzzyLinkPairs(
+        table(s, dir, "documents").filter(col("doc_id") < 3000)
+          .withColumn("name", syntheticName),
+        "name", "doc_id", threshold = 0.88)),
     "q_url_normalize" -> ((s, dir) =>
       // URL canonicalization over deterministically synthesized crawl
       // URLs (mixed-case schemes/hosts, default + exotic ports,
@@ -2228,6 +2253,33 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"))
     })
   )
+
+  /** Name pool for the fuzzy-linkage fixture ([[syntheticName]] /
+    * q_fuzzy_link oracle). */
+  private val LinkNames = Seq(
+    "amelia watson", "arthur clarke", "bruno fernandez", "beatrice holt",
+    "carmen diaz", "charles bukowski", "diana prince", "dmitri ivanov",
+    "elena petrova", "edward norton", "felix mendel", "francesca rossi",
+    "gustav mahler", "george orwell", "harriet tubman", "henrik ibsen",
+    "isabella garcia", "ivan turgenev", "jasmine patel", "johan cruyff",
+    "katarina witt", "kenji tanaka", "laura palmer", "leo tolstoy")
+
+  /** Deterministic synthetic person name with doc_id-keyed corruptions
+    * (swap chars 3-4 / delete char 5 / duplicate char 2 / clean) — the
+    * fuzzy-linkage fixture; the oracle rebuilds it in SQL. */
+  private def syntheticName: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val base = element_at(array(LinkNames.map(lit): _*),
+      (pmod(d, lit(24)) + lit(1)).cast("int"))
+    when(pmod(d, lit(4)) === 1,
+        concat(substring(base, 1, 2), substring(base, 4, 1),
+          substring(base, 3, 1), substring(base, 5, 1000)))
+      .when(pmod(d, lit(4)) === 2,
+        concat(substring(base, 1, 4), substring(base, 6, 1000)))
+      .when(pmod(d, lit(4)) === 3,
+        concat(substring(base, 1, 2), substring(base, 2, 1000)))
+      .otherwise(base)
+  }
 
   /** Deterministic synthetic crawl URL per document (doc_id arithmetic;
     * FIXTURES.md conventions) — documents carries no URL column, so the
@@ -5970,6 +6022,21 @@ object SparkEntry {
         |    for x in l]), 6) AS ece
         |FROM t""".stripMargin,
     "q_hits" -> hitsOracle(iters = 4),
+    "q_soft_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+        |    WHERE doc_id < 20),
+        |fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |  FROM corpus),
+        |c AS (SELECT f, count(*)::BIGINT AS n_dups FROM fp GROUP BY f)
+        |SELECT fp.doc_id, c.n_dups,
+        |  round(power(c.n_dups, -0.5), 6) AS weight
+        |FROM fp JOIN c USING (f)""".stripMargin,
+    "q_fuzzy_link" -> fuzzyLinkOracle,
     "q_url_normalize" ->
       (urlCtes + "\nSELECT doc_id, url, norm_url, host, domain FROM dom"),
     "q_url_dedup" -> (urlCtes +
@@ -5994,6 +6061,36 @@ object SparkEntry {
         |WHERE domain NOT IN ('example.com.au', 'news-site.com')
         |GROUP BY lang, source""".stripMargin)
   )
+
+  /** SQL twin of [[syntheticName]] + Linkage.fuzzyLinkPairs: name pool,
+    * corruption CASE, normalize, (first-char, len//4) block key, within-
+    * block self-join, and DuckDB's OWN jaro_winkler_similarity as the
+    * independent second implementation of the JW kernel. */
+  private lazy val fuzzyLinkOracle: String = {
+    val names = LinkNames.map(n => s"'$n'").mkString(", ")
+    s"""WITH n0 AS (
+       |  SELECT doc_id, ([$names])[(doc_id % 24 + 1)::INT] AS base
+       |  FROM documents WHERE doc_id < 3000),
+       |nm AS (SELECT doc_id, CASE doc_id % 4
+       |    WHEN 1 THEN substr(base, 1, 2) || substr(base, 4, 1)
+       |      || substr(base, 3, 1) || substr(base, 5, 1000)
+       |    WHEN 2 THEN substr(base, 1, 4) || substr(base, 6, 1000)
+       |    WHEN 3 THEN substr(base, 1, 2) || substr(base, 2, 1000)
+       |    ELSE base END AS name
+       |  FROM n0),
+       |k AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(name), '\\s+', ' ', 'g')) AS kk
+       |  FROM nm),
+       |b AS (SELECT doc_id, kk,
+       |    substr(kk, 1, 1) || '|' || (floor(len(kk) / 4))::BIGINT::VARCHAR
+       |      AS blk
+       |  FROM k)
+       |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |  round(jaro_winkler_similarity(a.kk, b2.kk), 6) AS jw
+       |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+       |WHERE round(jaro_winkler_similarity(a.kk, b2.kk), 6) >= 0.88"""
+      .stripMargin
+  }
 
   /** SQL twin of [[syntheticUrl]] + the UrlOps canonicalization pipeline
     * as a CTE chain ending in `dom` with columns

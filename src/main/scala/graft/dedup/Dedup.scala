@@ -57,6 +57,32 @@ object Dedup {
       .select(col("__min").as("id_a"), col("__id").as("id_b"))
   }
 
+  /** Soft dedup: duplicate-aware sampling WEIGHTS instead of row drops
+    * (SoftDedup, Muennighoff et al. 2023's data-constrained scaling —
+    * repeated content keeps contributing, just not linearly). Every row
+    * survives, annotated with its exact-duplicate cluster size `n_dups`
+    * and `weight = n_dups^(-alpha)` rounded 6: `alpha = 1` makes each
+    * distinct CONTENT contribute total mass 1 regardless of copy count;
+    * `alpha = 0.5` square-root damping; `alpha = 0` recovers uniform.
+    * Feed the weight column to the weighted samplers
+    * ([[graft.operators.Sampling]]) or a loss-weighting column in the
+    * trainer.
+    *
+    * Scale: one fingerprint aggregate (16-byte md5 keys, map-side
+    * partials) + one broadcast-able |distinct|-row join back — no
+    * windows, no collect. */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val counts = df.groupBy(fingerprintMd5(col(textCol)).as("__fp"))
+      .agg(count(lit(1)).as("n_dups"))
+    df.withColumn("__fp", fingerprintMd5(col(textCol)))
+      .join(counts, Seq("__fp"))
+      .withColumn("weight",
+        round(pow(col("n_dups").cast("double"), -alpha), 6))
+      .drop("__fp")
+  }
+
   /** Per-source duplication profile — the dedup TELEMETRY a curation
     * pipeline publishes every snapshot: how much of each source is
     * redundant (a crawl source whose dup rate jumps is the canary for a

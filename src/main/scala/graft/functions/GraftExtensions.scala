@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_fold_accents(text) - NFD accent folding (combining marks " +
           "stripped; codegen'd)"),
       (args: Seq[Expression]) => NormalizeExpression.FoldAccents(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (classic " +
+          "0.7-boost-threshold variant, DuckDB-compatible)"),
+      (args: Seq[Expression]) =>
+        StringSimilarityExpressions.JaroWinkler(args(0), args(1))))
     // Composed functions are hand-built as RESOLVED catalyst trees: the
     // Column→Expression bridge yields unresolved function nodes that the
     // SQL path never re-analyzes (internal codegen error), so the trees
