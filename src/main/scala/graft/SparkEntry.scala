@@ -2176,6 +2176,27 @@ object SparkEntry {
         graft.text.TextAnalysis.wsTokenCount(col("text")),
         Seq(0.2, 0.4, 0.6, 0.8, 0.9))
     }),
+    "q_embed_decontam" -> ((s, dir) => {
+      // embedding-space decontamination: benchmark = every 23rd vector,
+      // id-offset and scaled ×2 (cosine-invariant, so true copies score
+      // exactly 1.0 after rounding); threshold 0.99 flags only planted
+      // copies; corpus scanned once, map-side max(struct) argmax
+      val emb = table(s, dir, "embeddings")
+      val bench = emb.filter(pmod(col("vec_id"), lit(23)) === 0)
+        .select((col("vec_id") + lit(100000L)).as("bench_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      graft.similarity.Similarity.embeddingDecontam(emb, bench, 0.99)
+    }),
+    "q_doremi" -> ((s, dir) =>
+      // DoReMi MWU domain reweighting over per-source excess loss
+      // (synthesized integer micro-units from n_chars arithmetic);
+      // 6 quantized integer rounds + the ā output row — the whole
+      // trajectory bit-exact cross-engine, oracle unrolls every round
+      graft.operators.Doremi.domainReweight(
+        table(s, dir, "documents"), "source",
+        (pmod(col("n_chars"), lit(97)) * lit(53L) -
+          pmod(col("n_chars"), lit(53)) * lit(97L)) * lit(100L),
+        steps = 6, etaDiv = 10)),
     "q_soft_dedup" -> ((s, dir) => {
       // SoftDedup (Muennighoff 2023 data-constrained scaling): every row
       // survives with weight = n_dups^-0.5 — planted copies (+1e6 for
@@ -6022,6 +6043,26 @@ object SparkEntry {
         |    for x in l]), 6) AS ece
         |FROM t""".stripMargin,
     "q_hits" -> hitsOracle(iters = 4),
+    "q_embed_decontam" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |b AS (SELECT vec_id + 100000 AS bench_id,
+        |    [x * 2 FOR x IN embedding::DOUBLE[]] AS v
+        |  FROM embeddings WHERE vec_id % 23 = 0),
+        |p AS (SELECT e.vec_id, b.bench_id,
+        |    round(CASE WHEN sqrt(list_dot_product(e.v, e.v))
+        |        * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |      ELSE list_dot_product(e.v, b.v)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |          * sqrt(list_dot_product(b.v, b.v))) END, 6) AS c
+        |  FROM e CROSS JOIN b),
+        |m AS (SELECT vec_id, max(c) AS max_cosine FROM p GROUP BY vec_id)
+        |SELECT m.vec_id, m.max_cosine,
+        |  min(p.bench_id) AS nearest_bench_id,
+        |  m.max_cosine >= 0.99 AS contaminated
+        |FROM m JOIN p ON p.vec_id = m.vec_id AND p.c = m.max_cosine
+        |GROUP BY m.vec_id, m.max_cosine""".stripMargin,
+    "q_doremi" -> doremiOracle(steps = 6),
     "q_soft_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -6061,6 +6102,43 @@ object SparkEntry {
         |WHERE domain NOT IN ('example.com.au', 'news-site.com')
         |GROUP BY lang, source""".stripMargin)
   )
+
+  /** Doremi.domainReweight unrolled in SQL (the hitsOracle pattern):
+    * per-source integer excess sufficient statistics, then `steps`
+    * exact-integer MWU rounds (BIGINT multiplies, window-sum z,
+    * floor-divide renormalize), step 0 + the ā = floor-mean row. */
+  private def doremiOracle(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH d AS (SELECT coalesce(source, '__null__') AS domain,
+      |    (sum(greatest((n_chars % 97) * 53 - (n_chars % 53) * 97, 0)
+      |      * 100) // count(*))::BIGINT AS em
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT domain, (1000000 + em // 10)::BIGINT AS mult,
+      |    (SELECT count(*) FROM d)::BIGINT AS k FROM d),
+      |w0 AS (SELECT domain, mult, (1000000 // k)::BIGINT AS w FROM m)"""
+      .stripMargin
+    for (t <- 1 to steps) {
+      sb ++= s""",
+        |r$t AS (SELECT domain, mult, w * mult AS raw FROM w${t - 1}),
+        |w$t AS (SELECT domain, mult,
+        |  (raw * 1000000 // (sum(raw) OVER ()))::BIGINT AS w FROM r$t)"""
+        .stripMargin
+    }
+    sb ++= "\nSELECT 0 AS step, domain, w AS w_micro, " +
+      "w::DOUBLE / 1000000.0 AS weight FROM w0"
+    for (t <- 1 to steps) {
+      sb ++= s"\nUNION ALL SELECT $t, domain, w, " +
+        s"w::DOUBLE / 1000000.0 FROM w$t"
+    }
+    val avgSum = (1 to steps).map(t => s"w$t.w").mkString(" + ")
+    val joins = (2 to steps).map(t => s"JOIN w$t USING (domain)")
+      .mkString(" ")
+    sb ++= s"""
+      |UNION ALL SELECT -1, domain, (($avgSum) // $steps)::BIGINT,
+      |  (($avgSum) // $steps)::DOUBLE / 1000000.0
+      |FROM w1 $joins""".stripMargin
+    sb.toString
+  }
 
   /** SQL twin of [[syntheticName]] + Linkage.fuzzyLinkPairs: name pool,
     * corruption CASE, normalize, (first-char, len//4) block key, within-

@@ -103,6 +103,41 @@ object Similarity {
     topKPerQuery(banded, k)
   }
 
+  /** Embedding-space benchmark decontamination — the SEMANTIC complement
+    * to the n-gram protocol ([[graft.dedup.Dedup.ngramContamination]]):
+    * paraphrased or reformatted eval items share no 8-grams with their
+    * source but sit next to it in embedding space. Every corpus vector is
+    * scored by its maximum rounded cosine against the (broadcast)
+    * benchmark set; `contaminated = max_cosine ≥ threshold`. Ties on the
+    * max break to the LOWEST benchmark id (deterministic argmax).
+    *
+    * Plan: corpus scanned once, never shuffled; the |C|·|B| pair stream
+    * collapses by a map-side max(struct(cosine, −bench_id)) partial
+    * aggregate — per-partition state is one row per corpus id, the
+    * exchange ≤ partitions·|C| singleton maxima, and no heap is needed
+    * for k = 1. Benchmarks are eval suites (thousands of rows): always
+    * broadcastable. */
+  def embeddingDecontam(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", benchIdCol: String = "bench_id")
+      : DataFrame = {
+    require(threshold >= -1 && threshold <= 1,
+      s"threshold must be a cosine in [-1,1], got $threshold")
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(broadcast(bench.select(col(benchIdCol).as("__bid"),
+        col(vecCol).as("__bv"))))
+      .select(col(idCol),
+        round(cosine(col("__cv"), col("__bv")), 6).as("__cos"),
+        col("__bid"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos"), (-col("__bid")).as("__nb")))
+        .as("__m"))
+      .select(col(idCol),
+        col("__m.__cos").as("max_cosine"),
+        (-col("__m.__nb")).as("nearest_bench_id"),
+        (col("__m.__cos") >= threshold).as("contaminated"))
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversified re-ranking: greedily pick `k` results that balance
     * relevance to the query against redundancy with what is already

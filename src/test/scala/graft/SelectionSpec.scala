@@ -834,4 +834,40 @@ class SelectionSpec extends SparkSuite {
       assert(p.getAs[Long]("yr") <= 11L, s"y extent too wide: $p")
     }
   }
+
+  test("doremi MWU: high-excess domain gains, trajectory is exact integers") {
+    import spark.implicits._
+    import graft.operators.Doremi
+    // domain a: excess 0.5 (500000 micro); b: 0; c (NULL): 0.1
+    val docs = Seq(
+      ("a", 500000L), ("a", 500000L),
+      ("b", 0L), ("b", 0L),
+      (null.asInstanceOf[String], 100000L))
+      .toDF("domain", "e")
+    val out = Doremi.domainReweight(docs, "domain", col("e"),
+        steps = 2, etaDiv = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // step 0: uniform floor(1e6/3)
+    assert(out((0, "a")) === 333333L)
+    // hand-replay step 1: mult = (1050000, 1000000, 1010000)
+    val w0 = 333333L
+    val raw = Seq(w0 * 1050000L, w0 * 1000000L, w0 * 1010000L)
+    val z = raw.sum
+    val w1 = raw.map(r => r * 1000000L / z)
+    assert(out((1, "a")) === w1(0))
+    assert(out((1, "b")) === w1(1))
+    assert(out((1, graft.operators.Sampling.NullStratum)) === w1(2))
+    assert(out((1, "a")) > out((1, "b")))
+    // step -1 is the floor-mean of iterates 1..2
+    val raw2 = Seq(w1(0) * 1050000L, w1(1) * 1000000L, w1(2) * 1010000L)
+    val z2 = raw2.sum
+    val w2 = raw2.map(r => r * 1000000L / z2)
+    assert(out((-1, "a")) === (w1(0) + w2(0)) / 2)
+    // negative excess clamps to zero, never downweights below uniform decay
+    val neg = Seq(("a", -900000L), ("b", 0L)).toDF("domain", "e")
+    val o2 = Doremi.domainReweight(neg, "domain", col("e"), steps = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(o2((1, "a")) === o2((1, "b")))
+  }
 }

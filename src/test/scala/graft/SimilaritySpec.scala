@@ -493,4 +493,37 @@ class SimilaritySpec extends SparkSuite {
     assert(got.count(_._2) <= 1)
     assert(got.length === 2) // both x still report their best pair
   }
+
+  test("embeddingDecontam flags near-copies, deterministic argmax ties") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // exact copy of bench 10 AND 11 (tie)
+      (2L, Seq(0.0, 1.0, 0.0)),   // far from every bench vector
+      (3L, Seq(0.9, 0.1, 0.0)))   // close to bench 10/11
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (11L, Seq(2.0, 0.0, 0.0)),  // scaled copy -> cosine exactly 1
+      (10L, Seq(1.0, 0.0, 0.0)))
+      .toDF("bench_id", "embedding")
+    val got = Similarity.embeddingDecontam(corpus, bench, 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((1.0, 10L, true)))  // tie breaks to LOWEST id
+    assert(got(2L)._3 === false)
+    assert(got(3L)._1 > 0.95 && got(3L)._3 === true)
+    assert(got(3L)._1 < 1.0)
+  }
+
+  test("embeddingDecontam plan: corpus side never exchanges") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    val corpus = (1L to 50L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((1L, Seq(1.0, 0.0))).toDF("bench_id", "embedding")
+    val plan = Similarity.embeddingDecontam(corpus, bench, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
