@@ -2176,6 +2176,24 @@ object SparkEntry {
         graft.text.TextAnalysis.wsTokenCount(col("text")),
         Seq(0.2, 0.4, 0.6, 0.8, 0.9))
     }),
+    "q_taxonomy" -> ((s, dir) =>
+      // weighted keyword-taxonomy topic routing (the cheap first-stage
+      // domain classifier): four topics over the fixture vocabulary,
+      // word-boundary regexp_count scores, alphabetical-tie argmax,
+      // all-zero -> unknown; map-only
+      graft.text.Taxonomy.assignTopics(
+        table(s, dir, "documents"), "text", TaxonomyFixture)
+        .select("doc_id", "score_compute", "score_retrieval",
+          "score_storage", "score_streaming", "topic")),
+    "q_domain_cap" -> ((s, dir) =>
+      // RefinedWeb/FineWeb per-domain cap: at most 40 docs per
+      // registered domain, longest-first (ties to min id) — bounded-heap
+      // top-k per domain (map-side partials), never a rank window over
+      // the biggest domain
+      graft.text.UrlOps.domainCap(
+        table(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", col("n_chars").cast("double"), maxPerDomain = 40)
+        .select("doc_id", "n_chars")),
     "q_embed_decontam" -> ((s, dir) => {
       // embedding-space decontamination: benchmark = every 23rd vector,
       // id-offset and scaled ×2 (cosine-invariant, so true copies score
@@ -2274,6 +2292,40 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"))
     })
   )
+
+  /** Topic taxonomy over the fixture vocabulary (q_taxonomy; the oracle
+    * replays the same word-boundary counts and alphabetical argmax). */
+  private val TaxonomyFixture: Seq[(String, Seq[(String, Int)])] = Seq(
+    "compute" -> Seq("join" -> 2, "agg" -> 2, "sort" -> 1, "merge" -> 1,
+      "hash" -> 1),
+    "retrieval" -> Seq("query" -> 2, "vector" -> 3, "filter" -> 1),
+    "storage" -> Seq("table" -> 1, "row" -> 2, "column" -> 2, "scan" -> 1),
+    "streaming" -> Seq("stream" -> 3, "window" -> 1, "batch" -> 1))
+
+  /** q_taxonomy oracle: per-keyword `len(regexp_extract_all(...)) · w`
+    * sums and the alphabetical-first CASE argmax, generated from
+    * [[TaxonomyFixture]] so engine and oracle can never drift. */
+  private lazy val taxonomyOracle: String = {
+    def scoreSql(kws: Seq[(String, Int)]): String =
+      kws.map { case (kw, w) =>
+        s"len(regexp_extract_all(lower(text), '\\b$kw\\b')) * $w"
+      }.mkString(" + ")
+    val topics = TaxonomyFixture.map(_._1).sorted
+    val defs = TaxonomyFixture.map { case (t, kws) =>
+      s"(${scoreSql(kws)})::BIGINT AS score_$t"
+    }.mkString(",\n    ")
+    val maxExpr = topics.map(t => s"score_$t").mkString("greatest(", ", ", ")")
+    val cases = topics.map(t =>
+      s"WHEN score_$t = __mx THEN '$t'").mkString(" ")
+    s"""WITH sc AS (SELECT doc_id,
+       |    $defs
+       |  FROM documents),
+       |mx AS (SELECT *, $maxExpr AS __mx FROM sc)
+       |SELECT doc_id, score_compute, score_retrieval, score_storage,
+       |  score_streaming,
+       |  CASE WHEN __mx = 0 THEN 'unknown' $cases END AS topic
+       |FROM mx""".stripMargin
+  }
 
   /** Name pool for the fuzzy-linkage fixture ([[syntheticName]] /
     * q_fuzzy_link oracle). */
@@ -6043,6 +6095,14 @@ object SparkEntry {
         |    for x in l]), 6) AS ece
         |FROM t""".stripMargin,
     "q_hits" -> hitsOracle(iters = 4),
+    "q_taxonomy" -> taxonomyOracle,
+    "q_domain_cap" -> (urlCtes +
+      """
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars, row_number() OVER (
+        |      PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM dom)
+        |WHERE rn <= 40""".stripMargin),
     "q_embed_decontam" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings),

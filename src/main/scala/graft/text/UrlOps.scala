@@ -146,6 +146,30 @@ object UrlOps {
       .drop("__domain")
   }
 
+  /** Per-domain document cap — the RefinedWeb/FineWeb anti-spam policy:
+    * keep at most `maxPerDomain` documents per registered domain, best
+    * `score` first (ties to the lowest id). A single over-represented
+    * domain (a link farm, a wiki mirror) otherwise dominates its
+    * language's mixture.
+    *
+    * Scale: the bounded-heap top-k aggregate per domain — map-side
+    * partials cap the exchange at partitions·k rows per domain, where a
+    * rank window would shuffle EVERY row of the biggest domain into one
+    * task. Kept ids semi-join back against the unmodified input. */
+  def domainCap(docs: DataFrame, urlCol: String, idCol: String,
+      score: Column, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0,
+      s"maxPerDomain must be positive, got $maxPerDomain")
+    val keep = docs
+      .withColumn("__domain", registeredDomain(host(col(urlCol))))
+      .groupBy("__domain")
+      .agg(graft.functions.TopKExpressions
+        .topKByScore(score, col(idCol), maxPerDomain).as("__top"))
+      .select(explode(col("__top")).as("__kept"))
+      .select(col("__kept.neighbor_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** URL-level dedup: one representative (minimum `idCol`) per canonical
     * URL. The groupBy-min + semi-join shape instead of a window — the
     * aggregate gets map-side partials and AQE skew handling, and no

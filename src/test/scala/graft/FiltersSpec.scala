@@ -853,4 +853,37 @@ class FiltersSpec extends SparkSuite {
       b.components.map(_.toSeq).toSeq)
     assert(a.eigenvalues.toSeq === b.eigenvalues.toSeq)
   }
+
+  // ----------------------------------------------------------- taxonomy
+
+  test("assignTopics: weighted keyword scores, argmax with alpha ties") {
+    import graft.text.Taxonomy
+    val tax = Seq(
+      "storage" -> Seq("table" -> 1, "row" -> 2),
+      "compute" -> Seq("join" -> 2, "agg" -> 2))
+    val docs = Seq(
+      (1L, "table row row table"),      // storage 2+4=6, compute 0
+      (2L, "join agg join"),            // compute 6
+      (3L, "table table join"),         // storage 2, compute 2 -> tie: compute (alpha)
+      (4L, "nothing relevant here")     // all zero -> unknown
+    ).toDF("doc_id", "text")
+    val got = Taxonomy.assignTopics(docs, "text", tax)
+      .select("doc_id", "score_storage", "score_compute", "topic")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 6L, 0L, "storage")))
+    assert(got(1) === ((2L, 0L, 6L, "compute")))
+    assert(got(2) === ((3L, 2L, 2L, "compute")))
+    assert(got(3) === ((4L, 0L, 0L, "unknown")))
+  }
+
+  test("assignTopics: word boundaries, case folding, regex-safe keywords") {
+    import graft.text.Taxonomy
+    val tax = Seq("t" -> Seq("c++" -> 1, "data" -> 1))
+    val got = Taxonomy.assignTopics(
+      Seq((1L, "Data database c++ xdata")).toDF("doc_id", "text"),
+      "text", tax).select("score_t").as[Long].head()
+    // "Data" counts (case), "database"/"xdata" do not (boundary),
+    // "c++" counts literally (quoted, not a regex)
+    assert(got === 2L)
+  }
 }

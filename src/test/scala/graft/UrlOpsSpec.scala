@@ -97,4 +97,17 @@ class UrlOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("domainCap keeps top-N per registered domain by score, ties to min id") {
+    val docs = Seq(
+      (1L, "https://a.com/1", 10.0), (2L, "https://a.com/2", 30.0),
+      (3L, "https://www.a.com/3", 20.0), (4L, "https://a.com/4", 30.0),
+      (5L, "https://b.org/1", 1.0))
+      .toDF("doc_id", "url", "q")
+    val kept = graft.text.UrlOps.domainCap(docs, "url", "doc_id",
+        col("q"), maxPerDomain = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // a.com (incl www subdomain): scores 30(id2), 30(id4), 20, 10 -> {2, 4}
+    assert(kept === Set(2L, 4L, 5L))
+  }
 }
