@@ -2176,6 +2176,15 @@ object SparkEntry {
         graft.text.TextAnalysis.wsTokenCount(col("text")),
         Seq(0.2, 0.4, 0.6, 0.8, 0.9))
     }),
+    "q_kn_ce" -> ((s, dir) =>
+      // interpolated Kneser-Ney bigram scoring (Chen & Goodman 1999 —
+      // KenLM's default smoothing): continuation counts + discounted
+      // bigram mass, two vocab-bounded aggregates off ONE bigram table;
+      // the per-doc mean is the only order-sensitive float, rounded 6
+      graft.text.UnigramLm.knBigramCrossEntropy(
+        table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy"))),
     "q_taxonomy" -> ((s, dir) =>
       // weighted keyword-taxonomy topic routing (the cheap first-stage
       // domain classifier): four topics over the fixture vocabulary,
@@ -6095,6 +6104,42 @@ object SparkEntry {
         |    for x in l]), 6) AS ece
         |FROM t""".stripMargin,
     "q_hits" -> hitsOracle(iters = 4),
+    "q_kn_ce" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT doc_id, u.a AS a, u.b AS b
+        |  FROM (SELECT doc_id, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |      for i in range(1, len(ts))]) AS u
+        |    FROM tok)),
+        |c2 AS MATERIALIZED (
+        |  SELECT a, b, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2),
+        |cctx AS MATERIALIZED (
+        |  SELECT a, sum(c2)::BIGINT AS cctx, count(*)::BIGINT AS n1f
+        |  FROM c2 GROUP BY 1),
+        |cont AS MATERIALIZED (
+        |  SELECT b, count(*)::BIGINT AS n1b FROM c2 GROUP BY 1),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM c2)::BIGINT AS n_bi,
+        |    (SELECT count(DISTINCT term)
+        |     FROM (SELECT unnest(ts) AS term FROM tok))::BIGINT AS vocab),
+        |sc AS (SELECT p.doc_id,
+        |    ln(CASE WHEN x.cctx IS NOT NULL THEN
+        |        greatest(coalesce(c.c2, 0) - 0.75, 0.0) / x.cctx +
+        |        (0.75 * x.n1f / x.cctx) *
+        |          ((coalesce(k.n1b, 0) + 1.0) / (n_bi + vocab))
+        |      ELSE (coalesce(k.n1b, 0) + 1.0) / (n_bi + vocab)
+        |      END) AS logp
+        |  FROM pairs p
+        |  LEFT JOIN c2 c USING (a, b)
+        |  LEFT JOIN cctx x USING (a)
+        |  LEFT JOIN cont k USING (b)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(-avg(logp), 6) AS cross_entropy
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "q_taxonomy" -> taxonomyOracle,
     "q_domain_cap" -> (urlCtes +
       """

@@ -205,6 +205,63 @@ object UnigramLm {
       col("cross_entropy"))
   }
 
+  /** Per-document cross-entropy under an interpolated KNESER-NEY bigram
+    * model (Chen & Goodman 1999 — the smoothing KenLM defaults to, and
+    * the reason a KenLM filter beats naive count LMs: continuation
+    * probability ranks words by how many CONTEXTS they follow, not raw
+    * frequency, so "francisco" stops looking fluent outside "san ~"):
+    *
+    *   P(b|a) = max(c(a,b) − d, 0)/c(a,·) + d·N₁₊(a,·)/c(a,·) · P_cont(b)
+    *   P_cont(b) = (N₁₊(·,b) + 1) / (B + V)
+    *
+    * with discount `d`, N₁₊(a,·) = distinct successors of a, N₁₊(·,b) =
+    * distinct predecessors of b, B = distinct bigrams, V = vocab. The
+    * continuation distribution carries add-one mass so unseen words and
+    * unseen contexts (which back off to P_cont alone) stay finite.
+    *
+    * Scale design identical to [[bigramCrossEntropy]]: the model is two
+    * vocab-bounded aggregates off ONE bigram count table (never a second
+    * corpus scan), scoring is three left joins + one scalar broadcast;
+    * everything past the explode is ≤ |bigrams-per-doc| rows. The
+    * per-doc mean is the one order-sensitive float — round the output
+    * (the q_kn_ce oracle rounds to 6 on both sides). */
+  def knBigramCrossEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", discount: Double = 0.75,
+      model: DataFrame = null): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val m = Option(model).getOrElse(docs)
+    val toks = tokens(col(textCol))
+    val modelBi = m.select(explode(bigrams(toks)).as("bg"))
+      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+      .agg(count(lit(1)).as("c2"))
+    // both N₁₊ tables and the context totals from the ONE bigram table
+    val ctx = modelBi.groupBy(col("a"))
+      .agg(sum(col("c2")).as("cctx"), count(lit(1)).as("n1f"))
+    val cont = modelBi.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val stats = modelBi.agg(count(lit(1)).as("n_bi"))
+      .crossJoin(m.select(explode(toks).as("t")).agg(
+        countDistinct(col("t")).as("vocab")))
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1.0)) /
+      (col("n_bi") + col("vocab"))
+    val p = when(col("cctx").isNotNull,
+      greatest(coalesce(col("c2"), lit(0L)) - lit(discount), lit(0.0)) /
+        col("cctx") +
+        (lit(discount) * col("n1f") / col("cctx")) * pcont)
+      .otherwise(pcont)
+    docs.select(col(idCol).as("id"), explode(bigrams(toks)).as("bg"))
+      .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .join(modelBi, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .join(cont, Seq("b"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), log(p).as("__logp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-avg(col("__logp"))).as("cross_entropy"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("cross_entropy"))
+  }
+
   /** CCNet perplexity bucketing (Wenzek et al. 2020): per language,
     * documents split into equal-count head / middle / tail thirds by
     * their LM score (here [[crossEntropy]] — lowest scores = most

@@ -870,4 +870,38 @@ class SelectionSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(o2((1, "a")) === o2((1, "b")))
   }
+
+  test("knBigramCrossEntropy: hand-computed Kneser-Ney on a 3-bigram model") {
+    import spark.implicits._
+    import graft.text.UnigramLm
+    // model corpus "a b a c": bigrams (a,b),(b,a),(a,c) each once;
+    // V=3, B=3; ctx a: c=2,N1f=2; ctx b: c=1,N1f=1; N1b = 1 for a,b,c
+    val m = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),  // seen bigram: .25/2 + (.75*2/2)*(2/6) = 0.375
+      (2L, "c a"),  // unseen context -> pcont(a) = 2/6
+      (3L, "b c")   // seen ctx, unseen bigram: 0 + (.75*1/1)*(2/6) = 0.25
+    ).toDF("doc_id", "text")
+    val got = UnigramLm.knBigramCrossEntropy(docs, model = m)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 1L)
+    assert(math.abs(got(1L)._2 - (-math.log(0.375))) < 1e-12)
+    assert(math.abs(got(2L)._2 - (-math.log(1.0 / 3))) < 1e-12)
+    assert(math.abs(got(3L)._2 - (-math.log(0.25))) < 1e-12)
+  }
+
+  test("knBigramCrossEntropy ranks a fluent doc below a shuffled one") {
+    import spark.implicits._
+    import graft.text.UnigramLm
+    val m = (1 to 50).map(i => (i.toLong,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "fox the jumps quick brown")).toDF("doc_id", "text")
+    val ce = UnigramLm.knBigramCrossEntropy(probe, model = m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ce(100L) < ce(101L))
+  }
 }
