@@ -2176,6 +2176,16 @@ object SparkEntry {
         graft.text.TextAnalysis.wsTokenCount(col("text")),
         Seq(0.2, 0.4, 0.6, 0.8, 0.9))
     }),
+    "q_dim_sweep" -> ((s, dir) => {
+      // matryoshka dimension sweep: recall@5 of prefix-truncated cosine
+      // retrieval (dims 8/16/32/64) vs the full-dim ground truth —
+      // corpus never shuffles, one bounded-heap run per dim
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.similarity.Similarity.dimensionSweep(emb, queries, k = 5,
+        dims = Seq(8, 16, 32, 64))
+    }),
     "q_kn_ce" -> ((s, dir) =>
       // interpolated Kneser-Ney bigram scoring (Chen & Goodman 1999 —
       // KenLM's default smoothing): continuation counts + discounted
@@ -6104,6 +6114,7 @@ object SparkEntry {
         |    for x in l]), 6) AS ece
         |FROM t""".stripMargin,
     "q_hits" -> hitsOracle(iters = 4),
+    "q_dim_sweep" -> dimSweepOracle(k = 5, dims = Seq(8, 16, 32, 64)),
     "q_kn_ce" ->
       """WITH tok AS (
         |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
@@ -6207,6 +6218,52 @@ object SparkEntry {
         |WHERE domain NOT IN ('example.com.au', 'news-site.com')
         |GROUP BY lang, source""".stripMargin)
   )
+
+  /** Similarity.dimensionSweep replayed in SQL: the full-dim top-k rank
+    * window as ground truth, one prefix-sliced (`v[1:d]`) rank window
+    * per dim, and the annRecallAtK count/overlap joins per dim. */
+  private def dimSweepOracle(k: Int, dims: Seq[Int]): String = {
+    def cos(a: String, b: String): String =
+      s"""CASE WHEN sqrt(list_dot_product($a, $a))
+         |      * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+         |    ELSE list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a))
+         |        * sqrt(list_dot_product($b, $b))) END""".stripMargin
+    def topk(alias: String, qa: String, ca: String): String =
+      s"""$alias AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos(qa, ca)} DESC, c.vec_id ASC) AS rank
+         |    FROM e q, e c WHERE q.vec_id < 10) WHERE rank <= $k)"""
+        .stripMargin
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+      "FROM embeddings),\n"
+    sb ++= topk("ex", "q.v", "c.v")
+    sb ++= ",\nte AS (SELECT query_id, count(*)::BIGINT AS n_exact " +
+      "FROM ex GROUP BY 1)"
+    for (d <- dims) {
+      sb ++= ",\n" + topk(s"ap$d", s"q.v[1:$d]", s"c.v[1:$d]")
+      sb ++= s""",
+        |r$d AS (SELECT te.query_id, te.n_exact,
+        |    coalesce(ta.n_approx, 0)::BIGINT AS n_approx,
+        |    coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+        |    round(coalesce(ov.n_overlap, 0) / te.n_exact::DOUBLE, 6)
+        |      AS recall,
+        |    $d AS dim
+        |  FROM te
+        |  LEFT JOIN (SELECT query_id, count(*)::BIGINT AS n_approx
+        |    FROM ap$d GROUP BY 1) ta USING (query_id)
+        |  LEFT JOIN (SELECT x.query_id, count(*)::BIGINT AS n_overlap
+        |    FROM ex x JOIN ap$d a ON a.query_id = x.query_id
+        |      AND a.neighbor_id = x.neighbor_id
+        |    GROUP BY 1) ov USING (query_id))""".stripMargin
+    }
+    sb ++= "\n" + dims.map(d => s"SELECT * FROM r$d")
+      .mkString("\nUNION ALL ")
+    sb.toString
+  }
 
   /** Doremi.domainReweight unrolled in SQL (the hitsOracle pattern):
     * per-source integer excess sufficient statistics, then `steps`

@@ -138,6 +138,35 @@ object Similarity {
         (col("__m.__cos") >= threshold).as("contaminated"))
   }
 
+  /** Matryoshka dimension sweep (Kusupati et al. 2022 MRL evaluation):
+    * per-query recall@k of TRUNCATED-dimension cosine retrieval against
+    * the full-dimension ground truth, for each candidate prefix length.
+    * The operating table for choosing how many leading dimensions an
+    * index actually needs — halving dims halves index bytes AND ADC
+    * cost, and MRL-trained embeddings concentrate signal in the prefix,
+    * so the sweep tells you where recall falls off.
+    *
+    * Scale: one [[knnBruteForce]] per dim over the same broadcast query
+    * set — the corpus scan repeats |dims|+1 times but never shuffles;
+    * each run's exchange is the bounded-heap top-k rows only. Slicing is
+    * a map-only `slice` expression (no re-materialized corpus). */
+  def dimensionSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int], idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id")
+      : DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    require(dims.forall(_ >= 1), s"dims must be >= 1, got $dims")
+    val full = knnBruteForce(corpus, queries, k, idCol, vecCol, queryIdCol)
+      .localCheckpoint(true)
+    dims.map { d =>
+      val cT = corpus.withColumn(vecCol, slice(col(vecCol), 1, d))
+      val qT = queries.withColumn(vecCol, slice(col(vecCol), 1, d))
+      val approx = knnBruteForce(cT, qT, k, idCol, vecCol, queryIdCol)
+      graft.text.RankingEval.annRecallAtK(full, approx, k)
+        .withColumn("dim", lit(d))
+    }.reduce(_ unionByName _)
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversified re-ranking: greedily pick `k` results that balance
     * relevance to the query against redundancy with what is already

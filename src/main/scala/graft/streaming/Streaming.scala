@@ -70,6 +70,26 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming URL-level dedup — the live twin of
+    * [[graft.text.UrlOps.urlDedup]], and the FIRST stateful stage of a
+    * live crawl ingest (tracking-parameter variants of one page arrive
+    * seconds apart; canonical-key dedup kills them before any content
+    * work runs). Keys the state store on the CANONICAL url, so the
+    * state-size bound is |distinct pages within the watermark|, not
+    * |raw fetch URLs| — on a crawl stream those differ by the whole
+    * tracking-variant multiplier. */
+  def streamingUrlDedup(
+      src: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      watermark: String = "1 day"
+  ): DataFrame =
+    src
+      .withColumn("__norm", graft.text.UrlOps.normalizeUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__norm")
+      .drop("__norm")
+
   /** Streaming corpus-curation gate: the STATELESS stages of
     * [[graft.operators.Curation.curate]] — PII redaction, quality +
     * language gate, deterministic mixture sampling — applied to a

@@ -526,4 +526,27 @@ class SimilaritySpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dimensionSweep: recall rises with prefix dim, exact at full dim") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // 2-dim signal in the prefix, the tail dims pure noise for dim=1
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)), (4L, Seq(0.1, 0.9, 0.0, 0.0)),
+      (5L, Seq(0.0, 0.0, 1.0, 0.0)), (6L, Seq(0.0, 0.0, 0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L || $"vec_id" === 5L)
+      .withColumnRenamed("vec_id", "query_id")
+    val got = Similarity.dimensionSweep(corpus, queries, k = 2,
+        dims = Seq(2, 4))
+      .collect().map(r => (r.getInt(5), r.getLong(0)) -> r.getDouble(4))
+      .toMap
+    // at full dim (4) every query recalls its own ground truth exactly
+    assert(got((4, 1L)) === 1.0 && got((4, 5L)) === 1.0)
+    // at dim 2, query 5's true neighbors (5, 6) are zero vectors ->
+    // cosine 0 for everything, ground truth can no longer be recovered
+    assert(got((2, 1L)) === 1.0)
+    assert(got((2, 5L)) < 1.0)
+  }
 }

@@ -645,4 +645,37 @@ class StreamingSpec extends SparkSuite {
       assert(w1 === batch)
     } finally q.stop()
   }
+
+  test("streaming URL dedup keys state on the CANONICAL url") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    // Doc.text carries the url for this twin
+    val deduped = Streaming.streamingUrlDedup(mem.toDF(), "text", "ts")
+    val q = deduped.writeStream.format("memory").queryName("urldedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, h: Int, u: String) =
+        Doc(id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), u)
+      mem.addData(
+        doc(1, 0, "https://E.com/a?utm_source=feed"),
+        doc(2, 1, "https://other.org/x"))
+      q.processAllAvailable()
+      // tracking-variant + trailing-slash duplicates of doc 1 -> dropped
+      mem.addData(
+        doc(3, 2, "https://e.com/a/"),
+        doc(4, 3, "HTTP://e.com/a"))  // different scheme -> kept
+      q.processAllAvailable()
+      val kept = spark.table("urldedup").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L))
+      // batch-twin equality: same canonical keys survive
+      val batch = graft.text.UrlOps.urlDedup(
+        Seq((1L, "https://E.com/a?utm_source=feed"),
+          (2L, "https://other.org/x"), (3L, "https://e.com/a/"),
+          (4L, "HTTP://e.com/a")).toDF("doc_id", "url"),
+        "url", "doc_id").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(batch === kept)
+    } finally q.stop()
+  }
 }
