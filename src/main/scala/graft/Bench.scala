@@ -73,9 +73,18 @@ object Bench {
     val med: Map[String, Double] = names.map { q => q -> median(runs.map(_(q))) }.toMap
     val qs = names.map { k => s"\"" + k + "\":" + med(k) }.mkString("{", ",", "}")
     val total = med.values.sum
+    // First in-JVM pass recorded SEPARATELY: it carries one-time plan
+    // compilation + codegen that medians-including-cold keep turning
+    // into phantom "regressions" during adjudication (round 7:
+    // q_sf2_size_relational median 14.4 s vs 5.6 s steady-state — the
+    // 13.4 s first run dominated a 5-run median under load). The driver
+    // contract fields (`queries`, `value`) stay the medians.
+    val first = runs.head
+    val qsFirst = names.map { k => s"\"" + k + "\":" + first(k) }.mkString("{", ",", "}")
+    val totalFirst = first.values.sum
     val loadEnd = loadavg()
     val la = (l: Seq[Double]) => l.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"stat":"median","ncpus":${Runtime.getRuntime.availableProcessors},"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"stat":"median","queries_first":$qsFirst,"value_first":$totalFirst,"ncpus":${Runtime.getRuntime.availableProcessors},"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)}}"""
     // stdout goes through sbt's [info] logger, which buries the line in
     // Spark log noise (BENCH_r03/r04 recorded "parsed": null). Write the
     // same line to a file the driver can read directly, and to the raw

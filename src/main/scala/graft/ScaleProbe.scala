@@ -52,6 +52,12 @@ object ScaleProbe {
       pagerankProbe(spark, n); return
     }
     if (args.headOption.contains("cms")) { cmsProbe(spark, n); return }
+    if (args.headOption.contains("triplets")) {
+      tripletsProbe(spark, n); return
+    }
+    if (args.headOption.contains("dedup_chain")) {
+      dedupChainProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -597,6 +603,125 @@ object ScaleProbe {
         f"two_phase=$tp%.1f s (max_task=${tpMax}ms) " +
         f"stratum_window=$nv%.1f s (max_task=${nvMax}ms)")
     }
+    spark.stop()
+  }
+
+  /** Wall + longest-task timing shared by the round-8 probes — the
+    * interleaveProbe listener pattern as a reusable helper. */
+  private def timedRun(spark: org.apache.spark.sql.SparkSession)(
+      df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = te.taskInfo.duration
+        var cur = maxTask.get()
+        while (d > cur && !maxTask.compareAndSet(cur, d))
+          cur = maxTask.get()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    Bench.run(df)
+    val secs = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    (secs, maxTask.get())
+  }
+
+  /** Triplet-mining scale probe: exact [[graft.similarity.Similarity
+    * .tripletMining]] (full-corpus broadcast + O(n²) cosine sweep) vs
+    * [[graft.similarity.Similarity.tripletMiningAnn]] (cell-id shuffle
+    * join, k ∝ n cells) at n and 4n synthetic clustered embeddings. The
+    * claim under measurement: the exact path's cost grows ~quadratically
+    * (every anchor sweeps the whole corpus), the ANN path's ~linearly
+    * (pair work is Σ|cell|·|probing| with |cell| held ≈ constant by
+    * k ∝ n). Usage:
+    *   SPARK_GRAFT_PROBE_N=4000 sbt "runMain graft.ScaleProbe triplets"
+    */
+  private def tripletsProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    for (size <- Seq(n, n * 4)) {
+      // 50 clusters of near-duplicates: center by cluster id, small
+      // per-row perturbation — positives are same-cluster rows
+      val dims = (0 until 64).map { j =>
+        (sin((col("id") % 50 + 1) * lit(0.7 * (j + 1))) +
+          lit(0.05) * sin(col("id") * lit(13.3 * (j + 1)))).as(s"d$j")
+      }
+      val emb = spark.range(size).select(col("id").as("vec_id"),
+          array(dims: _*).as("embedding"))
+        .localCheckpoint(true)
+      // floor = 32: the cell id is the shuffle key, so fewer cells than
+      // cores strands the pair work on |cells| tasks (measured: 8 cells
+      // at n=4000 → one 14.7 s task; 32 cells → max task 2.7 s)
+      val kCells = math.max(32, size / 500)
+      val cents = graft.similarity.Similarity.trainCentroids(
+        emb, kCells, 64)
+      val (tAnn, mAnn) = timedRun(spark)(
+        graft.similarity.Similarity.tripletMiningAnn(emb,
+          posThreshold = 0.95, negLo = 0.2, negHi = 0.8, kNeg = 3,
+          centroids = cents, nprobe = 2))
+      val (tEx, mEx) = timedRun(spark)(
+        graft.similarity.Similarity.tripletMining(emb,
+          posThreshold = 0.95, negLo = 0.2, negHi = 0.8, kNeg = 3))
+      println(f"SCALE_PROBE triplets n=$size cells=$kCells " +
+        f"ann=$tAnn%.1f s (max_task=${mAnn}ms) " +
+        f"exact=$tEx%.1f s (max_task=${mEx}ms)")
+    }
+    spark.stop()
+  }
+
+  /** Full near-dup dedup CHAIN probe — minhash-LSH pairs → connected
+    * components → keep-best — as ONE run (the per-stage probes exist;
+    * this measures the chain's cache/barrier interactions): per stage,
+    * wall seconds and the longest task. Corpus = the sf0.1 documents
+    * replicated with near-dup suffixes to ~n docs (the dedupProbe
+    * fixture — every replica family is a true near-dup cluster, the
+    * dup-dense worst case). Usage:
+    *   SPARK_GRAFT_PROBE_N=1000000 sbt "runMain graft.ScaleProbe dedup_chain"
+    */
+  private def dedupChainProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.count()
+    val replicas = math.max(1, (n / base).toInt)
+    val corpus = docs.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+      .localCheckpoint(true)
+    val total = base * replicas
+    // stage 1: banded LSH candidate pairs + Jaccard verify
+    var pairs: org.apache.spark.sql.DataFrame = null
+    val (tPairs, mPairs) = timedRun(spark) {
+      pairs = graft.dedup.Dedup.minhashLshPairs(corpus, "text", "doc_id",
+          shingleLen = 5, k = 64, bands = 8, threshold = 0.8,
+          maxBucketSize = 64)
+        .localCheckpoint(true)
+      pairs
+    }
+    val nPairs = pairs.count()
+    // stage 2: large/small-star CC labeling over the pair graph
+    var comp: org.apache.spark.sql.DataFrame = null
+    val (tCc, mCc) = timedRun(spark) {
+      comp = graft.dedup.Dedup.connectedComponents(pairs)
+        .localCheckpoint(true)
+      comp
+    }
+    val nComp = comp.select("component").distinct().count()
+    // stage 3: keep the longest doc per component (ties → min id).
+    // keepBestPerComponent recomputes CC internally — the chain is
+    // measured as the operator composes in production, so the CC stage
+    // above is the marginal cost readout, not a shared input.
+    val (tKeep, mKeep) = timedRun(spark)(
+      graft.dedup.Dedup.keepBestPerComponent(corpus, pairs, "doc_id",
+        length(col("text")).cast("double")))
+    println(f"SCALE_PROBE dedup_chain docs=$total pairs=$nPairs " +
+      f"components=$nComp " +
+      f"lsh=$tPairs%.1f s (max_task=${mPairs}ms) " +
+      f"cc=$tCc%.1f s (max_task=${mCc}ms) " +
+      f"keep_best=$tKeep%.1f s (max_task=${mKeep}ms)")
     spark.stop()
   }
 }

@@ -719,7 +719,8 @@ object SparkEntry {
       mp4Meta(media).select(col("media_id"), col("n_bytes"),
         col("decoded"), col("major_brand"), col("timescale"),
         col("duration"), round(col("duration_s"), 6).as("duration_s"),
-        col("n_tracks"), col("width"), col("height"), col("n_samples"))
+        col("n_tracks"), col("width"), col("height"), col("n_samples"),
+        col("codec_id"), col("avg_bitrate"))
     }),
     // -------------------------------- training-data: selection & mixture
     "q_semdedup" -> ((s, dir) => {
@@ -802,6 +803,30 @@ object SparkEntry {
         rates = Map("en" -> 0.4, "de" -> 0.8, "es" -> 0.6, "fr" -> 0.9),
         defaultRate = 0.0, capacity = 256L, shards = 8,
         hashMode = "md5")
+    }),
+    "q_curation_web" -> ((s, dir) => {
+      // the crawl-shaped SEVEN-stage pipeline: the URL layer leads
+      // (canonical-URL dedup → domain blocklist → 300-docs-per-domain
+      // cap, longest first) and the q_curation content pipeline runs on
+      // the survivors — the order every real crawl pipeline uses
+      // (URL-level first: per-key drops before any content expression
+      // is evaluated). Every stage replayed in one oracle.
+      val docs = table(s, dir, "documents").withColumn("url", syntheticUrl)
+      val bench = table(s, dir, "documents").filter(col("doc_id") < 10)
+      val blocked = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("example.com.au"),
+          org.apache.spark.sql.Row("news-site.com")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      graft.operators.Curation.curate(docs, bench,
+        minQuality = 0.4, allowedLangs = Seq("en", "de", "es", "fr"),
+        decontamN = 8,
+        rates = Map("en" -> 0.4, "de" -> 0.8, "es" -> 0.6, "fr" -> 0.9),
+        defaultRate = 0.0, capacity = 256L, shards = 8,
+        hashMode = "md5", urlCol = Some("url"),
+        blockedDomains = Some(blocked), maxPerDomain = 300)
     }),
     "q_pii" -> ((s, dir) => {
       // PII detect + redact over planted emails/phones/IPs (the corpus
@@ -1268,6 +1293,27 @@ object SparkEntry {
           ((col("doc_id") * 7 + 11) % n).as("dst")))
       graft.graph.GraphRank.pageRank(edges, iters = 8)
     }),
+    "q_host_rank" -> ((s, dir) => {
+      // the crawl host-graph prior END TO END: synthetic src/dst hosts
+      // (www./cdn. prefixes, .com/.co.uk/.org suffixes — the co.uk
+      // branch exercises the multi-part-suffix eTLD+1 rule) collapse
+      // through registeredDomain, domain strings hash to md5 signed-64
+      // ids, and 8 quantized PageRank rounds rank the domain graph —
+      // every iterate plus the string→id mapping replayed in the oracle
+      val d = col("doc_id")
+      def host(x: org.apache.spark.sql.Column) = concat(
+        when(pmod(x, lit(5)) === 0, lit("www."))
+          .when(pmod(x, lit(5)) === 1, lit("cdn.")).otherwise(lit("")),
+        lit("site"), pmod(x, lit(97)).cast("string"),
+        when(pmod(x, lit(3)) === 0, lit(".com"))
+          .when(pmod(x, lit(3)) === 1, lit(".co.uk"))
+          .otherwise(lit(".org")))
+      val edges = table(s, dir, "documents").select(
+        graft.text.UrlOps.registeredDomain(host(d)).as("src"),
+        graft.text.UrlOps.registeredDomain(host(d * 5 + 11)).as("dst"))
+      graft.graph.GraphRank.pageRankByKey(edges)
+        .select(col("key").as("domain"), col("rank"))
+    }),
     "q_leak_safe_split" -> ((s, dir) => {
       // leakage-safe splits: exact copies planted (+1000000 for
       // doc_id < 30) MUST land in the same train/val/test split — the
@@ -1602,6 +1648,14 @@ object SparkEntry {
       // deliberately rows-only (no oracleSql entry); accuracy is pinned
       // against the exact twin in CorpusAnalysisSpec.
       graft.text.Indexing.approxCorpusStats(
+        table(s, dir, "documents"), "source", "text")),
+    "q_approx_stats_bounds" -> ((s, dir) =>
+      // the sketch profile under a REAL pass/fail row: exact per-source
+      // columns hash-checked, and each sketch estimate asserted within
+      // tolerance of exact values computed in the same query — the
+      // oracle emits literal TRUE for the _ok flags, so a drifting
+      // sketch turns the row red instead of hiding behind rows-only
+      graft.text.Indexing.approxCorpusStatsBounds(
         table(s, dir, "documents"), "source", "text")),
     "q_knn_rp" -> ((s, dir) => {
       // random-projection ANN: 32 seeded JL planes (literals — the
@@ -2048,6 +2102,18 @@ object SparkEntry {
         emb.filter(col("vec_id") < 250),
         emb.filter(col("vec_id") >= 250), k = 4, threshold = 1.0)
     }),
+    "q_bitext_margin_ann" -> ((s, dir) => {
+      // the SCALE path of q_bitext_margin: both kNN passes route
+      // through the shared fixed codebook's cells (shuffle join on the
+      // cell id — the CCMatrix shape, no full-side broadcast); margin
+      // math, 1e-6 grid and argmax identical to the exact path
+      val emb = table(s, dir, "embeddings")
+      graft.similarity.BitextMining.marginPairsAnn(
+        emb.filter(col("vec_id") < 250),
+        emb.filter(col("vec_id") >= 250),
+        centroids = IvfOracleCentroids, k = 4, threshold = 1.0,
+        nprobe = 2)
+    }),
     "q_psi_quantile" -> ((s, dir) => {
       // decile PSI: equal-frequency bin edges from the reference's
       // exact grid quantiles (B−1 driver doubles), then the same
@@ -2157,6 +2223,15 @@ object SparkEntry {
       graft.similarity.Similarity.tripletMining(
         table(s, dir, "embeddings"), posThreshold = 0.3,
         negLo = 0.1, negHi = 0.25, kNeg = 3)),
+    "q_triplets_ann" -> ((s, dir) =>
+      // the SCALE path of q_triplets: candidates via the IVF cell-id
+      // SHUFFLE join (nothing corpus-sized broadcast), same bands,
+      // rounding and heaps as the exact path; fixed literal centroids
+      // so the oracle replays the identical cell routing
+      graft.similarity.Similarity.tripletMiningAnn(
+        table(s, dir, "embeddings"), posThreshold = 0.3,
+        negLo = 0.1, negHi = 0.25, kNeg = 3,
+        centroids = IvfOracleCentroids, nprobe = 2)),
     "q_mixture_epochs" -> ((s, dir) =>
       // GPT-3-style epochs-per-source mixing: en ×2.5, de ×1, rest
       // ×0.5 — fractional epochs realized per doc by seeded uniform,
@@ -3149,6 +3224,109 @@ object SparkEntry {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** The literal-centroid (d, i) rank-struct list shared by every
+    * IVF-routing oracle: d = c·c − 2·v·c with c·c precomputed in Scala
+    * (identical double both sides), ready for DuckDB list_sort. */
+  private def ivfRanksSql: String = {
+    def vecLit(v: Array[Double]): String =
+      v.map(_.toString).mkString("[", ", ", "]")
+    IvfOracleCentroids.zipWithIndex.map { case (cen, i) =>
+      val cc = cen.map(x => x * x).sum
+      s"{'d': ${cc.toString} - 2.0 * list_dot_product(v, ${vecLit(cen)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** q_triplets_ann replayed in SQL: the annIvfOracle cell routing with
+    * EVERY vector probing its 2 nearest cells, candidates = probe×assign
+    * pairs meeting in a cell (self excluded), then q_triplets' exact
+    * pos/neg band windows over the cell candidates. */
+  private def tripletsAnnOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |rk AS (SELECT vec_id, v, list_sort($ivfRanksSql) AS ranks FROM e),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id AS nid, v, ranks[1].i AS cell FROM rk),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS anchor_id, v AS qv,
+       |    unnest(list_transform(ranks, s -> s.i)[1:2]) AS cell
+       |  FROM rk),
+       |p AS MATERIALIZED (
+       |  SELECT pr.anchor_id, c.nid,
+       |    round(CASE WHEN sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+       |      ELSE list_dot_product(pr.qv, c.v) /
+       |        (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(c.v, c.v))) END, 6) AS rc
+       |  FROM probes pr JOIN cells c USING (cell)
+       |  WHERE pr.anchor_id <> c.nid),
+       |pos AS (SELECT anchor_id, nid AS pos_id, rc AS pos_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY rc DESC, nid ASC) AS rk2
+       |    FROM p WHERE rc >= 0.3 AND rc < 1.1) WHERE rk2 = 1),
+       |neg AS (SELECT anchor_id, nid AS neg_id, rc AS neg_cos,
+       |    rk2 AS neg_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY rc DESC, nid ASC) AS rk2
+       |    FROM p WHERE rc >= 0.1 AND rc < 0.25) WHERE rk2 <= 3)
+       |SELECT pos.anchor_id, pos.pos_id, pos.pos_cos, neg.neg_id,
+       |  neg.neg_cos, neg.neg_rank::INT AS neg_rank
+       |FROM pos JOIN neg USING (anchor_id)""".stripMargin
+
+  /** q_bitext_margin_ann replayed in SQL: both sides share the fixed
+    * codebook; fwd candidates = x probes 2 cells × y assigned (bwd
+    * mirrored), top-4 per query by raw cosine, then the EXACT
+    * q_bitext_margin margin/argmax/mutual chain. */
+  private def bitextMarginAnnOracle: String = {
+    val cosXY =
+      """CASE WHEN sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) = 0 THEN 0.0
+        |      ELSE list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) END""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |rk AS (SELECT vec_id, v, list_sort($ivfRanksSql) AS ranks FROM e),
+       |xs AS MATERIALIZED (SELECT * FROM rk WHERE vec_id < 250),
+       |ys AS MATERIALIZED (SELECT * FROM rk WHERE vec_id >= 250),
+       |fc AS MATERIALIZED (
+       |  SELECT x.vec_id AS x_id, y.vec_id AS y_id, $cosXY AS cos
+       |  FROM (SELECT vec_id, v,
+       |      unnest(list_transform(ranks, s -> s.i)[1:2]) AS cell FROM xs) x
+       |  JOIN (SELECT vec_id, v, ranks[1].i AS cell FROM ys) y
+       |    USING (cell)),
+       |bc AS MATERIALIZED (
+       |  SELECT x.vec_id AS x_id, y.vec_id AS y_id, $cosXY AS cos
+       |  FROM (SELECT vec_id, v, ranks[1].i AS cell FROM xs) x
+       |  JOIN (SELECT vec_id, v,
+       |      unnest(list_transform(ranks, s -> s.i)[1:2]) AS cell FROM ys) y
+       |    USING (cell)),
+       |fwd AS MATERIALIZED (SELECT x_id, y_id, cos FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY x_id ORDER BY cos DESC, y_id ASC) AS rk2
+       |    FROM fc) WHERE rk2 <= 4),
+       |bwd AS MATERIALIZED (SELECT x_id, y_id, cos FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY y_id ORDER BY cos DESC, x_id ASC) AS rk2
+       |    FROM bc) WHERE rk2 <= 4),
+       |ax AS (SELECT x_id, sum(cos) / count(*) AS ax
+       |  FROM fwd GROUP BY 1),
+       |ay AS (SELECT y_id, sum(cos) / count(*) AS ay
+       |  FROM bwd GROUP BY 1),
+       |fm AS (SELECT f.x_id, f.y_id, f.cos,
+       |    floor(f.cos / ((ax.ax + ay.ay) / 2.0) * 1000000.0 + 0.5)
+       |      / 1000000.0 AS m
+       |  FROM fwd f JOIN ax USING (x_id) JOIN ay USING (y_id)),
+       |bm AS (SELECT b.x_id, b.y_id,
+       |    floor(b.cos / ((ax.ax + ay.ay) / 2.0) * 1000000.0 + 0.5)
+       |      / 1000000.0 AS m
+       |  FROM bwd b JOIN ax USING (x_id) JOIN ay USING (y_id)),
+       |bx AS (SELECT x_id,
+       |    max(struct_pack(m := m, ny := -y_id, cos := cos)) AS b
+       |  FROM fm GROUP BY 1),
+       |byy AS (SELECT y_id,
+       |    (max(struct_pack(m := m, nx := -x_id))).nx AS nx
+       |  FROM bm GROUP BY 1)
+       |SELECT bx.x_id, (-(bx.b.ny))::BIGINT AS y_id,
+       |  round(bx.b.cos, 6) AS cosine, bx.b.m AS margin,
+       |  coalesce(-byy.nx = bx.x_id, false) AS mutual
+       |FROM bx LEFT JOIN byy ON byy.y_id = -(bx.b.ny)
+       |WHERE bx.b.m >= 1.0""".stripMargin
+  }
+
   private def annIvfOracle: String = {
     def vecLit(v: Array[Double]): String =
       v.map(_.toString).mkString("[", ", ", "]")
@@ -3773,6 +3951,7 @@ object SparkEntry {
         |  coalesce(-byy.nx = bx.x_id, false) AS mutual
         |FROM bx LEFT JOIN byy ON byy.y_id = -(bx.b.ny)
         |WHERE bx.b.m >= 1.0""".stripMargin,
+    "q_bitext_margin_ann" -> bitextMarginAnnOracle,
     "q_psi_quantile" ->
       """WITH ref AS MATERIALIZED (
         |  SELECT round(n_chars / (n_chars + 500)::DOUBLE, 6) AS s
@@ -3904,6 +4083,7 @@ object SparkEntry {
         |SELECT pos.anchor_id, pos.pos_id, pos.pos_cos, neg.neg_id,
         |  neg.neg_cos, neg.neg_rank::INT AS neg_rank
         |FROM pos JOIN neg USING (anchor_id)""".stripMargin,
+    "q_triplets_ann" -> tripletsAnnOracle,
     "q_vocab_coverage" ->
       """WITH c AS (SELECT term, count(*)::BIGINT AS tf FROM (
         |    SELECT unnest(CASE WHEN len(trim(text)) = 0
@@ -4296,12 +4476,15 @@ object SparkEntry {
         |    100 * (doc_id % 3 + 1) AS delta, doc_id % 20 + 5 AS ns,
         |    16 * (doc_id % 8 + 2) AS w, 16 * (doc_id % 6 + 2) AS h
         |  FROM documents)
-        |SELECT doc_id AS media_id, 332::INT AS n_bytes, TRUE AS decoded,
+        |SELECT doc_id AS media_id, 454::INT AS n_bytes, TRUE AS decoded,
         |  'isom' AS major_brand, ts::BIGINT AS timescale,
         |  (ns * delta)::BIGINT AS duration,
         |  round((ns * delta)::DOUBLE / ts, 6) AS duration_s,
         |  1::INT AS n_tracks, w::BIGINT AS width, h::BIGINT AS height,
-        |  ns::BIGINT AS n_samples
+        |  ns::BIGINT AS n_samples,
+        |  (CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+        |    ELSE 'vp09' END) AS codec_id,
+        |  (1000 * (doc_id % 50 + 10))::BIGINT AS avg_bitrate
         |FROM p""".stripMargin,
     // Generated oracles (constants shared with the Spark side — see the
     // "oracle SQL generators" section above):
@@ -4476,6 +4659,7 @@ object SparkEntry {
         |FROM s GROUP BY doc_id""".stripMargin,
     "q_pii" -> piiOracle,
     "q_curation" -> curationOracle,
+    "q_curation_web" -> curationWebOracle,
     "q_packing" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 16 AS shard,
@@ -4961,6 +5145,32 @@ object SparkEntry {
     "q_pca" -> pcaOracle,
     "q_knn_pca" -> knnPcaOracle,
     "q_pagerank" -> pageRankOracle,
+    "q_host_rank" -> hostRankOracle,
+    // the _ok flags are LITERAL TRUE here: the oracle pins the exact
+    // columns by hash and the contract "every sketch estimate within
+    // tolerance" by the booleans — Spark computes them for real
+    "q_approx_stats_bounds" ->
+      """WITH d AS (SELECT source,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |      AS tok
+        |  FROM documents),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(tok)::BIGINT AS total_tokens
+        |  FROM d GROUP BY 1),
+        |dt AS (SELECT source,
+        |    count(DISTINCT term)::BIGINT AS distinct_terms_exact
+        |  FROM (SELECT source, unnest(
+        |      CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |        ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0 GROUP BY 1)
+        |SELECT g.source, g.n_docs, g.total_tokens,
+        |  coalesce(dt.distinct_terms_exact, 0)::BIGINT
+        |    AS distinct_terms_exact,
+        |  true AS distinct_ok, true AS p50_ok, true AS p95_ok
+        |FROM g LEFT JOIN dt USING (source)""".stripMargin,
     // heuristic curation composed: c4 plant + line/page rules → gopher
     // rounded-signal gate on the CLEANED text → min-id exact dedup →
     // the seeded split walk
@@ -6810,9 +7020,12 @@ object SparkEntry {
        |FROM h$iters h JOIN a$iters a USING (id)""".stripMargin
   }
 
-  private def pageRankOracle: String = {
+  /** The 8 unrolled damped-PageRank rounds over CTEs named e / nodes /
+    * nn / odeg / r0 — shared by [[pageRankOracle]] and
+    * [[hostRankOracle]]. */
+  private def pageRankRoundsSql: String = {
     val Q = "1000000000.0"
-    val rounds = (1 to 8).map { t =>
+    (1 to 8).map { t =>
       val prev = s"r${t - 1}"
       s"""d$t AS MATERIALIZED (
          |  SELECT coalesce(floor(sum(r.rank) * $Q + 0.5) / $Q, 0.0) AS dm
@@ -6830,6 +7043,22 @@ object SparkEntry {
          |      * $Q + 0.5) / $Q AS rank
          |  FROM nodes n LEFT JOIN c$t c ON c.id = n.id),""".stripMargin
     }.mkString("\n")
+  }
+
+  /** CTEs nn / odeg / r0 + the unrolled rounds, given e and nodes. */
+  private def pageRankTailSql: String = {
+    val Q = "1000000000.0"
+    s"""nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |odeg AS MATERIALIZED (
+       |  SELECT src AS id, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT id, floor(1.0 / (SELECT n FROM nn) * $Q + 0.5) / $Q AS rank
+       |  FROM nodes),
+       |$pageRankRoundsSql
+       |fin AS (SELECT id, rank FROM r8)""".stripMargin
+  }
+
+  private def pageRankOracle: String =
     s"""WITH nd AS (SELECT count(*) AS c FROM documents),
        |raw AS (
        |  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM nd) AS dst
@@ -6842,15 +7071,55 @@ object SparkEntry {
        |nodes AS MATERIALIZED (
        |  SELECT DISTINCT id FROM (
        |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-       |odeg AS MATERIALIZED (
-       |  SELECT src AS id, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
-       |r0 AS MATERIALIZED (
-       |  SELECT id, floor(1.0 / (SELECT n FROM nn) * $Q + 0.5) / $Q AS rank
-       |  FROM nodes),
-       |$rounds
-       |fin AS (SELECT id, rank FROM r8)
+       |$pageRankTailSql
        |SELECT id, rank FROM fin""".stripMargin
+
+  /** q_host_rank: the end-to-end crawl host-graph prior — synthetic
+    * src/dst hosts from doc_id arithmetic, [[graft.text.UrlOps
+    * .registeredDomain]] collapses them to eTLD+1, keys hash to
+    * signed-64 ids via the md5 kernel ([[md5SignedSql]] — the exact
+    * twin of `HashExpressions.md5Long`), and the shared unrolled
+    * PageRank rounds rank the domain graph; ranks join back to the
+    * domain strings. */
+  private def hostRankOracle: String = {
+    val suffixes = graft.text.UrlOps.MultiPartSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    def hostSql(d: String): String =
+      s"(CASE ($d) % 5 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END)" +
+        s" || 'site' || (($d) % 97)::VARCHAR" +
+        s" || (CASE ($d) % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'" +
+        " ELSE '.org' END)"
+    def domSql(host: String, labels: String): String =
+      s"""CASE WHEN len($labels) <= 2 THEN $host
+         |    WHEN ($labels[-2] || '.' || $labels[-1]) IN ($suffixes)
+         |    THEN $labels[-3] || '.' || $labels[-2] || '.' || $labels[-1]
+         |    ELSE $labels[-2] || '.' || $labels[-1] END""".stripMargin
+    s"""WITH hosts AS (
+       |  SELECT ${hostSql("doc_id")} AS sh,
+       |    ${hostSql("doc_id * 5 + 11")} AS dh
+       |  FROM documents),
+       |lab AS (SELECT sh, dh, string_split(sh, '.') AS sl,
+       |    string_split(dh, '.') AS dl
+       |  FROM hosts),
+       |sdom AS (SELECT
+       |    ${domSql("sh", "sl")} AS sd,
+       |    ${domSql("dh", "dl")} AS dd
+       |  FROM lab),
+       |hashed AS (SELECT ${md5SignedSql("sd")} AS src,
+       |    ${md5SignedSql("dd")} AS dst
+       |  FROM sdom),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM hashed WHERE src <> dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |keymap AS MATERIALIZED (
+       |  SELECT key, ${md5SignedSql("key")} AS id FROM (
+       |    SELECT DISTINCT key FROM (
+       |      SELECT sd AS key FROM sdom UNION ALL SELECT dd FROM sdom))),
+       |$pageRankTailSql
+       |SELECT k.key AS domain, f.rank
+       |FROM fin f JOIN keymap k USING (id)""".stripMargin
   }
 
   /** SemDeDup replayed in SQL: the identical literal-centroid cell
@@ -6981,13 +7250,20 @@ object SparkEntry {
     * gate, min-id exact dedup, the q_decontam gram join on the deduped
     * survivors, the q_stratified_sample uniforms keyed on predicted
     * language, and the q_packing cumsum on what remains. */
-  private def curationOracle: String = {
+  private def curationOracle: String = "WITH " + curationCtes("documents")
+
+  /** The q_curation pipeline's CTE chain with a parametrized source
+    * relation (doc_id, text) — q_curation reads `documents` directly,
+    * q_curation_web feeds the URL-stage survivors in. The benchmark
+    * gram set (`bg`) always reads the ORIGINAL documents (the bench
+    * side is an input, not a pipeline stage). */
+  private def curationCtes(src: String): String = {
     val redact = graft.text.TextAnalysis.PiiPatterns
       .foldLeft("text") { case (acc, (_, p)) =>
         s"regexp_replace($acc, '$p', '<PII>', 'g')"
       }
-    s"""WITH base AS (
-       |  SELECT doc_id, $redact AS t2 FROM documents),
+    s"""base AS (
+       |  SELECT doc_id, $redact AS t2 FROM $src),
        |d AS (
        |  SELECT doc_id, t2,
        |    CASE WHEN len(trim(t2)) = 0 THEN []::VARCHAR[]
@@ -7075,6 +7351,25 @@ object SparkEntry {
        |  lang_pred
        |FROM c""".stripMargin
   }
+
+  /** q_curation_web: the URL stages (canonical-URL dedup → domain
+    * blocklist → per-domain cap, replayed off [[urlCtes]]'s `dom`
+    * relation) feeding the full q_curation content pipeline
+    * ([[curationCtes]] over the `webdocs` survivors). */
+  private def curationWebOracle: String =
+    urlCtes + s""",
+       |keepu AS (SELECT norm_url, min(doc_id) AS doc_id
+       |  FROM dom GROUP BY norm_url),
+       |ud AS (SELECT d.doc_id, d.text, d.domain FROM dom d
+       |  JOIN keepu ON keepu.norm_url = d.norm_url
+       |    AND keepu.doc_id = d.doc_id),
+       |ub AS (SELECT * FROM ud
+       |  WHERE domain NOT IN ('example.com.au', 'news-site.com')),
+       |webdocs AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, row_number() OVER (PARTITION BY domain
+       |      ORDER BY len(text) DESC, doc_id ASC) AS rkc
+       |    FROM ub) WHERE rkc <= 300),
+       |""".stripMargin + curationCtes("webdocs")
 
   /** BM25 replayed in SQL with the Spark expression tree's exact float-op
     * order (every int operand cast to DOUBLE at the same point, literal

@@ -82,6 +82,32 @@ object GraphRank {
     rank
   }
 
+  /** [[pageRank]] over STRING-keyed edges — the operational host-graph
+    * shape: crawl pipelines rank REGISTERED DOMAINS (the CommonCrawl
+    * host-rank quality prior), and domains are strings, not ids. Keys
+    * are hashed to signed-64 ids with the md5 kernel (map-only,
+    * engine-exact — the q_host_rank oracle replays it; collision odds
+    * ~n²/2⁶⁵, negligible below ~10⁹ distinct keys), ranked by
+    * [[pageRank]], and the |nodes|-row rank table joins back to the
+    * distinct keys. Returns (key, rank).
+    *
+    * Compose with [[graft.text.UrlOps.registeredDomain]] /
+    * [[graft.text.UrlOps.host]] for the end-to-end crawl prior:
+    * `pageRankByKey(links.select(regDomain(src_url), regDomain(dst_url)))`. */
+  def pageRankByKey(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 8, damping: Double = 0.85,
+      roundDecimals: Int = 9): DataFrame = {
+    val h = (c: org.apache.spark.sql.Column) =>
+      graft.functions.HashExpressions.md5Long(c)
+    val e = edges.select(h(col(srcCol)).as("src"), h(col(dstCol)).as("dst"))
+    val keys = edges.select(col(srcCol).as("key"))
+      .union(edges.select(col(dstCol).as("key")))
+      .distinct()
+      .select(col("key"), h(col("key")).as("id"))
+    pageRank(e, iters, damping).join(keys, Seq("id"))
+      .select(col("key"), col("rank"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) — the second classic
     * link-graph prior: an AUTHORITY is a page many good hubs point to,
     * a HUB points to many good authorities. For corpus curation the

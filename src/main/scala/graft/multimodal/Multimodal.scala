@@ -773,6 +773,9 @@ object Multimodal {
   private[graft] def mp4Samples(id: Long): Long = id % 20 + 5
   private[graft] def mp4Width(id: Long): Long = 16L * (id % 8 + 2)
   private[graft] def mp4Height(id: Long): Long = 16L * (id % 6 + 2)
+  private[graft] def mp4Codec(id: Long): String =
+    (id % 3) match { case 0 => "avc1"; case 1 => "hvc1"; case _ => "vp09" }
+  private[graft] def mp4AvgBitrate(id: Long): Long = 1000L * (id % 50 + 10)
 
   /** Generate REAL ISO-BMFF (mp4) container bytes per row: ftyp + a full
     * moov tree (mvhd, trak{tkhd, mdia{mdhd, minf{stbl{stts}}}}) + a
@@ -814,8 +817,24 @@ object Multimodal {
           0x55c40000L))       // language 'und' + predefined
         val stts = box("stts",
           u32(0L, 2L, ns - 1, delta, 1L, delta))
+        // stsd: one VisualSampleEntry (78-byte body with data_ref_index,
+        // width/height u16 at the spec offsets) whose fourcc IS the
+        // codec id, carrying a standard btrt BitRateBox child —
+        // container-level codec identity + bitrate, still zero codec
+        // bytes involved
+        val rate = mp4AvgBitrate(id)
+        val entryBody = new Array[Byte](78)
+        def put16(o: Int, v: Long): Unit = {
+          entryBody(o) = ((v >> 8) & 0xff).toByte
+          entryBody(o + 1) = (v & 0xff).toByte
+        }
+        put16(6, 1L)  // data_reference_index
+        put16(24, w); put16(26, h)
+        val btrt = box("btrt", u32(0L, 2L * rate, rate))
+        val stsd = box("stsd", u32(0L, 1L) ++
+          box(mp4Codec(id), entryBody ++ btrt))
         val moov = box("moov", mvhd ++ box("trak", tkhd ++
-          box("mdia", mdhd ++ box("minf", box("stbl", stts)))))
+          box("mdia", mdhd ++ box("minf", box("stbl", stsd ++ stts)))))
         val mdat = box("mdat", Array[Byte](0, 1, 2, 3))
         val bytes = ftyp ++ moov ++ mdat
         Row(id, "video", bytes,
@@ -837,7 +856,9 @@ object Multimodal {
     StructField("n_tracks", IntegerType, nullable = true),
     StructField("width", LongType, nullable = true),
     StructField("height", LongType, nullable = true),
-    StructField("n_samples", LongType, nullable = true)
+    StructField("n_samples", LongType, nullable = true),
+    StructField("codec_id", StringType, nullable = true),
+    StructField("avg_bitrate", LongType, nullable = true)
   ))
 
   /** Box-tree walker over one mp4 byte array. Handles 64-bit largesize
@@ -853,6 +874,8 @@ object Multimodal {
     var width: Long = -1
     var height: Long = -1
     var nSamples: Long = 0
+    var codec: String = _
+    var avgBitrate: Long = -1
     var sawMoov = false
     private def u32(o: Int): Long =
       ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
@@ -890,6 +913,28 @@ object Multimodal {
             if (size >= hdr + woff + 8) {
               width = u32(p + woff) >> 16
               height = u32(p + woff + 4) >> 16
+            }
+          case "stsd" if codec == null && size >= hdr + 16 =>
+            // first sample entry's fourcc IS the codec id; its child
+            // boxes (after the 78-byte VisualSampleEntry body) may
+            // carry a btrt BitRateBox with the average bitrate
+            val nEnt = u32(p + 4)
+            val entOff = p + 8
+            val entSize = u32(entOff)
+            if (nEnt >= 1 && entSize >= 8 &&
+                entOff + entSize <= off + size) {
+              codec = fourcc(entOff + 4)
+              val entEnd = entOff + entSize
+              var c = entOff + 8L + 78L
+              while (c + 8 <= entEnd) {
+                val cs = u32(c.toInt)
+                if (cs < 8 || c + cs > entEnd) c = entEnd // corrupt: stop
+                else {
+                  if (fourcc(c.toInt + 4) == "btrt" && cs >= 20)
+                    avgBitrate = u32(c.toInt + 16)
+                  c += cs
+                }
+              }
             }
           case "stts" if size >= hdr + 8 =>
             val n = u32(p + 4)
@@ -934,14 +979,15 @@ object Multimodal {
               wk.nTracks,
               if (wk.width >= 0) wk.width else null,
               if (wk.height >= 0) wk.height else null,
-              wk.nSamples)
+              wk.nSamples, wk.codec,
+              if (wk.avgBitrate >= 0) wk.avgBitrate else null)
           else
             Row(id, bytes.length, false, null, null, null, null, null,
-              null, null, null)
+              null, null, null, null, null)
         } catch {
           case scala.util.control.NonFatal(_) =>
             Row(id, bytes.length, false, null, null, null, null, null,
-              null, null, null)
+              null, null, null, null, null)
         }
       }
     }(enc).toDF()

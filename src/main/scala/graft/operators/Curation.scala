@@ -37,7 +37,21 @@ object Curation {
 
   /** Returns the packed manifest: (idCol, shard, n_tokens, tok_start,
     * seq_first, seq_last, offset_in_seq, lang_pred). Deterministic end
-    * to end — reruns and repartitions produce the identical manifest. */
+    * to end — reruns and repartitions produce the identical manifest.
+    *
+    * URL-level stages (the FIRST filters every real crawl pipeline
+    * runs — they are per-row/per-key and drop rows before any content
+    * expression is ever evaluated) switch on via `urlCol`:
+    *
+    *  0a. URL dedup — one representative (min id) per canonical URL
+    *      ([[graft.text.UrlOps.urlDedup]]; one keyed aggregate);
+    *  0b. domain blocklist — broadcast anti-join on the registered
+    *      domain (when `blockedDomains` is given);
+    *  0c. per-domain cap — keep the `maxPerDomain` longest documents
+    *      per registered domain (when `maxPerDomain` > 0; bounded-heap
+    *      top-k, ties to the lowest id).
+    *
+    * Content stages below then run on the web-surviving rows only. */
   def curate(docs: DataFrame, bench: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.4,
@@ -47,9 +61,27 @@ object Curation {
       defaultRate: Double = 1.0, seed: Long = 42L,
       capacity: Long = 256L, shards: Int = 8,
       hashMode: String = graft.functions.HashExpressions.ModeXx,
-      splits: Seq[(String, Double)] = Nil)
+      splits: Seq[(String, Double)] = Nil,
+      urlCol: Option[String] = None,
+      blockedDomains: Option[DataFrame] = None,
+      maxPerDomain: Int = 0)
       : DataFrame = {
-    val redacted = docs.withColumn(textCol,
+    val webDocs = urlCol match {
+      case None => docs
+      case Some(u) =>
+        val afterUrl = graft.text.UrlOps.urlDedup(docs, u, idCol)
+          .drop("norm_url", "n_variants")
+        val afterBlock = blockedDomains match {
+          case Some(b) => graft.text.UrlOps.filterBlockedDomains(
+            afterUrl, u, b)
+          case None => afterUrl
+        }
+        if (maxPerDomain > 0)
+          graft.text.UrlOps.domainCap(afterBlock, u, idCol,
+            length(col(textCol)).cast("double"), maxPerDomain)
+        else afterBlock
+    }
+    val redacted = webDocs.withColumn(textCol,
       TextAnalysis.redactPii(col(textCol)))
     // Persist + eager-count barriers (the Dedup.minhashLshPairs
     // lifecycle): `gated` feeds both sides of the dedup semi-join and

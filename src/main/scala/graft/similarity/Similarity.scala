@@ -38,7 +38,7 @@ object Similarity {
     * ≤ partitions×k rows per query, vs the full Q×N pair shuffle a
     * `row_number` window would do. Output matches the window formulation
     * exactly (cosine desc, neighbor_id asc; rank 1-based). */
-  private def topKPerQuery(pairs: DataFrame, k: Int): DataFrame =
+  private[similarity] def topKPerQuery(pairs: DataFrame, k: Int): DataFrame =
     pairs.groupBy(col("query_id"))
       .agg(graft.functions.TopKExpressions
         .topKByScore(col("cosine"), col("neighbor_id"), k).as("__nn"))
@@ -639,11 +639,12 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       idCol: String = "vec_id", codeCol: String = "pq_code",
       queryIdCol: String = "query_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxQueryBatch: Int = 65536): DataFrame = {
     val spark = codes.sparkSession
     import scala.jdk.CollectionConverters._
-    val qRows = queries.select(col(queryIdCol), col(vecCol)).collect().map {
-      r =>
+    val qRows = collectQueryBatch(queries, queryIdCol, vecCol,
+      maxQueryBatch, "knnPqAdc").map { r =>
         val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
         org.apache.spark.sql.Row(r.getAs[Number](0).longValue(),
           adcLut(q, codebooks).map(_.toSeq).toSeq)
@@ -770,11 +771,13 @@ object Similarity {
       mins: Array[Double], scales: Array[Double],
       idCol: String = "vec_id", codeCol: String = "sq_code",
       normCol: String = "sq_norm", queryIdCol: String = "query_id",
-      vecCol: String = "embedding", scoreScale: Int = 6): DataFrame = {
+      vecCol: String = "embedding", scoreScale: Int = 6,
+      maxQueryBatch: Int = 65536): DataFrame = {
     val spark = codes.sparkSession
     import scala.jdk.CollectionConverters._
     val dim = mins.length
-    val qRows = queries.select(col(queryIdCol), col(vecCol)).collect()
+    val qRows = collectQueryBatch(queries, queryIdCol, vecCol,
+        maxQueryBatch, "knnSq8")
       .map { r =>
         val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
         require(q.length == dim, s"query dim ${q.length} != $dim")
@@ -812,6 +815,29 @@ object Similarity {
     topKPerQuery(pairs, k)
       .select(col("query_id"), col("neighbor_id"),
         col("cosine").as("cosine_sq"), col("rank"))
+  }
+
+  /** Collect a "small by contract" query batch for the driver-side LUT
+    * kNN paths — and ENFORCE the contract: the collect is capped at
+    * `maxQueryBatch + 1` rows by a limit (so an oversized table can
+    * never OOM the driver mid-collect) and one extra row trips a
+    * require with an actionable message instead of a heap dump. The
+    * driver-LUT paths are per-query O(dim·codebook) precomputation
+    * broadcast back out; past the cap the right plan is cell-blocked
+    * candidates ([[cellCandidates]]) or sharding the query batch. */
+  private def collectQueryBatch(queries: DataFrame, queryIdCol: String,
+      vecCol: String, maxQueryBatch: Int, caller: String)
+      : Array[org.apache.spark.sql.Row] = {
+    require(maxQueryBatch > 0,
+      s"maxQueryBatch must be positive, got $maxQueryBatch")
+    val rows = queries.select(col(queryIdCol), col(vecCol))
+      .limit(maxQueryBatch + 1).collect()
+    require(rows.length <= maxQueryBatch,
+      s"$caller query batch exceeds maxQueryBatch=$maxQueryBatch: the " +
+        "driver builds one lookup table per query, so the batch must " +
+        "stay driver-sized — shard the query set, raise maxQueryBatch " +
+        "deliberately, or use cellCandidates for corpus-sized queries")
+    rows
   }
 
   // ------------------------------------- IVF+PQ (the composed ANN index)
@@ -1053,6 +1079,92 @@ object Similarity {
     rerankExact(corpus, cand, queries, k, idCol, vecCol, queryIdCol)
   }
 
+  /** Cell-blocked candidate pairs for LARGE query sets — the scale path
+    * when the query side is itself corpus-sized (self-mining, bitext
+    * mining) and [[knnBruteForce]]'s broadcast-the-queries plan would
+    * OOM the executors and sweep O(|Q|·|C|) cosines. Every corpus vector
+    * is ASSIGNED to its nearest centroid (map-only, centroid literals);
+    * every query PROBES its `nprobe` nearest cells; candidates are the
+    * (query, corpus) pairs meeting in a cell — produced by a plain
+    * SHUFFLE join keyed on the cell id, so nothing corpus-sized is ever
+    * broadcast or collected. Exchange per side is ≤ nprobe rows per
+    * query + 1 row per corpus vector; pair work is Σ_cells |assigned|·
+    * |probing| — the IVF blocking bound, and AQE skew-splits hot cells.
+    * A pair can match at most once (assignment is unique), so no dedup
+    * pass is needed.
+    *
+    * Returns (query_id, neighbor_id, cosine) with the cosine ROUNDED to
+    * `roundDecimals` (pass -1 to skip — [[BitextMining.marginPairsAnn]]
+    * keeps raw cosines to match the exact path's margin arithmetic).
+    * `excludeSelf` drops query_id == neighbor_id for self-mining runs. */
+  def cellCandidates(corpus: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", excludeSelf: Boolean = false,
+      roundDecimals: Int = 6): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in 1..${centroids.length}, got $nprobe")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), cellId(col(vecCol), centroids).as("__cell"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qv"),
+        explode(probeCells(col(vecCol), centroids, nprobe)).as("__cell"))
+    val raw = cosine(col("__qv"), col("__cv"))
+    val joined = c.join(q, Seq("__cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (if (roundDecimals >= 0) round(raw, roundDecimals) else raw)
+          .as("cosine"))
+    if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+    else joined
+  }
+
+  /** Triplets from an explicit candidate-pair stream — the pluggable
+    * core shared by [[tripletMining]] (exact, broadcast candidates) and
+    * [[tripletMiningAnn]] (cell-blocked candidates): positives = the
+    * top-1 candidate per anchor with cosine in [posThreshold, 1.1),
+    * negatives = the top-`kNeg` in [negLo, negHi), both via the
+    * bounded-heap top-k (cosine desc, id asc), joined anchor-keyed.
+    * `cand` must be (query_id, neighbor_id, cosine-rounded-6) with self
+    * pairs already excluded; callers with an expensive candidate plan
+    * should barrier it first (both band selections consume it). */
+  def tripletsFromCandidates(cand: DataFrame, posThreshold: Double,
+      negLo: Double, negHi: Double, kNeg: Int): DataFrame = {
+    require(posThreshold > negHi,
+      s"positive threshold $posThreshold must exceed the negative " +
+        s"band ceiling $negHi (overlap would mine false negatives)")
+    require(kNeg > 0, s"kNeg must be positive, got $kNeg")
+    val pos = topKPerQuery(
+        cand.filter(col("cosine") >= posThreshold && col("cosine") < 1.1), 1)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("pos_id"), col("cosine").as("pos_cos"))
+    val negs = topKPerQuery(
+        cand.filter(col("cosine") >= negLo && col("cosine") < negHi), kNeg)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("neg_id"), col("cosine").as("neg_cos"),
+        col("rank").as("neg_rank"))
+    pos.join(negs, Seq("anchor_id"))
+  }
+
+  /** [[tripletMining]] through IVF cell blocking — the shape that
+    * survives a corpus-sized anchor set: candidates come from
+    * [[cellCandidates]] (shuffle join on the cell id — NO full-corpus
+    * broadcast, no O(n²) cosine sweep), barriered once, then the same
+    * band selections and bounded heaps as the exact path. Anchors whose
+    * positive or in-band negatives live outside their probed cells are
+    * missed — the standard ANN recall trade, pinned against the exact
+    * baseline in SimilaritySpec and measured by `graft.ScaleProbe
+    * triplets` (the exact path's broadcast grows with the corpus; this
+    * path's exchange stays cell-bounded). */
+  def tripletMiningAnn(emb: DataFrame, posThreshold: Double, negLo: Double,
+      negHi: Double, kNeg: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cand = cellCandidates(emb, emb, centroids, nprobe, idCol, vecCol,
+        idCol, excludeSelf = true)
+      .localCheckpoint(true) // both band selections read the pair stream
+    tripletsFromCandidates(cand, posThreshold, negLo, negHi, kNeg)
+  }
+
   /** Contrastive TRIPLET mining — the training-data construction for
     * embedding models (SBERT/DPR-style): for every anchor, its best
     * in-corpus positive (most-similar other vector at cosine ≥
@@ -1068,7 +1180,14 @@ object Similarity {
     * rank on the ROUNDED cosine (ties → ascending id — the
     * hardNegatives determinism contract), and the join is
     * anchor-keyed and k-bounded. Returns (anchor_id, pos_id, pos_cos,
-    * neg_id, neg_cos, neg_rank). */
+    * neg_id, neg_cos, neg_rank).
+    *
+    * SCALE CONTRACT: this exact path passes the FULL corpus as the
+    * broadcast query side of [[hardNegatives]] — the oracle baseline,
+    * fine to a few hundred thousand anchors on a real cluster, O(n²)
+    * and an executor-sized broadcast beyond. For web-scale corpora use
+    * [[tripletMiningAnn]] (cell-blocked, nothing broadcast), or feed
+    * any candidate generator into [[tripletsFromCandidates]]. */
   def tripletMining(emb: DataFrame, posThreshold: Double, negLo: Double,
       negHi: Double, kNeg: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

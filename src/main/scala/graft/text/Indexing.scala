@@ -461,6 +461,64 @@ object Indexing {
     docStats.join(termStats, Seq("source"), "left")
   }
 
+  /** [[approxCorpusStats]] under a GREEN-CHECKABLE tolerance oracle.
+    * Sketch registers cannot cross-engine hash, but the EXACT columns
+    * can, and the sketch estimates can be ASSERTED within tolerance of
+    * exact values computed in the same query. Per source this emits the
+    * exact profile (n_docs, total_tokens, distinct_terms_exact) plus
+    * three booleans: `distinct_ok` (the HLL estimate within `relTol`
+    * relative error of the exact distinct count — HLL at rsd 0.05 is
+    * ~3σ inside 0.15), and `p50_ok` / `p95_ok` (each percentile-sketch
+    * output inside the exact [p25, p75] / [p85, max] value windows —
+    * generous rank windows that any correct KLL/GK sketch satisfies).
+    * The DuckDB oracle computes the exact columns and literal TRUE for
+    * every _ok flag, so a sketch drifting out of tolerance turns the
+    * row red instead of being invisible to the gate.
+    *
+    * Scale posture: the exact twin columns make this the AUDIT query,
+    * not the production profile — run it on a sample or a small SF to
+    * certify the sketch path, then run [[approxCorpusStats]] alone at
+    * full scale (its whole point is avoiding the exact distinct's
+    * vocabulary-sized exchange). */
+  def approxCorpusStatsBounds(docs: DataFrame, sourceCol: String,
+      textCol: String, rsd: Double = 0.05,
+      relTol: Double = 0.15): DataFrame = {
+    require(relTol > 0, s"relTol must be positive, got $relTol")
+    val approx = approxCorpusStats(docs, sourceCol, textCol, rsd)
+      .select(col("source"), col("distinct_terms_approx"),
+        col("p50_tokens_approx"), col("p95_tokens_approx"))
+    val tok = graft.text.TextAnalysis.wsTokenCount(col(textCol))
+    val exactDocs = docs
+      .select(col(sourceCol).as("source"), tok.cast("long").as("__tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        expr("percentile(__tok, array(0.25, 0.75, 0.85))").as("__ps"),
+        max(col("__tok")).as("__max"))
+    val exactTerms = termDoc(docs, sourceCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("distinct_terms_exact"))
+      .select(col("doc_id").as("source"), col("distinct_terms_exact"))
+    val est = col("distinct_terms_approx").cast("double")
+    val ex = col("distinct_terms_exact").cast("double")
+    exactDocs.join(exactTerms, Seq("source"), "left")
+      .join(approx, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        coalesce(col("distinct_terms_exact"), lit(0L))
+          .as("distinct_terms_exact"),
+        when(coalesce(ex, lit(0.0)) === 0.0,
+            coalesce(est, lit(0.0)) === 0.0)
+          .otherwise(abs(est - ex) / ex <= relTol).as("distinct_ok"),
+        (col("p50_tokens_approx").cast("double")
+          >= element_at(col("__ps"), 1) &&
+          col("p50_tokens_approx").cast("double")
+            <= element_at(col("__ps"), 2)).as("p50_ok"),
+        (col("p95_tokens_approx").cast("double")
+          >= element_at(col("__ps"), 3) &&
+          col("p95_tokens_approx").cast("double")
+            <= col("__max").cast("double")).as("p95_ok"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the standard
     * hybrid-retrieval combiner: given N per-retriever top-k rankings
     * (e.g. BM25 sparse + embedding-cosine dense), each candidate scores

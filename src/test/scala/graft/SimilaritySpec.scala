@@ -425,6 +425,71 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("tripletMiningAnn: recall floor at nprobe=2, bit-identical to " +
+      "the exact path at nprobe=|cells|") {
+    val cents = SparkEntry.IvfOracleCentroids
+    def pairs(df: DataFrame) = df.select("anchor_id", "pos_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.tripletMining(emb, posThreshold = 0.3,
+      negLo = 0.1, negHi = 0.25, kNeg = 3)
+    val exactPairs = pairs(exact)
+    val ann = Similarity.tripletMiningAnn(emb, posThreshold = 0.3,
+      negLo = 0.1, negHi = 0.25, kNeg = 3, centroids = cents, nprobe = 2)
+    val recall = (pairs(ann) & exactPairs).size.toDouble / exactPairs.size
+    // measured 0.47 on this fixture (8 generic unit-vector cells,
+    // nprobe 2 → ~25% of the corpus per anchor); floor leaves headroom
+    assert(recall >= 0.35, s"ANN triplet (anchor, pos) recall $recall")
+    // probing EVERY cell makes the candidate set the full pair stream:
+    // the ANN path must then reproduce the exact path bit-for-bit —
+    // rounding, band edges, heap tie-breaks, all of it
+    val full = Similarity.tripletMiningAnn(emb, posThreshold = 0.3,
+      negLo = 0.1, negHi = 0.25, kNeg = 3, centroids = cents,
+      nprobe = cents.length)
+    assert(full.collect().map(_.toString).sorted.toSeq ===
+      exact.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("marginPairsAnn: recall floor at nprobe=2, bit-identical to the " +
+      "exact path at nprobe=|cells|") {
+    import graft.similarity.BitextMining
+    val cents = SparkEntry.IvfOracleCentroids
+    val x = emb.filter(col("vec_id") < 250)
+    val y = emb.filter(col("vec_id") >= 250)
+    def pairs(df: DataFrame) = df.select("x_id", "y_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = BitextMining.marginPairs(x, y, k = 4, threshold = 1.0)
+    val exactPairs = pairs(exact)
+    val ann = BitextMining.marginPairsAnn(x, y, cents, k = 4,
+      threshold = 1.0, nprobe = 2)
+    val recall = (pairs(ann) & exactPairs).size.toDouble / exactPairs.size
+    // measured 0.44 on this fixture; floor leaves headroom
+    assert(recall >= 0.3, s"ANN margin-pair recall $recall")
+    val full = BitextMining.marginPairsAnn(x, y, cents, k = 4,
+      threshold = 1.0, nprobe = cents.length)
+    assert(full.collect().map(_.toString).sorted.toSeq ===
+      exact.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("driver-LUT knn paths enforce the small-query-batch contract") {
+    val cbs = Similarity.trainPqCodebooks(emb, m = 4, ks = 8, dim = 64)
+    val codes = Similarity.encodePqCorpus(emb, cbs)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnPqAdc(codes, qs, k = 3, cbs, maxQueryBatch = 4)
+    }
+    assert(e.getMessage.contains("maxQueryBatch"))
+    // exactly at the cap still runs
+    assert(Similarity.knnPqAdc(codes, qs, k = 3, cbs,
+      maxQueryBatch = 5).count() > 0)
+    val (mins, scales) = Similarity.sq8Params(emb, 64)
+    val sq = Similarity.sq8Encode(emb, mins, scales)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnSq8(sq, qs, k = 3, mins, scales, maxQueryBatch = 4)
+    }
+    assert(e2.getMessage.contains("maxQueryBatch"))
+  }
+
   // ------------------------------------------ Similarity.embeddingStats
 
   test("embeddingStats: anisotropy 0.5 for orthogonal pair, 1.0 for " +

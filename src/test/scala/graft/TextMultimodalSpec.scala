@@ -364,13 +364,13 @@ class TextMultimodalSpec extends SparkSuite {
     val hdr = media.filter(col("media_id") === 0)
       .select(col("bytes")).collect()(0).getAs[Array[Byte]](0)
     assert(new String(hdr.slice(4, 8), "US-ASCII") === "ftyp")
-    assert(hdr.length === 332) // constant box tree by construction
+    assert(hdr.length === 454) // constant box tree by construction
     val feats = Multimodal.mp4Meta(media).collect()
     assert(feats.length === 25)
     feats.foreach { r =>
       val id = r.getLong(0)
       assert(r.getBoolean(2), s"mp4 $id failed to parse")
-      assert(r.getInt(1) === 332)
+      assert(r.getInt(1) === 454)
       assert(r.getString(3) === "isom")
       assert(r.getLong(4) === Multimodal.mp4Timescale(id))
       val dur = Multimodal.mp4Samples(id) * Multimodal.mp4Delta(id)
@@ -382,6 +382,9 @@ class TextMultimodalSpec extends SparkSuite {
       assert(r.getLong(9) === Multimodal.mp4Height(id))
       // two stts entries sum back to the sample count
       assert(r.getLong(10) === Multimodal.mp4Samples(id))
+      // stsd sample-entry fourcc + btrt average bitrate parse back
+      assert(r.getString(11) === Multimodal.mp4Codec(id))
+      assert(r.getLong(12) === Multimodal.mp4AvgBitrate(id))
     }
   }
 
