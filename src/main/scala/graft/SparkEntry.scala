@@ -828,6 +828,50 @@ object SparkEntry {
         hashMode = "md5", urlCol = Some("url"),
         blockedDomains = Some(blocked), maxPerDomain = 300)
     }),
+    "q_html_extract" -> ((s, dir) => {
+      // HTML → text extraction (the WARC→WET step): documents wrapped
+      // in a deterministic page template — script/style/comment
+      // subtrees (dropped WITH contents), block tags (→ newlines),
+      // entities (&amp; decoded last), links — plus markup-density
+      // signals; the whole regexp chain replays verbatim in RE2
+      val d = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>T</title>"),
+        lit("<style type=\"text/css\">body { color: red; }</style>"),
+        when(pmod(d, lit(3)) === 0,
+          lit("<script>var x = '<p>not text</p>';</script>"))
+          .otherwise(lit("")),
+        lit("</head><body><!-- comment <b>bold</b> -->"),
+        lit("<h1>Title &amp; more</h1><P class=\"x\">"), col("text"),
+        lit("</p>"),
+        when(pmod(d, lit(2)) === 0,
+          lit("<div><a href=\"/x\">a link</a> &lt;tag&gt;&nbsp;t2</div>"))
+          .otherwise(lit("")),
+        when(pmod(d, lit(5)) === 0,
+          lit("<ul><li>one</li><li>two</li></ul>")).otherwise(lit("")),
+        lit("</body></html>"))
+      graft.text.HtmlExtract.extract(
+        table(s, dir, "documents").withColumn("html", html))
+    }),
+    "q_rho_select" -> ((s, dir) =>
+      // RHO-style learnability selection: excess loss between the
+      // library's weak (add-one unigram) and strong (Kneser-Ney bigram)
+      // LMs, top-50% kept via the distinct-grid threshold — scores,
+      // excess and the keep flag all hash-checked
+      graft.text.UnigramLm.learnabilitySelect(
+        table(s, dir, "documents"), keepFraction = 0.5)),
+    "q_unimax" -> ((s, dir) => {
+      // UniMax token-budget waterfilling across languages: budget =
+      // ⌊2/5 of corpus tokens⌋ (exact long arithmetic), per-language
+      // cap 0.6 epochs — small languages cap, big ones split the rest
+      // evenly; the whole allocation is integer-exact and the oracle
+      // replays the closed-form prefix rule
+      val docs = table(s, dir, "documents")
+      val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+      val total = docs.agg(sum(tok.cast("long"))).head().getLong(0)
+      graft.operators.Sampling.unimaxAllocation(docs, "lang", tok,
+        budget = total * 2 / 5, maxEpochs = 0.6)
+    }),
     "q_pii" -> ((s, dir) => {
       // PII detect + redact over planted emails/phones/IPs (the corpus
       // itself is digit-free, so every match is a plant and the expected
@@ -3224,6 +3268,176 @@ object SparkEntry {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** q_html_extract replayed in SQL: the page-template fixture rebuilt
+    * with `||`, then the IDENTICAL RE2-portable regexp chain as
+    * `HtmlExtract.extractText` (script/style/comment drop, block tags
+    * → chr(10), tag strip, ordered entity decode with &amp; last,
+    * whitespace normalization, regex end-trim) and the same
+    * extract-all-based density signals. */
+  private def htmlExtractOracle: String = {
+    val synHtml =
+      """'<html><head><title>T</title>' ||
+        |    '<style type="text/css">body { color: red; }</style>' ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN '<script>var x = ''<p>not text</p>'';</script>'
+        |      ELSE '' END) ||
+        |    '</head><body><!-- comment <b>bold</b> -->' ||
+        |    '<h1>Title &amp; more</h1><P class="x">' || text || '</p>' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '<div><a href="/x">a link</a> &lt;tag&gt;&nbsp;t2</div>'
+        |      ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |      THEN '<ul><li>one</li><li>two</li></ul>' ELSE '' END) ||
+        |    '</body></html>'""".stripMargin
+    def rr(x: String, pat: String, rep: String): String =
+      s"regexp_replace($x, '$pat', $rep, 'g')"
+    var c = "html"
+    c = rr(c, "(?is)<script\\b[^>]*>.*?</script>", "' '")
+    c = rr(c, "(?is)<style\\b[^>]*>.*?</style>", "' '")
+    c = rr(c, "(?s)<!--.*?-->", "' '")
+    c = rr(c,
+      "(?i)</?(?:p|div|br|li|tr|h[1-6]|ul|ol|table|blockquote)\\b[^>]*>",
+      "chr(10)")
+    c = rr(c, "<[^>]*>", "' '")
+    c = Seq("&lt;" -> "'<'", "&gt;" -> "'>'", "&quot;" -> "'\"'",
+      "&#39;" -> "''''", "&nbsp;" -> "' '", "&amp;" -> "'&'")
+      .foldLeft(c) { case (x, (from, to)) =>
+        s"replace($x, '$from', $to)"
+      }
+    c = rr(c, "[ \\t]+", "' '")
+    c = rr(c, "(?m)^ +| +$", "''")
+    c = rr(c, "\\n{2,}", "chr(10)")
+    c = rr(c, "^\\s+|\\s+$", "''")
+    s"""WITH h AS (SELECT doc_id, $synHtml AS html FROM documents),
+       |x AS (SELECT doc_id, html,
+       |    $c AS text
+       |  FROM h)
+       |SELECT doc_id, text,
+       |  len(regexp_extract_all(html, '<[^>]*>'))::BIGINT AS n_tags,
+       |  len(regexp_extract_all(html, '(?i)<a\\b'))::BIGINT AS n_links,
+       |  len(regexp_extract_all(html,
+       |    '(?is)<script\\b[^>]*>.*?</script>'))::BIGINT
+       |    AS n_script_blocks,
+       |  CASE WHEN len(html) = 0 THEN 0.0
+       |    ELSE round(len(text)::DOUBLE / len(html)::DOUBLE, 6) END
+       |    AS text_density
+       |FROM x""".stripMargin
+  }
+
+  /** q_rho_select replayed in SQL: the q_unigram_ce and q_kn_ce model
+    * chains composed (distinct CTE names), per-doc excess = rounded
+    * difference of the two rounded CEs, then the keepRateThreshold
+    * distinct-grid rule — threshold = max excess whose descending
+    * cumulative count reaches ceil(0.5·n), ties keep. */
+  private def rhoSelectOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+      |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+      |  FROM documents),
+      |ucounts AS MATERIALIZED (
+      |  SELECT term, count(*)::BIGINT AS tc
+      |  FROM (SELECT unnest(ts) AS term FROM tok) GROUP BY term),
+      |ustats AS (SELECT sum(tc)::BIGINT AS n_total,
+      |    count(*)::BIGINT AS vocab FROM ucounts),
+      |us AS MATERIALIZED (
+      |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |    round(-avg(logp), 6) AS unigram_ce
+      |  FROM (SELECT t.doc_id,
+      |      ln((coalesce(c.tc, 0) + 1.0::DOUBLE) /
+      |        ((n_total + vocab)::DOUBLE)) AS logp
+      |    FROM (SELECT doc_id, unnest(ts) AS term FROM tok) t
+      |    LEFT JOIN ucounts c USING (term) CROSS JOIN ustats)
+      |  GROUP BY doc_id),
+      |pairs AS MATERIALIZED (
+      |  SELECT doc_id, u.a AS a, u.b AS b
+      |  FROM (SELECT doc_id, unnest([{'a': ts[i], 'b': ts[i+1]}
+      |      for i in range(1, len(ts))]) AS u
+      |    FROM tok)),
+      |c2 AS MATERIALIZED (
+      |  SELECT a, b, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2),
+      |cctx AS MATERIALIZED (
+      |  SELECT a, sum(c2)::BIGINT AS cctx, count(*)::BIGINT AS n1f
+      |  FROM c2 GROUP BY 1),
+      |cont AS MATERIALIZED (
+      |  SELECT b, count(*)::BIGINT AS n1b FROM c2 GROUP BY 1),
+      |kstats AS (
+      |  SELECT (SELECT count(*) FROM c2)::BIGINT AS n_bi,
+      |    (SELECT count(DISTINCT term)
+      |     FROM (SELECT unnest(ts) AS term FROM tok))::BIGINT AS vocab),
+      |ks AS MATERIALIZED (
+      |  SELECT doc_id, round(-avg(logp), 6) AS kn_ce
+      |  FROM (SELECT p.doc_id,
+      |      ln(CASE WHEN x.cctx IS NOT NULL THEN
+      |          greatest(coalesce(c.c2, 0) - 0.75, 0.0) / x.cctx +
+      |          (0.75 * x.n1f / x.cctx) *
+      |            ((coalesce(k.n1b, 0) + 1.0) / (n_bi + vocab))
+      |        ELSE (coalesce(k.n1b, 0) + 1.0) / (n_bi + vocab)
+      |        END) AS logp
+      |    FROM pairs p
+      |    LEFT JOIN c2 c USING (a, b)
+      |    LEFT JOIN cctx x USING (a)
+      |    LEFT JOIN cont k USING (b)
+      |    CROSS JOIN kstats)
+      |  GROUP BY doc_id),
+      |sc AS MATERIALIZED (
+      |  SELECT us.doc_id, us.n_tokens, us.unigram_ce, ks.kn_ce,
+      |    round(us.unigram_ce - ks.kn_ce, 6) AS excess_ce
+      |  FROM us JOIN ks USING (doc_id)),
+      |grid AS (SELECT excess_ce AS s, count(*)::BIGINT AS c
+      |  FROM sc GROUP BY 1),
+      |cum AS (SELECT s, sum(c) OVER (ORDER BY s DESC
+      |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cm FROM grid),
+      |tot AS (SELECT sum(c)::BIGINT AS n FROM grid),
+      |thr AS (SELECT max(s) AS t FROM cum, tot
+      |  WHERE cm >= ceil(0.5 * n))
+      |SELECT sc.doc_id, sc.n_tokens, sc.unigram_ce, sc.kn_ce,
+      |  sc.excess_ce, sc.excess_ce >= thr.t AS keep
+      |FROM sc, thr""".stripMargin
+
+  /** q_unimax replayed in SQL: per-language exact token sums, capacity
+    * = ⌊0.6·tokens⌋, budget = (2·total)//5, then the closed-form
+    * waterfilling prefix rule over the |strata|-row grid — the same
+    * running-AND capped flag, cut aggregates and floored even split as
+    * the Spark plan. */
+  private def unimaxOracle: String =
+    """WITH t AS (SELECT coalesce(lang, '__null__') AS stratum,
+      |    (CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+      |      AS tok
+      |  FROM documents),
+      |b AS (SELECT ((sum(tok)::BIGINT * 2) // 5)::BIGINT AS budget FROM t),
+      |per AS (SELECT stratum, sum(tok)::BIGINT AS n_tokens,
+      |    floor(sum(tok)::BIGINT::DOUBLE * 0.6)::BIGINT AS capacity
+      |  FROM t GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n FROM per),
+      |rk AS (SELECT *, row_number() OVER
+      |      (ORDER BY capacity, stratum)::BIGINT AS r,
+      |    coalesce(sum(capacity) OVER (ORDER BY capacity, stratum
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS cumb
+      |  FROM per),
+      |fl AS (SELECT *, min(CASE WHEN capacity * ((SELECT n FROM n) - r + 1)
+      |        <= (SELECT budget FROM b) - cumb THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY capacity, stratum ROWS UNBOUNDED PRECEDING) = 1
+      |      AS capped
+      |  FROM rk),
+      |cut AS (SELECT
+      |    sum(CASE WHEN capped THEN capacity ELSE 0 END)::BIGINT AS cutcap,
+      |    sum(CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT AS cutn
+      |  FROM fl),
+      |alloc AS (SELECT stratum, n_tokens, capacity,
+      |    (CASE WHEN capped THEN capacity
+      |      ELSE floor(((SELECT budget FROM b) - cut.cutcap)::DOUBLE /
+      |        ((SELECT n FROM n) - cut.cutn)::DOUBLE)::BIGINT END)
+      |      AS allocated
+      |  FROM fl, cut)
+      |SELECT stratum, n_tokens, capacity, allocated,
+      |  CASE WHEN n_tokens = 0 THEN 0.0
+      |    ELSE round(allocated::DOUBLE / n_tokens::DOUBLE, 6) END
+      |    AS epochs
+      |FROM alloc""".stripMargin
+
   /** The literal-centroid (d, i) rank-struct list shared by every
     * IVF-routing oracle: d = c·c − 2·v·c with c·c precomputed in Scala
     * (identical double both sides), ready for DuckDB list_sort. */
@@ -4660,6 +4874,9 @@ object SparkEntry {
     "q_pii" -> piiOracle,
     "q_curation" -> curationOracle,
     "q_curation_web" -> curationWebOracle,
+    "q_html_extract" -> htmlExtractOracle,
+    "q_rho_select" -> rhoSelectOracle,
+    "q_unimax" -> unimaxOracle,
     "q_packing" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 16 AS shard,

@@ -304,6 +304,75 @@ object Sampling {
           .as("actual_rate"))
   }
 
+  /** UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): apportion a total token `budget` across strata as
+    * UNIFORMLY as possible subject to a per-stratum repeat cap —
+    * stratum s may contribute at most ⌊maxEpochs · tokens_s⌋ tokens.
+    * Temperature sampling over-weights head languages at any
+    * temperature; UniMax instead gives every language an equal share
+    * until a language EXHAUSTS its cap (hits `maxEpochs` repeats), then
+    * redistributes that language's unused share uniformly over the
+    * rest — the classic waterfilling allocation.
+    *
+    * Closed form instead of the paper's loop: sort strata by capacity
+    * ascending; a stratum is CAPPED iff every stratum up to it (in that
+    * order) satisfies `cap_r · (n − r + 1) ≤ budget − Σ_{j<r} cap_j`
+    * (a running AND — the capped set is a prefix of the sort); capped
+    * strata take their full capacity, the rest split the remaining
+    * budget evenly (floor). All integer arithmetic on exact longs —
+    * the one float op is the final epochs ratio, rounded — so the
+    * whole allocation replays bit-for-bit in the oracle.
+    *
+    * Scale: ONE token aggregate over the corpus (|strata| rows); the
+    * waterfilling windows run on the |strata|-row grid only (global
+    * orderBy windows over a dimension table — the keepRateThreshold
+    * discipline). Returns (stratum, n_tokens, capacity, allocated,
+    * epochs); NULL strata under the [[NullStratum]] sentinel. Feed
+    * `allocated / n_tokens` into [[mixtureEpochs]] to realize the
+    * schedule. */
+  def unimaxAllocation(df: DataFrame, stratumCol: String, tokens: Column,
+      budget: Long, maxEpochs: Double,
+      roundDecimals: Int = 6): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val per = df.groupBy(coalesce(col(stratumCol).cast("string"),
+        lit(NullStratum)).as("stratum"))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      .select(col("stratum"), col("n_tokens"),
+        floor(col("n_tokens").cast("double") * lit(maxEpochs))
+          .cast("long").as("capacity"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("capacity").asc, col("stratum").asc)
+    val before = ord.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, -1)
+    val upTo = ord.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val tot = per.groupBy().agg(count(lit(1)).as("__n"))
+    val ranked = per
+      .withColumn("__r", row_number().over(ord).cast("long"))
+      .withColumn("__cumBefore",
+        coalesce(sum(col("capacity")).over(before), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val fits = when(col("capacity") * (col("__n") - col("__r") + 1) <=
+      lit(budget) - col("__cumBefore"), 1).otherwise(0)
+    val flagged = ranked
+      .withColumn("__capped", min(fits).over(upTo) === 1)
+    val cut = flagged.groupBy().agg(
+      sum(when(col("__capped"), col("capacity")).otherwise(0L))
+        .as("__cutCap"),
+      sum(when(col("__capped"), 1L).otherwise(0L)).as("__cutN"))
+    flagged.crossJoin(broadcast(cut))
+      .withColumn("allocated", when(col("__capped"), col("capacity"))
+        .otherwise(floor((lit(budget) - col("__cutCap")).cast("double") /
+          (col("__n") - col("__cutN")).cast("double")).cast("long")))
+      .select(col("stratum"), col("n_tokens"), col("capacity"),
+        col("allocated"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("allocated").cast("double") /
+            col("n_tokens").cast("double"), roundDecimals)).as("epochs"))
+  }
+
   /** Largest-remainder (Hamilton) QUOTA sampling: apportion a single
     * overall budget `totalK` across strata proportionally to their row
     * counts — `quota_s = ⌊K·n_s/N⌋` plus one extra for the largest

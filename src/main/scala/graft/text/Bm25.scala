@@ -295,6 +295,65 @@ object UnigramLm {
     * every null-lang scored doc at the tertile join (null keys never
     * equi-join). Docs with no tokens have no LM score: bucket `tail`,
     * dropped. Returns (idCol, lang, ce, rank, bucket, keep). */
+  /** RHO-style learnability selection (Mindermann et al. 2022,
+    * "Prioritized Training on Points that are Learnable, Worth
+    * Learning, and Not Yet Learnt"; token-level successor RHO-1, Lin et
+    * al. 2024): score each document by the EXCESS LOSS between a weak
+    * "current" model and a stronger "reference" model and keep the top
+    * `keepFraction`. Here the two models are the library's own LMs —
+    * `excess_ce = unigram CE − Kneser-Ney bigram CE` (both rounded 6
+    * before the difference). High excess = the stronger model explains
+    * the document far better than the weak one = structured, learnable
+    * text; near-zero or negative excess = either noise neither model
+    * compresses or trivial text both ace — exactly the points RHO
+    * deprioritizes. Swap `model` for a held-out reference corpus to
+    * score against external models, the published shape.
+    *
+    * The keep threshold is the largest rounded excess whose
+    * descending-cumulative count reaches ceil(keepFraction·n) — the
+    * [[graft.operators.Sampling.keepRateThreshold]] distinct-value-grid
+    * discipline: no global sort, the grid is |distinct scores|-bounded,
+    * ties at the threshold all keep (so actual ≥ target). Only docs
+    * with ≥ 2 tokens have both scores and are eligible. Returns
+    * (idCol, n_tokens, unigram_ce, kn_ce, excess_ce, keep).
+    *
+    * Scale: two LM scorings (each one vocab-bounded model aggregate +
+    * per-token joins reducing map-side to 1 row/doc), one id-keyed
+    * join, a grid aggregate, one broadcast threshold join. */
+  def learnabilitySelect(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", keepFraction: Double = 0.5,
+      discount: Double = 0.75, model: DataFrame = null): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val u = crossEntropy(docs, textCol, idCol, model)
+      .select(col(idCol), col("n_tokens"),
+        round(col("cross_entropy"), 6).as("unigram_ce"))
+    val k = knBigramCrossEntropy(docs, textCol, idCol, discount, model)
+      .select(col(idCol), round(col("cross_entropy"), 6).as("kn_ce"))
+    // barrier: the scored frame feeds BOTH the threshold grid and the
+    // final keep projection — without it the two LM chains run twice
+    val scored = u.join(k, Seq(idCol))
+      .withColumn("excess_ce",
+        round(col("unigram_ce") - col("kn_ce"), 6))
+      .localCheckpoint(true)
+    val grid = scored.groupBy(col("excess_ce").as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = grid.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = grid.groupBy().agg(sum(col("__c")).as("__n"))
+    val thr = cum.crossJoin(broadcast(tot))
+      .filter(col("__cum") >=
+        ceil(lit(keepFraction) * col("__n").cast("double")).cast("long"))
+      .groupBy().agg(max(col("__s")).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col("n_tokens"), col("unigram_ce"),
+        col("kn_ce"), col("excess_ce"),
+        (col("excess_ce") >= col("__thr")).as("keep"))
+  }
+
   def perplexityBuckets(docs: DataFrame, langCol: String = "lang",
       textCol: String = "text", idCol: String = "doc_id",
       middleRate: Double = 0.5, seed: Long = 42L,

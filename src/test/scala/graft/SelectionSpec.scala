@@ -904,4 +904,76 @@ class SelectionSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(ce(100L) < ce(101L))
   }
+
+  test("unimaxAllocation: textbook waterfill — small stratum caps, the " +
+      "rest split evenly; capacity-limited case under-spends; NULL " +
+      "stratum under the sentinel") {
+    import spark.implicits._
+    // one doc per token so per-stratum tokens are exact: a=10, b=100,
+    // c=100 tokens; maxEpochs=1.0 → caps (10, 100, 100); budget 60 →
+    // a caps at 10, b and c split floor(50/2)=25 each
+    def corpus(counts: Map[String, Int]): DataFrame =
+      counts.toSeq.flatMap { case (s, n) =>
+        (1 to n).map(i => (s, "tokenword"))
+      }.toDF("lang", "text")
+    val docs3 = corpus(Map("a" -> 10, "b" -> 100, "c" -> 100))
+    val tok = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    val got = Sampling.unimaxAllocation(docs3, "lang", tok,
+        budget = 60L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("a") === ((10L, 10L, 10L, 1.0)))
+    assert(got("b") === ((100L, 100L, 25L, 0.25)))
+    assert(got("c") === ((100L, 100L, 25L, 0.25)))
+    // budget above total capacity: everyone capped, budget under-spent
+    val rich = Sampling.unimaxAllocation(docs3, "lang", tok,
+        budget = 10000L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rich === Map("a" -> 10L, "b" -> 100L, "c" -> 100L))
+    // NULL stratum rides the sentinel; layout invariance
+    val withNull = corpus(Map("a" -> 10))
+      .unionByName(Seq((null.asInstanceOf[String], "x y z"))
+        .toDF("lang", "text"))
+    val ns = Sampling.unimaxAllocation(withNull.repartition(5), "lang",
+        tok, budget = 7L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // caps (a=10, null=3), budget 7: null caps at 3, a takes floor(4/1)
+    assert(ns(Sampling.NullStratum) === 3L)
+    assert(ns("a") === 4L)
+  }
+
+  test("learnabilitySelect: keep count honors the fraction with ties, " +
+      "excess is the rounded CE difference, repartition-invariant") {
+    import spark.implicits._
+    import graft.text.UnigramLm
+    // structured docs (repeated bigram patterns the KN model exploits)
+    // vs scrambled docs (same unigrams, broken bigrams): structured
+    // docs should have HIGHER excess = more learnable
+    val structured = (1 to 12).map(i => (i.toLong,
+      "alpha beta gamma delta alpha beta gamma delta alpha beta"))
+    val scrambled = Seq(
+      (101L, "beta alpha delta gamma beta delta alpha gamma beta alpha"),
+      (102L, "gamma alpha beta delta gamma beta delta alpha gamma delta"),
+      (103L, "delta gamma beta alpha delta alpha gamma beta delta beta"))
+    val docs = (structured ++ scrambled).toDF("doc_id", "text")
+    val got = UnigramLm.learnabilitySelect(docs, keepFraction = 0.4)
+    val rows = got.collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      val want = BigDecimal(r.getDouble(2) - r.getDouble(3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - want) < 1e-9)
+    }
+    val kept = rows.filter(_.getBoolean(5))
+    // ceil(0.4 * 15) = 6; the 12 structured docs share one score, so
+    // the tie at the threshold keeps all of them
+    assert(kept.length >= 6)
+    kept.foreach(r => assert(r.getLong(0) <= 100L,
+      s"scrambled doc ${r.getLong(0)} kept over structured"))
+    // layout invariance
+    val again = UnigramLm.learnabilitySelect(docs.repartition(7),
+      keepFraction = 0.4).collect()
+    assert(again.map(_.toString).sorted.toSeq ===
+      rows.map(_.toString).sorted.toSeq)
+  }
 }

@@ -426,6 +426,36 @@ class TextMultimodalSpec extends SparkSuite {
     assert(out(0).isNullAt(3) && out(0).isNullAt(4))
   }
 
+  test("htmlExtract: script/style/comment subtrees drop WITH contents, " +
+      "block tags become newlines, entities decode once, density " +
+      "signals; null-safe") {
+    import spark.implicits._
+    import graft.text.HtmlExtract
+    val html = "<html><head><style>p { color: red }</style>" +
+      "<script>var a = '<p>hidden</p>';\nvar b = 2;</script></head>" +
+      "<body><!-- note\nacross lines --><h1>Head</h1>" +
+      "<p>one &amp;amp; two &lt;b&gt;</p>" +
+      "<div><a href=\"u\">link</a>&nbsp;end</div></body></html>"
+    val df = Seq((1L, html), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "html")
+    val out = HtmlExtract.extract(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val text = out(1L).getString(1)
+    // dropped subtrees leave no trace — including the decoy tags and
+    // code INSIDE the script, and the multi-line comment
+    assert(!text.contains("hidden") && !text.contains("color") &&
+      !text.contains("note") && !text.contains("var"))
+    // entity decode is single-pass (&amp;amp; → &amp;, not &) and the
+    // decoded &lt;b&gt; stays literal text (tags were already stripped)
+    assert(text === "Head\none &amp; two <b>\nlink end")
+    assert(out(1L).getLong(2) > 0)        // n_tags
+    assert(out(1L).getLong(3) === 1L)     // n_links
+    assert(out(1L).getLong(4) === 1L)     // n_script_blocks
+    val density = out(1L).getDouble(5)
+    assert(density > 0.0 && density < 1.0)
+    assert(out(2L).isNullAt(1))           // null html → null text
+  }
+
   test("cleanText: NFC composition, control strip, whitespace collapse, " +
       "idempotence; the NFC expression is real codegen") {
     import spark.implicits._
