@@ -101,6 +101,26 @@ object SparkEntry {
       path
     })
 
+  /** On-disk WARC artifact over the documents table (+ synthetic crawl
+    * URLs) — built once per JVM and data dir like the token shards;
+    * the round-trip query re-reads the BYTES through the splittable
+    * delimiter recipe. */
+  private val warcBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcPath(s: SparkSession, dir: String): String =
+    warcBuilt.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_warc_" + digest).getAbsolutePath
+      graft.sources.Warc.writeWarc(
+        table(s, d, "documents").withColumn("url", syntheticUrl),
+        path).collect()
+      path
+    })
+
   /** On-disk binary token shards (.bin/.idx + manifest) over the
     * documents table — built once per JVM and data dir like the ANN
     * indexes; ids are md5-derived per token so the oracle can replay
@@ -828,6 +848,17 @@ object SparkEntry {
         hashMode = "md5", urlCol = Some("url"),
         blockedDomains = Some(blocked), maxPerDomain = 300)
     }),
+    "q_warc_roundtrip" -> ((s, dir) =>
+      // WARC, the native CommonCrawl container, as a DISK ARTIFACT
+      // under the oracle (the q_token_shards discipline): documents +
+      // synthetic crawl URLs written as real response records, re-read
+      // through the splittable record-delimiter recipe — every header,
+      // the Content-Length octet count, the length_ok flag AND the full
+      // payload text hash-check against the oracle's analytic statement
+      graft.sources.Warc.readWarc(s, warcPath(s, dir))
+        .select(col("record_id").as("doc_id"), col("warc_type"),
+          col("target_uri"), col("content_length"), col("payload"),
+          col("length_ok"))),
     "q_html_extract" -> ((s, dir) => {
       // HTML → text extraction (the WARC→WET step): documents wrapped
       // in a deterministic page template — script/style/comment
@@ -4875,6 +4906,12 @@ object SparkEntry {
     "q_curation" -> curationOracle,
     "q_curation_web" -> curationWebOracle,
     "q_html_extract" -> htmlExtractOracle,
+    "q_warc_roundtrip" -> (urlCtes +
+      """
+        |SELECT doc_id, 'response' AS warc_type, url AS target_uri,
+        |  strlen(text)::BIGINT AS content_length, text AS payload,
+        |  true AS length_ok
+        |FROM syn""".stripMargin),
     "q_rho_select" -> rhoSelectOracle,
     "q_unimax" -> unimaxOracle,
     "q_packing" ->

@@ -88,4 +88,42 @@ class IOSpec extends SparkSuite {
     assert(cols.contains("n_events"))
     assert(cols.contains("value") && cols.contains("value_right"))
   }
+
+  test("warc: multi-partition round-trip preserves headers and payload " +
+      "bytes; null columns degrade cleanly; corrupt length is flagged") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val dir = tmp()
+    val docs = Seq(
+      (1L, "https://a.example/x", "plain text payload"),
+      (2L, "https://b.example/y", "über UTF-8 ✓ payload"), // multi-byte
+      (3L, null.asInstanceOf[String], ""),                 // null uri
+      (4L, "https://c.example/z", null.asInstanceOf[String])) // null text
+      .toDF("doc_id", "url", "text").repartition(3)
+    val manifest = Warc.writeWarc(docs, dir).collect()
+    assert(manifest.map(_.getLong(1)).sum === 4L)
+    val back = Warc.readWarc(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(back.size === 4)
+    back.values.foreach { r =>
+      assert(r.getString(1) === "response")
+      assert(r.getBoolean(5), s"length_ok false for ${r.getLong(0)}")
+    }
+    // multi-byte payload: Content-Length counts OCTETS, not chars
+    assert(back(2L).getLong(3) ===
+      "über UTF-8 ✓ payload".getBytes("UTF-8").length.toLong)
+    assert(back(2L).getString(4) === "über UTF-8 ✓ payload")
+    assert(back(3L).getString(2) === "" && back(3L).getString(4) === "")
+    assert(back(4L).getString(4) === "") // null text writes empty payload
+    // a record whose Content-Length lies is FLAGGED, not trusted
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:graft:9>\r\nWARC-Target-URI: u\r\n" +
+      "Content-Length: 999\r\n\r\nshort\r\n\r\n"
+    val dir2 = tmp()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, "part_00000.warc"),
+      bad.getBytes("UTF-8"))
+    val flagged = Warc.readWarc(spark, dir2).collect()
+    assert(flagged.length === 1 && !flagged(0).getBoolean(5))
+  }
 }
