@@ -848,6 +848,35 @@ object SparkEntry {
         hashMode = "md5", urlCol = Some("url"),
         blockedDomains = Some(blocked), maxPerDomain = 300)
     }),
+    "q_kappa" -> ((s, dir) => {
+      // Cohen's kappa label-QC gate: rater A = the language column,
+      // rater B = the same labels with every 7th doc flipped to 'und'
+      // — exact confusion/marginal counts, ordered p_e fold, the
+      // chance-corrected agreement hash-checked
+      val docs = table(s, dir, "documents")
+        .withColumn("rater_a", col("lang"))
+        .withColumn("rater_b",
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("und"))
+            .otherwise(col("lang")))
+      graft.text.Eval.cohenKappa(docs, "rater_a", "rater_b")
+    }),
+    "q_fleiss" -> ((s, dir) => {
+      // Fleiss' kappa for a 3-rater pool: rater 2 flips every 7th doc
+      // to 'und', rater 3 every 5th to 'zz'; NULL-lang docs lose the
+      // null ratings and drop below the 2-rating floor when needed —
+      // per-item P_i quantized to nano-units (exact decimal sum)
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        col("lang"))
+      val r1 = docs.select(col("doc_id"), col("lang").as("label"))
+      val r2 = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("und"))
+          .otherwise(col("lang")).as("label"))
+      val r3 = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("zz"))
+          .otherwise(col("lang")).as("label"))
+      graft.text.Eval.fleissKappa(
+        r1.unionByName(r2).unionByName(r3), "doc_id", "label")
+    }),
     "q_warc_roundtrip" -> ((s, dir) =>
       // WARC, the native CommonCrawl container, as a DISK ARTIFACT
       // under the oracle (the q_token_shards discipline): documents +
@@ -4906,6 +4935,66 @@ object SparkEntry {
     "q_curation" -> curationOracle,
     "q_curation_web" -> curationWebOracle,
     "q_html_extract" -> htmlExtractOracle,
+    "q_kappa" ->
+      """WITH r AS (SELECT lang AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'und' ELSE lang END AS b
+        |  FROM documents),
+        |rr AS (SELECT a, b FROM r
+        |  WHERE a IS NOT NULL AND b IS NOT NULL),
+        |conf AS (SELECT a, b, count(*)::BIGINT AS c
+        |  FROM rr GROUP BY 1, 2),
+        |am AS (SELECT a AS k, sum(c)::BIGINT AS na FROM conf GROUP BY 1),
+        |bm AS (SELECT b AS k, sum(c)::BIGINT AS nb FROM conf GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n,
+        |    sum(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS agree
+        |  FROM conf),
+        |cats AS (SELECT list_sort(list({'k': k, 'na': na, 'nb': nb}))
+        |    AS l
+        |  FROM (SELECT k, coalesce(na, 0)::BIGINT AS na,
+        |      coalesce(nb, 0)::BIGINT AS nb
+        |    FROM am FULL OUTER JOIN bm USING (k))),
+        |sel AS (SELECT n, len(l)::BIGINT AS n_categories,
+        |    round(agree::DOUBLE / n, 6) AS p_o,
+        |    round(list_sum(list_transform(l,
+        |      x -> (x.na::DOUBLE / n) * (x.nb::DOUBLE / n))), 6) AS p_e
+        |  FROM cats, tot)
+        |SELECT n, n_categories, p_o, p_e,
+        |  CASE WHEN p_e = 1.0 THEN NULL
+        |    ELSE round((p_o - p_e) / (1.0 - p_e), 6) END AS kappa
+        |FROM sel""".stripMargin,
+    "q_fleiss" ->
+      """WITH r AS (
+        |  SELECT doc_id AS i, lang AS c FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'und'
+        |    ELSE lang END FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'zz'
+        |    ELSE lang END FROM documents),
+        |cc AS MATERIALIZED (SELECT i, c, count(*)::BIGINT AS n
+        |  FROM r WHERE c IS NOT NULL GROUP BY 1, 2),
+        |pi AS MATERIALIZED (SELECT i, sum(n)::BIGINT AS ni,
+        |    sum(n * n)::BIGINT AS sq
+        |  FROM cc GROUP BY 1 HAVING sum(n) >= 2),
+        |scal AS (SELECT count(*)::BIGINT AS n_items,
+        |    sum(ni)::BIGINT AS n_ratings,
+        |    sum(floor((sq - ni)::DOUBLE / (ni * (ni - 1))::DOUBLE
+        |      * 1000000000.0 + 0.5)::HUGEINT) AS pnano
+        |  FROM pi),
+        |lt AS (SELECT list_sort(list({'c': c, 'nc': nc})) AS l FROM (
+        |  SELECT cc.c, sum(cc.n)::BIGINT AS nc
+        |  FROM cc JOIN pi USING (i) GROUP BY 1)),
+        |sel AS (SELECT n_items, n_ratings,
+        |    round(pnano::DOUBLE / 1000000000.0 / n_items::DOUBLE, 6)
+        |      AS p_bar,
+        |    round(list_sum(list_transform(l,
+        |      x -> (x.nc::DOUBLE / n_ratings::DOUBLE)
+        |        * (x.nc::DOUBLE / n_ratings::DOUBLE))), 6) AS p_e
+        |  FROM lt, scal)
+        |SELECT n_items, n_ratings, p_bar, p_e,
+        |  CASE WHEN p_e = 1.0 THEN NULL
+        |    ELSE round((p_bar - p_e) / (1.0 - p_e), 6) END AS kappa
+        |FROM sel""".stripMargin,
     "q_warc_roundtrip" -> (urlCtes +
       """
         |SELECT doc_id, 'response' AS warc_type, url AS target_uri,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -93,4 +93,47 @@ object TextStatsExpression {
 
   /** struct(ws_tokens, bpe_tokens, alpha, punct, nonspace, nchars). */
   def textStats(c: Column): Column = column(TextStats(expression(c)))
+
+  /** zlib-deflate compressed byte size of the UTF-8 text (raw deflate,
+    * level 6, no wrapper) — the kernel behind the COMPRESSION-RATIO
+    * quality signal (the Dolma / RedPajama-v2 "gzip ratio": templated,
+    * boilerplate or repetitive text compresses far below prose; random
+    * or already-compressed junk barely compresses at all). A JVM
+    * Deflater is allocated per CALL — deflate dominates the allocation
+    * by orders of magnitude, and per-row state keeps the expression
+    * thread-safe under whole-stage codegen.
+    *
+    * Determinism: exact for a given zlib/JDK implementation (same
+    * input → same bytes → same size) but NOT pinned across zlib
+    * versions, so this signal is SPEC-pinned (FiltersSpec properties)
+    * rather than DuckDB-oracle-hashed — consumers should threshold on
+    * it, not hash it. */
+  def deflateSize(s: UTF8String): Int = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(in)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
+
+  case class DeflateSize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      deflateSize(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextStatsExpression.deflateSize($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "graft_deflate_size"
+  }
+
+  /** Deflate-compressed size (bytes) of a string column. */
+  def deflateSize(c: Column): Column = column(DeflateSize(expression(c)))
 }

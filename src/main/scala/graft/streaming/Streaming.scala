@@ -150,6 +150,22 @@ object Streaming {
     Chunking.fimTransform(gated, fimRate, seed, textCol, idCol)
   }
 
+  /** Streaming HTML ingest gate — the live WARC→WET stage: extract text
+    * from raw HTML ([[graft.text.HtmlExtract.extractText]] — the same
+    * regexp chain as batch, so stream ≡ batch bit-for-bit) and gate on
+    * markup density (`text_density ≥ minDensity` drops tag-soup pages
+    * whose prose content is negligible) plus a minimum extracted
+    * length. Pure per-row expressions: NO state store, no watermark —
+    * the stage every crawl firehose runs before any stateful dedup.
+    * Returns (idCol, text [extracted], n_tags, n_links,
+    * n_script_blocks, text_density). */
+  def streamingHtmlIngest(src: DataFrame, htmlCol: String,
+      idCol: String, minDensity: Double = 0.1,
+      minChars: Int = 1): DataFrame =
+    graft.text.HtmlExtract.extract(src, htmlCol, idCol)
+      .filter(col("text_density") >= minDensity &&
+        length(col("text")) >= minChars)
+
   /** Streaming benchmark-contamination flag: mark stream documents that
     * (probably) share a word n-gram with a fixed benchmark corpus, via
     * the driver-built Bloom filter riding in the plan — a pure map-only

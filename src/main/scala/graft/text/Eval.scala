@@ -186,4 +186,119 @@ object Eval {
     packed.select(size(col("__l")).cast("long").as("n_bins_nonempty"),
       col("n"), round(ece, 6).as("ece"))
   }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    * TWO raters over categorical labels, the standard QC gate on
+    * human-labeled training/eval data (raw percent agreement rewards
+    * majority-class guessing; kappa subtracts the agreement two raters
+    * would reach by chance from their marginal label rates):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_e = Σ_c pA(c)·pB(c)
+    *
+    * Rows where either label is NULL are excluded (an unlabeled item
+    * is not a disagreement). Returns one row: (n, n_categories, p_o,
+    * p_e, kappa) — all from exact integer counts, only the final
+    * ratios rounded, so the row is oracle-replayable. κ is NULL when
+    * p_e = 1 (both raters constant — chance agreement is total and
+    * the statistic is undefined).
+    *
+    * Scale: ONE confusion aggregate (≤ |categories|² rows — a
+    * dimension table) carries everything; marginals and the agreement
+    * fold run on it, never the corpus. */
+  def cohenKappa(df: DataFrame, raterACol: String, raterBCol: String)
+      : DataFrame = {
+    val conf = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .groupBy(col(raterACol).as("__a"), col(raterBCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds both marginals and the totals
+    val aMarg = conf.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__na"))
+    val bMarg = conf.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__nb"))
+    val tot = conf.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("__agree"))
+    // p_e folds over the category-sorted marginal join — ordered, so
+    // the float sum is engine-exact
+    val cats = aMarg.join(bMarg, Seq("__k"), "full_outer")
+      .select(col("__k"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("__k"), col("__na"),
+        col("__nb")))).as("__l"))
+    cats.crossJoin(broadcast(tot)).select(
+      col("n"),
+      size(col("__l")).cast("long").as("n_categories"),
+      round(col("__agree").cast("double") / col("n"), 6).as("p_o"),
+      round(aggregate(col("__l"), lit(0.0), (acc, x) =>
+        acc + x.getField("__na").cast("double") / col("n") *
+          (x.getField("__nb").cast("double") / col("n"))), 6).as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e") === 1.0, lit(null).cast("double"))
+          .otherwise(round((col("p_o") - col("p_e")) /
+            (lit(1.0) - col("p_e")), 6)))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for N
+    * raters per item (the multi-annotator generalization QC teams
+    * actually need: every item rated by a pool, raters anonymous).
+    * Input is ONE ROW PER RATING: (itemCol, labelCol). Items with
+    * fewer than 2 ratings are excluded (agreement is undefined on a
+    * single rating; the variable-n generalization is used, so rater
+    * counts may differ per item):
+    *
+    *   P_i = (Σ_c n_ic² − n_i) / (n_i·(n_i − 1)),   P̄ = mean_i P_i
+    *   p_c = Σ_i n_ic / Σ_i n_i,                    P̄_e = Σ_c p_c²
+    *   κ = (P̄ − P̄_e) / (1 − P̄_e)
+    *
+    * Returns one row: (n_items, n_ratings, p_bar, p_e, kappa); κ NULL
+    * when P̄_e = 1. Scale: one (item, label) count aggregate → one
+    * per-item reduce (map-side partials, ≤1 row per item) → one scalar
+    * pass; label totals are a |categories|-row fold. NULL labels drop.
+    *
+    * Determinism: Σ_i P_i is a corpus-sized FLOAT sum — the one
+    * order-sensitive reduction — so each P_i (itself one IEEE division,
+    * engine-exact) is quantized to integer nano-units with the
+    * floor(x·10⁹ + 0.5) idiom and summed as DECIMAL(38,0): exact at any
+    * corpus size, partition-order-free, and the DuckDB oracle replays
+    * it digit-for-digit (the DoReMi/ECE micro-unit discipline). */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String)
+      : DataFrame = {
+    val cellCounts = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // feeds the per-item AND per-label passes
+    val perItem = cellCounts.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__ni"),
+        sum(col("__n") * col("__n")).as("__sq"))
+      .filter(col("__ni") >= 2)
+      .localCheckpoint(true) // feeds the scalar pass AND the label join
+    val pI = (col("__sq") - col("__ni")).cast("double") /
+      (col("__ni") * (col("__ni") - 1)).cast("double")
+    val scal = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("__ni")).as("n_ratings"),
+      sum(floor(pI * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+        .as("__pnano"))
+    // label totals over the RETAINED items only (n_i >= 2)
+    val labelTot = cellCounts.join(perItem.select(col("__i")), Seq("__i"))
+      .groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__nc"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("__c"), col("__nc"))))
+        .as("__l"))
+    labelTot.crossJoin(broadcast(scal)).select(
+      col("n_items"), col("n_ratings"),
+      round(col("__pnano").cast("double") / lit(1e9) /
+        col("n_items").cast("double"), 6).as("p_bar"),
+      round(aggregate(col("__l"), lit(0.0), (acc, x) =>
+        acc + (x.getField("__nc").cast("double") /
+          col("n_ratings").cast("double")) *
+          (x.getField("__nc").cast("double") /
+            col("n_ratings").cast("double"))), 6).as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e") === 1.0, lit(null).cast("double"))
+          .otherwise(round((col("p_bar") - col("p_e")) /
+            (lit(1.0) - col("p_e")), 6)))
+  }
 }

@@ -458,4 +458,19 @@ object TextAnalysis {
             j => array_min(slice(hashes, j, lit(w))))))
       }
     }
+
+  /** Compression-ratio quality signal (the Dolma / RedPajama-v2 "gzip
+    * ratio"): deflate-compressed bytes / raw UTF-8 bytes, rounded 6.
+    * LOW (≪ typical prose ~0.3-0.5) = templated/repetitive boilerplate;
+    * NEAR/ABOVE 1 = random or already-compressed bytes masquerading as
+    * text. The cheap scan-time companion to the LM-based quality
+    * scores — map-only, codegen'd, no shuffle; empty text → 0.0.
+    * Engine-version-dependent (zlib), so spec-pinned and thresholded,
+    * never oracle-hashed ([[graft.functions.TextStatsExpression
+    * .deflateSize]] documents the contract). */
+  def compressionRatio(c: Column): Column =
+    when(coalesce(octet_length(c), lit(0)) === 0, lit(0.0))
+      .otherwise(round(
+        graft.functions.TextStatsExpression.deflateSize(c)
+          .cast("double") / octet_length(c).cast("double"), 6))
 }

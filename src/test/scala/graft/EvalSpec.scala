@@ -497,4 +497,45 @@ class EvalSpec extends SparkSuite {
     assert(rows(3L) === ((1L, 3L)))
     assert(rows.size === 3)
   }
+
+  test("cohenKappa: the textbook 2x2 example, null exclusion, " +
+      "constant-rater degeneracy") {
+    import spark.implicits._
+    // classic worked example: 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes
+    // → p_o = 0.7, p_e = 0.5·0.6 + 0.5·0.4 = 0.5, κ = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes")) :+
+      (null.asInstanceOf[String], "yes") // excluded, not a disagreement
+    val got = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(got.getAs[Long]("n") === 50L)
+    assert(got.getAs[Long]("n_categories") === 2L)
+    assert(got.getAs[Double]("p_o") === 0.7)
+    assert(got.getAs[Double]("p_e") === 0.5)
+    assert(got.getAs[Double]("kappa") === 0.4)
+    // both raters constant: p_e = 1, kappa undefined → NULL
+    val const = Eval.cohenKappa(
+      Seq.fill(5)(("x", "x")).toDF("a", "b"), "a", "b").head()
+    assert(const.isNullAt(const.fieldIndex("kappa")))
+  }
+
+  test("fleissKappa: hand-computed 3-rater pool, single-rating items " +
+      "drop, layout invariance") {
+    import spark.implicits._
+    // item 1: x,x,x (P=1); item 2: x,x,y (P=1/3); item 3: one rating →
+    // dropped. Retained: p_bar=(1+1/3)/2, labels x=5 y=1 →
+    // p_e=26/36, κ=(2/3−26/36)/(1−26/36)=−0.2
+    val ratings = Seq((1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "x"), (2L, "x"), (2L, "y"), (3L, "x"))
+      .toDF("item", "label")
+    val got = Eval.fleissKappa(ratings, "item", "label").head()
+    assert(got.getAs[Long]("n_items") === 2L)
+    assert(got.getAs[Long]("n_ratings") === 6L)
+    assert(math.abs(got.getAs[Double]("p_bar") - 2.0 / 3) < 1e-6)
+    assert(math.abs(got.getAs[Double]("p_e") - 26.0 / 36) < 1e-6)
+    assert(math.abs(got.getAs[Double]("kappa") - (-0.2)) < 1e-5)
+    val again = Eval.fleissKappa(ratings.repartition(4), "item", "label")
+      .head()
+    assert(again.getAs[Double]("p_bar") === got.getAs[Double]("p_bar"))
+    assert(again.getAs[Double]("kappa") === got.getAs[Double]("kappa"))
+  }
 }

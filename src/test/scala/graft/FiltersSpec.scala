@@ -886,4 +886,33 @@ class FiltersSpec extends SparkSuite {
     // "c++" counts literally (quoted, not a regex)
     assert(got === 2L)
   }
+
+  test("compressionRatio: repetitive boilerplate compresses far below " +
+      "prose, high-entropy junk barely compresses, empty/null → 0") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val rep = "click here to subscribe now " * 200
+    val prose = "The committee reviewed seventeen proposals during the " +
+      "autumn session, rejecting most on procedural grounds while " +
+      "advancing three pilot programs whose budgets differed widely " +
+      "across regions and whose outcomes nobody could confidently " +
+      "predict at the time of writing."
+    val rng = new scala.util.Random(7)
+    val junk = Array.fill(2000)((33 + rng.nextInt(94)).toChar).mkString
+    val df = Seq((1L, rep), (2L, prose), (3L, junk), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.1, s"boilerplate ratio ${got(1L)}")
+    assert(got(2L) > got(1L) && got(2L) < got(3L),
+      s"prose ${got(2L)} should sit between boilerplate and junk")
+    assert(got(3L) > 0.6, s"high-entropy ratio ${got(3L)}")
+    assert(got(4L) === 0.0 && got(5L) === 0.0)
+    // deterministic across layouts (same JVM/zlib)
+    val again = df.repartition(4).select(col("id"),
+        TextAnalysis.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === got)
+  }
 }

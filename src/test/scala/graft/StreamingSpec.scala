@@ -136,6 +136,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming html ingest: extraction is batch-equal, density gate " +
+      "drops tag soup, stateless") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val page = "<html><body><p>Real prose content of a real page " +
+      "with plenty of words.</p></body></html>"
+    val soup = "<html>" + "<div a=\"b\"></div>" * 40 + "<p>x</p></html>"
+    val out = Streaming.streamingHtmlIngest(mem.toDF(), "text",
+      "doc_id", minDensity = 0.2)
+    val q = out.writeStream.format("memory").queryName("htmlgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, t: String) =
+        Doc(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t)
+      mem.addData(doc(1, page), doc(2, soup))
+      q.processAllAvailable()
+      val rows = spark.table("htmlgate").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L)) // the tag soup fails the density gate
+      // stream ≡ batch: the same regexp chain, same extracted text
+      val batch = graft.text.HtmlExtract.extract(
+          Seq((1L, page)).toDF("doc_id", "text"), "text")
+        .collect()(0).getString(1)
+      assert(rows(1L) === batch)
+      assert(batch === "Real prose content of a real page with plenty " +
+        "of words.")
+    } finally q.stop()
+  }
+
   test("streaming contamination flag: bloom probe, no state, no misses") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
