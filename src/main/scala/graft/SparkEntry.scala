@@ -848,6 +848,33 @@ object SparkEntry {
         hashMode = "md5", urlCol = Some("url"),
         blockedDomains = Some(blocked), maxPerDomain = 300)
     }),
+    "q_doc_keywords" -> ((s, dir) =>
+      // per-doc top-5 TF-IDF keywords (sklearn smooth-idf shape, df ≥ 2)
+      // — the sparse topic-signature primitive; per-DOCUMENT rank
+      // windows only (bounded by the doc's own vocabulary)
+      graft.text.Indexing.docKeywords(
+        table(s, dir, "documents"), "doc_id", "text", k = 5, minDf = 2L)),
+    "q_context_budget" -> ((s, dir) =>
+      // the context-length planning table: docs fitting / tokens
+      // surviving truncation at five candidate windows — one map-only
+      // explode + one aggregate, all integer-exact
+      graft.operators.Packing.contextBudgetCurve(
+        table(s, dir, "documents"),
+        graft.text.TextAnalysis.wsTokenCount(col("text")),
+        Seq(64, 128, 256, 512, 1024))),
+    "q_seq_boundaries" -> ((s, dir) => {
+      // the packed-attention boundary table over the q_packing layout:
+      // per (shard, seq) every document segment's [start, end) token
+      // range, position, and the sequence's segment count / occupancy /
+      // padding — the block-diagonal mask construction, all integers
+      val docs = table(s, dir, "documents")
+      val manifest = graft.operators.Packing.packConcat(docs, "doc_id",
+        graft.text.TextAnalysis.wsTokenCount(col("text")),
+        capacity = 256L, shards = 16)
+      graft.operators.Packing.sequenceBoundaries(manifest, 256L)
+        .select("shard", "seq", "doc_id", "seg_start", "seg_end",
+          "segment", "n_segments", "seq_tokens", "padding")
+    }),
     "q_kappa" -> ((s, dir) => {
       // Cohen's kappa label-QC gate: rater A = the language column,
       // rater B = the same labels with every 7th doc flipped to 'und'
@@ -4935,6 +4962,77 @@ object SparkEntry {
     "q_curation" -> curationOracle,
     "q_curation_web" -> curationWebOracle,
     "q_html_extract" -> htmlExtractOracle,
+    "q_doc_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(trim(text)) = 0
+        |      THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS term
+        |  FROM documents),
+        |tf AS MATERIALIZED (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tf),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    round(tf.tf * (ln((n + 1)::DOUBLE / (df + 1)::DOUBLE)
+        |      + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rank::INT AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q_context_budget" ->
+      """WITH t AS (SELECT (CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |    AS tok
+        |  FROM documents),
+        |e AS (SELECT unnest([64, 128, 256, 512, 1024])::BIGINT
+        |    AS context_len, tok FROM t),
+        |g AS (SELECT context_len, count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN tok <= context_len THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_docs_fit,
+        |    sum(tok)::BIGINT AS total_tokens,
+        |    sum(least(tok, context_len))::BIGINT AS tokens_kept_truncate
+        |  FROM e GROUP BY 1)
+        |SELECT context_len, n_docs, n_docs_fit,
+        |  round(n_docs_fit::DOUBLE / n_docs::DOUBLE, 6) AS frac_docs_fit,
+        |  total_tokens, tokens_kept_truncate,
+        |  round(tokens_kept_truncate::DOUBLE / total_tokens::DOUBLE, 6)
+        |    AS frac_tokens_kept
+        |FROM g""".stripMargin,
+    "q_seq_boundaries" ->
+      """WITH t AS (SELECT doc_id, doc_id % 16 AS shard,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |m AS (SELECT doc_id, shard, n_tokens,
+        |    (cum - n_tokens)::BIGINT AS tok_start,
+        |    ((cum - n_tokens) // 256)::BIGINT AS seq_first,
+        |    ((cum - 1) // 256)::BIGINT AS seq_last
+        |  FROM c WHERE n_tokens > 0),
+        |e AS (SELECT shard, doc_id, tok_start, n_tokens,
+        |    unnest(range(seq_first, seq_last + 1)) AS squ FROM m),
+        |sg AS (SELECT shard, squ::BIGINT AS seq, doc_id,
+        |    greatest(0, tok_start - squ * 256)::BIGINT AS seg_start,
+        |    least(256, tok_start + n_tokens - squ * 256)::BIGINT
+        |      AS seg_end
+        |  FROM e),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY shard, seq
+        |      ORDER BY seg_start, doc_id)::INT AS segment,
+        |    count(*) OVER (PARTITION BY shard, seq)::BIGINT
+        |      AS n_segments,
+        |    sum(seg_end - seg_start) OVER (PARTITION BY shard, seq)::BIGINT
+        |      AS seq_tokens
+        |  FROM sg)
+        |SELECT shard, seq, doc_id, seg_start, seg_end, segment,
+        |  n_segments, seq_tokens, (256 - seq_tokens)::BIGINT AS padding
+        |FROM w""".stripMargin,
     "q_kappa" ->
       """WITH r AS (SELECT lang AS a,
         |    CASE WHEN doc_id % 7 = 0 THEN 'und' ELSE lang END AS b

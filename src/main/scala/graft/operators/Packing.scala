@@ -244,4 +244,78 @@ object Packing {
     out.write(meta.getBytes("UTF-8")); out.close()
     manifest
   }
+
+  /** Context-length planning table: for each candidate context window
+    * `L`, how much of the corpus fits — the table that decides a
+    * training run's sequence length BEFORE committing to it (too short
+    * truncates long documents; too long pads or starves the batch):
+    * per L, docs fitting whole, the doc fraction, total corpus tokens,
+    * tokens surviving truncate-at-L, and the surviving fraction. All
+    * integer-exact except the two rounded fractions.
+    *
+    * Scale: the corpus expands ×|contexts| in a MAP-ONLY explode (no
+    * data is materialized — it feeds straight into map-side partial
+    * aggregation), and |contexts| rows come out. One pass. */
+  def contextBudgetCurve(df: DataFrame, tokenCol: Column,
+      contexts: Seq[Int]): DataFrame = {
+    require(contexts.nonEmpty, "contexts must be non-empty")
+    require(contexts.forall(_ > 0), s"contexts must be positive: $contexts")
+    require(contexts.distinct.size == contexts.size,
+      s"duplicate context lengths: $contexts")
+    val ctxLit = array(contexts.map(c => lit(c.toLong)): _*)
+    df.select(tokenCol.cast("long").as("__tok"))
+      .select(explode(ctxLit).as("context_len"), col("__tok"))
+      .groupBy(col("context_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__tok") <= col("context_len"), 1L).otherwise(0L))
+          .as("n_docs_fit"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(least(col("__tok"), col("context_len")))
+          .as("tokens_kept_truncate"))
+      .select(col("context_len"), col("n_docs"), col("n_docs_fit"),
+        round(col("n_docs_fit").cast("double") /
+          col("n_docs").cast("double"), 6).as("frac_docs_fit"),
+        col("total_tokens"), col("tokens_kept_truncate"),
+        round(col("tokens_kept_truncate").cast("double") /
+          col("total_tokens").cast("double"), 6).as("frac_tokens_kept"))
+  }
+
+  /** Document-boundary segments of a [[packConcat]] manifest — the
+    * ATTENTION-MASK table for packed training: concat-and-chunk puts
+    * several documents (and document fragments) into one
+    * `capacity`-token sequence, and a correct packed-attention setup
+    * must not attend across the boundaries (the "packing without
+    * cross-contamination" construction). One row per (shard, seq,
+    * document segment): the segment's [seg_start, seg_end) token range
+    * inside the sequence, its position among the sequence's segments,
+    * and the sequence's segment count / occupied tokens / padding —
+    * everything a loss-mask or block-diagonal attention builder needs.
+    * Zero-token documents occupy no tokens and emit no segment.
+    *
+    * Scale: the manifest (≤1 row/doc) explodes to ≤1 row per (doc,
+    * spanned sequence); the only windows partition by (shard, seq) —
+    * bounded by the ≤capacity documents a sequence can contain. */
+  def sequenceBoundaries(manifest: DataFrame, capacity: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val seg = manifest.filter(col("n_tokens") > 0)
+      .select(col(idCol), col("shard"), col("tok_start"), col("n_tokens"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .select(col("shard"), col("seq"), col(idCol),
+        greatest(lit(0L), col("tok_start") - col("seq") * capacity)
+          .as("seg_start"),
+        least(lit(capacity), col("tok_start") + col("n_tokens") -
+          col("seq") * capacity).as("seg_end"))
+    val bySeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("seq"))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("seq"))
+      .orderBy(col("seg_start").asc, col(idCol).asc)
+    seg
+      .withColumn("segment", row_number().over(ordered).cast("int"))
+      .withColumn("n_segments", count(lit(1)).over(bySeq))
+      .withColumn("seq_tokens",
+        sum(col("seg_end") - col("seg_start")).over(bySeq))
+      .withColumn("padding", lit(capacity) - col("seq_tokens"))
+  }
 }

@@ -519,6 +519,43 @@ object Indexing {
             <= col("__max").cast("double")).as("p95_ok"))
   }
 
+  /** Per-document top-k TF-IDF keyword extraction — the classic
+    * document-summary/tagging primitive (and the cheap sparse "topic
+    * signature" used to slice corpora before anything learned exists):
+    * tfidf = tf · (ln((N+1)/(df+1)) + 1), the sklearn smooth-idf shape,
+    * rounded 6; per document the k highest-scoring terms (ties →
+    * ascending term). `minDf` drops hapax noise before scoring.
+    *
+    * Scale: one (doc, term) count aggregate (the tf table, barriered —
+    * it feeds the df aggregate AND the scoring join), a vocab-bounded
+    * df table, one scalar N, and a rank window partitioned PER DOCUMENT
+    * — bounded by the document's own distinct-term count, never a
+    * corpus-wide sort (the sessionize per-entity-window shape). */
+  def docKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Long = 1L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termDoc(docs, idCol, textCol)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("__n") + 1).cast("double") /
+          (col("df") + 1).cast("double")) + lit(1.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id").as(idCol), col("term"), col("tf"),
+        col("df"), col("tfidf"), col("rank"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the standard
     * hybrid-retrieval combiner: given N per-retriever top-k rankings
     * (e.g. BM25 sparse + embedding-cosine dense), each candidate scores

@@ -592,4 +592,68 @@ class CurationOpsSpec extends SparkSuite {
     assert(rows(2L).getDouble(4) === 0.0)
     assert(rows(1L).getLong(2) === 1L)
   }
+
+  test("contextBudgetCurve: hand-computed fit/truncation table") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // token counts 3, 5, 10; contexts 4 and 8
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"),
+      (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = Packing.contextBudgetCurve(docs,
+        graft.text.TextAnalysis.wsTokenCount(col("text")), Seq(4, 8))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // L=4: 1 doc fits; kept = 3 + 4 + 4 = 11 of 18
+    assert(got(4L).getAs[Long]("n_docs") === 3L)
+    assert(got(4L).getAs[Long]("n_docs_fit") === 1L)
+    assert(got(4L).getAs[Long]("tokens_kept_truncate") === 11L)
+    assert(got(4L).getAs[Double]("frac_tokens_kept") === 0.611111)
+    // L=8: 2 docs fit; kept = 3 + 5 + 8 = 16 of 18
+    assert(got(8L).getAs[Long]("n_docs_fit") === 2L)
+    assert(got(8L).getAs[Long]("tokens_kept_truncate") === 16L)
+  }
+
+  test("sequenceBoundaries: segments tile each packed sequence exactly, " +
+      "fragments split at capacity, padding only on the tail") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // one shard, capacity 5, docs of 3/4/2 tokens packed in id order:
+    // seq 0 = d1[0,3) d2[3,5); seq 1 = d2[0,2) d3[2,4) pad 1
+    val docs = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val manifest = Packing.packConcat(docs, "doc_id",
+      graft.text.TextAnalysis.wsTokenCount(col("text")),
+      capacity = 5L, shards = 1)
+    val segs = Packing.sequenceBoundaries(manifest, 5L)
+      .collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"),
+          r.getAs[Int]("segment"), r.getAs[Long]("padding")))).toMap
+    assert(segs((0L, 1L)) === ((0L, 3L, 1, 0L)))
+    assert(segs((0L, 2L)) === ((3L, 5L, 2, 0L)))
+    assert(segs((1L, 2L)) === ((0L, 2L, 1, 1L)))
+    assert(segs((1L, 3L)) === ((2L, 4L, 2, 1L)))
+    assert(segs.size === 4)
+  }
+
+  test("docKeywords: rare distinguishing terms outrank ubiquitous ones") {
+    import spark.implicits._
+    import graft.text.Indexing
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common common common yak"),
+      (3L, "common plain words here")).toDF("doc_id", "text")
+    val got = Indexing.docKeywords(docs, "doc_id", "text", k = 2,
+        minDf = 1L)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(5)).map(_.getString(1)).toSeq)
+      .toMap
+    // doc 1: 'zebra' tf=3·idf(ln(4/2)+1)≈5.08 beats 'common' tf=2·1=2;
+    // doc 2: 'common' tf=3·1=3 still beats 'yak' 1·1.69 — idf tempers,
+    // not erases, term frequency
+    assert(got(1L) === Seq("zebra", "common"))
+    assert(got(2L) === Seq("common", "yak"))
+    // every doc emits ≤ k rows, ranked 1..k
+    got.values.foreach(terms => assert(terms.size <= 2))
+  }
 }
