@@ -848,6 +848,25 @@ object SparkEntry {
         hashMode = "md5", urlCol = Some("url"),
         blockedDomains = Some(blocked), maxPerDomain = 300)
     }),
+    "q_sentences" -> ((s, dir) => {
+      // sentence segmentation (the bitext/retrieval unit): terminator
+      // runs planted on every 3rd doc, 1-based indices, trimmed
+      // segments, per-sentence token counts — all map-only, every
+      // sentence string hash-checked
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(". Extra part here! Done?")).otherwise(lit(".")))
+      graft.text.Chunking.splitSentences(
+        table(s, dir, "documents").withColumn("text", planted))
+    }),
+    "q_curriculum" -> ((s, dir) =>
+      // curriculum training order: 8 equal-frequency difficulty buckets
+      // by doc length (grid-exact edges, no sort), seeded shuffle
+      // within buckets, global step via the two-phase bucket-offset
+      // rank — every (bucket, u, step) hash-checked
+      graft.operators.Sampling.curriculumOrder(
+        table(s, dir, "documents"), "doc_id", col("n_chars"),
+        buckets = 8)),
     "q_doc_keywords" -> ((s, dir) =>
       // per-doc top-5 TF-IDF keywords (sklearn smooth-idf shape, df ≥ 2)
       // — the sparse topic-signature primitive; per-DOCUMENT rank
@@ -4962,6 +4981,47 @@ object SparkEntry {
     "q_curation" -> curationOracle,
     "q_curation_web" -> curationWebOracle,
     "q_html_extract" -> htmlExtractOracle,
+    "q_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || (CASE WHEN doc_id % 3 = 0
+        |      THEN '. Extra part here! Done?' ELSE '.' END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, list_filter(list_transform(
+        |    string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |    x -> x <> '') AS ps
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(ps) AS sentence,
+        |    unnest(range(1, len(ps) + 1)) AS idx
+        |  FROM l)
+        |SELECT doc_id, idx::INT AS sentence_idx, sentence,
+        |  (CASE WHEN len(trim(sentence)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(sentence), '\s+'))
+        |    END)::INT AS n_tokens
+        |FROM e""".stripMargin,
+    "q_curriculum" ->
+      """WITH s AS (SELECT doc_id,
+        |    round(n_chars::DOUBLE, 6) AS score FROM documents),
+        |g AS (SELECT score, count(*)::BIGINT AS c FROM s GROUP BY 1),
+        |nn AS (SELECT sum(c)::BIGINT AS n FROM g),
+        |mp AS (SELECT score,
+        |    floor(((cm - c) * 8)::DOUBLE
+        |      / (SELECT n FROM nn)::DOUBLE)::INT AS bucket
+        |  FROM (SELECT score, c, sum(c) OVER (ORDER BY score ASC
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cm FROM g)),
+        |u AS (SELECT s.doc_id, s.score, mp.bucket,
+        |    (('0x' || substr(md5(concat_ws('|', s.doc_id, 42)), 1, 16))::UBIGINT >> 11)
+        |      / 9007199254740992.0 AS u
+        |  FROM s JOIN mp USING (score)),
+        |bs AS (SELECT bucket, count(*)::BIGINT AS bn FROM u GROUP BY 1),
+        |off AS (SELECT bucket, coalesce(sum(bn) OVER (ORDER BY bucket ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS o
+        |  FROM bs),
+        |r AS (SELECT u.*, row_number() OVER (PARTITION BY u.bucket
+        |    ORDER BY u.u ASC, u.doc_id ASC)::BIGINT AS rk FROM u)
+        |SELECT r.doc_id, r.score, r.bucket, r.u,
+        |  (r.rk - 1 + off.o)::BIGINT AS step
+        |FROM r JOIN off USING (bucket)""".stripMargin,
     "q_doc_keywords" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(CASE WHEN len(trim(text)) = 0

@@ -89,6 +89,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Literal(11)), DoubleType),
           Literal(9007199254740992.0)) // 2^53
       }))
+    ext.injectFunction((FunctionIdentifier("graft_deflate_size"),
+      info("graft_deflate_size",
+        "graft_deflate_size(text) - zlib-deflate compressed byte size " +
+          "(the compression-ratio quality signal's kernel; codegen'd)"),
+      (args: Seq[Expression]) => TextStatsExpression.DeflateSize(args(0))))
     ext.injectFunction((FunctionIdentifier("graft_redact_pii"),
       info("graft_redact_pii",
         "graft_redact_pii(text) - redact emails/phones/IPv4s " +

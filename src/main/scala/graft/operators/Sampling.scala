@@ -304,6 +304,60 @@ object Sampling {
           .as("actual_rate"))
   }
 
+  /** Curriculum training order (Bengio et al. 2009 made operational):
+    * examples grouped into `buckets` equal-frequency DIFFICULTY buckets
+    * by a score (easy = low score first), seeded-shuffled WITHIN each
+    * bucket (a strict score sort would correlate every batch with
+    * whatever the score proxies — shuffling inside the bucket keeps
+    * batches diverse while the difficulty ramp survives), and assigned
+    * a global `step`. Deterministic end to end: bucket edges come from
+    * the rounded-score distinct-value grid (bucket = ⌊countBelow·B/n⌋ —
+    * integer-exact equal-frequency assignment, no sort), the shuffle
+    * key is the seeded md5 uniform, and the global step is the
+    * two-phase bucket-offset rank (the interleave/epoch-order plan — a
+    * dominant bucket never sorts in one task... buckets are
+    * near-equal-frequency by construction, but score TIES can still
+    * pool: the window partitions by bucket, the offsets ride a
+    * broadcast). Returns (idCol, score, bucket, u, step). */
+  def curriculumOrder(df: DataFrame, idCol: String, score: Column,
+      buckets: Int = 10, seed: Long = 42L,
+      roundDecimals: Int = 6): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val scored = df.select(col(idCol),
+        round(score.cast("double"), roundDecimals).as("score"))
+      .localCheckpoint(true) // feeds the grid AND the final assignment
+    val grid = scored.groupBy(col("score")).agg(count(lit(1)).as("__c"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = grid.groupBy().agg(sum(col("__c")).as("__n"))
+    val mapped = grid.withColumn("__cum", sum(col("__c")).over(cw))
+      .crossJoin(broadcast(tot))
+      .select(col("score"),
+        floor(((col("__cum") - col("__c")) * buckets).cast("double") /
+          col("__n").cast("double")).cast("int").as("bucket"))
+    val withB = scored.join(mapped, Seq("score"))
+      .withColumn("u", hashUniform(col(idCol), seed))
+    val sizes = withB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+    val ow = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offsets = sizes
+      .withColumn("__off", coalesce(sum(col("__bn")).over(ow), lit(0L)))
+      .select(col("bucket"), col("__off"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("u").asc, col(idCol).asc)
+    withB.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("step",
+        (row_number().over(rw).cast("long") - 1) + col("__off"))
+      .select(col(idCol), col("score"), col("bucket"), col("u"),
+        col("step"))
+  }
+
   /** UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
     * More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): apportion a total token `budget` across strata as

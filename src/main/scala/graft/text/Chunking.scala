@@ -24,6 +24,28 @@ import org.apache.spark.sql.functions._
   * stride per document regardless of document count. */
 object Chunking {
 
+  /** Sentence segmentation — the unit every bitext miner, dense
+    * retriever and sentence-embedding pipeline actually operates on
+    * (documents are too coarse for margin mining; tokens too fine).
+    * Boundaries are runs of `[.!?]+` — the SAME definition the
+    * readability scores count sentences with, so "n_sentences" and
+    * "rows out of splitSentences" agree by construction. Segments are
+    * space-trimmed; empty segments (leading punctuation, `..`) drop;
+    * indices are 1-based in document order. Map-only: split +
+    * higher-order filter + posexplode, no shuffle, no UDF.
+    * Returns (idCol, sentence_idx, sentence, n_tokens). */
+  def splitSentences(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val parts = filter(
+      transform(split(col(textCol), "[.!?]+"), x => trim(x)),
+      x => x =!= "")
+    docs.select(col(idCol), posexplode(parts).as(Seq("__p", "sentence")))
+      .select(col(idCol),
+        (col("__p") + 1).cast("int").as("sentence_idx"),
+        col("sentence"),
+        TextAnalysis.wsTokenCount(col("sentence")).as("n_tokens"))
+  }
+
   /** Per-document chunk rows: (idCol, chunk_id, n_chunk_tokens,
     * chunk_text). */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,

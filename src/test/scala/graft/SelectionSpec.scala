@@ -942,6 +942,37 @@ class SelectionSpec extends SparkSuite {
     assert(ns("a") === 4L)
   }
 
+  test("curriculumOrder: buckets are monotone in score, steps are a " +
+      "0-based permutation ordered easy-first, layout-invariant") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, (i * 37 % 100).toLong))
+      .toDF("doc_id", "difficulty")
+    val got = Sampling.curriculumOrder(df, "doc_id", col("difficulty"),
+      buckets = 4, seed = 11L).collect()
+    assert(got.length === 200)
+    // steps are exactly 0..199
+    assert(got.map(_.getLong(4)).sorted.toSeq === (0L until 200L))
+    // global order is easy-first: score is non-decreasing ACROSS
+    // buckets (shuffled within), so bucket is monotone in step
+    val byStep = got.sortBy(_.getLong(4))
+    assert(byStep.map(_.getInt(2)).toSeq === byStep.map(_.getInt(2))
+      .sorted.toSeq)
+    // within a bucket every score is <= every score of later buckets
+    val maxPerBucket = got.groupBy(_.getInt(2))
+      .view.mapValues(_.map(_.getDouble(1)).max).toMap
+    val minPerBucket = got.groupBy(_.getInt(2))
+      .view.mapValues(_.map(_.getDouble(1)).min).toMap
+    maxPerBucket.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(maxPerBucket(a) <= minPerBucket(b))
+      case _ => ()
+    }
+    // deterministic across layouts
+    val again = Sampling.curriculumOrder(df.repartition(7), "doc_id",
+        col("difficulty"), buckets = 4, seed = 11L).collect()
+    assert(again.map(_.toString).sorted.toSeq ===
+      got.map(_.toString).sorted.toSeq)
+  }
+
   test("learnabilitySelect: keep count honors the fraction with ties, " +
       "excess is the rounded CE difference, repartition-invariant") {
     import spark.implicits._

@@ -456,6 +456,32 @@ class TextMultimodalSpec extends SparkSuite {
     assert(out(2L).isNullAt(1))           // null html → null text
   }
 
+  test("splitSentences: terminator runs split once, segments trim, " +
+      "empties drop, indices are document order; agrees with the " +
+      "readability sentence count") {
+    import spark.implicits._
+    import graft.text.Chunking
+    val df = Seq(
+      (1L, "First one. Second!! Third?  "),
+      (2L, "...only punctuation..."),
+      (3L, "no terminator at all"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Chunking.splitSentences(df).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getString(2), r.getInt(3))).toSeq).toMap
+    assert(got(1L) === Seq(("First one", 2), ("Second", 1), ("Third", 1)))
+    assert(got(2L) === Seq(("only punctuation", 2)))
+    assert(got(3L) === Seq(("no terminator at all", 4)))
+    assert(!got.contains(4L)) // null text → no rows
+    // consistency with the readability sentence definition: doc 1 has
+    // 3 terminator runs => 3 sentences by both definitions
+    val ns = df.filter(col("doc_id") === 1L)
+      .select(graft.text.TextAnalysis.readabilityScores(col("text"))
+        .find(_._1 == "n_sentences").get._2).collect()(0).getLong(0)
+    assert(ns === 3L)
+  }
+
   test("cleanText: NFC composition, control strip, whitespace collapse, " +
       "idempotence; the NFC expression is real codegen") {
     import spark.implicits._
