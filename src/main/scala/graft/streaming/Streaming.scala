@@ -70,6 +70,45 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming NEAR-duplicate dedup — one-band MinHash-LSH keyed on the
+    * state store: a document drops when its r-row band signature was
+    * already seen within the watermark. This is the honest single-band
+    * trade for a live stream (Structured Streaming's dedup state keys
+    * on ONE column): two docs at shingle-Jaccard s collide with
+    * probability s^r — r = 4 catches ~2/3 of 0.9-Jaccard near-dups and
+    * ~0.6% of unrelated 0.5-Jaccard pairs — so the stream gate kills
+    * the bulk of the near-dup volume cheaply and the THOROUGH
+    * multi-band pass ([[graft.dedup.Dedup.minhashLshPairs]] → CC) stays
+    * a batch compaction over what survives, exactly the
+    * probe-then-verify split the contamination flag uses. State is one
+    * band key per distinct surviving signature, watermark-expired.
+    * Exact duplicates always collide (identical shingles ⇒ identical
+    * signature), so this subsumes [[streamingExactDedup]] up to
+    * whitespace normalization. */
+  def streamingNearDupDedup(src: DataFrame, textCol: String,
+      tsCol: String, watermark: String = "1 day", shingleLen: Int = 5,
+      bandRows: Int = 4,
+      hashMode: String = graft.functions.HashExpressions.ModeXx)
+      : DataFrame = {
+    require(bandRows >= 1, s"bandRows must be >= 1, got $bandRows")
+    val sh = graft.functions.HashExpressions.shingleHashes(
+      graft.text.TextAnalysis.normalizeText(col(textCol)), shingleLen,
+      hashMode)
+    val sig = graft.dedup.Dedup.minhashSignature(sh, bandRows)
+    // sub-shingle-length docs have NO shingles — band-keying them
+    // together would collapse every tiny doc into one state entry, so
+    // they fall back to exact-fingerprint keys (prefixes disjoint)
+    val key = when(size(sh) === 0,
+        concat(lit("fp:"), graft.text.TextAnalysis
+          .fingerprintMd5(col(textCol)).cast("string")))
+      .otherwise(concat_ws(",", transform(sig, x => x.cast("string"))))
+    src
+      .withColumn("__band", key)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__band")
+      .drop("__band")
+  }
+
   /** Streaming URL-level dedup — the live twin of
     * [[graft.text.UrlOps.urlDedup]], and the FIRST stateful stage of a
     * live crawl ingest (tracking-parameter variants of one page arrive

@@ -136,6 +136,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: one-band LSH keys fold normalization " +
+      "variants, tiny docs fall back to exact fingerprints") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val long = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet field toward the river"
+    val out = Streaming.streamingNearDupDedup(mem.toDF(), "text", "ts")
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, t: String) =
+        Doc(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t)
+      mem.addData(doc(1, long), doc(3, "entirely different content " +
+        "about storage engines and columnar formats in databases"),
+        doc(4, "hi"))
+      q.processAllAvailable()
+      // second micro-batch: a CASE/WHITESPACE variant normalizes to the
+      // identical shingle set → identical band key → dropped by state;
+      // a tiny exact duplicate drops via the fingerprint fallback; a
+      // different tiny doc survives
+      mem.addData(doc(2, "  " + long.toUpperCase + "  "),
+        doc(5, "hi"), doc(6, "yo"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 4L, 6L))
+    } finally q.stop()
+  }
+
   test("streaming html ingest: extraction is batch-equal, density gate " +
       "drops tag soup, stateless") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
