@@ -87,11 +87,18 @@ object Smoke {
       windowDur = "1 day", watermark = "1 day")
     val q8 = psiMon.writeStream.format("memory").queryName("smoke_psi")
       .outputMode(OutputMode.Update).start()
+    // live near-dup ingest gate over the same documents replay (band-key
+    // state) — the crawl pipeline's first content-level stage
+    val nearDup = graft.streaming.Streaming.streamingNearDupDedup(
+      dsrc, "text", "__ts")
+    val q9 = nearDup.writeStream.format("memory")
+      .queryName("smoke_neardup").outputMode(OutputMode.Append).start()
     try {
       q1.processAllAvailable(); q2.processAllAvailable()
       q3.processAllAvailable(); q4.processAllAvailable()
       q5.processAllAvailable(); q6.processAllAvailable()
       q7.processAllAvailable(); q8.processAllAvailable()
+      q9.processAllAvailable()
       val nBins = spark.table("smoke_binned").count()
       val nStats = spark.table("smoke_running").count()
       val nDedup = spark.table("smoke_dedup").count()
@@ -100,14 +107,16 @@ object Smoke {
       val nMon = spark.table("smoke_qmon").count()
       val nSamp = spark.table("smoke_sample").count()
       val nPsi = spark.table("smoke_psi").count()
+      val nNearDup = spark.table("smoke_neardup").count()
       println(s"SMOKE_STREAMING bins=$nBins running_stats=$nStats " +
         s"dedup_kept=$nDedup funnel_steps=$nFunnel retention_rows=$nRet " +
-        s"monitor_windows=$nMon sample_rows=$nSamp psi_windows=$nPsi")
+        s"monitor_windows=$nMon sample_rows=$nSamp psi_windows=$nPsi " +
+        s"neardup_kept=$nNearDup")
       assert(nBins > 0 && nStats > 0 && nDedup > 0 && nFunnel > 0 &&
-        nRet > 0 && nMon > 0 && nSamp > 0 && nPsi > 0)
+        nRet > 0 && nMon > 0 && nSamp > 0 && nPsi > 0 && nNearDup > 0)
     } finally {
       q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop()
-      q6.stop(); q7.stop(); q8.stop()
+      q6.stop(); q7.stop(); q8.stop(); q9.stop()
     }
   }
 }
