@@ -227,4 +227,35 @@ object KernelProperties extends Properties("graft.kernels") {
       .map(_.mkString)) { s =>
       foldK(s) == s
     }
+
+  property("deflateSize counts REAL raw-deflate bytes: a fresh deflate " +
+      "of the same input matches the count and inflates back losslessly") =
+    Prop.forAll { (s: String) =>
+      val n = graft.functions.TextStatsExpression
+        .DeflateSize(Literal.create(s, StringType))
+        .eval().asInstanceOf[Int]
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val comp = out.toByteArray
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(comp)
+      val back = new java.io.ByteArrayOutputStream()
+      while (!inf.finished()) back.write(buf, 0, inf.inflate(buf))
+      inf.end()
+      n == comp.length && back.toByteArray.sameElements(bytes)
+    }
+
+  property("deflateSize exploits repetition: x·16 compresses to less " +
+      "than 4× one copy (+ constant), for non-trivial x") =
+    Prop.forAll(Gen.listOfN(24, Gen.alphaNumChar).map(_.mkString)) { x =>
+      def sz(t: String) = graft.functions.TextStatsExpression
+        .DeflateSize(Literal.create(t, StringType))
+        .eval().asInstanceOf[Int]
+      sz(x * 16) <= 4 * sz(x) + 16
+    }
 }
