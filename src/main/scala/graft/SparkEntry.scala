@@ -2356,6 +2356,13 @@ object SparkEntry {
       graft.operators.Sampling.clusterSample(
         table(s, dir, "documents"), "doc_id", "lang",
         kStrata = 4, kPerStratum = 12)),
+    "q_cluster_quality" -> ((s, dir) =>
+      // IVF codebook diagnostics over the fixed literal centroids:
+      // per-cell size, quantization scatter (nano-unit exact sums) and
+      // the Davies-Bouldin component — the check run before trusting a
+      // codebook with an index layout; one scan + one k-row aggregate
+      graft.similarity.Similarity.clusterQuality(
+        table(s, dir, "embeddings"), IvfOracleCentroids)),
     "q_embedding_stats" -> ((s, dir) =>
       // embedding-space health: anisotropy ‖μ‖²/E[‖x‖²], mean norms —
       // one scalar aggregate + one dim-bounded per-dim pass
@@ -3544,6 +3551,48 @@ object SparkEntry {
       |    AS epochs
       |FROM alloc""".stripMargin
 
+  /** q_cluster_quality replayed in SQL: the annIvfOracle cell routing
+    * plus the exact per-row distance chain (min-rank d + v·v, sqrt,
+    * nano-unit floor), k-row scatter aggregate, and the Davies-Bouldin
+    * max over a LITERAL centroid-distance table (the pairwise ‖cᵢ−cⱼ‖
+    * are pure Scala constants of the codebook — Double.toString
+    * round-trips, so both engines divide by the identical doubles). */
+  private def clusterQualityOracle: String = {
+    val k = IvfOracleCentroids.length
+    def cdist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+      math.sqrt(s)
+    }
+    val distRows = (for {
+      i <- 0 until k; j <- 0 until k if i != j
+    } yield s"($i, $j, ${cdist(IvfOracleCentroids(i),
+      IvfOracleCentroids(j)).toString})").mkString(", ")
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |rk AS (SELECT v, list_sort($ivfRanksSql) AS ranks FROM e),
+       |a AS (SELECT ranks[1].i AS cell,
+       |    sqrt(greatest(0.0, ranks[1].d + list_dot_product(v, v)))
+       |      AS dist
+       |  FROM rk),
+       |q AS (SELECT cell, count(*)::BIGINT AS n,
+       |    sum(floor(dist * 1000000000.0 + 0.5)::HUGEINT) AS pn
+       |  FROM a GROUP BY 1),
+       |allc AS (SELECT unnest(range(0, $k))::INT AS cell),
+       |sc AS (SELECT allc.cell, coalesce(q.n, 0)::BIGINT AS n,
+       |    CASE WHEN q.n IS NULL THEN 0.0
+       |      ELSE floor((pn::DOUBLE / 1000000000.0 / q.n::DOUBLE)
+       |        * 1000000.0 + 0.5) / 1000000.0 END AS scatter
+       |  FROM allc LEFT JOIN q USING (cell)),
+       |dm(i, j, dist) AS (VALUES $distRows)
+       |SELECT s1.cell, s1.n, s1.scatter,
+       |  CASE WHEN s1.n = 0 THEN NULL
+       |    ELSE (SELECT floor(max((s1.scatter + s2.scatter) / dm.dist)
+       |        * 1000000.0 + 0.5) / 1000000.0
+       |      FROM dm JOIN sc s2 ON s2.cell = dm.j
+       |      WHERE dm.i = s1.cell AND s2.n > 0) END AS db_component
+       |FROM sc s1""".stripMargin
+  }
+
   /** The literal-centroid (d, i) rank-struct list shared by every
     * IVF-routing oracle: d = c·c − 2·v·c with c·c precomputed in Scala
     * (identical double both sides), ready for DuckDB list_sort. */
@@ -4404,6 +4453,7 @@ object SparkEntry {
         |  neg.neg_cos, neg.neg_rank::INT AS neg_rank
         |FROM pos JOIN neg USING (anchor_id)""".stripMargin,
     "q_triplets_ann" -> tripletsAnnOracle,
+    "q_cluster_quality" -> clusterQualityOracle,
     "q_vocab_coverage" ->
       """WITH c AS (SELECT term, count(*)::BIGINT AS tf FROM (
         |    SELECT unnest(CASE WHEN len(trim(text)) = 0

@@ -1207,6 +1207,82 @@ object Similarity {
     pos.join(negs, Seq("anchor_id"))
   }
 
+  /** Clustering-quality diagnostics for an IVF/SemDeDup codebook — the
+    * Davies-Bouldin line of checks run BEFORE trusting a codebook with
+    * a 100 TB index layout (bad centroids → skewed cells → one-task
+    * probes and collapsed recall): per cell its size and SCATTER
+    * (mean L2 distance of members to the centroid, the k-means
+    * quantization error), plus the cell's Davies-Bouldin component
+    * `max_{j≠i} (S_i + S_j) / ‖c_i − c_j‖` (lower = tighter, better
+    * separated; the corpus-level DB index is the mean of this column).
+    * Empty cells emit (size 0, scatter 0, NULL db_component).
+    *
+    * Determinism: the per-cell distance sum is a corpus-sized float
+    * reduction, so each row's distance is quantized to integer
+    * nano-units (floor(d·10⁹ + 0.5) — one sqrt of the exact
+    * c·c − 2·v·c + v·v chain per row) and summed as DECIMAL(38,0);
+    * scatters and DB components round to 6. Centroid-pair distances
+    * are driver metadata math on the k·dim literals.
+    *
+    * Scale: ONE map-only assignment + distance scan, one k-row
+    * aggregate; everything after is k²-bounded driver arithmetic. */
+  def clusterQuality(df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val k = centroids.length
+    // exact per-row L2 distance to the ASSIGNED centroid: ‖v‖² is one
+    // native dot, the c·c − 2·v·c rank term is cellId's own arithmetic
+    val vv = graft.functions.VectorExpressions
+      .dotProduct(col(vecCol), col(vecCol))
+    val dist = sqrt(greatest(lit(0.0),
+      least(centroidRank(col(vecCol), centroids): _*).getField("d") + vv))
+    val rows = df
+      .select(cellId(col(vecCol), centroids).as("cell"),
+        floor(dist * lit(1e9) + lit(0.5)).cast("decimal(38,0)")
+          .as("__dn"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("__dn")).as("__sum"))
+      .collect()
+    val sizes = new Array[Long](k)
+    val scat = new Array[Double](k)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      sizes(c) = r.getLong(1)
+      scat(c) = math.floor(r.getDecimal(2).doubleValue() / 1e9 /
+        r.getLong(1) * 1e6 + 0.5) / 1e6
+    }
+    def cdist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+      math.sqrt(s)
+    }
+    val out = (0 until k).map { i =>
+      val db =
+        if (sizes(i) == 0) null
+        else {
+          val worst = (0 until k).filter(j => j != i && sizes(j) > 0)
+            .map(j => (scat(i) + scat(j)) / cdist(centroids(i),
+              centroids(j)))
+          if (worst.isEmpty) null
+          else java.lang.Double.valueOf(
+            math.floor(worst.max * 1e6 + 0.5) / 1e6)
+        }
+      org.apache.spark.sql.Row(i, sizes(i), scat(i), db)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("scatter",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("db_component",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
   /** Embedding-space health diagnostics — the collapse/anisotropy check
     * (Ethayarajh 2019 line) run before trusting any cosine-based
     * retrieval or dedup: `anisotropy = ‖μ‖² / E[‖x‖²]` ≈ the expected

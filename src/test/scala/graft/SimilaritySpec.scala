@@ -559,6 +559,47 @@ class SimilaritySpec extends SparkSuite {
     assert(got.length === 2) // both x still report their best pair
   }
 
+  test("cellCandidates carries NO broadcast hint — the scale contract " +
+      "the exact kNN paths deliberately lack") {
+    val cents = SparkEntry.IvfOracleCentroids
+    val cand = Similarity.cellCandidates(emb, emb, cents, nprobe = 2,
+      queryIdCol = "vec_id", excludeSelf = true)
+    // the candidate join is a plain shuffle join: the analyzed plan
+    // must contain no broadcast hint (size-based planning may still
+    // broadcast a genuinely small side at runtime — that's AQE's call,
+    // not a hardwired corpus broadcast)
+    assert(!cand.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "cellCandidates must not hint a broadcast")
+    // contrast: knnBruteForce EXPLICITLY broadcasts its query side
+    val bf = Similarity.knnBruteForce(emb,
+      emb.select(col("vec_id").as("query_id"), col("embedding")), k = 3)
+    assert(bf.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("clusterQuality: hand-computed scatter and Davies-Bouldin " +
+      "components; empty cells emit NULL db") {
+    import spark.implicits._
+    // two tight clusters 10 apart: scatter 1.0 each, DB = (1+1)/10
+    val vecs = Seq(
+      (1L, Seq(-1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(9.0, 0.0)), (4L, Seq(11.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val got = Similarity.clusterQuality(vecs, cents)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getLong(1) === 2L && got(1).getLong(1) === 2L)
+    assert(got(0).getDouble(2) === 1.0 && got(1).getDouble(2) === 1.0)
+    assert(got(0).getDouble(3) === 0.2 && got(1).getDouble(3) === 0.2)
+    // a third, empty centroid: size 0, scatter 0, NULL db component
+    val got3 = Similarity.clusterQuality(vecs,
+        cents :+ Array(1000.0, 1000.0))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got3(2).getLong(1) === 0L && got3(2).getDouble(2) === 0.0)
+    assert(got3(2).isNullAt(3))
+    // the occupied cells' DB still only ranges over non-empty peers
+    assert(got3(0).getDouble(3) === 0.2)
+  }
+
   test("embeddingDecontam flags near-copies, deterministic argmax ties") {
     import spark.implicits._
     import graft.similarity.Similarity

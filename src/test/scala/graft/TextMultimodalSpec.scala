@@ -456,6 +456,16 @@ class TextMultimodalSpec extends SparkSuite {
     assert(out(2L).isNullAt(1))           // null html → null text
   }
 
+  test("htmlExtract plans as one map-only stage: zero exchanges") {
+    import spark.implicits._
+    val df = Seq((1L, "<p>x</p>"), (2L, "<div>y</div>"))
+      .toDF("doc_id", "html")
+    val plan = graft.text.HtmlExtract.extract(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"html extraction must not shuffle:\n${plan.take(400)}")
+  }
+
   test("splitSentences: terminator runs split once, segments trim, " +
       "empties drop, indices are document order; agrees with the " +
       "readability sentence count") {
