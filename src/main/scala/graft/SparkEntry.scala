@@ -1443,6 +1443,28 @@ object SparkEntry {
           ((col("doc_id") * 7 + 11) % n).as("dst")))
       graft.graph.GraphRank.pageRank(edges, iters = 8)
     }),
+    "q_trust_rank" -> ((s, dir) => {
+      // TrustRank over the q_pagerank modular crawl graph, trust seeded
+      // on ids 0..19: teleport AND dangling mass flow only to seeds, so
+      // pages unreachable from the trusted set decay toward 0 — every
+      // quantized iterate replayed by the oracle's unrolled rounds
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 1) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 11) % n).as("dst")))
+      graft.graph.GraphRank.trustRank(edges, seeds = 0L until 20L,
+        iters = 8)
+    }),
+    "q_keep_ci" -> ((s, dir) =>
+      // Wilson 95% intervals on per-source keep rates (a modular gate
+      // so expected rates differ per stratum): the dashboard form of
+      // every curation gate's acceptance rate — one aggregate, closed
+      // IEEE form, clamped bounds
+      graft.text.Drift.keepRateIntervals(
+        table(s, dir, "documents"), "source",
+        pmod(col("doc_id"), lit(3)) =!= 0)),
     "q_host_rank" -> ((s, dir) => {
       // the crawl host-graph prior END TO END: synthetic src/dst hosts
       // (www./cdn. prefixes, .com/.co.uk/.org suffixes — the co.uk
@@ -5697,6 +5719,27 @@ object SparkEntry {
     "q_knn_pca" -> knnPcaOracle,
     "q_pagerank" -> pageRankOracle,
     "q_host_rank" -> hostRankOracle,
+    "q_trust_rank" -> trustRankOracle,
+    "q_keep_ci" ->
+      """WITH a AS (SELECT coalesce(source, '__null__') AS stratum,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_kept
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, n, n_kept,
+        |    n_kept::DOUBLE / n::DOUBLE AS p,
+        |    1.0 + (1.96 * 1.96) / n::DOUBLE AS denom
+        |  FROM a),
+        |c AS (SELECT *,
+        |    (p + (1.96 * 1.96) / (2.0 * n::DOUBLE)) / denom AS center,
+        |    (1.96 * sqrt(p * (1.0 - p) / n::DOUBLE +
+        |      (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE))) / denom
+        |      AS half
+        |  FROM w)
+        |SELECT stratum, n, n_kept, round(p, 6) AS keep_rate,
+        |  round(greatest(0.0, center - half), 6) AS ci_lo,
+        |  round(least(1.0, center + half), 6) AS ci_hi
+        |FROM c""".stripMargin,
     // the _ok flags are LITERAL TRUE here: the oracle pins the exact
     // columns by hash and the contract "every sketch estimate within
     // tolerance" by the booleans — Spark computes them for real
@@ -7607,6 +7650,57 @@ object SparkEntry {
        |  FROM nodes),
        |$pageRankRoundsSql
        |fin AS (SELECT id, rank FROM r8)""".stripMargin
+  }
+
+  /** q_trust_rank: the pageRankOracle graph with the seed-biased
+    * teleport — (1−d) computed in SCALA ((1.0 − 0.85).toString carries
+    * the exact IEEE value, not a re-derived 0.15) and s(v) inlined as a
+    * literal-seed CASE; dangling mass multiplies s(v) instead of 1/N. */
+  private def trustRankOracle: String = {
+    val Q = "1000000000.0"
+    val seeds = (0L until 20L).mkString(", ")
+    val sInv = (1.0 / 20).toString
+    val oneMinusD = (1.0 - 0.85).toString
+    def sv(idExpr: String): String =
+      s"(CASE WHEN $idExpr IN ($seeds) THEN $sInv ELSE 0.0 END)"
+    val rounds = (1 to 8).map { t =>
+      val prev = s"r${t - 1}"
+      s"""d$t AS MATERIALIZED (
+         |  SELECT coalesce(floor(sum(r.trust) * $Q + 0.5) / $Q, 0.0) AS dm
+         |  FROM $prev r LEFT JOIN odeg o ON o.id = r.id
+         |  WHERE o.outdeg IS NULL),
+         |c$t AS MATERIALIZED (
+         |  SELECT e.dst AS id, sum(r.trust / o.outdeg) AS inm
+         |  FROM e JOIN $prev r ON r.id = e.src
+         |         JOIN odeg o ON o.id = e.src
+         |  GROUP BY e.dst),
+         |r$t AS MATERIALIZED (
+         |  SELECT n.id,
+         |    floor((($oneMinusD * ${sv("n.id")}) + 0.85 *
+         |      (coalesce(c.inm, 0.0) + (SELECT dm FROM d$t) * ${sv("n.id")}))
+         |      * $Q + 0.5) / $Q AS trust
+         |  FROM nodes n LEFT JOIN c$t c ON c.id = n.id),""".stripMargin
+    }.mkString("\n")
+    s"""WITH nd AS (SELECT count(*) AS c FROM documents),
+       |raw AS (
+       |  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM nd) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 7 + 11) % (SELECT c FROM nd)
+       |  FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |odeg AS MATERIALIZED (
+       |  SELECT src AS id, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT id, floor(${sv("id")} * $Q + 0.5) / $Q AS trust
+       |  FROM nodes),
+       |$rounds
+       |fin AS (SELECT id, trust FROM r8)
+       |SELECT id, trust FROM fin""".stripMargin
   }
 
   private def pageRankOracle: String =

@@ -82,6 +82,77 @@ object GraphRank {
     rank
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — biased
+    * PageRank whose teleport goes to a CURATED TRUSTED SEED set instead
+    * of uniformly everywhere: trust flows out from known-good hosts
+    * along links, so pages unreachable from any trusted host score ~0
+    * no matter how many spam farms link them — the complement to raw
+    * [[pageRank]] (which spam link-farms can inflate). The classic
+    * combination is spam mass: compare a page's PageRank against its
+    * TrustRank — high PR with low trust = link spam.
+    *
+    *   t'(v) = (1−d)·s(v) + d·( Σ_{u→v} t(u)/outdeg(u) + D·s(v) )
+    *
+    * with s = 1/|seeds| on the seed set (0 elsewhere), D the dangling
+    * trust mass (teleports back to seeds), t₀ = s. Same quantized-
+    * trajectory contract as [[pageRank]] — every iterate and the
+    * dangling scalar on the floor(x·10ᵈ + 0.5) grid, so the q_trust_rank
+    * oracle replays all rounds. Seeds are a driver-side list BY
+    * DEFINITION (trust seeds are human-curated — dozens to thousands).
+    *
+    * Scale design identical to [[pageRank]]: per round one edge join,
+    * one dst-keyed sum, one scalar collect, localCheckpoint lineage
+    * cuts; node-/edge-linear. */
+  def trustRank(edges: DataFrame, seeds: Seq[Long], iters: Int = 8,
+      damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst", roundDecimals: Int = 9): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    require(seeds.nonEmpty, "trust seeds must be non-empty")
+    require(seeds.distinct.size == seeds.size, "duplicate trust seeds")
+    val p = math.pow(10, roundDecimals)
+    def q(c: org.apache.spark.sql.Column) = floor(c * p + lit(0.5)) / p
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val sInv = 1.0 / seeds.size
+    val sv = when(col("id").isin(seeds.map(Long.box): _*), lit(sInv))
+      .otherwise(lit(0.0))
+    var trust = nodes.select(col("id"), q(sv).as("trust"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val dRow = trust.join(outdeg, Seq("id"), "left")
+        .filter(col("outdeg").isNull)
+        .agg(sum(col("trust"))).head()
+      val dangling =
+        if (dRow.isNullAt(0)) 0.0
+        else math.floor(dRow.getDouble(0) * p + 0.5) / p
+      val contrib = e
+        .join(trust.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"),
+          (col("trust") / col("outdeg")).as("__c"))
+        .groupBy(col("id"))
+        .agg(sum(col("__c")).as("__in"))
+      trust = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          q(lit(1.0 - damping) * sv + lit(damping) *
+            (coalesce(col("__in"), lit(0.0)) + lit(dangling) * sv))
+            .as("trust"))
+        .localCheckpoint(true)
+    }
+    trust
+  }
+
   /** [[pageRank]] over STRING-keyed edges — the operational host-graph
     * shape: crawl pipelines rank REGISTERED DOMAINS (the CommonCrawl
     * host-rank quality prior), and domains are strings, not ids. Keys

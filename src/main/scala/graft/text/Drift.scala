@@ -501,6 +501,41 @@ object Drift {
         round(col("__t"), 6).as("psi_term"), col("psi"))
   }
 
+  /** Wilson score confidence intervals for per-stratum KEEP RATES — the
+    * dashboard form of every gate's acceptance rate: a 95% interval on
+    * "this source keeps p of its docs" that stays valid at small n and
+    * near p ∈ {0, 1} (where the naive ±z·√(p(1−p)/n) interval collapses
+    * or escapes [0,1]). `keep` is any boolean column (a filter verdict,
+    * a classifier threshold). Per stratum: n, n_kept, the rate, and the
+    * Wilson [lo, hi] clamped to [0,1], all rounded 6.
+    *
+    *   center = (p + z²/2n) / (1 + z²/n)
+    *   half   = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)
+    *
+    * z² is one IEEE product of the z literal, so the whole closed form
+    * replays in the oracle. One keyed aggregate; |strata| rows out;
+    * NULL keeps count as not kept, NULL strata under the sentinel. */
+  def keepRateIntervals(df: DataFrame, stratumCol: String, keep: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val z2 = z * z
+    val agg = df.groupBy(coalesce(col(stratumCol).cast("string"),
+        lit(graft.operators.Sampling.NullStratum)).as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(coalesce(keep, lit(false)), 1L).otherwise(0L))
+          .as("n_kept"))
+    val nD = col("n").cast("double")
+    val p = col("n_kept").cast("double") / nD
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z2) / (lit(4.0) * nD * nD))) / denom
+    agg.select(col("stratum"), col("n"), col("n_kept"),
+      round(p, 6).as("keep_rate"),
+      round(greatest(lit(0.0), center - half), 6).as("ci_lo"),
+      round(least(lit(1.0), center + half), 6).as("ci_hi"))
+  }
+
   /** Evaluate `c` once inside a lambda body (the TextAnalysis.bind trick,
     * local copy to keep the fold linear). */
   private def bindD(c: Column)(f: Column => Column): Column =

@@ -498,6 +498,53 @@ class EvalSpec extends SparkSuite {
     assert(rows.size === 3)
   }
 
+  test("trustRank: trust flows only from seeds — unreachable pages " +
+      "score 0, trust decays along the chain, dangling mass teleports " +
+      "back to seeds") {
+    import spark.implicits._
+    import graft.graph.GraphRank
+    // seed 1 → 2 → 3 (dangling); island 4 → 5 unreachable from seeds
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val t = GraphRank.trustRank(edges, seeds = Seq(1L), iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t(4L) === 0.0 && t(5L) === 0.0) // no path from the seed
+    assert(t(1L) > t(2L) && t(2L) > t(3L)) // decay along the chain
+    assert(t(1L) > 0.15) // teleport + returned dangling mass
+    // layout invariance (quantized trajectory)
+    val again = GraphRank.trustRank(edges.repartition(3), Seq(1L),
+        iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === t)
+  }
+
+  test("keepRateIntervals: Wilson bounds are symmetric at p=0.5, " +
+      "clamped at the extremes, and match the closed form") {
+    import spark.implicits._
+    import graft.text.Drift
+    val df = ((1 to 100).map(i => ("a", i <= 50)) ++
+      (1 to 20).map(_ => ("b", true)) ++
+      (1 to 20).map(_ => ("c", false)) :+
+      ((null.asInstanceOf[String], true)))
+      .toDF("src", "keep")
+    val got = Drift.keepRateIntervals(df, "src", col("keep"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val (n, k, p, lo, hi) = got("a")
+    assert(n === 100L && k === 50L && p === 0.5)
+    assert(math.abs(lo + hi - 1.0) < 1e-9) // symmetric around 0.5
+    // closed form by hand
+    val z = 1.96; val z2 = z * z
+    val denom = 1.0 + z2 / 100
+    val half = z * math.sqrt(0.25 / 100 + z2 / (4.0 * 100 * 100)) / denom
+    val center = (0.5 + z2 / 200) / denom
+    assert(math.abs(lo - (center - half)) < 1e-6)
+    // all-kept / none-kept: bounds clamp inside [0,1], never degenerate
+    assert(got("b")._3 === 1.0 && got("b")._5 === 1.0 && got("b")._4 < 1.0)
+    assert(got("c")._3 === 0.0 && got("c")._4 === 0.0 && got("c")._5 > 0.0)
+    assert(got.contains(graft.operators.Sampling.NullStratum))
+  }
+
   test("cohenKappa: the textbook 2x2 example, null exclusion, " +
       "constant-rater degeneracy") {
     import spark.implicits._
