@@ -1457,6 +1457,20 @@ object SparkEntry {
       graft.graph.GraphRank.trustRank(edges, seeds = 0L until 20L,
         iters = 8)
     }),
+    "q_spam_mass" -> ((s, dir) => {
+      // link-spam detection by mass estimation: PageRank and TrustRank
+      // run over the same modular graph (seeds 0..19) and every page's
+      // untrusted-rank fraction max(0, pr−tr)/pr is hash-checked —
+      // high-PR pages far from the seeds surface with mass near 1
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 1) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 11) % n).as("dst")))
+      graft.graph.GraphRank.spamMass(edges, seeds = 0L until 20L,
+        iters = 8)
+    }),
     "q_keep_ci" -> ((s, dir) =>
       // Wilson 95% intervals on per-source keep rates (a modular gate
       // so expected rates differ per stratum): the dashboard form of
@@ -5720,6 +5734,7 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle,
     "q_host_rank" -> hostRankOracle,
     "q_trust_rank" -> trustRankOracle,
+    "q_spam_mass" -> spamMassOracle,
     "q_keep_ci" ->
       """WITH a AS (SELECT coalesce(source, '__null__') AS stratum,
         |    count(*)::BIGINT AS n,
@@ -7656,32 +7671,10 @@ object SparkEntry {
     * teleport — (1−d) computed in SCALA ((1.0 − 0.85).toString carries
     * the exact IEEE value, not a re-derived 0.15) and s(v) inlined as a
     * literal-seed CASE; dangling mass multiplies s(v) instead of 1/N. */
-  private def trustRankOracle: String = {
-    val Q = "1000000000.0"
-    val seeds = (0L until 20L).mkString(", ")
-    val sInv = (1.0 / 20).toString
-    val oneMinusD = (1.0 - 0.85).toString
-    def sv(idExpr: String): String =
-      s"(CASE WHEN $idExpr IN ($seeds) THEN $sInv ELSE 0.0 END)"
-    val rounds = (1 to 8).map { t =>
-      val prev = s"r${t - 1}"
-      s"""d$t AS MATERIALIZED (
-         |  SELECT coalesce(floor(sum(r.trust) * $Q + 0.5) / $Q, 0.0) AS dm
-         |  FROM $prev r LEFT JOIN odeg o ON o.id = r.id
-         |  WHERE o.outdeg IS NULL),
-         |c$t AS MATERIALIZED (
-         |  SELECT e.dst AS id, sum(r.trust / o.outdeg) AS inm
-         |  FROM e JOIN $prev r ON r.id = e.src
-         |         JOIN odeg o ON o.id = e.src
-         |  GROUP BY e.dst),
-         |r$t AS MATERIALIZED (
-         |  SELECT n.id,
-         |    floor((($oneMinusD * ${sv("n.id")}) + 0.85 *
-         |      (coalesce(c.inm, 0.0) + (SELECT dm FROM d$t) * ${sv("n.id")}))
-         |      * $Q + 0.5) / $Q AS trust
-         |  FROM nodes n LEFT JOIN c$t c ON c.id = n.id),""".stripMargin
-    }.mkString("\n")
-    s"""WITH nd AS (SELECT count(*) AS c FROM documents),
+  /** Shared head of every documents-graph oracle: the modular edge set,
+    * node table and out-degrees. */
+  private def docGraphHeadSql: String =
+    s"""nd AS (SELECT count(*) AS c FROM documents),
        |raw AS (
        |  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM nd) AS dst
        |  FROM documents
@@ -7692,16 +7685,65 @@ object SparkEntry {
        |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
        |nodes AS MATERIALIZED (
        |  SELECT DISTINCT id FROM (
-       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-       |odeg AS MATERIALIZED (
-       |  SELECT src AS id, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
-       |r0 AS MATERIALIZED (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e))""".stripMargin
+
+  /** `odeg` as its own snippet: [[pageRankTailSql]] already defines it,
+    * so only the standalone trust oracle adds it. */
+  private def odegSql: String =
+    """odeg AS MATERIALIZED (
+      |  SELECT src AS id, count(*)::BIGINT AS outdeg FROM e GROUP BY src)""".stripMargin
+
+  /** TrustRank t0 + 8 unrolled rounds over the shared head, CTEs
+    * prefixed so they can coexist with the PageRank rounds in one
+    * oracle ([[spamMassOracle]]). Ends WITHOUT a trailing comma. */
+  private def trustRoundsSql(px: String): String = {
+    val Q = "1000000000.0"
+    val seeds = (0L until 20L).mkString(", ")
+    val sInv = (1.0 / 20).toString
+    val oneMinusD = (1.0 - 0.85).toString
+    def sv(idExpr: String): String =
+      s"(CASE WHEN $idExpr IN ($seeds) THEN $sInv ELSE 0.0 END)"
+    val rounds = (1 to 8).map { t =>
+      val prev = s"${px}r${t - 1}"
+      s"""${px}d$t AS MATERIALIZED (
+         |  SELECT coalesce(floor(sum(r.trust) * $Q + 0.5) / $Q, 0.0) AS dm
+         |  FROM $prev r LEFT JOIN odeg o ON o.id = r.id
+         |  WHERE o.outdeg IS NULL),
+         |${px}c$t AS MATERIALIZED (
+         |  SELECT e.dst AS id, sum(r.trust / o.outdeg) AS inm
+         |  FROM e JOIN $prev r ON r.id = e.src
+         |         JOIN odeg o ON o.id = e.src
+         |  GROUP BY e.dst),
+         |${px}r$t AS MATERIALIZED (
+         |  SELECT n.id,
+         |    floor((($oneMinusD * ${sv("n.id")}) + 0.85 *
+         |      (coalesce(c.inm, 0.0) + (SELECT dm FROM ${px}d$t) * ${sv("n.id")}))
+         |      * $Q + 0.5) / $Q AS trust
+         |  FROM nodes n LEFT JOIN ${px}c$t c ON c.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""${px}r0 AS MATERIALIZED (
        |  SELECT id, floor(${sv("id")} * $Q + 0.5) / $Q AS trust
        |  FROM nodes),
-       |$rounds
-       |fin AS (SELECT id, trust FROM r8)
-       |SELECT id, trust FROM fin""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def trustRankOracle: String =
+    s"""WITH $docGraphHeadSql,
+       |$odegSql,
+       |${trustRoundsSql("t")}
+       |SELECT id, trust FROM tr8""".stripMargin
+
+  /** q_spam_mass: BOTH quantized trajectories (uniform-teleport
+    * PageRank + seed-teleport TrustRank) unrolled in one statement over
+    * the shared graph head, then sm = max(0, pr − tr)/pr rounded 6. */
+  private def spamMassOracle: String =
+    s"""WITH $docGraphHeadSql,
+       |${pageRankTailSql},
+       |${trustRoundsSql("t")}
+       |SELECT f.id, f.rank, t.trust,
+       |  floor(greatest(0.0, f.rank - t.trust) / f.rank * 1000000.0
+       |    + 0.5) / 1000000.0 AS spam_mass
+       |FROM fin f JOIN tr8 t USING (id)""".stripMargin
 
   private def pageRankOracle: String =
     s"""WITH nd AS (SELECT count(*) AS c FROM documents),

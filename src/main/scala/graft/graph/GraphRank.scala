@@ -153,6 +153,33 @@ object GraphRank {
     trust
   }
 
+  /** Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen 2006, "Link
+    * Spam Detection Based on Mass Estimation"): the fraction of a
+    * page's PageRank NOT backed by trusted sources —
+    * `sm = max(0, PR − TR) / PR` — the operational combination of
+    * [[pageRank]] and [[trustRank]]: link farms inflate PR but cannot
+    * manufacture trust, so high-PR/low-trust pages surface with spam
+    * mass near 1. Both trajectories run with the shared quantization
+    * contract; the final ratio is one IEEE division of two on-grid
+    * values, rounded 6 (oracle-replayed end to end in q_spam_mass).
+    * Returns (id, rank, trust, spam_mass). */
+  def spamMass(edges: DataFrame, seeds: Seq[Long], iters: Int = 8,
+      damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst", roundDecimals: Int = 9): DataFrame = {
+    val pr = pageRank(edges, iters, damping, srcCol, dstCol,
+      roundDecimals)
+    val tr = trustRank(edges, seeds, iters, damping, srcCol, dstCol,
+      roundDecimals)
+    // floor(x·10⁶ + 0.5) instead of round(): the ratio of two on-grid
+    // values frequently LANDS on .5 boundaries at 1e-6, where the two
+    // engines' round() implementations differ by an ulp — the floor
+    // chain is the same IEEE ops on both sides, boundary included
+    pr.join(tr, Seq("id"))
+      .select(col("id"), col("rank"), col("trust"),
+        (floor(greatest(lit(0.0), col("rank") - col("trust")) /
+          col("rank") * lit(1e6) + lit(0.5)) / lit(1e6)).as("spam_mass"))
+  }
+
   /** [[pageRank]] over STRING-keyed edges — the operational host-graph
     * shape: crawl pipelines rank REGISTERED DOMAINS (the CommonCrawl
     * host-rank quality prior), and domains are strings, not ids. Keys

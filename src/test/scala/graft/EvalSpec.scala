@@ -517,6 +517,18 @@ class EvalSpec extends SparkSuite {
     assert(again === t)
   }
 
+  test("spamMass: pages unreachable from the trusted seeds carry mass " +
+      "1, the seed itself near 0") {
+    import spark.implicits._
+    import graft.graph.GraphRank
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val sm = GraphRank.spamMass(edges, seeds = Seq(1L), iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(sm(4L) === 1.0 && sm(5L) === 1.0) // all rank, zero trust
+    assert(sm(1L) < 0.5, s"seed spam mass ${sm(1L)}")
+    assert(sm(1L) <= sm(2L) && sm(2L) <= sm(3L) + 1e-9)
+  }
+
   test("keepRateIntervals: Wilson bounds are symmetric at p=0.5, " +
       "clamped at the extremes, and match the closed form") {
     import spark.implicits._
