@@ -1457,6 +1457,24 @@ object SparkEntry {
       graft.graph.GraphRank.trustRank(edges, seeds = 0L until 20L,
         iters = 8)
     }),
+    "q_jaccard_join" -> ((s, dir) => {
+      // EXACT similarity join via prefix filtering (SSJoin/PPJoin — no
+      // LSH false negatives): planted suffix copies (+1e6 for
+      // doc_id<40) sit at ~0.94 token-Jaccard, above the 0.9 line;
+      // candidates come only from rarity-ordered prefix collisions +
+      // the length filter, then exact verify. The fixture bounds to
+      // doc_id<1000 (the q_fuzzy_link convention): the synthetic corpus
+      // is template-generated, so its TRUE ≥0.9 set-Jaccard pair count
+      // is ~1M at sf0.1 — a correct but bench-dominating answer
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 1000).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(col("text"),
+          lit(" zz1 zz2 zz3 zz4"))))
+      graft.dedup.Dedup.prefixJaccardPairs(corpus, "text", "doc_id",
+        threshold = 0.9)
+    }),
     "q_spam_mass" -> ((s, dir) => {
       // link-spam detection by mass estimation: PageRank and TrustRank
       // run over the same modular graph (seeds 0..19) and every page's
@@ -5735,6 +5753,45 @@ object SparkEntry {
     "q_host_rank" -> hostRankOracle,
     "q_trust_rank" -> trustRankOracle,
     "q_spam_mass" -> spamMassOracle,
+    "q_jaccard_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' zz1 zz2 zz3 zz4'
+        |  FROM documents WHERE doc_id < 40),
+        |tok AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS id, term FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(trim(text)) = 0
+        |        THEN []::VARCHAR[]
+        |        ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |        AS term
+        |    FROM corpus)
+        |  WHERE len(term) > 0),
+        |sz AS (SELECT id, count(*)::BIGINT AS s FROM tok GROUP BY 1),
+        |rk AS (SELECT term, row_number() OVER
+        |    (ORDER BY count(*) ASC, term ASC)::BIGINT AS trank
+        |  FROM tok GROUP BY term),
+        |pref AS MATERIALIZED (SELECT id, term, s FROM (
+        |    SELECT t.id, t.term, z.s, row_number() OVER
+        |      (PARTITION BY t.id ORDER BY r.trank)::BIGINT AS pos
+        |    FROM tok t JOIN rk r USING (term) JOIN sz z ON z.id = t.id)
+        |  WHERE pos <= s - ceil(0.9 * s) + 1),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.s AS sa, b.s AS sb
+        |  FROM pref a JOIN pref b ON a.term = b.term AND a.id < b.id
+        |    AND least(a.s, b.s)::DOUBLE / greatest(a.s, b.s)::DOUBLE
+        |      >= 0.9),
+        |i AS (SELECT c.id_a, c.id_b, c.sa, c.sb,
+        |    count(*)::BIGINT AS ic
+        |  FROM cand c
+        |  JOIN tok ta ON ta.id = c.id_a
+        |  JOIN tok tb ON tb.id = c.id_b AND tb.term = ta.term
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  round(ic::DOUBLE / (sa + sb - ic)::DOUBLE, 6) AS jaccard
+        |FROM i
+        |WHERE round(ic::DOUBLE / (sa + sb - ic)::DOUBLE, 6) >= 0.9""".stripMargin,
     "q_keep_ci" ->
       """WITH a AS (SELECT coalesce(source, '__null__') AS stratum,
         |    count(*)::BIGINT AS n,

@@ -504,6 +504,74 @@ object Dedup {
       }
     }
 
+  /** EXACT token-set Jaccard similarity join via PREFIX FILTERING
+    * (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008 PPJoin — the
+    * classic exact alternative to MinHash-LSH): every pair with token
+    * Jaccard ≥ `threshold` is returned with NO false negatives (LSH
+    * banding misses pairs probabilistically; this misses none), at the
+    * cost of exact-verify work on the candidate set.
+    *
+    * The pruning theorem: order each document's distinct tokens by a
+    * GLOBAL rarity order (df asc, term asc) and take the first
+    * `|T| − ⌈t·|T|⌉ + 1` as its PREFIX; if Jaccard(A,B) ≥ t then
+    * overlap ≥ t·|A∪B| ≥ t·max(|A|,|B|), so the prefixes must share a
+    * token — candidates are generated ONLY from prefix-token
+    * collisions, and rare tokens lead the prefixes, so buckets stay
+    * small exactly where df is large. A length filter
+    * (min/max ≥ t, as the same division compare the verify uses)
+    * prunes size-incompatible pairs before verification.
+    *
+    * Scale: one distinct (doc, token) table (barriered — it feeds df,
+    * sizes, prefixes AND the verify); the global order is a rank
+    * window over the VOCAB grid; per-doc positions are per-entity
+    * windows; the candidate join keys on prefix tokens (AQE
+    * skew-splits hot ones); verification counts shared tokens per
+    * candidate pair — cost tracks Σ candidate-pair token overlap,
+    * never n². Returns (id_a, id_b, jaccard ≥ t, rounded 6). */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val tok = df.select(col(idCol).as("id"),
+        explode(graft.text.TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val rank = tok.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .withColumn("__trank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__df").asc, col("term").asc)))
+      .select(col("term"), col("__trank"))
+    val prefix = tok.join(rank, Seq("term"))
+      .withColumn("__pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("__trank"))))
+      .join(sizes, Seq("id"))
+      .filter(col("__pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("term"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") /
+            greatest(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("__sa"), col("b.sz").as("__sb"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("id").as("id_a"), col("term")), Seq("id_a"))
+      .join(tok.select(col("id").as("id_b"), col("term")),
+        Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("__ic"))
+    inter.select(col("id_a"), col("id_b"),
+        round(col("__ic").cast("double") /
+          (col("__sa") + col("__sb") - col("__ic")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact all-pairs n-gram Jaccard over a (small/filtered) document set:
     * the verification baseline the approximate paths are measured against.
     * O(n²) by construction — use only on bounded subsets; the scalable

@@ -584,4 +584,41 @@ class DedupSpec extends SparkSuite {
     assert(multi === direct)
     assert(multi.size < docs.count()) // the planted dups really dropped
   }
+
+  test("prefixJaccardPairs: EXACT — identical to the brute-force " +
+      "all-pairs token Jaccard, boundary pairs included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),         // 10 tokens
+      (2L, "a b c d e f g h i k"),         // 9/11 vs 1 ≈ 0.818
+      (3L, "a b c d e f g h i j x"),       // 10/11 vs 1 ≈ 0.909
+      (4L, "a b c d e f g h i j"),         // exact dup of 1 → 1.0
+      (5L, "p q r s t u v w x2 y"),        // disjoint-ish
+      (6L, "p q r s t u v w x2 z"))        // 9/11 vs 5
+      .toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      val toks = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").toSet).toMap
+      (for {
+        a <- toks.keys; b <- toks.keys if a < b
+        inter = (toks(a) & toks(b)).size.toDouble
+        j = inter / (toks(a).size + toks(b).size - inter)
+        jr = BigDecimal(j).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= t
+      } yield (a, b, jr)).toSet
+    }
+    for (t <- Seq(0.5, 0.8, 0.818182, 0.9, 1.0)) {
+      val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      assert(got === brute(t), s"threshold $t")
+    }
+    // layout invariance
+    val again = Dedup.prefixJaccardPairs(docs.repartition(4), "text",
+        "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(again === brute(0.8))
+  }
 }
