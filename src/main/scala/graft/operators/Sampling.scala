@@ -323,8 +323,13 @@ object Sampling {
       buckets: Int = 10, seed: Long = 42L,
       roundDecimals: Int = 6): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // NULL difficulty = no place on the ramp: excluded EXPLICITLY here
+    // (a null score would silently vanish at the bucket equi-join
+    // below — null keys never match — so the exclusion is stated, not
+    // accidental)
     val scored = df.select(col(idCol),
         round(score.cast("double"), roundDecimals).as("score"))
+      .filter(col("score").isNotNull)
       .localCheckpoint(true) // feeds the grid AND the final assignment
     val grid = scored.groupBy(col("score")).agg(count(lit(1)).as("__c"))
     val cw = org.apache.spark.sql.expressions.Window
@@ -392,7 +397,10 @@ object Sampling {
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     val per = df.groupBy(coalesce(col(stratumCol).cast("string"),
         lit(NullStratum)).as("stratum"))
-      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      // a stratum whose every token count is NULL sums to NULL —
+      // coalesce to 0 so it waterfills as an (empty) capacity-0 row
+      // instead of poisoning the prefix rule with NULL comparisons
+      .agg(coalesce(sum(tokens.cast("long")), lit(0L)).as("n_tokens"))
       .select(col("stratum"), col("n_tokens"),
         floor(col("n_tokens").cast("double") * lit(maxEpochs))
           .cast("long").as("capacity"))

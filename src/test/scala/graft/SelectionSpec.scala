@@ -971,6 +971,14 @@ class SelectionSpec extends SparkSuite {
         col("difficulty"), buckets = 4, seed = 11L).collect()
     assert(again.map(_.toString).sorted.toSeq ===
       got.map(_.toString).sorted.toSeq)
+    // NULL difficulty: excluded explicitly, steps stay a dense 0-based
+    // permutation of the scored rows
+    val withNull = df.unionByName(Seq((999L,
+      null.asInstanceOf[java.lang.Long])).toDF("doc_id", "difficulty"))
+    val ns = Sampling.curriculumOrder(withNull, "doc_id",
+      col("difficulty"), buckets = 4, seed = 11L).collect()
+    assert(ns.length === 200 && !ns.exists(_.getLong(0) == 999L))
+    assert(ns.map(_.getLong(4)).sorted.toSeq === (0L until 200L))
   }
 
   test("learnabilitySelect: keep count honors the fraction with ties, " +
