@@ -1457,6 +1457,22 @@ object SparkEntry {
       graft.graph.GraphRank.trustRank(edges, seeds = 0L until 20L,
         iters = 8)
     }),
+    "q_homoglyph" -> ((s, dir) => {
+      // cross-script spoof normalization: Cyrillic lookalikes planted
+      // into every 9th doc by REVERSE-translating a/e/o; the detector
+      // counts them, folding restores the original text exactly
+      // (restored is computed, not assumed) — counts and the full
+      // folded text hash-check through DuckDB's own translate
+      import graft.text.TextAnalysis
+      val planted = when(pmod(col("doc_id"), lit(9)) === 0,
+        translate(col("text"), "aeo", "аео"))
+        .otherwise(col("text"))
+      table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.homoglyphCount(planted).as("n_confusables"),
+        TextAnalysis.foldHomoglyphs(planted).as("text_folded"),
+        (TextAnalysis.foldHomoglyphs(planted) === col("text"))
+          .as("restored"))
+    }),
     "q_jaccard_join" -> ((s, dir) => {
       // EXACT similarity join via prefix filtering (SSJoin/PPJoin — no
       // LSH false negatives): planted suffix copies (+1e6 for
@@ -3647,6 +3663,26 @@ object SparkEntry {
        |FROM sc s1""".stripMargin
   }
 
+  /** q_homoglyph replayed in SQL: the from/to strings derive from the
+    * SAME pinned pair table the Spark kernel uses, and DuckDB's OWN
+    * translate (PostgreSQL semantics — per-codepoint map, deletion on
+    * short `to`) is the independent second implementation. */
+  private def homoglyphOracle: String = {
+    val from = graft.text.TextAnalysis.HomoglyphPairs.map(_._1).mkString
+    val to = graft.text.TextAnalysis.HomoglyphPairs.map(_._2).mkString
+    s"""WITH p AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN translate(text, 'aeo', 'аео') ELSE text END AS pt,
+       |    text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  (len(pt) - len(translate(pt, '$from', '')))::BIGINT
+       |    AS n_confusables,
+       |  translate(pt, '$from', '$to') AS text_folded,
+       |  translate(pt, '$from', '$to') = text AS restored
+       |FROM p""".stripMargin
+  }
+
   /** The literal-centroid (d, i) rank-struct list shared by every
     * IVF-routing oracle: d = c·c − 2·v·c with c·c precomputed in Scala
     * (identical double both sides), ready for DuckDB list_sort. */
@@ -5753,6 +5789,7 @@ object SparkEntry {
     "q_host_rank" -> hostRankOracle,
     "q_trust_rank" -> trustRankOracle,
     "q_spam_mass" -> spamMassOracle,
+    "q_homoglyph" -> homoglyphOracle,
     "q_jaccard_join" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 1000

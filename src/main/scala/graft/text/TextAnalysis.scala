@@ -459,6 +459,48 @@ object TextAnalysis {
       }
     }
 
+  /** Pinned homoglyph pairs — the high-traffic Cyrillic/Greek → Latin
+    * confusables (a deliberately small, auditable subset of Unicode
+    * TR39's confusables data; the full table is data, not code). Each
+    * pair is (lookalike, latin); the aligned from/to strings for
+    * `translate` derive from this single source of truth. */
+  val HomoglyphPairs: Seq[(Char, Char)] = Seq(
+    // Cyrillic lowercase lookalikes
+    'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p', 'с' -> 'c',
+    'х' -> 'x', 'у' -> 'y', 'і' -> 'i', 'ѕ' -> 's', 'ј' -> 'j',
+    // Cyrillic uppercase
+    'А' -> 'A', 'В' -> 'B', 'Е' -> 'E', 'К' -> 'K', 'М' -> 'M',
+    'Н' -> 'H', 'О' -> 'O', 'Р' -> 'P', 'С' -> 'C', 'Т' -> 'T',
+    'Х' -> 'X',
+    // Greek lookalikes
+    'ο' -> 'o', 'ν' -> 'v', 'Α' -> 'A', 'Β' -> 'B', 'Ε' -> 'E',
+    'Ζ' -> 'Z', 'Η' -> 'H', 'Ι' -> 'I', 'Κ' -> 'K', 'Μ' -> 'M',
+    'Ν' -> 'N', 'Ο' -> 'O', 'Ρ' -> 'P', 'Τ' -> 'T', 'Υ' -> 'Y',
+    'Χ' -> 'X')
+
+  private val HomoglyphFrom: String = HomoglyphPairs.map(_._1).mkString
+  private val HomoglyphTo: String = HomoglyphPairs.map(_._2).mkString
+
+  /** Fold Cyrillic/Greek lookalike characters to their Latin targets —
+    * the spoof-resistance normalization for dedup/match KEYS: "pаypal"
+    * with a Cyrillic а hashes differently from "paypal" through every
+    * fingerprint in this library, which is exactly how adversarial
+    * near-duplicates and phishing templates evade content dedup. One
+    * codepoint-wise `translate` — map-only, codegen'd, replayed by
+    * DuckDB's own translate in the q_homoglyph oracle. Complements
+    * [[cleanText]]/[[foldAccents]]/[[repairMojibake]]: NFC fixes
+    * encodings, accent folding strips marks, THIS collapses
+    * cross-script identity spoofing. */
+  def foldHomoglyphs(c: Column): Column =
+    translate(c, HomoglyphFrom, HomoglyphTo)
+
+  /** Count of confusable (foldable) characters in the text — the spoof
+    * SIGNAL: prose legitimately written in Cyrillic/Greek is dominated
+    * by non-confusable letters too, while a spoofed Latin string has a
+    * few confusables embedded in ASCII. Characters, exact. */
+  def homoglyphCount(c: Column): Column =
+    (length(c) - length(translate(c, HomoglyphFrom, ""))).cast("long")
+
   /** Compression-ratio quality signal (the Dolma / RedPajama-v2 "gzip
     * ratio"): deflate-compressed bytes / raw UTF-8 bytes, rounded 6.
     * LOW (≪ typical prose ~0.3-0.5) = templated/repetitive boilerplate;

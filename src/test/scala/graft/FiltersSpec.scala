@@ -887,6 +887,33 @@ class FiltersSpec extends SparkSuite {
     assert(got === 2L)
   }
 
+  test("homoglyph folding: spoofed keys collapse to their latin form, " +
+      "counts are exact, clean text passes untouched, idempotent") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val spoof = "pаypаl νisit Пress" // Cyr а ×2, Greek ν, Cyr П (unmapped)
+    val df = Seq((1L, spoof), (2L, "paypal visit"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.homoglyphCount(col("t")).as("n"),
+        TextAnalysis.foldHomoglyphs(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          Option(r.getString(2)))).toMap
+    assert(got(1L)._1 === 3L) // а, а, ν — П is deliberately unmapped
+    assert(got(1L)._2.get === "paypal νisit Пress"
+      .replace("νisit", "visit")) // folded spoof
+    assert(got(2L) === ((0L, Some("paypal visit")))) // untouched
+    assert(got(3L) === ((0L, Some(""))))
+    assert(got(4L)._2 === None) // null-safe
+    // folding makes the spoof fingerprint-equal to the clean string
+    val fp = df.filter(col("id") <= 2).select(
+      TextAnalysis.fingerprintMd5(TextAnalysis.foldHomoglyphs(
+        regexp_replace(col("t"), " νisit Пress| visit", ""))))
+      .collect().map(_.getString(0)).distinct
+    assert(fp.length === 1)
+  }
+
   test("compressionRatio: repetitive boilerplate compresses far below " +
       "prose, high-entropy junk barely compresses, empty/null → 0") {
     import spark.implicits._
