@@ -5812,7 +5812,7 @@ object SparkEntry {
         |    SELECT t.id, t.term, z.s, row_number() OVER
         |      (PARTITION BY t.id ORDER BY r.trank)::BIGINT AS pos
         |    FROM tok t JOIN rk r USING (term) JOIN sz z ON z.id = t.id)
-        |  WHERE pos <= s - ceil(0.9 * s) + 1),
+        |  WHERE pos <= s - ceil(0.9 * s - 1e-9) + 1),
         |cand AS MATERIALIZED (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |    a.s AS sa, b.s AS sb

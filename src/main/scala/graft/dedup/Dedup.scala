@@ -522,12 +522,23 @@ object Dedup {
     * prunes size-incompatible pairs before verification.
     *
     * Scale: one distinct (doc, token) table (barriered — it feeds df,
-    * sizes, prefixes AND the verify); the global order is a rank
-    * window over the VOCAB grid; per-doc positions are per-entity
-    * windows; the candidate join keys on prefix tokens (AQE
-    * skew-splits hot ones); verification counts shared tokens per
-    * candidate pair — cost tracks Σ candidate-pair token overlap,
-    * never n². Returns (id_a, id_b, jaccard ≥ t, rounded 6). */
+    * sizes, prefixes AND the verify); the global rarity order NEVER
+    * MATERIALIZES as a rank — only the RELATIVE order of a doc's own
+    * tokens matters for its prefix, so each per-doc window orders by
+    * `(df ASC, term ASC)` directly (the rank is an order-isomorphic
+    * relabeling of that pair, so this is bit-identical to ranking
+    * first) and the largest sort anywhere is one document's token set.
+    * Per-doc positions are per-entity windows; the candidate join keys
+    * on prefix tokens (AQE skew-splits hot ones); verification counts
+    * shared tokens per candidate pair — cost tracks Σ candidate-pair
+    * token overlap, never n². The prefix length guards the IEEE
+    * boundary: `ceil(t·sz − 1e-9)` instead of `ceil(t·sz)`, because
+    * `fl(t)·sz` can land 1 ulp ABOVE the exact rational integer (e.g.
+    * 0.9·10 = 9.000000000000002) and the bare ceil would shorten the
+    * prefix below the theorem's bound, silently dropping true pairs;
+    * the lemma tolerates the (at most 1 token) longer prefix the
+    * epsilon can produce. Returns (id_a, id_b, jaccard ≥ t,
+    * rounded 6). */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
@@ -538,18 +549,19 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val rank = tok.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-      .withColumn("__trank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("__df").asc, col("term").asc)))
-      .select(col("term"), col("__trank"))
-    val prefix = tok.join(rank, Seq("term"))
+    // document frequency per term — joined back so each doc's window
+    // orders its OWN tokens by global rarity; no corpus-wide rank
+    // window exists (the vocabulary is unbounded at web scale, and a
+    // global row_number would sort it in a single task)
+    val tdf = tok.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val prefix = tok.join(tdf, Seq("term"))
       .withColumn("__pos", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("__trank"))))
+          .partitionBy(col("id"))
+          .orderBy(col("__df").asc, col("term").asc)))
       .join(sizes, Seq("id"))
       .filter(col("__pos") <=
-        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select(col("id"), col("term"), col("sz"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.term") === col("b.term") && col("a.id") < col("b.id") &&

@@ -31,14 +31,17 @@ import org.apache.spark.sql.functions._
   * quantization drift stays below 10^-d·N per round by construction. */
 object GraphRank {
 
-  def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst",
-      roundDecimals: Int = 9): DataFrame = {
-    require(iters >= 0, s"iters must be >= 0: $iters")
-    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
-    val p = math.pow(10, roundDecimals)
-    def q(c: org.apache.spark.sql.Column) =
-      floor(c * p + lit(0.5)) / p
+  /** The prepared graph every trajectory starts from: deduped
+    * self-loop-free edges, the node table, and out-degrees — each
+    * behind an eager localCheckpoint (they are read every round by
+    * every consumer). Built ONCE per public call; [[spamMass]] threads
+    * one prep through BOTH its PageRank and TrustRank trajectories
+    * instead of paying the three checkpoints twice. */
+  private final case class PreppedGraph(e: DataFrame, nodes: DataFrame,
+      outdeg: DataFrame)
+
+  private def prepGraph(edges: DataFrame, srcCol: String,
+      dstCol: String): PreppedGraph = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -48,11 +51,30 @@ object GraphRank {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    val n = nodes.count()
-    require(n > 0, "empty graph")
     val outdeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
+    PreppedGraph(e, nodes, outdeg)
+  }
+
+  def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      roundDecimals: Int = 9): DataFrame =
+    pageRankPrepped(prepGraph(edges, srcCol, dstCol), iters, damping,
+      roundDecimals)
+
+  private def pageRankPrepped(g: PreppedGraph, iters: Int,
+      damping: Double, roundDecimals: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    val p = math.pow(10, roundDecimals)
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * p + lit(0.5)) / p
+    val e = g.e
+    val nodes = g.nodes
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outdeg = g.outdeg
     val base = (1.0 - damping) / n
     var rank = nodes.select(col("id"),
       q(lit(1.0) / n).as("rank")).localCheckpoint(true)
@@ -99,31 +121,29 @@ object GraphRank {
     * dangling scalar on the floor(x·10ᵈ + 0.5) grid, so the q_trust_rank
     * oracle replays all rounds. Seeds are a driver-side list BY
     * DEFINITION (trust seeds are human-curated — dozens to thousands).
+    * Shares [[prepGraph]] with [[pageRank]], so [[spamMass]] preps the
+    * graph exactly once for both trajectories.
     *
     * Scale design identical to [[pageRank]]: per round one edge join,
     * one dst-keyed sum, one scalar collect, localCheckpoint lineage
     * cuts; node-/edge-linear. */
   def trustRank(edges: DataFrame, seeds: Seq[Long], iters: Int = 8,
       damping: Double = 0.85, srcCol: String = "src",
-      dstCol: String = "dst", roundDecimals: Int = 9): DataFrame = {
+      dstCol: String = "dst", roundDecimals: Int = 9): DataFrame =
+    trustRankPrepped(prepGraph(edges, srcCol, dstCol), seeds, iters,
+      damping, roundDecimals)
+
+  private def trustRankPrepped(g: PreppedGraph, seeds: Seq[Long],
+      iters: Int, damping: Double, roundDecimals: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     require(seeds.nonEmpty, "trust seeds must be non-empty")
     require(seeds.distinct.size == seeds.size, "duplicate trust seeds")
     val p = math.pow(10, roundDecimals)
     def q(c: org.apache.spark.sql.Column) = floor(c * p + lit(0.5)) / p
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    val outdeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+    val e = g.e
+    val nodes = g.nodes
+    val outdeg = g.outdeg
     val sInv = 1.0 / seeds.size
     val sv = when(col("id").isin(seeds.map(Long.box): _*), lit(sInv))
       .otherwise(lit(0.0))
@@ -160,16 +180,19 @@ object GraphRank {
     * [[pageRank]] and [[trustRank]]: link farms inflate PR but cannot
     * manufacture trust, so high-PR/low-trust pages surface with spam
     * mass near 1. Both trajectories run with the shared quantization
-    * contract; the final ratio is one IEEE division of two on-grid
-    * values, rounded 6 (oracle-replayed end to end in q_spam_mass).
-    * Returns (id, rank, trust, spam_mass). */
+    * contract OVER ONE SHARED [[prepGraph]] — the edge dedup, node
+    * table and out-degree checkpoints are built once and threaded
+    * through both fixpoints (they are pure functions of the edge set,
+    * so the trajectories, and hence the hashes, are unchanged vs
+    * independent calls); the final ratio is one IEEE division of two
+    * on-grid values, rounded 6 (oracle-replayed end to end in
+    * q_spam_mass). Returns (id, rank, trust, spam_mass). */
   def spamMass(edges: DataFrame, seeds: Seq[Long], iters: Int = 8,
       damping: Double = 0.85, srcCol: String = "src",
       dstCol: String = "dst", roundDecimals: Int = 9): DataFrame = {
-    val pr = pageRank(edges, iters, damping, srcCol, dstCol,
-      roundDecimals)
-    val tr = trustRank(edges, seeds, iters, damping, srcCol, dstCol,
-      roundDecimals)
+    val g = prepGraph(edges, srcCol, dstCol)
+    val pr = pageRankPrepped(g, iters, damping, roundDecimals)
+    val tr = trustRankPrepped(g, seeds, iters, damping, roundDecimals)
     // floor(x·10⁶ + 0.5) instead of round(): the ratio of two on-grid
     // values frequently LANDS on .5 boundaries at 1e-6, where the two
     // engines' round() implementations differ by an ulp — the floor

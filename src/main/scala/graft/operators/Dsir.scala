@@ -120,8 +120,8 @@ object Dsir {
     // metadata scale, not corpus scale) — the corpus-wide op above stays
     // TakeOrderedAndProject
     top.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col(idCol).asc)).cast("int"))
+      row_number().over(graft.functions.BoundedWindow
+        .ordered(col("score").desc, col(idCol).asc)).cast("int"))
       .select(col(idCol), col("log_weight"), col("score"), col("rank"))
   }
 }

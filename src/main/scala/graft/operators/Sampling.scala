@@ -286,8 +286,9 @@ object Sampling {
     val ps = df.filter(col(scoreCol).isNotNull)
       .select(round(col(scoreCol), roundDecimals).as("__s"))
       .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").desc)
+    // cumulative over the DISTINCT rounded-score grid — bounded by the
+    // 10^roundDecimals value resolution, never the corpus
+    val w = graft.functions.BoundedWindow.ordered(col("__s").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
     val cum = ps.withColumn("__cum", sum(col("__c")).over(w))
@@ -332,8 +333,8 @@ object Sampling {
       .filter(col("score").isNotNull)
       .localCheckpoint(true) // feeds the grid AND the final assignment
     val grid = scored.groupBy(col("score")).agg(count(lit(1)).as("__c"))
-    val cw = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").asc)
+    // distinct rounded-score grid (≤ 10^roundDecimals-resolution rows)
+    val cw = graft.functions.BoundedWindow.ordered(col("score").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
     val tot = grid.groupBy().agg(sum(col("__c")).as("__n"))
@@ -346,8 +347,8 @@ object Sampling {
       .withColumn("u", hashUniform(col(idCol), seed))
     val sizes = withB.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__bn"))
-    val ow = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket").asc)
+    // per-bucket size table: ≤ `buckets` rows by construction
+    val ow = graft.functions.BoundedWindow.ordered(col("bucket").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, -1)
     val offsets = sizes
@@ -404,8 +405,9 @@ object Sampling {
       .select(col("stratum"), col("n_tokens"),
         floor(col("n_tokens").cast("double") * lit(maxEpochs))
           .cast("long").as("capacity"))
-    val ord = org.apache.spark.sql.expressions.Window
-      .orderBy(col("capacity").asc, col("stratum").asc)
+    // per-stratum capacity table: ≤ |strata| (languages) rows
+    val ord = graft.functions.BoundedWindow
+      .ordered(col("capacity").asc, col("stratum").asc)
     val before = ord.rowsBetween(org.apache.spark.sql.expressions.Window
       .unboundedPreceding, -1)
     val upTo = ord.rowsBetween(org.apache.spark.sql.expressions.Window

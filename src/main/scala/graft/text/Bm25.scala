@@ -86,8 +86,8 @@ object Bm25 {
     // window then runs over ≤ k rows — trivially single-partition
     scored.orderBy(col("bm25").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("bm25").desc, col("id").asc)).cast("int"))
+        graft.functions.BoundedWindow
+          .ordered(col("bm25").desc, col("id").asc)).cast("int"))
       .select(col("id").as(idCol), col("bm25"), col("rank"))
   }
 
@@ -338,8 +338,9 @@ object UnigramLm {
       .localCheckpoint(true)
     val grid = scored.groupBy(col("excess_ce").as("__s"))
       .agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").desc)
+    // cumulative over the DISTINCT 6-decimal score grid — bounded by
+    // the value resolution (≤ range/1e-6 rows), never the corpus
+    val w = graft.functions.BoundedWindow.ordered(col("__s").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
     val cum = grid.withColumn("__cum", sum(col("__c")).over(w))

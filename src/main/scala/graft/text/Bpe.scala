@@ -169,15 +169,17 @@ object Bpe {
       textCol: String = "text"): DataFrame =
     pieceVocabFromWords(mergedWords(docs, merges, textCol))
 
-  private def pieceVocabFromWords(words: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def pieceVocabFromWords(words: DataFrame): DataFrame =
+    // the piece table is bounded by construction: every piece is either
+    // a single character or the product of one of the ≤|merges| learned
+    // merges — a tokenizer-vocab-sized table, never corpus-sized
     words
       .select(col("n"), explode(split(col("w"), " ")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("n")).as("n_occ"))
       .withColumn("pid", row_number().over(
-        Window.orderBy(col("n_occ").desc, col("piece").asc))
+        graft.functions.BoundedWindow
+          .ordered(col("n_occ").desc, col("piece").asc))
         .cast("long") - 1)
-  }
 
   /** Per-document piece-ID SEQUENCE under the trained tokenizer — the
     * actual encode step a training pipeline materializes (ids in token

@@ -60,9 +60,9 @@ object Collocations {
           (col("c_ab").cast("double") / col("n_bi")) /
             ((col("c_a").cast("double") / col("n_uni")) *
               (col("c_b").cast("double") / col("n_uni")))), 6).as("pmi"))
-    import org.apache.spark.sql.expressions.Window
     scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("pmi").desc, col("a"), col("b"))).cast("int"))
+        graft.functions.BoundedWindow
+          .ordered(col("pmi").desc, col("a"), col("b"))).cast("int"))
   }
 }

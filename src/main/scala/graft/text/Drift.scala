@@ -125,10 +125,10 @@ object Drift {
     val scored = byTerm.crossJoin(totals)
       .select(col("term"), col("c_a"), col("c_b"),
         round(pa * log(pa / pb), 6).as("contrib"))
-    import org.apache.spark.sql.expressions.Window
     scored.orderBy(col("contrib").desc, col("term")).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("contrib").desc, col("term"))).cast("int"))
+        graft.functions.BoundedWindow
+          .ordered(col("contrib").desc, col("term"))).cast("int"))
   }
 
   /** Pearson correlation matrix of integer quality signals per stratum —
@@ -443,8 +443,9 @@ object Drift {
     val grid = ref.filter(col(scoreCol).isNotNull)
       .select(round(col(scoreCol), 6).as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v").asc)
+    // cumulative over the DISTINCT 6-decimal score grid — bounded by
+    // the value resolution, never the corpus row count
+    val w = graft.functions.BoundedWindow.ordered(col("__v").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
     val cum = grid.withColumn("__cum", sum(col("__c")).over(w))

@@ -92,7 +92,8 @@ object Eval {
     // bounded distinct-score table (NOT the corpus) — ≤ 10^roundDecimals
     // rows per stratum for a [0, 1] score by the rounding contract.
     val wBase =
-      if (keys.isEmpty) Window.orderBy(col("__s").asc)
+      if (keys.isEmpty)
+        graft.functions.BoundedWindow.ordered(col("__s").asc)
       else Window.partitionBy(keys.map(col): _*).orderBy(col("__s").asc)
     val wAsc = wBase.rowsBetween(Window.unboundedPreceding, -1)
     val withBelow = perScore.withColumn("__negBelow",

@@ -45,8 +45,8 @@ object Indexing {
       .orderBy(col("tf").desc, col("term").asc)
       .limit(k)
       .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("tf").desc, col("term").asc)).cast("long"))
+        row_number().over(graft.functions.BoundedWindow
+          .ordered(col("tf").desc, col("term").asc)).cast("long"))
   }
 
   /** Inverted index: one row per term with exact document frequency,
@@ -233,10 +233,21 @@ object Indexing {
     * thousand terms; the curve's knee is where growing the vocab stops
     * paying.
     *
-    * One exact term-count aggregate; the rank + cumulative windows run
-    * over the VOCABULARY-bounded count table (never the corpus — the
-    * Eval bounded-table argument), and the checkpoint rollup is a
-    * broadcast join. All integers except the final rounded division.
+    * One exact term-count aggregate; only the top `max(checkpoints)`
+    * terms matter (every checkpoint row reads ranks ≤ its k), so the
+    * vocabulary first narrows through a distributed
+    * `orderBy().limit(kMax)` (TakeOrderedAndProject — bounded-heap
+    * partials, never a full-vocab sort), and the exact rank + running
+    * token sum over the survivors use the two-phase bucket-offset plan
+    * (the [[graft.operators.Sampling.stratumBucketRank]] idiom):
+    * per-tf-class row counts collect to the driver (≤ kMax rows of
+    * metadata), exclusive row/token prefix offsets broadcast back, and
+    * the window runs PARTITIONED BY the tf class — within a class every
+    * row adds the same tf, so the running sum is
+    * `token_offset + row_number·tf`, bit-identical to the global
+    * cumulative window it replaces. No unpartitioned window anywhere;
+    * the largest single-task sort is one tf-class of the top-kMax
+    * table. All integers except the final rounded division.
     * Returns (vocab_size, n_terms, tokens_covered, total_tokens,
     * coverage) per checkpoint; `n_terms = min(k, V)`. */
   def vocabCoverage(docs: DataFrame, checkpoints: Seq[Int],
@@ -249,14 +260,33 @@ object Indexing {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val kMax = checkpoints.max
+    // barrier: the top-kMax table feeds the driver histogram AND the
+    // ranked join below
+    val top = counts.orderBy(col("tf").desc, col("term").asc)
+      .limit(kMax).localCheckpoint(true)
+    // Phase A: per-tf-class counts -> exclusive row/token offsets in
+    // (tf DESC) order — ≤ kMax rows of driver metadata
+    val hist = top.groupBy(col("tf")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var rowAcc = 0L
+    var tokAcc = 0L
+    val offsets = hist.map { case (tf, nRows) =>
+      val o = (tf, rowAcc, tokAcc)
+      rowAcc += nRows
+      tokAcc += nRows * tf
+      o
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("tf", "__ro", "__to"))
+    // Phase B: exact window PARTITIONED BY the tf class
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("term").asc)
-    val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, 0)
-    val ranked = counts
-      .withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__cum", sum(col("tf")).over(wc))
-    val tot = ranked.groupBy().agg(sum(col("tf")).as("total_tokens"))
+      .partitionBy(col("tf")).orderBy(col("term").asc)
+    val ranked = top.join(offDf, Seq("tf"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__rk", col("__ro") + col("__rn"))
+      .withColumn("__cum", col("__to") + col("__rn") * col("tf"))
+    val tot = counts.groupBy().agg(sum(col("tf")).as("total_tokens"))
     val ck = broadcast(checkpoints.distinct.sorted.map(_.toLong)
       .toDF("vocab_size"))
     ranked.join(ck, col("__rk") <= col("vocab_size"))
@@ -320,9 +350,11 @@ object Indexing {
     * (depth, bucket)-keyed count aggregate whose output is the bounded
     * grid, then the distinct-term table probes the grid with depth
     * broadcast joins folded into one (term, d, bucket) join + min
-    * aggregate. The final top-k ranks the ESTIMATES (ties → ascending
-    * term); the ranking window runs over the vocabulary-bounded
-    * estimate table. Deterministic end-to-end (md5 bucket hashing,
+    * aggregate. The final top-k is a distributed
+    * `orderBy(est DESC, term).limit(k)` (TakeOrderedAndProject —
+    * bounded-heap partials), and only the ≤ k survivors pass through
+    * the post-limit rank window. Deterministic end-to-end (md5 bucket
+    * hashing,
     * integer counters), so the oracle replays it exactly — the rare
     * sketch that hash-matches cross-engine. */
   def cmsTopK(docs: DataFrame, k: Int, depth: Int = 4,
@@ -345,10 +377,14 @@ object Indexing {
     val probes = rows.distinct()
     val est = probes.join(counters, Seq("d", "b"))
       .groupBy(col("term")).agg(min(col("__c")).as("est"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("est").desc, col("term").asc)
-    est.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    // top-k via distributed TakeOrderedAndProject (the topKTerms
+    // idiom) — never a rank over the full estimate table, which would
+    // defeat the sketch's bounded-memory purpose at the last step; the
+    // rank window runs over the ≤ k post-limit rows
+    est.orderBy(col("est").desc, col("term").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        graft.functions.BoundedWindow
+          .ordered(col("est").desc, col("term").asc)).cast("int"))
       .select(col("rank"), col("term"), col("est"))
   }
 
@@ -596,9 +632,12 @@ object Indexing {
         lit(1.0) / (lit(kConst.toDouble) + r.cast("double")))
         .otherwise(lit(0.0))
     }.reduce(_ + _)
+    // no query key: one fused list whose input is the union of the
+    // per-retriever TOP-K lists — bounded by Σ|rankings|·k_i rows by
+    // construction, hence the bounded-window marker
     val w = if (queryCols.isEmpty)
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("rrf_score").desc, col(idCol).asc)
+      graft.functions.BoundedWindow
+        .ordered(col("rrf_score").desc, col(idCol).asc)
     else
       org.apache.spark.sql.expressions.Window
         .partitionBy(queryCols.map(col): _*)
