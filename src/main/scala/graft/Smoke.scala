@@ -93,12 +93,17 @@ object Smoke {
       dsrc, "text", "__ts")
     val q9 = nearDup.writeStream.format("memory")
       .queryName("smoke_neardup").outputMode(OutputMode.Append).start()
+    // the 2-band recall variant: two chained band-key state stores
+    val nearDup2 = graft.streaming.Streaming.streamingNearDupDedup(
+      dsrc, "text", "__ts", bandRows = 8, bands = 2)
+    val q10 = nearDup2.writeStream.format("memory")
+      .queryName("smoke_neardup2").outputMode(OutputMode.Append).start()
     try {
       q1.processAllAvailable(); q2.processAllAvailable()
       q3.processAllAvailable(); q4.processAllAvailable()
       q5.processAllAvailable(); q6.processAllAvailable()
       q7.processAllAvailable(); q8.processAllAvailable()
-      q9.processAllAvailable()
+      q9.processAllAvailable(); q10.processAllAvailable()
       val nBins = spark.table("smoke_binned").count()
       val nStats = spark.table("smoke_running").count()
       val nDedup = spark.table("smoke_dedup").count()
@@ -108,15 +113,17 @@ object Smoke {
       val nSamp = spark.table("smoke_sample").count()
       val nPsi = spark.table("smoke_psi").count()
       val nNearDup = spark.table("smoke_neardup").count()
+      val nNearDup2 = spark.table("smoke_neardup2").count()
       println(s"SMOKE_STREAMING bins=$nBins running_stats=$nStats " +
         s"dedup_kept=$nDedup funnel_steps=$nFunnel retention_rows=$nRet " +
         s"monitor_windows=$nMon sample_rows=$nSamp psi_windows=$nPsi " +
-        s"neardup_kept=$nNearDup")
+        s"neardup_kept=$nNearDup neardup_kept_2band=$nNearDup2")
       assert(nBins > 0 && nStats > 0 && nDedup > 0 && nFunnel > 0 &&
-        nRet > 0 && nMon > 0 && nSamp > 0 && nPsi > 0 && nNearDup > 0)
+        nRet > 0 && nMon > 0 && nSamp > 0 && nPsi > 0 && nNearDup > 0 &&
+        nNearDup2 > 0)
     } finally {
       q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop()
-      q6.stop(); q7.stop(); q8.stop(); q9.stop()
+      q6.stop(); q7.stop(); q8.stop(); q9.stop(); q10.stop()
     }
   }
 }

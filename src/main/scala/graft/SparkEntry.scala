@@ -121,6 +121,24 @@ object SparkEntry {
       path
     })
 
+  /** Per-member-gzip twin of [[warcPath]] — the CommonCrawl `.warc.gz`
+    * layout; read back through the Content-Length walk. */
+  private val warcGzBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcGzPath(s: SparkSession, dir: String): String =
+    warcGzBuilt.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_warcgz_" + digest).getAbsolutePath
+      graft.sources.Warc.writeWarc(
+        table(s, d, "documents").withColumn("url", syntheticUrl),
+        path, gzip = true).collect()
+      path
+    })
+
   /** On-disk binary token shards (.bin/.idx + manifest) over the
     * documents table — built once per JVM and data dir like the ANN
     * indexes; ids are md5-derived per token so the oracle can replay
@@ -923,17 +941,26 @@ object SparkEntry {
       graft.text.Eval.fleissKappa(
         r1.unionByName(r2).unionByName(r3), "doc_id", "label")
     }),
-    "q_warc_roundtrip" -> ((s, dir) =>
-      // WARC, the native CommonCrawl container, as a DISK ARTIFACT
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // WARC, the native CommonCrawl container, as DISK ARTIFACTS
       // under the oracle (the q_token_shards discipline): documents +
-      // synthetic crawl URLs written as real response records, re-read
-      // through the splittable record-delimiter recipe — every header,
-      // the Content-Length octet count, the length_ok flag AND the full
-      // payload text hash-check against the oracle's analytic statement
-      graft.sources.Warc.readWarc(s, warcPath(s, dir))
+      // synthetic crawl URLs written as real response records into
+      // BOTH containers — uncompressed .warc re-read through the
+      // splittable record-delimiter recipe AND per-member-gzip
+      // .warc.gz re-read through the Content-Length walk — every
+      // header (incl. the mandatory WARC-Date), the Content-Length
+      // octet count, the length_ok flag AND the full payload text
+      // hash-check against the oracle's analytic statement, per
+      // container
+      val plain = graft.sources.Warc.readWarc(s, warcPath(s, dir))
+        .withColumn("container", lit("warc"))
+      val gz = graft.sources.Warc.readWarcGz(s, warcGzPath(s, dir))
+        .withColumn("container", lit("warc_gz"))
+      plain.unionByName(gz)
         .select(col("record_id").as("doc_id"), col("warc_type"),
           col("target_uri"), col("content_length"), col("payload"),
-          col("length_ok"))),
+          col("length_ok"), col("warc_date"), col("container"))
+    }),
     "q_html_extract" -> ((s, dir) => {
       // HTML → text extraction (the WARC→WET step): documents wrapped
       // in a deterministic page template — script/style/comment
@@ -5297,8 +5324,10 @@ object SparkEntry {
       """
         |SELECT doc_id, 'response' AS warc_type, url AS target_uri,
         |  strlen(text)::BIGINT AS content_length, text AS payload,
-        |  true AS length_ok
-        |FROM syn""".stripMargin),
+        |  true AS length_ok, '1970-01-01T00:00:00Z' AS warc_date,
+        |  c.container
+        |FROM syn
+        |CROSS JOIN (VALUES ('warc'), ('warc_gz')) c(container)""".stripMargin),
     "q_rho_select" -> rhoSelectOracle,
     "q_unimax" -> unimaxOracle,
     "q_packing" ->

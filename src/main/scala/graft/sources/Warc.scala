@@ -6,77 +6,150 @@ import org.apache.spark.sql.functions._
 /** WARC (ISO 28500) writer/reader — the NATIVE container of every
   * CommonCrawl-derived corpus: before a crawl is parquet, it is WARC.
   * The writer emits standard `response` records (version line, named
-  * headers, Content-Length in octets, double-CRLF separator, payload,
-  * double-CRLF trailer); the reader uses the classic splittable-Spark
-  * recipe — Hadoop TextInputFormat with `textinputformat.record.
-  * delimiter = "WARC/1.0\r\n"` — so one big uncompressed .warc splits
-  * across tasks at record boundaries WITHOUT a custom InputFormat.
+  * headers including the ISO-mandatory WARC-Date, Content-Length in
+  * octets, double-CRLF separator, payload, double-CRLF trailer), both
+  * UNCOMPRESSED (`.warc`) and PER-MEMBER-GZIP (`.warc.gz` — one gzip
+  * member per record, CommonCrawl's actual distribution layout).
+  * Writes are ATOMIC per file: the stream goes to a dot-prefixed
+  * `.tmp` path and renames onto the final name at close, so a failed
+  * task never leaves a truncated part file where the readers glob.
   *
-  * Honest limits of the delimiter recipe (documented, standard): a
-  * payload CONTAINING the delimiter bytes would split early (real WARC
-  * tooling walks Content-Length; this reader flags the damage instead —
-  * `length_ok = false` when the parsed payload's octet length differs
-  * from the Content-Length header), and per-member-gzip .warc.gz needs
-  * the Content-Length walk. Text corpora write/read round-trip exactly
+  * Two readers, two trade-offs:
+  *  - [[readWarc]] (uncompressed): the classic splittable-Spark recipe
+  *    — Hadoop TextInputFormat with `textinputformat.record.delimiter
+  *    = "WARC/1.0\r\n"` — one big .warc fans out across input splits
+  *    WITHOUT a custom InputFormat. Honest limit (documented,
+  *    standard): a payload CONTAINING the delimiter bytes would split
+  *    early; the reader flags the damage (`length_ok = false`) instead
+  *    of walking Content-Length.
+  *  - [[readWarcGz]] (.warc.gz): the CONTENT-LENGTH WALK over the
+  *    decompressed stream — JDK GZIPInputStream reads concatenated
+  *    members transparently, and each record is consumed by parsing
+  *    its headers and reading exactly Content-Length payload octets,
+  *    so delimiter bytes inside payloads CANNOT split a record (the
+  *    walk is what real WARC tooling does). Parallelism is per FILE
+  *    (gzip members are not seekable without an index) — exactly how
+  *    CommonCrawl ships: ~1 GB .warc.gz files in the thousands, so a
+  *    cluster parallelizes across files, not within them.
+  *
+  * Text corpora write/read round-trip exactly through BOTH containers
   * (q_warc_roundtrip pins every header AND the payload bytes via
-  * length + content equality).
+  * length + content equality, per container).
   *
   * Scale: the writer is one sequential stream per partition through the
-  * Hadoop FileSystem API (local/HDFS/object store alike); the reader is
-  * TextInputFormat splits — both embarrassingly parallel, no shuffle
-  * anywhere. */
+  * Hadoop FileSystem API (local/HDFS/object store alike); the readers
+  * are input splits (plain) or one-task-per-file streams (gz) — no
+  * shuffle anywhere. */
 object Warc {
 
   private val Delim = "WARC/1.0\r\n"
 
-  /** Write one `part_<pid>.warc` per partition under `dir`: a response
-    * record per row — (idCol long, uriCol string, textCol string
-    * payload, UTF-8). Returns one row per file: (file, n_records,
-    * n_bytes). */
+  /** Deterministic default for the mandatory WARC-Date header: the
+    * epoch, so disk artifacts stay byte-replayable under the oracle.
+    * Callers with a real crawl timestamp pass it through `warcDate`. */
+  val EpochWarcDate = "1970-01-01T00:00:00Z"
+
+  /** Write one `part_<pid>.warc` (or `.warc.gz` when `gzip`) per
+    * partition under `dir`: a response record per row — (idCol long,
+    * uriCol string, textCol string payload, UTF-8). Each gzip record is
+    * its OWN gzip member (JDK GZIPOutputStream writes a fixed header —
+    * MTIME 0 — so the bytes are deterministic given the JDK's zlib, the
+    * compressionRatio kernel's contract). Files appear atomically via
+    * tmp-write + rename. Returns one row per file: (file, n_records,
+    * n_bytes) — n_bytes counts bytes ON DISK (compressed when gzip). */
   def writeWarc(df: DataFrame, dir: String, idCol: String = "doc_id",
-      uriCol: String = "url", textCol: String = "text"): DataFrame = {
+      uriCol: String = "url", textCol: String = "text",
+      gzip: Boolean = false,
+      warcDate: String = EpochWarcDate): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(uriCol), col(textCol))
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val conf = new org.apache.hadoop.conf.Configuration()
-        val p = new org.apache.hadoop.fs.Path(dir, f"part_$pid%05d.warc")
-        val fs = p.getFileSystem(conf)
-        val out = new java.io.BufferedOutputStream(fs.create(p, true))
+        val ext = if (gzip) ".warc.gz" else ".warc"
+        val finalPath =
+          new org.apache.hadoop.fs.Path(dir, f"part_$pid%05d$ext")
+        val tmpPath =
+          new org.apache.hadoop.fs.Path(dir, f".part_$pid%05d$ext.tmp")
+        val fs = finalPath.getFileSystem(conf)
+        val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true))
         var n = 0L
         var bytes = 0L
-        def w(s: String): Unit = {
-          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          out.write(b); bytes += b.length
+        val counted = new java.io.OutputStream {
+          override def write(b: Int): Unit = { out.write(b); bytes += 1 }
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            out.write(b, off, len); bytes += len
+          }
         }
         it.foreach { r =>
           val payload = if (r.isNullAt(2)) "" else r.getString(2)
-          val plen = payload
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-          w(Delim)
-          w("WARC-Type: response\r\n")
-          w(s"WARC-Record-ID: <urn:graft:${r.getLong(0)}>\r\n")
-          w(s"WARC-Target-URI: ${if (r.isNullAt(1)) "" else r.getString(1)}\r\n")
-          w("Content-Type: text/plain\r\n")
-          w(s"Content-Length: $plen\r\n")
-          w("\r\n")
-          w(payload)
-          w("\r\n\r\n")
+          val pBytes =
+            payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val sb = new StringBuilder
+          sb.append(Delim)
+          sb.append("WARC-Type: response\r\n")
+          sb.append(s"WARC-Record-ID: <urn:graft:${r.getLong(0)}>\r\n")
+          sb.append(s"WARC-Date: $warcDate\r\n")
+          sb.append("WARC-Target-URI: ")
+            .append(if (r.isNullAt(1)) "" else r.getString(1))
+            .append("\r\n")
+          sb.append("Content-Type: text/plain\r\n")
+          sb.append(s"Content-Length: ${pBytes.length}\r\n")
+          sb.append("\r\n")
+          val head =
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val trailer = "\r\n\r\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          if (gzip) {
+            // one member per record: finish() flushes the gzip trailer
+            // without closing the underlying stream
+            val gz = new java.util.zip.GZIPOutputStream(counted)
+            gz.write(head); gz.write(pBytes); gz.write(trailer)
+            gz.finish()
+          } else {
+            counted.write(head); counted.write(pBytes)
+            counted.write(trailer)
+          }
           n += 1
         }
         out.close()
-        if (n == 0) { fs.delete(p, false); Iterator.empty }
-        else Iterator((p.toString, n, bytes))
+        if (n == 0) { fs.delete(tmpPath, false); Iterator.empty }
+        else {
+          fs.delete(finalPath, false)
+          require(fs.rename(tmpPath, finalPath),
+            s"atomic rename failed: $tmpPath -> $finalPath")
+          Iterator((finalPath.toString, n, bytes))
+        }
       }
       .toDF("file", "n_records", "n_bytes")
   }
 
-  /** Read every `.warc` under `dir` back as one row per record: (record_id,
-    * warc_type, target_uri, content_length [the header], payload,
-    * length_ok [parsed payload octets == header]). Splittable: records
-    * are delimited by the version line, so a 100 GB .warc fans out
-    * across input splits like any text file. */
+  private val OutSchema = Seq("record_id", "warc_type", "target_uri",
+    "content_length", "payload", "length_ok", "warc_date")
+
+  private def headerTuple(headers: Map[String, String],
+      payload: String, lengthOk: Boolean)
+      : (Long, String, String, Long, String, Boolean, String) = {
+    val declared = headers.get("Content-Length")
+      .flatMap(_.toLongOption).getOrElse(-1L)
+    val id = headers.get("WARC-Record-ID")
+      .flatMap("<urn:graft:(\\d+)>".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong)
+    (id.getOrElse(-1L),
+      headers.getOrElse("WARC-Type", ""),
+      headers.getOrElse("WARC-Target-URI", ""),
+      declared,
+      payload,
+      lengthOk,
+      headers.getOrElse("WARC-Date", ""))
+  }
+
+  /** Read every `.warc` under `dir` back as one row per record:
+    * (record_id, warc_type, target_uri, content_length [the header],
+    * payload, length_ok [parsed payload octets == header], warc_date).
+    * Splittable: records are delimited by the version line, so a 100 GB
+    * .warc fans out across input splits like any text file. */
   def readWarc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration(
@@ -103,18 +176,107 @@ object Warc {
           if (body.endsWith("\r\n\r\n")) body.dropRight(4) else body
         val declared = headers.get("Content-Length")
           .flatMap(_.toLongOption).getOrElse(-1L)
-        val id = headers.get("WARC-Record-ID")
-          .flatMap("<urn:graft:(\\d+)>".r.findFirstMatchIn(_))
-          .map(_.group(1).toLong)
-        Some((id.getOrElse(-1L),
-          headers.getOrElse("WARC-Type", ""),
-          headers.getOrElse("WARC-Target-URI", ""),
-          declared,
-          payload,
-          payload.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8).length == declared))
+        val ok = payload.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8).length == declared
+        Some(headerTuple(headers, payload, ok))
       }
-    }.toDF("record_id", "warc_type", "target_uri", "content_length",
-      "payload", "length_ok")
+    }.toDF(OutSchema: _*)
+  }
+
+  /** Read every `.warc.gz` under `dir` (one gzip MEMBER per record —
+    * the CommonCrawl layout; JDK GZIPInputStream concatenates members
+    * transparently) via the CONTENT-LENGTH WALK: headers parse up to
+    * the blank line, then exactly Content-Length payload octets are
+    * consumed, then the CRLF CRLF trailer — so payloads containing the
+    * version-line bytes can never split a record, the failure mode the
+    * uncompressed delimiter recipe flags instead. A record whose
+    * payload truncates early (damaged member) is emitted with
+    * `length_ok = false` and the file walk stops there. Same schema as
+    * [[readWarc]]. One task per FILE (gzip is not seekable) — match
+    * the CommonCrawl shard layout: thousands of ~1 GB files. */
+  def readWarcGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(s"$dir/*.warc.gz")
+      .flatMap { case (_, pds) =>
+        val in = new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(
+            new java.io.BufferedInputStream(pds.open())))
+        walkRecords(in)
+      }.toDF(OutSchema: _*)
+  }
+
+  /** The Content-Length walk over a decompressed WARC byte stream. */
+  private def walkRecords(in: java.io.InputStream)
+      : Iterator[(Long, String, String, Long, String, Boolean, String)] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // CRLF-terminated line as bytes (WARC headers are ASCII); None = EOF
+    def readLine(): Option[String] = {
+      val buf = new java.io.ByteArrayOutputStream(96)
+      var b = in.read()
+      if (b < 0) return None
+      while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+      val arr = buf.toByteArray
+      val len = if (arr.nonEmpty && arr(arr.length - 1) == '\r')
+        arr.length - 1 else arr.length
+      Some(new String(arr, 0, len, ascii))
+    }
+    def readFully(n: Long): (Array[Byte], Boolean) = {
+      require(n <= Int.MaxValue, s"payload too large for one record: $n")
+      val arr = new Array[Byte](n.toInt)
+      var off = 0
+      var eof = false
+      while (off < arr.length && !eof) {
+        val r = in.read(arr, off, arr.length - off)
+        if (r < 0) eof = true else off += r
+      }
+      (java.util.Arrays.copyOf(arr, off), off == arr.length)
+    }
+    new Iterator[(Long, String, String, Long, String, Boolean, String)] {
+      private var nextRec
+          : Option[(Long, String, String, Long, String, Boolean, String)] =
+        advance()
+      private var damaged = false
+      private def advance()
+          : Option[(Long, String, String, Long, String, Boolean, String)] = {
+        if (damaged) return None
+        // version line (skip blank inter-record lines defensively)
+        var line = readLine()
+        while (line.exists(_.isEmpty)) line = readLine()
+        line match {
+          case None => None
+          case Some(v) if !v.startsWith("WARC/") =>
+            damaged = true; None // stream damage: stop, don't guess
+          case Some(_) =>
+            val hdrs = scala.collection.mutable.Map[String, String]()
+            var h = readLine()
+            while (h.exists(_.nonEmpty)) {
+              h.get.split(": ", 2) match {
+                case Array(k, v) => hdrs(k) = v
+                case _ => ()
+              }
+              h = readLine()
+            }
+            val declared = hdrs.get("Content-Length")
+              .flatMap(_.toLongOption).getOrElse(-1L)
+            if (declared < 0) { damaged = true; None }
+            else {
+              val (payload, full) = readFully(declared)
+              // consume the CRLF CRLF record trailer
+              if (full) readFully(4L)
+              else damaged = true
+              Some(headerTuple(hdrs.toMap,
+                new String(payload, utf8), full))
+            }
+        }
+      }
+      override def hasNext: Boolean = nextRec.isDefined
+      override def next()
+          : (Long, String, String, Long, String, Boolean, String) = {
+        val r = nextRec.get
+        nextRec = advance()
+        r
+      }
+    }
   }
 }

@@ -166,6 +166,81 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: multi-band (bands=2) survival is " +
+      "bit-identical to the greedy fold over the same band keys, and " +
+      "a band-1-only collision drops a doc one band misses") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val bandRows = 1 // r=1 bands: band key = one minhash row — makes
+    // partial-signature collisions (band 1 hits, band 0 doesn't)
+    // reachable with a small deterministic corpus
+    val bands = 2
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo"
+    // 16 deterministic variants at MODERATE (~0.5) Jaccard to base:
+    // half shared words, half unique — so r=1 band keys split (some
+    // rows hit, some miss) instead of all colliding at band 0
+    val texts = (0 until 16).map(i => base + " " +
+      (0 until 14).map(j => s"unique$i${('a' + j).toChar}$j")
+        .mkString(" "))
+    // batch-side band keys via the SAME kernels the stream uses
+    val sigRows = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.dedup.Dedup.minhashSignature(
+        graft.functions.HashExpressions.shingleHashes(
+          graft.text.TextAnalysis.normalizeText(col("text")), 5,
+          graft.functions.HashExpressions.ModeXx),
+        bands * bandRows).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toIndexedSeq).toMap
+    def key(id: Long, b: Int): String =
+      s"b$b:" + sigRows(id).slice(b * bandRows, (b + 1) * bandRows)
+        .mkString(",")
+    // the greedy fold twin: arrival order, drop at the FIRST band whose
+    // key a prior SURVIVOR-OF-EARLIER-BANDS inserted; stage i state is
+    // fed by docs that passed stages < i (exactly the chained
+    // dropDuplicatesWithinWatermark semantics)
+    val seen = Array.fill(bands)(
+      scala.collection.mutable.Set.empty[String])
+    val expected = texts.indices.map(_.toLong).filter { id =>
+      var kept = true
+      var b = 0
+      while (kept && b < bands) {
+        if (!seen(b).add(key(id, b))) kept = false
+        b += 1
+      }
+      kept
+    }.toSet
+    // the corpus must actually exercise the multi-band recall: some doc
+    // must collide at band 1 having PASSED band 0 (else bands=1 would
+    // give the same answer and the test pins nothing new)
+    val oneBandSeen = scala.collection.mutable.Set.empty[String]
+    val oneBandKept = texts.indices.map(_.toLong)
+      .filter(id => oneBandSeen.add(key(id, 0))).toSet
+    assert(expected !== oneBandKept,
+      s"corpus never collides at band 1 only — adjust variants\n" +
+        texts.indices.map(i => s"$i: ${key(i, 0)} | ${key(i, 1)}")
+          .mkString("\n"))
+    val mem = MemoryStream[Doc]
+    val out = Streaming.streamingNearDupDedup(mem.toDF(), "text", "ts",
+      shingleLen = 5, bandRows = bandRows, bands = bands)
+    val q = out.writeStream.format("memory").queryName("neardup2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one micro-batch per doc: arrival order IS the fold order
+      texts.zipWithIndex.foreach { case (t, i) =>
+        mem.addData(Doc(i.toLong,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t))
+        q.processAllAvailable()
+      }
+      val ids = spark.table("neardup2").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === expected,
+        s"stream=$ids fold=$expected oneBand=$oneBandKept")
+    } finally q.stop()
+  }
+
   test("streaming html ingest: extraction is batch-equal, density gate " +
       "drops tag soup, stateless") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
