@@ -95,12 +95,29 @@ object Bench {
         java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // The driver's per-round snapshot keeps only the LAST ~2000 chars of
+    // stdout and tries to parse the final line — a 200-query dual-dict
+    // line is ~11 KB, so every round before r9 recorded "parsed": null.
+    // Emit the full line FIRST (humans + logs), then a compact summary
+    // line LAST that (a) fits the tail window, (b) parses, (c) carries
+    // the headline numbers plus the sha256 of the complete BENCH_LAST
+    // artifact it points to — so BENCH_r{N}.json is self-verifying
+    // against the committed full JSON.
+    val sha = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":$n,"stat":"median","value_first":$totalFirst,"nqueries":${names.size},"ncpus":${Runtime.getRuntime.availableProcessors},"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"queries_file":"BENCH_LAST.json","queries_sha256":"$sha"}"""
     try {
       val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-      raw.write((json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      raw.write((json + "\n" + compact + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       raw.flush()
     } catch { case _: Throwable => () }
     println(json)
+    println(compact)
     spark.stop()
   }
 }

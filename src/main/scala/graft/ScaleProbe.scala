@@ -58,6 +58,9 @@ object ScaleProbe {
     if (args.headOption.contains("dedup_chain")) {
       dedupChainProbe(spark, n); return
     }
+    if (args.headOption.contains("prefix_join")) {
+      prefixJoinProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -722,6 +725,66 @@ object ScaleProbe {
       f"lsh=$tPairs%.1f s (max_task=${mPairs}ms) " +
       f"cc=$tCc%.1f s (max_task=${mCc}ms) " +
       f"keep_best=$tKeep%.1f s (max_task=${mKeep}ms)")
+    spark.stop()
+  }
+
+  /** EXACT prefix-filtering similarity join (SSJoin) vs the MinHash-LSH
+    * chain on the SAME corpus and the same 0.9 threshold — the r9
+    * probe behind the prefixJaccardPairs crossover note.
+    *
+    * Corpus design holds PAIR DENSITY constant while n grows, so the
+    * readout is algorithm scaling, not answer-size scaling: each
+    * replica of the 1040-doc sf0.1 base slice gets 25 replica-unique
+    * filler tokens (diluting the template corpus's own near-dup pairs
+    * below 0.9 — cross-replica AND within-replica), and 40 planted
+    * copies per replica (4 extra tokens, Jaccard ≈ 0.96) are the true
+    * answer — ~40·replicas pairs, linear in n. The df skew that
+    * drives prefix-collision fan-out comes from the real template
+    * vocabulary (shared tokens with df ≈ n·0.96 down to hapax). */
+  private def prefixJoinProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .filter(col("doc_id") < 1000).select("doc_id", "text")
+    val planted = base.filter(col("doc_id") < 40)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("text", concat(col("text"), lit(" zz1 zz2 zz3 zz4")))
+    val slice = base.unionByName(planted)
+    val nSlice = slice.count() // 1040
+    val replicas = math.max(1, (n / nSlice).toInt)
+    // filler keys on the UNDERLYING base id (mod the planted offset)
+    // so a planted copy shares its source's filler and the pair stays
+    // above the threshold
+    val filler = concat_ws(" ", transform(sequence(lit(0), lit(24)),
+      j => concat(lit("u"),
+        pmod(pmod(col("doc_id"), lit(10000000L)) * 31 +
+          col("rep") * 7919 + j * 104729, lit(1000000007L)),
+        lit("q"), j)))
+    val corpus = slice.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" "), filler).as("text"))
+      .localCheckpoint(true)
+    val total = nSlice * replicas
+    var exact: org.apache.spark.sql.DataFrame = null
+    val (tEx, mEx) = timedRun(spark) {
+      exact = graft.dedup.Dedup.prefixJaccardPairs(corpus, "text",
+        "doc_id", threshold = 0.9).localCheckpoint(true)
+      exact
+    }
+    val nExact = exact.count()
+    var lsh: org.apache.spark.sql.DataFrame = null
+    val (tLsh, mLsh) = timedRun(spark) {
+      lsh = graft.dedup.Dedup.minhashLshPairs(corpus, "text", "doc_id",
+          shingleLen = 5, k = 64, bands = 8, threshold = 0.9,
+          maxBucketSize = 64)
+        .localCheckpoint(true)
+      lsh
+    }
+    val nLsh = lsh.count()
+    println(f"SCALE_PROBE prefix_join docs=$total " +
+      f"exact_pairs=$nExact ssjoin=$tEx%.1f s (max_task=${mEx}ms) " +
+      f"lsh_pairs=$nLsh lsh=$tLsh%.1f s (max_task=${mLsh}ms)")
     spark.stop()
   }
 }

@@ -538,7 +538,22 @@ object Dedup {
     * prefix below the theorem's bound, silently dropping true pairs;
     * the lemma tolerates the (at most 1 token) longer prefix the
     * epsilon can produce. Returns (id_a, id_b, jaccard ≥ t,
-    * rounded 6). */
+    * rounded 6).
+    *
+    * Measured vs the MinHash-LSH chain (`ScaleProbe prefix_join`,
+    * 20k→1M docs at t=0.9, constant pair density — table in
+    * BASELINE.md round 9): at a HIGH threshold this exact join BEAT
+    * the k=64/8-band LSH chain at every size ≥100k (1M docs: 206 s vs
+    * 330 s) — prefixes are short at high t, so candidates ≈ true
+    * pairs, while LSH pays 64 minhashes + banding + its own verify
+    * regardless — AND it caught the 10/38 440 true pairs LSH's
+    * banding missed. The knee is max-task growth from prefix-bucket
+    * fan-out under the df skew (2.7 s → 116 s across 50×docs; AQE
+    * skew-split engaged): fan-out scales with prefix LENGTH, so at
+    * LOWER thresholds (t ≲ 0.7, prefixes ≈ (1−t)·|T|) candidate
+    * volume explodes and the LSH chain (bounded by maxBucketSize)
+    * becomes the right tool — the classic exactness/recall-vs-cost
+    * crossover, now with the measured operating points. */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,

@@ -193,6 +193,19 @@ object EnsembleIO {
     * as ordinary columns and partition pruning applies; no special catalog
     * machinery is needed.
     *
+    * Margin caches (the reference's LSDB path optionally carries a
+    * `margin_cache` companion catalog — rows within a small angular
+    * margin OUTSIDE each pixel's boundary, ensemble.py:1760-1842
+    * context): deliberately NOT modeled. The margin catalog exists to
+    * make per-pixel-partition neighbor searches (crossmatch, cone
+    * search) correct at pixel borders under Dask's
+    * one-partition-per-pixel execution; here the equivalent border
+    * correctness comes from [[graft.operators.Crossmatch]]'s own
+    * neighbor-cell expansion over the full source table — Catalyst
+    * shuffles matching cells together, so no pre-materialized margin
+    * rows are needed. Loading a margin catalog AS data would double
+    * border rows; point this reader at the primary catalogs only.
+    *
     * @param objectIndexCol  column in the object catalog keying objects
     * @param sourceIndexCol  column in the source catalog referencing the
     *                        object index (becomes the ensemble id)
