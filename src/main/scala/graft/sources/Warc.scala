@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *    walk is what real WARC tooling does). Parallelism is per FILE
   *    (gzip members are not seekable without an index) — exactly how
   *    CommonCrawl ships: ~1 GB .warc.gz files in the thousands, so a
-  *    cluster parallelizes across files, not within them.
+  *    cluster parallelizes across files, not within them. When the
+  *    writer's `.warc.gz.idx` member-offset sidecar is present,
+  *    [[readWarcGzSplit]] lifts that limit and splits WITHIN a file at
+  *    member boundaries (the cdx-index idea).
   *
   * Text corpora write/read round-trip exactly through BOTH containers
   * (q_warc_roundtrip pins every header AND the payload bytes via
@@ -54,9 +57,14 @@ object Warc {
     * uriCol string, textCol string payload, UTF-8). Each gzip record is
     * its OWN gzip member (JDK GZIPOutputStream writes a fixed header —
     * MTIME 0 — so the bytes are deterministic given the JDK's zlib, the
-    * compressionRatio kernel's contract). Files appear atomically via
-    * tmp-write + rename. Returns one row per file: (file, n_records,
-    * n_bytes) — n_bytes counts bytes ON DISK (compressed when gzip). */
+    * compressionRatio kernel's contract), and every `.warc.gz` gets a
+    * `.warc.gz.idx` SIDECAR listing each member's byte offset (one
+    * decimal per line, then the file length) — the cdx-style index that
+    * lets [[readWarcGz]] split ONE gz file across tasks at member
+    * boundaries, gzip's only splittable points. Files appear atomically
+    * via tmp-write + rename (sidecar too). Returns one row per file:
+    * (file, n_records, n_bytes) — n_bytes counts bytes ON DISK
+    * (compressed when gzip). */
   def writeWarc(df: DataFrame, dir: String, idCol: String = "doc_id",
       uriCol: String = "url", textCol: String = "text",
       gzip: Boolean = false,
@@ -82,7 +90,9 @@ object Warc {
             out.write(b, off, len); bytes += len
           }
         }
+        val memberOffsets = scala.collection.mutable.ArrayBuffer[Long]()
         it.foreach { r =>
+          if (gzip) memberOffsets += bytes
           val payload = if (r.isNullAt(2)) "" else r.getString(2)
           val pBytes =
             payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -119,6 +129,21 @@ object Warc {
           fs.delete(finalPath, false)
           require(fs.rename(tmpPath, finalPath),
             s"atomic rename failed: $tmpPath -> $finalPath")
+          if (gzip) {
+            // member-offset sidecar: start offsets + total length,
+            // same tmp-write + rename discipline
+            val idxFinal = new org.apache.hadoop.fs.Path(
+              finalPath.toString + ".idx")
+            val idxTmp = new org.apache.hadoop.fs.Path(dir,
+              f".part_$pid%05d$ext.idx.tmp")
+            val io = fs.create(idxTmp, true)
+            io.write((memberOffsets.mkString("\n") + "\n" + bytes + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            io.close()
+            fs.delete(idxFinal, false)
+            require(fs.rename(idxTmp, idxFinal),
+              s"atomic rename failed: $idxTmp -> $idxFinal")
+          }
           Iterator((finalPath.toString, n, bytes))
         }
       }
@@ -202,6 +227,92 @@ object Warc {
           new java.util.zip.GZIPInputStream(
             new java.io.BufferedInputStream(pds.open())))
         walkRecords(in)
+      }.toDF(OutSchema: _*)
+  }
+
+  /** [[readWarcGz]] with WITHIN-FILE splits from the `.warc.gz.idx`
+    * member-offset sidecars [[writeWarc]] emits: each file's members
+    * are grouped into up to `tasksPerFile` contiguous byte ranges
+    * (member starts are gzip's only split points), and every range is
+    * an independent task that seeks to its start offset and walks its
+    * slice — so ONE multi-GB .warc.gz no longer pins one task, the
+    * exact reason CommonCrawl publishes cdx offset indexes next to its
+    * crawls. Files WITHOUT a sidecar degrade to one whole-file range
+    * (never wrong, just unsplit). Range metadata is driver-side and
+    * tiny (files × tasksPerFile). Same schema and row set as
+    * [[readWarcGz]] — spec-pinned equal. */
+  def readWarcGzSplit(spark: SparkSession, dir: String,
+      tasksPerFile: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(tasksPerFile >= 1,
+      s"tasksPerFile must be >= 1, got $tasksPerFile")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val files = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "*.warc.gz"))
+    val ranges: Seq[(String, Long, Long)] = files.toSeq.flatMap { st =>
+      val p = st.getPath
+      val idx = new org.apache.hadoop.fs.Path(p.toString + ".idx")
+      if (!fs.exists(idx)) Seq((p.toString, 0L, st.getLen))
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(fs.open(idx), bos, 4096,
+          true)
+        val raw = new String(bos.toByteArray,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val nums = raw.split("\n").iterator
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong).toIndexedSeq
+        // lines = member start offsets ascending, then the file length
+        val starts = nums.dropRight(1)
+        val fileLen = nums.last
+        if (starts.isEmpty) Seq((p.toString, 0L, fileLen))
+        else {
+          val perRange =
+            math.max(1, (starts.size + tasksPerFile - 1) / tasksPerFile)
+          starts.grouped(perRange).toSeq.map { g =>
+            val from = g.head
+            (p.toString, from, from) // end filled below
+          }.zipWithIndex.map { case ((f, from, _), i) =>
+            val nextStart = (i + 1) * perRange
+            val to =
+              if (nextStart < starts.size) starts(nextStart) else fileLen
+            (f, from, to)
+          }
+        }
+      }
+    }
+    if (ranges.isEmpty) {
+      return Seq
+        .empty[(Long, String, String, Long, String, Boolean, String)]
+        .toDF(OutSchema: _*)
+    }
+    spark.sparkContext.parallelize(ranges, ranges.size)
+      .flatMap { case (file, from, to) =>
+        val c = new org.apache.hadoop.conf.Configuration()
+        val path = new org.apache.hadoop.fs.Path(file)
+        val in = path.getFileSystem(c).open(path)
+        in.seek(from)
+        val bounded = new java.io.InputStream {
+          private var remaining = to - from
+          override def read(): Int =
+            if (remaining <= 0) -1
+            else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+          override def read(b: Array[Byte], off: Int, len: Int): Int = {
+            if (remaining <= 0) -1
+            else {
+              val r = in.read(b, off,
+                math.min(len.toLong, remaining).toInt)
+              if (r > 0) remaining -= r
+              r
+            }
+          }
+          override def close(): Unit = in.close()
+        }
+        walkRecords(new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(
+            new java.io.BufferedInputStream(bounded))))
       }.toDF(OutSchema: _*)
   }
 

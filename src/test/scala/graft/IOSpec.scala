@@ -150,7 +150,8 @@ class IOSpec extends SparkSuite {
     val left = new java.io.File(dirGz).listFiles().map(_.getName).toSeq
       .filterNot(_.endsWith(".crc"))
     assert(left.nonEmpty && left.forall(n =>
-      n.endsWith(".warc.gz") && !n.startsWith(".")), left)
+      (n.endsWith(".warc.gz") || n.endsWith(".warc.gz.idx")) &&
+        !n.startsWith(".")), left)
     val gz = Warc.readWarcGz(spark, dirGz).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(gz.size === 4)
@@ -196,5 +197,39 @@ class IOSpec extends SparkSuite {
     val dmg = Warc.readWarcGz(spark, dir4).collect()
     assert(dmg.length === 1 && !dmg(0).getBoolean(5))
     assert(dmg(0).getLong(0) === 9L)
+  }
+
+  test("warc.gz.idx sidecar: within-file member-range splits read the " +
+      "identical row set across multiple real tasks; no sidecar " +
+      "degrades to whole-file") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val docs = (0 until 120).map(i =>
+        (i.toLong, s"https://h$i.example/p", s"payload body $i " + i))
+      .toDF("doc_id", "url", "text").coalesce(1) // ONE 120-member file
+    val dir = tmp()
+    Warc.writeWarc(docs, dir, gzip = true).collect()
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted.toSeq
+    assert(names === Seq("part_00000.warc.gz", "part_00000.warc.gz.idx"),
+      names)
+    val whole = Warc.readWarcGz(spark, dir)
+    val split = Warc.readWarcGzSplit(spark, dir, tasksPerFile = 5)
+    // identical rows either way
+    val a = whole.collect().map(_.toSeq).toSet
+    val b = split.collect().map(_.toSeq).toSet
+    assert(a === b && a.size === 120)
+    // and the split really fans out: one file, multiple partitions
+    assert(split.rdd.getNumPartitions === 5)
+    val perTask = split
+      .select(org.apache.spark.sql.functions.spark_partition_id())
+      .collect().map(_.getInt(0)).groupBy(identity).view.mapValues(_.length)
+    assert(perTask.size === 5, s"expected 5 live tasks: $perTask")
+    // sidecar removed -> degrades to one whole-file range, same rows
+    new java.io.File(dir, "part_00000.warc.gz.idx").delete()
+    new java.io.File(dir, ".part_00000.warc.gz.idx.crc").delete()
+    val noIdx = Warc.readWarcGzSplit(spark, dir, tasksPerFile = 5)
+    assert(noIdx.rdd.getNumPartitions === 1)
+    assert(noIdx.collect().map(_.toSeq).toSet === a)
   }
 }
