@@ -1041,6 +1041,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("cross_entropy"), 6).as("cross_entropy"))
     }),
+    "q_min_k_prob" -> ((s, dir) =>
+      // Min-K% Prob membership/memorization audit (Shi et al. 2023):
+      // mean logprob of each doc's 20% least-probable tokens under the
+      // corpus's own unigram LM — high (less negative) = suspiciously
+      // probable even at its rarest tokens; the sorted-run fold keeps
+      // the accumulation order fixed so every score hash-checks
+      graft.text.UnigramLm.minKProb(table(s, dir, "documents"))),
     "q_stratified_sample" -> ((s, dir) => {
       // Deterministic md5-hash mixture sampling by language; 'fr' is
       // deliberately absent from the rate map to exercise defaultRate=0
@@ -5144,6 +5151,35 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  round(-avg(logp), 6) AS cross_entropy
         |FROM s GROUP BY doc_id""".stripMargin,
+    "q_min_k_prob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |counts AS MATERIALIZED (
+        |  SELECT term, count(*)::BIGINT AS tc
+        |  FROM (SELECT unnest(ts) AS term FROM tok) GROUP BY term),
+        |stats AS (SELECT sum(tc)::BIGINT AS n_total,
+        |    count(*)::BIGINT AS vocab FROM counts),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    ln((coalesce(c.tc, 0) + 1.0::DOUBLE) /
+        |      ((n_total + vocab)::DOUBLE)) AS logp
+        |  FROM (SELECT doc_id, unnest(ts) AS term FROM tok) t
+        |  LEFT JOIN counts c USING (term) CROSS JOIN stats),
+        |d AS (SELECT doc_id, list_sort(list(logp)) AS lps
+        |  FROM s GROUP BY doc_id),
+        |k AS (SELECT doc_id, len(lps)::BIGINT AS n_tokens,
+        |    greatest(1, ceil(0.2 * len(lps) - 1e-9)::BIGINT) AS k_tokens,
+        |    lps
+        |  FROM d)
+        |SELECT doc_id, n_tokens, k_tokens,
+        |  round(list_sum(list_slice(lps, 1, k_tokens::INT)) /
+        |    k_tokens::DOUBLE, 6) AS min_k_logprob,
+        |  (round(list_sum(list_slice(lps, 1, k_tokens::INT)) /
+        |    k_tokens::DOUBLE, 6) >= -6.5) AS suspect
+        |FROM k""".stripMargin,
     "q_pii" -> piiOracle,
     "q_curation" -> curationOracle,
     "q_curation_web" -> curationWebOracle,

@@ -320,6 +320,72 @@ object UnigramLm {
     * Scale: two LM scorings (each one vocab-bounded model aggregate +
     * per-token joins reducing map-side to 1 row/doc), one id-keyed
     * join, a grid aggregate, one broadcast threshold join. */
+  /** Min-K% Prob membership / memorization audit (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models"): a
+    * document's score is the MEAN LOG-PROBABILITY OF ITS k% LEAST
+    * PROBABLE TOKENS under a language model. The insight: a true
+    * non-member contains some genuinely surprising tokens, so its
+    * bottom-k% mean is very negative; text the model has memorized is
+    * suspiciously probable EVEN at its rarest tokens — a HIGH (less
+    * negative) min-k score flags likely training-set members,
+    * benchmark leakage, or verbatim memorization. This is the
+    * model-side complement of the n-gram decontamination pair: n-gram
+    * overlap needs the benchmark text in hand; min-k% prob audits
+    * against the MODEL when the suspect reference corpus is
+    * unavailable.
+    *
+    * The published method reads the target LLM's token logprobs; this
+    * operationalizes the same statistic with the library's add-one
+    * unigram LM ([[crossEntropy]]'s model — swap `model` for any
+    * (term, tc) table to audit against another distribution). Scores
+    * are comparable ONLY within one run; calibrate `threshold` on
+    * known non-members (the paper reports AUC over known splits).
+    *
+    * Determinism: logp is one shared IEEE expression; the bottom-k
+    * selection is `slice(sort_array(per-doc logp list), 1, k)` and the
+    * mean folds that slice in sorted order — accumulation order fixed,
+    * so the oracle hash-matches (DuckDB `list_sort` + ordered
+    * `list_sum`). Per-doc state is the doc's own token list (the
+    * charEntropy sorted-run-fold posture — bounded by document length,
+    * never corpus-sized). One vocab-bounded model aggregate, one token
+    * join, one per-doc aggregate: ~1 row per document past the scan.
+    *
+    * Returns (idCol, n_tokens, k_tokens, min_k_logprob [mean, rounded
+    * 6], suspect [min_k_logprob ≥ threshold]); empty docs emit no row.
+    * `minKFrac` defaults to the paper's k = 20%. */
+  def minKProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minKFrac: Double = 0.2,
+      threshold: Double = -6.5, model: DataFrame = null): DataFrame = {
+    require(minKFrac > 0 && minKFrac <= 1,
+      s"minKFrac must be in (0, 1], got $minKFrac")
+    val m = Option(model).getOrElse(docs)
+    val counts = m.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tc"))
+    val stats = counts.agg(sum(col("tc")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    val perDoc = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .join(counts, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+          (col("n_total") + col("vocab"))).as("__logp"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("__logp"))).as("__lps"))
+    val n = size(col("__lps"))
+    val kTok = greatest(lit(1L),
+      ceil(lit(minKFrac) * n.cast("double") - lit(1e-9)).cast("long"))
+    val kSlice = slice(col("__lps"), lit(1), kTok.cast("int"))
+    val meanK = aggregate(kSlice, lit(0.0), (acc, x) => acc + x) /
+      kTok.cast("double")
+    perDoc.select(col("id").as(idCol),
+        n.cast("long").as("n_tokens"),
+        kTok.as("k_tokens"),
+        round(meanK, 6).as("min_k_logprob"))
+      .withColumn("suspect", col("min_k_logprob") >= threshold)
+  }
+
   def learnabilitySelect(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", keepFraction: Double = 0.5,
       discount: Double = 0.75, model: DataFrame = null): DataFrame = {

@@ -12,6 +12,42 @@ class SelectionSpec extends SparkSuite {
   lazy val docs: DataFrame =
     spark.read.parquet(s"$sf0001/documents.parquet")
 
+  test("min-k% prob: hand-computed bottom-k selection, suspect flag, " +
+      "layout invariance") {
+    import spark.implicits._
+    import graft.text.UnigramLm
+    // corpus: a appears 9x, z once -> N=10, V=2
+    // logp(a) = ln(10/12), logp(z) = ln(2/12)
+    val d = Seq((1L, "a a a a z"), (2L, "a a a a a"))
+      .toDF("doc_id", "text")
+    val out = UnigramLm.minKProb(d, minKFrac = 0.2, threshold = -1.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val lpA = math.log(10.0 / 12.0)
+    val lpZ = math.log(2.0 / 12.0)
+    // k = ceil(0.2*5) = 1 -> doc 1's single worst token is z
+    assert(out(1L).getLong(1) === 5L && out(1L).getLong(2) === 1L)
+    assert(math.abs(out(1L).getDouble(3) - lpZ) < 1e-6)
+    assert(!out(1L).getBoolean(4)) // rare token present: not a suspect
+    // doc 2 is all high-prob tokens -> high min-k score -> suspect
+    assert(math.abs(out(2L).getDouble(3) - lpA) < 1e-6)
+    assert(out(2L).getBoolean(4))
+    // k covers multiple tokens: k = ceil(0.2*10) = 2, fold order fixed
+    val d2 = Seq((3L, "z z a a a a a a a a")).toDF("doc_id", "text")
+    val out2 = UnigramLm.minKProb(d2, minKFrac = 0.2, model = d)
+      .collect()(0)
+    // model excludes doc 3, so counts stay a=9, z=1... model=d: N=10,V=2
+    assert(out2.getLong(2) === 2L)
+    assert(math.abs(out2.getDouble(3) -
+      math.log(2.0 / 12.0)) < 1e-6) // both bottom tokens are z
+    // layout invariance: same scores at any partitioning
+    val big = docs.limit(60)
+    val a = UnigramLm.minKProb(big).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val b = UnigramLm.minKProb(big.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(a === b)
+  }
+
   test("bm25: hand-computed score on a 3-doc corpus") {
     import spark.implicits._
     val tiny = Seq(
