@@ -2619,6 +2619,35 @@ object SparkEntry {
         table(s, dir, "documents").withColumn("url", syntheticUrl),
         "url", "doc_id")
         .select("doc_id", "norm_url", "n_variants")),
+    "q_robots_gate" -> ((s, dir) => {
+      // RFC 9309 crawl-permission gate: four robots.txt policy
+      // templates spread across the six synthetic hosts
+      // ((ascii(host[2]) + len(host)) % 4 hits all four), parsed into
+      // agent-resolved rules (agent 'graftbot' vs a 'GraftBot' group —
+      // case-insensitive; a '*' fallback group it must NOT pick) and
+      // matched longest-pattern-wins against raw path?query targets;
+      // the oracle hand-derives every decision from the templates — an
+      // independent second implementation, not a parse replay
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+      val hosts = docs
+        .select(graft.text.UrlOps.host(col("url")).as("host"))
+        .distinct()
+      val variant =
+        pmod(ascii(substring(col("host"), 2, 1)) + length(col("host")),
+          lit(4))
+      val robots = hosts.withColumn("robots_txt",
+        when(variant === 0,
+          lit("User-agent: *\nDisallow: /p/1*\nAllow: /p/12$\n"))
+        .when(variant === 1, lit("User-Agent: GraftBot\nDisallow: /\n" +
+          "\nUser-agent: *\nAllow: /\n"))
+        .when(variant === 2,
+          lit("# crawl policy\nUser-agent: *\nDisallow:\n"))
+        .otherwise(lit("User-agent: *\nDisallow: /p/3$\n" +
+          "Disallow: /p/2*/\nAllow: /p/2*\n")))
+      graft.text.UrlOps.robotsGate(docs, robots, "url", "doc_id",
+        agent = "graftbot")
+    }),
     "q_domain_stats" -> ((s, dir) =>
       // per-registered-domain corpus profile (eTLD+1 grouping incl.
       // multi-part suffixes co.uk / com.au): doc count, distinct
@@ -7179,6 +7208,42 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, norm_url,
         |  count(*)::BIGINT AS n_variants
         |FROM dom GROUP BY norm_url""".stripMargin),
+    // decisions hand-derived per robots template (independent second
+    // implementation — NOT a replay of the parse/LIKE chain): v0 longest
+    // match allow /p/12$ over disallow /p/1*; v1 the agent-specific
+    // group disallows everything; v2 empty Disallow = no rules; v3
+    // disallow /p/2*/ (len 7) beats allow /p/2* (len 5), /p/3$ anchored
+    "q_robots_gate" -> (urlCtes +
+      """
+        |, tgt AS (SELECT doc_id, host,
+        |    (CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) ||
+        |    (CASE WHEN rawq = '' THEN '' ELSE '?' || rawq END) AS target,
+        |    (ascii(substr(host, 2, 1)) + strlen(host)) % 4 AS v
+        |  FROM hp)
+        |SELECT doc_id, host, target,
+        |  CASE v
+        |    WHEN 0 THEN (NOT target LIKE '/p/1%') OR target = '/p/12'
+        |    WHEN 1 THEN false
+        |    WHEN 2 THEN true
+        |    ELSE NOT (target LIKE '/p/2%/%' OR target = '/p/3')
+        |  END AS allowed,
+        |  CASE
+        |    WHEN v = 0 AND target = '/p/12' THEN 'allow'
+        |    WHEN v = 0 AND target LIKE '/p/1%' THEN 'disallow'
+        |    WHEN v = 1 THEN 'disallow'
+        |    WHEN v = 3 AND target LIKE '/p/2%/%' THEN 'disallow'
+        |    WHEN v = 3 AND target = '/p/3' THEN 'disallow'
+        |    WHEN v = 3 AND target LIKE '/p/2%' THEN 'allow'
+        |    ELSE NULL END AS rule_type,
+        |  CASE
+        |    WHEN v = 0 AND target = '/p/12' THEN '/p/12$'
+        |    WHEN v = 0 AND target LIKE '/p/1%' THEN '/p/1*'
+        |    WHEN v = 1 THEN '/'
+        |    WHEN v = 3 AND target LIKE '/p/2%/%' THEN '/p/2*/'
+        |    WHEN v = 3 AND target = '/p/3' THEN '/p/3$'
+        |    WHEN v = 3 AND target LIKE '/p/2%' THEN '/p/2*'
+        |    ELSE NULL END AS rule_pattern
+        |FROM tgt""".stripMargin),
     "q_domain_stats" -> (urlCtes +
       """
         |SELECT domain, count(*)::BIGINT AS n_docs,

@@ -180,4 +180,139 @@ object UrlOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
     withNorm.join(keep, Seq("norm_url", idCol))
   }
+
+  /** Raw request target a robots rule matches against: path + optional
+    * `?query` (fragment dropped, empty path → "/"). Robots matching is
+    * on the RAW path, not the canonical form — `/p/1?a=1` and `/p/1`
+    * are different match targets. */
+  private def requestTarget(url: Column): Column = {
+    val u = withScheme(url)
+    val rawPath = regexp_extract(u, UrlRe, 3)
+    val rawQ = regexp_extract(u, UrlRe, 4)
+    concat(when(rawPath === "", lit("/")).otherwise(rawPath),
+      when(rawQ === "", lit("")).otherwise(concat(lit("?"), rawQ)))
+  }
+
+  /** robots.txt (RFC 9309) parsed into an agent-resolved rule table:
+    * one row per effective Allow/Disallow rule — (host, rule_type
+    * ['allow'|'disallow'], pattern [as written], plen [octets, the
+    * longest-match specificity], like_pat [the pattern compiled to a
+    * SQL LIKE expression with `!` escape — `*` → `%`, a trailing `$`
+    * anchors the end, everything else literal; LIKE is full-string so
+    * the start anchor is implicit]).
+    *
+    * Group semantics per the RFC: consecutive `User-agent` lines form
+    * a group header; `Allow`/`Disallow` lines that follow belong to
+    * every named agent until the next header. The table keeps the
+    * rules of the group(s) naming `agent` (case-insensitive product
+    * token match) when any exist for a host, else the `*` group(s) —
+    * the RFC's most-specific-group rule at the exact/wildcard
+    * granularity. Comments (`#…`) strip first; unknown directives and
+    * blank lines neither terminate groups nor become rules; rules
+    * before any header have no group and drop; EMPTY patterns drop
+    * (`Disallow:` = nothing disallowed). Keys are case-insensitive.
+    *
+    * Why LIKE and not regex: the wildcard grammar (`*`, final `$`)
+    * compiles exactly to LIKE-with-escape, which both Spark and DuckDB
+    * evaluate with identical semantics — no regex-dialect risk in the
+    * oracle (the q_robots_gate oracle hand-derives decisions per
+    * fixture template instead of replaying this parse — an independent
+    * second implementation).
+    *
+    * Scale: robots.txt is per-host bounded (crawlers cap it at 500 KB);
+    * the only window partitions by host over its OWN lines. One row
+    * per rule comes out — a host-keyed dimension table for
+    * [[robotsGate]]'s join. */
+  def parseRobots(robots: DataFrame, hostCol: String = "host",
+      txtCol: String = "robots_txt",
+      agent: String = "*"): DataFrame = {
+    require(agent.nonEmpty, "agent must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("__i"))
+    val kv = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(txtCol), lit("")), "\n"))
+          .as(Seq("__i", "__raw")))
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .filter(col("__line") =!= "")
+      .withColumn("__key",
+        lower(trim(substring_index(col("__line"), ":", 1))))
+      .withColumn("__val",
+        trim(expr("substring(__line, instr(__line, ':') + 1)")))
+      .filter(col("__key").isin("user-agent", "allow", "disallow") &&
+        col("__line").contains(":"))
+    val grouped = kv
+      .withColumn("__isUa", col("__key") === "user-agent")
+      .withColumn("__newGrp", (col("__isUa") &&
+        !coalesce(lag(col("__isUa"), 1).over(w), lit(false))).cast("long"))
+      .withColumn("__grp", sum(col("__newGrp")).over(w))
+      .filter(col("__grp") > 0) // rules before any header: no group
+    val groups = grouped.groupBy(col("host"), col("__grp"))
+      .agg(
+        max(when(col("__isUa") &&
+          lower(col("__val")) === agent.toLowerCase, 1L)
+          .otherwise(0L)).as("__agentHit"),
+        max(when(col("__isUa") && col("__val") === "*", 1L)
+          .otherwise(0L)).as("__wild"))
+    val hostSpecific = groups.groupBy(col("host"))
+      .agg(max(col("__agentHit")).as("__hasSpecific"))
+    val chosen = groups.join(hostSpecific, Seq("host"))
+      .filter(when(col("__hasSpecific") === 1L, col("__agentHit") === 1L)
+        .otherwise(col("__wild") === 1L))
+      .select(col("host"), col("__grp"))
+    val endAnchor = col("pattern").endsWith("$")
+    val body = when(endAnchor,
+        expr("substring(pattern, 1, length(pattern) - 1)"))
+      .otherwise(col("pattern"))
+    // LIKE compile: escape ! % _ first, then * -> % (never re-escaped)
+    val esc = regexp_replace(regexp_replace(regexp_replace(body,
+      "!", "!!"), "%", "!%"), "_", "!_")
+    val likeBody = regexp_replace(esc, "\\*", "%")
+    grouped.filter(!col("__isUa") && col("__val") =!= "")
+      .join(chosen, Seq("host", "__grp"), "left_semi")
+      .select(col("host"), col("__key").as("rule_type"),
+        col("__val").as("pattern"))
+      .withColumn("plen", length(col("pattern")).cast("long"))
+      .withColumn("like_pat",
+        concat(likeBody, when(endAnchor, lit("")).otherwise(lit("%"))))
+  }
+
+  /** RFC 9309 crawl-permission gate — the politeness stage of a crawl
+    * corpus pipeline: each document URL is checked against its host's
+    * parsed robots rules ([[parseRobots]]) under the LONGEST-MATCH
+    * rule: the matching Allow/Disallow with the most pattern octets
+    * wins; at equal length Allow wins; no matching rule (or no rules
+    * for the host at all) means allowed — the RFC defaults. Returns
+    * the input id plus (host, target, allowed, rule_type,
+    * rule_pattern) with NULL rule columns on the default-allow path.
+    *
+    * Scale: one host-keyed join of the corpus against the rule
+    * dimension table (broadcast when small — the usual case: rules ≈
+    * tens per host); per-URL fan-out is that host's rule count; the
+    * winner is one max(struct) aggregate back to one row per document
+    * — no windows, nothing corpus-sized on the driver. Ties beyond
+    * (plen, type) break on the lexicographically greatest pattern for
+    * determinism. */
+  def robotsGate(docs: DataFrame, robots: DataFrame, urlCol: String,
+      idCol: String, hostCol: String = "host",
+      txtCol: String = "robots_txt", agent: String = "*"): DataFrame = {
+    val rules = parseRobots(robots, hostCol, txtCol, agent)
+    val targets = docs.select(col(idCol),
+      host(col(urlCol)).as("host"),
+      requestTarget(col(urlCol)).as("target"))
+    val joined = targets.join(rules, Seq("host"), "left")
+      .withColumn("__m", col("like_pat").isNotNull &&
+        expr("target LIKE like_pat ESCAPE '!'"))
+    joined.groupBy(col(idCol), col("host"), col("target"))
+      .agg(max(when(col("__m"),
+        struct(col("plen"),
+          when(col("rule_type") === "allow", 1L).otherwise(0L)
+            .as("__tr"),
+          col("pattern"), col("rule_type")))).as("__w"))
+      .select(col(idCol), col("host"), col("target"),
+        (col("__w").isNull ||
+          col("__w.rule_type") === "allow").as("allowed"),
+        col("__w.rule_type").as("rule_type"),
+        col("__w.pattern").as("rule_pattern"))
+  }
 }

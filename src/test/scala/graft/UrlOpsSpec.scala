@@ -98,6 +98,67 @@ class UrlOpsSpec extends SparkSuite {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("robots: RFC 9309 longest-match, allow wins ties, $ anchor, " +
+      "mid-pattern literals, LIKE metacharacter escaping") {
+    val robots = Seq(("h.com",
+      "User-agent: *\n" +
+        "Allow: /a\n" +          // len 2 — ties the next line
+        "Disallow: /a\n" +       // allow wins the tie
+        "Disallow: /a/b\n" +     // len 4 beats both where it matches
+        "Disallow: /x$\n" +      // end-anchored
+        "Disallow: /y_z%\n" +    // _ and % are LITERALS in robots
+        "Disallow: /w*9$\n"))    // mid-* with end anchor
+      .toDF("host", "robots_txt")
+    def gate(path: String): (Boolean, String) = {
+      val r = UrlOps.robotsGate(
+        Seq((1L, s"https://h.com$path")).toDF("doc_id", "url"),
+        robots, "url", "doc_id").collect()(0)
+      (r.getBoolean(3), Option(r.getString(5)).orNull)
+    }
+    assert(gate("/a") === ((true, "/a")))        // tie -> allow
+    assert(gate("/a/b") === ((false, "/a/b")))   // longer disallow wins
+    assert(gate("/x") === ((false, "/x$")))
+    // $ anchored /x$ doesn't match /xy, and '/a%' doesn't either:
+    // winner is null -> allowed with null rule
+    assert(gate("/xy") === ((true, null)))
+    // '%' in the pattern is a literal octet, not a LIKE wildcard: a
+    // target missing the literal '%' must not match...
+    assert(gate("/y_zX") === ((true, null)))
+    // ...while the literal (and any prefix extension of it) does:
+    assert(gate("/y_z%") === ((false, "/y_z%")))
+    assert(gate("/y_z%25") === ((false, "/y_z%")))
+    assert(gate("/yQzX") === ((true, null)))     // _ is not any-char
+    assert(gate("/w1239") === ((false, "/w*9$")))
+    assert(gate("/w1239x") === ((true, null)))   // anchored $ stops it
+  }
+
+  test("robots: group selection — specific agent over *, rules before " +
+      "any header dropped, unknown directives don't break groups, " +
+      "multi-agent headers, no-robots default-allow") {
+    val robots = Seq(
+      ("s.com",
+        "Disallow: /orphan\n" + // before any header: dropped
+          "User-agent: OtherBot\nUser-agent: GRAFTBOT\n" + // multi-UA
+          "Crawl-delay: 10\n" + // unknown directive: ignored
+          "Disallow: /private\n" +
+          "User-agent: *\nDisallow: /\n"),
+      ("w.com", "User-agent: *\nDisallow: /blocked\n"))
+      .toDF("host", "robots_txt")
+    val docs = Seq(
+      (1L, "https://s.com/orphan"),   // orphan rule dropped -> allowed
+      (2L, "https://s.com/private"),  // graftbot group -> disallowed
+      (3L, "https://s.com/other"),    // * group NOT used (specific won)
+      (4L, "https://w.com/blocked"),  // wildcard group applies
+      (5L, "https://w.com/fine"),
+      (6L, "https://nothing.example/p")) // no robots row at all
+      .toDF("doc_id", "url")
+    val out = UrlOps.robotsGate(docs, robots, "url", "doc_id",
+        agent = "graftbot").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true))
+  }
+
   test("domainCap keeps top-N per registered domain by score, ties to min id") {
     val docs = Seq(
       (1L, "https://a.com/1", 10.0), (2L, "https://a.com/2", 30.0),
