@@ -155,6 +155,36 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__norm")
       .drop("__norm")
 
+  /** Streaming robots gate — the crawl-politeness stage LIVE: each
+    * fetched URL checks against its host's parsed robots rules as the
+    * stream flows. The rules table is STATIC (robots snapshots refresh
+    * on crawl-cycle cadence, not per-event), collapsed to one
+    * rules-array row per host ([[graft.text.UrlOps.robotsRulesByHost]])
+    * so the whole gate is a stream-static broadcast-joinable 1:1 join
+    * plus a MAP-ONLY per-row fold ([[graft.text.UrlOps.robotsVerdict]])
+    * — NO state store, no watermark, any output mode; verdicts are
+    * bit-identical to the batch [[graft.text.UrlOps.robotsGate]]
+    * (spec-pinned). Chain before [[streamingUrlDedup]] in a live
+    * ingest: politeness first, then canonical dedup, then content. */
+  def streamingRobotsGate(src: DataFrame, robots: DataFrame,
+      urlCol: String, agent: String = "*",
+      hostCol: String = "host", txtCol: String = "robots_txt",
+      keepDisallowed: Boolean = false): DataFrame = {
+    import graft.text.UrlOps
+    val rules = broadcast(
+      UrlOps.robotsRulesByHost(robots, hostCol, txtCol, agent))
+    val verdict = UrlOps.robotsVerdict(col("__target"), col("rules"))
+    val out = src
+      .withColumn("host", UrlOps.host(col(urlCol)))
+      .withColumn("__target", UrlOps.requestTarget(col(urlCol)))
+      .join(rules, Seq("host"), "left")
+      .withColumn("allowed", verdict.getField("allowed"))
+      .withColumn("rule_type", verdict.getField("rule_type"))
+      .withColumn("rule_pattern", verdict.getField("rule_pattern"))
+      .drop("rules", "__target")
+    if (keepDisallowed) out else out.filter(col("allowed"))
+  }
+
   /** Streaming corpus-curation gate: the STATELESS stages of
     * [[graft.operators.Curation.curate]] — PII redaction, quality +
     * language gate, deterministic mixture sampling — applied to a

@@ -185,7 +185,7 @@ object UrlOps {
     * `?query` (fragment dropped, empty path → "/"). Robots matching is
     * on the RAW path, not the canonical form — `/p/1?a=1` and `/p/1`
     * are different match targets. */
-  private def requestTarget(url: Column): Column = {
+  private[graft] def requestTarget(url: Column): Column = {
     val u = withScheme(url)
     val rawPath = regexp_extract(u, UrlRe, 3)
     val rawQ = regexp_extract(u, UrlRe, 4)
@@ -275,6 +275,67 @@ object UrlOps {
       .withColumn("plen", length(col("pattern")).cast("long"))
       .withColumn("like_pat",
         concat(likeBody, when(endAnchor, lit("")).otherwise(lit("%"))))
+  }
+
+  /** [[parseRobots]] collapsed to ONE row per host: (host, rules
+    * array<struct{rule_type, pattern, plen, like_pat}>) — the
+    * dimension-table shape for a 1:1 (stream-)static join followed by
+    * a MAP-ONLY per-row winner fold ([[robotsVerdict]]), instead of
+    * the fan-out join + aggregate [[robotsGate]] uses. Rules per host
+    * are bounded (robots.txt is capped at 500 KB by every crawler), so
+    * the array row is small by construction. */
+  def robotsRulesByHost(robots: DataFrame, hostCol: String = "host",
+      txtCol: String = "robots_txt", agent: String = "*"): DataFrame =
+    parseRobots(robots, hostCol, txtCol, agent)
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("rule_type"), col("pattern"),
+        col("plen"), col("like_pat"))).as("rules"))
+
+  /** `str LIKE pat ESCAPE '!'` with a COLUMN pattern (the DataFrame
+    * API's `Column.like` takes only literals) — needed inside the
+    * [[robotsVerdict]] array lambda, where the pattern is a field of
+    * the rules array element. */
+  private def likeCol(str: Column, pat: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Like(
+        org.apache.spark.sql.GraftSqlBridge.expression(str),
+        org.apache.spark.sql.GraftSqlBridge.expression(pat), '!'))
+
+  /** Per-row robots verdict from a [[robotsRulesByHost]] rules array:
+    * (allowed, rule_type, rule_pattern) as a struct Column — the
+    * longest-match / allow-wins-ties / default-allow fold run entirely
+    * inside the row (one `filter` + one `aggregate` over the ≤ rules
+    * array), so the whole gate is MAP-ONLY after the 1:1 host join:
+    * the shape a STREAM can run statelessly, and the shape a 100 TB
+    * batch prefers too (no per-rule row fan-out, no re-aggregation). */
+  def robotsVerdict(target: Column, rules: Column): Column = {
+    val matched = filter(rules, r =>
+      likeCol(target, r.getField("like_pat")))
+    // winner = max by (plen, allow-beats-disallow, pattern) — the same
+    // total order robotsGate's max(struct) uses
+    val winner = aggregate(matched,
+      lit(null).cast(
+        "struct<rule_type:string,pattern:string,plen:bigint,tr:bigint>"),
+      (acc, r) => {
+        val tr = when(r.getField("rule_type") === "allow", 1L)
+          .otherwise(0L)
+        val cand = struct(r.getField("rule_type").as("rule_type"),
+          r.getField("pattern").as("pattern"),
+          r.getField("plen").as("plen"), tr.as("tr"))
+        when(acc.isNull, cand)
+          .when(r.getField("plen") > acc.getField("plen"), cand)
+          .when(r.getField("plen") === acc.getField("plen") &&
+            tr > acc.getField("tr"), cand)
+          .when(r.getField("plen") === acc.getField("plen") &&
+            tr === acc.getField("tr") &&
+            r.getField("pattern") > acc.getField("pattern"), cand)
+          .otherwise(acc)
+      })
+    struct(
+      (winner.isNull || winner.getField("rule_type") === "allow")
+        .as("allowed"),
+      winner.getField("rule_type").as("rule_type"),
+      winner.getField("pattern").as("rule_pattern"))
   }
 
   /** RFC 9309 crawl-permission gate — the politeness stage of a crawl

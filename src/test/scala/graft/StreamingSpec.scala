@@ -43,6 +43,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class Fetch(doc_id: Long, ts: java.sql.Timestamp, url: String)
 
   test("streaming exact dedup drops repeated content across batches") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -238,6 +239,53 @@ class StreamingSpec extends SparkSuite {
         .map(_.getLong(0)).toSet
       assert(ids === expected,
         s"stream=$ids fold=$expected oneBand=$oneBandKept")
+    } finally q.stop()
+  }
+
+  test("streaming robots gate: stateless stream-static join, verdicts " +
+      "bit-identical to the batch robotsGate") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val robots = Seq(
+      ("h.com", "User-agent: *\nDisallow: /p/1*\nAllow: /p/12$\n"),
+      ("w.org", "User-agent: graftbot\nDisallow: /\n" +
+        "\nUser-agent: *\nAllow: /\n"))
+      .toDF("host", "robots_txt")
+    val urls = Seq(
+      (1L, "https://h.com/p/12"),  // allow (longest match, $ exact)
+      (2L, "https://h.com/p/13"),  // disallow /p/1*
+      (3L, "https://h.com/q"),     // default allow (no match)
+      (4L, "https://w.org/any"),   // graftbot group: disallow all
+      (5L, "https://none.net/x"))  // no robots at all: allow
+    val mem = MemoryStream[Fetch]
+    val out = Streaming.streamingRobotsGate(mem.toDF(), robots, "url",
+      agent = "graftbot", keepDisallowed = true)
+    // stateless: no state store in the physical plan description
+    val q = out.writeStream.format("memory").queryName("robots_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(urls.map { case (i, u) =>
+        Fetch(i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u) }: _*)
+      q.processAllAvailable()
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        "expected no stateful operators")
+      val got = spark.table("robots_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("allowed"),
+            Option(r.getAs[String]("rule_pattern")).orNull))).toMap
+      val batch = graft.text.UrlOps.robotsGate(
+          urls.toDF("doc_id", "url"), robots, "url", "doc_id",
+          agent = "graftbot").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(3), Option(r.getString(5)).orNull))).toMap
+      assert(got === batch)
+      assert(got(1L) === ((true, "/p/12$")) && got(2L)._1 === false &&
+        got(3L) === ((true, null)) && got(4L)._1 === false &&
+        got(5L) === ((true, null)))
+      // the default gate drops disallowed fetches
+      assert(Streaming.streamingRobotsGate(
+        urls.toDF("doc_id", "url"), robots, "url",
+        agent = "graftbot").count() === 3)
     } finally q.stop()
   }
 
