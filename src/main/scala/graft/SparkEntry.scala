@@ -2648,6 +2648,32 @@ object SparkEntry {
       graft.text.UrlOps.robotsGate(docs, robots, "url", "doc_id",
         agent = "graftbot")
     }),
+    "q_crawl_schedule" -> ((s, dir) => {
+      // polite fetch scheduling: Crawl-delay resolved through the same
+      // robots group selection (the graftbot group's 10s beats the *
+      // group's 0.5s; duplicate directives take the conservative min;
+      // absent -> the 1.0s default), then every host queues its URLs
+      // in doc_id order at position*delay seconds — the oracle
+      // hand-derives delays per template, independent of the parser
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+      val hosts = docs
+        .select(graft.text.UrlOps.host(col("url")).as("host"))
+        .distinct()
+      val variant =
+        pmod(ascii(substring(col("host"), 2, 1)) + length(col("host")),
+          lit(4))
+      val robots = hosts.withColumn("robots_txt",
+        when(variant === 0,
+          lit("User-agent: *\nCrawl-delay: 2.5\nDisallow: /p/1*\n"))
+        .when(variant === 1, lit("User-Agent: GraftBot\n" +
+          "Crawl-delay: 10\n\nUser-agent: *\nCrawl-delay: 0.5\n"))
+        .when(variant === 2, lit("User-agent: *\nDisallow: /tmp\n"))
+        .otherwise(
+          lit("User-agent: *\nCrawl-delay: 3\nCrawl-delay: 2\n")))
+      graft.text.UrlOps.crawlSchedule(docs, robots, "url", "doc_id",
+        agent = "graftbot")
+    }),
     "q_domain_stats" -> ((s, dir) =>
       // per-registered-domain corpus profile (eTLD+1 grouping incl.
       // multi-part suffixes co.uk / com.au): doc count, distinct
@@ -7244,6 +7270,22 @@ object SparkEntry {
         |    WHEN v = 3 AND target LIKE '/p/2%' THEN '/p/2*'
         |    ELSE NULL END AS rule_pattern
         |FROM tgt""".stripMargin),
+    // delays hand-derived per template: v0 2.5, v1 the graftbot group's
+    // 10 (NOT the * group's 0.5), v2 the 1.0 default, v3 min(3,2)=2
+    "q_crawl_schedule" -> (urlCtes +
+      """
+        |, tgt AS (SELECT doc_id, host,
+        |    (ascii(substr(host, 2, 1)) + strlen(host)) % 4 AS v
+        |  FROM hp),
+        |sched AS (SELECT doc_id, host,
+        |    (CASE v WHEN 0 THEN 2.5 WHEN 1 THEN 10.0
+        |      WHEN 2 THEN 1.0 ELSE 2.0 END)::DOUBLE AS crawl_delay,
+        |    row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |      AS position
+        |  FROM tgt)
+        |SELECT doc_id, host, position::BIGINT AS position, crawl_delay,
+        |  round((position - 1) * crawl_delay, 6) AS fetch_at_s
+        |FROM sched""".stripMargin),
     "q_domain_stats" -> (urlCtes +
       """
         |SELECT domain, count(*)::BIGINT AS n_docs,

@@ -223,9 +223,11 @@ object UrlOps {
     * the only window partitions by host over its OWN lines. One row
     * per rule comes out — a host-keyed dimension table for
     * [[robotsGate]]'s join. */
-  def parseRobots(robots: DataFrame, hostCol: String = "host",
-      txtCol: String = "robots_txt",
-      agent: String = "*"): DataFrame = {
+  /** Shared robots.txt group machinery: relevant lines with their
+    * group ids, semi-joined to the group(s) the RFC resolves for
+    * `agent` — the substrate of [[parseRobots]] and [[crawlDelays]]. */
+  private def chosenGroupLines(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String): DataFrame = {
     require(agent.nonEmpty, "agent must be non-empty")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col("__i"))
@@ -239,8 +241,8 @@ object UrlOps {
         lower(trim(substring_index(col("__line"), ":", 1))))
       .withColumn("__val",
         trim(expr("substring(__line, instr(__line, ':') + 1)")))
-      .filter(col("__key").isin("user-agent", "allow", "disallow") &&
-        col("__line").contains(":"))
+      .filter(col("__key").isin("user-agent", "allow", "disallow",
+        "crawl-delay") && col("__line").contains(":"))
     val grouped = kv
       .withColumn("__isUa", col("__key") === "user-agent")
       .withColumn("__newGrp", (col("__isUa") &&
@@ -260,6 +262,13 @@ object UrlOps {
       .filter(when(col("__hasSpecific") === 1L, col("__agentHit") === 1L)
         .otherwise(col("__wild") === 1L))
       .select(col("host"), col("__grp"))
+    grouped.join(chosen, Seq("host", "__grp"), "left_semi")
+  }
+
+  def parseRobots(robots: DataFrame, hostCol: String = "host",
+      txtCol: String = "robots_txt",
+      agent: String = "*"): DataFrame = {
+    val grouped = chosenGroupLines(robots, hostCol, txtCol, agent)
     val endAnchor = col("pattern").endsWith("$")
     val body = when(endAnchor,
         expr("substring(pattern, 1, length(pattern) - 1)"))
@@ -268,13 +277,74 @@ object UrlOps {
     val esc = regexp_replace(regexp_replace(regexp_replace(body,
       "!", "!!"), "%", "!%"), "_", "!_")
     val likeBody = regexp_replace(esc, "\\*", "%")
-    grouped.filter(!col("__isUa") && col("__val") =!= "")
-      .join(chosen, Seq("host", "__grp"), "left_semi")
+    grouped
+      .filter(col("__key").isin("allow", "disallow") &&
+        col("__val") =!= "")
       .select(col("host"), col("__key").as("rule_type"),
         col("__val").as("pattern"))
       .withColumn("plen", length(col("pattern")).cast("long"))
       .withColumn("like_pat",
         concat(likeBody, when(endAnchor, lit("")).otherwise(lit("%"))))
+  }
+
+  /** Effective `Crawl-delay` (seconds) per host for `agent` — the
+    * de-facto politeness directive (not in RFC 9309 but honored by
+    * most commercial crawlers), resolved through the same group
+    * selection as [[parseRobots]]; when a chosen group states several,
+    * the MINIMUM wins (the conservative reading); unparsable values
+    * drop. Returns (host, crawl_delay: double) — hosts without a
+    * directive are simply absent (callers coalesce to their default,
+    * see [[crawlSchedule]]). */
+  def crawlDelays(robots: DataFrame, hostCol: String = "host",
+      txtCol: String = "robots_txt", agent: String = "*"): DataFrame =
+    chosenGroupLines(robots, hostCol, txtCol, agent)
+      .filter(col("__key") === "crawl-delay")
+      // try_cast: a malformed delay drops instead of failing the job
+      // under ANSI mode
+      .withColumn("__d", expr("try_cast(__val AS double)"))
+      .filter(col("__d").isNotNull && col("__d") >= 0)
+      .groupBy(col("host"))
+      .agg(min(col("__d")).as("crawl_delay"))
+
+  /** Per-host POLITE FETCH SCHEDULE — the frontier-scheduling step
+    * between the robots gate and the fetcher: URLs queue per host in
+    * `(priority DESC, id ASC)` order and the i-th fetch of a host is
+    * due at `i · crawl_delay` seconds (host's [[crawlDelays]] value,
+    * else `defaultDelay`). Returns the id plus (host, position
+    * [1-based within host], crawl_delay, fetch_at_s) — the columns a
+    * scheduler partitions work by.
+    *
+    * Scale: the only window partitions by HOST (each host sorts its
+    * own queue — politeness makes per-host fetch order inherently
+    * sequential, so this is the problem's own granularity, not a plan
+    * accident); the delay table is a host-keyed broadcast dimension.
+    * A pathological single-host frontier is a real crawl pathology
+    * (one host cannot be fetched in parallel anyway) — cap per-host
+    * queues upstream with [[domainCap]] if needed. */
+  def crawlSchedule(urls: DataFrame, robots: DataFrame, urlCol: String,
+      idCol: String, priorityCol: Option[String] = None,
+      agent: String = "*", defaultDelay: Double = 1.0,
+      hostCol: String = "host",
+      txtCol: String = "robots_txt"): DataFrame = {
+    require(defaultDelay >= 0,
+      s"defaultDelay must be >= 0, got $defaultDelay")
+    val delays = crawlDelays(robots, hostCol, txtCol, agent)
+    val ordered = priorityCol
+      .map(p => Seq(col(p).desc, col(idCol).asc))
+      .getOrElse(Seq(col(idCol).asc))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(ordered: _*)
+    urls
+      .withColumn("host", host(col(urlCol)))
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("crawl_delay",
+        coalesce(col("crawl_delay"), lit(defaultDelay)))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .withColumn("fetch_at_s",
+        round((col("position") - 1).cast("double") *
+          col("crawl_delay"), 6))
+      .select(col(idCol), col("host"), col("position"),
+        col("crawl_delay"), col("fetch_at_s"))
   }
 
   /** [[parseRobots]] collapsed to ONE row per host: (host, rules

@@ -159,6 +159,39 @@ class UrlOpsSpec extends SparkSuite {
       4L -> false, 5L -> true, 6L -> true))
   }
 
+  test("crawl-delay + schedule: group-resolved delays, conservative " +
+      "min, default fill, per-host positions and fetch times") {
+    val robots = Seq(
+      ("a.com", "User-agent: bot\nCrawl-delay: 10\n" +
+        "\nUser-agent: *\nCrawl-delay: 0.5\n"), // specific group wins
+      ("b.org", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 2\n"),
+      ("c.net", "User-agent: *\nCrawl-delay: oops\n"), // unparsable
+      ("d.io", "User-agent: *\nDisallow: /x\n"))       // absent
+      .toDF("host", "robots_txt")
+    val delays = UrlOps.crawlDelays(robots, agent = "bot").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(delays === Map("a.com" -> 10.0, "b.org" -> 2.0))
+    val urls = Seq(
+      (3L, "https://a.com/p3"), (1L, "https://a.com/p1"),
+      (2L, "https://b.org/q"), (4L, "https://d.io/r"))
+      .toDF("doc_id", "url")
+    val sched = UrlOps.crawlSchedule(urls, robots, "url", "doc_id",
+        agent = "bot", defaultDelay = 1.5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(sched(1L) === ((1L, 10.0, 0.0)))   // a.com queue: id order
+    assert(sched(3L) === ((2L, 10.0, 10.0)))
+    assert(sched(2L) === ((1L, 2.0, 0.0)))
+    assert(sched(4L) === ((1L, 1.5, 0.0)))    // default delay
+    // priority reorders within the host queue
+    val pri = UrlOps.crawlSchedule(
+        urls.withColumn("p", col("doc_id").cast("double")),
+        robots, "url", "doc_id", priorityCol = Some("p"),
+        agent = "bot").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pri(3L) === 1L && pri(1L) === 2L) // higher priority first
+  }
+
   test("domainCap keeps top-N per registered domain by score, ties to min id") {
     val docs = Seq(
       (1L, "https://a.com/1", 10.0), (2L, "https://a.com/2", 30.0),
