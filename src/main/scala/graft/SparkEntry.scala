@@ -2674,6 +2674,37 @@ object SparkEntry {
       graft.text.UrlOps.crawlSchedule(docs, robots, "url", "doc_id",
         agent = "graftbot")
     }),
+    "q_sitemap_parse" -> ((s, dir) => {
+      // frontier seeding: per-host sitemap urlsets BUILT from the
+      // synthetic URL table (&-bearing query strings XML-escaped,
+      // padded <loc> whitespace, optional lastmod/changefreq/priority
+      // keyed on doc_id), then parsed back — the oracle states the
+      // round-trip identity straight from the URL CTEs, never touching
+      // XML or regex: an independent second derivation
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+        .withColumn("host", graft.text.UrlOps.host(col("url")))
+      val d = col("doc_id")
+      val esc = regexp_replace(col("url"), "&", "&amp;")
+      val block = concat(
+        lit("<url><loc> "), esc, lit(" </loc>"),
+        when(pmod(d, lit(3)) === 0,
+          concat(lit("<lastmod>2024-01-0"),
+            (pmod(d, lit(9)) + 1).cast("string"), lit("</lastmod>")))
+          .otherwise(lit("")),
+        when(pmod(d, lit(5)) === 0,
+          lit("<changefreq>daily</changefreq>")).otherwise(lit("")),
+        when(pmod(d, lit(2)) === 0,
+          concat(lit("<priority>0."), pmod(d, lit(10)).cast("string"),
+            lit("</priority>"))).otherwise(lit("")),
+        lit("</url>"))
+      val sitemaps = docs.select(col("host"), block.as("__blk"))
+        .groupBy(col("host"))
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          concat_ws("", sort_array(collect_list(col("__blk")))),
+          lit("</urlset>")).as("sitemap_xml"))
+      graft.text.UrlOps.parseSitemap(sitemaps)
+    }),
     "q_domain_stats" -> ((s, dir) =>
       // per-registered-domain corpus profile (eTLD+1 grouping incl.
       // multi-part suffixes co.uk / com.au): doc count, distinct
@@ -7286,6 +7317,20 @@ object SparkEntry {
         |SELECT doc_id, host, position::BIGINT AS position, crawl_delay,
         |  round((position - 1) * crawl_delay, 6) AS fetch_at_s
         |FROM sched""".stripMargin),
+    // round-trip identity stated from the URL CTEs — the XML the Spark
+    // side builds and re-parses never appears here
+    "q_sitemap_parse" -> (urlCtes +
+      """
+        |SELECT host, url AS loc,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN '2024-01-0' || ((doc_id % 9) + 1)::VARCHAR
+        |    ELSE NULL END AS lastmod,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'daily' ELSE NULL END
+        |    AS changefreq,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN ((doc_id % 10) / 10.0)::DOUBLE
+        |    ELSE NULL END AS priority
+        |FROM hp""".stripMargin),
     "q_domain_stats" -> (urlCtes +
       """
         |SELECT domain, count(*)::BIGINT AS n_docs,

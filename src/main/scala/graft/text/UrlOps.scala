@@ -306,6 +306,54 @@ object UrlOps {
       .groupBy(col("host"))
       .agg(min(col("__d")).as("crawl_delay"))
 
+  /** Minimal XML entity decode for sitemap fields — the five
+    * predefined entities, `&amp;` LAST (the HtmlExtract ordering
+    * discipline: decoding `&` first would double-decode
+    * `&amp;lt;`). */
+  private def xmlUnescape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&apos;", "'"),
+      "&amp;", "&")
+
+  /** sitemaps.org urlset parse — the crawl FRONTIER-SEEDING source
+    * (robots.txt points at sitemaps; sitemaps enumerate the URLs a
+    * host wants crawled, with freshness/priority hints): one row per
+    * `<url>` block — (host, loc [entity-decoded, trimmed], lastmod,
+    * changefreq [NULL when absent], priority [double, NULL when
+    * absent/malformed]). Blocks missing `<loc>` drop. The extraction
+    * is a RE2-portable lazy-dot regexp chain ((?s)<url>(.*?)</url> +
+    * per-field lifts) — map-only, no shuffle, the HtmlExtract posture;
+    * compose with [[robotsGate]] → [[crawlSchedule]] for the
+    * seed-to-fetch-plan pipeline. Sitemap INDEX files (`<sitemap>`
+    * blocks pointing at child sitemaps) are a fetch-recursion concern,
+    * not a parse concern — point this at the leaf urlsets. */
+  def parseSitemap(sitemaps: DataFrame, hostCol: String = "host",
+      xmlCol: String = "sitemap_xml"): DataFrame = {
+    def field(tag: String): Column =
+      regexp_extract(col("__b"), s"(?s)<$tag>\\s*(.*?)\\s*</$tag>", 1)
+    def opt(tag: String): Column =
+      when(field(tag) === "", lit(null).cast("string"))
+        .otherwise(field(tag))
+    sitemaps
+      .select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<url>(.*?)</url>"), lit(1))).as("__b"))
+      .filter(field("loc") =!= "")
+      .withColumn("loc", xmlUnescape(field("loc")))
+      .withColumn("lastmod", opt("lastmod"))
+      .withColumn("changefreq", opt("changefreq"))
+      .withColumn("__pri_s", field("priority"))
+      .withColumn("priority", expr("try_cast(__pri_s AS double)"))
+      .select(col("host"), col("loc"), col("lastmod"),
+        col("changefreq"), col("priority"))
+  }
+
   /** Per-host POLITE FETCH SCHEDULE — the frontier-scheduling step
     * between the robots gate and the fetcher: URLs queue per host in
     * `(priority DESC, id ASC)` order and the i-th fetch of a host is

@@ -192,6 +192,27 @@ class UrlOpsSpec extends SparkSuite {
     assert(pri(3L) === 1L && pri(1L) === 2L) // higher priority first
   }
 
+  test("sitemap parse: entity decode order, loc-less blocks drop, " +
+      "malformed priority nulls, index blocks ignored") {
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>" +
+      "<lastmod>2024-02-03</lastmod><priority>0.8</priority></url>" +
+      // &amp;lt; must decode to the literal '&lt;', NOT to '<'
+      "<url><loc>https://a.com/q?s=&amp;lt;tag&amp;gt;</loc>" +
+      "<priority>high</priority></url>" + // malformed priority -> null
+      "<url><lastmod>2024-01-01</lastmod></url>" + // no loc: drops
+      "<sitemap><loc>https://a.com/child.xml</loc></sitemap>" + // index
+      "</urlset>"
+    val out = UrlOps.parseSitemap(
+        Seq(("a.com", xml)).toDF("host", "sitemap_xml")).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(out.size === 2)
+    val p = out("https://a.com/p?x=1&y=2")
+    assert(p.getString(2) === "2024-02-03" && p.getDouble(4) === 0.8)
+    val q = out("https://a.com/q?s=&lt;tag&gt;")
+    assert(q.isNullAt(2) && q.isNullAt(4))
+  }
+
   test("domainCap keeps top-N per registered domain by score, ties to min id") {
     val docs = Seq(
       (1L, "https://a.com/1", 10.0), (2L, "https://a.com/2", 30.0),
