@@ -2705,6 +2705,29 @@ object SparkEntry {
           lit("</urlset>")).as("sitemap_xml"))
       graft.text.UrlOps.parseSitemap(sitemaps)
     }),
+    "q_link_graph" -> ((s, dir) => {
+      // crawl-graph edge extraction from raw HTML: five href shapes
+      // per page (absolute+fragment, root-relative with an XML-escaped
+      // query, directory-relative, protocol-relative, and a mailto
+      // that must drop), resolved against the synthetic page URL (the
+      // RFC 3986 reference cases) — the edges that feed pageRankByKey
+      // end to end; the oracle re-derives each resolution by template
+      val d = col("doc_id")
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+      val html = concat(
+        lit("<html><body><a href=\"https://ext.example/e"),
+        pmod(d, lit(7)).cast("string"), lit("#frag\">x</a>"),
+        lit("<A href='/p/q?a=1&amp;b=2'>y</A>"),
+        lit("<a class=\"z\" href=\"sub/page"),
+        pmod(d, lit(5)).cast("string"), lit("\">z</a>"),
+        lit("<a href=\"//cdn.assets.net/lib\">c</a>"),
+        lit("<a href=\"mailto:x@y.z\">m</a></body></html>"))
+      graft.text.UrlOps.extractLinks(
+          docs.withColumn("page_html", html), "page_html", "url")
+        .select(col("doc_id"), col("href"), col("link_url"),
+          col("internal"))
+    }),
     "q_domain_stats" -> ((s, dir) =>
       // per-registered-domain corpus profile (eTLD+1 grouping incl.
       // multi-part suffixes co.uk / com.au): doc count, distinct
@@ -7331,6 +7354,34 @@ object SparkEntry {
         |    THEN ((doc_id % 10) / 10.0)::DOUBLE
         |    ELSE NULL END AS priority
         |FROM hp""".stripMargin),
+    // each href shape's resolution re-derived by template (scheme and
+    // host from the same URL CTEs; base directory via the one shared
+    // trailing-segment regexp)
+    "q_link_graph" -> (urlCtes +
+      """
+        |, bd AS (SELECT doc_id, host, scheme,
+        |    regexp_replace(CASE WHEN rawpath = '' THEN '/'
+        |      ELSE rawpath END, '/[^/]*$', '/') AS basedir
+        |  FROM hp)
+        |SELECT doc_id,
+        |  'https://ext.example/e' || (doc_id % 7)::VARCHAR || '#frag'
+        |    AS href,
+        |  'https://ext.example/e' || (doc_id % 7)::VARCHAR AS link_url,
+        |  false AS internal
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, '/p/q?a=1&amp;b=2',
+        |  scheme || '://' || host || '/p/q?a=1&b=2', true
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, 'sub/page' || (doc_id % 5)::VARCHAR,
+        |  scheme || '://' || host || basedir || 'sub/page' ||
+        |    (doc_id % 5)::VARCHAR, true
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, '//cdn.assets.net/lib',
+        |  scheme || '://cdn.assets.net/lib', false
+        |FROM bd""".stripMargin),
     "q_domain_stats" -> (urlCtes +
       """
         |SELECT domain, count(*)::BIGINT AS n_docs,

@@ -306,6 +306,60 @@ object UrlOps {
       .groupBy(col("host"))
       .agg(min(col("__d")).as("crawl_delay"))
 
+  /** Outgoing links of an HTML column, RESOLVED against the page URL —
+    * the crawl-graph EDGE EXTRACTOR: compose with
+    * [[graft.graph.GraphRank.pageRankByKey]] over
+    * `registeredDomain(host(...))` of both ends for the host-rank
+    * quality prior END TO END from raw pages. One row per `<a href>`
+    * per page: (…input id/url…, href [as written], link_url [resolved
+    * absolute, fragment stripped], internal [same host as the page]).
+    *
+    * Resolution (RFC 3986 reference cases, map-only when/concat):
+    * absolute `scheme://…` as-is; protocol-relative `//h/p` takes the
+    * page scheme; root-relative `/p` takes scheme://host; other
+    * relative paths join the page's base directory (WITHOUT
+    * dot-segment normalization — `..` survives verbatim, the same
+    * boundary [[normalizeUrl]] draws; canonicalize downstream).
+    * Fragment-only, `javascript:`, `mailto:`, `tel:` and `data:` hrefs
+    * drop — they are not fetchable edges. Entity-decoded (`&amp;` in
+    * query strings) before resolution. */
+  def extractLinks(docs: DataFrame, htmlCol: String,
+      urlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol),
+      lit("(?is)<a[^>]*\\shref\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))
+    val raw = trim(xmlUnescape(col("__href_raw")))
+    val noFrag = when(raw.contains("#"),
+        expr("substring(__h, 1, instr(__h, '#') - 1)"))
+      .otherwise(col("__h"))
+    val base = withScheme(col(urlCol))
+    val scheme = lower(regexp_extract(base, UrlRe, 1))
+    val pageHost = host(col(urlCol))
+    val basePath = regexp_extract(base, UrlRe, 3)
+    // base directory: path up to (and incl.) the last '/', else '/'
+    val baseDir = when(basePath.contains("/"),
+        regexp_replace(basePath, "/[^/]*$", "/"))
+      .otherwise(lit("/"))
+    val h = col("__h2")
+    val resolved =
+      when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"),
+          concat(scheme, lit("://"), pageHost, h))
+        .otherwise(concat(scheme, lit("://"), pageHost, baseDir, h))
+    docs
+      .withColumn("__href_raw", explode(hrefs))
+      .withColumn("__h", raw)
+      .filter(col("__h") =!= "" && !col("__h").startsWith("#") &&
+        !lower(col("__h"))
+          .rlike("^(javascript|mailto|tel|data):"))
+      .withColumn("__h2", noFrag)
+      .filter(col("__h2") =!= "")
+      .withColumn("href", col("__href_raw"))
+      .withColumn("link_url", resolved)
+      .withColumn("internal", host(resolved) === pageHost)
+      .drop("__href_raw", "__h", "__h2", htmlCol)
+  }
+
   /** Minimal XML entity decode for sitemap fields — the five
     * predefined entities, `&amp;` LAST (the HtmlExtract ordering
     * discipline: decoding `&` first would double-decode

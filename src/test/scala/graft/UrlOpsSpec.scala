@@ -213,6 +213,38 @@ class UrlOpsSpec extends SparkSuite {
     assert(q.isNullAt(2) && q.isNullAt(4))
   }
 
+  test("extractLinks: RFC 3986 reference resolution, scheme carry, " +
+      "base-directory join, drops and entity decode") {
+    val html = "<a href=\"https://abs.example/x#f\">a</a>" + // absolute
+      "<A HREF='//proto.example/y'>b</A>" +        // protocol-relative
+      "<a href=\"/root?q=1&amp;r=2\">c</a>" +      // root + entities
+      "<a href=\"rel/child\">d</a>" +              // directory-relative
+      "<a href=\"#top\">e</a>" +                   // fragment-only: drop
+      "<a href=\"mailto:x@y\">f</a>" +             // scheme drops
+      "<a href=\"javascript:void(0)\">g</a>"
+    def links(pageUrl: String): Map[String, (String, Boolean)] =
+      UrlOps.extractLinks(
+        Seq((1L, pageUrl, html)).toDF("doc_id", "url", "page_html"),
+        "page_html", "url").collect()
+        .map(r => r.getAs[String]("href") ->
+          ((r.getAs[String]("link_url"), r.getAs[Boolean]("internal"))))
+        .toMap
+    val l1 = links("HTTP://Host.Example:80/dir/page.html")
+    assert(l1.size === 4)
+    assert(l1("https://abs.example/x#f") ===
+      (("https://abs.example/x", false)))       // fragment stripped
+    assert(l1("//proto.example/y") ===
+      (("http://proto.example/y", false)))      // page scheme carried
+    assert(l1("/root?q=1&amp;r=2") ===
+      (("http://host.example/root?q=1&r=2", true))) // decoded, rooted
+    assert(l1("rel/child") ===
+      (("http://host.example/dir/rel/child", true))) // base dir join
+    // schemeless page defaults to https; trailing-slash base dir
+    val l2 = links("host.example/dir/sub/")
+    assert(l2("rel/child")._1 === "https://host.example/dir/sub/rel/child")
+    assert(l2("//proto.example/y")._1 === "https://proto.example/y")
+  }
+
   test("domainCap keeps top-N per registered domain by score, ties to min id") {
     val docs = Seq(
       (1L, "https://a.com/1", 10.0), (2L, "https://a.com/2", 30.0),
