@@ -1568,6 +1568,41 @@ object SparkEntry {
       graft.graph.GraphRank.pageRankByKey(edges)
         .select(col("key").as("domain"), col("rank"))
     }),
+    "q_host_rank_html" -> ((s, dir) => {
+      // the SAME domain ranks, now from RAW PAGE BYTES: each synthetic
+      // page carries one external <a href> (to the q_host_rank dst
+      // host, fragment included) and one directory-relative link
+      // (which resolves to the page's own domain — a self-loop the
+      // graph prep drops); extractLinks → host → registeredDomain →
+      // pageRankByKey reproduces q_host_rank's edge set EXACTLY by
+      // construction, so this composition hash-checks against the
+      // identical unrolled-rounds oracle — the crawl loop closed from
+      // HTML to host prior
+      val d = col("doc_id")
+      def host(x: org.apache.spark.sql.Column) = concat(
+        when(pmod(x, lit(5)) === 0, lit("www."))
+          .when(pmod(x, lit(5)) === 1, lit("cdn.")).otherwise(lit("")),
+        lit("site"), pmod(x, lit(97)).cast("string"),
+        when(pmod(x, lit(3)) === 0, lit(".com"))
+          .when(pmod(x, lit(3)) === 1, lit(".co.uk"))
+          .otherwise(lit(".org")))
+      val pages = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", concat(lit("http://"), host(d), lit("/p/"),
+          pmod(d, lit(40)).cast("string")))
+        .withColumn("page_html", concat(
+          lit("<a href=\"https://"), host(d * 5 + 11),
+          lit("/x#f\">out</a>"),
+          lit("<a href='more/depth'>in</a>")))
+      val links = graft.text.UrlOps.extractLinks(pages, "page_html",
+        "url")
+      val edges = links.select(
+        graft.text.UrlOps.registeredDomain(
+          graft.text.UrlOps.host(col("url"))).as("src_dom"),
+        graft.text.UrlOps.registeredDomain(
+          graft.text.UrlOps.host(col("link_url"))).as("dst_dom"))
+      graft.graph.GraphRank.pageRankByKey(edges, "src_dom", "dst_dom")
+        .select(col("key").as("domain"), col("rank"))
+    }),
     "q_leak_safe_split" -> ((s, dir) => {
       // leakage-safe splits: exact copies planted (+1000000 for
       // doc_id < 30) MUST land in the same train/val/test split — the
@@ -5961,6 +5996,10 @@ object SparkEntry {
     "q_knn_pca" -> knnPcaOracle,
     "q_pagerank" -> pageRankOracle,
     "q_host_rank" -> hostRankOracle,
+    // identical by construction: the HTML round trip reproduces the
+    // q_host_rank edge set (self-loops dropped by prep), so the same
+    // unrolled-rounds oracle pins the whole extract→resolve→rank chain
+    "q_host_rank_html" -> hostRankOracle,
     "q_trust_rank" -> trustRankOracle,
     "q_spam_mass" -> spamMassOracle,
     "q_homoglyph" -> homoglyphOracle,
