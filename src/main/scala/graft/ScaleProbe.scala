@@ -61,6 +61,9 @@ object ScaleProbe {
     if (args.headOption.contains("prefix_join")) {
       prefixJoinProbe(spark, n); return
     }
+    if (args.headOption.contains("robots")) {
+      robotsProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -785,6 +788,57 @@ object ScaleProbe {
     println(f"SCALE_PROBE prefix_join docs=$total " +
       f"exact_pairs=$nExact ssjoin=$tEx%.1f s (max_task=${mEx}ms) " +
       f"lsh_pairs=$nLsh lsh=$tLsh%.1f s (max_task=${mLsh}ms)")
+    spark.stop()
+  }
+
+  /** robotsGate shape probe: the rules-array FOLD (one 1:1 host join +
+    * per-row aggregate over the ≤R-rule array) vs the exploded
+    * per-rule JOIN + max(struct) re-aggregation, on n URLs across
+    * n/100 hosts with 21 rules each — the r9 evidence behind
+    * robotsGate's fold-based implementation. */
+  private def robotsProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val nHosts = math.max(1, n / 100)
+    val ruleLines = (0 until 20)
+      .map(i => s"Disallow: /p$i*\n").mkString
+    val txt = "User-agent: *\n" + ruleLines + "Allow: /p7/ok$\n"
+    val robots = spark.range(nHosts)
+      .select(concat(lit("h"), col("id"), lit(".com")).as("host"),
+        lit(txt).as("robots_txt"))
+      .localCheckpoint(true)
+    val urls = spark.range(n)
+      .select(col("id"),
+        concat(lit("https://h"), pmod(col("id"), lit(nHosts.toLong)),
+          lit(".com/p"), pmod(col("id"), lit(37)), lit("/x"))
+          .as("url"))
+      .localCheckpoint(true)
+    val (tFold, mFold) = timedRun(spark)(
+      graft.text.UrlOps.robotsGate(urls, robots, "url", "id"))
+    // comparator: the exploded shape robotsGate used before r9
+    val rules = graft.text.UrlOps.parseRobots(robots)
+      .localCheckpoint(true)
+    val (tJoin, mJoin) = timedRun(spark) {
+      val targets = urls.select(col("id"),
+        graft.text.UrlOps.host(col("url")).as("host"),
+        regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1)
+          .as("target"))
+      targets.join(rules, Seq("host"), "left")
+        .withColumn("__m", col("like_pat").isNotNull &&
+          expr("target LIKE like_pat ESCAPE '!'"))
+        .groupBy(col("id"), col("host"), col("target"))
+        .agg(max(when(col("__m"),
+          struct(col("plen"),
+            when(col("rule_type") === "allow", 1L).otherwise(0L)
+              .as("__tr"),
+            col("pattern"), col("rule_type")))).as("__w"))
+        .select(col("id"),
+          (col("__w").isNull ||
+            col("__w.rule_type") === "allow").as("allowed"))
+    }
+    println(f"SCALE_PROBE robots urls=$n hosts=$nHosts rules_per_host=21 " +
+      f"fold=$tFold%.1f s (max_task=${mFold}ms) " +
+      f"join=$tJoin%.1f s (max_task=${mJoin}ms)")
     spark.stop()
   }
 }

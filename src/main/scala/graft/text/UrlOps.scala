@@ -519,33 +519,29 @@ object UrlOps {
     * the input id plus (host, target, allowed, rule_type,
     * rule_pattern) with NULL rule columns on the default-allow path.
     *
-    * Scale: one host-keyed join of the corpus against the rule
-    * dimension table (broadcast when small — the usual case: rules ≈
-    * tens per host); per-URL fan-out is that host's rule count; the
-    * winner is one max(struct) aggregate back to one row per document
-    * — no windows, nothing corpus-sized on the driver. Ties beyond
+    * Scale: the rules collapse to ONE array row per host
+    * ([[robotsRulesByHost]] — bounded, robots.txt is size-capped), the
+    * corpus joins that dimension table 1:1 on host (broadcast when
+    * small), and the winner is the [[robotsVerdict]] per-row array
+    * fold — ONE map-only pass after the join, no per-rule row fan-out,
+    * no re-aggregation, no windows (`ScaleProbe robots` measures the
+    * fold vs the exploded join+max(struct) alternative). Ties beyond
     * (plen, type) break on the lexicographically greatest pattern for
-    * determinism. */
+    * determinism. The same fold runs statelessly on a stream
+    * ([[graft.streaming.Streaming.streamingRobotsGate]]). */
   def robotsGate(docs: DataFrame, robots: DataFrame, urlCol: String,
       idCol: String, hostCol: String = "host",
       txtCol: String = "robots_txt", agent: String = "*"): DataFrame = {
-    val rules = parseRobots(robots, hostCol, txtCol, agent)
-    val targets = docs.select(col(idCol),
-      host(col(urlCol)).as("host"),
-      requestTarget(col(urlCol)).as("target"))
-    val joined = targets.join(rules, Seq("host"), "left")
-      .withColumn("__m", col("like_pat").isNotNull &&
-        expr("target LIKE like_pat ESCAPE '!'"))
-    joined.groupBy(col(idCol), col("host"), col("target"))
-      .agg(max(when(col("__m"),
-        struct(col("plen"),
-          when(col("rule_type") === "allow", 1L).otherwise(0L)
-            .as("__tr"),
-          col("pattern"), col("rule_type")))).as("__w"))
+    val rules = robotsRulesByHost(robots, hostCol, txtCol, agent)
+    val verdict = robotsVerdict(col("target"), col("rules"))
+    docs.select(col(idCol),
+        host(col(urlCol)).as("host"),
+        requestTarget(col(urlCol)).as("target"))
+      .join(rules, Seq("host"), "left")
+      .withColumn("__v", verdict)
       .select(col(idCol), col("host"), col("target"),
-        (col("__w").isNull ||
-          col("__w.rule_type") === "allow").as("allowed"),
-        col("__w.rule_type").as("rule_type"),
-        col("__w.pattern").as("rule_pattern"))
+        col("__v.allowed").as("allowed"),
+        col("__v.rule_type").as("rule_type"),
+        col("__v.rule_pattern").as("rule_pattern"))
   }
 }
