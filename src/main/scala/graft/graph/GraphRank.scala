@@ -220,9 +220,16 @@ object GraphRank {
       roundDecimals: Int = 9): DataFrame = {
     val h = (c: org.apache.spark.sql.Column) =>
       graft.functions.HashExpressions.md5Long(c)
-    val e = edges.select(h(col(srcCol)).as("src"), h(col(dstCol)).as("dst"))
-    val keys = edges.select(col(srcCol).as("key"))
-      .union(edges.select(col(dstCol).as("key")))
+    // barrier: the string edge list feeds the hashed edge set AND both
+    // key projections — without it an expensive upstream (e.g. the
+    // q_host_rank_html extractLinks chain over raw HTML) would be
+    // re-scanned three times
+    val ek = edges.select(col(srcCol).cast("string").as("sk"),
+        col(dstCol).cast("string").as("dk"))
+      .localCheckpoint(true)
+    val e = ek.select(h(col("sk")).as("src"), h(col("dk")).as("dst"))
+    val keys = ek.select(col("sk").as("key"))
+      .union(ek.select(col("dk").as("key")))
       .distinct()
       .select(col("key"), h(col("key")).as("id"))
     pageRank(e, iters, damping).join(keys, Seq("id"))
