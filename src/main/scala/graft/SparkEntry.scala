@@ -2741,12 +2741,15 @@ object SparkEntry {
       graft.text.UrlOps.parseSitemap(sitemaps)
     }),
     "q_link_graph" -> ((s, dir) => {
-      // crawl-graph edge extraction from raw HTML: five href shapes
+      // crawl-graph edge extraction from raw HTML: seven href shapes
       // per page (absolute+fragment, root-relative with an XML-escaped
-      // query, directory-relative, protocol-relative, and a mailto
-      // that must drop), resolved against the synthetic page URL (the
-      // RFC 3986 reference cases) — the edges that feed pageRankByKey
-      // end to end; the oracle re-derives each resolution by template
+      // query, directory-relative, protocol-relative, an HTML5-legal
+      // UNQUOTED value terminated by '>', a quoted value containing a
+      // space [the control proving unquoted support doesn't truncate
+      // quoted values], and a mailto that must drop), resolved against
+      // the synthetic page URL (the RFC 3986 reference cases) — the
+      // edges that feed pageRankByKey end to end; the oracle
+      // re-derives each resolution by template
       val d = col("doc_id")
       val docs = table(s, dir, "documents").select(col("doc_id"))
         .withColumn("url", syntheticUrl)
@@ -2757,11 +2760,122 @@ object SparkEntry {
         lit("<a class=\"z\" href=\"sub/page"),
         pmod(d, lit(5)).cast("string"), lit("\">z</a>"),
         lit("<a href=\"//cdn.assets.net/lib\">c</a>"),
+        lit("<a href=/u/"), pmod(d, lit(3)).cast("string"),
+        lit(">u</a>"),
+        lit("<a href=\"/s p/x\">s</a>"),
         lit("<a href=\"mailto:x@y.z\">m</a></body></html>"))
       graft.text.UrlOps.extractLinks(
           docs.withColumn("page_html", html), "page_html", "url")
         .select(col("doc_id"), col("href"), col("link_url"),
           col("internal"))
+    }),
+    "q_sitemap_index" -> ((s, dir) => {
+      // two-level frontier seeding: real hosts' robots.txt points at a
+      // sitemap INDEX, not leaf urlsets — per-host <sitemapindex> docs
+      // BUILT from the distinct (host, doc_id%4) child set (padded
+      // <loc> whitespace, an XML-escaped & in one child's query,
+      // lastmod keyed on even k), then parsed back; the oracle states
+      // the round-trip identity straight from the URL CTEs
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+        .withColumn("host", graft.text.UrlOps.host(col("url")))
+      val kids = docs.select(col("host"),
+        pmod(col("doc_id"), lit(4)).as("k")).distinct()
+      val loc = concat(lit("https://"), col("host"), lit("/sm/"),
+        col("k").cast("string"),
+        when(col("k") === 1, lit(".xml?a=1&amp;b=2"))
+          .otherwise(lit(".xml")))
+      val block = concat(
+        lit("<sitemap><loc> "), loc, lit(" </loc>"),
+        when(pmod(col("k"), lit(2)) === 0,
+          concat(lit("<lastmod>2024-03-0"), (col("k") + 1).cast("string"),
+            lit("</lastmod>"))).otherwise(lit("")),
+        lit("</sitemap>"))
+      val idx = kids.select(col("host"), block.as("__blk"))
+        .groupBy(col("host"))
+        .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+          concat_ws("", sort_array(collect_list(col("__blk")))),
+          lit("</sitemapindex>")).as("sitemap_xml"))
+      graft.text.UrlOps.parseSitemapIndex(idx)
+    }),
+    "q_crawl_frontier" -> ((s, dir) => {
+      // the SEED-TO-FETCH-PLAN loop end to end, from raw bytes:
+      // sitemap urlsets (built + parsed back, the q_sitemap_parse
+      // round-trip) seed the frontier, raw HTML contributes two
+      // internal link arms (external + mailto arms drop at the
+      // internal filter), candidates canonicalize + URL-dedup (min
+      // candidate id wins), the robots gate runs on the NORMALIZED
+      // target under the q_robots_gate v-templates (now carrying the
+      // q_crawl_schedule delays too), and survivors get per-host
+      // polite positions — every stage's decision hand-derived in the
+      // oracle from the same templates, never replaying the parsers
+      val d = col("doc_id")
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+      // seeds: urlset XML per host, parsed back; candidate ids are
+      // recovered by the exact loc round-trip (distinct first — the
+      // synthetic URL space is period-bounded, so the parse side is a
+      // small dimension AQE broadcast-joins on its own)
+      val esc = regexp_replace(col("url"), "&", "&amp;")
+      val sitemaps = docs
+        .withColumn("host", graft.text.UrlOps.host(col("url")))
+        .select(col("host"),
+          concat(lit("<url><loc> "), esc, lit(" </loc></url>"))
+            .as("__blk"))
+        .groupBy(col("host"))
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", sort_array(collect_list(col("__blk")))),
+          lit("</urlset>")).as("sitemap_xml"))
+      val seeds = graft.text.UrlOps.parseSitemap(sitemaps)
+        .select(col("loc")).distinct()
+        .join(docs, col("loc") === col("url"))
+        .select((d * 10).as("cand_id"), col("loc").as("cand_url"))
+      val html = concat(
+        lit("<html><body><a href=\"https://ext.example/e"),
+        pmod(d, lit(7)).cast("string"), lit("#frag\">x</a>"),
+        lit("<A href='/p/q?a=1&amp;b=2'>y</A>"),
+        lit("<a class=\"z\" href=\"sub/page"),
+        pmod(d, lit(5)).cast("string"), lit("\">z</a>"),
+        lit("<a href=\"mailto:x@y.z\">m</a></body></html>"))
+      val links = graft.text.UrlOps.extractLinks(
+          docs.withColumn("page_html", html), "page_html", "url")
+        .filter(col("internal"))
+        .select((d * 10 + when(col("href").startsWith("/p/q"), 1)
+          .otherwise(2)).as("cand_id"), col("link_url").as("cand_url"))
+      val cands = seeds.unionByName(links)
+      // barrier: the deduped frontier feeds the gate, the semi-join
+      // and the final norm_url join — checkpoint so the XML/HTML
+      // build+parse upstream runs once
+      val dedup = graft.text.UrlOps.urlDedup(cands, "cand_url", "cand_id")
+        .select(col("cand_id"), col("norm_url"))
+        .localCheckpoint(true)
+      val hosts = docs
+        .select(graft.text.UrlOps.host(col("url")).as("host"))
+        .distinct()
+      val variant =
+        pmod(ascii(substring(col("host"), 2, 1)) + length(col("host")),
+          lit(4))
+      val robots = hosts.withColumn("robots_txt",
+        when(variant === 0, lit("User-agent: *\nCrawl-delay: 2.5\n" +
+          "Disallow: /p/1*\nAllow: /p/12$\n"))
+        .when(variant === 1, lit("User-Agent: GraftBot\n" +
+          "Crawl-delay: 10\nDisallow: /\n" +
+          "\nUser-agent: *\nCrawl-delay: 0.5\nAllow: /\n"))
+        .when(variant === 2,
+          lit("# crawl policy\nUser-agent: *\nDisallow:\n"))
+        .otherwise(lit("User-agent: *\nCrawl-delay: 3\n" +
+          "Crawl-delay: 2\nDisallow: /p/3$\n" +
+          "Disallow: /p/2*/\nAllow: /p/2*\n")))
+      val allowedIds = graft.text.UrlOps.robotsGate(dedup, robots,
+          "norm_url", "cand_id", agent = "graftbot")
+        .filter(col("allowed")).select(col("cand_id"))
+      val allowed = dedup.join(allowedIds, Seq("cand_id"), "left_semi")
+      graft.text.UrlOps.crawlSchedule(allowed, robots, "norm_url",
+          "cand_id", agent = "graftbot")
+        .join(allowed.select(col("cand_id"), col("norm_url")),
+          Seq("cand_id"))
+        .select(col("cand_id"), col("norm_url"), col("host"),
+          col("position"), col("crawl_delay"), col("fetch_at_s"))
     }),
     "q_domain_stats" -> ((s, dir) =>
       // per-registered-domain corpus profile (eTLD+1 grouping incl.
@@ -7393,6 +7507,70 @@ object SparkEntry {
         |    THEN ((doc_id % 10) / 10.0)::DOUBLE
         |    ELSE NULL END AS priority
         |FROM hp""".stripMargin),
+    // round-trip identity for the INDEX level — the child set is the
+    // distinct (host, doc_id%4) grid, stated straight from the URL CTEs
+    "q_sitemap_index" -> (urlCtes +
+      """
+        |SELECT DISTINCT host,
+        |  'https://' || host || '/sm/' || (doc_id % 4)::VARCHAR ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN '.xml?a=1&b=2'
+        |      ELSE '.xml' END) AS sitemap_url,
+        |  CASE WHEN (doc_id % 4) % 2 = 0
+        |    THEN '2024-03-0' || ((doc_id % 4) + 1)::VARCHAR
+        |    ELSE NULL END AS lastmod
+        |FROM hp""".stripMargin),
+    // the frontier composition: each stage's decision re-derived from
+    // the same hand templates (gate rules + delays per v; link arms by
+    // construction; the dedup is a mechanical GROUP BY) — the sitemap
+    // XML and HTML the Spark side builds and re-parses never appear
+    "q_crawl_frontier" -> (urlCtes +
+      """
+        |, cands AS (
+        |  SELECT doc_id * 10 AS cand_id, norm_url, host, path ||
+        |    (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END)
+        |      AS target
+        |  FROM dom
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 1,
+        |    scheme || '://' || host || '/p/q?a=1&b=2', host,
+        |    '/p/q?a=1&b=2'
+        |  FROM dom
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 2,
+        |    scheme || '://' || host ||
+        |      regexp_replace(CASE WHEN rawpath = '' THEN '/'
+        |        ELSE rawpath END, '/[^/]*$', '/') ||
+        |      'sub/page' || (doc_id % 5)::VARCHAR,
+        |    host,
+        |    regexp_replace(CASE WHEN rawpath = '' THEN '/'
+        |      ELSE rawpath END, '/[^/]*$', '/') ||
+        |      'sub/page' || (doc_id % 5)::VARCHAR
+        |  FROM dom),
+        |ded AS (
+        |  SELECT min(cand_id) AS cand_id, norm_url,
+        |    min(host) AS host, min(target) AS target
+        |  FROM cands GROUP BY norm_url),
+        |alw AS (
+        |  SELECT cand_id, norm_url, host,
+        |    (ascii(substr(host, 2, 1)) + strlen(host)) % 4 AS v
+        |  FROM ded
+        |  WHERE CASE (ascii(substr(host, 2, 1)) + strlen(host)) % 4
+        |    WHEN 0 THEN (NOT target LIKE '/p/1%') OR target = '/p/12'
+        |    WHEN 1 THEN false
+        |    WHEN 2 THEN true
+        |    ELSE NOT (target LIKE '/p/2%/%' OR target = '/p/3')
+        |  END),
+        |sched AS (
+        |  SELECT cand_id, norm_url, host,
+        |    (CASE v WHEN 0 THEN 2.5 WHEN 1 THEN 10.0
+        |      WHEN 2 THEN 1.0 ELSE 2.0 END)::DOUBLE AS crawl_delay,
+        |    row_number() OVER (PARTITION BY host ORDER BY cand_id)
+        |      AS position
+        |  FROM alw)
+        |SELECT cand_id, norm_url, host, position::BIGINT AS position,
+        |  crawl_delay, round((position - 1) * crawl_delay, 6)
+        |    AS fetch_at_s
+        |FROM sched""".stripMargin),
     // each href shape's resolution re-derived by template (scheme and
     // host from the same URL CTEs; base directory via the one shared
     // trailing-segment regexp)
@@ -7420,6 +7598,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, '//cdn.assets.net/lib',
         |  scheme || '://cdn.assets.net/lib', false
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, '/u/' || (doc_id % 3)::VARCHAR,
+        |  scheme || '://' || host || '/u/' || (doc_id % 3)::VARCHAR, true
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, '/s p/x',
+        |  scheme || '://' || host || '/s p/x', true
         |FROM bd""".stripMargin),
     "q_domain_stats" -> (urlCtes +
       """

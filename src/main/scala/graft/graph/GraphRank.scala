@@ -217,9 +217,18 @@ object GraphRank {
     * `pageRankByKey(links.select(regDomain(src_url), regDomain(dst_url)))`. */
   def pageRankByKey(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iters: Int = 8, damping: Double = 0.85,
-      roundDecimals: Int = 9): DataFrame = {
-    val h = (c: org.apache.spark.sql.Column) =>
-      graft.functions.HashExpressions.md5Long(c)
+      roundDecimals: Int = 9): DataFrame =
+    pageRankByKeyHashed(edges, srcCol, dstCol, iters, damping,
+      c => graft.functions.HashExpressions.md5Long(c))
+
+  /** [[pageRankByKey]] with an injectable key-hash — the test seam the
+    * collision guard is pinned through (a spec forces two keys onto
+    * one id and expects the loud failure instead of silently merged
+    * ranks). */
+  private[graft] def pageRankByKeyHashed(edges: DataFrame,
+      srcCol: String, dstCol: String, iters: Int, damping: Double,
+      h: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     // barrier: the string edge list feeds the hashed edge set AND both
     // key projections — without it an expensive upstream (e.g. the
     // q_host_rank_html extractLinks chain over raw HTML) would be
@@ -228,10 +237,23 @@ object GraphRank {
         col(dstCol).cast("string").as("dk"))
       .localCheckpoint(true)
     val e = ek.select(h(col("sk")).as("src"), h(col("dk")).as("dst"))
+    // barrier: the guard aggregate AND the rank join both read keys —
+    // checkpoint so the distinct runs once
     val keys = ek.select(col("sk").as("key"))
       .union(ek.select(col("dk").as("key")))
       .distinct()
       .select(col("key"), h(col("key")).as("id"))
+      .localCheckpoint(true)
+    // collision guard: hash collision odds are ~n²/2⁶⁵ (negligible
+    // below ~10⁹ distinct keys) but a SILENT collision would merge two
+    // keys' ranks — one cheap aggregate on the |keys| table the op
+    // already materializes converts the tail risk into a loud failure
+    val g = keys.agg(count(lit(1)).as("nk"),
+      countDistinct(col("id")).as("ni")).head()
+    require(g.getLong(0) == g.getLong(1),
+      s"pageRankByKey: key-hash collision — ${g.getLong(0)} distinct " +
+        s"keys map to ${g.getLong(1)} distinct ids; rank would " +
+        "silently merge the colliding keys")
     pageRank(e, iters, damping).join(keys, Seq("id"))
       .select(col("key"), col("rank"))
   }

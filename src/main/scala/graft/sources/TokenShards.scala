@@ -49,12 +49,17 @@ object TokenShards {
       idCol, col("__n"), tokensPerShard, seed, nBuckets)
     val rows = withN.join(
       assigned.select(col(idCol), col("u"), col("shard")), Seq(idCol))
+    // session Hadoop configuration shipped into the task closure (the
+    // writeWarc pattern — a bare Configuration loses object-store
+    // settings set on the SparkContext)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val manifestRows = rows
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("u"), col(idCol))
       .select(col("shard"), col(idCol).as("__id"), col("__ids"))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = hconf.value
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Long)]
         var cur = Long.MinValue
@@ -114,7 +119,7 @@ object TokenShards {
       s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
         s""""n_tokens":${r.getLong(2)}}""").mkString(",\n  ")
     val mp = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
-    val fs = mp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(mp, true)
     os.write(
       (s"""{"format":"graft-token-shards-v1","tokens_per_shard":""" +

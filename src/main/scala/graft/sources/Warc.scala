@@ -71,10 +71,16 @@ object Warc {
       warcDate: String = EpochWarcDate): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // ship the session's Hadoop configuration into the task closure —
+    // a bare `new Configuration()` would drop filesystem settings and
+    // credentials (e.g. s3a) set on the SparkContext, so writes work on
+    // local/HDFS defaults but fail on configured object stores
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     df.select(col(idCol).cast("long"), col(uriCol), col(textCol))
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = hconf.value
         val ext = if (gzip) ".warc.gz" else ".warc"
         val finalPath =
           new org.apache.hadoop.fs.Path(dir, f"part_$pid%05d$ext")
@@ -288,9 +294,14 @@ object Warc {
         .empty[(Long, String, String, Long, String, Boolean, String)]
         .toDF(OutSchema: _*)
     }
+    // ship the session's Hadoop configuration into the task closure
+    // (a bare `new Configuration()` loses object-store settings set on
+    // the SparkContext — the writeWarc pattern)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     spark.sparkContext.parallelize(ranges, ranges.size)
       .flatMap { case (file, from, to) =>
-        val c = new org.apache.hadoop.conf.Configuration()
+        val c = hconf.value
         val path = new org.apache.hadoop.fs.Path(file)
         val in = path.getFileSystem(c).open(path)
         in.seek(from)
@@ -344,10 +355,14 @@ object Warc {
       (java.util.Arrays.copyOf(arr, off), off == arr.length)
     }
     new Iterator[(Long, String, String, Long, String, Boolean, String)] {
+      // `damaged` MUST initialize before `nextRec`: the nextRec
+      // initializer calls advance(), and Scala constructor ordering
+      // would otherwise reset a damage flag set while reading the
+      // FIRST record back to false
+      private var damaged = false
       private var nextRec
           : Option[(Long, String, String, Long, String, Boolean, String)] =
         advance()
-      private var damaged = false
       private def advance()
           : Option[(Long, String, String, Long, String, Boolean, String)] = {
         if (damaged) return None

@@ -121,12 +121,19 @@ object Streaming {
       graft.text.TextAnalysis.normalizeText(col(textCol)), shingleLen,
       hashMode)
     val sig = graft.dedup.Dedup.minhashSignature(sh, bands * bandRows)
+    // bands = 1 keeps the LEGACY unprefixed key (the pre-multi-band
+    // format): an existing streaming checkpoint's dedup state store
+    // keys keep matching across the upgrade, so previously-seen
+    // documents are not re-admitted. Multi-band keys carry the 'b<i>:'
+    // prefix so different bands' slices can never alias one another.
     def bandKey(b: Int): Column = when(size(sh) === 0,
         concat(lit("fp:"), graft.text.TextAnalysis
           .fingerprintMd5(col(textCol)).cast("string")))
-      .otherwise(concat(lit(s"b$b:"), concat_ws(",",
-        transform(slice(sig, b * bandRows + 1, bandRows),
-          x => x.cast("string")))))
+      .otherwise(concat(
+        if (bands == 1) lit("") else lit(s"b$b:"),
+        concat_ws(",",
+          transform(slice(sig, b * bandRows + 1, bandRows),
+            x => x.cast("string")))))
     var out = src.withWatermark(tsCol, watermark)
     for (b <- 0 until bands) {
       out = out.withColumn("__band", bandKey(b))

@@ -322,11 +322,23 @@ object UrlOps {
     * boundary [[normalizeUrl]] draws; canonicalize downstream).
     * Fragment-only, `javascript:`, `mailto:`, `tel:` and `data:` hrefs
     * drop — they are not fetchable edges. Entity-decoded (`&amp;` in
-    * query strings) before resolution. */
+    * query strings) before resolution. Attribute values may be
+    * double-quoted, single-quoted, or HTML5-legal UNQUOTED
+    * (`href=/about`, terminated by whitespace or `>`) — real
+    * CommonCrawl HTML is full of unquoted values, and skipping them
+    * drops real crawl-graph edges. */
   def extractLinks(docs: DataFrame, htmlCol: String,
       urlCol: String): DataFrame = {
+    // ONE capture group (RE2-portable): quoted arms keep their quotes
+    // so the alternation stays single-group; de-quoting is the exact
+    // substring(2, len-2) below (the regexp guarantees both quotes)
     val hrefs = regexp_extract_all(col(htmlCol),
-      lit("(?is)<a[^>]*\\shref\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))
+      lit("(?is)<a[^>]*\\shref\\s*=\\s*" +
+        "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"), lit(1))
+    val deq = when(
+      col("__href_q").startsWith("\"") || col("__href_q").startsWith("'"),
+      expr("substring(__href_q, 2, length(__href_q) - 2)"))
+      .otherwise(col("__href_q"))
     val raw = trim(xmlUnescape(col("__href_raw")))
     val noFrag = when(raw.contains("#"),
         expr("substring(__h, 1, instr(__h, '#') - 1)"))
@@ -347,7 +359,8 @@ object UrlOps {
           concat(scheme, lit("://"), pageHost, h))
         .otherwise(concat(scheme, lit("://"), pageHost, baseDir, h))
     docs
-      .withColumn("__href_raw", explode(hrefs))
+      .withColumn("__href_q", explode(hrefs))
+      .withColumn("__href_raw", deq)
       .withColumn("__h", raw)
       .filter(col("__h") =!= "" && !col("__h").startsWith("#") &&
         !lower(col("__h"))
@@ -357,7 +370,7 @@ object UrlOps {
       .withColumn("href", col("__href_raw"))
       .withColumn("link_url", resolved)
       .withColumn("internal", host(resolved) === pageHost)
-      .drop("__href_raw", "__h", "__h2", htmlCol)
+      .drop("__href_q", "__href_raw", "__h", "__h2", htmlCol)
   }
 
   /** Minimal XML entity decode for sitemap fields — the five
@@ -385,8 +398,8 @@ object UrlOps {
     * per-field lifts) — map-only, no shuffle, the HtmlExtract posture;
     * compose with [[robotsGate]] → [[crawlSchedule]] for the
     * seed-to-fetch-plan pipeline. Sitemap INDEX files (`<sitemap>`
-    * blocks pointing at child sitemaps) are a fetch-recursion concern,
-    * not a parse concern — point this at the leaf urlsets. */
+    * blocks pointing at child sitemaps) parse with
+    * [[parseSitemapIndex]] — point this at the leaf urlsets. */
   def parseSitemap(sitemaps: DataFrame, hostCol: String = "host",
       xmlCol: String = "sitemap_xml"): DataFrame = {
     def field(tag: String): Column =
@@ -408,6 +421,33 @@ object UrlOps {
         col("changefreq"), col("priority"))
   }
 
+  /** sitemaps.org INDEX parse — the level [[parseSitemap]] deliberately
+    * skips: real hosts' robots.txt points at a `<sitemapindex>` file
+    * whose `<sitemap>` blocks name the child sitemaps, not at leaf
+    * urlsets, so a frontier seeded from robots hits this on day one.
+    * One row per `<sitemap>` block — (host, sitemap_url
+    * [entity-decoded `<loc>`, trimmed], lastmod [NULL when absent]);
+    * blocks missing `<loc>` drop, `<url>` blocks (a mixed or
+    * mislabeled file) are ignored. PARSE only — fetching the child
+    * sitemaps stays the caller's concern; feed the fetched leaves back
+    * through [[parseSitemap]] for the two-level seed flow. Same
+    * map-only RE2-portable regexp posture as [[parseSitemap]]. */
+  def parseSitemapIndex(indexes: DataFrame, hostCol: String = "host",
+      xmlCol: String = "sitemap_xml"): DataFrame = {
+    def field(tag: String): Column =
+      regexp_extract(col("__b"), s"(?s)<$tag>\\s*(.*?)\\s*</$tag>", 1)
+    indexes
+      .select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("__b"))
+      .filter(field("loc") =!= "")
+      .withColumn("sitemap_url", xmlUnescape(field("loc")))
+      .withColumn("lastmod",
+        when(field("lastmod") === "", lit(null).cast("string"))
+          .otherwise(field("lastmod")))
+      .select(col("host"), col("sitemap_url"), col("lastmod"))
+  }
+
   /** Per-host POLITE FETCH SCHEDULE — the frontier-scheduling step
     * between the robots gate and the fetcher: URLs queue per host in
     * `(priority DESC, id ASC)` order and the i-th fetch of a host is
@@ -416,13 +456,26 @@ object UrlOps {
     * [1-based within host], crawl_delay, fetch_at_s) — the columns a
     * scheduler partitions work by.
     *
-    * Scale: the only window partitions by HOST (each host sorts its
-    * own queue — politeness makes per-host fetch order inherently
-    * sequential, so this is the problem's own granularity, not a plan
-    * accident); the delay table is a host-keyed broadcast dimension.
-    * A pathological single-host frontier is a real crawl pathology
-    * (one host cannot be fetched in parallel anyway) — cap per-host
-    * queues upstream with [[domainCap]] if needed. */
+    * Scale: per-host FETCHING is inherently sequential, but the
+    * per-host POSITION is just a rank, and host sizes in a real
+    * frontier are Zipf-distributed — `Window.partitionBy(host)` would
+    * put a mega-host's 10⁷ URLs into ONE sort task that AQE cannot
+    * split. Instead the rank is computed with the two-phase
+    * range-bucket plan: range-partition on (host, order keys) — the
+    * range partitioner's sampling spreads a mega-host over MANY
+    * contiguous partitions, each ~|frontier|/P rows regardless of host
+    * skew — stamp each row with its range-partition id, aggregate
+    * per-(host, bucket) counts (≤ |hosts|+P rows of metadata), turn
+    * them into exclusive per-host prefix offsets with a BOUNDED window
+    * (≤ P rows per host), and add the offset to a `row_number`
+    * partitioned by (host, bucket). Positions are bit-identical to the
+    * single-window rank by the range-partitioning invariant: every row
+    * of bucket i precedes every row of bucket i+1 in (host, order key)
+    * order, and equal keys land in one bucket. The ranged data is
+    * checkpointed once (the fan-out barrier idiom): the counts
+    * aggregate and the final join both consume it, and the checkpoint
+    * pins the nondeterministic partition-id stamp to one assignment.
+    * The delay table is a host-keyed broadcast dimension. */
   def crawlSchedule(urls: DataFrame, robots: DataFrame, urlCol: String,
       idCol: String, priorityCol: Option[String] = None,
       agent: String = "*", defaultDelay: Double = 1.0,
@@ -434,14 +487,39 @@ object UrlOps {
     val ordered = priorityCol
       .map(p => Seq(col(p).desc, col(idCol).asc))
       .getOrElse(Seq(col(idCol).asc))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host")).orderBy(ordered: _*)
-    urls
+    val keyed = urls
       .withColumn("host", host(col(urlCol)))
       .join(broadcast(delays), Seq("host"), "left")
       .withColumn("crawl_delay",
         coalesce(col("crawl_delay"), lit(defaultDelay)))
-      .withColumn("position", row_number().over(w).cast("long"))
+    // phase A: range-partition on the FULL per-host sort key and stamp
+    // the range-bucket id — a skewed host spans many buckets, each
+    // bounded by |frontier|/P, not by the host's size. The barrier
+    // (localCheckpoint, the repo's fan-out idiom) matters twice over:
+    // the counts aggregate AND the final join both consume this node
+    // (without it the whole upstream — possibly a robots-gated,
+    // URL-deduped frontier build — recomputes per consumer plus once
+    // more for range-boundary sampling), and it PINS the
+    // nondeterministic partition-id stamp so both consumers see the
+    // identical bucket assignment by construction
+    val ranged = keyed
+      .repartitionByRange((col("host") +: ordered): _*)
+      .withColumn("__rb", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    // exclusive per-host prefix offsets over the (host, bucket) counts:
+    // the window input is metadata (≤ P rows per host), never row data
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("__rb"))
+    val offsets = ranged.groupBy(col("host"), col("__rb"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("host"), col("__rb"),
+        (sum(col("__n")).over(wOff) - col("__n")).as("__off"))
+    // phase B: exact rank within (host, bucket) + the bucket's offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"), col("__rb")).orderBy(ordered: _*)
+    ranged.join(offsets, Seq("host", "__rb"))
+      .withColumn("position",
+        col("__off") + row_number().over(w).cast("long"))
       .withColumn("fetch_at_s",
         round((col("position") - 1).cast("double") *
           col("crawl_delay"), 6))

@@ -529,6 +529,26 @@ class EvalSpec extends SparkSuite {
     assert(sm(1L) <= sm(2L) && sm(2L) <= sm(3L) + 1e-9)
   }
 
+  test("pageRankByKey: a key-hash collision fails LOUDLY instead of " +
+      "silently merging two domains' ranks; the default hash passes") {
+    import spark.implicits._
+    import graft.graph.GraphRank
+    val edges = Seq(("aa.com", "bb.com"), ("bb.com", "cc.net"))
+      .toDF("src", "dst")
+    // test seam: a length-based "hash" pins aa.com and bb.com (and
+    // cc.net...) onto one id — the guard must trip
+    val ex = intercept[IllegalArgumentException] {
+      GraphRank.pageRankByKeyHashed(edges, "src", "dst", iters = 2,
+        damping = 0.85, h = c => length(c).cast("long"))
+    }
+    assert(ex.getMessage.contains("collision"))
+    // the real md5 hash separates them; ranks cover all 3 keys
+    val r = GraphRank.pageRankByKey(edges, iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set("aa.com", "bb.com", "cc.net"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
   test("keepRateIntervals: Wilson bounds are symmetric at p=0.5, " +
       "clamped at the extremes, and match the closed form") {
     import spark.implicits._

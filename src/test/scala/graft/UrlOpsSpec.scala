@@ -192,6 +192,79 @@ class UrlOpsSpec extends SparkSuite {
     assert(pri(3L) === 1L && pri(1L) === 2L) // higher priority first
   }
 
+  test("crawlSchedule: two-phase rank equals the single-window rank " +
+      "on a Zipf-skewed fixture (one host holds ~half the URLs)") {
+    // 501 URLs on mega.com + 250 spread over 50 small hosts; ids
+    // shuffled so range buckets don't trivially coincide with id order
+    val urls = spark.range(751).selectExpr(
+      "(id * 2654435761) % 751 AS doc_id",
+      """CASE WHEN id < 501 THEN 'https://mega.com/p/' || id
+         ELSE 'https://h' || (id % 50) || '.org/p/' || id END AS url""")
+    val robots = Seq(("mega.com", "User-agent: *\nCrawl-delay: 2\n"))
+      .toDF("host", "robots_txt")
+    val got = graft.text.UrlOps.crawlSchedule(
+        urls, robots, "url", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(x => (x._2, x._1))
+    // reference: the plain per-host window rank, computed inline
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("doc_id"))
+    val ref = urls
+      .withColumn("host", graft.text.UrlOps.host(col("url")))
+      .withColumn("crawl_delay",
+        when(col("host") === "mega.com", 2.0).otherwise(1.0))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .withColumn("fetch_at_s",
+        round((col("position") - 1) * col("crawl_delay"), 6))
+      .select("doc_id", "host", "position", "crawl_delay", "fetch_at_s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(x => (x._2, x._1))
+    assert(got.length === 751)
+    assert(got.toSeq === ref.toSeq)
+  }
+
+  test("crawlSchedule: two-phase rank matches the window rank with a " +
+      "priority column carrying heavy ties") {
+    // priorities take only 3 values -> ties break on doc_id asc; the
+    // range buckets must respect (priority DESC, doc_id ASC)
+    val urls = spark.range(300).selectExpr(
+      "id AS doc_id",
+      "'https://tied.com/p/' || id AS url",
+      "(id % 3)::double AS pri")
+    val robots = Seq(("x.invalid", "User-agent: *\n"))
+      .toDF("host", "robots_txt")
+    val got = graft.text.UrlOps.crawlSchedule(urls, robots, "url",
+        "doc_id", priorityCol = Some("pri"))
+      .select("doc_id", "position").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit("tied.com")).orderBy(col("pri").desc,
+        col("doc_id").asc)
+    val ref = urls.withColumn("position", row_number().over(w)
+        .cast("long"))
+      .select("doc_id", "position").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === ref.toSeq)
+  }
+
+  test("sitemap index parse: child sitemaps with lastmod, loc-less " +
+      "blocks drop, url blocks ignored, entity decode") {
+    val xml = "<?xml version=\"1.0\"?><sitemapindex>" +
+      "<sitemap><loc> https://a.com/sm/0.xml </loc>" +
+      "<lastmod>2024-03-01</lastmod></sitemap>" +
+      "<sitemap><loc>https://a.com/sm/1.xml?a=1&amp;b=2</loc></sitemap>" +
+      "<sitemap><lastmod>2024-01-01</lastmod></sitemap>" + // no loc
+      "<url><loc>https://a.com/page</loc></url>" +         // not index
+      "</sitemapindex>"
+    val out = graft.text.UrlOps.parseSitemapIndex(
+        Seq(("a.com", xml)).toDF("host", "sitemap_xml")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).orNull)).sortBy(_._2)
+    assert(out.toSeq === Seq(
+      ("a.com", "https://a.com/sm/0.xml", "2024-03-01"),
+      ("a.com", "https://a.com/sm/1.xml?a=1&b=2", null)))
+  }
+
   test("sitemap parse: entity decode order, loc-less blocks drop, " +
       "malformed priority nulls, index blocks ignored") {
     val xml = "<?xml version=\"1.0\"?><urlset>" +
@@ -243,6 +316,26 @@ class UrlOpsSpec extends SparkSuite {
     val l2 = links("host.example/dir/sub/")
     assert(l2("rel/child")._1 === "https://host.example/dir/sub/rel/child")
     assert(l2("//proto.example/y")._1 === "https://proto.example/y")
+  }
+
+  test("extractLinks: HTML5 unquoted attribute values — whitespace " +
+      "around =, > termination, quoted values with spaces intact") {
+    val html = "<a href=/about>a</a>" +            // unquoted, > ends it
+      "<a href = rel/doc>b</a>" +                  // spaces around =
+      "<a href=https://u.example/x class=q>c</a>" + // space ends value
+      "<a href=\"/spaced path/x\">d</a>" +         // quoted keeps space
+      "<a href=>e</a>"                             // empty unquoted: drop
+    val got = graft.text.UrlOps.extractLinks(
+        Seq((1L, "https://h.example/dir/page", html))
+          .toDF("doc_id", "url", "page_html"),
+        "page_html", "url").collect()
+      .map(r => r.getAs[String]("href") -> r.getAs[String]("link_url"))
+      .toMap
+    assert(got === Map(
+      "/about" -> "https://h.example/about",
+      "rel/doc" -> "https://h.example/dir/rel/doc",
+      "https://u.example/x" -> "https://u.example/x",
+      "/spaced path/x" -> "https://h.example/spaced path/x"))
   }
 
   test("domainCap keeps top-N per registered domain by score, ties to min id") {
