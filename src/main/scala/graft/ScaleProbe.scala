@@ -64,6 +64,12 @@ object ScaleProbe {
     if (args.headOption.contains("robots")) {
       robotsProbe(spark, n); return
     }
+    if (args.headOption.contains("crawl_schedule")) {
+      crawlScheduleProbe(spark, n); return
+    }
+    if (args.headOption.contains("graph_rank")) {
+      graphRankProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -796,6 +802,95 @@ object ScaleProbe {
     * per-rule JOIN + max(struct) re-aggregation, on n URLs across
     * n/100 hosts with 21 rules each — the r9 evidence behind
     * robotsGate's fold-based implementation. */
+  /** crawlSchedule skew probe: one Zipf mega-host whose share of the
+    * frontier SWEEPS 10% → 30% → 90% at fixed n (the wikipedia/youtube
+    * shape of a real crawl, dialed up) — the production two-phase
+    * bucket-offset rank vs the single `Window.partitionBy(host)` shape
+    * it replaced in r10. The claim under measurement: the window
+    * shape's longest task grows linearly with the mega-host (ALL its
+    * URLs sort in ONE task that AQE cannot split, and must fit in one
+    * task's memory), while the two-phase max task is bounded by
+    * ~|frontier|/buckets regardless of host skew — so its max/median
+    * task ratio stays flat as the skew grows. Usage:
+    *   SPARK_GRAFT_PROBE_N=8000000 sbt "runMain graft.ScaleProbe crawl_schedule"
+    */
+  private def crawlScheduleProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val nHosts = math.max(2, n / 1000)
+    for (megaPct <- Seq(1, 3, 9)) {
+      val urls = spark.range(n).select(col("id"),
+          concat(lit("https://"),
+            when(pmod(col("id"), lit(10)) < megaPct, lit("mega.com"))
+              .otherwise(concat(lit("h"),
+                pmod(col("id") * 7919, lit(nHosts.toLong)),
+                lit(".org"))),
+            lit("/p/"), col("id")).as("url"))
+        .localCheckpoint(true)
+      val robots = spark.range(1).select(lit("mega.com").as("host"),
+        lit("User-agent: *\nCrawl-delay: 2\n").as("robots_txt"))
+      val (tTwo, mTwo) = timedRun(spark)(
+        graft.text.UrlOps.crawlSchedule(urls, robots, "url", "id"))
+      // comparator: the single-window shape crawlSchedule used pre-r10
+      val (tWin, mWin) = timedRun(spark) {
+        val delays = graft.text.UrlOps.crawlDelays(robots)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host")).orderBy(col("id"))
+        urls.withColumn("host", graft.text.UrlOps.host(col("url")))
+          .join(broadcast(delays), Seq("host"), "left")
+          .withColumn("crawl_delay",
+            coalesce(col("crawl_delay"), lit(1.0)))
+          .withColumn("position", row_number().over(w).cast("long"))
+          .withColumn("fetch_at_s",
+            round((col("position") - 1).cast("double") *
+              col("crawl_delay"), 6))
+          .select(col("id"), col("host"), col("position"),
+            col("crawl_delay"), col("fetch_at_s"))
+      }
+      println(f"SCALE_PROBE crawl_schedule urls=$n " +
+        f"hosts=${nHosts + 1} mega_share=0.${megaPct}0 " +
+        f"two_phase=$tTwo%.1f s (max_task=${mTwo}ms) " +
+        f"window=$tWin%.1f s (max_task=${mWin}ms)")
+    }
+    spark.stop()
+  }
+
+  /** Graph-fixpoint probe — the scaling table for the rank family: the
+    * synthetic 3-out-regular graph (the pagerankProbe generator) at n
+    * and 4n nodes (3n / 12n edges), pageRank and trustRank at 4
+    * rounds each, wall + per-round wall + longest task. The claim
+    * under measurement: round cost is edge-linear (per round: one
+    * edge⋈rank join, one map-side-partial sum, one scalar collect —
+    * nothing accumulates across rounds because each round starts from
+    * a localCheckpoint barrier), so wall/round at 4n ≈ 4× wall/round
+    * at n, and memory is bounded by the node table. Usage:
+    *   SPARK_GRAFT_PROBE_N=1000000 sbt "runMain graft.ScaleProbe graph_rank"
+    */
+  private def graphRankProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val iters = 4
+    for (size <- Seq(n, n * 4)) {
+      val ids = spark.range(size)
+      val edges = Seq(3L, 7L, 13L).map(k =>
+        ids.select(col("id").as("src"),
+          ((col("id") * k + 1) % size).as("dst")))
+        .reduce(_.unionByName(_))
+        .localCheckpoint(true)
+      val (tPr, mPr) = timedRun(spark)(
+        graft.graph.GraphRank.pageRank(edges, iters = iters))
+      val (tTr, mTr) = timedRun(spark)(
+        graft.graph.GraphRank.trustRank(edges,
+          seeds = Seq(1L, 2L, 3L), iters = iters))
+      println(f"SCALE_PROBE graph_rank nodes=$size edges=${3L * size} " +
+        f"iters=$iters pagerank=$tPr%.1f s " +
+        f"(per_round=${tPr / iters}%.2f s, max_task=${mPr}ms) " +
+        f"trustrank=$tTr%.1f s " +
+        f"(per_round=${tTr / iters}%.2f s, max_task=${mTr}ms)")
+    }
+    spark.stop()
+  }
+
   private def robotsProbe(spark: org.apache.spark.sql.SparkSession,
       n: Int): Unit = {
     import org.apache.spark.sql.functions._

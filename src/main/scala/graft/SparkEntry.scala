@@ -2842,10 +2842,12 @@ object SparkEntry {
         .filter(col("internal"))
         .select((d * 10 + when(col("href").startsWith("/p/q"), 1)
           .otherwise(2)).as("cand_id"), col("link_url").as("cand_url"))
-      val cands = seeds.unionByName(links)
-      // barrier: the deduped frontier feeds the gate, the semi-join
-      // and the final norm_url join — checkpoint so the XML/HTML
+      // barrier 1: urlDedup consumes its input twice (keep aggregate +
+      // join-back) — checkpoint the candidates so the XML/HTML
       // build+parse upstream runs once
+      val cands = seeds.unionByName(links).localCheckpoint(true)
+      // barrier 2: the deduped frontier feeds the gate, the semi-join
+      // and the final norm_url join
       val dedup = graft.text.UrlOps.urlDedup(cands, "cand_url", "cand_id")
         .select(col("cand_id"), col("norm_url"))
         .localCheckpoint(true)

@@ -460,29 +460,40 @@ object UrlOps {
     * per-host POSITION is just a rank, and host sizes in a real
     * frontier are Zipf-distributed — `Window.partitionBy(host)` would
     * put a mega-host's 10⁷ URLs into ONE sort task that AQE cannot
-    * split. Instead the rank is computed with the two-phase
-    * range-bucket plan: range-partition on (host, order keys) — the
-    * range partitioner's sampling spreads a mega-host over MANY
-    * contiguous partitions, each ~|frontier|/P rows regardless of host
-    * skew — stamp each row with its range-partition id, aggregate
-    * per-(host, bucket) counts (≤ |hosts|+P rows of metadata), turn
-    * them into exclusive per-host prefix offsets with a BOUNDED window
-    * (≤ P rows per host), and add the offset to a `row_number`
-    * partitioned by (host, bucket). Positions are bit-identical to the
-    * single-window rank by the range-partitioning invariant: every row
-    * of bucket i precedes every row of bucket i+1 in (host, order key)
-    * order, and equal keys land in one bucket. The ranged data is
-    * checkpointed once (the fan-out barrier idiom): the counts
-    * aggregate and the final join both consume it, and the checkpoint
-    * pins the nondeterministic partition-id stamp to one assignment.
-    * The delay table is a host-keyed broadcast dimension. */
+    * split. Instead the rank is the two-phase bucket-offset plan (the
+    * [[graft.operators.Sampling]] stratumBucketRank idiom) with a
+    * bucket derived DETERMINISTICALLY from the data: exact global
+    * `min/max(id)` (order-insensitive aggregates, two driver scalars)
+    * quantize the id into one of `buckets` range slices — monotone in
+    * id, equal ids share a bucket — and a priority column prepends an
+    * exact distinct-rank dimension (collected to the driver, bounded
+    * by [[MaxDistinctPriorities]]), so the composite bucket coarsens
+    * the full `(priority DESC, id ASC)` order. Per-(host, bucket)
+    * counts become exclusive per-host prefix offsets through a BOUNDED
+    * window (≤ buckets rows per host, metadata not row data), and
+    * `offset + row_number` partitioned by (host, bucket) equals the
+    * single-window rank bit-for-bit by the alignment invariant.
+    *
+    * Determinism note: the bucket is a pure function of each row (no
+    * `spark_partition_id`, no range-partitioner sampling), so the
+    * counts pass and the rank pass agree by construction under ANY
+    * execution — re-materialized exchanges, AQE read rewrites, task
+    * retries. A mega-host is split ~uniformly when its ids spread over
+    * the global id range (row-number/snowflake ids do); a
+    * non-numeric id column degrades gracefully to one bucket (the
+    * pre-r10 single-window behavior), never to wrong positions. The
+    * delay table is a host-keyed broadcast dimension; callers with an
+    * expensive upstream should barrier it first (the plan reads the
+    * input three times: stats, counts, rank). */
   def crawlSchedule(urls: DataFrame, robots: DataFrame, urlCol: String,
       idCol: String, priorityCol: Option[String] = None,
       agent: String = "*", defaultDelay: Double = 1.0,
       hostCol: String = "host",
-      txtCol: String = "robots_txt"): DataFrame = {
+      txtCol: String = "robots_txt",
+      buckets: Int = 256): DataFrame = {
     require(defaultDelay >= 0,
       s"defaultDelay must be >= 0, got $defaultDelay")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val delays = crawlDelays(robots, hostCol, txtCol, agent)
     val ordered = priorityCol
       .map(p => Seq(col(p).desc, col(idCol).asc))
@@ -492,32 +503,59 @@ object UrlOps {
       .join(broadcast(delays), Seq("host"), "left")
       .withColumn("crawl_delay",
         coalesce(col("crawl_delay"), lit(defaultDelay)))
-    // phase A: range-partition on the FULL per-host sort key and stamp
-    // the range-bucket id — a skewed host spans many buckets, each
-    // bounded by |frontier|/P, not by the host's size. The barrier
-    // (localCheckpoint, the repo's fan-out idiom) matters twice over:
-    // the counts aggregate AND the final join both consume this node
-    // (without it the whole upstream — possibly a robots-gated,
-    // URL-deduped frontier build — recomputes per consumer plus once
-    // more for range-boundary sampling), and it PINS the
-    // nondeterministic partition-id stamp so both consumers see the
-    // identical bucket assignment by construction
-    val ranged = keyed
-      .repartitionByRange((col("host") +: ordered): _*)
-      .withColumn("__rb", spark_partition_id().cast("long"))
-      .localCheckpoint(true)
+    // id-range bucket: exact min/max are order-insensitive, so the two
+    // scalars are identical for every pass over the input; computed on
+    // the RAW urls table so the stats pass skips the host-extraction
+    // expressions and the delay join entirely
+    val st = urls.agg(min(col(idCol).cast("double")),
+      max(col(idCol).cast("double"))).head()
+    val (mn, mx) =
+      if (st.isNullAt(0)) (0.0, 0.0) else (st.getDouble(0), st.getDouble(1))
+    val width = (mx - mn + 1.0) / buckets
+    // least() skips NULL, so a non-numeric id (cast -> NULL) lands every
+    // row in bucket buckets-1: degenerate but aligned, never wrong
+    val idb = least(lit(buckets - 1L),
+      floor((col(idCol).cast("double") - lit(mn)) / lit(width))
+        .cast("long"))
+    val bucketed = priorityCol match {
+      case None => keyed.withColumn("__cb", idb)
+      case Some(p) =>
+        // exact distinct-rank of the priority: purity (one priority per
+        // rank) is what makes the composite bucket order-aligned
+        val nd = urls.agg(countDistinct(col(p))).head().getLong(0)
+        require(nd <= MaxDistinctPriorities,
+          s"crawlSchedule: $nd distinct priorities exceeds " +
+            s"$MaxDistinctPriorities — quantize the priority column " +
+            "(the rank dimension is driver-collected)")
+        val spark = urls.sparkSession
+        import spark.implicits._
+        val ranks = urls.select(col(p).cast("double").as("__pv"))
+          .distinct().collect()
+          .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+          // priority DESC matching Spark's sort-order semantics: NaN is
+          // the largest double (first under desc), NULLs last
+          .sortBy(o => (o.isEmpty, o.exists(v => !v.isNaN),
+            o.map(v => if (v.isNaN) 0.0 else -v).getOrElse(0.0)))
+          .zipWithIndex
+          .map { case (o, i) => (o, i.toLong) }.toSeq
+          .toDF("__pv", "__prank")
+        keyed.join(broadcast(ranks),
+            col(p).cast("double") <=> col("__pv"), "inner")
+          .withColumn("__cb", col("__prank") * buckets + idb)
+          .drop("__pv", "__prank")
+    }
     // exclusive per-host prefix offsets over the (host, bucket) counts:
-    // the window input is metadata (≤ P rows per host), never row data
+    // the window input is metadata (≤ buckets rows per host)
     val wOff = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host")).orderBy(col("__rb"))
-    val offsets = ranged.groupBy(col("host"), col("__rb"))
+      .partitionBy(col("host")).orderBy(col("__cb"))
+    val offsets = bucketed.groupBy(col("host"), col("__cb"))
       .agg(count(lit(1)).as("__n"))
-      .select(col("host"), col("__rb"),
+      .select(col("host"), col("__cb"),
         (sum(col("__n")).over(wOff) - col("__n")).as("__off"))
     // phase B: exact rank within (host, bucket) + the bucket's offset
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host"), col("__rb")).orderBy(ordered: _*)
-    ranged.join(offsets, Seq("host", "__rb"))
+      .partitionBy(col("host"), col("__cb")).orderBy(ordered: _*)
+    bucketed.join(offsets, Seq("host", "__cb"))
       .withColumn("position",
         col("__off") + row_number().over(w).cast("long"))
       .withColumn("fetch_at_s",
@@ -526,6 +564,12 @@ object UrlOps {
       .select(col(idCol), col("host"), col("position"),
         col("crawl_delay"), col("fetch_at_s"))
   }
+
+  /** Cap on the exact priority-rank dimension [[crawlSchedule]]
+    * collects to the driver — real frontier priorities are coarse
+    * (sitemap priorities are an 11-value grid); a column with more
+    * distinct values than this should be quantized by the caller. */
+  val MaxDistinctPriorities: Long = 1L << 20
 
   /** [[parseRobots]] collapsed to ONE row per host: (host, rules
     * array<struct{rule_type, pattern, plen, like_pat}>) — the
