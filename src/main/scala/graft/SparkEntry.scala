@@ -2769,6 +2769,39 @@ object SparkEntry {
         .select(col("doc_id"), col("href"), col("link_url"),
           col("internal"))
     }),
+    "q_robots_sitemaps" -> ((s, dir) => {
+      // sitemap DISCOVERY from robots.txt — the step the protocol
+      // actually specifies: Sitemap: directives are global (no agent
+      // resolution), keys case-insensitive, several per file legal,
+      // commented lines drop, relative values (undefined by the
+      // protocol) drop; the oracle re-derives the expected URL set
+      // per variant template
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+      val hosts = docs
+        .select(graft.text.UrlOps.host(col("url")).as("host"))
+        .distinct()
+      val variant =
+        pmod(ascii(substring(col("host"), 2, 1)) + length(col("host")),
+          lit(4))
+      val h = col("host")
+      val robots = hosts.withColumn("robots_txt",
+        when(variant === 0, concat(
+          lit("User-agent: *\nDisallow: /x\nSitemap: https://"), h,
+          lit("/sitemap.xml\n")))
+        .when(variant === 1, concat(
+          lit("Sitemap: https://"), h,
+          lit("/sm/index.xml\nSitemap: https://cdn."), h,
+          lit("/extra.xml\nUser-agent: *\nAllow: /\n")))
+        .when(variant === 2, concat(
+          lit("User-agent: *\nDisallow:\n# Sitemap: https://"), h,
+          lit("/commented.xml\nSiteMap: https://"), h,
+          lit("/cased.xml\n")))
+        .otherwise(concat(
+          lit("User-agent: *\nSitemap: relative/path.xml\nSitemap: " +
+            "https://"), h, lit("/ok.xml\n"))))
+      graft.text.UrlOps.robotsSitemaps(robots)
+    }),
     "q_sitemap_index" -> ((s, dir) => {
       // two-level frontier seeding: real hosts' robots.txt points at a
       // sitemap INDEX, not leaf urlsets — per-host <sitemapindex> docs
@@ -7509,6 +7542,28 @@ object SparkEntry {
         |    THEN ((doc_id % 10) / 10.0)::DOUBLE
         |    ELSE NULL END AS priority
         |FROM hp""".stripMargin),
+    // expected directive set re-derived per variant template: v0 one,
+    // v1 two (one on a different host's CDN), v2 the cased key only
+    // (the commented line drops), v3 the absolute one only
+    "q_robots_sitemaps" -> (urlCtes +
+      """
+        |, hv AS (SELECT DISTINCT host,
+        |    (ascii(substr(host, 2, 1)) + strlen(host)) % 4 AS v
+        |  FROM hp)
+        |SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url
+        |FROM hv WHERE v = 0
+        |UNION ALL
+        |SELECT host, 'https://' || host || '/sm/index.xml'
+        |FROM hv WHERE v = 1
+        |UNION ALL
+        |SELECT host, 'https://cdn.' || host || '/extra.xml'
+        |FROM hv WHERE v = 1
+        |UNION ALL
+        |SELECT host, 'https://' || host || '/cased.xml'
+        |FROM hv WHERE v = 2
+        |UNION ALL
+        |SELECT host, 'https://' || host || '/ok.xml'
+        |FROM hv WHERE v = 3""".stripMargin),
     // round-trip identity for the INDEX level — the child set is the
     // distinct (host, doc_id%4) grid, stated straight from the URL CTEs
     "q_sitemap_index" -> (urlCtes +

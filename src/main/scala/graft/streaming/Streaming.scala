@@ -192,6 +192,80 @@ object Streaming {
     if (keepDisallowed) out else out.filter(col("allowed"))
   }
 
+  /** Streaming twin of [[graft.text.UrlOps.crawlSchedule]] — the
+    * frontier-scheduling stage LIVE: URLs arriving on a stream are
+    * assigned per-host fetch positions and due times continuously.
+    * State is ONE long counter per host (`flatMapGroupsWithState`
+    * keyed by host — O(hosts) state total, never O(urls); the batch
+    * op's Zipf-skew concern doesn't arise because a mega-host's
+    * arrivals spread across micro-batches instead of sorting in one
+    * task). Crawl-delays resolve against a STATIC robots snapshot
+    * (the [[streamingRobotsGate]] posture: robots refresh on
+    * crawl-cycle cadence, not per event) broadcast-joined per batch.
+    * Within a micro-batch a host's URLs take positions in ascending
+    * id order — equal to the batch operator when one batch holds the
+    * whole frontier (spec-pinned); across batches, arrival order —
+    * a streaming scheduler is order-sensitive by nature, so use the
+    * batch operator when bit-identical plans matter. Output:
+    * (id, host, position, crawl_delay, fetch_at_s), Append mode, no
+    * watermark needed (state never expires — hosts are a bounded
+    * dimension; add expiry upstream by closing the stream per crawl
+    * cycle). */
+  def streamingCrawlSchedule(src: DataFrame, robots: DataFrame,
+      urlCol: String, idCol: String, agent: String = "*",
+      defaultDelay: Double = 1.0, hostCol: String = "host",
+      txtCol: String = "robots_txt"): DataFrame = {
+    import graft.text.UrlOps
+    require(defaultDelay >= 0,
+      s"defaultDelay must be >= 0, got $defaultDelay")
+    val delays = broadcast(
+      UrlOps.crawlDelays(robots, hostCol, txtCol, agent))
+    val projected = src
+      .select(col(idCol).cast("long").as("id"),
+        UrlOps.host(col(urlCol)).as("host"))
+      .join(delays, Seq("host"), "left")
+      .select(col("id"), col("host"),
+        coalesce(col("crawl_delay"), lit(defaultDelay))
+          .as("crawl_delay"))
+    val stateEnc = Encoders.product[CrawlQueueState]
+    val outEnc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("host",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("position",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("crawl_delay",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("fetch_at_s",
+        org.apache.spark.sql.types.DoubleType))))
+    projected
+      .groupByKey(_.getString(1))(Encoders.STRING)
+      .flatMapGroupsWithState[CrawlQueueState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[Row],
+            state: GroupState[CrawlQueueState]) =>
+          var pos = state.getOption.map(_.next).getOrElse(1L)
+          val out = rows.toArray.sortBy(_.getLong(0)).map { r =>
+            val delay = r.getDouble(2)
+            val p = pos
+            pos += 1
+            // HALF_UP at 6 decimals — the exact semantics of the batch
+            // op's round(x, 6)
+            val due = BigDecimal((p - 1).toDouble * delay)
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+            Row(r.getLong(0), host, p, delay, due)
+          }
+          state.update(CrawlQueueState(pos))
+          out.iterator
+      }(stateEnc, outEnc).toDF()
+  }
+
+  /** One open-queue counter per host — [[streamingCrawlSchedule]]'s
+    * whole state: the next position to hand out. */
+  case class CrawlQueueState(next: Long)
+
   /** Streaming corpus-curation gate: the STATELESS stages of
     * [[graft.operators.Curation.curate]] — PII redaction, quality +
     * language gate, deterministic mixture sampling — applied to a

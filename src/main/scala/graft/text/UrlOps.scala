@@ -306,6 +306,30 @@ object UrlOps {
       .groupBy(col("host"))
       .agg(min(col("__d")).as("crawl_delay"))
 
+  /** `Sitemap:` directives of a robots.txt column — the DISCOVERY step
+    * the sitemaps.org protocol actually specifies: crawlers find a
+    * host's sitemaps (leaf urlsets OR index files) from robots.txt,
+    * then fetch and parse them ([[parseSitemapIndex]] /
+    * [[parseSitemap]]). One row per directive — (host, sitemap_url).
+    * Per the protocol the directive is GLOBAL (not group-scoped, so no
+    * agent resolution), its value is an absolute URL, keys are
+    * case-insensitive, comments strip first, and files may declare
+    * several. Values that don't parse as absolute URLs drop (relative
+    * values are undefined by the protocol). Map-only posexplode +
+    * filters — the [[parseSitemap]] posture, no windows, no state. */
+  def robotsSitemaps(robots: DataFrame, hostCol: String = "host",
+      txtCol: String = "robots_txt"): DataFrame =
+    robots
+      .select(col(hostCol).as("host"),
+        explode(split(coalesce(col(txtCol), lit("")), "\n")).as("__raw"))
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .filter(col("__line").contains(":") &&
+        lower(trim(substring_index(col("__line"), ":", 1))) === "sitemap")
+      .withColumn("sitemap_url",
+        trim(expr("substring(__line, instr(__line, ':') + 1)")))
+      .filter(col("sitemap_url").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+      .select(col("host"), col("sitemap_url"))
+
   /** Outgoing links of an HTML column, RESOLVED against the page URL —
     * the crawl-graph EDGE EXTRACTOR: compose with
     * [[graft.graph.GraphRank.pageRankByKey]] over

@@ -289,6 +289,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl schedule: one-batch frontier equals the batch " +
+      "operator; positions continue across micro-batches; O(hosts) state") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2.5\n"),
+      ("b.org", "User-agent: *\nDisallow: /x\n")) // no delay -> default
+      .toDF("host", "robots_txt")
+    val urls = Seq(
+      (3L, "https://a.com/p3"), (1L, "https://a.com/p1"),
+      (2L, "https://b.org/q"), (4L, "https://b.org/r"))
+    val mem = MemoryStream[Fetch]
+    val out = Streaming.streamingCrawlSchedule(mem.toDF(), robots, "url",
+      "doc_id", defaultDelay = 1.5)
+    val q = out.writeStream.format("memory").queryName("crawl_sched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def fetch(i: Long, u: String) =
+        Fetch(i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u)
+      // batch 1: the whole frontier in ONE micro-batch -> within-batch
+      // id-asc ordering equals the batch operator's (no priority) order
+      mem.addData(urls.map { case (i, u) => fetch(i, u) }: _*)
+      q.processAllAvailable()
+      def snap(): Map[Long, (String, Long, Double, Double)] =
+        spark.table("crawl_sched").collect()
+          .map(r => r.getAs[Long]("id") ->
+            ((r.getAs[String]("host"), r.getAs[Long]("position"),
+              r.getAs[Double]("crawl_delay"),
+              r.getAs[Double]("fetch_at_s")))).toMap
+      val got = snap()
+      val batch = graft.text.UrlOps.crawlSchedule(
+          urls.toDF("doc_id", "url"), robots, "url", "doc_id",
+          defaultDelay = 1.5).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got === batch)
+      assert(got(1L) === (("a.com", 1L, 2.5, 0.0)) &&
+        got(3L) === (("a.com", 2L, 2.5, 2.5)) &&
+        got(4L) === (("b.org", 2L, 1.5, 1.5)))
+      // batch 2: the per-host counters carry across micro-batches
+      mem.addData(fetch(9L, "https://a.com/p9"),
+        fetch(8L, "https://new.net/s"))
+      q.processAllAvailable()
+      val got2 = snap()
+      assert(got2(9L) === (("a.com", 3L, 2.5, 5.0)))
+      assert(got2(8L) === (("new.net", 1L, 1.5, 0.0)))
+      // state is one counter per host, not per url
+      val prog = q.lastProgress.stateOperators
+      assert(prog.nonEmpty && prog.head.numRowsTotal === 3L,
+        s"expected 3 host counters, got ${prog.headOption
+          .map(_.numRowsTotal)}")
+    } finally q.stop()
+  }
+
   test("streaming html ingest: extraction is batch-equal, density gate " +
       "drops tag soup, stateless") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -265,6 +265,23 @@ class UrlOpsSpec extends SparkSuite {
       ("a.com", "https://a.com/sm/1.xml?a=1&b=2", null)))
   }
 
+  test("robotsSitemaps: global directives, case-insensitive key, " +
+      "comments and relative values drop, several per file") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /x\n" +
+        "Sitemap: https://a.com/s1.xml\n" +  // inside a group: still kept
+        "SITEMAP: https://a.com/s2.xml \n" + // cased key, padded value
+        "# Sitemap: https://a.com/no.xml\n" + // comment: drops
+        "Sitemap: relative/no.xml\n"),        // relative: drops
+      ("b.org", "User-agent: *\nAllow: /\n")) // no directive: no rows
+      .toDF("host", "robots_txt")
+    val got = graft.text.UrlOps.robotsSitemaps(robots).collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
+    assert(got.toSeq === Seq(
+      ("a.com", "https://a.com/s1.xml"),
+      ("a.com", "https://a.com/s2.xml")))
+  }
+
   test("sitemap parse: entity decode order, loc-less blocks drop, " +
       "malformed priority nulls, index blocks ignored") {
     val xml = "<?xml version=\"1.0\"?><urlset>" +
