@@ -2904,7 +2904,11 @@ object SparkEntry {
       val allowedIds = graft.text.UrlOps.robotsGate(dedup, robots,
           "norm_url", "cand_id", agent = "graftbot")
         .filter(col("allowed")).select(col("cand_id"))
+      // barrier 3: the gated frontier feeds crawlSchedule's three
+      // passes (stats, counts, rank) plus the final norm_url join —
+      // without it the robots parse + verdict fold re-runs per pass
       val allowed = dedup.join(allowedIds, Seq("cand_id"), "left_semi")
+        .localCheckpoint(true)
       graft.text.UrlOps.crawlSchedule(allowed, robots, "norm_url",
           "cand_id", agent = "graftbot")
         .join(allowed.select(col("cand_id"), col("norm_url")),
