@@ -745,6 +745,17 @@ object SparkEntry {
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_b"), 6).as("mean_b"))
     }),
+    "q_image_exif" -> ((s, dir) => {
+      // JPEG metadata WITHOUT decoding — the corpus-scale fast path:
+      // dims from the SOF0 frame header, camera provenance (Make,
+      // Model, Orientation, DateTime) and the GPS-present PII flag
+      // from a REAL APP1/Exif TIFF block whose byte order ALTERNATES
+      // II/MM by id; every field and the total byte count are closed
+      // forms of doc_id the oracle states analytically (the
+      // q_video_mp4_meta posture)
+      import graft.multimodal.Multimodal._
+      exifMeta(syntheticExifJpegs(table(s, dir, "documents"), "doc_id"))
+    }),
     "q_video_mp4_meta" -> ((s, dir) => {
       // REAL ISO-BMFF container parse, no codec: synthetic mp4s with a
       // closed-form moov tree (two-entry stts, v0 boxes) are re-parsed
@@ -5261,6 +5272,23 @@ object SparkEntry {
     // mp4 container parse: every field is the synthetic writer's closed
     // form; n_bytes = 332 pins the constant box-tree size (16 ftyp +
     // 304 moov + 12 mdat)
+    "q_image_exif" ->
+      """SELECT doc_id AS media_id,
+        |  ((CASE WHEN doc_id % 5 = 0 THEN 156 ELSE 138 END) +
+        |   (CASE doc_id % 4 WHEN 3 THEN 4 ELSE 5 END))::INT AS n_bytes,
+        |  TRUE AS is_jpeg,
+        |  (16 * (doc_id % 9 + 1))::INT AS width,
+        |  (8 * (doc_id % 11 + 1))::INT AS height,
+        |  CASE doc_id % 4 WHEN 0 THEN 'Canon' WHEN 1 THEN 'NIKON'
+        |    WHEN 2 THEN 'Apple' ELSE 'SONY' END AS make,
+        |  'Cam-' || (doc_id % 6)::VARCHAR AS model,
+        |  (doc_id % 8 + 1)::INT AS orientation,
+        |  '2024:0' || (doc_id % 9 + 1)::VARCHAR || ':0' ||
+        |    (doc_id % 8 + 1)::VARCHAR || ' 0' || (doc_id % 9)::VARCHAR ||
+        |    ':0' || (doc_id % 5 + 1)::VARCHAR || ':0' ||
+        |    (doc_id % 7)::VARCHAR AS datetime,
+        |  (doc_id % 5 = 0) AS has_gps
+        |FROM documents""".stripMargin,
     "q_video_mp4_meta" ->
       """WITH p AS (
         |  SELECT doc_id, 600 * (doc_id % 4 + 1) AS ts,

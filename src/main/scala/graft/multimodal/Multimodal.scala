@@ -1063,4 +1063,226 @@ object Multimodal {
       pmod(hash(col("media_id")), lit(partitions)))
       .drop("__size_class")
   }
+
+  // -------------------------------------------- JPEG marker walk + EXIF
+
+  private[graft] def exifMake(id: Long): String = (id % 4) match {
+    case 0 => "Canon"; case 1 => "NIKON"; case 2 => "Apple"
+    case _ => "SONY"
+  }
+  private[graft] def exifModel(id: Long): String = s"Cam-${id % 6}"
+  private[graft] def exifOrientation(id: Long): Int = (id % 8 + 1).toInt
+  private[graft] def exifDateTime(id: Long): String =
+    s"2024:0${id % 9 + 1}:0${id % 8 + 1} 0${id % 9}:0${id % 5 + 1}:0${id % 7}"
+  private[graft] def exifHasGps(id: Long): Boolean = id % 5 == 0
+  private[graft] def jpegWidth(id: Long): Int = (16 * (id % 9 + 1)).toInt
+  private[graft] def jpegHeight(id: Long): Int = (8 * (id % 11 + 1)).toInt
+
+  /** Generate REAL JPEG marker streams per row — SOI, an APP1/Exif
+    * segment (a full TIFF block: byte order ALTERNATING "II"/"MM" by id
+    * so both endiannesses are exercised, IFD0 with Make/Model ASCII
+    * entries in the out-of-line data area, an inline SHORT Orientation,
+    * a 20-byte DateTime, and for every 5th id a GPS-IFD pointer tag
+    * whose empty GPS IFD is appended after the data area), an SOF0
+    * frame header carrying the real width/height, SOS and EOI. No
+    * entropy-coded image data is involved — the MARKER/TIFF structure
+    * is the artifact under test (the [[syntheticMp4s]] posture), and
+    * every field is a closed form of `id` the oracle states
+    * analytically. */
+  def syntheticExifJpegs(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val little = id % 2 == 0
+        val make = exifMake(id); val model = exifModel(id)
+        val dt = exifDateTime(id); val gps = exifHasGps(id)
+        val w = jpegWidth(id); val h = jpegHeight(id)
+        val bb = java.nio.ByteBuffer.allocate(4096)
+        def u16n(v: Int): Array[Byte] = // TIFF-endian u16
+          if (little) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+          else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def u32n(v: Long): Array[Byte] =
+          if (little) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+          else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        // TIFF block: header(8) + count(2) + n*12 + next(4) + data area
+        val nEntries = if (gps) 5 else 4
+        val entriesEnd = 8 + 2 + nEntries * 12 + 4
+        val makeOff = entriesEnd
+        val modelOff = makeOff + make.length + 1
+        val dtOff = modelOff + model.length + 1
+        val gpsOff = dtOff + 20
+        val tiff = {
+          val o = new java.io.ByteArrayOutputStream()
+          o.write(if (little) Array[Byte]('I', 'I') else Array[Byte]('M', 'M'))
+          o.write(u16n(42))
+          o.write(u32n(8L))
+          o.write(u16n(nEntries))
+          def entry(tag: Int, typ: Int, count: Long,
+              value: Array[Byte]): Unit = {
+            o.write(u16n(tag)); o.write(u16n(typ)); o.write(u32n(count))
+            o.write(value.padTo(4, 0.toByte))
+          }
+          // inline SHORT occupies the FIRST two bytes of the value
+          // field in both byte orders (TIFF left-justifies values)
+          entry(0x010f, 2, make.length + 1L, u32n(makeOff.toLong))
+          entry(0x0110, 2, model.length + 1L, u32n(modelOff.toLong))
+          entry(0x0112, 3, 1L, u16n(exifOrientation(id)))
+          entry(0x0132, 2, 20L, u32n(dtOff.toLong))
+          if (gps) entry(0x8825, 4, 1L, u32n(gpsOff.toLong))
+          o.write(u32n(0L)) // next IFD
+          o.write(make.getBytes("ISO-8859-1")); o.write(0)
+          o.write(model.getBytes("ISO-8859-1")); o.write(0)
+          o.write(dt.getBytes("ISO-8859-1")); o.write(0)
+          if (gps) { o.write(u16n(0)); o.write(u32n(0L)) } // empty GPS IFD
+          o.toByteArray
+        }
+        def be16(v: Int): Array[Byte] = // JPEG marker lengths are BE
+          Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def marker(m: Int, payload: Array[Byte]): Array[Byte] =
+          Array(0xff.toByte, m.toByte) ++ be16(payload.length + 2) ++
+            payload
+        val app1 = marker(0xe1,
+          "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiff)
+        val sof0 = marker(0xc0, Array(8.toByte) ++ be16(h) ++ be16(w) ++
+          Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+        val sos = marker(0xda,
+          Array[Byte](3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0))
+        val bytes = Array(0xff.toByte, 0xd8.toByte) ++ app1 ++ sof0 ++
+          sos ++ Array[Byte](0x12, 0x34) ++
+          Array(0xff.toByte, 0xd9.toByte)
+        Row(id, "image", bytes, Row("jpeg", w, h, null))
+      }
+    }(enc).toDF()
+  }
+
+  /** Output schema of the JPEG/EXIF metadata parser. */
+  val exifMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("is_jpeg", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true),
+    StructField("orientation", IntegerType, nullable = true),
+    StructField("datetime", StringType, nullable = true),
+    StructField("has_gps", BooleanType, nullable = true)
+  ))
+
+  /** JPEG metadata WITHOUT decoding — the corpus-scale fast path every
+    * image pipeline needs before any pixel work: dimensions from the
+    * SOF frame header, and camera provenance from the APP1/Exif TIFF
+    * block (Make, Model, Orientation — needed to decode upright —
+    * DateTime, and a GPS-present flag: embedded GPS is PII a training
+    * corpus must strip, so the FLAG is the curation signal). Handles
+    * both TIFF byte orders, inline and out-of-line values, stops at
+    * SOS, and treats truncated/corrupt structures as cleanly-absent
+    * fields (is_jpeg=false when SOI is missing) instead of throwing.
+    * Map-only `mapPartitions` over the bytes column — no shuffle, the
+    * [[mp4Meta]] posture. */
+  def exifMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(exifMetaSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val b = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        val wk = new JpegWalk(b)
+        try wk.walk()
+        catch { case scala.util.control.NonFatal(_) => () }
+        Row(id, b.length, wk.isJpeg,
+          if (wk.width >= 0) wk.width else null,
+          if (wk.height >= 0) wk.height else null,
+          wk.make, wk.model,
+          if (wk.orientation >= 0) wk.orientation else null,
+          wk.datetime,
+          if (wk.sawExif) Boolean.box(wk.hasGps) else null)
+      }
+    }(enc).toDF()
+  }
+
+  /** Marker walk over one JPEG byte array + TIFF IFD0 scan. */
+  private[graft] final class JpegWalk(b: Array[Byte]) {
+    var isJpeg = false
+    var width: Int = -1
+    var height: Int = -1
+    var make: String = _
+    var model: String = _
+    var orientation: Int = -1
+    var datetime: String = _
+    var sawExif = false
+    var hasGps = false
+    private def u8(o: Int): Int = b(o) & 0xff
+    private def be16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    def walk(): Unit = {
+      if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return
+      isJpeg = true
+      var off = 2
+      while (off + 4 <= b.length) {
+        if (u8(off) != 0xff) return // desynced: stop clean
+        val m = u8(off + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          off += 2 // standalone markers carry no length
+        } else if (m == 0xd9 || m == 0xda) {
+          return // EOI / SOS: no more metadata segments
+        } else {
+          val len = be16(off + 2)
+          if (len < 2 || off + 2 + len > b.length) return
+          val p = off + 4
+          if (m == 0xe1 && len >= 8 &&
+              new String(b, p, 4, "ISO-8859-1") == "Exif")
+            parseTiff(p + 6, off + 2 + len)
+          else if ((m == 0xc0 || m == 0xc1 || m == 0xc2 || m == 0xc3) &&
+              len >= 7) {
+            height = be16(p + 1); width = be16(p + 3)
+          }
+          off += 2 + len
+        }
+      }
+    }
+    private def parseTiff(base: Int, end: Int): Unit = {
+      if (base + 8 > end) return
+      val little = u8(base) == 'I' && u8(base + 1) == 'I'
+      val big = u8(base) == 'M' && u8(base + 1) == 'M'
+      if (!little && !big) return
+      def u16(o: Int): Int =
+        if (little) u8(o) | (u8(o + 1) << 8) else be16(o)
+      def u32(o: Int): Long =
+        if (little) u16(o).toLong | (u16(o + 2).toLong << 16)
+        else (u16(o).toLong << 16) | u16(o + 2).toLong
+      if (u16(base + 2) != 42) return
+      val ifd0 = base + u32(base + 4).toInt
+      if (ifd0 + 2 > end) return
+      sawExif = true
+      val n = u16(ifd0)
+      def ascii(off: Long, count: Long): String = {
+        val s = base + off.toInt
+        val c = math.min(count, (end - s).toLong).toInt
+        if (c <= 0) return null
+        val raw = new String(b, s, c, "ISO-8859-1")
+        raw.takeWhile(_ != 0.toChar).trim
+      }
+      var i = 0
+      while (i < n && ifd0 + 2 + (i + 1) * 12 <= end) {
+        val e = ifd0 + 2 + i * 12
+        val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+        tag match {
+          case 0x010f if typ == 2 => make = ascii(u32(e + 8), cnt)
+          case 0x0110 if typ == 2 => model = ascii(u32(e + 8), cnt)
+          // inline SHORT sits in the FIRST two bytes of the value field
+          case 0x0112 if typ == 3 && cnt == 1 => orientation = u16(e + 8)
+          case 0x0132 if typ == 2 => datetime = ascii(u32(e + 8), cnt)
+          case 0x8825 => hasGps = true
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+  }
 }

@@ -426,6 +426,59 @@ class TextMultimodalSpec extends SparkSuite {
     assert(out(0).isNullAt(3) && out(0).isNullAt(4))
   }
 
+  test("multimodal: JPEG/EXIF metadata parse recovers the synthetic " +
+      "marker stream exactly — both TIFF byte orders, GPS flag, SOF dims") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 25)
+    val media = Multimodal.syntheticExifJpegs(docs, "doc_id")
+    val feats = Multimodal.exifMeta(media).collect()
+    assert(feats.length === 25)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(2), s"jpeg $id not recognized")
+      // writer structure pinned: closed-form byte count
+      val expBytes = (if (Multimodal.exifHasGps(id)) 156 else 138) +
+        Multimodal.exifMake(id).length
+      assert(r.getInt(1) === expBytes, s"n_bytes for id $id")
+      assert(r.getInt(3) === Multimodal.jpegWidth(id))
+      assert(r.getInt(4) === Multimodal.jpegHeight(id))
+      assert(r.getString(5) === Multimodal.exifMake(id))
+      assert(r.getString(6) === Multimodal.exifModel(id))
+      assert(r.getInt(7) === Multimodal.exifOrientation(id))
+      assert(r.getString(8) === Multimodal.exifDateTime(id))
+      assert(r.getBoolean(9) === Multimodal.exifHasGps(id))
+    }
+  }
+
+  test("multimodal: JPEG walk handles corrupt/truncated/non-exif bytes " +
+      "cleanly") {
+    import spark.implicits._
+    // not a JPEG at all
+    val junk = Seq((1L, "image", "plainly not a jpeg".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "bytes")
+    val r1 = Multimodal.exifMeta(junk).collect()(0)
+    assert(!r1.getBoolean(2) && r1.isNullAt(3) && r1.isNullAt(9))
+    // SOI + SOF only, no APP1: dims parse, exif fields stay null,
+    // has_gps NULL (no TIFF seen — unknown, not false)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sof = Array(0xff.toByte, 0xc0.toByte) ++ be16(13) ++
+      Array(8.toByte) ++ be16(99) ++ be16(77) ++
+      Array[Byte](1, 1, 0x11, 0)
+    val noExif = Array(0xff.toByte, 0xd8.toByte) ++ sof ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val r2 = Multimodal.exifMeta(Seq((2L, "image", noExif))
+      .toDF("media_id", "modality", "bytes")).collect()(0)
+    assert(r2.getBoolean(2) && r2.getInt(3) === 77 && r2.getInt(4) === 99)
+    assert(r2.isNullAt(5) && r2.isNullAt(7) && r2.isNullAt(9))
+    // APP1 whose declared length runs past the buffer: stop clean
+    val badApp1 = Array(0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe1.toByte, 0x7f.toByte, 0xff.toByte, 'E', 'x')
+      .map(_.toByte)
+    val r3 = Multimodal.exifMeta(Seq((3L, "image", badApp1))
+      .toDF("media_id", "modality", "bytes")).collect()(0)
+    assert(r3.getBoolean(2) && r3.isNullAt(5))
+  }
+
   test("htmlExtract: script/style/comment subtrees drop WITH contents, " +
       "block tags become newlines, entities decode once, density " +
       "signals; null-safe") {
