@@ -2720,6 +2720,33 @@ object SparkEntry {
       graft.text.UrlOps.crawlSchedule(docs, robots, "url", "doc_id",
         agent = "graftbot")
     }),
+    "q_crawl_schedule_pri" -> ((s, dir) => {
+      // the PRIORITY path of the two-phase schedule rank: sitemap-style
+      // priorities take only 10 distinct values (heavy ties — the
+      // realistic frontier shape, and the case that forces the exact
+      // distinct-rank dimension of the composite bucket), queues order
+      // (priority DESC, doc_id ASC); delays from the same v-templates
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+        .withColumn("pri",
+          (pmod(col("doc_id"), lit(10)) / lit(10.0)).cast("double"))
+      val hosts = docs
+        .select(graft.text.UrlOps.host(col("url")).as("host"))
+        .distinct()
+      val variant =
+        pmod(ascii(substring(col("host"), 2, 1)) + length(col("host")),
+          lit(4))
+      val robots = hosts.withColumn("robots_txt",
+        when(variant === 0,
+          lit("User-agent: *\nCrawl-delay: 2.5\nDisallow: /p/1*\n"))
+        .when(variant === 1, lit("User-Agent: GraftBot\n" +
+          "Crawl-delay: 10\n\nUser-agent: *\nCrawl-delay: 0.5\n"))
+        .when(variant === 2, lit("User-agent: *\nDisallow: /tmp\n"))
+        .otherwise(
+          lit("User-agent: *\nCrawl-delay: 3\nCrawl-delay: 2\n")))
+      graft.text.UrlOps.crawlSchedule(docs, robots, "url", "doc_id",
+        priorityCol = Some("pri"), agent = "graftbot")
+    }),
     "q_sitemap_parse" -> ((s, dir) => {
       // frontier seeding: per-host sitemap urlsets BUILT from the
       // synthetic URL table (&-bearing query strings XML-escaped,
@@ -7556,6 +7583,23 @@ object SparkEntry {
         |      WHEN 2 THEN 1.0 ELSE 2.0 END)::DOUBLE AS crawl_delay,
         |    row_number() OVER (PARTITION BY host ORDER BY doc_id)
         |      AS position
+        |  FROM tgt)
+        |SELECT doc_id, host, position::BIGINT AS position, crawl_delay,
+        |  round((position - 1) * crawl_delay, 6) AS fetch_at_s
+        |FROM sched""".stripMargin),
+    // the priority-path schedule: same v-template delays, rank over
+    // (priority DESC, doc_id) replayed as a plain window
+    "q_crawl_schedule_pri" -> (urlCtes +
+      """
+        |, tgt AS (SELECT doc_id, host,
+        |    ((doc_id % 10) / 10.0)::DOUBLE AS pri,
+        |    (ascii(substr(host, 2, 1)) + strlen(host)) % 4 AS v
+        |  FROM hp),
+        |sched AS (SELECT doc_id, host,
+        |    (CASE v WHEN 0 THEN 2.5 WHEN 1 THEN 10.0
+        |      WHEN 2 THEN 1.0 ELSE 2.0 END)::DOUBLE AS crawl_delay,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY pri DESC, doc_id) AS position
         |  FROM tgt)
         |SELECT doc_id, host, position::BIGINT AS position, crawl_delay,
         |  round((position - 1) * crawl_delay, 6) AS fetch_at_s
