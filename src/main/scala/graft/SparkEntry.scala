@@ -745,6 +745,20 @@ object SparkEntry {
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_b"), 6).as("mean_b"))
     }),
+    "q_png_meta" -> ((s, dir) => {
+      // PNG structure parse over REAL javax.imageio encoder output (the
+      // same bytes q_image_dhash decodes): signature + chunk walk to
+      // IHDR. Only encoder-CONTRACT fields are hashed — dims are the
+      // closed forms, TYPE_INT_RGB encodes as 8-bit truecolor (color
+      // type 2, no alpha), non-interlaced; chunk count is
+      // deflate-layout-dependent and stays spec-side (the
+      // compressionRatio precedent)
+      import graft.multimodal.Multimodal._
+      pngMeta(syntheticImages(table(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("is_png"), col("width"),
+          col("height"), col("bit_depth"), col("color_type"),
+          col("interlace"), col("has_alpha"))
+    }),
     "q_image_exif" -> ((s, dir) => {
       // JPEG metadata WITHOUT decoding — the corpus-scale fast path:
       // dims from the SOF0 frame header, camera provenance (Make,
@@ -5299,6 +5313,13 @@ object SparkEntry {
     // mp4 container parse: every field is the synthetic writer's closed
     // form; n_bytes = 332 pins the constant box-tree size (16 ftyp +
     // 304 moov + 12 mdat)
+    "q_png_meta" ->
+      """SELECT doc_id AS media_id, TRUE AS is_png,
+        |  (doc_id % 64 + 16)::INT AS width,
+        |  (doc_id % 48 + 16)::INT AS height,
+        |  8::INT AS bit_depth, 2::INT AS color_type, 0::INT AS interlace,
+        |  FALSE AS has_alpha
+        |FROM documents""".stripMargin,
     "q_image_exif" ->
       """SELECT doc_id AS media_id,
         |  ((CASE WHEN doc_id % 5 = 0 THEN 156 ELSE 138 END) +

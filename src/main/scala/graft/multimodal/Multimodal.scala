@@ -1064,6 +1064,80 @@ object Multimodal {
       .drop("__size_class")
   }
 
+  // ------------------------------------------------- PNG chunk walk
+
+  /** Output schema of the PNG chunk-walk parser. */
+  val pngMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("is_png", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("bit_depth", IntegerType, nullable = true),
+    StructField("color_type", IntegerType, nullable = true),
+    StructField("interlace", IntegerType, nullable = true),
+    StructField("n_chunks", IntegerType, nullable = true),
+    StructField("has_alpha", BooleanType, nullable = true)
+  ))
+
+  /** PNG structure metadata WITHOUT decoding — signature check + chunk
+    * walk to IHDR: dimensions, bit depth, color type (and the derived
+    * has_alpha: color types 4/6 or a tRNS chunk), interlace method,
+    * total chunk count. Parses the bytes REAL encoders emit (the spec
+    * and oracle run it over [[syntheticImages]]' actual `javax.imageio`
+    * output — only encoder-contract fields are oracle-hashed; chunk
+    * count is deflate-layout-dependent and stays spec-side, the
+    * compressionRatio precedent). Truncated/corrupt chunk lists stop
+    * cleanly. Map-only, the [[mp4Meta]] posture. */
+  def pngMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pngMetaSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val b = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        val isPng = b.length >= 8 &&
+          sig.indices.forall(i => (b(i) & 0xff) == sig(i))
+        if (!isPng) Row(id, false, null, null, null, null, null, null,
+          null)
+        else {
+          def u32(o: Int): Long =
+            ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+          var w: Integer = null; var h: Integer = null
+          var depth: Integer = null; var ct: Integer = null
+          var il: Integer = null
+          var trns = false
+          var n = 0
+          var off = 8
+          var ok = true
+          while (ok && off + 8 <= b.length) {
+            val len = u32(off)
+            val typ = new String(b, off + 4, 4, "ISO-8859-1")
+            if (len < 0 || off + 12 + len > b.length) ok = false
+            else {
+              n += 1
+              val p = off + 8
+              if (typ == "IHDR" && len >= 13) {
+                w = u32(p).toInt; h = u32(p + 4).toInt
+                depth = b(p + 8) & 0xff; ct = b(p + 9) & 0xff
+                il = b(p + 12) & 0xff
+              } else if (typ == "tRNS") trns = true
+              if (typ == "IEND") ok = false
+              off += 12 + len.toInt
+            }
+          }
+          val alpha: java.lang.Boolean =
+            if (ct == null) null
+            else Boolean.box(ct == 4 || ct == 6 || trns)
+          Row(id, true, w, h, depth, ct, il, Int.box(n), alpha)
+        }
+      }
+    }(enc).toDF()
+  }
+
   // -------------------------------------------- JPEG marker walk + EXIF
 
   private[graft] def exifMake(id: Long): String = (id % 4) match {

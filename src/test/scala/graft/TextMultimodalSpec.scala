@@ -450,6 +450,52 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: PNG chunk walk recovers IHDR from real ImageIO " +
+      "bytes; tRNS/color-type alpha; corrupt bytes clean") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val media = Multimodal.syntheticImages(docs, "doc_id")
+    val feats = Multimodal.pngMeta(media).collect()
+    assert(feats.length === 20)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1), s"png $id not recognized")
+      assert(r.getInt(2) === (id % 64 + 16).toInt)
+      assert(r.getInt(3) === (id % 48 + 16).toInt)
+      assert(r.getInt(4) === 8 && r.getInt(5) === 2) // 8-bit truecolor
+      assert(r.getInt(6) === 0)                      // non-interlaced
+      // IHDR + ≥1 IDAT + IEND at minimum
+      assert(r.getInt(7) >= 3, s"png $id chunk count ${r.getInt(7)}")
+      assert(!r.getBoolean(8)) // TYPE_INT_RGB: no alpha
+    }
+    // hand-built: grayscale-alpha color type 4 -> has_alpha
+    def u32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def chunk(t: String, d: Array[Byte]) =
+      u32(d.length.toLong) ++ t.getBytes("ISO-8859-1") ++ d ++ u32(0L)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val ihdr = chunk("IHDR", u32(3) ++ u32(2) ++
+      Array[Byte](16, 4, 0, 0, 1))
+    val ga = sig ++ ihdr ++ chunk("IEND", Array.emptyByteArray)
+    val r4 = Multimodal.pngMeta(Seq((9L, "image", ga))
+      .toDF("media_id", "modality", "bytes")).collect()(0)
+    assert(r4.getBoolean(1) && r4.getInt(2) === 3 && r4.getInt(3) === 2)
+    assert(r4.getInt(4) === 16 && r4.getInt(5) === 4 &&
+      r4.getInt(6) === 1 && r4.getBoolean(8))
+    // truncated chunk list stops cleanly; junk is not a png
+    val bad = sig ++ u32(1000L) ++ "IHDR".getBytes("ISO-8859-1")
+    val r5 = Multimodal.pngMeta(Seq((10L, "image", bad))
+      .toDF("media_id", "modality", "bytes")).collect()(0)
+    assert(r5.getBoolean(1) && r5.isNullAt(2))
+    val r6 = Multimodal.pngMeta(
+      Seq((11L, "image", "nope".getBytes("UTF-8")))
+        .toDF("media_id", "modality", "bytes")).collect()(0)
+    assert(!r6.getBoolean(1) && r6.isNullAt(2))
+  }
+
   test("multimodal: JPEG walk handles corrupt/truncated/non-exif bytes " +
       "cleanly") {
     import spark.implicits._
