@@ -2645,6 +2645,30 @@ object SparkEntry {
           alpha = 0.5)
         .select("doc_id", "n_dups", "weight")
     }),
+    "q_bloom_probe" -> ((s, dir) => {
+      // Bloom membership sketch, BIT-replayed: seen-set = content
+      // fingerprints of docs with doc_id % 3 != 0, probe = every doc.
+      // Positions are md5Long(key#i) & (m-1) with m a power of two, so
+      // the unsigned modulus is a bitwise AND both engines evaluate
+      // identically — every set bit AND every false positive is
+      // engine-exact. m deliberately small (2^14) so false positives
+      // actually occur at bench scale; is_member (the exact
+      // membership) rides along, so the no-false-negative invariant
+      // (is_member -> maybe_seen) is hash-audited row by row
+      val m = 1L << 14; val k = 7
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      val seen = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("fp"))
+      val grid = graft.dedup.Bloom.build(seen, "fp", m, k)
+      val probed = graft.dedup.Bloom.probe(docs, "fp", "doc_id",
+        grid, m, k)
+      val members = seen.distinct().withColumnRenamed("fp", "__sfp")
+      probed.join(broadcast(members), col("fp") === col("__sfp"), "left")
+        .select(col("doc_id"), col("maybe_seen"),
+          col("__sfp").isNotNull.as("is_member"))
+    }),
     "q_fuzzy_link" -> ((s, dir) =>
       // blocked fuzzy entity linkage: 24 synthetic person names with
       // deterministic corruptions (char swap / delete / duplicate by
@@ -7549,6 +7573,35 @@ object SparkEntry {
         |  round(power(c.n_dups, -0.5), 6) AS weight
         |FROM fp JOIN c USING (f)""".stripMargin,
     "q_fuzzy_link" -> fuzzyLinkOracle,
+    // the whole sketch rebuilt in SQL: same md5 positions (power-of-two
+    // AND modulus — no signed/unsigned % divergence), same per-word
+    // bit_or, same k-probe bool_and; every false positive replays
+    "q_bloom_probe" -> {
+      val mask = s"(((1::HUGEINT << (pos & 63)) + $C63) % $N64 - $C63)" +
+        "::BIGINT"
+      s"""WITH fp AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |      AS f
+         |  FROM documents),
+         |seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 <> 0),
+         |spos AS (SELECT
+         |    (${md5SignedSql("f || '#' || r.range")} & 16383) AS pos
+         |  FROM seen CROSS JOIN range(7) r),
+         |grid AS (SELECT pos >> 6 AS word_idx, bit_or($mask) AS word
+         |  FROM spos GROUP BY 1),
+         |ppos AS (SELECT doc_id,
+         |    (${md5SignedSql("f || '#' || r.range")} & 16383) AS pos
+         |  FROM fp CROSS JOIN range(7) r),
+         |hits AS (SELECT doc_id,
+         |    bool_and((coalesce(word, 0) & $mask) <> 0) AS maybe_seen
+         |  FROM ppos LEFT JOIN grid ON ppos.pos >> 6 = grid.word_idx
+         |  GROUP BY doc_id)
+         |SELECT fp.doc_id, hits.maybe_seen,
+         |  (s.f IS NOT NULL) AS is_member
+         |FROM fp
+         |JOIN hits USING (doc_id)
+         |LEFT JOIN seen s ON fp.f = s.f""".stripMargin
+    },
     "q_url_normalize" ->
       (urlCtes + "\nSELECT doc_id, url, norm_url, host, domain FROM dom"),
     "q_url_dedup" -> (urlCtes +

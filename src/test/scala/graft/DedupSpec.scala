@@ -621,4 +621,38 @@ class DedupSpec extends SparkSuite {
       .toSet
     assert(again === brute(0.8))
   }
+
+  test("bloom: no false negatives ever, false positives appear at a " +
+      "tiny m, grid is bounded by m/64, params validated") {
+    import spark.implicits._
+    import graft.dedup.Bloom
+    val seen = (0 until 200).map(i => s"key-$i").toDF("k")
+    val grid = Bloom.build(seen, "k", m = 1L << 10, k = 5)
+    val gridRows = grid.collect()
+    assert(gridRows.length <= 16) // 1024 bits = 16 words max
+    assert(gridRows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    // probe members + 800 non-members
+    val probeKeys = ((0 until 200).map(i => (i.toLong, s"key-$i")) ++
+      (0 until 800).map(i => (1000L + i, s"other-$i")))
+      .toDF("id", "k")
+    val got = Bloom.probe(probeKeys, "k", "id", grid,
+        m = 1L << 10, k = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("maybe_seen")).toMap
+    // every true member hits — the structural no-false-negative bound
+    (0 until 200).foreach(i => assert(got(i.toLong), s"FN at key-$i"))
+    // at 200 keys × k=5 in 1024 bits the fill ratio is ~0.62 → FP rate
+    // ~0.1: expect SOME false positives but far from all
+    val fps = (0 until 800).count(i => got(1000L + i))
+    assert(fps > 0, "expected false positives at this saturation")
+    assert(fps < 600, s"FP count $fps implausibly high")
+    // degenerate: empty filter rejects everything
+    val empty = Bloom.build(seen.filter(lit(false)), "k", 1L << 10, 5)
+    val none = Bloom.probe(probeKeys, "k", "id", empty, 1L << 10, 5)
+      .filter(col("maybe_seen")).count()
+    assert(none === 0L)
+    intercept[IllegalArgumentException] {
+      Bloom.build(seen, "k", m = 1000L, k = 5) // not a power of two
+    }
+  }
 }
