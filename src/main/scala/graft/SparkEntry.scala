@@ -101,6 +101,20 @@ object SparkEntry {
       path
     })
 
+  private val fpBloomBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Persisted Bloom grid over [[fpIndexPath]]'s fingerprints — built
+    * once per JVM and data dir; the q_incremental_bloom probe reads it
+    * instead of touching the index for definitely-new content. Small m
+    * (2^14) so sf-scale batches actually see false positives. */
+  private def fpBloomPath(s: SparkSession, dir: String): String =
+    fpBloomBuilt.computeIfAbsent(dir, d => {
+      val path = fpIndexPath(s, d) + "_bloom"
+      graft.dedup.Dedup.writeFingerprintBloom(s, fpIndexPath(s, d),
+        path, m = 1L << 14, k = 7)
+      path
+    })
+
   /** On-disk WARC artifact over the documents table (+ synthetic crawl
     * URLs) — built once per JVM and data dir like the token shards;
     * the round-trip query re-reads the BYTES through the splittable
@@ -1210,6 +1224,24 @@ object SparkEntry {
           .withColumn("doc_id", lit(2000000L)))
       graft.dedup.Dedup.incrementalExactDedup(batch, "text", "doc_id",
           fpIndexPath(s, dir))
+        .select(col("doc_id"))
+    }),
+    "q_incremental_bloom" -> ((s, dir) => {
+      // the q_incremental_dedup fixture through the BLOOM-prefiltered
+      // probe: batch fingerprints check the persisted grid first and
+      // only maybe-seen survivors pay the index semi-join — identical
+      // output by the no-false-negative property (the oracle IS the
+      // plain probe's replay), exercised with a small-m grid so false
+      // positives genuinely flow through the exact-confirm path
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .unionByName(docs.filter(col("doc_id") === 450)
+          .withColumn("doc_id", lit(2000000L)))
+      graft.dedup.Dedup.incrementalExactDedupBloom(batch, "text",
+          "doc_id", fpIndexPath(s, dir), fpBloomPath(s, dir),
+          m = 1L << 14, k = 7)
         .select(col("doc_id"))
     }),
     "q_funnel" -> ((s, dir) => {
@@ -5967,6 +5999,28 @@ object SparkEntry {
     // incremental dedup: the same fingerprint, the same augmented batch,
     // min-id-per-fingerprint within the batch, then the index anti-join
     "q_incremental_dedup" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id < 400),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT 2000000, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id = 450),
+        |k AS (SELECT fp, min(doc_id) AS keep FROM b GROUP BY 1)
+        |SELECT b.doc_id FROM b
+        |JOIN k ON b.fp = k.fp AND b.doc_id = k.keep
+        |WHERE b.fp NOT IN (SELECT fp FROM idx)""".stripMargin,
+    // identical replay to q_incremental_dedup: the Bloom pre-filter is
+    // a lossless pruning detail (no false negatives), so the oracle IS
+    // the plain incremental probe
+    "q_incremental_bloom" ->
       """WITH idx AS (
         |  SELECT DISTINCT
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -202,6 +202,49 @@ object Dedup {
     inBatch.join(broadcast(known), Seq("__fp"), "left_anti").drop("__fp")
   }
 
+  /** Persist the [[graft.dedup.Bloom]] grid of an existing fingerprint
+    * index — the compact snapshot [[incrementalExactDedupBloom]] probes
+    * BEFORE touching the index. ≤ m/64 rows on disk (4 MB of longs at
+    * m = 2²⁵); rewrite it whenever the index compacts. */
+  def writeFingerprintBloom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, bloomPath: String, m: Long = 1L << 22,
+      k: Int = 7): Unit =
+    Bloom.build(spark.read.parquet(indexPath).select(col("fingerprint")),
+        "fingerprint", m, k)
+      .write.mode("overwrite").parquet(bloomPath)
+
+  /** [[incrementalExactDedup]] with a Bloom pre-filter — the shape an
+    * ingest pipeline actually runs at 100 TB: the batch's distinct
+    * fingerprints probe the (tiny, broadcast) grid first, and ONLY the
+    * `maybe_seen` survivors pay the index semi-join. Bloom has no
+    * false negatives, so the result is IDENTICAL to the plain probe
+    * (spec-pinned); false positives only cost a wasted exact lookup.
+    * When an ingest batch is entirely new content — the common case —
+    * the maybe-set is empty and the index is NEVER READ (one driver
+    * count on the grid-probed batch keys decides). */
+  def incrementalExactDedupBloom(batch: DataFrame, textCol: String,
+      idCol: String, indexPath: String, bloomPath: String,
+      m: Long = 1L << 22, k: Int = 7): DataFrame = {
+    val spark = batch.sparkSession
+    val fp = batch.withColumn("__fp", fingerprintMd5(col(textCol)))
+    val inBatch = fp.join(
+      fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
+      Seq("__fp", idCol), "left_semi")
+    val grid = broadcast(spark.read.parquet(bloomPath))
+    val maybe = Bloom.probe(inBatch.select(col("__fp")).distinct(),
+        "__fp", "__fp", grid, m, k)
+      .filter(col("maybe_seen")).select(col("__fp"))
+      .localCheckpoint(true) // consumed by the count AND the semi-join
+    if (maybe.isEmpty) inBatch.drop("__fp")
+    else {
+      val known = spark.read.parquet(indexPath)
+        .select(col("fingerprint").as("__fp"))
+        .join(broadcast(maybe), Seq("__fp"), "left_semi")
+      inBatch.join(broadcast(known), Seq("__fp"), "left_anti")
+        .drop("__fp")
+    }
+  }
+
   // ------------------------------------------------------- minhash + LSH
 
   /** k minhash values from an array of 64-bit shingle hashes: min over

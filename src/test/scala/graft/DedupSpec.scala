@@ -655,4 +655,41 @@ class DedupSpec extends SparkSuite {
       Bloom.build(seen, "k", m = 1000L, k = 5) // not a power of two
     }
   }
+
+  test("bloom-prefiltered incremental dedup equals the plain probe; " +
+      "an all-new batch never reads the index") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("bloominc")
+      .toString
+    val idxPath = s"$dir/idx"; val bloomPath = s"$dir/bloom"
+    val corpus = (0 until 120)
+      .map(i => (i.toLong, s"indexed document number $i"))
+      .toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(corpus, "text", "doc_id", idxPath)
+    Dedup.writeFingerprintBloom(spark, idxPath, bloomPath,
+      m = 1L << 10, k = 5)
+    // batch: 40 new docs + 10 copies of indexed content + 1 in-batch dup
+    val batch = ((200 until 240)
+      .map(i => (i.toLong, s"fresh content $i")) ++
+      (0 until 10).map(i => (500L + i, s"indexed document number $i")) ++
+      Seq((900L, "fresh content 200")))
+      .toDF("doc_id", "text")
+    val plain = Dedup.incrementalExactDedup(batch, "text", "doc_id",
+      idxPath).select("doc_id").as[Long].collect().sorted
+    val bloomed = Dedup.incrementalExactDedupBloom(batch, "text",
+        "doc_id", idxPath, bloomPath, m = 1L << 10, k = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloomed.toSeq === plain.toSeq)
+    assert(plain.length === 40) // copies dropped, in-batch dup dropped
+    // all-new batch: maybe-set empty -> the index scan never appears
+    // in the executed plan (the zero-overlap shortcut)
+    val fresh = (300 until 320).map(i => (i.toLong, s"brand new $i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedupBloom(fresh, "text", "doc_id",
+      s"$dir/absent_index_is_never_touched", bloomPath,
+      m = 1L << 10, k = 5)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      (300L until 320L))
+  }
 }
