@@ -2910,6 +2910,39 @@ object SparkEntry {
             "https://"), h, lit("/ok.xml\n"))))
       graft.text.UrlOps.robotsSitemaps(robots)
     }),
+    "q_recrawl" -> ((s, dir) => {
+      // freshness-driven recrawl priority from sitemap hints: lastmod
+      // spans recent/old/absent/garbage (garbage must mean UNKNOWN, not
+      // a failed job — try_to_date under ANSI), changefreq covers all
+      // seven sitemaps.org values + absent, priority present on evens;
+      // the oracle replays the closed-form score per template with
+      // DuckDB's own date arithmetic as the independent parse
+      val d = col("doc_id")
+      val lastmod = when(pmod(d, lit(4)) === 0,
+          concat(lit("2024-01-0"), (pmod(d, lit(9)) + 1).cast("string")))
+        .when(pmod(d, lit(4)) === 1,
+          concat(lit("2024-03-0"), (pmod(d, lit(9)) + 1).cast("string")))
+        .when(pmod(d, lit(4)) === 2, lit(null).cast("string"))
+        .otherwise(lit("not-a-date"))
+      val cf = when(pmod(d, lit(8)) === 0, lit("always"))
+        .when(pmod(d, lit(8)) === 1, lit("HOURLY")) // case-insensitive
+        .when(pmod(d, lit(8)) === 2, lit("daily"))
+        .when(pmod(d, lit(8)) === 3, lit("weekly"))
+        .when(pmod(d, lit(8)) === 4, lit("monthly"))
+        .when(pmod(d, lit(8)) === 5, lit("yearly"))
+        .when(pmod(d, lit(8)) === 6, lit("never"))
+        .otherwise(lit(null).cast("string"))
+      val pri = when(pmod(d, lit(2)) === 0,
+          (pmod(d, lit(10)) / lit(10.0)).cast("double"))
+        .otherwise(lit(null).cast("double"))
+      table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("lastmod", lastmod)
+        .withColumn("changefreq", cf)
+        .withColumn("priority", pri)
+        .withColumn("score", graft.text.UrlOps.recrawlPriority(
+          col("lastmod"), col("changefreq"), col("priority"),
+          "2024-03-15"))
+    }),
     "q_sitemap_index" -> ((s, dir) => {
       // two-level frontier seeding: real hosts' robots.txt points at a
       // sitemap INDEX, not leaf urlsets — per-host <sitemapindex> docs
@@ -7768,6 +7801,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT host, 'https://' || host || '/ok.xml'
         |FROM hv WHERE v = 3""".stripMargin),
+    // closed-form freshness score; DuckDB's own date arithmetic +
+    // try_strptime is the independent second parse of lastmod
+    "q_recrawl" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN '2024-01-0' || ((doc_id % 9) + 1)::VARCHAR
+        |    WHEN 1 THEN '2024-03-0' || ((doc_id % 9) + 1)::VARCHAR
+        |    WHEN 2 THEN NULL ELSE 'not-a-date' END AS lastmod,
+        |  CASE doc_id % 8 WHEN 0 THEN 'always' WHEN 1 THEN 'HOURLY'
+        |    WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
+        |    WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+        |    WHEN 6 THEN 'never' ELSE NULL END AS changefreq,
+        |  CASE WHEN doc_id % 2 = 0 THEN ((doc_id % 10) / 10.0)::DOUBLE
+        |    ELSE NULL END AS priority
+        |  FROM documents),
+        |s AS (SELECT *,
+        |  CASE WHEN lower(changefreq) IN ('always', 'hourly')
+        |      THEN 1.0/24
+        |    WHEN lower(changefreq) = 'daily' THEN 1.0
+        |    WHEN lower(changefreq) = 'monthly' THEN 30.0
+        |    WHEN lower(changefreq) = 'yearly' THEN 365.0
+        |    ELSE 7.0 END AS period,
+        |  (DATE '2024-03-15' -
+        |    try_strptime(lastmod, '%Y-%m-%d')::DATE)::DOUBLE AS age
+        |  FROM t)
+        |SELECT doc_id, lastmod, changefreq, priority,
+        |  round(coalesce(priority, 0.5) *
+        |    (CASE WHEN lower(changefreq) = 'never' THEN 0.0
+        |      WHEN age IS NULL OR age < 0 THEN 1.0
+        |      ELSE least(2.0, age / period) END), 6) AS score
+        |FROM s""".stripMargin,
     // round-trip identity for the INDEX level — the child set is the
     // distinct (host, doc_id%4) grid, stated straight from the URL CTEs
     "q_sitemap_index" -> (urlCtes +

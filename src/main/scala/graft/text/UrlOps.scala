@@ -595,6 +595,38 @@ object UrlOps {
     * distinct values than this should be quantized by the caller. */
   val MaxDistinctPriorities: Long = 1L << 20
 
+  /** Recrawl priority from sitemap freshness hints — the step that
+    * makes `<lastmod>/<changefreq>/<priority>` actually DRIVE the
+    * frontier instead of decorating it: a page is due in proportion to
+    * how many expected-change periods have elapsed since its last
+    * modification. `score = round(coalesce(priority, 0.5) · due, 6)`
+    * where `due = min(2, age_days / period)` (capped so ancient pages
+    * don't starve everything else), `period` comes from the changefreq
+    * (always/hourly → 1/24 d, daily → 1, weekly → 7 [also the default
+    * for absent/unknown], monthly → 30, yearly → 365), `never` pins
+    * due = 0, and an absent/unparsable lastmod means UNKNOWN freshness
+    * → due = 1 (crawl it, don't guess). `asOfDate` (ISO yyyy-MM-dd) is
+    * an explicit parameter — determinism comes from the caller's
+    * clock, not the engine's. Pure scalar expression (map-only); feed
+    * the result to [[crawlSchedule]]'s `priorityCol`. */
+  def recrawlPriority(lastmod: Column, changefreq: Column,
+      priority: Column, asOfDate: String): Column = {
+    val period = when(lower(changefreq).isin("always", "hourly"),
+        lit(1.0 / 24))
+      .when(lower(changefreq) === "daily", lit(1.0))
+      .when(lower(changefreq) === "monthly", lit(30.0))
+      .when(lower(changefreq) === "yearly", lit(365.0))
+      .otherwise(lit(7.0)) // weekly and the absent/unknown default
+    // try_to_date: real-world lastmod strings are often junk — junk
+    // means unknown freshness, never a failed job (ANSI mode is on)
+    val age = datediff(to_date(lit(asOfDate)),
+      call_function("try_to_date", lastmod)).cast("double")
+    val due = when(lower(changefreq) === "never", lit(0.0))
+      .when(age.isNull || age < 0, lit(1.0)) // unknown freshness: due
+      .otherwise(least(lit(2.0), age / period))
+    round(coalesce(priority, lit(0.5)) * due, 6)
+  }
+
   /** [[parseRobots]] collapsed to ONE row per host: (host, rules
     * array<struct{rule_type, pattern, plen, like_pat}>) — the
     * dimension-table shape for a 1:1 (stream-)static join followed by

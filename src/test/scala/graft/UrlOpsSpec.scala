@@ -265,6 +265,28 @@ class UrlOpsSpec extends SparkSuite {
       ("a.com", "https://a.com/sm/1.xml?a=1&b=2", null)))
   }
 
+  test("recrawlPriority: periods per changefreq, never pins 0, unknown " +
+      "lastmod means due, staleness caps at 2, priority defaults 0.5") {
+    val rows = Seq(
+      // (lastmod, changefreq, priority)
+      ("2024-03-14", "daily", Some(1.0)),   // age 1 / period 1 -> 1.0
+      ("2024-03-08", "weekly", Some(1.0)),  // age 7 / 7 -> 1.0
+      ("2024-01-01", "daily", Some(1.0)),   // ancient -> capped 2.0
+      ("2024-03-14", "never", Some(1.0)),   // never -> 0
+      (null, "daily", Some(1.0)),           // unknown lastmod -> 1.0
+      ("garbage", "daily", Some(1.0)),      // junk parses null -> 1.0
+      ("2024-03-14", null, None),           // default period 7, pri 0.5
+      ("2024-03-14", "HOURLY", Some(0.5)))  // case-insensitive, cap 2
+      .map { case (l, c, p) => (l, c, p.map(Double.box).orNull) }
+      .toDF("lastmod", "cf", "pri")
+    val got = rows.select(graft.text.UrlOps.recrawlPriority(
+        col("lastmod"), col("cf"), col("pri"), "2024-03-15").as("s"))
+      .as[Double].collect().toSeq
+    // row 7: age 1 / default period 7 = 0.142857…, × default pri 0.5
+    // = 0.0714285… → round6 0.071429
+    assert(got === Seq(1.0, 1.0, 2.0, 0.0, 1.0, 1.0, 0.071429, 1.0))
+  }
+
   test("robotsSitemaps: global directives, case-insensitive key, " +
       "comments and relative values drop, several per file") {
     val robots = Seq(
