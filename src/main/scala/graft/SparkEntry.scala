@@ -2877,6 +2877,57 @@ object SparkEntry {
         .select(col("doc_id"), col("href"), col("link_url"),
           col("internal"))
     }),
+    "q_anchor_text" -> ((s, dir) => {
+      // anchor-level edge signals extractLinks drops: anchor TEXT (the
+      // classic target-page relevance label) and rel
+      // nofollow/ugc/sponsored (link-level crawl directives) — five
+      // anchor shapes per page (nofollow+nested tags+fragment, ugc with
+      // an entity in the text, unquoted href with rel=me and &nbsp;,
+      // an image-only anchor with no rel, a multi-token rel that must
+      // NOT trip nofollow) plus a mailto that drops; the oracle
+      // re-derives every row by template
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+        .withColumn("page_html", anchorPageHtml)
+      graft.text.UrlOps.extractAnchors(docs, "page_html", "url")
+        .select(col("doc_id"), col("href"), col("link_url"),
+          col("internal"), col("rel"), col("nofollow"),
+          col("anchor_text"))
+    }),
+    "q_meta_robots" -> ((s, dir) => {
+      // page-level robots meta directives (the indexing/following gate
+      // that complements robots.txt's fetch gate): four head variants —
+      // quoted lowercase "noindex, nofollow", uppercase attrs with an
+      // unquoted NONE, a non-robots meta that must not trigger, no meta
+      // at all
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("page_html", anchorPageHtml)
+      docs.select(col("doc_id"),
+        graft.text.UrlOps.metaRobotsDirectives(col("page_html"))
+          .as("directives"),
+        graft.text.UrlOps.metaNoindex(col("page_html")).as("noindex"),
+        graft.text.UrlOps.metaNofollow(col("page_html")).as("nofollow"))
+    }),
+    "q_follow_graph" -> ((s, dir) => {
+      // the nofollow-respecting crawl graph end to end: page-level
+      // metaNofollow gate → extractAnchors → link-level nofollow drop →
+      // registered-domain edge aggregation (what a polite rank pass may
+      // credit); the oracle replays the per-template edge set
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+        .withColumn("page_html", anchorPageHtml)
+      val follow =
+        docs.filter(!graft.text.UrlOps.metaNofollow(col("page_html")))
+      val edges =
+        graft.text.UrlOps.extractAnchors(follow, "page_html", "url")
+          .filter(!col("nofollow"))
+      edges.groupBy(
+          graft.text.UrlOps.registeredDomain(
+            graft.text.UrlOps.host(col("url"))).as("src_domain"),
+          graft.text.UrlOps.registeredDomain(
+            graft.text.UrlOps.host(col("link_url"))).as("dst_domain"))
+        .agg(count(lit(1)).as("n_links"))
+    }),
     "q_robots_sitemaps" -> ((s, dir) => {
       // sitemap DISCOVERY from robots.txt — the step the protocol
       // actually specifies: Sitemap: directives are global (no agent
@@ -3173,6 +3224,39 @@ object SparkEntry {
       .when(pmod(d, lit(4)) === 2, lit("?fbclid=xyz")).otherwise(lit(""))
     val frag = when(pmod(d, lit(2)) === 0, lit("#sec")).otherwise(lit(""))
     concat(scheme, hostC, port, path, query, frag)
+  }
+
+  /** Shared page fixture for q_anchor_text / q_meta_robots /
+    * q_follow_graph: a robots-meta head variant keyed on doc_id%4
+    * (noindex+nofollow / NONE via uppercase-unquoted attrs / a
+    * non-robots meta / none) and six anchor shapes — nofollow with
+    * nested tags and a fragment, ugc with an entity in the text, an
+    * unquoted href with rel=me and &nbsp;, an image-only anchor, a
+    * multi-token rel that must NOT read as nofollow, and a mailto that
+    * must drop. */
+  private def anchorPageHtml: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val meta = when(pmod(d, lit(4)) === 0,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+      .when(pmod(d, lit(4)) === 1,
+        lit("<META NAME='ROBOTS' CONTENT=none>"))
+      .when(pmod(d, lit(4)) === 2,
+        lit("<meta name=\"viewport\" content=\"width=device-width\">"))
+      .otherwise(lit(""))
+    concat(
+      lit("<html><head>"), meta, lit("</head><body>"),
+      lit("<a href=\"https://ext.example/e"),
+      pmod(d, lit(7)).cast("string"),
+      lit("#s\" rel=\"NoFollow\">Spon <b>sored</b> link</a>"),
+      lit("<a rel='ugc x' href='/u/"), pmod(d, lit(3)).cast("string"),
+      lit("'>user &amp; content</a>"),
+      lit("<a href=/about rel=me>About&nbsp;Us</a>"),
+      lit("<a href=\"sub/p"), pmod(d, lit(5)).cast("string"),
+      lit("\"><img src=\"i.png\"/></a>"),
+      lit("<a href=\"//cdn.assets.net/lib\" rel=\"noopener " +
+        "noreferrer\">cdn</a>"),
+      lit("<a href=\"mailto:x@y.z\">m</a>"),
+      lit("</body></html>"))
   }
 
   // ------------------------------------------------- oracle SQL generators
@@ -7932,6 +8016,58 @@ object SparkEntry {
         |SELECT doc_id, '/s p/x',
         |  scheme || '://' || host || '/s p/x', true
         |FROM bd""".stripMargin),
+    "q_anchor_text" -> (urlCtes +
+      """
+        |, bd AS (SELECT doc_id, host, scheme,
+        |    regexp_replace(CASE WHEN rawpath = '' THEN '/'
+        |      ELSE rawpath END, '/[^/]*$', '/') AS basedir
+        |  FROM hp)
+        |SELECT doc_id,
+        |  'https://ext.example/e' || (doc_id % 7)::VARCHAR || '#s'
+        |    AS href,
+        |  'https://ext.example/e' || (doc_id % 7)::VARCHAR AS link_url,
+        |  false AS internal, 'nofollow' AS rel, true AS nofollow,
+        |  'Spon sored link' AS anchor_text
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, '/u/' || (doc_id % 3)::VARCHAR,
+        |  scheme || '://' || host || '/u/' || (doc_id % 3)::VARCHAR,
+        |  true, 'ugc x', true, 'user & content'
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, '/about', scheme || '://' || host || '/about',
+        |  true, 'me', false, 'About Us'
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, 'sub/p' || (doc_id % 5)::VARCHAR,
+        |  scheme || '://' || host || basedir || 'sub/p' ||
+        |    (doc_id % 5)::VARCHAR,
+        |  true, '', false, ''
+        |FROM bd
+        |UNION ALL
+        |SELECT doc_id, '//cdn.assets.net/lib',
+        |  scheme || '://cdn.assets.net/lib',
+        |  false, 'noopener noreferrer', false, 'cdn'
+        |FROM bd""".stripMargin),
+    "q_meta_robots" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'noindex, nofollow'
+        |    WHEN 1 THEN 'none' ELSE '' END AS directives,
+        |  (doc_id % 4) IN (0, 1) AS noindex,
+        |  (doc_id % 4) IN (0, 1) AS nofollow
+        |FROM documents""".stripMargin,
+    "q_follow_graph" -> (urlCtes +
+      """
+        |, f AS (SELECT doc_id, domain FROM dom
+        |  WHERE doc_id % 4 NOT IN (0, 1)),
+        |e AS (
+        |  SELECT domain AS src_domain, domain AS dst_domain,
+        |    2::BIGINT AS n
+        |  FROM f
+        |  UNION ALL
+        |  SELECT domain, 'assets.net', 1::BIGINT FROM f)
+        |SELECT src_domain, dst_domain, sum(n)::BIGINT AS n_links
+        |FROM e GROUP BY src_domain, dst_domain""".stripMargin),
     "q_domain_stats" -> (urlCtes +
       """
         |SELECT domain, count(*)::BIGINT AS n_docs,

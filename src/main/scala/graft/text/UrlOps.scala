@@ -367,21 +367,7 @@ object UrlOps {
     val noFrag = when(raw.contains("#"),
         expr("substring(__h, 1, instr(__h, '#') - 1)"))
       .otherwise(col("__h"))
-    val base = withScheme(col(urlCol))
-    val scheme = lower(regexp_extract(base, UrlRe, 1))
-    val pageHost = host(col(urlCol))
-    val basePath = regexp_extract(base, UrlRe, 3)
-    // base directory: path up to (and incl.) the last '/', else '/'
-    val baseDir = when(basePath.contains("/"),
-        regexp_replace(basePath, "/[^/]*$", "/"))
-      .otherwise(lit("/"))
-    val h = col("__h2")
-    val resolved =
-      when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
-        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
-        .when(h.startsWith("/"),
-          concat(scheme, lit("://"), pageHost, h))
-        .otherwise(concat(scheme, lit("://"), pageHost, baseDir, h))
+    val resolved = resolveHref(col("__h2"), col(urlCol))
     docs
       .withColumn("__href_q", explode(hrefs))
       .withColumn("__href_raw", deq)
@@ -393,9 +379,146 @@ object UrlOps {
       .filter(col("__h2") =!= "")
       .withColumn("href", col("__href_raw"))
       .withColumn("link_url", resolved)
-      .withColumn("internal", host(resolved) === pageHost)
+      .withColumn("internal", host(resolved) === host(col(urlCol)))
       .drop("__href_q", "__href_raw", "__h", "__h2", htmlCol)
   }
+
+  /** RFC 3986 reference resolution of a cleaned href (trimmed,
+    * entity-decoded, fragment already stripped) against the page URL —
+    * the shared kernel of [[extractLinks]] and [[extractAnchors]]:
+    * absolute as-is, `//h/p` takes the page scheme, `/p` takes
+    * scheme://host, anything else joins the page's base directory
+    * (dot-segments survive verbatim — [[normalizeUrl]]'s boundary). */
+  private def resolveHref(h: Column, pageUrl: Column): Column = {
+    val base = withScheme(pageUrl)
+    val scheme = lower(regexp_extract(base, UrlRe, 1))
+    val pageHost = host(pageUrl)
+    val basePath = regexp_extract(base, UrlRe, 3)
+    // base directory: path up to (and incl.) the last '/', else '/'
+    val baseDir = when(basePath.contains("/"),
+        regexp_replace(basePath, "/[^/]*$", "/"))
+      .otherwise(lit("/"))
+    when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+      .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+      .when(h.startsWith("/"),
+        concat(scheme, lit("://"), pageHost, h))
+      .otherwise(concat(scheme, lit("://"), pageHost, baseDir, h))
+  }
+
+  /** One attribute's value out of an open-tag string: the
+    * [[extractLinks]] single-capture alternation (double-quoted /
+    * single-quoted / HTML5-legal unquoted), dequoted. Empty string when
+    * the attribute is absent (regexp_extract's no-match value — callers
+    * treat absent and empty alike: both mean "no usable value"). */
+  private def attrValue(openTag: Column, name: String): Column = {
+    val v = regexp_extract(openTag,
+      "(?is)[\\s\"']" + name + "\\s*=\\s*" +
+        "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)", 1)
+    when(v.startsWith("\"") || v.startsWith("'"),
+      v.substr(lit(2), length(v) - 2)).otherwise(v)
+  }
+
+  /** HTML entity decode for visible text — the [[HtmlExtract]] set
+    * (`&nbsp;`/`&#39;` on top of the XML five) with `&amp;` LAST, the
+    * same anti-double-decode ordering as [[xmlUnescape]]. */
+  private def htmlEntityDecode(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(c, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&nbsp;", " "),
+      "&amp;", "&")
+
+  /** Anchor ELEMENTS of an HTML column — the link-graph edge extractor
+    * with the two signals [[extractLinks]] drops: the ANCHOR TEXT (the
+    * classic relevance label for the TARGET page — search engines and
+    * query-document training sets are built from it) and the `rel`
+    * link-level crawl directive (rel="nofollow"/"ugc"/"sponsored" mark
+    * edges a polite crawler must not follow and a rank pass must not
+    * credit). One row per `<a …>…</a>` element pair (an unclosed `<a>`
+    * has no inner text and drops — the extractLinks boundary for
+    * malformed pages): input columns (minus `htmlCol`) plus
+    * href [as written], link_url [RFC 3986-resolved, fragment
+    * stripped], internal, rel [lowercased, as written], nofollow
+    * [rel's space-separated token list contains nofollow/ugc/sponsored],
+    * anchor_text [inner markup stripped, entities decoded, whitespace
+    * collapsed]. Non-fetchable hrefs (fragment-only, javascript:,
+    * mailto:, tel:, data:) drop, as in extractLinks.
+    *
+    * Scale: map-only explode — rows = anchors per page, no shuffle, no
+    * window; compose with [[metaNofollow]] (page-level gate) and
+    * [[graft.graph.GraphRank.pageRankByKey]] for a nofollow-respecting
+    * rank, or aggregate anchor_text by link_url for target labels. */
+  def extractAnchors(docs: DataFrame, htmlCol: String,
+      urlCol: String): DataFrame = {
+    val els = regexp_extract_all(col(htmlCol),
+      lit("(?is)(<a(?:\\s[^>]*)?>.*?</a>)"), lit(1))
+    val open = regexp_extract(col("__a_el"), "(?is)^(<a[^>]*>)", 1)
+    val inner =
+      regexp_extract(col("__a_el"), "(?is)^<a[^>]*>(.*)</a>$", 1)
+    val hq = attrValue(col("__a_open"), "href")
+    val cleaned = trim(xmlUnescape(col("__a_hq")))
+    val noFrag = when(cleaned.contains("#"),
+        expr("substring(__a_h, 1, instr(__a_h, '#') - 1)"))
+      .otherwise(col("__a_h"))
+    val relv = trim(lower(attrValue(col("__a_open"), "rel")))
+    docs
+      .withColumn("__a_el", explode(els))
+      .withColumn("__a_open", open)
+      .withColumn("__a_hq", hq)
+      .withColumn("__a_h", cleaned)
+      .filter(col("__a_h") =!= "" && !col("__a_h").startsWith("#") &&
+        !lower(col("__a_h"))
+          .rlike("^(javascript|mailto|tel|data):"))
+      .withColumn("__a_h2", noFrag)
+      .filter(col("__a_h2") =!= "")
+      .withColumn("href", col("__a_hq"))
+      .withColumn("link_url", resolveHref(col("__a_h2"), col(urlCol)))
+      .withColumn("internal",
+        host(col("link_url")) === host(col(urlCol)))
+      .withColumn("rel", relv)
+      .withColumn("nofollow", arrays_overlap(
+        split(col("rel"), "\\s+"),
+        array(lit("nofollow"), lit("ugc"), lit("sponsored"))))
+      .withColumn("anchor_text", trim(regexp_replace(
+        htmlEntityDecode(
+          regexp_replace(inner, "<[^>]*>", " ")), "\\s+", " ")))
+      .drop("__a_el", "__a_open", "__a_hq", "__a_h", "__a_h2", htmlCol)
+  }
+
+  /** The lowercased, comma-joined `content` values of every
+    * `<meta name="robots" …>` element (either attribute order, quoted
+    * or unquoted values, any case) — "" when the page has none. The
+    * page-level crawl directives that complement robots.txt: robots.txt
+    * gates the FETCH, the robots meta gates INDEXING (`noindex`) and
+    * LINK-FOLLOWING (`nofollow`) of a page already fetched. Map-only
+    * higher-order array expressions, no shuffle. */
+  def metaRobotsDirectives(html: Column): Column = {
+    val metas =
+      regexp_extract_all(html, lit("(?is)(<meta\\s[^>]*>)"), lit(1))
+    val robots = filter(metas,
+      m => lower(attrValue(m, "name")) === "robots")
+    lower(concat_ws(",",
+      transform(robots, m => attrValue(m, "content"))))
+  }
+
+  /** `noindex` page directive (`noindex` or `none` token in any robots
+    * meta — most-restrictive-wins, the crawler consensus). */
+  def metaNoindex(html: Column): Column =
+    metaRobotsDirectives(html)
+      .rlike("(^|[,\\s])(noindex|none)($|[,\\s])")
+
+  /** `nofollow` page directive (`nofollow` or `none`): a rank/crawl
+    * pass must drop EVERY outgoing edge of such a page — compose as a
+    * page filter before [[extractAnchors]]. */
+  def metaNofollow(html: Column): Column =
+    metaRobotsDirectives(html)
+      .rlike("(^|[,\\s])(nofollow|none)($|[,\\s])")
 
   /** Minimal XML entity decode for sitemap fields — the five
     * predefined entities, `&amp;` LAST (the HtmlExtract ordering

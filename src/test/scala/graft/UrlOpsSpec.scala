@@ -377,6 +377,70 @@ class UrlOpsSpec extends SparkSuite {
       "/spaced path/x" -> "https://h.example/spaced path/x"))
   }
 
+  test("extractAnchors: anchor text (nested tags, entities, whitespace), " +
+      "rel nofollow/ugc/sponsored, resolution parity with extractLinks") {
+    val html =
+      "<a href=\"https://ext.example/e#f\" rel=\"NoFollow\">Spon " +
+        "<b>sored</b>\n link</a>" +
+      "<a rel='ugc x' href='/u/1'>user &amp; content</a>" +
+      "<a href=/about rel=me>About&nbsp;Us</a>" +
+      "<a href=\"sub/p\"><img src=\"x.png\"/></a>" +
+      "<a href=\"//cdn.example/l\" rel=\"noopener noreferrer\">cdn</a>" +
+      "<a href=\"mailto:x@y\">m</a>" +
+      "<a>no href</a>" +
+      "<a href=\"/unclosed\">tail with no close tag"
+    val got = UrlOps.extractAnchors(
+        Seq((1L, "https://h.example/dir/page", html))
+          .toDF("doc_id", "url", "page_html"), "page_html", "url")
+      .collect()
+      .map(r => r.getAs[String]("href") ->
+        ((r.getAs[String]("link_url"), r.getAs[Boolean]("nofollow"),
+          r.getAs[String]("rel"), r.getAs[String]("anchor_text"))))
+      .toMap
+    // mailto, no-href and the unclosed trailing anchor drop
+    assert(got.keySet === Set("https://ext.example/e#f", "/u/1",
+      "/about", "sub/p", "//cdn.example/l"))
+    assert(got("https://ext.example/e#f") === (("https://ext.example/e",
+      true, "nofollow", "Spon sored link"))) // case-folded rel; ws collapse
+    assert(got("/u/1") ===
+      (("https://h.example/u/1", true, "ugc x", "user & content")))
+    assert(got("/about") ===
+      (("https://h.example/about", false, "me", "About Us")))
+    assert(got("sub/p") ===
+      (("https://h.example/dir/sub/p", false, "", ""))) // img-only anchor
+    assert(got("//cdn.example/l") ===
+      (("https://cdn.example/l", false, "noopener noreferrer", "cdn")))
+  }
+
+  test("metaRobots: directives across metas, either attribute order, " +
+      "unquoted/cased values, non-robots metas ignored") {
+    def flags(html: String): (String, Boolean, Boolean) = {
+      val r = Seq(html).toDF("h").select(
+        UrlOps.metaRobotsDirectives(col("h")).as("d"),
+        UrlOps.metaNoindex(col("h")).as("ni"),
+        UrlOps.metaNofollow(col("h")).as("nf")).head()
+      (r.getString(0), r.getBoolean(1), r.getBoolean(2))
+    }
+    assert(flags("<head><meta name=\"robots\" " +
+      "content=\"noindex, nofollow\"></head>") ===
+      (("noindex, nofollow", true, true)))
+    // NONE implies both; uppercase attr names, single quotes, unquoted value
+    assert(flags("<META NAME='ROBOTS' CONTENT=none>") ===
+      (("none", true, true)))
+    // content before name; only nofollow
+    assert(flags("<meta content=\"nofollow\" name=robots />") ===
+      (("nofollow", false, true)))
+    // two robots metas join; most-restrictive union
+    assert(flags("<meta name=robots content=noindex>" +
+      "<meta name=robots content=nofollow>") ===
+      (("noindex,nofollow", true, true)))
+    // non-robots metas and substring tokens don't trigger
+    assert(flags("<meta name=\"viewport\" content=\"noindex\">" +
+      "<meta name=robots content=\"nofollowx,all\">") ===
+      (("nofollowx,all", false, false)))
+    assert(flags("<p>no metas</p>") === (("", false, false)))
+  }
+
   test("domainCap keeps top-N per registered domain by score, ties to min id") {
     val docs = Seq(
       (1L, "https://a.com/1", 10.0), (2L, "https://a.com/2", 30.0),
