@@ -53,7 +53,10 @@ object Warc {
   val EpochWarcDate = "1970-01-01T00:00:00Z"
 
   /** Write one `part_<pid>.warc` (or `.warc.gz` when `gzip`) per
-    * partition under `dir`: a response record per row — (idCol long,
+    * partition under `dir`: one record per row of `warcType`
+    * (default `response`; `WARC-Refers-To: <prefix:id>` is emitted
+    * when `refersToPrefix` is set — the conversion-record linkage,
+    * see [[writeWet]]) — (idCol long,
     * uriCol string, textCol string payload, UTF-8). Each gzip record is
     * its OWN gzip member (JDK GZIPOutputStream writes a fixed header —
     * MTIME 0 — so the bytes are deterministic given the JDK's zlib, the
@@ -68,7 +71,9 @@ object Warc {
   def writeWarc(df: DataFrame, dir: String, idCol: String = "doc_id",
       uriCol: String = "url", textCol: String = "text",
       gzip: Boolean = false,
-      warcDate: String = EpochWarcDate): DataFrame = {
+      warcDate: String = EpochWarcDate,
+      warcType: String = "response",
+      refersToPrefix: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // ship the session's Hadoop configuration into the task closure —
@@ -104,8 +109,10 @@ object Warc {
             payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val sb = new StringBuilder
           sb.append(Delim)
-          sb.append("WARC-Type: response\r\n")
+          sb.append(s"WARC-Type: $warcType\r\n")
           sb.append(s"WARC-Record-ID: <urn:graft:${r.getLong(0)}>\r\n")
+          refersToPrefix.foreach(p =>
+            sb.append(s"WARC-Refers-To: <$p:${r.getLong(0)}>\r\n"))
           sb.append(s"WARC-Date: $warcDate\r\n")
           sb.append("WARC-Target-URI: ")
             .append(if (r.isNullAt(1)) "" else r.getString(1))
@@ -155,6 +162,20 @@ object Warc {
       }
       .toDF("file", "n_records", "n_bytes")
   }
+
+  /** WET-style conversion records (the CommonCrawl WARC→WET step:
+    * extracted plain text stored back into the WARC container with
+    * `WARC-Type: conversion` and a `WARC-Refers-To` pointer at the
+    * response record it was derived from). Same splittable layouts,
+    * sidecars and atomic-rename discipline as [[writeWarc]]; extract
+    * text FIRST (e.g. [[graft.text.HtmlExtract.extractText]]) and pass
+    * it as `textCol`. */
+  def writeWet(df: DataFrame, dir: String, idCol: String = "doc_id",
+      uriCol: String = "url", textCol: String = "text",
+      gzip: Boolean = false,
+      warcDate: String = EpochWarcDate): DataFrame =
+    writeWarc(df, dir, idCol, uriCol, textCol, gzip, warcDate,
+      warcType = "conversion", refersToPrefix = Some("urn:graft"))
 
   private val OutSchema = Seq("record_id", "warc_type", "target_uri",
     "content_length", "payload", "length_ok", "warc_date")

@@ -127,6 +127,37 @@ class IOSpec extends SparkSuite {
     assert(flagged.length === 1 && !flagged(0).getBoolean(5))
   }
 
+  test("wet: conversion records carry WARC-Type conversion and a " +
+      "WARC-Refers-To pointer; round-trip preserves extracted text") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val dir = tmp()
+    val docs = Seq(
+      (7L, "https://a.example/p", "extracted text one"),
+      (8L, "https://b.example/q", "extracted ü two"))
+      .toDF("doc_id", "url", "text")
+    Warc.writeWet(docs, dir).collect()
+    val back = Warc.readWarc(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(back.size === 2)
+    back.values.foreach { r =>
+      assert(r.getString(1) === "conversion")
+      assert(r.getBoolean(5))
+    }
+    assert(back(7L).getString(4) === "extracted text one")
+    assert(back(8L).getString(4) === "extracted ü two")
+    // the refers-to linkage is in the raw header bytes (the 7-column
+    // read schema deliberately stays fixed)
+    import scala.jdk.CollectionConverters._
+    val raw = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.filter(_.toString.endsWith(".warc"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .mkString
+    assert(raw.contains("WARC-Refers-To: <urn:graft:7>"))
+    assert(raw.contains("WARC-Refers-To: <urn:graft:8>"))
+    assert(raw.contains("WARC-Type: conversion"))
+  }
+
   test("warc.gz: per-member gzip round-trip via the Content-Length " +
       "walk byte-matches the uncompressed container; WARC-Date is " +
       "emitted; writes are atomic; truncated members are flagged") {
