@@ -1,0 +1,83 @@
+package graft
+
+import graft.text.Markdown
+import org.apache.spark.sql.functions._
+
+/** GitHub pipe-table extraction: cell lifting, delimiter handling,
+  * decoys, table-level stats. */
+class MarkdownSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val doc =
+    """prose before
+      || Name | Qty |
+      ||------|:---:|
+      || alpha | 3 |
+      || beta  | 5 |
+      |text with a | pipe but no table
+      ||x|y|
+      |no delimiter follows, so no table
+      || K | V |
+      || - | - |
+      || k1 | v1 |
+      |""".stripMargin
+
+  test("markdownTableCells: cells by (table, row, col); delimiter and " +
+      "alignment markers never appear; decoy pipe lines don't match") {
+    val got = Markdown.markdownTableCells(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text")
+      .collect()
+      .map(r => (r.getAs[Int]("table_idx"), r.getAs[Int]("row_idx"),
+        r.getAs[Int]("col_idx")) -> r.getAs[String]("cell")).toMap
+    assert(got === Map(
+      (0, 0, 0) -> "Name", (0, 0, 1) -> "Qty",
+      (0, 1, 0) -> "alpha", (0, 1, 1) -> "3",
+      (0, 2, 0) -> "beta", (0, 2, 1) -> "5",
+      (1, 0, 0) -> "K", (1, 0, 1) -> "V",
+      (1, 1, 0) -> "k1", (1, 1, 1) -> "v1"))
+  }
+
+  test("markdownTableCells: empty cells survive; a blank body row is " +
+      "data, not a delimiter; table at end of text without newline") {
+    val d = "| a |  | c |\n|---|---|---|\n|  | x |  |"
+    val got = Markdown.markdownTableCells(
+        Seq((1L, d)).toDF("doc_id", "text"), "text")
+      .collect()
+      .map(r => (r.getAs[Int]("row_idx"), r.getAs[Int]("col_idx")) ->
+        r.getAs[String]("cell")).toMap
+    assert(got === Map(
+      (0, 0) -> "a", (0, 1) -> "", (0, 2) -> "c",
+      (1, 0) -> "", (1, 1) -> "x", (1, 2) -> ""))
+    // "| | |" as line 2 must be read as a BODY row (delimiter needs -)
+    val d2 = "| h |\n|---|\n| |\n| z |"
+    val rows = Markdown.markdownTableCells(
+        Seq((1L, d2)).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getAs[Int]("row_idx") -> r.getAs[String]("cell"))
+    assert(rows.toSet === Set(0 -> "h", 1 -> "", 2 -> "z"))
+  }
+
+  test("markdownTableStats: per-table rows/cols/header off the cell " +
+      "explode") {
+    val got = Markdown.markdownTableStats(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Int]("table_idx") ->
+        ((r.getAs[Int]("n_rows"), r.getAs[Int]("n_cols"),
+          r.getAs[String]("header")))).toMap
+    assert(got === Map(
+      0 -> ((3, 2, "Name,Qty")),
+      1 -> ((2, 2, "K,V"))))
+  }
+
+  test("no tables, no rows; multiple docs keep their ids") {
+    assert(Markdown.markdownTableCells(
+      Seq((1L, "no tables here | at all")).toDF("doc_id", "text"),
+      "text").count() === 0)
+    val two = Markdown.markdownTableCells(
+      Seq((1L, "| a |\n|---|\n| b |"), (2L, "| c |\n|---|\n| d |"))
+        .toDF("doc_id", "text"), "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("cell")))
+    assert(two.toSet === Set((1L, "a"), (1L, "b"), (2L, "c"), (2L, "d")))
+  }
+}
