@@ -153,6 +153,49 @@ object SparkEntry {
       path
     })
 
+  /** The q_html_extract page template over the documents text — shared
+    * by the extraction query and the WET lane so both pin the SAME
+    * regexp-chain semantics. */
+  private def htmlPageFixture: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    concat(
+      lit("<html><head><title>T</title>"),
+      lit("<style type=\"text/css\">body { color: red; }</style>"),
+      when(pmod(d, lit(3)) === 0,
+        lit("<script>var x = '<p>not text</p>';</script>"))
+        .otherwise(lit("")),
+      lit("</head><body><!-- comment <b>bold</b> -->"),
+      lit("<h1>Title &amp; more</h1><P class=\"x\">"), col("text"),
+      lit("</p>"),
+      when(pmod(d, lit(2)) === 0,
+        lit("<div><a href=\"/x\">a link</a> &lt;tag&gt;&nbsp;t2</div>"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(5)) === 0,
+        lit("<ul><li>one</li><li>two</li></ul>")).otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  /** WET conversion artifacts (the [[warcPath]] discipline): page
+    * fixture → extractText → writeWet, built once per JVM + data dir. */
+  private val wetBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wetPath(s: SparkSession, dir: String): String =
+    wetBuilt.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_wet_" + digest).getAbsolutePath
+      val pages = table(s, d, "documents")
+        .withColumn("url", syntheticUrl)
+        .withColumn("wet_text", graft.text.HtmlExtract.extractText(
+          htmlPageFixture))
+      graft.sources.Warc.writeWet(pages, path,
+        textCol = "wet_text").collect()
+      path
+    })
+
   /** On-disk binary token shards (.bin/.idx + manifest) over the
     * documents table — built once per JVM and data dir like the ANN
     * indexes; ids are md5-derived per token so the oracle can replay
@@ -784,6 +827,22 @@ object SparkEntry {
       import graft.multimodal.Multimodal._
       exifMeta(syntheticExifJpegs(table(s, dir, "documents"), "doc_id"))
     }),
+    "q_pdf_parse" -> ((s, dir) => {
+      // REAL PDF structural parse, zero deps: complete single-xref
+      // PDFs (catalog → page tree → per-page uncompressed content
+      // streams alternating Tj / kerned-TJ show forms → font, with a
+      // byte-exact xref table) are re-parsed from their bytes — header
+      // version, page objects counted vs the tree's declared /Count,
+      // object count from the trailer /Size, xref offset VALIDATION,
+      // and the extracted text (escapes exercised on every row) all
+      // stated analytically by the oracle (the q_image_exif posture)
+      import graft.multimodal.Pdf
+      Pdf.pdfMeta(Pdf.syntheticPdfs(table(s, dir, "documents"),
+          "doc_id"))
+        .select(col("media_id"), col("parsed"), col("version"),
+          col("n_pages"), col("pages_declared"), col("n_objects"),
+          col("xref_ok"), col("text"))
+    }),
     "q_video_mp4_meta" -> ((s, dir) => {
       // REAL ISO-BMFF container parse, no codec: synthetic mp4s with a
       // closed-form moov tree (two-entry stts, v0 boxes) are re-parsed
@@ -1006,24 +1065,20 @@ object SparkEntry {
       // subtrees (dropped WITH contents), block tags (→ newlines),
       // entities (&amp; decoded last), links — plus markup-density
       // signals; the whole regexp chain replays verbatim in RE2
-      val d = col("doc_id")
-      val html = concat(
-        lit("<html><head><title>T</title>"),
-        lit("<style type=\"text/css\">body { color: red; }</style>"),
-        when(pmod(d, lit(3)) === 0,
-          lit("<script>var x = '<p>not text</p>';</script>"))
-          .otherwise(lit("")),
-        lit("</head><body><!-- comment <b>bold</b> -->"),
-        lit("<h1>Title &amp; more</h1><P class=\"x\">"), col("text"),
-        lit("</p>"),
-        when(pmod(d, lit(2)) === 0,
-          lit("<div><a href=\"/x\">a link</a> &lt;tag&gt;&nbsp;t2</div>"))
-          .otherwise(lit("")),
-        when(pmod(d, lit(5)) === 0,
-          lit("<ul><li>one</li><li>two</li></ul>")).otherwise(lit("")),
-        lit("</body></html>"))
-      graft.text.HtmlExtract.extract(
-        table(s, dir, "documents").withColumn("html", html))
+      graft.text.HtmlExtract.extract(table(s, dir, "documents")
+        .withColumn("html", htmlPageFixture))
+    }),
+    "q_warc_wet" -> ((s, dir) => {
+      // the full WARC→WET lane as DISK ARTIFACTS: the q_html_extract
+      // page fixture → extractText → conversion records written with
+      // writeWet (WARC-Type: conversion + WARC-Refers-To) → re-read
+      // through the record walk; type, URI, octet count and the full
+      // extracted-text payload hash-check against the oracle's
+      // independent regexp-chain replay
+      graft.sources.Warc.readWarc(s, wetPath(s, dir))
+        .select(col("record_id").as("doc_id"), col("warc_type"),
+          col("target_uri"), col("content_length"), col("payload"),
+          col("length_ok"), col("warc_date"))
     }),
     "q_rho_select" -> ((s, dir) =>
       // RHO-style learnability selection: excess loss between the
@@ -2928,6 +2983,78 @@ object SparkEntry {
             graft.text.UrlOps.host(col("link_url"))).as("dst_domain"))
         .agg(count(lit(1)).as("n_links"))
     }),
+    "q_anchor_index" -> ((s, dir) => {
+      // the off-page relevance table end to end: page-level nofollow
+      // gate → extractAnchors → follow edges → canonicalized target
+      // URL → per-(target, term) counts — how the web describes each
+      // page, the signal search rankers and query-document training
+      // pairs are built from
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+        .withColumn("page_html", anchorPageHtml)
+      val follow =
+        docs.filter(!graft.text.UrlOps.metaNofollow(col("page_html")))
+      graft.text.UrlOps.anchorTermIndex(follow, "page_html", "url")
+    }),
+    "q_md_tables" -> ((s, dir) => {
+      // GitHub pipe-table extraction (the structured-data lane):
+      // evens carry a 3-row table before the shared 2-row one, decoy
+      // pipe lines between them must not match; every cell is a
+      // doc_id template the oracle unions back
+      graft.text.Markdown.markdownTableCells(
+          table(s, dir, "documents").select(col("doc_id"))
+            .withColumn("md_text", mdFixture), "md_text")
+        .select(col("doc_id"), col("table_idx"), col("row_idx"),
+          col("col_idx"), col("cell"))
+    }),
+    "q_md_stats" -> ((s, dir) => {
+      // table-level rollup off the same explode: one (doc, table)
+      // aggregate — rows, header width, comma-joined header
+      graft.text.Markdown.markdownTableStats(
+        table(s, dir, "documents").select(col("doc_id"))
+          .withColumn("md_text", mdFixture), "md_text", "doc_id")
+    }),
+    "q_code_lane" -> ((s, dir) => {
+      // the source-code corpus lane (StarCoder-class preprocessing):
+      // extension language id (case-folded, unknown/none null), POSIX
+      // shebang interpreter (env-resolved), SPDX license screening
+      // (explicit tag beats prose; none = null = exclude), comment-line
+      // density — all per-row expressions over a synthetic repo file
+      // whose every field the oracle states from doc_id templates
+      val d = col("doc_id")
+      val path = when(pmod(d, lit(6)) === 0, lit("src/a.py"))
+        .when(pmod(d, lit(6)) === 1, lit("lib/b.js"))
+        .when(pmod(d, lit(6)) === 2, lit("pkg/c.rs"))
+        .when(pmod(d, lit(6)) === 3, lit("x/d.foo"))
+        .when(pmod(d, lit(6)) === 4, lit("noext"))
+        .otherwise(lit("e.YML"))
+      val l1 = when(pmod(d, lit(4)) === 0,
+          lit("#!/usr/bin/env python3"))
+        .when(pmod(d, lit(4)) === 1, lit("#!/bin/sh -e"))
+        .when(pmod(d, lit(4)) === 2, lit("# plain comment"))
+        .otherwise(lit("x = 1"))
+      val l2 = when(pmod(d, lit(5)) === 0,
+          lit("// SPDX-License-Identifier: MIT"))
+        .when(pmod(d, lit(5)) === 1,
+          lit("/* Licensed under the Apache License, Version 2.0 */"))
+        .when(pmod(d, lit(5)) === 2,
+          lit("# Permission is hereby granted, free of charge"))
+        .when(pmod(d, lit(5)) === 3,
+          lit("-- GNU General Public License"))
+        .otherwise(lit("let code = 1"))
+      val body = concat_ws("\n", l1, l2, lit("code line one"),
+        lit("// trailing comment"), lit(""), lit("final code"))
+      import graft.text.CodeOps
+      table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("path", path)
+        .withColumn("code_text", body)
+        .select(col("doc_id"), col("path"),
+          CodeOps.languageFromPath(col("path")).as("lang"),
+          CodeOps.shebangInterpreter(col("code_text")).as("interp"),
+          CodeOps.licenseId(col("code_text")).as("license"),
+          CodeOps.commentLineRatio(col("code_text"))
+            .as("comment_ratio"))
+    }),
     "q_robots_sitemaps" -> ((s, dir) => {
       // sitemap DISCOVERY from robots.txt — the step the protocol
       // actually specifies: Sitemap: directives are global (no agent
@@ -3224,6 +3351,25 @@ object SparkEntry {
       .when(pmod(d, lit(4)) === 2, lit("?fbclid=xyz")).otherwise(lit(""))
     val frag = when(pmod(d, lit(2)) === 0, lit("#sec")).otherwise(lit(""))
     concat(scheme, hostC, port, path, query, frag)
+  }
+
+  /** Markdown fixture for q_md_tables / q_md_stats: evens carry a
+    * 3-row (Name, Qty) table; every doc carries the (K, V) table with
+    * alignment-marked delimiters; decoy pipe lines (no outer pipes /
+    * no delimiter) sit between them. */
+  private def mdFixture: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val tableA = concat(
+      lit("| Name | Qty |\n|---|---|\n| alpha | "),
+      pmod(d, lit(7)).cast("string"), lit(" |\n| beta | "),
+      pmod(d, lit(5)).cast("string"), lit(" |\n"))
+    concat(
+      lit("prose before\n"),
+      when(pmod(d, lit(2)) === 0, tableA).otherwise(lit("")),
+      lit("mid | decoy line\n|x|y|\nno delimiter follows\n"),
+      lit("| K | V |\n|:--|--:|\n| k"),
+      pmod(d, lit(3)).cast("string"), lit(" | v"),
+      pmod(d, lit(4)).cast("string"), lit(" |\n"))
   }
 
   /** Shared page fixture for q_anchor_text / q_meta_robots /
@@ -4013,21 +4159,26 @@ object SparkEntry {
     * → chr(10), tag strip, ordered entity decode with &amp; last,
     * whitespace normalization, regex end-trim) and the same
     * extract-all-based density signals. */
-  private def htmlExtractOracle: String = {
-    val synHtml =
-      """'<html><head><title>T</title>' ||
-        |    '<style type="text/css">body { color: red; }</style>' ||
-        |    (CASE WHEN doc_id % 3 = 0
-        |      THEN '<script>var x = ''<p>not text</p>'';</script>'
-        |      ELSE '' END) ||
-        |    '</head><body><!-- comment <b>bold</b> -->' ||
-        |    '<h1>Title &amp; more</h1><P class="x">' || text || '</p>' ||
-        |    (CASE WHEN doc_id % 2 = 0
-        |      THEN '<div><a href="/x">a link</a> &lt;tag&gt;&nbsp;t2</div>'
-        |      ELSE '' END) ||
-        |    (CASE WHEN doc_id % 5 = 0
-        |      THEN '<ul><li>one</li><li>two</li></ul>' ELSE '' END) ||
-        |    '</body></html>'""".stripMargin
+  /** The [[htmlPageFixture]] template restated in SQL — shared by
+    * htmlExtractOracle and the q_warc_wet oracle. */
+  private val htmlFixtureSql: String =
+    """'<html><head><title>T</title>' ||
+      |    '<style type="text/css">body { color: red; }</style>' ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |      THEN '<script>var x = ''<p>not text</p>'';</script>'
+      |      ELSE '' END) ||
+      |    '</head><body><!-- comment <b>bold</b> -->' ||
+      |    '<h1>Title &amp; more</h1><P class="x">' || text || '</p>' ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |      THEN '<div><a href="/x">a link</a> &lt;tag&gt;&nbsp;t2</div>'
+      |      ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |      THEN '<ul><li>one</li><li>two</li></ul>' ELSE '' END) ||
+      |    '</body></html>'""".stripMargin
+
+  /** `HtmlExtract.extractText` as one SQL expression over a column
+    * named `html` — the identical RE2-portable regexp chain. */
+  private def htmlTextChainSql: String = {
     def rr(x: String, pat: String, rep: String): String =
       s"regexp_replace($x, '$pat', $rep, 'g')"
     var c = "html"
@@ -4047,6 +4198,12 @@ object SparkEntry {
     c = rr(c, "(?m)^ +| +$", "''")
     c = rr(c, "\\n{2,}", "chr(10)")
     c = rr(c, "^\\s+|\\s+$", "''")
+    c
+  }
+
+  private def htmlExtractOracle: String = {
+    val synHtml = htmlFixtureSql
+    val c = htmlTextChainSql
     s"""WITH h AS (SELECT doc_id, $synHtml AS html FROM documents),
        |x AS (SELECT doc_id, html,
        |    $c AS text
@@ -5510,6 +5667,30 @@ object SparkEntry {
         |    (doc_id % 7)::VARCHAR AS datetime,
         |  (doc_id % 5 = 0) AS has_gps
         |FROM documents""".stripMargin,
+    // every parser field restated analytically from the writer's
+    // closed forms: n_objects = catalog + page tree + (page, content)
+    // per page + font; text = the planted page strings (parens +
+    // backslash escapes) joined by newline
+    "q_pdf_parse" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'Doc ' || doc_id::VARCHAR || ' pg 0 (x=' ||
+        |      (doc_id % 9)::VARCHAR || ') a\b' AS p0,
+        |    'Doc ' || doc_id::VARCHAR || ' pg 1 (x=' ||
+        |      (doc_id % 9)::VARCHAR || ') a\b' AS p1,
+        |    'Doc ' || doc_id::VARCHAR || ' pg 2 (x=' ||
+        |      (doc_id % 9)::VARCHAR || ') a\b' AS p2
+        |  FROM documents)
+        |SELECT doc_id AS media_id, true AS parsed,
+        |  CASE WHEN doc_id % 5 = 0 THEN '1.5' ELSE '1.4' END AS version,
+        |  (doc_id % 3 + 1)::INT AS n_pages,
+        |  (doc_id % 3 + 1)::INT AS pages_declared,
+        |  (3 + 2 * (doc_id % 3 + 1))::INT AS n_objects,
+        |  true AS xref_ok,
+        |  CASE doc_id % 3 WHEN 0 THEN p0
+        |    WHEN 1 THEN p0 || chr(10) || p1
+        |    ELSE p0 || chr(10) || p1 || chr(10) || p2 END AS text
+        |FROM p""".stripMargin,
     "q_video_mp4_meta" ->
       """WITH p AS (
         |  SELECT doc_id, 600 * (doc_id % 4 + 1) AS ts,
@@ -5910,6 +6091,15 @@ object SparkEntry {
         |  c.container
         |FROM syn
         |CROSS JOIN (VALUES ('warc'), ('warc_gz')) c(container)""".stripMargin),
+    // WET lane: the q_html_extract chain replayed over the synthetic
+    // pages, framed as conversion records
+    "q_warc_wet" -> (urlCtes + s"""
+        |, h AS (SELECT doc_id, url, $htmlFixtureSql AS html FROM syn),
+        |x AS (SELECT doc_id, url, $htmlTextChainSql AS text FROM h)
+        |SELECT doc_id, 'conversion' AS warc_type, url AS target_uri,
+        |  strlen(text)::BIGINT AS content_length, text AS payload,
+        |  true AS length_ok, '1970-01-01T00:00:00Z' AS warc_date
+        |FROM x""".stripMargin),
     "q_rho_select" -> rhoSelectOracle,
     "q_unimax" -> unimaxOracle,
     "q_packing" ->
@@ -8049,6 +8239,70 @@ object SparkEntry {
         |  scheme || '://cdn.assets.net/lib',
         |  false, 'noopener noreferrer', false, 'cdn'
         |FROM bd""".stripMargin),
+    "q_anchor_index" -> (urlCtes +
+      """
+        |, f AS (SELECT doc_id, scheme, host FROM hp
+        |  WHERE doc_id % 4 NOT IN (0, 1)),
+        |e AS (
+        |  SELECT scheme || '://' || host || '/about' AS target_url,
+        |    'about' AS term
+        |  FROM f
+        |  UNION ALL
+        |  SELECT scheme || '://' || host || '/about', 'us' FROM f
+        |  UNION ALL
+        |  SELECT scheme || '://cdn.assets.net/lib', 'cdn' FROM f)
+        |SELECT target_url, term, count(*)::BIGINT AS n_refs
+        |FROM e GROUP BY target_url, term""".stripMargin),
+    // every cell is a doc_id template; bidx = the shared table's index
+    // (after the even-doc table when present)
+    "q_md_tables" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS bidx
+        |  FROM documents)
+        |SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+        |  'Name' AS cell FROM d WHERE bidx = 1
+        |UNION ALL SELECT doc_id, 0, 0, 1, 'Qty' FROM d WHERE bidx = 1
+        |UNION ALL SELECT doc_id, 0, 1, 0, 'alpha' FROM d WHERE bidx = 1
+        |UNION ALL SELECT doc_id, 0, 1, 1, (doc_id % 7)::VARCHAR
+        |  FROM d WHERE bidx = 1
+        |UNION ALL SELECT doc_id, 0, 2, 0, 'beta' FROM d WHERE bidx = 1
+        |UNION ALL SELECT doc_id, 0, 2, 1, (doc_id % 5)::VARCHAR
+        |  FROM d WHERE bidx = 1
+        |UNION ALL SELECT doc_id, bidx, 0, 0, 'K' FROM d
+        |UNION ALL SELECT doc_id, bidx, 0, 1, 'V' FROM d
+        |UNION ALL SELECT doc_id, bidx, 1, 0,
+        |  'k' || (doc_id % 3)::VARCHAR FROM d
+        |UNION ALL SELECT doc_id, bidx, 1, 1,
+        |  'v' || (doc_id % 4)::VARCHAR FROM d""".stripMargin,
+    "q_md_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS bidx
+        |  FROM documents)
+        |SELECT doc_id, 0 AS table_idx, 3 AS n_rows, 2 AS n_cols,
+        |  'Name,Qty' AS header FROM d WHERE bidx = 1
+        |UNION ALL
+        |SELECT doc_id, bidx, 2, 2, 'K,V' FROM d""".stripMargin,
+    // every field is a doc_id template: lang by path arm, interp by
+    // shebang arm, license by header arm (SPDX/prose), comment ratio =
+    // (1 fixed comment + shebang/plain-comment arm + license-comment
+    // arm) over the 5 non-blank lines
+    "q_code_lane" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'src/a.py' WHEN 1 THEN 'lib/b.js'
+        |    WHEN 2 THEN 'pkg/c.rs' WHEN 3 THEN 'x/d.foo'
+        |    WHEN 4 THEN 'noext' ELSE 'e.YML' END AS path,
+        |  CASE doc_id % 6 WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+        |    WHEN 2 THEN 'rust' WHEN 5 THEN 'yaml'
+        |    ELSE NULL END AS lang,
+        |  CASE doc_id % 4 WHEN 0 THEN 'python3' WHEN 1 THEN 'sh'
+        |    ELSE NULL END AS interp,
+        |  CASE doc_id % 5 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+        |    WHEN 2 THEN 'MIT' WHEN 3 THEN 'GPL-3.0'
+        |    ELSE NULL END AS license,
+        |  round((1 + (CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END)
+        |    + (CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END)) / 5.0, 6)
+        |    AS comment_ratio
+        |FROM documents""".stripMargin,
     "q_meta_robots" ->
       """SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'noindex, nofollow'

@@ -192,6 +192,25 @@ object Streaming {
     if (keepDisallowed) out else out.filter(col("allowed"))
   }
 
+  /** Streaming twin of the q_follow_graph EDGE stage — the
+    * nofollow-respecting crawl-graph extractor LIVE: pages arriving on
+    * a stream are gated by the robots META (page-level `nofollow`
+    * drops every outgoing edge), anchors extracted with text + rel,
+    * and link-level nofollow/ugc/sponsored edges dropped. Entirely
+    * STATELESS (regexp extraction + explode + filters — no state
+    * store, no watermark); aggregate downstream (windowed counts, or
+    * [[graft.text.UrlOps.anchorTermIndex]] in the batch lane) where a
+    * watermark policy belongs. Output = [[graft.text.UrlOps
+    * .extractAnchors]] columns, batch-twin bit-identical. */
+  def streamingFollowEdges(src: DataFrame, htmlCol: String,
+      urlCol: String): DataFrame = {
+    import graft.text.UrlOps
+    UrlOps.extractAnchors(
+        src.filter(!UrlOps.metaNofollow(col(htmlCol))),
+        htmlCol, urlCol)
+      .filter(!col("nofollow"))
+  }
+
   /** Streaming twin of [[graft.text.UrlOps.crawlSchedule]] — the
     * frontier-scheduling stage LIVE: URLs arriving on a stream are
     * assigned per-host fetch positions and due times continuously.

@@ -520,6 +520,32 @@ object UrlOps {
     metaRobotsDirectives(html)
       .rlike("(^|[,\\s])(nofollow|none)($|[,\\s])")
 
+  /** Anchor-term index: how the web DESCRIBES each page — lowercased
+    * whitespace terms of every follow-edge anchor text, aggregated per
+    * canonicalized target URL as (target_url, term, n_refs). The
+    * classic off-page relevance signal: search rankers and
+    * query-document training pairs are built from exactly this table
+    * (anchor text is written by the LINKING page, so it labels the
+    * target more honestly than the target labels itself). Link-level
+    * nofollow/ugc/sponsored edges and empty anchor texts drop;
+    * page-level gating composes upstream (filter on [[metaNofollow]]
+    * BEFORE calling — the q_follow_graph shape).
+    *
+    * Scale: map-only extract/explode, then ONE shuffle on
+    * (target_url, term) with map-side partial counts — no windows, no
+    * per-URL state; cardinality is bounded by total anchor terms, and
+    * the hottest (url, term) cells are exactly what hash aggregation
+    * partially collapses before the exchange. */
+  def anchorTermIndex(docs: DataFrame, htmlCol: String,
+      urlCol: String): DataFrame =
+    extractAnchors(docs, htmlCol, urlCol)
+      .filter(!col("nofollow") && col("anchor_text") =!= "")
+      .select(normalizeUrl(col("link_url")).as("target_url"),
+        explode(split(lower(col("anchor_text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("target_url"), col("term"))
+      .agg(count(lit(1)).as("n_refs"))
+
   /** Minimal XML entity decode for sitemap fields — the five
     * predefined entities, `&amp;` LAST (the HtmlExtract ordering
     * discipline: decoding `&` first would double-decode

@@ -44,6 +44,8 @@ class StreamingSpec extends SparkSuite {
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   case class Fetch(doc_id: Long, ts: java.sql.Timestamp, url: String)
+  case class Page(doc_id: Long, ts: java.sql.Timestamp, url: String,
+      html: String)
 
   test("streaming exact dedup drops repeated content across batches") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -286,6 +288,43 @@ class StreamingSpec extends SparkSuite {
       assert(Streaming.streamingRobotsGate(
         urls.toDF("doc_id", "url"), robots, "url",
         agent = "graftbot").count() === 3)
+    } finally q.stop()
+  }
+
+  test("streaming follow edges: meta-nofollow pages and nofollow links " +
+      "drop live; stateless; batch-twin bit-identical") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val follow = "<html><body>" +
+      "<a href=\"/keep\">kept edge</a>" +
+      "<a href=\"/spam\" rel=\"sponsored\">paid edge</a></body></html>"
+    val gated = "<html><head><meta name=robots content=nofollow></head>" +
+      "<body><a href=\"/never\">blocked page edge</a></body></html>"
+    val pages = Seq(
+      (1L, "https://a.example/p", follow),
+      (2L, "https://b.example/q", gated))
+    val mem = MemoryStream[Page]
+    val out = Streaming.streamingFollowEdges(mem.toDF(), "html", "url")
+    val q = out.writeStream.format("memory").queryName("follow_edges")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(pages.map { case (i, u, h) =>
+        Page(i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, h)
+      }: _*)
+      q.processAllAvailable()
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        "expected no stateful operators")
+      val got = spark.table("follow_edges").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("link_url"),
+          r.getAs[String]("anchor_text")))
+      val batch = Streaming.streamingFollowEdges(
+          pages.toDF("doc_id", "url", "html"), "html", "url")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("link_url"),
+          r.getAs[String]("anchor_text")))
+      assert(got.toSet === batch.toSet)
+      assert(got.toSeq === Seq(
+        (1L, "https://a.example/keep", "kept edge")))
     } finally q.stop()
   }
 

@@ -441,6 +441,27 @@ class UrlOpsSpec extends SparkSuite {
     assert(flags("<p>no metas</p>") === (("", false, false)))
   }
 
+  test("anchorTermIndex: per-target lowercased term counts over follow " +
+      "edges; nofollow and empty anchors drop; targets canonicalize") {
+    val pages = Seq(
+      (1L, "https://a.example/p",
+        "<a href=\"https://T.example:443/doc/\">Great Guide</a>" +
+        "<a href=\"https://t.example/doc?utm_source=x\">guide</a>" +
+        "<a href=\"/other\" rel=nofollow>spam words</a>" +
+        "<a href=\"/img\"><img src=\"i.png\"/></a>"),
+      (2L, "https://b.example/q",
+        "<a href=\"https://t.example/doc#frag\">GREAT   guide</a>"))
+      .toDF("doc_id", "url", "page_html")
+    val got = UrlOps.anchorTermIndex(pages, "page_html", "url")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // T.example:443 and t.example?utm and #frag all canonicalize to
+    // the same target; counts pool across pages
+    assert(got === Map(
+      ("https://t.example/doc", "great") -> 2L,
+      ("https://t.example/doc", "guide") -> 3L))
+  }
+
   test("domainCap keeps top-N per registered domain by score, ties to min id") {
     val docs = Seq(
       (1L, "https://a.com/1", 10.0), (2L, "https://a.com/2", 30.0),
