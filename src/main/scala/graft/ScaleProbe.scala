@@ -70,6 +70,9 @@ object ScaleProbe {
     if (args.headOption.contains("graph_rank")) {
       graphRankProbe(spark, n); return
     }
+    if (args.headOption.contains("anchors")) {
+      anchorsProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -888,6 +891,48 @@ object ScaleProbe {
         f"trustrank=$tTr%.1f s " +
         f"(per_round=${tTr / iters}%.2f s, max_task=${mTr}ms)")
     }
+    spark.stop()
+  }
+
+  /** Anchor-layer scale probe under TARGET skew: every page carries a
+    * follow + a nofollow edge to ONE mega-target (2n anchors at a
+    * single URL — the Zipf head of any real link graph: a viral page,
+    * a CDN asset) next to per-page cold targets. The claims under
+    * measurement: [[graft.text.UrlOps.extractAnchors]] stays map-only
+    * (wall ∝ n, max task ≈ one partition's regex work), and
+    * [[graft.text.UrlOps.anchorTermIndex]]'s (url, term) aggregate
+    * absorbs the hot URL because map-side partial aggregation
+    * collapses its cells to ≤ partitions·terms rows BEFORE the
+    * exchange — a hot key in a hash AGGREGATE is benign (unlike a hot
+    * window partition, which is one giant sort task). */
+  private def anchorsProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val pages = spark.range(n).select(
+      col("id"),
+      concat(lit("https://s"), pmod(col("id"), lit(997L)),
+        lit(".example/p"), col("id")).as("url"),
+      concat(
+        lit("<html><body>" +
+          "<a href=\"https://hot.example/page\">hot page guide</a>" +
+          "<a href=\"https://hot.example/page\" rel=nofollow>" +
+          "paid hot link</a>"),
+        lit("<a href=\"/local/"), pmod(col("id"), lit(1000L)),
+        lit("\">local doc "), pmod(col("id"), lit(50L)), lit("</a>"),
+        lit("<a href=\"//cdn.example/x"), pmod(col("id"), lit(100L)),
+        lit("\">cdn asset</a>"),
+        lit("<a href=\"#top\">skip</a></body></html>")).as("html"))
+      .localCheckpoint(true)
+    val (tEx, mEx) = timedRun(spark)(
+      graft.text.UrlOps.extractAnchors(pages, "html", "url"))
+    val (tIdx, mIdx) = timedRun(spark)(
+      graft.text.UrlOps.anchorTermIndex(pages, "html", "url"))
+    val idx = graft.text.UrlOps.anchorTermIndex(pages, "html", "url")
+    val hot = idx.filter(col("target_url") === "https://hot.example/page")
+      .agg(sum(col("n_refs"))).head().getLong(0)
+    println(f"SCALE_PROBE anchors pages=$n anchors=${4L * n} " +
+      f"hot_follow_refs=$hot extract=$tEx%.1f s (max_task=${mEx}ms) " +
+      f"index=$tIdx%.1f s (max_task=${mIdx}ms)")
     spark.stop()
   }
 

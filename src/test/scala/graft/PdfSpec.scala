@@ -72,6 +72,16 @@ class PdfSpec extends SparkSuite {
     assert(!tornXref.getAs[Boolean]("xref_ok"))
   }
 
+  test("multi-byte text round-trips through the UTF-8 literal contract") {
+    val pages = Seq("über ✓ page (with parens)", "日本語テキスト")
+    val good = Pdf.buildPdf(pages)
+    val df = Pdf.syntheticPdfs(Seq(1L).toDF("doc_id"), "doc_id")
+      .withColumn("bytes", lit(good))
+    val r = Pdf.pdfMeta(df).head()
+    assert(r.getAs[Boolean]("parsed") && r.getAs[Boolean]("xref_ok"))
+    assert(r.getAs[String]("text") === pages.mkString("\n"))
+  }
+
   test("buildPdf emits a spec-shaped file: header, startxref lands on " +
       "the xref keyword, %%EOF terminator") {
     val b = Pdf.buildPdf(Seq("only page"), "1.5")
