@@ -2996,6 +2996,46 @@ object SparkEntry {
         docs.filter(!graft.text.UrlOps.metaNofollow(col("page_html")))
       graft.text.UrlOps.anchorTermIndex(follow, "page_html", "url")
     }),
+    "q_boilerplate" -> ((s, dir) => {
+      // jusText-lite paragraph gate over extracted-text-shaped input:
+      // real prose (signal-replayed keep) + nav + per-doc copyright
+      // boilerplate + a long token-poor run (the longChars arm), blank
+      // line excluded from indexing; the oracle recomputes every
+      // signal and the keep rule over the same stopword union
+      val fix = concat_ws("\n", col("text"),
+        lit("Home | About | Contact | Privacy"),
+        lit(""),
+        concat(lit("Copyright 2024 Site"),
+          pmod(col("doc_id"), lit(9)).cast("string")),
+        expr("repeat('x', 200 + cast(doc_id % 30 as int))"))
+      graft.text.HtmlExtract.paragraphs(
+          table(s, dir, "documents").select(col("doc_id"), col("text"))
+            .withColumn("page_text", fix).drop("text"), "page_text")
+        .select(col("doc_id"), col("para_idx"), col("paragraph"),
+          col("n_chars"), col("n_words"), col("stop_ratio"),
+          col("keep"))
+    }),
+    "q_bitext_urls" -> ((s, dir) => {
+      // CCAligned/ParaCrawl-style bitext seeding from URL structure:
+      // language-path variants of one page pair on the
+      // language-stripped key, per-(key,lang) min-id dedup, region
+      // suffix (pt-BR) matched through its base code; the no-lang
+      // 'docs' arm must drop and lone-language keys yield no pairs
+      val d = col("doc_id")
+      val lang = when(pmod(d, lit(5)) === 0, lit("en"))
+        .when(pmod(d, lit(5)) === 1, lit("fr"))
+        .when(pmod(d, lit(5)) === 2, lit("de"))
+        .when(pmod(d, lit(5)) === 4, lit("pt-BR"))
+        .otherwise(lit("docs"))
+      // site/page/lang moduli are pairwise coprime so every
+      // (site, page) key sees every language arm across the corpus
+      val url = concat(lit("https://site"),
+        pmod(d, lit(7)).cast("string"), lit(".example/"), lang,
+        lit("/page"), pmod(d, lit(3)).cast("string"))
+      graft.text.UrlOps.bitextUrlPairs(
+        table(s, dir, "documents").select(col("doc_id"))
+          .withColumn("url", url), "url", "doc_id")
+    }),
     "q_md_tables" -> ((s, dir) => {
       // GitHub pipe-table extraction (the structured-data lane):
       // evens carry a 3-row table before the shared 2-row one, decoy
@@ -4199,6 +4239,45 @@ object SparkEntry {
     c = rr(c, "\\n{2,}", "chr(10)")
     c = rr(c, "^\\s+|\\s+$", "''")
     c
+  }
+
+  /** q_boilerplate replayed: fixture rebuild, non-blank paragraph
+    * explode with zipped ordinals, per-paragraph token/stopword
+    * signals over the identical stopword union, the keep rule on the
+    * UNROUNDED ratio. */
+  private def boilerplateOracle: String = {
+    val dict = graft.text.TextAnalysis.Stopwords.flatMap(_._2)
+      .distinct.sorted.map(w => s"'$w'").mkString(", ")
+    s"""WITH h AS (SELECT doc_id,
+       |    text || chr(10) || 'Home | About | Contact | Privacy' ||
+       |    chr(10) || chr(10) || 'Copyright 2024 Site' ||
+       |    (doc_id % 9)::VARCHAR || chr(10) ||
+       |    repeat('x', (200 + doc_id % 30)::INT) AS fix
+       |  FROM documents),
+       |ps AS (SELECT doc_id,
+       |    list_filter(string_split(fix, chr(10)),
+       |      s -> trim(s) <> '') AS arr
+       |  FROM h),
+       |e AS (SELECT doc_id,
+       |    unnest(range(1, len(arr) + 1))::INT - 1 AS para_idx,
+       |    unnest(arr) AS paragraph
+       |  FROM ps),
+       |t AS (SELECT *, CASE WHEN trim(paragraph) = ''
+       |      THEN []::VARCHAR[]
+       |      ELSE string_split_regex(trim(lower(paragraph)), '\\s+')
+       |    END AS ts
+       |  FROM e),
+       |sg AS (SELECT doc_id, para_idx, paragraph,
+       |    length(paragraph)::INT AS n_chars,
+       |    len(ts)::INT AS n_words,
+       |    CASE WHEN len(ts) = 0 THEN 0.0::DOUBLE
+       |      ELSE len(list_filter(ts, x -> list_contains([$dict], x)))
+       |        ::DOUBLE / len(ts)::DOUBLE END AS ratio
+       |  FROM t)
+       |SELECT doc_id, para_idx, paragraph, n_chars, n_words,
+       |  round(ratio, 6) AS stop_ratio,
+       |  ((n_words >= 10 AND ratio >= 0.2) OR n_chars >= 200) AS keep
+       |FROM sg""".stripMargin
   }
 
   private def htmlExtractOracle: String = {
@@ -8253,6 +8332,33 @@ object SparkEntry {
         |  SELECT scheme || '://cdn.assets.net/lib', 'cdn' FROM f)
         |SELECT target_url, term, count(*)::BIGINT AS n_refs
         |FROM e GROUP BY target_url, term""".stripMargin),
+    // paragraph signals + keep rule recomputed over the same stopword
+    // union; parallel unnests zip (the q_dup_spans idiom)
+    "q_boilerplate" -> boilerplateOracle,
+    // the pairing replayed mechanically: lang arm → (site, page, lang)
+    // min-id reps → self-join on the language-stripped key. The
+    // fixture URLs are already canonical, so url == normalized url
+    "q_bitext_urls" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 7 AS site, doc_id % 3 AS page,
+        |    CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+        |      WHEN 2 THEN 'de' WHEN 4 THEN 'pt-br'
+        |      ELSE NULL END AS lang
+        |  FROM documents),
+        |reps AS (
+        |  SELECT site, page, lang, min(doc_id)::BIGINT AS id
+        |  FROM t WHERE lang IS NOT NULL GROUP BY site, page, lang),
+        |r2 AS (SELECT lang, id,
+        |    'https://site' || site::VARCHAR || '.example/' ||
+        |      (CASE lang WHEN 'pt-br' THEN 'pt-BR' ELSE lang END) ||
+        |      '/page' || page::VARCHAR AS url,
+        |    'https://site' || site::VARCHAR || '.example/{lang}/page'
+        |      || page::VARCHAR AS pair_key
+        |  FROM reps)
+        |SELECT a.pair_key, a.lang AS lang_a, b.lang AS lang_b,
+        |  a.url AS url_a, b.url AS url_b, a.id AS id_a, b.id AS id_b
+        |FROM r2 a JOIN r2 b
+        |  ON a.pair_key = b.pair_key AND a.lang < b.lang""".stripMargin,
     // every cell is a doc_id template; bidx = the shared table's index
     // (after the even-doc table when present)
     "q_md_tables" ->

@@ -89,4 +89,71 @@ object HtmlExtract {
     docs.select(col(idCol) +:
       extractText(col(htmlCol)).as("text") +: sig: _*)
   }
+
+  // ------------------------------------------- paragraph boilerplate gate
+
+  /** jusText-lite keep decision for ONE paragraph of extracted text
+    * (one [[extractText]] output line): keep when it reads like prose —
+    * ≥ `minWords` whitespace tokens AND a stopword fraction ≥
+    * `minStopRatio` (the union of [[TextAnalysis.Stopwords]],
+    * language-agnostic like [[TextAnalysis.stopwordRatio]]) — or when
+    * it is long (`≥ longChars` characters; long runs are content even
+    * when token-poor: tables, code, foreign scripts). What this drops
+    * at web scale is exactly the nav/footer/copyright boilerplate the
+    * block-tag newlines isolated into their own lines. Pure per-row
+    * expression, deterministic, oracle-replayable. */
+  def paragraphKeep(p: Column, minWords: Int = 10,
+      minStopRatio: Double = 0.2, longChars: Int = 200): Column = {
+    val all = TextAnalysis.Stopwords.flatMap(_._2).distinct.sorted
+    val dict = array(all.map(lit): _*)
+    val ts = when(trim(p) === "", array().cast("array<string>"))
+      .otherwise(split(trim(lower(p)), "\\s+"))
+    val nw = size(ts)
+    val hits = size(filter(ts, t => array_contains(dict, t)))
+    val ratio = when(nw === 0, lit(0.0))
+      .otherwise(hits.cast("double") / nw.cast("double"))
+    (nw >= minWords && ratio >= minStopRatio) ||
+      length(p) >= longChars
+  }
+
+  /** Extracted text with boilerplate paragraphs REMOVED — the cleaned
+    * per-document column (kept lines re-joined by newline). Map-only:
+    * split + higher-order filter + join, no explode. */
+  def dropBoilerplate(text: Column, minWords: Int = 10,
+      minStopRatio: Double = 0.2, longChars: Int = 200): Column =
+    array_join(
+      filter(split(text, "\n"), p =>
+        trim(p) =!= "" &&
+          paragraphKeep(p, minWords, minStopRatio, longChars)),
+      "\n")
+
+  /** Per-paragraph classification table over extracted text: input
+    * columns (minus `textCol`) plus para_idx [0-based over non-blank
+    * lines], paragraph, n_chars, n_words, stop_ratio [6-dp], keep.
+    * One posexplode — rows = paragraphs, no shuffle; feed `keep` back
+    * through [[dropBoilerplate]] for the cleaned column, or aggregate
+    * the flags for corpus boilerplate telemetry. */
+  def paragraphs(docs: DataFrame, textCol: String, minWords: Int = 10,
+      minStopRatio: Double = 0.2, longChars: Int = 200): DataFrame = {
+    val all = TextAnalysis.Stopwords.flatMap(_._2).distinct.sorted
+    val dict = array(all.map(lit): _*)
+    val nonBlank =
+      filter(split(col(textCol), "\n"), p => trim(p) =!= "")
+    val p = col("paragraph")
+    val ts = when(trim(p) === "", array().cast("array<string>"))
+      .otherwise(split(trim(lower(p)), "\\s+"))
+    val nw = size(ts)
+    val hits = size(filter(ts, t => array_contains(dict, t)))
+    val ratio = when(nw === 0, lit(0.0))
+      .otherwise(hits.cast("double") / nw.cast("double"))
+    docs
+      .select(col("*"),
+        posexplode(nonBlank).as(Seq("para_idx", "paragraph")))
+      .withColumn("n_chars", length(p).cast("int"))
+      .withColumn("n_words", nw.cast("int"))
+      .withColumn("stop_ratio", round(ratio, 6))
+      .withColumn("keep",
+        paragraphKeep(p, minWords, minStopRatio, longChars))
+      .drop(textCol)
+  }
 }

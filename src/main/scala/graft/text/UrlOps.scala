@@ -520,6 +520,65 @@ object UrlOps {
     metaRobotsDirectives(html)
       .rlike("(^|[,\\s])(nofollow|none)($|[,\\s])")
 
+  /** Bitext candidates from URL STRUCTURE — the CCAligned/ParaCrawl
+    * seeding trick: multilingual sites serve translations at URLs that
+    * differ only by a language path segment (`/en/about` vs
+    * `/fr/about`), so pairing URLs on the language-stripped key yields
+    * parallel-document candidates BEFORE any content is compared —
+    * orders of magnitude cheaper than embedding every page (the
+    * content-scoring stage, [[graft.similarity.BitextMining]],
+    * verifies the survivors). One row per unordered language pair per
+    * key: (pair_key, lang_a, lang_b, url_a, url_b, id_a, id_b),
+    * lang_a < lang_b.
+    *
+    * Detection scope (documented): the FIRST path segment of the
+    * normalized URL, matched case-insensitively against `langs`
+    * (ISO 639-1 codes, optionally with a region suffix `en-gb`). URLs
+    * without a recognized segment drop. Several URLs on the same
+    * (key, lang) collapse to the min-id representative — the dedup
+    * that bounds every key at ≤ |langs| rows.
+    *
+    * Scale: per-row key derivation (map-only) → one (key, lang)
+    * aggregate with map-side partials → one self-join on the key whose
+    * per-key fan-out is capped at |langs| choose 2 by construction; no
+    * windows, nothing corpus-sized on the driver. */
+  def bitextUrlPairs(docs: DataFrame, urlCol: String, idCol: String,
+      langs: Seq[String] = Seq("en", "fr", "de", "es", "it", "pt",
+        "nl", "pl", "ru", "ja", "zh")): DataFrame = {
+    require(langs.nonEmpty, "langs must be non-empty")
+    val norm = normalizeUrl(col(urlCol))
+    val seg = lower(regexp_extract(norm,
+      "^[a-z]+://[^/]*/([^/?#]+)", 1))
+    val langSeg = when(
+      seg.rlike("^(" + langs.map(java.util.regex.Pattern.quote)
+        .mkString("|") + ")(-[a-z0-9]+)?$"), seg)
+    val key = concat(
+      regexp_extract(norm, "^([a-z]+://[^/]*)/", 1),
+      lit("/{lang}"),
+      regexp_replace(norm, "^[a-z]+://[^/]*/[^/?#]+", ""))
+    val tagged = docs
+      .withColumn("__bx_lang", langSeg)
+      .filter(col("__bx_lang").isNotNull)
+      .withColumn("__bx_key", key)
+    // barrier: reps (≤ keys·|langs| rows) feeds BOTH sides of the
+    // self-join — without it each side re-runs the corpus scan + key
+    // derivation (the q_crawl_frontier multi-consumer discipline)
+    val reps = tagged
+      .groupBy(col("__bx_key").as("pair_key"),
+        col("__bx_lang").as("lang"))
+      .agg(min(struct(col(idCol).cast("long").as("id"),
+        col(urlCol).as("url"))).as("rep"))
+      .localCheckpoint(true)
+    val a = reps.select(col("pair_key"), col("lang").as("lang_a"),
+      col("rep.url").as("url_a"), col("rep.id").as("id_a"))
+    val b = reps.select(col("pair_key"), col("lang").as("lang_b"),
+      col("rep.url").as("url_b"), col("rep.id").as("id_b"))
+    a.join(b, Seq("pair_key"))
+      .filter(col("lang_a") < col("lang_b"))
+      .select(col("pair_key"), col("lang_a"), col("lang_b"),
+        col("url_a"), col("url_b"), col("id_a"), col("id_b"))
+  }
+
   /** Anchor-term index: how the web DESCRIBES each page — lowercased
     * whitespace terms of every follow-edge anchor text, aggregated per
     * canonicalized target URL as (target_url, term, n_refs). The

@@ -555,6 +555,39 @@ class TextMultimodalSpec extends SparkSuite {
     assert(out(2L).isNullAt(1))           // null html → null text
   }
 
+  test("paragraph gate: prose keeps, nav/copyright boilerplate drops, " +
+      "long token-poor runs keep, dropBoilerplate rejoins kept lines") {
+    import graft.text.HtmlExtract
+    import spark.implicits._
+    val prose = "the cat is on the mat and a dog sat with it today"
+    val nav = "Home | About | Contact | Privacy"
+    val copy = "Copyright 2024 SiteName"
+    val long = "x" * 220
+    val text = Seq(prose, nav, "", copy, long).mkString("\n")
+    val rows = HtmlExtract.paragraphs(
+        Seq((1L, text)).toDF("doc_id", "page_text"), "page_text")
+      .collect()
+      .map(r => r.getAs[Int]("para_idx") ->
+        ((r.getAs[String]("paragraph"), r.getAs[Boolean]("keep"),
+          r.getAs[Int]("n_words")))).toMap
+    // blank line excluded from indexing
+    assert(rows.size === 4)
+    assert(rows(0) === ((prose, true, 13)))
+    assert(rows(1) === ((nav, false, 7)))     // < 10 words
+    assert(rows(2) === ((copy, false, 3)))    // short, stopword-free
+    assert(rows(3) === ((long, true, 1)))     // long-run arm
+    val cleaned = Seq((1L, text)).toDF("doc_id", "page_text")
+      .select(HtmlExtract.dropBoilerplate(col("page_text")))
+      .head().getString(0)
+    assert(cleaned === prose + "\n" + long)
+    // 10 words with no stopwords still drops (ratio arm)
+    val nostop = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val r2 = HtmlExtract.paragraphs(
+      Seq((1L, nostop)).toDF("doc_id", "page_text"), "page_text")
+      .head()
+    assert(!r2.getAs[Boolean]("keep") && r2.getAs[Int]("n_words") === 10)
+  }
+
   test("htmlExtract plans as one map-only stage: zero exchanges") {
     import spark.implicits._
     val df = Seq((1L, "<p>x</p>"), (2L, "<div>y</div>"))

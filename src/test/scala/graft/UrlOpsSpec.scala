@@ -441,6 +441,32 @@ class UrlOpsSpec extends SparkSuite {
     assert(flags("<p>no metas</p>") === (("", false, false)))
   }
 
+  test("bitextUrlPairs: language-segment pairing on the normalized key; " +
+      "region suffixes, per-(key,lang) min-id dedup, no-lang drops") {
+    val urls = Seq(
+      (1L, "https://Site.example/en/about?utm_source=x"),
+      (2L, "https://site.example/fr/about"),
+      (3L, "https://site.example/de/about"),
+      (4L, "https://site.example/en/about#frag"), // dup (key, en): id 1 wins
+      (5L, "https://site.example/en-GB/about"),   // region suffix = own lang
+      (6L, "https://site.example/docs/about"),    // not a lang segment
+      (7L, "https://other.example/en/p"))         // lone lang: no pair
+      .toDF("doc_id", "url")
+    val got = UrlOps.bitextUrlPairs(urls, "url", "doc_id")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(5), r.getLong(6)))).toMap
+    // pairs among {en(id1), de, fr, en-gb} on the same key; doc 6/7 out
+    assert(got.size === 6)
+    assert(got(("en", "fr")) === ((1L, 2L))) // min-id rep for en
+    assert(got(("de", "en")) === ((3L, 1L)))
+    assert(got(("de", "fr")) === ((3L, 2L)))
+    assert(got(("en", "en-gb")) === ((1L, 5L)))
+    val keys = UrlOps.bitextUrlPairs(urls, "url", "doc_id")
+      .select("pair_key").distinct().collect().map(_.getString(0))
+    assert(keys === Array("https://site.example/{lang}/about"))
+  }
+
   test("anchorTermIndex: per-target lowercased term counts over follow " +
       "edges; nofollow and empty anchors drop; targets canonicalize") {
     val pages = Seq(
