@@ -405,15 +405,30 @@ object UrlOps {
       .otherwise(concat(scheme, lit("://"), pageHost, baseDir, h))
   }
 
-  /** One attribute's value out of an open-tag string: the
-    * [[extractLinks]] single-capture alternation (double-quoted /
-    * single-quoted / HTML5-legal unquoted), dequoted. Empty string when
-    * the attribute is absent (regexp_extract's no-match value — callers
-    * treat absent and empty alike: both mean "no usable value"). */
+  /** One attribute's value out of an open-tag string, found by WALKING
+    * the attribute list from the tag start (the HTML5 tokenizer's
+    * order) rather than grepping for `name=` anywhere a quote or space
+    * precedes it: a quoted value that happens to CONTAIN `name=` can no
+    * longer match, so `<a data-x="see href=evil" href="/real">` yields
+    * `/real`, and a quoted value containing `rel=nofollow` no longer
+    * marks the edge. The lazy other-attribute loop stops at the FIRST
+    * occurrence of the target (browser duplicate-attribute semantics,
+    * and parity with the old regexp_extract). Attributes separate on
+    * whitespace or directly on a closing quote (`class="x"href=/y` —
+    * sloppy but common crawl HTML). Values are double-quoted,
+    * single-quoted, or HTML5-legal unquoted, dequoted here. Empty
+    * string when the attribute is absent or the list cannot be
+    * tokenized from the tag start (regexp_extract's no-match value —
+    * callers treat absent and empty alike: both mean "no usable
+    * value"). */
   private def attrValue(openTag: Column, name: String): Column = {
+    val quoted = "\"[^\"]*\"|'[^']*'"
+    val anyVal = quoted + "|[^\\s>\"'][^\\s>]*"
+    val sep = "(?:\\s+|(?<=[\"']))"
+    val other = "[^\\s>=]+(?:\\s*=\\s*(?:" + anyVal + "))?"
     val v = regexp_extract(openTag,
-      "(?is)[\\s\"']" + name + "\\s*=\\s*" +
-        "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)", 1)
+      "(?is)^<[a-z][^\\s>]*(?:" + sep + other + ")*?" +
+        sep + name + "\\s*=\\s*(" + anyVal + ")", 1)
     when(v.startsWith("\"") || v.startsWith("'"),
       v.substr(lit(2), length(v) - 2)).otherwise(v)
   }
