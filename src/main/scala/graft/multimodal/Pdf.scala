@@ -17,12 +17,16 @@ import org.apache.spark.sql.types._
   * production lane with a full-featured PDF library would use.
   *
   * Scope boundary (documented, like the codec-pixel stub): the TEXT
-  * extractor understands UNCOMPRESSED content streams — literal-string
-  * `Tj` / `TJ` show operators with the standard escapes and balanced
-  * parentheses (ISO 32000-1 §7.3.4.2, §9.4.3). FlateDecode streams,
-  * font subsetting/CMaps and layout reconstruction are what the real
-  * dependency buys; the structural layer (header, object graph, xref
-  * table validation, page tree) is the same either way.
+  * extractor understands UNCOMPRESSED and FlateDecode content streams
+  * (the JDK's zlib — real crawled PDFs are near-universally
+  * Flate-compressed) — literal-string `Tj` / `TJ` show operators with
+  * the standard escapes (octal `\ddd`, `\n\r\t\b\f`, backslash-EOL
+  * continuation, balanced parentheses; ISO 32000-1 §7.3.4.2, §9.4.3).
+  * Other filters (DCTDecode, LZW, …), font subsetting/CMaps and layout
+  * reconstruction are what the real dependency buys — a stream behind
+  * an unsupported filter flips `streams_ok` and contributes no text;
+  * the structural layer (header, object graph, xref table validation,
+  * page tree) is the same either way.
   *
   * Scale: writer and parser are one-pass `mapPartitions` over the
   * bytes already in the row — map-only, no shuffle, no driver collect;
@@ -46,14 +50,63 @@ object Pdf {
   private def escLit(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
+  /** zlib-deflate (JDK Deflater, default level — deterministic for a
+    * given input) for the FlateDecode writer arm. */
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** zlib-inflate with a decompression-bomb cap: a crawled PDF must
+    * never be able to allocate unbounded memory in an executor, so
+    * expansion stops (and the stream counts as damaged) past `maxOut`
+    * bytes. Truncated/garbage zlib throws `DataFormatException` —
+    * callers contain it per-stream. */
+  private[graft] def inflate(data: Array[Byte],
+      maxOut: Int = 1 << 24): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(data.length * 4 + 64, 1 << 16))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0) {
+        if (inf.needsInput() || inf.needsDictionary()) {
+          inf.end()
+          throw new java.util.zip.DataFormatException(
+            "truncated or preset-dictionary zlib stream")
+        }
+      } else {
+        out.write(buf, 0, n)
+        if (out.size() > maxOut) {
+          inf.end()
+          throw new java.util.zip.DataFormatException(
+            "inflate output exceeds cap")
+        }
+      }
+    }
+    inf.end()
+    out.toByteArray
+  }
+
   /** Build a complete single-xref PDF: catalog → page tree → one page
     * object + one uncompressed content stream per page (even pages use
     * `Tj`, odd pages split the text into a two-element `TJ` array — the
     * kerning form every real PDF uses) → shared Type1 font; then the
     * xref table with byte-exact offsets and the trailer. Returns the
-    * file bytes (text encoded UTF-8 inside the literals). */
+    * file bytes (text encoded UTF-8 inside the literals). With
+    * `flate = true`, every content stream is zlib-compressed behind
+    * `/Filter /FlateDecode` — the form real crawled PDFs take — with
+    * `/Length` counting the COMPRESSED bytes and the xref offsets
+    * recomputed over the binary layout. */
   private[graft] def buildPdf(pages: Seq[String],
-      version: String = "1.4"): Array[Byte] = {
+      version: String = "1.4", flate: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
     val n = pages.size
     val fontObj = 3 + 2 * n
@@ -82,10 +135,19 @@ object Pdf {
             s"(${escLit(text.substring(mid))})] TJ"
         }
       val content = s"BT /F1 12 Tf 72 720 Td $show ET"
-      val clen = content
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-      obj(pageNum + 1,
-        s"<< /Length $clen >>\nstream\n$content\nendstream")
+      val cbytes = content
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (flate) {
+        val data = deflate(cbytes)
+        offsets(pageNum + 1) = out.size().toLong
+        wr(s"${pageNum + 1} 0 obj\n<< /Length ${data.length} " +
+          "/Filter /FlateDecode >>\nstream\n")
+        out.write(data, 0, data.length)
+        wr("\nendstream\nendobj\n")
+      } else {
+        obj(pageNum + 1,
+          s"<< /Length ${cbytes.length} >>\nstream\n$content\nendstream")
+      }
     }
     obj(fontObj,
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
@@ -100,8 +162,11 @@ object Pdf {
 
   /** Deterministic PDF corpus in the [[Multimodal.mediaSchema]] shape:
     * `doc_id % 3 + 1` pages, version keyed on `doc_id % 5`, page text
-    * from [[pdfPageText]] — every field the parser emits is stated
-    * analytically by the q_pdf_parse oracle. */
+    * from [[pdfPageText]]; ODD ids Flate-compress their content
+    * streams (the real-corpus form), evens stay plain — so the
+    * q_pdf_parse oracle exercises both decode arms while every parser
+    * field stays a closed form of doc_id (the compressed arm changes
+    * bytes, never parsed fields). */
   def syntheticPdfs(df: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
     df.select(col(idCol).cast("long").as("media_id"))
@@ -110,7 +175,7 @@ object Pdf {
           val id = r.getLong(0)
           val pages =
             (0 until nPdfPages(id)).map(k => pdfPageText(id, k))
-          val bytes = buildPdf(pages, pdfVersion(id))
+          val bytes = buildPdf(pages, pdfVersion(id), flate = id % 2 == 1)
           Row(id, "document", bytes,
             Row("pdf", null, null, null))
         }
@@ -129,19 +194,24 @@ object Pdf {
     StructField("pages_declared", IntegerType, nullable = true),
     StructField("n_objects", IntegerType, nullable = true),
     StructField("xref_ok", BooleanType, nullable = false),
+    StructField("streams_ok", BooleanType, nullable = false),
     StructField("text", StringType, nullable = true)
   ))
 
-  /** Structural PDF parse + uncompressed-stream text extraction over a
+  /** Structural PDF parse + content-stream text extraction over a
     * [[Multimodal.mediaSchema]] table: header version, page objects
     * counted vs the page tree's declared `/Count`, object count from
     * the trailer `/Size`, xref VALIDATION (every in-use entry's offset
     * must land on `<num> 0 obj` — the integrity check a corpus lane
     * runs before trusting a crawled PDF), and the text of every
     * `(…) Tj` / `[…] TJ` show operator (standard escapes, balanced
-    * parens, UTF-8 literals; one line per content stream). Bytes
-    * without the `%PDF-` magic yield `parsed = false` with null fields;
-    * a damaged xref/trailer yields `xref_ok = false` with null
+    * parens, UTF-8 literals; one line per content stream). Content
+    * streams may be plain or `/Filter /FlateDecode` (inflated with the
+    * JDK zlib, bomb-capped); `streams_ok = false` marks a document
+    * where some stream failed to decode (bad zlib bytes, unsupported
+    * filter) — that stream contributes no text, the others still do.
+    * Bytes without the `%PDF-` magic yield `parsed = false` with null
+    * fields; a damaged xref/trailer yields `xref_ok = false` with null
     * `n_objects` but still extracts text — the poisoned-row containment
     * of the other multimodal walks. One iterator pass, no shuffle. */
   def pdfMeta(media: DataFrame): DataFrame = {
@@ -157,7 +227,7 @@ object Pdf {
         catch {
           case scala.util.control.NonFatal(_) =>
             Row(id, bytes.length, false, null, null, null, null, false,
-              null)
+              false, null)
         }
       }
     }(enc).toDF()
@@ -169,7 +239,7 @@ object Pdf {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF-"))
       return Row(id, bytes.length, false, null, null, null, null, false,
-        null)
+        false, null)
     val version = s.substring(5, math.min(s.length,
       s.indexWhere(c => c == '\r' || c == '\n', 5) match {
         case -1 => s.length
@@ -229,8 +299,15 @@ object Pdf {
       case scala.util.control.NonFatal(_) =>
         xrefOk = false; nObjects = None
     }
-    // ---- text: every uncompressed content stream's show operators
+    // ---- text: every content stream's show operators. The stream's
+    // own dict (between its `N 0 obj` header and the `stream` keyword)
+    // names the filter and the byte-exact /Length; the length, when it
+    // lands on `endstream` (± an EOL), bounds the body WITHOUT
+    // searching inside it — binary Flate data may contain any byte
+    // sequence, including "endstream". Fallback: endstream search
+    // (the pre-/Length behavior, still right for plain streams).
     val texts = scala.collection.mutable.ArrayBuffer[String]()
+    var streamsOk = true
     var from = 0
     var more = true
     while (more) {
@@ -238,19 +315,53 @@ object Pdf {
       if (st < 0) more = false
       else {
         val bodyStart = s.indexOf('\n', st) + 1
-        val end = s.indexOf("endstream", bodyStart)
-        if (bodyStart <= 0 || end < 0) more = false
+        if (bodyStart <= 0) more = false
         else {
-          val t = showText(s.substring(bodyStart, end))
-          if (t.nonEmpty) texts += t
-          from = end + "endstream".length
+          val dict = s.substring(math.max(0, s.lastIndexOf("obj", st)), st)
+          val flate =
+            "/Filter\\s*/FlateDecode\\b".r.findFirstIn(dict).isDefined
+          val otherFilter = !flate &&
+            "/Filter\\b".r.findFirstIn(dict).isDefined
+          val byLen = "/Length\\s+(\\d+)\\b".r.findFirstMatchIn(dict)
+            .map(_.group(1).toInt)
+            .flatMap { len =>
+              val e0 = bodyStart + len
+              if (e0 <= s.length) {
+                val e = s.indexOf("endstream", e0)
+                if (e >= 0 && e - e0 <= 2) Some((e0, e)) else None
+              } else None
+            }
+          val (bodyEnd, endKw) = byLen.getOrElse {
+            val e = s.indexOf("endstream", bodyStart)
+            (e, e)
+          }
+          if (endKw < 0) more = false
+          else {
+            if (flate) {
+              try {
+                val inflated = inflate(s.substring(bodyStart, bodyEnd)
+                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+                val t = showText(new String(inflated,
+                  java.nio.charset.StandardCharsets.ISO_8859_1))
+                if (t.nonEmpty) texts += t
+              } catch {
+                case scala.util.control.NonFatal(_) => streamsOk = false
+              }
+            } else if (otherFilter) {
+              streamsOk = false // undecodable here; text lives behind it
+            } else {
+              val t = showText(s.substring(bodyStart, bodyEnd))
+              if (t.nonEmpty) texts += t
+            }
+            from = endKw + "endstream".length
+          }
         }
       }
     }
     val text = if (texts.isEmpty) "" else texts.mkString("\n")
     Row(id, bytes.length, true, version, nPages,
       declared.map(Int.box).orNull, nObjects.map(Int.box).orNull,
-      xrefOk, text)
+      xrefOk, streamsOk, text)
   }
 
   /** Concatenated text of the `Tj` / `TJ` operators in one content
@@ -277,6 +388,20 @@ object Pdf {
             case 'n' => raw.write('\n'); j += 2
             case 'r' => raw.write('\r'); j += 2
             case 't' => raw.write('\t'); j += 2
+            case 'b' => raw.write('\b'); j += 2
+            case 'f' => raw.write('\f'); j += 2
+            case d if d >= '0' && d <= '7' =>
+              // \ddd octal (1–3 digits), high-order overflow ignored
+              var k = j + 1; var v = 0
+              while (k < content.length && k - j <= 3 &&
+                  content(k) >= '0' && content(k) <= '7') {
+                v = v * 8 + (content(k) - '0'); k += 1
+              }
+              raw.write(v & 0xFF); j = k
+            case '\r' => // backslash-EOL: line continuation, emits nothing
+              j += (if (j + 2 < content.length && content(j + 2) == '\n') 3
+                else 2)
+            case '\n' => j += 2
             case other => raw.write(other.toInt); j += 2
           }
         } else if (c == '(') { depth += 1; raw.write(c.toInt); j += 1 }

@@ -10,7 +10,8 @@ class PdfSpec extends SparkSuite {
   import spark.implicits._
 
   test("pdf round-trip: version, page counts, object count, xref " +
-      "validation and Tj/TJ text match the closed forms") {
+      "validation and Tj/TJ text match the closed forms on both the " +
+      "plain (even id) and FlateDecode (odd id) arms") {
     val media = Pdf.syntheticPdfs(
       (0L until 31L).toDF("doc_id"), "doc_id")
     val rows = Pdf.pdfMeta(media).collect()
@@ -24,10 +25,38 @@ class PdfSpec extends SparkSuite {
       assert(r.getAs[Int]("pages_declared") === n)
       assert(r.getAs[Int]("n_objects") === 3 + 2 * n)
       assert(r.getAs[Boolean]("xref_ok"), s"id=$id xref")
+      assert(r.getAs[Boolean]("streams_ok"), s"id=$id streams")
       val expected =
         (0 until n).map(k => Pdf.pdfPageText(id, k)).mkString("\n")
       assert(r.getAs[String]("text") === expected, s"id=$id text")
     }
+  }
+
+  test("flate arm: compressed bytes differ from plain but parse to the " +
+      "same text; corrupt zlib flips streams_ok, other streams survive") {
+    val pages = Seq("first (compressed) page", "second page")
+    val plain = Pdf.buildPdf(pages)
+    val flate = Pdf.buildPdf(pages, flate = true)
+    assert(!java.util.Arrays.equals(plain, flate))
+    assert(new String(flate, "ISO-8859-1").contains("/FlateDecode"))
+    def parse(bytes: Array[Byte]) = Pdf.pdfMeta(
+      Pdf.syntheticPdfs(Seq(1L).toDF("doc_id"), "doc_id")
+        .withColumn("bytes", lit(bytes))).head()
+    val ok = parse(flate)
+    assert(ok.getAs[Boolean]("parsed") && ok.getAs[Boolean]("xref_ok"))
+    assert(ok.getAs[Boolean]("streams_ok"))
+    assert(ok.getAs[String]("text") === pages.mkString("\n"))
+    // corrupt the FIRST stream's zlib payload: its text drops,
+    // streams_ok flips, the second stream still extracts
+    val s = new String(flate, "ISO-8859-1")
+    val body1 = s.indexOf("\n", s.indexOf("stream\n")) + 1
+    val bad = flate.clone()
+    bad(body1 + 4) = (bad(body1 + 4) ^ 0x5A).toByte
+    bad(body1 + 5) = (bad(body1 + 5) ^ 0x5A).toByte
+    val dam = parse(bad)
+    assert(dam.getAs[Boolean]("parsed"))
+    assert(!dam.getAs[Boolean]("streams_ok"))
+    assert(dam.getAs[String]("text") === "second page")
   }
 
   test("showText: escapes, balanced parens, TJ kerning arrays, " +
@@ -41,6 +70,14 @@ class PdfSpec extends SparkSuite {
     assert(Pdf.showText("[(no closer) (x)") === "")
     assert(Pdf.showText("(esc newline \\n tab \\t) Tj") ===
       "esc newline \n tab \t")
+    // octal escapes: 3-digit, shorter-than-3 stops at the first
+    // non-octal digit, high bytes; \ + EOL is a continuation (vanishes)
+    assert(Pdf.showText("(\\101\\102C) Tj") === "ABC")
+    assert(Pdf.showText("(\\12) Tj") === "\n")
+    assert(Pdf.showText("(\\0053) Tj") === "\u0005" + "3")
+    assert(Pdf.showText("(split \\\nacross \\\r\nlines) Tj") ===
+      "split across lines")
+    assert(Pdf.showText("(\\b\\f) Tj") === "\b\f")
   }
 
   test("containment: non-PDF bytes, truncated tails and a torn xref " +
