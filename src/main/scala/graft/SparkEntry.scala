@@ -829,19 +829,22 @@ object SparkEntry {
     }),
     "q_pdf_parse" -> ((s, dir) => {
       // REAL PDF structural parse, zero deps: complete single-xref
-      // PDFs (catalog → page tree → per-page uncompressed content
-      // streams alternating Tj / kerned-TJ show forms → font, with a
-      // byte-exact xref table) are re-parsed from their bytes — header
-      // version, page objects counted vs the tree's declared /Count,
-      // object count from the trailer /Size, xref offset VALIDATION,
-      // and the extracted text (escapes exercised on every row) all
-      // stated analytically by the oracle (the q_image_exif posture)
+      // PDFs (catalog → page tree → per-page content streams
+      // alternating Tj / kerned-TJ show forms, PLAIN on even ids and
+      // zlib /FlateDecode on odd ids — the real-corpus form — → font,
+      // with a byte-exact xref table) are re-parsed from their bytes —
+      // header version, page objects counted vs the tree's declared
+      // /Count, object count from the trailer /Size, xref offset
+      // VALIDATION, per-stream decode health, and the extracted text
+      // (escapes exercised on every row; identical across both decode
+      // arms) all stated analytically by the oracle (the q_image_exif
+      // posture)
       import graft.multimodal.Pdf
       Pdf.pdfMeta(Pdf.syntheticPdfs(table(s, dir, "documents"),
           "doc_id"))
         .select(col("media_id"), col("parsed"), col("version"),
           col("n_pages"), col("pages_declared"), col("n_objects"),
-          col("xref_ok"), col("text"))
+          col("xref_ok"), col("streams_ok"), col("text"))
     }),
     "q_video_mp4_meta" -> ((s, dir) => {
       // REAL ISO-BMFF container parse, no codec: synthetic mp4s with a
@@ -3394,22 +3397,34 @@ object SparkEntry {
   }
 
   /** Markdown fixture for q_md_tables / q_md_stats: evens carry a
-    * 3-row (Name, Qty) table; every doc carries the (K, V) table with
-    * alignment-marked delimiters; decoy pipe lines (no outer pipes /
-    * no delimiter) sit between them. */
+    * 3-row (Name, Qty) outer-piped table (table 0); odds carry a
+    * 2-row PIPE-LESS (H1, H2) table instead (GFM's no-outer-pipe
+    * form, table 0); every doc carries the (K, V) table with
+    * alignment-marked delimiters (table 1) and a zero-body (E1, E2)
+    * table whose delimiter ends the document WITHOUT a trailing
+    * newline (table 2). Decoy pipe lines — `mid | decoy line` with no
+    * delimiter under it, `|x|y|` over prose — sit between them, and
+    * pipe-free prose gaps stop each table from swallowing its
+    * neighbors. */
   private def mdFixture: org.apache.spark.sql.Column = {
     val d = col("doc_id")
     val tableA = concat(
       lit("| Name | Qty |\n|---|---|\n| alpha | "),
       pmod(d, lit(7)).cast("string"), lit(" |\n| beta | "),
-      pmod(d, lit(5)).cast("string"), lit(" |\n"))
+      pmod(d, lit(5)).cast("string"), lit(" |\nplain gap\n"))
+    val tableB = concat(
+      lit("H1 | H2\n--- | :--:\np"), pmod(d, lit(3)).cast("string"),
+      lit(" | q"), pmod(d, lit(4)).cast("string"), lit("\n"))
     concat(
       lit("prose before\n"),
       when(pmod(d, lit(2)) === 0, tableA).otherwise(lit("")),
       lit("mid | decoy line\n|x|y|\nno delimiter follows\n"),
+      when(pmod(d, lit(2)) === 1, tableB).otherwise(lit("")),
+      lit("plain between\n"),
       lit("| K | V |\n|:--|--:|\n| k"),
       pmod(d, lit(3)).cast("string"), lit(" | v"),
-      pmod(d, lit(4)).cast("string"), lit(" |\n"))
+      pmod(d, lit(4)).cast("string"), lit(" |\n"),
+      lit("tail prose no pipes\n| E1 | E2 |\n|---|---|"))
   }
 
   /** Shared page fixture for q_anchor_text / q_meta_robots /
@@ -5766,6 +5781,7 @@ object SparkEntry {
         |  (doc_id % 3 + 1)::INT AS pages_declared,
         |  (3 + 2 * (doc_id % 3 + 1))::INT AS n_objects,
         |  true AS xref_ok,
+        |  true AS streams_ok,
         |  CASE doc_id % 3 WHEN 0 THEN p0
         |    WHEN 1 THEN p0 || chr(10) || p1
         |    ELSE p0 || chr(10) || p1 || chr(10) || p2 END AS text
@@ -8359,35 +8375,42 @@ object SparkEntry {
         |  a.url AS url_a, b.url AS url_b, a.id AS id_a, b.id AS id_b
         |FROM r2 a JOIN r2 b
         |  ON a.pair_key = b.pair_key AND a.lang < b.lang""".stripMargin,
-    // every cell is a doc_id template; bidx = the shared table's index
-    // (after the even-doc table when present)
+    // every cell is a doc_id template; table 0 = the parity-specific
+    // table (outer-piped on evens, pipe-less on odds), 1 = the shared
+    // (K, V) table, 2 = the zero-body (E1, E2) table at EOF
     "q_md_tables" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS bidx
-        |  FROM documents)
+      """WITH d AS (SELECT doc_id FROM documents)
         |SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx,
-        |  'Name' AS cell FROM d WHERE bidx = 1
-        |UNION ALL SELECT doc_id, 0, 0, 1, 'Qty' FROM d WHERE bidx = 1
-        |UNION ALL SELECT doc_id, 0, 1, 0, 'alpha' FROM d WHERE bidx = 1
+        |  'Name' AS cell FROM d WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 0, 0, 1, 'Qty' FROM d WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 0, 1, 0, 'alpha' FROM d WHERE doc_id % 2 = 0
         |UNION ALL SELECT doc_id, 0, 1, 1, (doc_id % 7)::VARCHAR
-        |  FROM d WHERE bidx = 1
-        |UNION ALL SELECT doc_id, 0, 2, 0, 'beta' FROM d WHERE bidx = 1
+        |  FROM d WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 0, 2, 0, 'beta' FROM d WHERE doc_id % 2 = 0
         |UNION ALL SELECT doc_id, 0, 2, 1, (doc_id % 5)::VARCHAR
-        |  FROM d WHERE bidx = 1
-        |UNION ALL SELECT doc_id, bidx, 0, 0, 'K' FROM d
-        |UNION ALL SELECT doc_id, bidx, 0, 1, 'V' FROM d
-        |UNION ALL SELECT doc_id, bidx, 1, 0,
+        |  FROM d WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 0, 0, 0, 'H1' FROM d WHERE doc_id % 2 = 1
+        |UNION ALL SELECT doc_id, 0, 0, 1, 'H2' FROM d WHERE doc_id % 2 = 1
+        |UNION ALL SELECT doc_id, 0, 1, 0,
+        |  'p' || (doc_id % 3)::VARCHAR FROM d WHERE doc_id % 2 = 1
+        |UNION ALL SELECT doc_id, 0, 1, 1,
+        |  'q' || (doc_id % 4)::VARCHAR FROM d WHERE doc_id % 2 = 1
+        |UNION ALL SELECT doc_id, 1, 0, 0, 'K' FROM d
+        |UNION ALL SELECT doc_id, 1, 0, 1, 'V' FROM d
+        |UNION ALL SELECT doc_id, 1, 1, 0,
         |  'k' || (doc_id % 3)::VARCHAR FROM d
-        |UNION ALL SELECT doc_id, bidx, 1, 1,
-        |  'v' || (doc_id % 4)::VARCHAR FROM d""".stripMargin,
+        |UNION ALL SELECT doc_id, 1, 1, 1,
+        |  'v' || (doc_id % 4)::VARCHAR FROM d
+        |UNION ALL SELECT doc_id, 2, 0, 0, 'E1' FROM d
+        |UNION ALL SELECT doc_id, 2, 0, 1, 'E2' FROM d""".stripMargin,
     "q_md_stats" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS bidx
-        |  FROM documents)
+      """WITH d AS (SELECT doc_id FROM documents)
         |SELECT doc_id, 0 AS table_idx, 3 AS n_rows, 2 AS n_cols,
-        |  'Name,Qty' AS header FROM d WHERE bidx = 1
-        |UNION ALL
-        |SELECT doc_id, bidx, 2, 2, 'K,V' FROM d""".stripMargin,
+        |  'Name,Qty' AS header FROM d WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 0, 2, 2, 'H1,H2' FROM d
+        |  WHERE doc_id % 2 = 1
+        |UNION ALL SELECT doc_id, 1, 2, 2, 'K,V' FROM d
+        |UNION ALL SELECT doc_id, 2, 1, 2, 'E1,E2' FROM d""".stripMargin,
     // every field is a doc_id template: lang by path arm, interp by
     // shebang arm, license by header arm (SPDX/prose), comment ratio =
     // (1 fixed comment + shebang/plain-comment arm + license-comment
@@ -8403,7 +8426,7 @@ object SparkEntry {
         |  CASE doc_id % 4 WHEN 0 THEN 'python3' WHEN 1 THEN 'sh'
         |    ELSE NULL END AS interp,
         |  CASE doc_id % 5 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
-        |    WHEN 2 THEN 'MIT' WHEN 3 THEN 'GPL-3.0'
+        |    WHEN 2 THEN 'MIT' WHEN 3 THEN 'GPL'
         |    ELSE NULL END AS license,
         |  round((1 + (CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END)
         |    + (CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END)) / 5.0, 6)

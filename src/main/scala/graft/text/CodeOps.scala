@@ -58,24 +58,52 @@ object CodeOps {
   /** (detection regex [RE2-portable, case-insensitive] → SPDX id) for
     * the license families a corpus must screen — permissive-only
     * training sets gate on exactly this signal. Explicit
-    * `SPDX-License-Identifier:` tags win over prose matches. */
+    * `SPDX-License-Identifier:` tags win over prose matches, and
+    * longer tag variants sit ABOVE their prefixes (MIT-0 above MIT,
+    * `-or-later`/`-only` above the bare GPL ids) so first-match-wins
+    * resolves each tag to its exact id. Prose matches return
+    * FAMILY-level ids on purpose: the GPL/LGPL preamble phrasing is
+    * shared across 2.0/2.1/3.0 and the BSD clause text across
+    * 2/3-clause, so a prose hit asserts only `GPL`, `LGPL`, `MIT`
+    * (MIT-0 shares the grant sentence), `Apache-2.0` (its prose names
+    * the version), or `BSD-3-Clause` (clause-3 text) — a
+    * permissive-only gate excludes the whole family either way. */
   val LicensePatterns: Seq[(String, String)] = Seq(
     "(?i)SPDX-License-Identifier:\\s*Apache-2\\.0" -> "Apache-2.0",
+    "(?i)SPDX-License-Identifier:\\s*MIT-0" -> "MIT-0",
     "(?i)SPDX-License-Identifier:\\s*MIT\\b" -> "MIT",
+    "(?i)SPDX-License-Identifier:\\s*GPL-3\\.0-or-later"
+      -> "GPL-3.0-or-later",
+    "(?i)SPDX-License-Identifier:\\s*GPL-3\\.0-only" -> "GPL-3.0-only",
     "(?i)SPDX-License-Identifier:\\s*GPL-3\\.0" -> "GPL-3.0",
+    "(?i)SPDX-License-Identifier:\\s*GPL-2\\.0-or-later"
+      -> "GPL-2.0-or-later",
+    "(?i)SPDX-License-Identifier:\\s*GPL-2\\.0-only" -> "GPL-2.0-only",
+    "(?i)SPDX-License-Identifier:\\s*GPL-2\\.0" -> "GPL-2.0",
+    "(?i)SPDX-License-Identifier:\\s*LGPL-3\\.0-or-later"
+      -> "LGPL-3.0-or-later",
+    "(?i)SPDX-License-Identifier:\\s*LGPL-3\\.0-only" -> "LGPL-3.0-only",
+    "(?i)SPDX-License-Identifier:\\s*LGPL-3\\.0" -> "LGPL-3.0",
+    "(?i)SPDX-License-Identifier:\\s*LGPL-2\\.1-or-later"
+      -> "LGPL-2.1-or-later",
+    "(?i)SPDX-License-Identifier:\\s*LGPL-2\\.1-only" -> "LGPL-2.1-only",
+    "(?i)SPDX-License-Identifier:\\s*LGPL-2\\.1" -> "LGPL-2.1",
     "(?i)SPDX-License-Identifier:\\s*BSD-3-Clause" -> "BSD-3-Clause",
+    "(?i)SPDX-License-Identifier:\\s*BSD-2-Clause" -> "BSD-2-Clause",
     "(?i)Licensed under the Apache License,? Version 2\\.0"
       -> "Apache-2.0",
     "(?i)Permission is hereby granted, free of charge" -> "MIT",
-    "(?i)GNU General Public License" -> "GPL-3.0",
+    "(?i)GNU Lesser General Public License" -> "LGPL",
+    "(?i)GNU General Public License" -> "GPL",
     "(?i)Redistribution and use in source and binary forms"
       -> "BSD-3-Clause")
 
-  /** SPDX id of the first matching license pattern in the document's
-    * leading `headChars` characters (NULL = no recognized license —
-    * which a permissive-only pipeline treats as "exclude", not
-    * "free"). First match in [[LicensePatterns]] order wins, so the
-    * explicit SPDX tag beats prose. */
+  /** SPDX id (or prose-match FAMILY id — see [[LicensePatterns]]) of
+    * the first matching license pattern in the document's leading
+    * `headChars` characters (NULL = no recognized license — which a
+    * permissive-only pipeline treats as "exclude", not "free"). First
+    * match in [[LicensePatterns]] order wins, so the explicit SPDX tag
+    * beats prose and longer tags beat their prefixes. */
   def licenseId(text: Column, headChars: Int = 1500): Column = {
     val head = substring(text, 1, headChars)
     LicensePatterns.reverse.foldLeft(lit(null).cast("string")) {

