@@ -1359,4 +1359,155 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------- EXIF GPS redaction
+
+  /** Bytes-per-element of a TIFF field type (TIFF 6.0 §2; unknown
+    * types read as 1 so bounds stay conservative). */
+  private def tiffTypeSize(typ: Int): Int = typ match {
+    case 3 | 8 => 2
+    case 4 | 9 | 11 => 4
+    case 5 | 10 | 12 => 8
+    case _ => 1
+  }
+
+  /** Redact embedded GPS from one JPEG's bytes — the multimodal
+    * counterpart of the text PII redact (embedded coordinates are PII
+    * a training corpus must strip, not just flag).
+    *
+    * `scope = "gps"` (surgical, in place — file length unchanged):
+    * zero every out-of-line GPS value span, zero the GPS IFD table,
+    * then remove the GPSInfo pointer entry (0x8825) from IFD0 by
+    * shifting the later entries + next-IFD pointer up one slot and
+    * decrementing the count (the vacated 12 bytes zero). Because
+    * nothing else moves, every other absolute TIFF offset stays valid
+    * on ARBITRARY real-world layouts — the reason this is a redaction
+    * in place and not a rebuild (a splice would have to relocate every
+    * out-of-line value of every tag, known or not). IFD0 scope: the
+    * GPSInfo pointer lives in IFD0 per EXIF 2.3 §4.6.2.
+    *
+    * `scope = "app1"` — drop the whole APP1/Exif segment (marker
+    * stream spliced, JPEG otherwise byte-identical): maximal privacy,
+    * loses Make/Model/DateTime provenance too; the caller's choice.
+    *
+    * Malformed structures return the input unchanged (containment —
+    * the [[JpegWalk]] posture); non-JPEG bytes pass through. */
+  private[graft] def stripOne(b: Array[Byte], scope: String): Array[Byte] = {
+    def u8(o: Int): Int = b(o) & 0xff
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return b
+    var off = 2
+    while (off + 4 <= b.length) {
+      if (u8(off) != 0xff) return b
+      val m = u8(off + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
+      else if (m == 0xd9 || m == 0xda) return b
+      else {
+        val len = (u8(off + 2) << 8) | u8(off + 3)
+        if (len < 2 || off + 2 + len > b.length) return b
+        val p = off + 4
+        if (m == 0xe1 && len >= 8 &&
+            new String(b, p, 4, "ISO-8859-1") == "Exif") {
+          if (scope == "app1") {
+            val out = new Array[Byte](b.length - (2 + len))
+            System.arraycopy(b, 0, out, 0, off)
+            System.arraycopy(b, off + 2 + len, out, off,
+              b.length - (off + 2 + len))
+            return out
+          }
+          return redactGpsInPlace(b, p + 6, off + 2 + len)
+        }
+        off += 2 + len
+      }
+    }
+    b
+  }
+
+  /** The `scope = "gps"` arm of [[stripOne]]: returns a redacted COPY
+    * when a GPSInfo entry exists in IFD0, the input array otherwise. */
+  private def redactGpsInPlace(orig: Array[Byte], base: Int,
+      end: Int): Array[Byte] = {
+    val b = orig.clone()
+    def u8(o: Int): Int = b(o) & 0xff
+    if (base + 8 > end) return orig
+    val little = u8(base) == 'I' && u8(base + 1) == 'I'
+    if (!little && !(u8(base) == 'M' && u8(base + 1) == 'M')) return orig
+    def u16(o: Int): Int =
+      if (little) u8(o) | (u8(o + 1) << 8) else (u8(o) << 8) | u8(o + 1)
+    def u32(o: Int): Long =
+      if (little) u16(o).toLong | (u16(o + 2).toLong << 16)
+      else (u16(o).toLong << 16) | u16(o + 2).toLong
+    def putU16(o: Int, v: Int): Unit = {
+      if (little) { b(o) = (v & 0xff).toByte; b(o + 1) = (v >> 8).toByte }
+      else { b(o) = (v >> 8).toByte; b(o + 1) = (v & 0xff).toByte }
+    }
+    def zero(from: Int, until: Int): Unit = {
+      var i = math.max(from, base)
+      val stop = math.min(until, end)
+      while (i < stop) { b(i) = 0; i += 1 }
+    }
+    if (u16(base + 2) != 42) return orig
+    val ifd0 = base + u32(base + 4).toInt
+    if (ifd0 < base || ifd0 + 2 > end) return orig
+    val n = u16(ifd0)
+    val lastEnd = ifd0 + 2 + n * 12 + 4 // entries + next-IFD pointer
+    if (lastEnd > end) return orig
+    var i = 0
+    while (i < n) {
+      val e = ifd0 + 2 + i * 12
+      if (u16(e) == 0x8825) {
+        // 1) destroy the GPS IFD's out-of-line values and its table
+        val g0 = base + u32(e + 8).toInt
+        if (g0 >= base && g0 + 2 <= end) {
+          val g = u16(g0)
+          val gEnd = g0 + 2 + g * 12 + 4
+          if (gEnd <= end) {
+            var j = 0
+            while (j < g) {
+              val ge = g0 + 2 + j * 12
+              val span = tiffTypeSize(u16(ge + 2)) * u32(ge + 4)
+              if (span > 4) {
+                val v = base + u32(ge + 8).toInt
+                zero(v, v + math.min(span, Int.MaxValue.toLong).toInt)
+              }
+              j += 1
+            }
+            zero(g0, gEnd)
+          }
+        }
+        // 2) remove the pointer entry: shift the rest up one slot
+        System.arraycopy(b, e + 12, b, e, lastEnd - (e + 12))
+        zero(lastEnd - 12, lastEnd)
+        putU16(ifd0, n - 1)
+        return b
+      }
+      i += 1
+    }
+    orig // no GPS entry: nothing to redact
+  }
+
+  /** [[stripOne]] over a media table: same columns, the `bytes` column
+    * rewritten. `scope = "gps"` (default) redacts the GPS IFD in
+    * place; `scope = "app1"` splices the whole Exif segment out.
+    * Map-only `mapPartitions`, no shuffle — the [[exifMeta]] posture:
+    * a 100 TB redaction pass is scan → per-row byte surgery → sink. */
+  def exifStrip(media: DataFrame, scope: String = "gps"): DataFrame = {
+    require(scope == "gps" || scope == "app1",
+      s"scope must be gps|app1, got $scope")
+    val schema = media.schema
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val byIdx = schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(byIdx)) r
+        else {
+          val vals = r.toSeq.toArray
+          vals(byIdx) =
+            try stripOne(r.getAs[Array[Byte]](byIdx), scope)
+            catch { case scala.util.control.NonFatal(_) =>
+              r.getAs[Array[Byte]](byIdx) }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }(enc).toDF()
+  }
 }

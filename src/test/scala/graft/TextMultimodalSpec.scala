@@ -450,6 +450,71 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: exifStrip gps scope redacts in place (count kept, " +
+      "provenance kept, GPS gone); app1 scope splices; real JPEG " +
+      "still ImageIO-decodes after both") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val media = Multimodal.syntheticExifJpegs(docs, "doc_id")
+    val origBytes = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val gps = Multimodal.exifMeta(Multimodal.exifStrip(media)).collect()
+    gps.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === origBytes(id).length, s"id=$id length moved")
+      assert(r.getString(5) === Multimodal.exifMake(id))
+      assert(r.getString(6) === Multimodal.exifModel(id))
+      assert(r.getString(8) === Multimodal.exifDateTime(id))
+      assert(!r.getBoolean(9), s"id=$id still has GPS")
+    }
+    // rows without GPS pass through byte-identical; GPS rows must not
+    val changed = Multimodal.exifStrip(media).collect()
+      .map(r => r.getLong(0) ->
+        java.util.Arrays.equals(r.getAs[Array[Byte]]("bytes"),
+          origBytes(r.getLong(0)))).toMap
+    changed.foreach { case (id, same) =>
+      assert(same === !Multimodal.exifHasGps(id), s"id=$id")
+    }
+    val app1 = Multimodal.exifMeta(
+      Multimodal.exifStrip(media, "app1")).collect()
+    app1.foreach { r =>
+      assert(r.getInt(1) === 39)
+      assert(r.isNullAt(5) && r.isNullAt(9)) // no TIFF block at all
+      assert(r.getInt(3) === Multimodal.jpegWidth(r.getLong(0)))
+    }
+    // a REAL JPEG (ImageIO-written) with the GPS-bearing APP1 spliced
+    // in after SOI: both scopes must leave a decodable image
+    val img = new java.awt.image.BufferedImage(31, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.createGraphics().fillRect(0, 0, 31, 17)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val real = bos.toByteArray
+    val donor = origBytes(0L) // id 0 carries GPS
+    val app1Len = 2 + (((donor(4) & 0xff) << 8) | (donor(5) & 0xff))
+    val seg = java.util.Arrays.copyOfRange(donor, 2, 2 + app1Len)
+    val withExif = real.take(2) ++ seg ++ real.drop(2)
+    def meta(bb: Array[Byte]) = Multimodal.exifMeta(
+      Seq((7L, "image", bb)).toDF("media_id", "modality", "bytes"))
+      .collect()(0)
+    assert(meta(withExif).getBoolean(9)) // GPS visible before redaction
+    for (scope <- Seq("gps", "app1")) {
+      val out = Multimodal.stripOne(withExif, scope)
+      val m = meta(out)
+      assert(m.isNullAt(9) || !m.getBoolean(9), scope)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out))
+      assert(dec != null && dec.getWidth === 31 && dec.getHeight === 17,
+        s"stripped $scope bytes no longer decode")
+    }
+    // containment: truncated APP1 and non-JPEG bytes pass through
+    val trunc = withExif.take(20)
+    assert(Multimodal.stripOne(trunc, "gps") eq trunc)
+    val junk2 = "never a jpeg".getBytes("UTF-8")
+    assert(Multimodal.stripOne(junk2, "app1") eq junk2)
+  }
+
   test("multimodal: PNG chunk walk recovers IHDR from real ImageIO " +
       "bytes; tRNS/color-type alpha; corrupt bytes clean") {
     import spark.implicits._
