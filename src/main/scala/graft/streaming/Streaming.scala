@@ -211,6 +211,38 @@ object Streaming {
       .filter(!col("nofollow"))
   }
 
+  /** Streaming twin of [[graft.text.UrlOps.anchorTermIndex]] — the
+    * off-page relevance index LIVE: pages arriving on a stream emit
+    * (window, target_url, term, n_refs) per event-time window, the
+    * anchor-text label table a ranker tails continuously. Same
+    * pipeline as the batch op (follow edges only, empty anchors drop,
+    * targets canonicalize, lowercased whitespace terms), windowed by
+    * `tsCol` with a WATERMARK so Append mode emits each window once,
+    * final, and the store drops it — state is bounded by
+    * (windows in flight) × (distinct target/term cells per window),
+    * never corpus-lifetime. Page-level robots-meta gating composes
+    * upstream exactly as in the batch lane (filter the page stream on
+    * [[graft.text.UrlOps.metaNofollow]] before this op — it takes raw
+    * pages, the [[streamingFollowEdges]] input shape). Hot
+    * targets collapse in the hash aggregate's partial phase
+    * map-side, the property the batch ScaleProbe pinned — a hot key
+    * in an aggregate is benign, unlike a hot window partition. */
+  def streamingAnchorTermIndex(src: DataFrame, htmlCol: String,
+      urlCol: String, tsCol: String, windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.text.UrlOps
+    UrlOps.extractAnchors(src.withWatermark(tsCol, watermark),
+        htmlCol, urlCol)
+      .filter(!col("nofollow") && col("anchor_text") =!= "")
+      .select(col(tsCol),
+        UrlOps.normalizeUrl(col("link_url")).as("target_url"),
+        explode(split(lower(col("anchor_text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(window(col(tsCol), windowDur), col("target_url"),
+        col("term"))
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
   /** Streaming twin of [[graft.text.UrlOps.crawlSchedule]] — the
     * frontier-scheduling stage LIVE: URLs arriving on a stream are
     * assigned per-host fetch positions and due times continuously.

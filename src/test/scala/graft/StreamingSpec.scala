@@ -328,6 +328,58 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming anchor-term index: one-window batch equality with " +
+      "anchorTermIndex; watermark-bounded state; closed windows final") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val h1 = "<html><body><a href=\"/t\">Great Product</a>" +
+      "<a href=\"/t\" rel=nofollow>paid product</a>" +
+      "<a href=\"/other\">great</a></body></html>"
+    val h2 = "<html><body><a href=\"https://a.example/t\">great</a>" +
+      "</body></html>"
+    val pages = Seq(
+      (1L, "https://a.example/p1", h1),
+      (2L, "https://a.example/p2", h2))
+    val mem = MemoryStream[Page]
+    val out = Streaming.streamingAnchorTermIndex(mem.toDF(), "html",
+      "url", "ts", windowDur = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("anchor_idx")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(pages.map { case (i, u, h) =>
+        Page(i, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), u, h)
+      }: _*)
+      q.processAllAvailable()
+      // a later-window event advances the watermark past 01:00 so the
+      // first window closes and emits (Append = once, final)
+      mem.addData(Page(3L,
+        java.sql.Timestamp.valueOf("2024-01-01 03:00:00"),
+        "https://a.example/p3", h2))
+      q.processAllAvailable()
+      val got = spark.table("anchor_idx").collect()
+        .map(r => (r.getAs[String]("target_url"),
+          r.getAs[String]("term"), r.getAs[Long]("n_refs")))
+      val batch = graft.text.UrlOps.anchorTermIndex(
+          pages.toDF("doc_id", "url", "html"), "html", "url")
+        .collect()
+        .map(r => (r.getAs[String]("target_url"),
+          r.getAs[String]("term"), r.getAs[Long]("n_refs")))
+      assert(got.toSet === batch.toSet)
+      // nofollow edge dropped; both /t anchors (one relative, one
+      // absolute) canonicalize to the same target and their terms merge
+      assert(got.toSet === Set(
+        ("https://a.example/t", "great", 2L),
+        ("https://a.example/t", "product", 1L),
+        ("https://a.example/other", "great", 1L)))
+      // state is rows-per-open-window-cell, not corpus-lifetime: after
+      // the first window closed, only the 03:00 window's single cell
+      // remains in the store
+      val prog = q.lastProgress.stateOperators
+      assert(prog.nonEmpty && prog.head.numRowsTotal === 1L,
+        s"state rows ${prog.map(_.numRowsTotal).toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming crawl schedule: one-batch frontier equals the batch " +
       "operator; positions continue across micro-batches; O(hosts) state") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
