@@ -70,12 +70,32 @@ object Bench {
     // sorted: Map iteration order shifts when queries are added (it moved
     // q_dedup_exact in round 3 and made it absorb a one-time ~1.3 s codegen
     // warmup — see BASELINE.md); alphabetical order is stable across rounds.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // runs(i) = per-query seconds for pass i; each pass runs the full suite
-    // in the same order so cross-query interactions (GC, cache churn) are
-    // sampled identically every pass.
-    val runs: Seq[Map[String, Double]] = (1 to n).map { _ =>
-      names.map { name =>
+    // GRAFT_BENCH_ONLY (comma list) restricts to named queries — the
+    // ADJUDICATION mode: a drifted head re-measured alone, without the
+    // heap history of the 200+ queries that alphabetically precede it.
+    // Never canonical; the JSON carries bench_mode so a filtered run
+    // can't be mistaken for a snapshot.
+    val only: Option[Set[String]] = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val names = only.map(o => allNames.filter(o)).getOrElse(allNames)
+    // GRAFT_BENCH_SHUFFLE=<seed>: per-pass seeded order shuffle, so the
+    // n-run median samples n DIFFERENT heap histories instead of
+    // inheriting one fixed alphabetical history (the r10 drift
+    // mechanism: new byte-corpus queries running just before
+    // q_video_features raised its median with zero code change).
+    // Default OFF — fixed order keeps cross-round comparability.
+    val shuffleSeed: Option[Long] =
+      sys.env.get("GRAFT_BENCH_SHUFFLE").flatMap(_.toLongOption)
+    // runs(i) = per-query seconds for pass i; without shuffle each pass
+    // runs the suite in the same order so cross-query interactions (GC,
+    // cache churn) are sampled identically every pass.
+    val runs: Seq[Map[String, Double]] = (1 to n).map { pass =>
+      val order = shuffleSeed match {
+        case Some(seed) => new scala.util.Random(seed + pass).shuffle(names)
+        case None => names
+      }
+      order.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
@@ -105,7 +125,11 @@ object Bench {
     // BASELINE.md's rule: the committed BENCH_r{N}.json is the
     // session's LOWEST-load run; this flag makes a violation loud.
     val highLoad = loadStart.headOption.exists(_ > ncpus / 8.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n":$n,"stat":"median","queries_first":$qsFirst,"value_first":$totalFirst,"ncpus":$ncpus,"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"high_ambient_load":$highLoad}"""
+    val mode = (only.map(o => s"only=${o.size}").toSeq ++
+      shuffleSeed.map(s => s"shuffle=$s").toSeq).mkString(",")
+    val modeField =
+      if (mode.isEmpty) "" else s""","bench_mode":${jstr(mode)}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n":$n,"stat":"median","queries_first":$qsFirst,"value_first":$totalFirst,"ncpus":$ncpus,"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"high_ambient_load":$highLoad$modeField}"""
     // stdout goes through sbt's [info] logger, which buries the line in
     // Spark log noise (BENCH_r03/r04 recorded "parsed": null). Write the
     // same line to a file the driver can read directly, and to the raw
@@ -130,7 +154,7 @@ object Bench {
         .map("%02x".format(_)).mkString
     }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"n":$n,"stat":"median","value_first":$totalFirst,"nqueries":${names.size},"ncpus":$ncpus,"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"high_ambient_load":$highLoad,"queries_file":"BENCH_LAST.json","queries_sha256":"$sha"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"n":$n,"stat":"median","value_first":$totalFirst,"nqueries":${names.size},"ncpus":$ncpus,"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"high_ambient_load":$highLoad$modeField,"queries_file":"BENCH_LAST.json","queries_sha256":"$sha"}"""
     try {
       val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
       raw.write((json + "\n" + compact + "\n")

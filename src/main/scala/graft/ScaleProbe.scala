@@ -73,6 +73,9 @@ object ScaleProbe {
     if (args.headOption.contains("anchors")) {
       anchorsProbe(spark, n); return
     }
+    if (args.headOption.contains("multimodal")) {
+      multimodalProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -933,6 +936,86 @@ object ScaleProbe {
     println(f"SCALE_PROBE anchors pages=$n anchors=${4L * n} " +
       f"hot_follow_refs=$hot extract=$tEx%.1f s (max_task=${mEx}ms) " +
       f"index=$tIdx%.1f s (max_task=${mIdx}ms)")
+    spark.stop()
+  }
+
+  /** [[timedRun]] plus the summed per-task JVM GC time — the
+    * heap-pressure signal the r10 bench anomaly called for. */
+  private def timedRunGc(spark: org.apache.spark.sql.SparkSession)(
+      df: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    val gcSum = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = te.taskInfo.duration
+        var cur = maxTask.get()
+        while (d > cur && !maxTask.compareAndSet(cur, d))
+          cur = maxTask.get()
+        if (te.taskMetrics != null)
+          gcSum.addAndGet(te.taskMetrics.jvmGCTime)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    Bench.run(df)
+    val secs = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    (secs, maxTask.get(), gcSum.get())
+  }
+
+  /** Multimodal decode scale probe — the one heavy family without a
+    * scaling table until r11, and the family the r10 bench anomaly sat
+    * in (allocation-heavy byte decodes on a shared JVM). Builds REAL
+    * byte corpora (animated GIFs, EXIF JPEGs, PDFs with the
+    * plain/Flate arms) at n and 5n rows, materializes the bytes behind
+    * an eager localCheckpoint so the decode walk is measured ALONE,
+    * then times each decode (wall, max task, summed task GC — the
+    * heap-pressure proxy). Expected shape: wall linear in rows, max
+    * task ≈ wall/partitions × partitions-per-wave (uniform per-row
+    * cost, no skew axis at all — every row is the same few KB), GC a
+    * small fraction of wall. Usage:
+    *   SPARK_GRAFT_PROBE_N=200000 sbt "runMain graft.ScaleProbe multimodal"
+    */
+  private def multimodalProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.{Multimodal, Pdf}
+    // warmup: JIT-compile the three walks and let the heap reach its
+    // working size BEFORE anything is timed — without this the first
+    // measured size inherits the corpus builders' GC debt and cold
+    // interpreters and reads SLOWER than a 5x larger run (measured:
+    // pdf 200k = 21.7 s / 183 s summed GC cold vs 1M = 2.8 s / 5 s
+    // warm — the same in-JVM heap-history mechanism suspected in the
+    // r10 bench drift)
+    locally {
+      val wids = spark.range(math.max(n / 10, 1000).toLong)
+        .select(col("id").as("doc_id"))
+      Bench.run(Multimodal.decodeVideo(
+        Multimodal.syntheticVideos(wids, "doc_id")))
+      Bench.run(Multimodal.exifMeta(
+        Multimodal.syntheticExifJpegs(wids, "doc_id")))
+      Bench.run(Pdf.pdfMeta(Pdf.syntheticPdfs(wids, "doc_id")))
+    }
+    for (size <- Seq(n, n * 5)) {
+      val ids = spark.range(size.toLong).select(col("id").as("doc_id"))
+      def probe(tag: String, media: => org.apache.spark.sql.DataFrame)(
+          decode: org.apache.spark.sql.DataFrame
+            => org.apache.spark.sql.DataFrame): Unit = {
+        val m = media.localCheckpoint(true)
+        val bytes = m.agg(sum(length(col("bytes")))).head().getLong(0)
+        val (t, mt, gc) = timedRunGc(spark)(decode(m))
+        println(f"SCALE_PROBE multimodal $tag rows=$size " +
+          f"corpus_mb=${bytes / 1e6}%.0f wall=$t%.1f s " +
+          f"max_task=${mt}ms gc_sum=${gc}ms")
+        m.unpersist(blocking = true)
+      }
+      probe("video_gif",
+        Multimodal.syntheticVideos(ids, "doc_id"))(Multimodal.decodeVideo)
+      probe("exif_jpeg",
+        Multimodal.syntheticExifJpegs(ids, "doc_id"))(Multimodal.exifMeta)
+      probe("pdf", Pdf.syntheticPdfs(ids, "doc_id"))(Pdf.pdfMeta)
+    }
     spark.stop()
   }
 
