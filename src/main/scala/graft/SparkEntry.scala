@@ -3213,34 +3213,87 @@ object SparkEntry {
       graft.text.UrlOps.parseSitemapIndex(idx)
     }),
     "q_crawl_frontier" -> ((s, dir) => {
-      // the SEED-TO-FETCH-PLAN loop end to end, from raw bytes:
-      // sitemap urlsets (built + parsed back, the q_sitemap_parse
-      // round-trip) seed the frontier, raw HTML contributes two
-      // internal link arms (external + mailto arms drop at the
-      // internal filter), candidates canonicalize + URL-dedup (min
-      // candidate id wins), the robots gate runs on the NORMALIZED
-      // target under the q_robots_gate v-templates (now carrying the
-      // q_crawl_schedule delays too), and survivors get per-host
-      // polite positions — every stage's decision hand-derived in the
-      // oracle from the same templates, never replaying the parsers
+      // the SEED-TO-FETCH-PLAN loop end to end, from raw bytes, with
+      // the FULL two-level sitemaps.org discovery (r11): robots.txt
+      // Sitemap: directives → sitemap INDEX files → child urlsets
+      // (built + parsed back, the q_sitemap_parse round-trip) seed the
+      // frontier — hosts whose robots advertise no sitemap contribute
+      // no seeds; raw HTML contributes two internal link arms
+      // (external + mailto arms drop at the internal filter),
+      // candidates canonicalize + URL-dedup (min candidate id wins),
+      // the robots gate runs on the NORMALIZED target under the
+      // q_robots_gate v-templates (carrying the q_crawl_schedule
+      // delays too), and survivors get per-host polite positions —
+      // every stage's decision hand-derived in the oracle from the
+      // same templates, never replaying the parsers
       val d = col("doc_id")
       val docs = table(s, dir, "documents").select(col("doc_id"))
         .withColumn("url", syntheticUrl)
-      // seeds: urlset XML per host, parsed back; candidate ids are
-      // recovered by the exact loc round-trip (distinct first — the
-      // synthetic URL space is period-bounded, so the parse side is a
-      // small dimension AQE broadcast-joins on its own)
       val esc = regexp_replace(col("url"), "&", "&amp;")
-      val sitemaps = docs
+      val hosts = docs
+        .select(graft.text.UrlOps.host(col("url")).as("host"))
+        .distinct()
+      val variant =
+        pmod(ascii(substring(col("host"), 2, 1)) + length(col("host")),
+          lit(4))
+      // robots carry the DISCOVERY hook too (r11): variants 0/1/3
+      // advertise the host's sitemap INDEX via a Sitemap: directive;
+      // the allow-all variant 2 stays silent, so its URLs reach the
+      // frontier only through the HTML link arms — the index hop is
+      // load-bearing in the output, not decorative lineage
+      val robots = hosts.withColumn("robots_txt", concat(
+        when(variant === 0, lit("User-agent: *\nCrawl-delay: 2.5\n" +
+          "Disallow: /p/1*\nAllow: /p/12$\n"))
+        .when(variant === 1, lit("User-Agent: GraftBot\n" +
+          "Crawl-delay: 10\nDisallow: /\n" +
+          "\nUser-agent: *\nCrawl-delay: 0.5\nAllow: /\n"))
+        .when(variant === 2,
+          lit("# crawl policy\nUser-agent: *\nDisallow:\n"))
+        .otherwise(lit("User-agent: *\nCrawl-delay: 3\n" +
+          "Crawl-delay: 2\nDisallow: /p/3$\n" +
+          "Disallow: /p/2*/\nAllow: /p/2*\n")),
+        when(variant =!= 2, concat(lit("Sitemap: https://"),
+          col("host"), lit("/sitemap_index.xml\n")))
+          .otherwise(lit(""))))
+      // two-level seed discovery, the full sitemaps.org loop: robots
+      // Sitemap: directives name each host's INDEX file; the index's
+      // <sitemap> blocks name two child urlsets (one with padded loc
+      // whitespace, exercising the trim); only the children a
+      // discovered index names get parsed. Host-keyed joins over
+      // |hosts|-sized dims — AQE broadcasts every one of them
+      val indexes = hosts.select(col("host"),
+        concat(lit("https://"), col("host"),
+          lit("/sitemap_index.xml")).as("index_url"),
+        concat(lit("<sitemapindex><sitemap><loc>https://"), col("host"),
+          lit("/urls-0.xml</loc></sitemap><sitemap><loc> https://"),
+          col("host"),
+          lit("/urls-1.xml </loc></sitemap></sitemapindex>"))
+          .as("index_xml"))
+      val discovered = graft.text.UrlOps.robotsSitemaps(robots)
+        .join(indexes, Seq("host"))
+        .filter(col("sitemap_url") === col("index_url"))
+        .select(col("host"), col("index_xml").as("sitemap_xml"))
+      val childRefs = graft.text.UrlOps.parseSitemapIndex(discovered)
+        .select(col("host"), col("sitemap_url").as("child_url"))
+      // leaf urlsets: each host's URLs split across its two children
+      // by id parity; candidate ids are recovered by the exact loc
+      // round-trip (distinct first — the synthetic URL space is
+      // period-bounded, so the parse side is a small dimension)
+      val urlsets = docs
         .withColumn("host", graft.text.UrlOps.host(col("url")))
         .select(col("host"),
+          concat(lit("https://"), col("host"), lit("/urls-"),
+            pmod(d, lit(2)).cast("string"), lit(".xml"))
+            .as("child_url"),
           concat(lit("<url><loc> "), esc, lit(" </loc></url>"))
             .as("__blk"))
-        .groupBy(col("host"))
+        .groupBy(col("host"), col("child_url"))
         .agg(concat(lit("<urlset>"),
           concat_ws("", sort_array(collect_list(col("__blk")))),
           lit("</urlset>")).as("sitemap_xml"))
-      val seeds = graft.text.UrlOps.parseSitemap(sitemaps)
+      val leaves = childRefs.join(urlsets, Seq("host", "child_url"))
+        .select(col("host"), col("sitemap_xml"))
+      val seeds = graft.text.UrlOps.parseSitemap(leaves)
         .select(col("loc")).distinct()
         .join(docs, col("loc") === col("url"))
         .select((d * 10).as("cand_id"), col("loc").as("cand_url"))
@@ -3265,23 +3318,6 @@ object SparkEntry {
       val dedup = graft.text.UrlOps.urlDedup(cands, "cand_url", "cand_id")
         .select(col("cand_id"), col("norm_url"))
         .localCheckpoint(true)
-      val hosts = docs
-        .select(graft.text.UrlOps.host(col("url")).as("host"))
-        .distinct()
-      val variant =
-        pmod(ascii(substring(col("host"), 2, 1)) + length(col("host")),
-          lit(4))
-      val robots = hosts.withColumn("robots_txt",
-        when(variant === 0, lit("User-agent: *\nCrawl-delay: 2.5\n" +
-          "Disallow: /p/1*\nAllow: /p/12$\n"))
-        .when(variant === 1, lit("User-Agent: GraftBot\n" +
-          "Crawl-delay: 10\nDisallow: /\n" +
-          "\nUser-agent: *\nCrawl-delay: 0.5\nAllow: /\n"))
-        .when(variant === 2,
-          lit("# crawl policy\nUser-agent: *\nDisallow:\n"))
-        .otherwise(lit("User-agent: *\nCrawl-delay: 3\n" +
-          "Crawl-delay: 2\nDisallow: /p/3$\n" +
-          "Disallow: /p/2*/\nAllow: /p/2*\n")))
       val allowedIds = graft.text.UrlOps.robotsGate(dedup, robots,
           "norm_url", "cand_id", agent = "graftbot")
         .filter(col("allowed")).select(col("cand_id"))
@@ -8259,10 +8295,14 @@ object SparkEntry {
     "q_crawl_frontier" -> (urlCtes +
       """
         |, cands AS (
+        |  -- seed arm: only hosts whose robots advertise the sitemap
+        |  -- index (variants 0/1/3) are discovered through the
+        |  -- index -> urlset hop; the allow-all variant 2 seeds nothing
         |  SELECT doc_id * 10 AS cand_id, norm_url, host, path ||
         |    (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END)
         |      AS target
         |  FROM dom
+        |  WHERE (ascii(substr(host, 2, 1)) + strlen(host)) % 4 <> 2
         |  UNION ALL
         |  SELECT doc_id * 10 + 1,
         |    scheme || '://' || host || '/p/q?a=1&b=2', host,
