@@ -1090,6 +1090,41 @@ object SparkEntry {
       graft.text.HtmlExtract.extract(table(s, dir, "documents")
         .withColumn("html", htmlPageFixture))
     }),
+    "q_html_markdown" -> ((s, dir) => {
+      // HTML → MARKDOWN (the structure-preserving extraction modern
+      // pretraining corpora use instead of WET): a page template
+      // exercising every conversion rule — dropped script subtree,
+      // h1/h2, bold/italic, entity, flat list items, link, pre+code
+      // fence, single-line blockquote, hr, image with alt — converts
+      // to a markdown string the oracle rebuilds from the same doc_id
+      // templates, plus the md/html length ratio
+      val d = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>T</title><script>var x=1;</script>" +
+          "</head><body><h1>Doc "),
+        pmod(d, lit(7)).cast("string"),
+        lit("</h1><p>Intro with <b>bold</b> and <i>ital</i> &amp; " +
+          "entity.</p><h2>Sec "),
+        pmod(d, lit(3)).cast("string"),
+        lit("</h2><ul><li>alpha "),
+        pmod(d, lit(5)).cast("string"),
+        lit("</li><li><a href=\"/l/"),
+        pmod(d, lit(4)).cast("string"),
+        lit("\">link "),
+        pmod(d, lit(4)).cast("string"),
+        lit("</a></li></ul><pre><code>x = "),
+        pmod(d, lit(9)).cast("string"),
+        lit("</code></pre><blockquote>quoted "),
+        pmod(d, lit(2)).cast("string"),
+        lit("</blockquote><hr><p><img alt=\"pic "),
+        pmod(d, lit(6)).cast("string"),
+        lit("\" src=\"/i/"),
+        pmod(d, lit(6)).cast("string"),
+        lit(".png\"> tail</p></body></html>"))
+      graft.text.HtmlExtract.toMarkdown(
+        table(s, dir, "documents").select(col("doc_id"))
+          .withColumn("page_html", html), "page_html")
+    }),
     "q_warc_wet" -> ((s, dir) => {
       // the full WARC→WET lane as DISK ARTIFACTS: the q_html_extract
       // page fixture → extractText → conversion records written with
@@ -3073,6 +3108,15 @@ object SparkEntry {
       // table-level rollup off the same explode: one (doc, table)
       // aggregate — rows, header width, comma-joined header
       graft.text.Markdown.markdownTableStats(
+        table(s, dir, "documents").select(col("doc_id"))
+          .withColumn("md_text", mdFixture), "md_text", "doc_id")
+    }),
+    "q_md_linearize" -> ((s, dir) => {
+      // table-to-text off the same fixture: every body row serialized
+      // as "Header: value | Header: value" (the ToTTo-style LM form);
+      // the zero-body EOF table emits nothing, pipe-less and
+      // outer-piped arms serialize identically
+      graft.text.Markdown.markdownTableLinearize(
         table(s, dir, "documents").select(col("doc_id"))
           .withColumn("md_text", mdFixture), "md_text", "doc_id")
     }),
@@ -6081,6 +6125,45 @@ object SparkEntry {
     "q_curation" -> curationOracle,
     "q_curation_web" -> curationWebOracle,
     "q_html_extract" -> htmlExtractOracle,
+    // the markdown rebuilt from the same templates; the ratio divides
+    // by the html template rebuilt the same way (all substitutions are
+    // single digits, so lengths line up by construction)
+    "q_html_markdown" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (doc_id % 7)::VARCHAR AS a, (doc_id % 3)::VARCHAR AS b,
+        |    (doc_id % 5)::VARCHAR AS c, (doc_id % 4)::VARCHAR AS e,
+        |    (doc_id % 9)::VARCHAR AS f, (doc_id % 2)::VARCHAR AS g,
+        |    (doc_id % 6)::VARCHAR AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    'T' || chr(10) || chr(10) || '# Doc ' || a ||
+        |    chr(10) || chr(10) ||
+        |    'Intro with **bold** and *ital* & entity.' ||
+        |    chr(10) || chr(10) || '## Sec ' || b ||
+        |    chr(10) || chr(10) || '- alpha ' || c || chr(10) ||
+        |    '- [link ' || e || '](/l/' || e || ')' ||
+        |    chr(10) || chr(10) || '```' || chr(10) || 'x = ' || f ||
+        |    chr(10) || '```' || chr(10) || chr(10) ||
+        |    '> quoted ' || g || chr(10) || chr(10) || '---' ||
+        |    chr(10) || chr(10) ||
+        |    '![pic ' || h || '](/i/' || h || '.png) tail' AS markdown,
+        |    '<html><head><title>T</title><script>var x=1;</script>' ||
+        |    '</head><body><h1>Doc ' || a ||
+        |    '</h1><p>Intro with <b>bold</b> and <i>ital</i> &amp; ' ||
+        |    'entity.</p><h2>Sec ' || b || '</h2><ul><li>alpha ' || c ||
+        |    '</li><li><a href="/l/' || e || '">link ' || e ||
+        |    '</a></li></ul><pre><code>x = ' || f ||
+        |    '</code></pre><blockquote>quoted ' || g ||
+        |    '</blockquote><hr><p><img alt="pic ' || h ||
+        |    '" src="/i/' || h || '.png"> tail</p></body></html>'
+        |      AS page_html
+        |  FROM t)
+        |SELECT doc_id, markdown,
+        |  round(length(markdown)::DOUBLE / length(page_html), 6)
+        |    AS md_ratio
+        |FROM m""".stripMargin,
     "q_sentences" ->
       """WITH t AS (SELECT doc_id,
         |    text || (CASE WHEN doc_id % 3 = 0
@@ -8482,6 +8565,22 @@ object SparkEntry {
         |  'v' || (doc_id % 4)::VARCHAR FROM d
         |UNION ALL SELECT doc_id, 2, 0, 0, 'E1' FROM d
         |UNION ALL SELECT doc_id, 2, 0, 1, 'E2' FROM d""".stripMargin,
+    "q_md_linearize" ->
+      """WITH d AS (SELECT doc_id FROM documents)
+        |SELECT doc_id, 0 AS table_idx, 1 AS row_idx,
+        |  'Name: alpha | Qty: ' || (doc_id % 7)::VARCHAR AS linearized
+        |FROM d WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 0, 2,
+        |  'Name: beta | Qty: ' || (doc_id % 5)::VARCHAR
+        |FROM d WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 0, 1,
+        |  'H1: p' || (doc_id % 3)::VARCHAR ||
+        |  ' | H2: q' || (doc_id % 4)::VARCHAR
+        |FROM d WHERE doc_id % 2 = 1
+        |UNION ALL SELECT doc_id, 1, 1,
+        |  'K: k' || (doc_id % 3)::VARCHAR ||
+        |  ' | V: v' || (doc_id % 4)::VARCHAR
+        |FROM d""".stripMargin,
     "q_md_stats" ->
       """WITH d AS (SELECT doc_id FROM documents)
         |SELECT doc_id, 0 AS table_idx, 3 AS n_rows, 2 AS n_cols,

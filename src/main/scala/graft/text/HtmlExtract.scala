@@ -156,4 +156,120 @@ object HtmlExtract {
         paragraphKeep(p, minWords, minStopRatio, longChars))
       .drop(textCol)
   }
+
+  // ----------------------------------------------- HTML → Markdown
+
+  /** HTML → MARKDOWN conversion — the structure-preserving sibling of
+    * [[extractText]] and the form modern pretraining corpora keep web
+    * documents in (plain extraction flattens headings, emphasis,
+    * links, lists and code to undifferentiated prose; markdown keeps
+    * the structure tokens the model can learn). Same engineering
+    * contract as the rest of the module: ONE scalar regexp-chain
+    * expression per row, no UDFs, no DOM dependency, zero shuffle —
+    * at 100 TB this replaces the WET map stage, at the same cost.
+    *
+    * Conversion rules (a deterministic, auditable subset of what a DOM
+    * converter does — each a documented boundary, not a silent wrong
+    * answer):
+    *
+    *   1. script/style/comments drop with contents ([[extractText]]);
+    *   2. `<pre><code>…` and bare `<pre>` become ``` fences (inner
+    *      markup inside a fence converts like everything else — the
+    *      regexp tier has no protected regions; horizontal whitespace
+    *      inside fences collapses under rule 12 the same way);
+    *   3. `<h1>`–`<h6>` become `#`–`######` lines;
+    *   4. `<img>` becomes `![alt](src)` (double-quoted attributes,
+    *      either order; src-only images get an empty alt) — BEFORE
+    *      links so a linked image nests as `[![alt](src)](href)`;
+    *   5. `<a href="…">` becomes `[text](href)` (double- or
+    *      single-quoted href; unquoted hrefs fall through to text —
+    *      the [[graft.text.UrlOps.extractLinks]] lane exists for edge
+    *      extraction, this is a RENDERING op);
+    *   6. `<b>/<strong>` → `**…**`, `<i>/<em>` → `*…*`,
+    *      `<code>` → `` ` ``-wrapped;
+    *   7. `<li>` → `- ` items (flat: nesting depth and `<ol>`
+    *      numbering don't survive the regexp tier);
+    *   8. single-line `<blockquote>` → `> ` (multi-paragraph quotes
+    *      keep only the first marker);
+    *   9. `<hr>` → `---`, `<br>` → line break;
+    *  10. p/div/section/article/tr/table/ul/ol boundaries become
+    *      paragraph breaks; remaining tags become spaces (markdown
+    *      `*_#` specials in prose are NOT escaped — boundary);
+    *  11. entities decode (`&amp;` last);
+    *  12. horizontal whitespace collapses, line edges trim, 3+
+    *      newlines collapse to one blank line, ends trim.
+    *
+    * NULL in → NULL out. */
+  def htmlToMarkdown(html: Column): Column = {
+    def rep(c: Column, pat: String, to: String): Column =
+      regexp_replace(c, pat, to)
+    // 1. drop script/style/comments
+    val c1 = rep(rep(rep(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    // 2. fences: pre+code first (the dominant real markup), bare pre next
+    val c2 = rep(rep(c1,
+      "(?is)<pre\\b[^>]*>\\s*<code\\b[^>]*>(.*?)</code>\\s*</pre>",
+      "\n```\n$1\n```\n"),
+      "(?is)<pre\\b[^>]*>(.*?)</pre>", "\n```\n$1\n```\n")
+    // 3. headings (level by tag digit; six fixed rules keep RE2 port)
+    val c3 = (1 to 6).foldLeft(c2) { (c, i) =>
+      rep(c, s"(?is)<h$i\\b[^>]*>(.*?)</h$i>",
+        "\n\n" + "#" * i + " $1\n\n")
+    }
+    // 4. images (alt/src either order, then src-only)
+    val c4 = rep(rep(rep(c3,
+      "(?is)<img\\b[^>]*\\balt\\s*=\\s*\"([^\"]*)\"[^>]*" +
+        "\\bsrc\\s*=\\s*\"([^\"]*)\"[^>]*>", "![$1]($2)"),
+      "(?is)<img\\b[^>]*\\bsrc\\s*=\\s*\"([^\"]*)\"[^>]*" +
+        "\\balt\\s*=\\s*\"([^\"]*)\"[^>]*>", "![$2]($1)"),
+      "(?is)<img\\b[^>]*\\bsrc\\s*=\\s*\"([^\"]*)\"[^>]*>", "![]($1)")
+    // 5. links (double- then single-quoted href)
+    val c5 = rep(rep(c4,
+      "(?is)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>",
+      "[$2]($1)"),
+      "(?is)<a\\b[^>]*\\bhref\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>",
+      "[$2]($1)")
+    // 6. inline emphasis + code
+    val c6 = rep(rep(rep(c5,
+      "(?is)<(?:b|strong)\\b[^>]*>(.*?)</(?:b|strong)>", "**$1**"),
+      "(?is)<(?:i|em)\\b[^>]*>(.*?)</(?:i|em)>", "*$1*"),
+      "(?is)<code\\b[^>]*>(.*?)</code>", "`$1`")
+    // 7.-9. list items, blockquote, hr, br
+    val c7 = rep(rep(rep(rep(rep(c6,
+      "(?i)<li\\b[^>]*>", "\n- "), "(?i)</li>", ""),
+      "(?i)<blockquote\\b[^>]*>", "\n\n> "),
+      "(?i)<hr\\b[^>]*>", "\n\n---\n\n"),
+      "(?i)<br\\b[^>]*>", "\n")
+    // 10. paragraph-level boundaries, then strip the rest
+    val c8 = rep(rep(c7,
+      "(?i)</?(?:p|div|section|article|table|tr|ul|ol|blockquote)" +
+        "\\b[^>]*>", "\n\n"),
+      "<[^>]*>", " ")
+    // 11. entities, &amp; LAST
+    val c9 = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c8) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+      }
+    // 12. whitespace discipline (blank line = paragraph break survives)
+    val hws = rep(c9, "[ \\t]+", " ")
+    val edges = rep(hws, "(?m)^ +| +$", "")
+    val collapsed = rep(edges, "\\n{3,}", "\n\n")
+    rep(collapsed, "^\\s+|\\s+$", "")
+  }
+
+  /** Dataframe form of [[htmlToMarkdown]] plus the length ratio (the
+    * structure-overhead telemetry: markdown keeps syntax characters
+    * extraction drops, so md_ratio > text_density on structured
+    * pages). One map-only projection. */
+  def toMarkdown(docs: DataFrame, htmlCol: String = "html",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      htmlToMarkdown(col(htmlCol)).as("markdown"),
+      when(coalesce(length(col(htmlCol)), lit(0)) === 0, lit(0.0))
+        .otherwise(round(
+          length(htmlToMarkdown(col(htmlCol))).cast("double") /
+            length(col(htmlCol)).cast("double"), 6)).as("md_ratio"))
 }

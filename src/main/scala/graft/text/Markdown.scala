@@ -91,4 +91,33 @@ object Markdown {
             struct(col("col_idx"), col("cell")))))
           .getField("cell")).as("header"))
   }
+
+  /** Body rows LINEARIZED as `Header: value | Header: value` strings —
+    * the table-to-text serialization table-grounded training sets
+    * (ToTTo/TaPas-style pretraining, RAG table chunks) feed an LM:
+    * (…, table_idx, row_idx [1-based body rows], linearized). Cells
+    * pair with their header by column position; a body cell past the
+    * header's width gets an empty header label (`: v`) rather than
+    * dropping — GFM ignores such cells, a linearizer must not lose
+    * data silently. Zero-body tables emit nothing.
+    *
+    * Scale: one (id, table, col) broadcast-shaped join against the
+    * header cells (headers ≤ one row per table — a small dimension by
+    * construction) and one (id, table, row) aggregate; both map-side
+    * combinable, nothing corpus-sized collected. */
+  def markdownTableLinearize(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val cells = markdownTableCells(docs, textCol)
+    val header = cells.filter(col("row_idx") === 0)
+      .select(col(idCol), col("table_idx"), col("col_idx"),
+        col("cell").as("__hdr"))
+    cells.filter(col("row_idx") > 0)
+      .join(header, Seq(idCol, "table_idx", "col_idx"), "left")
+      .groupBy(col(idCol), col("table_idx"), col("row_idx"))
+      .agg(concat_ws(" | ", sort_array(collect_list(
+        struct(col("col_idx"),
+          concat(coalesce(col("__hdr"), lit("")), lit(": "),
+            col("cell")).as("kv"))))
+        .getField("kv")).as("linearized"))
+  }
 }

@@ -98,6 +98,20 @@ class MarkdownSpec extends SparkSuite {
       1 -> ((2, 2, "K,V"))))
   }
 
+  test("markdownTableLinearize: body rows serialize as 'H: v | H: v'; " +
+      "overwide cells keep an empty header; zero-body tables silent") {
+    val d = "| A | B |\n|---|---|\n| 1 | 2 | 3 |\n| x | y |\n\n" +
+      "| Z |\n|---|"
+    val got = Markdown.markdownTableLinearize(
+        Seq((1L, d)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()
+      .map(r => (r.getAs[Int]("table_idx"), r.getAs[Int]("row_idx")) ->
+        r.getAs[String]("linearized")).toMap
+    assert(got === Map(
+      (0, 1) -> "A: 1 | B: 2 | : 3", // third cell: header ran out
+      (0, 2) -> "A: x | B: y"))      // the zero-body Z table is absent
+  }
+
   test("no tables, no rows; multiple docs keep their ids") {
     assert(Markdown.markdownTableCells(
       Seq((1L, "no tables here | at all")).toDF("doc_id", "text"),

@@ -620,6 +620,44 @@ class TextMultimodalSpec extends SparkSuite {
     assert(out(2L).isNullAt(1))           // null html → null text
   }
 
+  test("htmlToMarkdown: headings, emphasis, links, images, lists, " +
+      "fences, quote, hr, entities; boundaries degrade to text") {
+    import graft.text.HtmlExtract
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(HtmlExtract.htmlToMarkdown(col("h")))
+        .head().getString(0)
+    val full = "<html><head><title>T</title><script>var x=1;" +
+      "</script></head><body><h1>Doc 3</h1><p>Intro with " +
+      "<b>bold</b> and <i>ital</i> &amp; entity.</p><h2>Sec 1</h2>" +
+      "<ul><li>alpha 2</li><li><a href=\"/l/0\">link 0</a></li></ul>" +
+      "<pre><code>x = 5</code></pre><blockquote>quoted 1" +
+      "</blockquote><hr><p><img alt=\"pic 4\" src=\"/i/4.png\"> " +
+      "tail</p></body></html>"
+    assert(md(full) ===
+      "T\n\n# Doc 3\n\nIntro with **bold** and *ital* & entity." +
+      "\n\n## Sec 1\n\n- alpha 2\n- [link 0](/l/0)\n\n```\nx = 5\n```" +
+      "\n\n> quoted 1\n\n---\n\n![pic 4](/i/4.png) tail")
+    // linked image nests; src-before-alt order; src-only empty alt
+    assert(md("<a href='/t'><img src=\"i.png\" alt=\"A\"></a>") ===
+      "[![A](i.png)](/t)")
+    assert(md("<p><img src=\"only.png\"></p>") === "![](only.png)")
+    // unquoted href is a documented boundary: renders as plain text
+    assert(md("<a href=/u>u text</a>") === "u text")
+    // strong/em synonyms; inline code; h3-h6 depth
+    assert(md("<strong>s</strong> <em>e</em> <code>c()</code>") ===
+      "**s** *e* `c()`")
+    assert(md("<h3>three</h3><h6>six</h6>") ===
+      "### three\n\n###### six")
+    // nested emphasis inside a link converts inside the brackets
+    assert(md("<a href=\"/x\">a <b>b</b></a>") === "[a **b**](/x)")
+    // null in, null out; markdown specials in prose pass unescaped
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "h")
+      .select(HtmlExtract.htmlToMarkdown(col("h"))).head()
+    assert(n.isNullAt(0))
+    assert(md("<p>a*b_c#d</p>") === "a*b_c#d")
+  }
+
   test("paragraph gate: prose keeps, nav/copyright boilerplate drops, " +
       "long token-poor runs keep, dropBoilerplate rejoins kept lines") {
     import graft.text.HtmlExtract
