@@ -847,17 +847,19 @@ object SparkEntry {
           col("has_gps").isNull.as("exif_removed")), Seq("media_id"))
     }),
     "q_pdf_parse" -> ((s, dir) => {
-      // REAL PDF structural parse, zero deps: complete single-xref
-      // PDFs (catalog → page tree → per-page content streams
-      // alternating Tj / kerned-TJ show forms, PLAIN on even ids and
-      // zlib /FlateDecode on odd ids — the real-corpus form — → font,
-      // with a byte-exact xref table) are re-parsed from their bytes —
-      // header version, page objects counted vs the tree's declared
-      // /Count, object count from the trailer /Size, xref offset
-      // VALIDATION, per-stream decode health, and the extracted text
-      // (escapes exercised on every row; identical across both decode
-      // arms) all stated analytically by the oracle (the q_image_exif
-      // posture)
+      // REAL PDF structural parse, zero deps: complete PDFs (catalog
+      // → page tree → per-page content streams alternating Tj /
+      // kerned-TJ show forms, PLAIN on even ids and zlib /FlateDecode
+      // on odd ids → font) re-parsed from their bytes. Version-1.5
+      // ids (%5==0) use the MODERN layout real crawled PDFs ship:
+      // non-stream objects compressed inside an /ObjStm and a binary
+      // /XRef cross-reference stream (W-field decode, type-2
+      // objstm-index cross-validation) — so n_objects gains the two
+      // extra objects there; header version, page objects (counted
+      // inside the inflated ObjStm for modern files) vs declared
+      // /Count, object count, xref VALIDATION, per-stream decode
+      // health, and the extracted text all stated analytically by the
+      // oracle (the q_image_exif posture)
       import graft.multimodal.Pdf
       Pdf.pdfMeta(Pdf.syntheticPdfs(table(s, dir, "documents"),
           "doc_id"))
@@ -5898,7 +5900,8 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN '1.5' ELSE '1.4' END AS version,
         |  (doc_id % 3 + 1)::INT AS n_pages,
         |  (doc_id % 3 + 1)::INT AS pages_declared,
-        |  (3 + 2 * (doc_id % 3 + 1))::INT AS n_objects,
+        |  ((CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 3 END)
+        |    + 2 * (doc_id % 3 + 1))::INT AS n_objects,
         |  true AS xref_ok,
         |  true AS streams_ok,
         |  CASE doc_id % 3 WHEN 0 THEN p0

@@ -22,11 +22,14 @@ import org.apache.spark.sql.types._
   * Flate-compressed) — literal-string `Tj` / `TJ` show operators with
   * the standard escapes (octal `\ddd`, `\n\r\t\b\f`, backslash-EOL
   * continuation, balanced parentheses; ISO 32000-1 §7.3.4.2, §9.4.3).
+  * The STRUCTURAL layer covers both generations: classic xref tables
+  * AND the PDF 1.5+ machinery — `/ObjStm` object streams (inflated
+  * and scanned for the page objects real modern files compress away)
+  * and binary `/XRef` cross-reference streams (`/W`-field decode,
+  * `/Index` ranges, type-1 offset + type-2 objstm-index validation).
   * Other filters (DCTDecode, LZW, …), font subsetting/CMaps and layout
   * reconstruction are what the real dependency buys — a stream behind
-  * an unsupported filter flips `streams_ok` and contributes no text;
-  * the structural layer (header, object graph, xref table validation,
-  * page tree) is the same either way.
+  * an unsupported filter flips `streams_ok` and contributes no text.
   *
   * Scale: writer and parser are one-pass `mapPartitions` over the
   * bytes already in the row — map-only, no shuffle, no driver collect;
@@ -104,10 +107,15 @@ object Pdf {
     * `flate = true`, every content stream is zlib-compressed behind
     * `/Filter /FlateDecode` — the form real crawled PDFs take — with
     * `/Length` counting the COMPRESSED bytes and the xref offsets
-    * recomputed over the binary layout. */
+    * recomputed over the binary layout. With `modern = true`, the
+    * PDF 1.5+ layout ([[buildPdfModern]]): non-stream objects inside
+    * a compressed /ObjStm, a binary /XRef cross-reference STREAM
+    * instead of the table, no `trailer` keyword. */
   private[graft] def buildPdf(pages: Seq[String],
-      version: String = "1.4", flate: Boolean = false): Array[Byte] = {
+      version: String = "1.4", flate: Boolean = false,
+      modern: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
+    if (modern) return buildPdfModern(pages, version, flate)
     val n = pages.size
     val fontObj = 3 + 2 * n
     val out = new java.io.ByteArrayOutputStream(1024)
@@ -160,13 +168,119 @@ object Pdf {
     out.toByteArray
   }
 
+  /** The PDF 1.5+ layout of [[buildPdf]] — what real modern PDFs ship:
+    * every NON-stream object (catalog, page tree, page dicts, font)
+    * lives compressed inside one `/ObjStm` object stream (§7.5.7 —
+    * streams themselves may not, so content streams stay regular
+    * objects, plain or Flate per `flate`), and the cross-reference is
+    * a binary `/XRef` STREAM (§7.5.8; `/W [1 2 2]` big-endian fields,
+    * type-1 rows for regular objects, type-2 rows pointing into the
+    * ObjStm by index, Flate-compressed, `/Root` carried in its dict —
+    * no `trailer` keyword anywhere). Same page text, same object
+    * NUMBERING as the classic layout (page k = 3+2k, content k =
+    * 4+2k, font = 3+2n) with two extra objects: the ObjStm (4+2n) and
+    * the XRef stream (5+2n), so `/Size − 1 = 5+2n`. */
+  private def buildPdfModern(pages: Seq[String], version: String,
+      flate: Boolean): Array[Byte] = {
+    val n = pages.size
+    val fontObj = 3 + 2 * n
+    val objStmObj = fontObj + 1
+    val xrefObj = fontObj + 2
+    val size = xrefObj + 1
+    val out = new java.io.ByteArrayOutputStream(2048)
+    def wr(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val offsets = new Array[Long](size)
+    wr(s"%PDF-$version\n")
+    // content streams: regular objects (streams can't live in ObjStm)
+    pages.zipWithIndex.foreach { case (text, k) =>
+      val num = 4 + 2 * k
+      val show =
+        if (k % 2 == 0) s"(${escLit(text)}) Tj"
+        else {
+          val mid = text.length / 2
+          s"[(${escLit(text.substring(0, mid))}) -250 " +
+            s"(${escLit(text.substring(mid))})] TJ"
+        }
+      val content = s"BT /F1 12 Tf 72 720 Td $show ET"
+      val cbytes = content
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      offsets(num) = out.size().toLong
+      if (flate) {
+        val data = deflate(cbytes)
+        wr(s"$num 0 obj\n<< /Length ${data.length} " +
+          "/Filter /FlateDecode >>\nstream\n")
+        out.write(data, 0, data.length)
+        wr("\nendstream\nendobj\n")
+      } else {
+        wr(s"$num 0 obj\n<< /Length ${cbytes.length} >>\nstream\n" +
+          s"$content\nendstream\nendobj\n")
+      }
+    }
+    // the ObjStm: header of (num offset) pairs, then the bodies
+    val kids = (0 until n).map(k => s"${3 + 2 * k} 0 R").mkString(" ")
+    val inObjs: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>") ++
+      (0 until n).map { k =>
+        (3 + 2 * k) -> (s"<< /Type /Page /Parent 2 0 R /Resources " +
+          s"<< /Font << /F1 $fontObj 0 R >> >> " +
+          s"/MediaBox [0 0 612 792] /Contents ${4 + 2 * k} 0 R >>")
+      } ++
+      Seq(fontObj ->
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = inObjs.map(_._2 + "\n")
+    val offs = bodies.scanLeft(0)(_ + _.length).init // ASCII: len=bytes
+    val header = inObjs.zip(offs)
+      .map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
+    val payload = (header + bodies.mkString)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val osData = deflate(payload)
+    offsets(objStmObj) = out.size().toLong
+    wr(s"$objStmObj 0 obj\n<< /Type /ObjStm /N ${inObjs.size} " +
+      s"/First ${header.length} /Length ${osData.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    out.write(osData, 0, osData.length)
+    wr("\nendstream\nendobj\n")
+    // the XRef stream, entries in object-number order 0..size-1
+    val xrefAt = out.size().toLong
+    val rows = new java.io.ByteArrayOutputStream(size * 5)
+    def row(t: Int, f2: Int, f3: Int): Unit = {
+      rows.write(t)
+      rows.write((f2 >> 8) & 0xff); rows.write(f2 & 0xff)
+      rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+    }
+    row(0, 0, 65535)
+    row(2, objStmObj, 0) // catalog
+    row(2, objStmObj, 1) // page tree
+    for (k <- 0 until n) {
+      row(2, objStmObj, 2 + k)            // page dict 3+2k
+      row(1, offsets(4 + 2 * k).toInt, 0) // content stream 4+2k
+    }
+    row(2, objStmObj, 2 + n)              // font
+    row(1, offsets(objStmObj).toInt, 0)
+    row(1, xrefAt.toInt, 0)
+    val xData = deflate(rows.toByteArray)
+    wr(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /W [1 2 2] " +
+      s"/Root 1 0 R /Length ${xData.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    out.write(xData, 0, xData.length)
+    wr("\nendstream\nendobj\n")
+    wr(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Deterministic PDF corpus in the [[Multimodal.mediaSchema]] shape:
     * `doc_id % 3 + 1` pages, version keyed on `doc_id % 5`, page text
     * from [[pdfPageText]]; ODD ids Flate-compress their content
-    * streams (the real-corpus form), evens stay plain — so the
-    * q_pdf_parse oracle exercises both decode arms while every parser
-    * field stays a closed form of doc_id (the compressed arm changes
-    * bytes, never parsed fields). */
+    * streams (the real-corpus form), evens stay plain; the version-1.5
+    * ids (`doc_id % 5 == 0`) additionally use the MODERN layout —
+    * ObjStm-compressed objects + a binary xref stream
+    * ([[buildPdfModern]]) — so the q_pdf_parse oracle exercises the
+    * classic table, both content-decode arms, and the 1.5 machinery,
+    * while every parser field stays a closed form of doc_id (layout
+    * changes bytes and the object COUNT — `5+2n` modern vs `3+2n`
+    * classic — never the text). */
   def syntheticPdfs(df: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
     df.select(col(idCol).cast("long").as("media_id"))
@@ -175,7 +289,8 @@ object Pdf {
           val id = r.getLong(0)
           val pages =
             (0 until nPdfPages(id)).map(k => pdfPageText(id, k))
-          val bytes = buildPdf(pages, pdfVersion(id), flate = id % 2 == 1)
+          val bytes = buildPdf(pages, pdfVersion(id),
+            flate = id % 2 == 1, modern = id % 5 == 0)
           Row(id, "document", bytes,
             Row("pdf", null, null, null))
         }
@@ -233,6 +348,11 @@ object Pdf {
     }(enc).toDF()
   }
 
+  /** One inflated object stream: payload text, declared object count
+    * `/N`, first-object offset `/First` (§7.5.7). */
+  private final case class ObjStmInfo(payload: String, n: Int,
+      first: Int)
+
   private def parseOne(id: Long, bytes: Array[Byte]): Row = {
     // ISO-8859-1 is byte-preserving: structural scanning happens on
     // this string; literal text re-encodes back to bytes → UTF-8
@@ -245,17 +365,106 @@ object Pdf {
         case -1 => s.length
         case i => i
       }))
-    // page objects counted structurally; /Pages (the tree node) must
-    // not count, hence the non-'s' lookahead class
-    val nPages =
-      "/Type\\s*/Page[^s]".r.findAllMatchIn(s).length
-    val declared = "/Type\\s*/Pages\\b".r.findFirstMatchIn(s)
-      .flatMap { m =>
-        val tail = s.substring(m.start,
-          math.min(s.length, m.start + 400))
-        "/Count\\s+(\\d+)".r.findFirstMatchIn(tail).map(_.group(1).toInt)
+    // ---- stream walk FIRST: show-operator text, per-stream decode
+    // health, and the inflated /ObjStm payloads (modern PDFs keep
+    // their non-stream objects — catalog, page tree, page dicts —
+    // compressed inside object streams, so page counting and type-2
+    // xref validation below need these). The stream's own dict
+    // (between its `N 0 obj` header and the `stream` keyword) names
+    // the filter and the byte-exact /Length; the length, when it
+    // lands on `endstream` (± an EOL), bounds the body WITHOUT
+    // searching inside it — binary Flate data may contain any byte
+    // sequence, including "endstream". Fallback: endstream search.
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    val objstms = scala.collection.mutable.Map[Int, ObjStmInfo]()
+    var streamsOk = true
+    var from = 0
+    var more = true
+    while (more) {
+      val st = s.indexOf("stream", from)
+      if (st < 0) more = false
+      else {
+        val bodyStart = s.indexOf('\n', st) + 1
+        if (bodyStart <= 0) more = false
+        else {
+          val objPos = math.max(0, s.lastIndexOf("obj", st))
+          val dict = s.substring(objPos, st)
+          val objNum = "(\\d+)\\s+0\\s+obj$".r.findFirstMatchIn(
+              s.substring(math.max(0, objPos - 16), objPos + 3))
+            .map(_.group(1).toInt)
+          val flate =
+            "/Filter\\s*/FlateDecode\\b".r.findFirstIn(dict).isDefined
+          val otherFilter = !flate &&
+            "/Filter\\b".r.findFirstIn(dict).isDefined
+          val isObjStm =
+            "/Type\\s*/ObjStm\\b".r.findFirstIn(dict).isDefined
+          val isXref =
+            "/Type\\s*/XRef\\b".r.findFirstIn(dict).isDefined
+          val byLen = "/Length\\s+(\\d+)\\b".r.findFirstMatchIn(dict)
+            .map(_.group(1).toInt)
+            .flatMap { len =>
+              val e0 = bodyStart + len
+              if (e0 <= s.length) {
+                val e = s.indexOf("endstream", e0)
+                if (e >= 0 && e - e0 <= 2) Some((e0, e)) else None
+              } else None
+            }
+          val (bodyEnd, endKw) = byLen.getOrElse {
+            val e = s.indexOf("endstream", bodyStart)
+            (e, e)
+          }
+          if (endKw < 0) more = false
+          else {
+            def decoded: Option[String] =
+              if (flate)
+                try Some(new String(
+                  inflate(s.substring(bodyStart, bodyEnd).getBytes(
+                    java.nio.charset.StandardCharsets.ISO_8859_1)),
+                  java.nio.charset.StandardCharsets.ISO_8859_1))
+                catch { case scala.util.control.NonFatal(_) =>
+                  streamsOk = false; None }
+              else if (otherFilter) { streamsOk = false; None }
+              else Some(s.substring(bodyStart, bodyEnd))
+            if (isXref) {
+              // the index, not content: validated in the xref phase
+            } else if (isObjStm) {
+              for (p <- decoded; num <- objNum) {
+                val n = "/N\\s+(\\d+)".r.findFirstMatchIn(dict)
+                  .map(_.group(1).toInt).getOrElse(0)
+                val first = "/First\\s+(\\d+)".r.findFirstMatchIn(dict)
+                  .map(_.group(1).toInt).getOrElse(0)
+                objstms(num) = ObjStmInfo(p, n, first)
+              }
+            } else {
+              decoded.map(showText).filter(_.nonEmpty)
+                .foreach(texts += _)
+            }
+            from = endKw + "endstream".length
+          }
+        }
       }
-    // ---- xref walk: last startxref → table → offset validation
+    }
+    // ---- page counting over the raw bytes PLUS every object-stream
+    // payload (a modern file's page dicts never appear uncompressed).
+    // /Pages (the tree node) must not count, hence the non-'s' class.
+    val scanSpaces = s +: objstms.values.map(_.payload).toSeq
+    val nPages = scanSpaces
+      .map(t => "/Type\\s*/Page[^s]".r.findAllMatchIn(t).length).sum
+    val declared = scanSpaces.iterator.flatMap { t =>
+      "/Type\\s*/Pages\\b".r.findFirstMatchIn(t).flatMap { m =>
+        val tail = t.substring(m.start,
+          math.min(t.length, m.start + 400))
+        "/Count\\s+(\\d+)".r.findFirstMatchIn(tail)
+          .map(_.group(1).toInt)
+      }
+    }.nextOption()
+    // ---- xref walk: last startxref → a CLASSIC table ("xref"
+    // keyword) or a 1.5+ XREF STREAM (`N 0 obj` with /Type /XRef) →
+    // offset validation. Classic: every in-use entry must land on
+    // `N 0 obj`. Modern: type-1 entries likewise; type-2 entries must
+    // name an object stream we decoded AND their index must resolve to
+    // the right object number in its header — the cross-structure
+    // integrity check a crawled 1.5+ PDF needs before being trusted.
     var xrefOk = false
     var nObjects: Option[Int] = None
     val sx = s.lastIndexOf("startxref")
@@ -291,72 +500,79 @@ object Pdf {
               .findFirstMatchIn(s.substring(tr))
               .map(_.group(1).toInt - 1) // entry 0 is the free head
         }
-      }
-    } catch {
-      // a torn xref table (truncated entries, non-numeric header) means
-      // the INDEX is untrustworthy, not the document: xref_ok stays
-      // false, text extraction below still runs
-      case scala.util.control.NonFatal(_) =>
-        xrefOk = false; nObjects = None
-    }
-    // ---- text: every content stream's show operators. The stream's
-    // own dict (between its `N 0 obj` header and the `stream` keyword)
-    // names the filter and the byte-exact /Length; the length, when it
-    // lands on `endstream` (± an EOL), bounds the body WITHOUT
-    // searching inside it — binary Flate data may contain any byte
-    // sequence, including "endstream". Fallback: endstream search
-    // (the pre-/Length behavior, still right for plain streams).
-    val texts = scala.collection.mutable.ArrayBuffer[String]()
-    var streamsOk = true
-    var from = 0
-    var more = true
-    while (more) {
-      val st = s.indexOf("stream", from)
-      if (st < 0) more = false
-      else {
-        val bodyStart = s.indexOf('\n', st) + 1
-        if (bodyStart <= 0) more = false
-        else {
-          val dict = s.substring(math.max(0, s.lastIndexOf("obj", st)), st)
-          val flate =
-            "/Filter\\s*/FlateDecode\\b".r.findFirstIn(dict).isDefined
-          val otherFilter = !flate &&
-            "/Filter\\b".r.findFirstIn(dict).isDefined
-          val byLen = "/Length\\s+(\\d+)\\b".r.findFirstMatchIn(dict)
-            .map(_.group(1).toInt)
-            .flatMap { len =>
-              val e0 = bodyStart + len
-              if (e0 <= s.length) {
-                val e = s.indexOf("endstream", e0)
-                if (e >= 0 && e - e0 <= 2) Some((e0, e)) else None
-              } else None
-            }
-          val (bodyEnd, endKw) = byLen.getOrElse {
-            val e = s.indexOf("endstream", bodyStart)
-            (e, e)
-          }
-          if (endKw < 0) more = false
-          else {
-            if (flate) {
-              try {
-                val inflated = inflate(s.substring(bodyStart, bodyEnd)
-                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-                val t = showText(new String(inflated,
-                  java.nio.charset.StandardCharsets.ISO_8859_1))
-                if (t.nonEmpty) texts += t
-              } catch {
-                case scala.util.control.NonFatal(_) => streamsOk = false
+      } else if (xrefAt.nonEmpty && xrefAt.toLong < bytes.length) {
+        val at = xrefAt.toLong.toInt
+        val stPos = s.indexOf("stream", at)
+        if (stPos > at &&
+            "^\\d+\\s+0\\s+obj".r.findFirstIn(s.substring(at,
+              math.min(s.length, at + 24))).isDefined) {
+          val dict = s.substring(at, stPos)
+          if ("/Type\\s*/XRef\\b".r.findFirstIn(dict).isDefined) {
+            val size = "/Size\\s+(\\d+)".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt).getOrElse(0)
+            val w = "/W\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict)
+              .map(_.group(1).trim.split("\\s+").map(_.toInt).toSeq)
+              .getOrElse(Seq.empty)
+            val index = "/Index\\s*\\[([^\\]]*)\\]".r
+              .findFirstMatchIn(dict)
+              .map(_.group(1).trim.split("\\s+").map(_.toInt).toSeq
+                .grouped(2).map(p => (p(0), p(1))).toSeq)
+              .getOrElse(Seq((0, size)))
+            val len = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt)
+            val bodyStart = s.indexOf('\n', stPos) + 1
+            val flate = "/Filter\\s*/FlateDecode\\b".r
+              .findFirstIn(dict).isDefined
+            if (w.size == 3 && size > 0 && bodyStart > 0 &&
+                len.exists(bodyStart + _ <= s.length)) {
+              val raw = s.substring(bodyStart, bodyStart + len.get)
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+              val data = if (flate) inflate(raw) else raw
+              val rowW = w.sum
+              var ok = true
+              var pos = 0
+              for ((start, count) <- index; i <- 0 until count
+                   if ok && pos + rowW <= data.length) {
+                val objNum = start + i
+                def fld(k: Int): Long = {
+                  val o = pos + w.take(k).sum
+                  var v = 0L
+                  for (j <- 0 until w(k)) v = (v << 8) | (data(o + j) & 0xff)
+                  v
+                }
+                val typ = if (w(0) == 0) 1L else fld(0)
+                val f2 = fld(1); val f3 = fld(2)
+                typ match {
+                  case 1L =>
+                    ok = f2 < bytes.length &&
+                      s.startsWith(s"$objNum 0 obj", f2.toInt)
+                  case 2L =>
+                    ok = objstms.get(f2.toInt).exists { os =>
+                      val toks = os.payload.trim.split("\\s+")
+                      f3 < os.n && toks.length >= 2 * os.n &&
+                        toks(2 * f3.toInt).toInt == objNum &&
+                        os.first +
+                          toks(2 * f3.toInt + 1).toInt <= os.payload.length
+                    }
+                  case _ => () // free
+                }
+                pos += rowW
               }
-            } else if (otherFilter) {
-              streamsOk = false // undecodable here; text lives behind it
-            } else {
-              val t = showText(s.substring(bodyStart, bodyEnd))
-              if (t.nonEmpty) texts += t
+              // a truncated entry array must read as untrustworthy,
+              // not silently-valid: every declared row must be present
+              ok = ok && pos == index.map(_._2).sum * rowW
+              xrefOk = ok
+              if (ok) nObjects = Some(size - 1)
             }
-            from = endKw + "endstream".length
           }
         }
       }
+    } catch {
+      // a torn xref (truncated entries, non-numeric header, bad zlib
+      // in the xref stream) means the INDEX is untrustworthy, not the
+      // document: xref_ok stays false, extracted text stands
+      case scala.util.control.NonFatal(_) =>
+        xrefOk = false; nObjects = None
     }
     val text = if (texts.isEmpty) "" else texts.mkString("\n")
     Row(id, bytes.length, true, version, nPages,

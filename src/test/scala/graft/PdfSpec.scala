@@ -10,8 +10,8 @@ class PdfSpec extends SparkSuite {
   import spark.implicits._
 
   test("pdf round-trip: version, page counts, object count, xref " +
-      "validation and Tj/TJ text match the closed forms on both the " +
-      "plain (even id) and FlateDecode (odd id) arms") {
+      "validation and Tj/TJ text match the closed forms across the " +
+      "plain/Flate content arms and the classic/modern (1.5) layouts") {
     val media = Pdf.syntheticPdfs(
       (0L until 31L).toDF("doc_id"), "doc_id")
     val rows = Pdf.pdfMeta(media).collect()
@@ -23,13 +23,54 @@ class PdfSpec extends SparkSuite {
       assert(r.getAs[String]("version") === Pdf.pdfVersion(id))
       assert(r.getAs[Int]("n_pages") === n, s"id=$id")
       assert(r.getAs[Int]("pages_declared") === n)
-      assert(r.getAs[Int]("n_objects") === 3 + 2 * n)
+      // modern ids carry two extra objects: the ObjStm + XRef stream
+      assert(r.getAs[Int]("n_objects") ===
+        (if (id % 5 == 0) 5 else 3) + 2 * n, s"id=$id objects")
       assert(r.getAs[Boolean]("xref_ok"), s"id=$id xref")
       assert(r.getAs[Boolean]("streams_ok"), s"id=$id streams")
       val expected =
         (0 until n).map(k => Pdf.pdfPageText(id, k)).mkString("\n")
       assert(r.getAs[String]("text") === expected, s"id=$id text")
     }
+  }
+
+  test("modern layout: ObjStm + xref stream structure, no trailer " +
+      "keyword; corrupt ObjStm contains — text survives, index doesn't") {
+    val pages = Seq("modern (one)", "modern two")
+    val b = Pdf.buildPdf(pages, "1.5", flate = true, modern = true)
+    val str = new String(b, "ISO-8859-1")
+    assert(str.contains("/ObjStm") && str.contains("/XRef"))
+    assert(!str.contains("trailer"))
+    def parse(bytes: Array[Byte]) = Pdf.pdfMeta(
+      Pdf.syntheticPdfs(Seq(1L).toDF("doc_id"), "doc_id")
+        .withColumn("bytes", lit(bytes))).head()
+    val ok = parse(b)
+    assert(ok.getAs[Boolean]("parsed") && ok.getAs[Boolean]("xref_ok"))
+    assert(ok.getAs[Boolean]("streams_ok"))
+    assert(ok.getAs[Int]("n_pages") === 2) // dicts live INSIDE the ObjStm
+    assert(ok.getAs[Int]("pages_declared") === 2)
+    assert(ok.getAs[Int]("n_objects") === 9) // 5 + 2n with n=2
+    assert(ok.getAs[String]("text") === pages.mkString("\n"))
+    // corrupt the ObjStm's zlib: page dicts become unreadable and the
+    // type-2 xref entries fail cross-validation, but the CONTENT
+    // streams are separate objects — the text still extracts
+    val osAt = str.indexOf("/ObjStm")
+    val body = str.indexOf("\n", str.indexOf("stream", osAt)) + 1
+    val bad = b.clone()
+    bad(body + 4) = (bad(body + 4) ^ 0x5A).toByte
+    bad(body + 5) = (bad(body + 5) ^ 0x5A).toByte
+    val dam = parse(bad)
+    assert(dam.getAs[Boolean]("parsed"))
+    assert(!dam.getAs[Boolean]("streams_ok"))
+    assert(!dam.getAs[Boolean]("xref_ok"))
+    assert(dam.getAs[Int]("n_pages") === 0)
+    assert(dam.getAs[String]("text") === pages.mkString("\n"))
+    // truncating before the xref stream kills the index, not the text
+    val cut = java.util.Arrays.copyOf(b, str.indexOf("/XRef") - 8)
+    val torn = parse(cut)
+    assert(torn.getAs[Boolean]("parsed"))
+    assert(!torn.getAs[Boolean]("xref_ok"))
+    assert(torn.getAs[String]("text") === pages.mkString("\n"))
   }
 
   test("flate arm: compressed bytes differ from plain but parse to the " +
