@@ -1034,6 +1034,18 @@ object SparkEntry {
         .select("shard", "seq", "doc_id", "seg_start", "seg_end",
           "segment", "n_segments", "seq_tokens", "padding")
     }),
+    "q_pass_at_k" -> ((s, dir) => {
+      // HumanEval-style functional-correctness rollup: 40 synthetic
+      // problems, samples = docs, correct every 3rd — the unbiased
+      // pass@{1,5,10} product-form estimator per problem, with the
+      // n<k-undefined and fewer-than-k-failures=1.0 arms exercised by
+      // construction at sf0.001 (12-13 samples/problem straddles k=10)
+      graft.text.Eval.passAtK(
+        table(s, dir, "documents").select(col("doc_id"))
+          .withColumn("problem_id", pmod(col("doc_id"), lit(40)))
+          .withColumn("correct", pmod(col("doc_id"), lit(3)) === 0),
+        "problem_id", "correct", Seq(1, 5, 10))
+    }),
     "q_kappa" -> ((s, dir) => {
       // Cohen's kappa label-QC gate: rater A = the language column,
       // rater B = the same labels with every 7th doc flipped to 'und'
@@ -6279,6 +6291,27 @@ object SparkEntry {
         |SELECT shard, seq, doc_id, seg_start, seg_end, segment,
         |  n_segments, seq_tokens, (256 - seq_tokens)::BIGINT AS padding
         |FROM w""".stripMargin,
+    // the same stable product form, DuckDB's list_product over the
+    // k-term range; the n<k and fewer-than-k-failures arms are CASEd
+    "q_pass_at_k" ->
+      """WITH g AS (
+        |  SELECT doc_id % 40 AS problem_id, count(*) AS n,
+        |    sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS c
+        |  FROM documents GROUP BY 1)
+        |SELECT problem_id, n::BIGINT AS n, c::BIGINT AS c,
+        |  CASE WHEN n < 1 THEN NULL WHEN n - c < 1 THEN 1.0::DOUBLE
+        |    ELSE round(1.0 - list_product(list_transform(range(0, 1),
+        |      i -> (n - c - i) / CAST(n - i AS DOUBLE))), 6) END
+        |    AS pass_at_1,
+        |  CASE WHEN n < 5 THEN NULL WHEN n - c < 5 THEN 1.0::DOUBLE
+        |    ELSE round(1.0 - list_product(list_transform(range(0, 5),
+        |      i -> (n - c - i) / CAST(n - i AS DOUBLE))), 6) END
+        |    AS pass_at_5,
+        |  CASE WHEN n < 10 THEN NULL WHEN n - c < 10 THEN 1.0::DOUBLE
+        |    ELSE round(1.0 - list_product(list_transform(range(0, 10),
+        |      i -> (n - c - i) / CAST(n - i AS DOUBLE))), 6) END
+        |    AS pass_at_10
+        |FROM g""".stripMargin,
     "q_kappa" ->
       """WITH r AS (SELECT lang AS a,
         |    CASE WHEN doc_id % 7 = 0 THEN 'und' ELSE lang END AS b

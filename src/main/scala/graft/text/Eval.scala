@@ -302,4 +302,37 @@ object Eval {
           .otherwise(round((col("p_bar") - col("p_e")) /
             (lit(1.0) - col("p_e")), 6)))
   }
+
+  /** Unbiased pass@k over per-problem sample outcomes — the standard
+    * functional-correctness metric for code models (Chen et al. 2021,
+    * the HumanEval estimator): with n samples of which c pass,
+    * `pass@k = 1 − C(n−c, k)/C(n, k)`, computed in the numerically
+    * stable product form `1 − Π_{i=0..k−1} (n−c−i)/(n−i)` (never
+    * touches factorials). Per problem: n, c, and one `pass_at_k`
+    * column per requested k — exactly 1.0 when fewer than k samples
+    * fail, NULL when the problem has fewer than n = k samples (the
+    * estimator is undefined there; a silent clamp would overstate).
+    *
+    * Scale: ONE count/sum aggregate keyed by problem (map-side
+    * combinable) and a fixed k-term fold per row — no windows, no
+    * per-sample state; problems × |ks| output rows. */
+  def passAtK(df: DataFrame, problemCol: String, correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"ks must be positive, got $ks")
+    val n = col("n").cast("double")
+    val c = col("c").cast("double")
+    val cols = ks.map { k =>
+      when(col("n") < k, lit(null).cast("double"))
+        .when(n - c < k, lit(1.0))
+        .otherwise(round(lit(1.0) -
+          aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+            (acc, i) => acc * (n - c - i) / (n - i)), 6))
+        .as(s"pass_at_$k")
+    }
+    df.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("c"))
+      .select(col(problemCol) +: col("n") +: col("c") +: cols: _*)
+  }
 }

@@ -30,6 +30,33 @@ class EvalSpec extends SparkSuite {
     assert(r.getAs[Double]("accuracy") === 1.0)
   }
 
+  test("passAtK: product form matches the hand value; undefined-below-k " +
+      "nulls; fewer-than-k-failures saturates; zero-correct is zero") {
+    import spark.implicits._
+    // problem a: n=10, c=4 → pass@5 = 1 − C(6,5)/C(10,5) = 0.97619
+    // problem b: n=3,  c=1 → pass@5 undefined (n < k)
+    // problem c: n=6,  c=4 → n−c=2 < 5 → exactly 1.0
+    // problem d: n=6,  c=0 → 0.0
+    val rows =
+      (0 until 10).map(i => ("a", i < 4)) ++
+      (0 until 3).map(i => ("b", i < 1)) ++
+      (0 until 6).map(i => ("c", i < 4)) ++
+      (0 until 6).map(_ => ("d", false))
+    val got = Eval.passAtK(rows.toDF("p", "ok"), "p", "ok", Seq(1, 5))
+      .collect()
+      .map(r => r.getAs[String]("p") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("c"),
+          Option(r.getAs[java.lang.Double]("pass_at_5"))))).toMap
+    assert(got("a") === ((10L, 4L, Some(0.97619))))
+    assert(got("b") === ((3L, 1L, None)))
+    assert(got("c") === ((6L, 4L, Some(1.0))))
+    assert(got("d") === ((6L, 0L, Some(0.0))))
+    // pass@1 is the plain success rate
+    val p1 = Eval.passAtK(rows.toDF("p", "ok"), "p", "ok", Seq(1))
+      .filter(col("p") === "a").head().getAs[Double]("pass_at_1")
+    assert(p1 === 0.4)
+  }
+
   test("eval: midrank tie handling matches the hand-computed rank-sum") {
     import spark.implicits._
     // pos scores {0.5, 0.7, 0.5}, neg {0.5, 0.3}:
