@@ -1075,6 +1075,34 @@ object SparkEntry {
       graft.text.Eval.fleissKappa(
         r1.unionByName(r2).unionByName(r3), "doc_id", "label")
     }),
+    "q_warc_http" -> ((s, dir) => {
+      // HTTP response parsing — the step between readWarc and HTML
+      // extraction (CommonCrawl response records carry the FULL wire
+      // response): status line, media type + charset out of
+      // Content-Type, declared Content-Length, body after the blank
+      // line; every 11th payload is not HTTP at all and nulls through
+      val d = col("doc_id")
+      val body = concat(lit("Hello "), d.cast("string"))
+      val ctHdr = when(pmod(d, lit(4)) === 0,
+          lit("Content-Type: text/html; charset=UTF-8\r\n"))
+        .when(pmod(d, lit(4)) === 1, lit("Content-Type: text/plain\r\n"))
+        .when(pmod(d, lit(4)) === 2,
+          lit("Content-Type: application/pdf\r\n"))
+        .otherwise(lit(""))
+      val statusLine =
+        when(pmod(d, lit(3)) === 0, lit("HTTP/1.1 200 OK\r\n"))
+        .when(pmod(d, lit(3)) === 1, lit("HTTP/1.1 404 Not Found\r\n"))
+        .otherwise(lit("HTTP/1.0 301 Moved Permanently\r\n"))
+      val payload = when(pmod(d, lit(11)) === 0,
+          concat(lit("plain text record "), d.cast("string")))
+        .otherwise(concat(statusLine, ctHdr,
+          lit("Content-Length: "), length(body).cast("string"),
+          lit("\r\nServer: graft\r\n\r\n"), body))
+      graft.sources.Warc.httpResponseMeta(
+        table(s, dir, "documents").select(col("doc_id"))
+          .withColumn("payload", payload))
+        .drop("payload")
+    }),
     "q_warc_roundtrip" -> ((s, dir) => {
       // WARC, the native CommonCrawl container, as DISK ARTIFACTS
       // under the oracle (the q_token_shards discipline): documents +
@@ -6372,6 +6400,30 @@ object SparkEntry {
         |  CASE WHEN p_e = 1.0 THEN NULL
         |    ELSE round((p_bar - p_e) / (1.0 - p_e), 6) END AS kappa
         |FROM sel""".stripMargin,
+    // every parsed field restated from the same payload templates
+    "q_warc_http" ->
+      """WITH t AS (SELECT doc_id,
+        |    'Hello ' || doc_id::VARCHAR AS body,
+        |    doc_id % 11 = 0 AS raw,
+        |    doc_id % 4 AS ctarm, doc_id % 3 AS starm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  NOT raw AS is_http,
+        |  (CASE WHEN raw THEN NULL WHEN starm = 0 THEN 200
+        |    WHEN starm = 1 THEN 404 ELSE 301 END)::INT AS status,
+        |  CASE WHEN raw THEN NULL WHEN starm = 0 THEN 'OK'
+        |    WHEN starm = 1 THEN 'Not Found'
+        |    ELSE 'Moved Permanently' END AS reason,
+        |  CASE WHEN raw THEN NULL WHEN ctarm = 0 THEN 'text/html'
+        |    WHEN ctarm = 1 THEN 'text/plain'
+        |    WHEN ctarm = 2 THEN 'application/pdf'
+        |    ELSE NULL END AS content_type,
+        |  CASE WHEN raw OR ctarm <> 0 THEN NULL
+        |    ELSE 'utf-8' END AS charset,
+        |  (CASE WHEN raw THEN NULL
+        |    ELSE length(body) END)::BIGINT AS content_length_hdr,
+        |  CASE WHEN raw THEN NULL ELSE body END AS http_body
+        |FROM t""".stripMargin,
     "q_warc_roundtrip" -> (urlCtes +
       """
         |SELECT doc_id, 'response' AS warc_type, url AS target_uri,

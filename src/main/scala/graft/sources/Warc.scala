@@ -426,4 +426,69 @@ object Warc {
       }
     }
   }
+
+  // --------------------------------------------- HTTP response parsing
+
+  /** HTTP/1.x response metadata out of a WARC `response` payload — the
+    * step between [[readWarc]] and HTML extraction that real pipelines
+    * gate on (CommonCrawl stores the FULL response: status line +
+    * headers + body; a corpus keeps 200s of textual media types and
+    * routes the rest by Content-Type). Adds to the input columns:
+    * is_http [payload starts with an HTTP/1.x status line], status
+    * [int, NULL when not HTTP], reason, content_type [the lowercased
+    * media type alone], charset [from the Content-Type parameters,
+    * lowercased], content_length_hdr [the header value — the DECLARED
+    * length, callers compare with the actual body], http_body [bytes
+    * after the first blank line; NULL when not HTTP]. Header names
+    * match case-insensitively anywhere in the header block; values
+    * trim. Pure per-row regexp expressions, zero shuffle — the
+    * [[graft.text.HtmlExtract]] posture.
+    *
+    * Boundary (documented): HTTP/1.1 transfer-encoding chunked bodies
+    * are returned raw (chunk-size lines included) — WARC captures the
+    * wire form; de-chunking is a separate concern a caller opts into. */
+  def httpResponseMeta(df: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    val isHttp = p.rlike("^HTTP/[0-9.]+ ")
+    // header block = status line through the first blank line (tolerant
+    // of bare-LF separators some archives carry)
+    val headerBlock =
+      regexp_extract(p, "(?s)^(.*?)\r?\n\r?\n", 1)
+    def header(name: String): org.apache.spark.sql.Column = {
+      val v = regexp_extract(headerBlock,
+        "(?im)^" + name + ":[ \t]*([^\r\n]*)", 1)
+      when(!isHttp || trim(v) === "", lit(null).cast("string"))
+        .otherwise(trim(v))
+    }
+    val ctype = header("Content-Type")
+    val body = regexp_extract(p, "(?s)^.*?\r?\n\r?\n(.*)$", 1)
+    df
+      .withColumn("is_http", isHttp)
+      .withColumn("status",
+        when(isHttp, regexp_extract(p, "^HTTP/[0-9.]+ (\\d{3})", 1)
+          .cast("int")).otherwise(lit(null).cast("int")))
+      .withColumn("reason",
+        when(isHttp, trim(regexp_extract(p,
+          "^HTTP/[0-9.]+ \\d{3}([^\r\n]*)", 1)))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("content_type",
+        lower(trim(regexp_extract(coalesce(ctype, lit("")),
+          "^([^;]*)", 1))))
+      .withColumn("content_type",
+        when(col("content_type") === "", lit(null).cast("string"))
+          .otherwise(col("content_type")))
+      .withColumn("charset",
+        when(ctype.isNotNull,
+          lower(regexp_extract(ctype,
+            "(?i)charset=\"?([A-Za-z0-9_][A-Za-z0-9._-]*)", 1)))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("charset",
+        when(col("charset") === "", lit(null).cast("string"))
+          .otherwise(col("charset")))
+      .withColumn("content_length_hdr",
+        header("Content-Length").cast("long"))
+      .withColumn("http_body",
+        when(isHttp, body).otherwise(lit(null).cast("string")))
+  }
 }

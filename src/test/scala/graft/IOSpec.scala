@@ -89,6 +89,44 @@ class IOSpec extends SparkSuite {
     assert(cols.contains("value") && cols.contains("value_right"))
   }
 
+  test("httpResponseMeta: status/reason/media-type/charset/body lift " +
+      "out of wire payloads; folded case, quoted charset, LF-only, " +
+      "chunked-raw and non-HTTP boundaries") {
+    import spark.implicits._
+    import graft.sources.Warc
+    def one(p: String) = Warc.httpResponseMeta(
+      Seq((1L, p)).toDF("id", "payload")).head()
+    val full = one("HTTP/1.1 200 OK\r\nserver: x\r\n" +
+      "CONTENT-TYPE: Text/HTML; charset=\"ISO-8859-1\"\r\n" +
+      "Content-Length: 11\r\n\r\n<p>body</p>")
+    assert(full.getAs[Boolean]("is_http"))
+    assert(full.getAs[Int]("status") === 200)
+    assert(full.getAs[String]("reason") === "OK")
+    assert(full.getAs[String]("content_type") === "text/html")
+    assert(full.getAs[String]("charset") === "iso-8859-1")
+    assert(full.getAs[Long]("content_length_hdr") === 11L)
+    assert(full.getAs[String]("http_body") === "<p>body</p>")
+    // bare-LF separators (sloppy archives) still split header/body
+    val lf = one("HTTP/1.0 404 Not Found\nContent-Type: text/plain\n" +
+      "\nmissing")
+    assert(lf.getAs[Int]("status") === 404 &&
+      lf.getAs[String]("http_body") === "missing")
+    // no headers at all: status parses, body empty, fields null
+    val bare = one("HTTP/1.1 204 No Content\r\n\r\n")
+    assert(bare.getAs[Int]("status") === 204 &&
+      bare.getAs[String]("http_body") === "" &&
+      bare.isNullAt(bare.fieldIndex("content_type")))
+    // chunked body returns RAW (wire form) — documented boundary
+    val ch = one("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n4\r\nWiki\r\n0\r\n\r\n")
+    assert(ch.getAs[String]("http_body").startsWith("4\r\nWiki"))
+    // not HTTP: everything nulls, flag false
+    val raw = one("just a text document")
+    assert(!raw.getAs[Boolean]("is_http") &&
+      raw.isNullAt(raw.fieldIndex("status")) &&
+      raw.isNullAt(raw.fieldIndex("http_body")))
+  }
+
   test("warc: multi-partition round-trip preserves headers and payload " +
       "bytes; null columns degrade cleanly; corrupt length is flagged") {
     import spark.implicits._
