@@ -179,6 +179,76 @@ object SparkEntry {
     * fixture → extractText → writeWet, built once per JVM + data dir. */
   private val wetBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** HTML page fixture for q_html_markdown / q_crawl_to_md: every
+    * [[graft.text.HtmlExtract.htmlToMarkdown]] conversion rule
+    * exercised from doc_id templates (dropped script, h1/h2, inline
+    * emphasis, entity, list items, link, pre+code fence, blockquote,
+    * hr, image-with-alt). */
+  private def mdPageHtml: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    concat(
+      lit("<html><head><title>T</title><script>var x=1;</script>" +
+        "</head><body><h1>Doc "),
+      pmod(d, lit(7)).cast("string"),
+      lit("</h1><p>Intro with <b>bold</b> and <i>ital</i> &amp; " +
+        "entity.</p><h2>Sec "),
+      pmod(d, lit(3)).cast("string"),
+      lit("</h2><ul><li>alpha "),
+      pmod(d, lit(5)).cast("string"),
+      lit("</li><li><a href=\"/l/"),
+      pmod(d, lit(4)).cast("string"),
+      lit("\">link "),
+      pmod(d, lit(4)).cast("string"),
+      lit("</a></li></ul><pre><code>x = "),
+      pmod(d, lit(9)).cast("string"),
+      lit("</code></pre><blockquote>quoted "),
+      pmod(d, lit(2)).cast("string"),
+      lit("</blockquote><hr><p><img alt=\"pic "),
+      pmod(d, lit(6)).cast("string"),
+      lit("\" src=\"/i/"),
+      pmod(d, lit(6)).cast("string"),
+      lit(".png\"> tail</p></body></html>"))
+  }
+
+  /** On-disk WARC of full HTTP responses for q_crawl_to_md — the
+    * q_warc_http status/content-type payload arms wrapped around the
+    * [[mdPageHtml]] bodies; built once per JVM and data dir, the
+    * [[wetPath]] discipline. */
+  private val crawlWarcBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def crawlWarcPath(s: SparkSession, dir: String): String =
+    crawlWarcBuilt.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_crawlwarc_" + digest).getAbsolutePath
+      val dd = col("doc_id")
+      val body = mdPageHtml
+      val ctHdr = when(pmod(dd, lit(4)) === 0,
+          lit("Content-Type: text/html; charset=UTF-8\r\n"))
+        .when(pmod(dd, lit(4)) === 1, lit("Content-Type: text/plain\r\n"))
+        .when(pmod(dd, lit(4)) === 2,
+          lit("Content-Type: application/pdf\r\n"))
+        .otherwise(lit(""))
+      val statusLine =
+        when(pmod(dd, lit(3)) === 0, lit("HTTP/1.1 200 OK\r\n"))
+        .when(pmod(dd, lit(3)) === 1, lit("HTTP/1.1 404 Not Found\r\n"))
+        .otherwise(lit("HTTP/1.0 301 Moved Permanently\r\n"))
+      val payload = when(pmod(dd, lit(11)) === 0,
+          concat(lit("plain text record "), dd.cast("string")))
+        .otherwise(concat(statusLine, ctHdr,
+          lit("Content-Length: "), length(body).cast("string"),
+          lit("\r\nServer: graft\r\n\r\n"), body))
+      val pages = table(s, d, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+        .withColumn("http_payload", payload)
+      graft.sources.Warc.writeWarc(pages, path,
+        textCol = "http_payload").collect()
+      path
+    })
+
   private def wetPath(s: SparkSession, dir: String): String =
     wetBuilt.computeIfAbsent(dir, d => {
       val digest = java.security.MessageDigest.getInstance("MD5")
@@ -1140,32 +1210,26 @@ object SparkEntry {
       // fence, single-line blockquote, hr, image with alt — converts
       // to a markdown string the oracle rebuilds from the same doc_id
       // templates, plus the md/html length ratio
-      val d = col("doc_id")
-      val html = concat(
-        lit("<html><head><title>T</title><script>var x=1;</script>" +
-          "</head><body><h1>Doc "),
-        pmod(d, lit(7)).cast("string"),
-        lit("</h1><p>Intro with <b>bold</b> and <i>ital</i> &amp; " +
-          "entity.</p><h2>Sec "),
-        pmod(d, lit(3)).cast("string"),
-        lit("</h2><ul><li>alpha "),
-        pmod(d, lit(5)).cast("string"),
-        lit("</li><li><a href=\"/l/"),
-        pmod(d, lit(4)).cast("string"),
-        lit("\">link "),
-        pmod(d, lit(4)).cast("string"),
-        lit("</a></li></ul><pre><code>x = "),
-        pmod(d, lit(9)).cast("string"),
-        lit("</code></pre><blockquote>quoted "),
-        pmod(d, lit(2)).cast("string"),
-        lit("</blockquote><hr><p><img alt=\"pic "),
-        pmod(d, lit(6)).cast("string"),
-        lit("\" src=\"/i/"),
-        pmod(d, lit(6)).cast("string"),
-        lit(".png\"> tail</p></body></html>"))
       graft.text.HtmlExtract.toMarkdown(
         table(s, dir, "documents").select(col("doc_id"))
-          .withColumn("page_html", html), "page_html")
+          .withColumn("page_html", mdPageHtml), "page_html")
+    }),
+    "q_crawl_to_md" -> ((s, dir) => {
+      // the crawl-to-training-text composition END TO END from DISK:
+      // full HTTP responses (the q_warc_http status/content-type
+      // arms, bodies = the q_html_markdown page template) written as
+      // WARC response records, read back through the record walk,
+      // HTTP-parsed, gated to 200 + text/html (404s, redirects,
+      // non-HTML media and non-HTTP payloads all drop), and the
+      // surviving bodies converted to markdown — the modern corpus
+      // ingest path (CommonCrawl → FineWeb-style md) in one lineage
+      val meta = graft.sources.Warc.httpResponseMeta(
+        graft.sources.Warc.readWarc(s, crawlWarcPath(s, dir)))
+      meta.filter(col("is_http") && col("status") === 200 &&
+          col("content_type") === "text/html")
+        .select(col("record_id").as("doc_id"),
+          graft.text.HtmlExtract.htmlToMarkdown(col("http_body"))
+            .as("markdown"))
     }),
     "q_warc_wet" -> ((s, dir) => {
       // the full WARC→WET lane as DISK ARTIFACTS: the q_html_extract
@@ -6400,6 +6464,30 @@ object SparkEntry {
         |  CASE WHEN p_e = 1.0 THEN NULL
         |    ELSE round((p_bar - p_e) / (1.0 - p_e), 6) END AS kappa
         |FROM sel""".stripMargin,
+    // kept docs = 200 AND text/html AND actually-HTTP; their markdown
+    // is the q_html_markdown template
+    "q_crawl_to_md" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (doc_id % 7)::VARCHAR AS a, (doc_id % 3)::VARCHAR AS b,
+        |    (doc_id % 5)::VARCHAR AS c, (doc_id % 4)::VARCHAR AS e,
+        |    (doc_id % 9)::VARCHAR AS f, (doc_id % 2)::VARCHAR AS g,
+        |    (doc_id % 6)::VARCHAR AS h
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 4 = 0 AND doc_id % 11 <> 0)
+        |SELECT doc_id,
+        |  'T' || chr(10) || chr(10) || '# Doc ' || a ||
+        |  chr(10) || chr(10) ||
+        |  'Intro with **bold** and *ital* & entity.' ||
+        |  chr(10) || chr(10) || '## Sec ' || b ||
+        |  chr(10) || chr(10) || '- alpha ' || c || chr(10) ||
+        |  '- [link ' || e || '](/l/' || e || ')' ||
+        |  chr(10) || chr(10) || '```' || chr(10) || 'x = ' || f ||
+        |  chr(10) || '```' || chr(10) || chr(10) ||
+        |  '> quoted ' || g || chr(10) || chr(10) || '---' ||
+        |  chr(10) || chr(10) ||
+        |  '![pic ' || h || '](/i/' || h || '.png) tail' AS markdown
+        |FROM t""".stripMargin,
     // every parsed field restated from the same payload templates
     "q_warc_http" ->
       """WITH t AS (SELECT doc_id,
