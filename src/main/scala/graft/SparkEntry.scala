@@ -1163,9 +1163,14 @@ object SparkEntry {
         when(pmod(d, lit(3)) === 0, lit("HTTP/1.1 200 OK\r\n"))
         .when(pmod(d, lit(3)) === 1, lit("HTTP/1.1 404 Not Found\r\n"))
         .otherwise(lit("HTTP/1.0 301 Moved Permanently\r\n"))
+      // redirects carry the Location edge a frontier feeds back on
+      val locHdr = when(pmod(d, lit(3)) === 2,
+          concat(lit("Location: https://m.example/moved/"),
+            pmod(d, lit(5)).cast("string"), lit("\r\n")))
+        .otherwise(lit(""))
       val payload = when(pmod(d, lit(11)) === 0,
           concat(lit("plain text record "), d.cast("string")))
-        .otherwise(concat(statusLine, ctHdr,
+        .otherwise(concat(statusLine, locHdr, ctHdr,
           lit("Content-Length: "), length(body).cast("string"),
           lit("\r\nServer: graft\r\n\r\n"), body))
       graft.sources.Warc.httpResponseMeta(
@@ -6510,6 +6515,9 @@ object SparkEntry {
         |    ELSE 'utf-8' END AS charset,
         |  (CASE WHEN raw THEN NULL
         |    ELSE length(body) END)::BIGINT AS content_length_hdr,
+        |  CASE WHEN raw OR starm <> 2 THEN NULL
+        |    ELSE 'https://m.example/moved/' || (doc_id % 5)::VARCHAR
+        |    END AS location,
         |  CASE WHEN raw THEN NULL ELSE body END AS http_body
         |FROM t""".stripMargin,
     "q_warc_roundtrip" -> (urlCtes +

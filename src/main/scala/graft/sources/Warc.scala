@@ -438,7 +438,9 @@ object Warc {
     * [int, NULL when not HTTP], reason, content_type [the lowercased
     * media type alone], charset [from the Content-Type parameters,
     * lowercased], content_length_hdr [the header value — the DECLARED
-    * length, callers compare with the actual body], http_body [bytes
+    * length, callers compare with the actual body], location [the
+    * redirect target of 3xx responses — feed it back into the crawl
+    * frontier as a candidate edge], http_body [bytes
     * after the first blank line; NULL when not HTTP]. Header names
     * match case-insensitively anywhere in the header block; values
     * trim. Pure per-row regexp expressions, zero shuffle — the
@@ -488,6 +490,7 @@ object Warc {
           .otherwise(col("charset")))
       .withColumn("content_length_hdr",
         header("Content-Length").cast("long"))
+      .withColumn("location", header("Location"))
       .withColumn("http_body",
         when(isHttp, body).otherwise(lit(null).cast("string")))
   }

@@ -393,6 +393,26 @@ object Streaming {
       .filter(col("text_density") >= minDensity &&
         length(col("text")) >= minChars)
 
+  /** Streaming twin of the q_crawl_to_md composition — the modern
+    * corpus ingest LIVE: WARC response payloads arriving on a stream
+    * are HTTP-parsed ([[graft.sources.Warc.httpResponseMeta]]), gated
+    * to successful HTML (`status == 200 && content_type ==
+    * "text/html"` — 404s, redirects, non-HTML media and non-HTTP
+    * payloads drop), and the surviving bodies converted to markdown
+    * ([[graft.text.HtmlExtract.htmlToMarkdown]] — the same regexp
+    * chains as batch, so stream ≡ batch bit-for-bit). Pure per-row
+    * expressions end to end: NO state store, no watermark — compose
+    * the stateful stages (dedup, windowed indexes) downstream.
+    * Returns (idCol, markdown). */
+  def streamingCrawlToMd(src: DataFrame, payloadCol: String,
+      idCol: String): DataFrame =
+    graft.sources.Warc.httpResponseMeta(src, payloadCol)
+      .filter(col("is_http") && col("status") === 200 &&
+        col("content_type") === "text/html")
+      .select(col(idCol),
+        graft.text.HtmlExtract.htmlToMarkdown(col("http_body"))
+          .as("markdown"))
+
   /** Streaming benchmark-contamination flag: mark stream documents that
     * (probably) share a word n-gram with a fixed benchmark corpus, via
     * the driver-built Bloom filter riding in the plan — a pure map-only

@@ -120,6 +120,11 @@ class IOSpec extends SparkSuite {
     val ch = one("HTTP/1.1 200 OK\r\n" +
       "Transfer-Encoding: chunked\r\n\r\n4\r\nWiki\r\n0\r\n\r\n")
     assert(ch.getAs[String]("http_body").startsWith("4\r\nWiki"))
+    // redirect Location lifts; absent elsewhere
+    val mv = one("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: https://t.example/new\r\n\r\n")
+    assert(mv.getAs[String]("location") === "https://t.example/new")
+    assert(full.isNullAt(full.fieldIndex("location")))
     // not HTTP: everything nulls, flag false
     val raw = one("just a text document")
     assert(!raw.getAs[Boolean]("is_http") &&

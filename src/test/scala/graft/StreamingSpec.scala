@@ -464,6 +464,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl-to-md: HTTP parse + 200/html gate + markdown, " +
+      "stateless, batch-equal") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    def resp(status: String, ct: String, body: String) =
+      s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n" + body
+    val keep = resp("200 OK", "text/html; charset=utf-8",
+      "<h1>Title</h1><p>Body with a <b>bold</b> word.</p>")
+    val miss = resp("404 Not Found", "text/html", "<p>gone</p>")
+    val plain = resp("200 OK", "text/plain", "not html")
+    val out = Streaming.streamingCrawlToMd(mem.toDF(), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("crawl_md")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def doc(id: Long, t: String) =
+        Doc(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t)
+      mem.addData(doc(1, keep), doc(2, miss), doc(3, plain),
+        doc(4, "not http at all"))
+      q.processAllAvailable()
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        "expected no stateful operators")
+      val rows = spark.table("crawl_md").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L))
+      assert(rows(1L) === "# Title\n\nBody with a **bold** word.")
+      // stream ≡ batch on the same payloads
+      val batch = Streaming.streamingCrawlToMd(
+          Seq((1L, keep), (2L, miss)).toDF("doc_id", "text"),
+          "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("streaming contamination flag: bloom probe, no state, no misses") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
