@@ -76,6 +76,9 @@ object ScaleProbe {
     if (args.headOption.contains("multimodal")) {
       multimodalProbe(spark, n); return
     }
+    if (args.headOption.contains("html")) {
+      htmlProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -1015,6 +1018,68 @@ object ScaleProbe {
       probe("exif_jpeg",
         Multimodal.syntheticExifJpegs(ids, "doc_id"))(Multimodal.exifMeta)
       probe("pdf", Pdf.syntheticPdfs(ids, "doc_id"))(Pdf.pdfMeta)
+    }
+    spark.stop()
+  }
+
+  /** HTML ingest scale probe — the three regexp-chain map stages that
+    * ARE the 100 TB ingest path: [[graft.text.HtmlExtract.extractText]]
+    * (the WET form), [[graft.text.HtmlExtract.htmlToMarkdown]] (the
+    * structure-preserving form, ~3x the regexp passes), and
+    * [[graft.sources.Warc.httpResponseMeta]] (the wire-response lift
+    * in front of both). Synthetic pages built from the q_html_markdown
+    * template shapes at n and 5n rows behind an eager localCheckpoint;
+    * warmed up before timing (the multimodalProbe lesson). Expected:
+    * all three linear in rows, max task ≈ wall (uniform per-row regexp
+    * cost, no skew axis), markdown a small constant factor over plain
+    * extraction. Usage:
+    *   SPARK_GRAFT_PROBE_N=200000 sbt "runMain graft.ScaleProbe html"
+    */
+  private def htmlProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    def pages(size: Long) = spark.range(size).select(
+      col("id"),
+      concat(
+        lit("<html><head><title>T</title><script>var x=1;</script>" +
+          "</head><body><h1>Doc "), pmod(col("id"), lit(7L)),
+        lit("</h1><p>Intro with <b>bold</b> and <i>ital</i> &amp; " +
+          "entity, plus a longer paragraph of running prose so the " +
+          "chain works on realistic text volume not just tags.</p>" +
+          "<h2>Sec "), pmod(col("id"), lit(3L)),
+        lit("</h2><ul><li>alpha "), pmod(col("id"), lit(5L)),
+        lit("</li><li><a href=\"/l/"), pmod(col("id"), lit(4L)),
+        lit("\">link</a></li></ul><pre><code>x = "),
+        pmod(col("id"), lit(9L)),
+        lit("</code></pre><blockquote>quoted</blockquote><hr>" +
+          "<p><img alt=\"pic\" src=\"/i/x.png\"> tail</p>" +
+          "</body></html>")).as("html"))
+    def payloads(size: Long) = pages(size).select(col("id"),
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "charset=UTF-8\r\nContent-Length: "),
+        length(col("html")), lit("\r\n\r\n"), col("html")).as("payload"))
+    locally { // warmup: JIT the chains before anything is timed
+      val w = math.max(n / 10, 1000).toLong
+      Bench.run(pages(w).select(
+        graft.text.HtmlExtract.extractText(col("html"))))
+      Bench.run(pages(w).select(
+        graft.text.HtmlExtract.htmlToMarkdown(col("html"))))
+      Bench.run(graft.sources.Warc.httpResponseMeta(payloads(w)))
+    }
+    for (size <- Seq(n.toLong, n.toLong * 5)) {
+      val p = pages(size).localCheckpoint(true)
+      val pay = payloads(size).localCheckpoint(true)
+      val (tx, mx, _) = timedRunGc(spark)(
+        p.select(graft.text.HtmlExtract.extractText(col("html"))))
+      val (tm, mm, _) = timedRunGc(spark)(
+        p.select(graft.text.HtmlExtract.htmlToMarkdown(col("html"))))
+      val (th, mh, _) = timedRunGc(spark)(
+        graft.sources.Warc.httpResponseMeta(pay))
+      println(f"SCALE_PROBE html pages=$size " +
+        f"extract=$tx%.1f s (max_task=${mx}ms) " +
+        f"markdown=$tm%.1f s (max_task=${mm}ms) " +
+        f"http_meta=$th%.1f s (max_task=${mh}ms)")
+      p.unpersist(blocking = true); pay.unpersist(blocking = true)
     }
     spark.stop()
   }
