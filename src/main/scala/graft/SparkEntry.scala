@@ -1178,6 +1178,30 @@ object SparkEntry {
           .withColumn("payload", payload))
         .drop("payload")
     }),
+    "q_http_dechunk" -> ((s, dir) => {
+      // Transfer-Encoding: chunked decoding — closing the boundary the
+      // wire parse documents: bodies arrive as two hex-sized chunks
+      // (an extension on the first, a trailer after the terminal
+      // 0-chunk, both dropped per RFC 9112); every 13th doc carries
+      // malformed framing and keeps its raw bytes with the flag down
+      val d = col("doc_id")
+      val p1 = concat(lit("Hello "), d.cast("string"))
+      val good = concat(
+        lower(hex(length(p1))), lit(";ext=1\r\n"), p1, lit("\r\n"),
+        lit("6\r\n world\r\n"),
+        lit("0\r\nX-Trailer: t\r\n\r\n"))
+      val bodyArm = when(pmod(d, lit(13)) === 0, lit("Z\r\nbroken"))
+        .otherwise(good)
+      val payload = concat(
+        lit("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+          "Content-Type: text/html\r\n\r\n"), bodyArm)
+      graft.sources.Warc.dechunkHttpBodies(
+        graft.sources.Warc.httpResponseMeta(
+          table(s, dir, "documents").select(col("doc_id"))
+            .withColumn("payload", payload)))
+        .select(col("doc_id"), col("chunked"), col("dechunk_ok"),
+          col("http_body"))
+    }),
     "q_warc_roundtrip" -> ((s, dir) => {
       // WARC, the native CommonCrawl container, as DISK ARTIFACTS
       // under the oracle (the q_token_shards discipline): documents +
@@ -6518,7 +6542,19 @@ object SparkEntry {
         |  CASE WHEN raw OR starm <> 2 THEN NULL
         |    ELSE 'https://m.example/moved/' || (doc_id % 5)::VARCHAR
         |    END AS location,
+        |  FALSE AS chunked,
         |  CASE WHEN raw THEN NULL ELSE body END AS http_body
+        |FROM t""".stripMargin,
+    // chunk framing rebuilt with the same hex-size arithmetic; the
+    // malformed arm keeps its raw bytes and flips the flag
+    "q_http_dechunk" ->
+      """WITH t AS (SELECT doc_id,
+        |    'Hello ' || doc_id::VARCHAR AS p1 FROM documents)
+        |SELECT doc_id, TRUE AS chunked,
+        |  doc_id % 13 <> 0 AS dechunk_ok,
+        |  CASE WHEN doc_id % 13 = 0
+        |    THEN 'Z' || chr(13) || chr(10) || 'broken'
+        |    ELSE p1 || ' world' END AS http_body
         |FROM t""".stripMargin,
     "q_warc_roundtrip" -> (urlCtes +
       """

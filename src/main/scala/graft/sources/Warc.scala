@@ -491,7 +491,82 @@ object Warc {
       .withColumn("content_length_hdr",
         header("Content-Length").cast("long"))
       .withColumn("location", header("Location"))
+      .withColumn("chunked",
+        coalesce(header("Transfer-Encoding"), lit(""))
+          .rlike("(?i)\\bchunked\\b"))
       .withColumn("http_body",
         when(isHttp, body).otherwise(lit(null).cast("string")))
+  }
+
+  /** Decode `Transfer-Encoding: chunked` bodies in place — closing the
+    * boundary [[httpResponseMeta]] documents: rows whose `chunked`
+    * column is true get their `bodyCol` replaced by the reassembled
+    * payload (hex chunk-size lines walked over the UTF-8 BYTES — sizes
+    * count octets, not chars — chunk extensions after `;` ignored,
+    * trailers after the 0-chunk dropped, per RFC 9112 §7.1), plus a
+    * `dechunk_ok` flag: malformed chunk framing (non-hex size, size
+    * past the buffer, missing CRLF) keeps the RAW body and flips the
+    * flag — the poisoned-row containment of the multimodal walks.
+    * Non-chunked rows pass through with `dechunk_ok = true`. One
+    * `mapPartitions` pass, no shuffle. */
+  def dechunkHttpBodies(df: DataFrame,
+      bodyCol: String = "http_body",
+      chunkedCol: String = "chunked"): DataFrame = {
+    val schema = df.schema
+      .add(org.apache.spark.sql.types.StructField("dechunk_ok",
+        org.apache.spark.sql.types.BooleanType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val bIdx = df.schema.fieldIndex(bodyCol)
+    val cIdx = df.schema.fieldIndex(chunkedCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val vals = r.toSeq.toArray
+        var ok = true
+        if (!r.isNullAt(cIdx) && r.getBoolean(cIdx) &&
+            !r.isNullAt(bIdx)) {
+          dechunkOne(r.getString(bIdx)) match {
+            case Some(decoded) => vals(bIdx) = decoded
+            case None => ok = false // raw body kept
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          vals.toIndexedSeq :+ Boolean.box(ok))
+      }
+    }(enc).toDF()
+  }
+
+  /** One chunked body → reassembled payload; None when the framing is
+    * malformed. */
+  private[graft] def dechunkOne(body: String): Option[String] = {
+    val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (true) {
+      // hex size, optional ;extension, CRLF (bare LF tolerated)
+      var j = i
+      var size = 0L
+      var digits = 0
+      while (j < b.length && Character.digit(b(j).toChar, 16) >= 0) {
+        size = size * 16 + Character.digit(b(j).toChar, 16)
+        digits += 1; j += 1
+        if (size > Int.MaxValue || digits > 8) return None
+      }
+      if (digits == 0) return None
+      while (j < b.length && b(j) != '\n' && b(j) != '\r') j += 1 // ext
+      if (j < b.length && b(j) == '\r') j += 1
+      if (j >= b.length || b(j) != '\n') return None
+      j += 1
+      if (size == 0) // terminal chunk; trailers (if any) drop
+        return Some(new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      if (j + size > b.length) return None
+      out.write(b, j, size.toInt)
+      i = j + size.toInt
+      // the CRLF closing this chunk's data
+      if (i < b.length && b(i) == '\r') i += 1
+      if (i >= b.length || b(i) != '\n') return None
+      i += 1
+    }
+    None // unreachable
   }
 }

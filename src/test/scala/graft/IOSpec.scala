@@ -116,10 +116,32 @@ class IOSpec extends SparkSuite {
     assert(bare.getAs[Int]("status") === 204 &&
       bare.getAs[String]("http_body") === "" &&
       bare.isNullAt(bare.fieldIndex("content_type")))
-    // chunked body returns RAW (wire form) — documented boundary
+    // chunked body returns RAW from the lift; dechunkHttpBodies
+    // reassembles it (multi-chunk, extension, trailer, bare-LF)
     val ch = one("HTTP/1.1 200 OK\r\n" +
       "Transfer-Encoding: chunked\r\n\r\n4\r\nWiki\r\n0\r\n\r\n")
+    assert(ch.getAs[Boolean]("chunked"))
     assert(ch.getAs[String]("http_body").startsWith("4\r\nWiki"))
+    assert(Warc.dechunkOne("4\r\nWiki\r\n0\r\n\r\n") === Some("Wiki"))
+    assert(Warc.dechunkOne("4;x=1\r\nWiki\r\n6\r\npedia!\r\n" +
+      "0\r\nX-T: v\r\n\r\n") === Some("Wikipedia!"))
+    assert(Warc.dechunkOne("4\nWiki\n0\n\n") === Some("Wiki")) // bare LF
+    // sizes count OCTETS: a multi-byte char consumes its UTF-8 bytes
+    assert(Warc.dechunkOne("3\r\nüb\r\n0\r\n\r\n") === Some("üb"))
+    assert(Warc.dechunkOne("Z\r\nbroken") === None)       // non-hex size
+    assert(Warc.dechunkOne("9\r\nshort\r\n0\r\n\r\n") === None) // overrun
+    val dc = Warc.dechunkHttpBodies(Warc.httpResponseMeta(Seq(
+        (1L, "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+          "4\r\nWiki\r\n0\r\n\r\n"),
+        (2L, "HTTP/1.1 200 OK\r\n\r\nplain body"),
+        (3L, "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+          "Z\r\nbroken")).toDF("id", "payload")))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("http_body"), r.getAs[Boolean]("dechunk_ok"))))
+      .toMap
+    assert(dc(1L) === (("Wiki", true)))
+    assert(dc(2L) === (("plain body", true)))  // non-chunked untouched
+    assert(dc(3L) === (("Z\r\nbroken", false))) // raw kept, flag down
     // redirect Location lifts; absent elsewhere
     val mv = one("HTTP/1.1 301 Moved Permanently\r\n" +
       "Location: https://t.example/new\r\n\r\n")
