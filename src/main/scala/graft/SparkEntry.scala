@@ -1178,6 +1178,33 @@ object SparkEntry {
           .withColumn("payload", payload))
         .drop("payload")
     }),
+    "q_redirect_edges" -> ((s, dir) => {
+      // the redirect graph out of the wire responses — the edges URL
+      // canonicalization and frontier feedback run on: 3xx records'
+      // Location targets, normalized and aggregated per target with
+      // the min source id (the q_url_dedup keep rule); non-redirects
+      // and non-HTTP payloads contribute nothing
+      val d = col("doc_id")
+      val locHdr = when(pmod(d, lit(3)) === 2,
+          concat(lit("Location: https://m.example/moved/"),
+            pmod(d, lit(5)).cast("string"), lit("\r\n")))
+        .otherwise(lit(""))
+      val statusLine =
+        when(pmod(d, lit(3)) === 0, lit("HTTP/1.1 200 OK\r\n"))
+        .when(pmod(d, lit(3)) === 1, lit("HTTP/1.1 404 Not Found\r\n"))
+        .otherwise(lit("HTTP/1.0 301 Moved Permanently\r\n"))
+      val payload = when(pmod(d, lit(11)) === 0,
+          concat(lit("plain text record "), d.cast("string")))
+        .otherwise(concat(statusLine, locHdr, lit("\r\n")))
+      graft.sources.Warc.httpResponseMeta(
+          table(s, dir, "documents").select(col("doc_id"))
+            .withColumn("payload", payload))
+        .filter(col("status").between(300, 399) &&
+          col("location").isNotNull)
+        .groupBy(graft.text.UrlOps.normalizeUrl(col("location"))
+          .as("target_url"))
+        .agg(count(lit(1)).as("n_refs"), min(col("doc_id")).as("min_src"))
+    }),
     "q_http_dechunk" -> ((s, dir) => {
       // Transfer-Encoding: chunked decoding — closing the boundary the
       // wire parse documents: bodies arrive as two hex-sized chunks
@@ -6545,6 +6572,15 @@ object SparkEntry {
         |  FALSE AS chunked,
         |  CASE WHEN raw THEN NULL ELSE body END AS http_body
         |FROM t""".stripMargin,
+    // redirect sources = the 301 arm minus the non-HTTP arm; the
+    // fixture Locations are already canonical so normalize is identity
+    "q_redirect_edges" ->
+      """WITH r AS (
+        |  SELECT doc_id, doc_id % 5 AS t FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id % 11 <> 0)
+        |SELECT 'https://m.example/moved/' || t::VARCHAR AS target_url,
+        |  count(*)::BIGINT AS n_refs, min(doc_id)::BIGINT AS min_src
+        |FROM r GROUP BY 1""".stripMargin,
     // chunk framing rebuilt with the same hex-size arithmetic; the
     // malformed arm keeps its raw bytes and flips the flag
     "q_http_dechunk" ->
