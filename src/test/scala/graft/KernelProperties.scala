@@ -92,6 +92,35 @@ object KernelProperties extends Properties("graft.kernels") {
       Gen.chooseNum(-50.0, 50.0).map(x => math.rint(x * 4) / 4)))
     .map(_.toArray)
 
+  // chunked-encode an arbitrary BMP string at arbitrary CHAR-aligned
+  // split points (each size header = that piece's UTF-8 OCTET count —
+  // the RFC 9112 rule the multi-byte chars here exercise), with random
+  // extensions and a trailer: the decoder must return the original.
+  // Char-aligned because dechunking runs AFTER readWarc's UTF-8
+  // decode — a chunk boundary tearing a multi-byte char is lossy at
+  // the decode step itself (the documented binary-payload boundary),
+  // not a decoder defect.
+  property("dechunkOne inverts char-aligned chunk framing, octet sizes") =
+    Prop.forAll(bmpString, Gen.chooseNum(0L, Long.MaxValue)) {
+      (s, seed) =>
+        val rng = new scala.util.Random(seed)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          val take = math.min(1 + rng.nextInt(7), s.length - i)
+          val piece = s.substring(i, i + take)
+          sb.append(piece.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8).length.toHexString)
+          if (rng.nextBoolean()) sb.append(";x=1")
+          sb.append("\r\n").append(piece).append("\r\n")
+          i += take
+        }
+        sb.append("0\r\n")
+        if (rng.nextBoolean()) sb.append("X-Trailer: t\r\n")
+        sb.append("\r\n")
+        graft.sources.Warc.dechunkOne(sb.toString).contains(s)
+    }
+
   property("otsu: ratio in (0,1), mean_diff > 0, order-blind") =
     Prop.forAll(otsuSample) { m =>
       val (md, sl, su, r) = graft.analysis.Features.otsuSplit(m)
