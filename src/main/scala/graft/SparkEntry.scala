@@ -153,6 +153,51 @@ object SparkEntry {
       path
     })
 
+  /** On-disk WARC of NON-UTF-8 wire responses for q_warc_charset —
+    * the ingest-boundary fixture: deterministic doc_id texts encoded
+    * per-arm into windows-1252 / Shift-JIS / UTF-8 BYTES (the
+    * charset-encode expression; a string column cannot hold them),
+    * wrapped in HTTP responses whose Content-Type declares the
+    * charset, and written through the writer's binary-payload path.
+    * Built once per JVM and data dir, the [[warcPath]] discipline. */
+  private val charsetWarcBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def charsetWarcPath(s: SparkSession, dir: String): String =
+    charsetWarcBuilt.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        "graft_charsetwarc_" + digest).getAbsolutePath
+      val dd = col("doc_id")
+      val arm = pmod(dd, lit(3))
+      val sfx = pmod(dd, lit(7)).cast("string")
+      val text = when(arm === 0,
+          concat(lit("résumé café — n°"), sfx))
+        .when(arm === 1, concat(lit("日本語テキスト"), sfx))
+        .otherwise(concat(lit("über ✓ plain "), sfx))
+      val label = when(arm === 0, lit("windows-1252"))
+        .when(arm === 1, lit("shift_jis"))
+        .otherwise(lit("utf-8"))
+      val bodyBytes =
+        graft.functions.HttpBytesExpressions.charsetEncode(text, label)
+      // the utf-8 arm carries NO charset parameter — the fallback path
+      val ctHdr = when(arm === 2, lit("Content-Type: text/html\r\n"))
+        .otherwise(concat(lit("Content-Type: text/html; charset="),
+          label, lit("\r\n")))
+      val head = concat(lit("HTTP/1.1 200 OK\r\n"), ctHdr,
+        lit("Content-Length: "), octet_length(bodyBytes).cast("string"),
+        lit("\r\n\r\n"))
+      val payload = concat(head.cast("binary"), bodyBytes)
+      val pages = table(s, d, "documents").select(col("doc_id"))
+        .withColumn("url", syntheticUrl)
+        .withColumn("wire_bytes", payload)
+      graft.sources.Warc.writeWarc(pages, path,
+        textCol = "wire_bytes").collect()
+      path
+    })
+
   /** The q_html_extract page template over the documents text — shared
     * by the extraction query and the WET lane so both pin the SAME
     * regexp-chain semantics. */
@@ -1228,6 +1273,27 @@ object SparkEntry {
             .withColumn("payload", payload)))
         .select(col("doc_id"), col("chunked"), col("dechunk_ok"),
           col("http_body"))
+    }),
+    "q_warc_charset" -> ((s, dir) => {
+      // the CLOSED ingest boundary end-to-end from DISK: non-UTF-8
+      // wire bodies (windows-1252 / Shift-JIS arms, plus a
+      // no-charset-param UTF-8 fallback arm) written as BYTES through
+      // the writer's binary-payload path, read back with the verbatim
+      // payload_bytes column, HTTP-parsed, and transcoded with the
+      // charset the wire metadata DETECTED — the decoded text
+      // hash-matches the oracle's template reconstruction, while the
+      // legacy UTF-8 decode is provably replacement-charred (`charred`)
+      // on exactly the non-UTF-8 arms
+      val meta = graft.sources.Warc.decodeHttpBody(
+        graft.sources.Warc.httpResponseMeta(
+          graft.sources.Warc.readWarc(s, charsetWarcPath(s, dir)),
+          bytesCol = Some("payload_bytes")))
+      meta.select(col("record_id").as("doc_id"), col("charset"),
+        col("http_text"), col("length_ok"), col("headers_ok"),
+        col("dechunk_ok"),
+        octet_length(col("http_body_bytes")).as("body_octets"),
+        length(col("http_text")).as("text_chars"),
+        (col("http_body") =!= col("http_text")).as("charred"))
     }),
     "q_warc_roundtrip" -> ((s, dir) => {
       // WARC, the native CommonCrawl container, as DISK ARTIFACTS
@@ -6553,6 +6619,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  NOT raw AS is_http,
+        |  CASE WHEN raw THEN NULL ELSE TRUE END AS headers_ok,
         |  (CASE WHEN raw THEN NULL WHEN starm = 0 THEN 200
         |    WHEN starm = 1 THEN 404 ELSE 301 END)::INT AS status,
         |  CASE WHEN raw THEN NULL WHEN starm = 0 THEN 'OK'
@@ -6591,6 +6658,26 @@ object SparkEntry {
         |  CASE WHEN doc_id % 13 = 0
         |    THEN 'Z' || chr(13) || chr(10) || 'broken'
         |    ELSE p1 || ' world' END AS http_body
+        |FROM t""".stripMargin,
+    // the transcode chain (encode → WARC bytes on disk → payload_bytes
+    // → detected-charset decode) must reproduce the template TEXT
+    // exactly; the oracle never touches bytes — it rebuilds the
+    // expected strings and the per-arm octet arithmetic analytically
+    "q_warc_charset" ->
+      """WITH t AS (SELECT doc_id, doc_id % 3 AS arm,
+        |    (doc_id % 7)::VARCHAR AS sfx FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN arm = 0 THEN 'windows-1252'
+        |    WHEN arm = 1 THEN 'shift_jis' ELSE NULL END AS charset,
+        |  CASE WHEN arm = 0 THEN 'résumé café — n°' || sfx
+        |    WHEN arm = 1 THEN '日本語テキスト' || sfx
+        |    ELSE 'über ✓ plain ' || sfx END AS http_text,
+        |  TRUE AS length_ok, TRUE AS headers_ok, TRUE AS dechunk_ok,
+        |  (CASE WHEN arm = 0 THEN 17 WHEN arm = 1 THEN 15
+        |    ELSE 17 END)::INT AS body_octets,
+        |  (CASE WHEN arm = 0 THEN 17 WHEN arm = 1 THEN 8
+        |    ELSE 14 END)::INT AS text_chars,
+        |  arm <> 2 AS charred
         |FROM t""".stripMargin,
     "q_warc_roundtrip" -> (urlCtes +
       """

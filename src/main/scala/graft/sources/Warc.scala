@@ -82,6 +82,12 @@ object Warc {
     // local/HDFS defaults but fail on configured object stores
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // a BINARY payload column writes its octets verbatim — the path
+    // that preserves non-UTF-8 wire bodies end-to-end (a string column
+    // is necessarily UTF-8 inside Spark, so windows-1252/Shift-JIS
+    // responses must travel as bytes)
+    val binaryPayload = df.schema(textCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
     df.select(col(idCol).cast("long"), col(uriCol), col(textCol))
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -104,9 +110,11 @@ object Warc {
         val memberOffsets = scala.collection.mutable.ArrayBuffer[Long]()
         it.foreach { r =>
           if (gzip) memberOffsets += bytes
-          val payload = if (r.isNullAt(2)) "" else r.getString(2)
           val pBytes =
-            payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (r.isNullAt(2)) Array.emptyByteArray
+            else if (binaryPayload) r.getAs[Array[Byte]](2)
+            else r.getString(2)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val sb = new StringBuilder
           sb.append(Delim)
           sb.append(s"WARC-Type: $warcType\r\n")
@@ -178,11 +186,21 @@ object Warc {
       warcType = "conversion", refersToPrefix = Some("urn:graft"))
 
   private val OutSchema = Seq("record_id", "warc_type", "target_uri",
-    "content_length", "payload", "length_ok", "warc_date")
+    "content_length", "payload", "payload_bytes", "length_ok",
+    "warc_date")
 
+  private type RecTuple =
+    (Long, String, String, Long, String, Array[Byte], Boolean, String)
+
+  /** Both readers emit the payload TWICE: `payload` (UTF-8 decode,
+    * replacement-charred when the wire bytes were another charset —
+    * the convenient column for known-UTF-8 corpora) and
+    * `payload_bytes` (the verbatim octets, the column charset-driven
+    * transcode and binary media walks must start from). Keeping both
+    * costs one array the scan already holds; dropping the bytes at
+    * read time was the r11 ingest boundary this closes. */
   private def headerTuple(headers: Map[String, String],
-      payload: String, lengthOk: Boolean)
-      : (Long, String, String, Long, String, Boolean, String) = {
+      payloadBytes: Array[Byte], lengthOk: Boolean): RecTuple = {
     val declared = headers.get("Content-Length")
       .flatMap(_.toLongOption).getOrElse(-1L)
     val id = headers.get("WARC-Record-ID")
@@ -192,7 +210,9 @@ object Warc {
       headers.getOrElse("WARC-Type", ""),
       headers.getOrElse("WARC-Target-URI", ""),
       declared,
-      payload,
+      new String(payloadBytes,
+        java.nio.charset.StandardCharsets.UTF_8),
+      payloadBytes,
       lengthOk,
       headers.getOrElse("WARC-Date", ""))
   }
@@ -207,30 +227,45 @@ object Warc {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", Delim)
+    // Text is a raw byte holder — copyBytes() (NOT toString) keeps the
+    // record's verbatim octets, so a windows-1252 payload survives to
+    // the payload_bytes column instead of being replacement-charred by
+    // an eager UTF-8 decode at the split boundary
     val records = spark.sparkContext.newAPIHadoopFile(
         s"$dir/*.warc",
         classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
         classOf[org.apache.hadoop.io.LongWritable],
         classOf[org.apache.hadoop.io.Text], conf)
-      .map(_._2.toString)
+      .map(_._2.copyBytes())
       .filter(_.nonEmpty) // the empty split before the first delimiter
     records.flatMap { rec =>
-      val sep = rec.indexOf("\r\n\r\n")
+      // first CRLF CRLF in BYTES = header/payload separator
+      var sep = -1
+      var i = 0
+      while (sep < 0 && i + 3 < rec.length) {
+        if (rec(i) == '\r' && rec(i + 1) == '\n' &&
+            rec(i + 2) == '\r' && rec(i + 3) == '\n') sep = i
+        i += 1
+      }
       if (sep < 0) None
       else {
-        val headers = rec.substring(0, sep).split("\r\n").iterator
+        // WARC named headers are ASCII; URIs may carry UTF-8 — decode
+        // the header block alone as UTF-8 (payload bytes stay raw)
+        val headers = new String(rec, 0, sep,
+            java.nio.charset.StandardCharsets.UTF_8)
+          .split("\r\n").iterator
           .map(_.split(": ", 2))
           .collect { case Array(k, v) => k -> v }
           .toMap
         // payload = between the header separator and the record trailer
-        val body = rec.substring(sep + 4)
-        val payload =
-          if (body.endsWith("\r\n\r\n")) body.dropRight(4) else body
+        var end = rec.length
+        if (end - (sep + 4) >= 4 && rec(end - 4) == '\r' &&
+            rec(end - 3) == '\n' && rec(end - 2) == '\r' &&
+            rec(end - 1) == '\n') end -= 4
+        val payload = java.util.Arrays.copyOfRange(rec, sep + 4, end)
         val declared = headers.get("Content-Length")
           .flatMap(_.toLongOption).getOrElse(-1L)
-        val ok = payload.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8).length == declared
-        Some(headerTuple(headers, payload, ok))
+        Some(headerTuple(headers, payload, payload.length == declared))
       }
     }.toDF(OutSchema: _*)
   }
@@ -312,7 +347,7 @@ object Warc {
     }
     if (ranges.isEmpty) {
       return Seq
-        .empty[(Long, String, String, Long, String, Boolean, String)]
+        .empty[RecTuple]
         .toDF(OutSchema: _*)
     }
     // ship the session's Hadoop configuration into the task closure
@@ -350,9 +385,8 @@ object Warc {
 
   /** The Content-Length walk over a decompressed WARC byte stream. */
   private def walkRecords(in: java.io.InputStream)
-      : Iterator[(Long, String, String, Long, String, Boolean, String)] = {
+      : Iterator[RecTuple] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     // CRLF-terminated line as bytes (WARC headers are ASCII); None = EOF
     def readLine(): Option[String] = {
       val buf = new java.io.ByteArrayOutputStream(96)
@@ -375,17 +409,17 @@ object Warc {
       }
       (java.util.Arrays.copyOf(arr, off), off == arr.length)
     }
-    new Iterator[(Long, String, String, Long, String, Boolean, String)] {
+    new Iterator[RecTuple] {
       // `damaged` MUST initialize before `nextRec`: the nextRec
       // initializer calls advance(), and Scala constructor ordering
       // would otherwise reset a damage flag set while reading the
       // FIRST record back to false
       private var damaged = false
       private var nextRec
-          : Option[(Long, String, String, Long, String, Boolean, String)] =
+          : Option[RecTuple] =
         advance()
       private def advance()
-          : Option[(Long, String, String, Long, String, Boolean, String)] = {
+          : Option[RecTuple] = {
         if (damaged) return None
         // version line (skip blank inter-record lines defensively)
         var line = readLine()
@@ -412,14 +446,13 @@ object Warc {
               // consume the CRLF CRLF record trailer
               if (full) readFully(4L)
               else damaged = true
-              Some(headerTuple(hdrs.toMap,
-                new String(payload, utf8), full))
+              Some(headerTuple(hdrs.toMap, payload, full))
             }
         }
       }
       override def hasNext: Boolean = nextRec.isDefined
       override def next()
-          : (Long, String, String, Long, String, Boolean, String) = {
+          : RecTuple = {
         val r = nextRec.get
         nextRec = advance()
         r
@@ -448,11 +481,26 @@ object Warc {
     *
     * Boundary (documented): HTTP/1.1 transfer-encoding chunked bodies
     * are returned raw (chunk-size lines included) — WARC captures the
-    * wire form; de-chunking is a separate concern a caller opts into. */
+    * wire form; de-chunking is a separate concern a caller opts into.
+    *
+    * Truncation is DISTINGUISHABLE from emptiness: `headers_ok` is
+    * true only when the header block actually terminates in a blank
+    * line; a truncated capture gets `headers_ok = false` and a NULL
+    * `http_body` (not ''), and a malformed status line leaves `reason`
+    * NULL rather than '' — so no downstream gate can mistake damage
+    * for a genuine empty-bodied 204.
+    *
+    * When `bytesCol` names the reader's `payload_bytes` column, the
+    * frame also gets `http_body_bytes`: the body OCTETS after the
+    * header terminator, the column [[decodeHttpBody]] transcodes with
+    * the detected charset (status/header detection stays on the string
+    * payload — HTTP headers are ASCII, so they survive any charset). */
   def httpResponseMeta(df: DataFrame,
-      payloadCol: String = "payload"): DataFrame = {
+      payloadCol: String = "payload",
+      bytesCol: Option[String] = None): DataFrame = {
     val p = col(payloadCol)
     val isHttp = p.rlike("^HTTP/[0-9.]+ ")
+    val headersOk = p.rlike("(?s)\r?\n\r?\n")
     // header block = status line through the first blank line (tolerant
     // of bare-LF separators some archives carry)
     val headerBlock =
@@ -465,15 +513,19 @@ object Warc {
     }
     val ctype = header("Content-Type")
     val body = regexp_extract(p, "(?s)^.*?\r?\n\r?\n(.*)$", 1)
-    df
+    val statusCol = regexp_extract(p, "^HTTP/[0-9.]+ (\\d{3})", 1)
+    val withBase = df
       .withColumn("is_http", isHttp)
+      .withColumn("headers_ok",
+        when(isHttp, headersOk).otherwise(lit(null).cast("boolean")))
       .withColumn("status",
-        when(isHttp, regexp_extract(p, "^HTTP/[0-9.]+ (\\d{3})", 1)
-          .cast("int")).otherwise(lit(null).cast("int")))
+        when(isHttp && statusCol =!= "", statusCol.cast("int"))
+          .otherwise(lit(null).cast("int")))
       .withColumn("reason",
-        when(isHttp, trim(regexp_extract(p,
+        when(isHttp && statusCol =!= "", trim(regexp_extract(p,
           "^HTTP/[0-9.]+ \\d{3}([^\r\n]*)", 1)))
           .otherwise(lit(null).cast("string")))
+    withBase
       .withColumn("content_type",
         lower(trim(regexp_extract(coalesce(ctype, lit("")),
           "^([^;]*)", 1))))
@@ -495,7 +547,50 @@ object Warc {
         coalesce(header("Transfer-Encoding"), lit(""))
           .rlike("(?i)\\bchunked\\b"))
       .withColumn("http_body",
-        when(isHttp, body).otherwise(lit(null).cast("string")))
+        when(isHttp && headersOk, body)
+          .otherwise(lit(null).cast("string")))
+      .transform { base =>
+        bytesCol match {
+          case None => base
+          case Some(bc) =>
+            base.withColumn("http_body_bytes",
+              when(isHttp,
+                graft.functions.HttpBytesExpressions
+                  .httpBodyBytesCol(col(bc)))
+                .otherwise(lit(null).cast("binary")))
+        }
+      }
+  }
+
+  /** Charset-driven body decode over [[httpResponseMeta]]'s
+    * `http_body_bytes` — the transcode that closes the UTF-8-at-read
+    * ingest boundary: chunked bodies are reassembled FIRST over octets
+    * (RFC 9112 sizes count bytes; malformed framing keeps the raw
+    * bytes and lowers `dechunk_ok`), then the octets decode with the
+    * charset the wire metadata detected (unknown labels and missing
+    * charset parameters fall back to UTF-8, the HTML5 default;
+    * unmappable bytes become U+FFFD, never an error). Adds
+    * `http_text` (the correctly-transcoded body — what every
+    * downstream text operator should consume instead of `http_body`)
+    * and `dechunk_ok`. Pure native-expression columns: map-only,
+    * whole-stage-codegen'd, zero shuffle. */
+  def decodeHttpBody(df: DataFrame,
+      bytesCol: String = "http_body_bytes",
+      charsetCol: String = "charset",
+      chunkedCol: String = "chunked",
+      outCol: String = "http_text"): DataFrame = {
+    import graft.functions.HttpBytesExpressions._
+    val raw = col(bytesCol)
+    val dech = dechunkBytesCol(raw)
+    val eff = when(coalesce(col(chunkedCol), lit(false)),
+      coalesce(dech, raw)).otherwise(raw)
+    df
+      .withColumn("dechunk_ok",
+        when(raw.isNull, lit(true))
+          .otherwise(!coalesce(col(chunkedCol), lit(false)) ||
+            dech.isNotNull))
+      .withColumn(outCol,
+        charsetDecode(eff, coalesce(col(charsetCol), lit("utf-8"))))
   }
 
   /** Decode `Transfer-Encoding: chunked` bodies in place — closing the
@@ -536,37 +631,12 @@ object Warc {
   }
 
   /** One chunked body → reassembled payload; None when the framing is
-    * malformed. */
-  private[graft] def dechunkOne(body: String): Option[String] = {
-    val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val out = new java.io.ByteArrayOutputStream(b.length)
-    var i = 0
-    while (true) {
-      // hex size, optional ;extension, CRLF (bare LF tolerated)
-      var j = i
-      var size = 0L
-      var digits = 0
-      while (j < b.length && Character.digit(b(j).toChar, 16) >= 0) {
-        size = size * 16 + Character.digit(b(j).toChar, 16)
-        digits += 1; j += 1
-        if (size > Int.MaxValue || digits > 8) return None
-      }
-      if (digits == 0) return None
-      while (j < b.length && b(j) != '\n' && b(j) != '\r') j += 1 // ext
-      if (j < b.length && b(j) == '\r') j += 1
-      if (j >= b.length || b(j) != '\n') return None
-      j += 1
-      if (size == 0) // terminal chunk; trailers (if any) drop
-        return Some(new String(out.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8))
-      if (j + size > b.length) return None
-      out.write(b, j, size.toInt)
-      i = j + size.toInt
-      // the CRLF closing this chunk's data
-      if (i < b.length && b(i) == '\r') i += 1
-      if (i >= b.length || b(i) != '\n') return None
-      i += 1
-    }
-    None // unreachable
-  }
+    * malformed. String facade over the shared OCTET kernel
+    * ([[graft.functions.HttpBytesExpressions.dechunkBytes]]) — valid
+    * only for char-aligned (UTF-8-representable) bodies; the byte path
+    * [[decodeHttpBody]] is the charset-correct one. */
+  private[graft] def dechunkOne(body: String): Option[String] =
+    Option(graft.functions.HttpBytesExpressions.dechunkBytes(
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
 }

@@ -154,6 +154,101 @@ class IOSpec extends SparkSuite {
       raw.isNullAt(raw.fieldIndex("http_body")))
   }
 
+  test("binary payload lane: non-UTF-8 wire bodies survive as octets " +
+      "through BOTH containers and transcode with the DETECTED charset; " +
+      "truncated header blocks are distinguishable from empty bodies; " +
+      "chunked reassembly runs on bytes BEFORE the decode") {
+    import spark.implicits._
+    import graft.sources.Warc
+    import graft.functions.HttpBytesExpressions
+    val w1252 = java.nio.charset.Charset.forName("windows-1252")
+    val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+    val t1 = "café — désolé ±±" // 0xE9/0x97/0xB1: w1252-mappable
+    val t2 = "日本語のテキスト"
+    def resp(body: Array[Byte], hdr: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$hdr\r\n\r\n")
+        .getBytes("US-ASCII") ++ body
+    // chunk framing that SPLITS a Shift-JIS char across chunks: only
+    // an octet-level dechunk-then-decode order can reassemble it
+    def chunk(b: Array[Byte]): Array[Byte] = {
+      val cut = 5
+      val (a, c) = b.splitAt(cut)
+      (f"${a.length}%x\r\n").getBytes("US-ASCII") ++ a ++
+        "\r\n".getBytes("US-ASCII") ++
+        (f"${c.length}%x\r\n").getBytes("US-ASCII") ++ c ++
+        "\r\n0\r\n\r\n".getBytes("US-ASCII")
+    }
+    val rows = Seq(
+      // html5 alias: latin-1 label decodes as windows-1252
+      (1L, "https://a/x", resp(t1.getBytes(w1252),
+        "Content-Type: text/html; charset=ISO-8859-1")),
+      (2L, "https://a/y", resp(t2.getBytes(sjis),
+        "Content-Type: text/html; charset=Shift_JIS")),
+      // truncated capture: header block never terminates
+      (3L, "https://a/z", "HTTP/1.1 200 OK\r\nContent-Type: text/p"
+        .getBytes("US-ASCII")),
+      (4L, "https://a/w", resp(chunk(t2.getBytes(sjis)),
+        "Transfer-Encoding: chunked\r\n" +
+          "Content-Type: text/plain; charset=shift_jis")),
+      // malformed status line: is_http, but status AND reason null
+      (5L, "https://a/v", "HTTP/1.1 XYZ bad\r\n\r\nx"
+        .getBytes("US-ASCII")),
+      // genuinely empty body: headers terminate, body ''
+      (6L, "https://a/u", "HTTP/1.1 204 No Content\r\n\r\n"
+        .getBytes("US-ASCII")))
+      .toDF("doc_id", "url", "payload")
+    val dirPlain = tmp()
+    val dirGz = tmp()
+    Warc.writeWarc(rows, dirPlain, textCol = "payload").collect()
+    Warc.writeWarc(rows, dirGz, textCol = "payload", gzip = true)
+      .collect()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Warc.decodeHttpBody(Warc.httpResponseMeta(df,
+          bytesCol = Some("payload_bytes")))
+        .collect().map(r => r.getAs[Long]("record_id") -> r).toMap
+    val m = run(Warc.readWarc(spark, dirPlain))
+    val g = run(Warc.readWarcGz(spark, dirGz))
+    Seq(m, g).foreach { mm =>
+      // the transcode reproduces the original text exactly…
+      assert(mm(1L).getAs[String]("http_text") === t1)
+      assert(mm(2L).getAs[String]("http_text") === t2)
+      // …while the legacy UTF-8 column is replacement-charred
+      assert(mm(1L).getAs[String]("http_body") !== t1)
+      assert(mm(2L).getAs[String]("http_body") !== t2)
+      // length_ok now counts the RAW octets (not a re-encode)
+      assert(mm(2L).getAs[Boolean]("length_ok"))
+      // truncation ≠ emptiness
+      assert(mm(3L).getAs[Boolean]("headers_ok") === false)
+      assert(mm(3L).isNullAt(mm(3L).fieldIndex("http_body")))
+      assert(mm(6L).getAs[Boolean]("headers_ok") === true)
+      assert(mm(6L).getAs[String]("http_body") === "")
+      assert(mm(6L).getAs[String]("http_text") === "")
+      // chunked: octet reassembly across a split multibyte char,
+      // THEN the charset decode
+      assert(mm(4L).getAs[Boolean]("dechunk_ok"))
+      assert(mm(4L).getAs[String]("http_text") === t2)
+      // malformed status line: reason is NULL, not ''
+      assert(mm(5L).getAs[Boolean]("is_http"))
+      assert(mm(5L).isNullAt(mm(5L).fieldIndex("status")))
+      assert(mm(5L).isNullAt(mm(5L).fieldIndex("reason")))
+    }
+    // kernel fallbacks: unknown label → UTF-8; unmappable → U+FFFD
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(HttpBytesExpressions.decodeCharset(
+      "plain".getBytes("UTF-8"), UTF8String.fromString("x-bogus"))
+      .toString === "plain")
+    assert(HttpBytesExpressions.decodeCharset(
+      Array(0x82.toByte), UTF8String.fromString("shift_jis"))
+      .toString === "�")
+    // header-terminator edge shapes
+    assert(HttpBytesExpressions.httpBodyBytes(
+      "H: v\r\n\r\n".getBytes("US-ASCII")).length === 0)
+    assert(HttpBytesExpressions.httpBodyBytes(
+      "H: v\n\n".getBytes("US-ASCII")).length === 0)
+    assert(HttpBytesExpressions.httpBodyBytes(
+      "H: v\r\n".getBytes("US-ASCII")) === null)
+  }
+
   test("warc: multi-partition round-trip preserves headers and payload " +
       "bytes; null columns degrade cleanly; corrupt length is flagged") {
     import spark.implicits._
@@ -172,7 +267,7 @@ class IOSpec extends SparkSuite {
     assert(back.size === 4)
     back.values.foreach { r =>
       assert(r.getString(1) === "response")
-      assert(r.getBoolean(5), s"length_ok false for ${r.getLong(0)}")
+      assert(r.getBoolean(6), s"length_ok false for ${r.getLong(0)}")
     }
     // multi-byte payload: Content-Length counts OCTETS, not chars
     assert(back(2L).getLong(3) ===
@@ -189,7 +284,7 @@ class IOSpec extends SparkSuite {
       java.nio.file.Paths.get(dir2, "part_00000.warc"),
       bad.getBytes("UTF-8"))
     val flagged = Warc.readWarc(spark, dir2).collect()
-    assert(flagged.length === 1 && !flagged(0).getBoolean(5))
+    assert(flagged.length === 1 && !flagged(0).getBoolean(6))
   }
 
   test("wet: conversion records carry WARC-Type conversion and a " +
@@ -207,11 +302,11 @@ class IOSpec extends SparkSuite {
     assert(back.size === 2)
     back.values.foreach { r =>
       assert(r.getString(1) === "conversion")
-      assert(r.getBoolean(5))
+      assert(r.getBoolean(6))
     }
     assert(back(7L).getString(4) === "extracted text one")
     assert(back(8L).getString(4) === "extracted ü two")
-    // the refers-to linkage is in the raw header bytes (the 7-column
+    // the refers-to linkage is in the raw header bytes (the 8-column
     // read schema deliberately stays fixed)
     import scala.jdk.CollectionConverters._
     val raw = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
@@ -253,8 +348,8 @@ class IOSpec extends SparkSuite {
     assert(gz.size === 4)
     gz.values.foreach { r =>
       assert(r.getString(1) === "response")
-      assert(r.getBoolean(5), s"length_ok false for ${r.getLong(0)}")
-      assert(r.getString(6) === Warc.EpochWarcDate)
+      assert(r.getBoolean(6), s"length_ok false for ${r.getLong(0)}")
+      assert(r.getString(7) === Warc.EpochWarcDate)
     }
     // the walk reads delimiter bytes as payload, not a record break
     assert(gz(3L).getString(4) === "evil WARC/1.0\r\n inline bytes")
@@ -263,8 +358,13 @@ class IOSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r).toMap
     // (plain reader CAN mis-split doc 3 — that is its documented limit;
     // compare the clean rows only, and the walk-read values for all)
+    // (payload_bytes is an Array — compare structurally, not by ref)
+    def norm(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }
     Seq(1L, 2L, 4L).foreach { id =>
-      assert(gz(id).toSeq === plain(id).toSeq, s"mismatch at $id")
+      assert(norm(gz(id)) === norm(plain(id)), s"mismatch at $id")
     }
     assert(gz(2L).getLong(3) ===
       "über UTF-8 ✓ payload".getBytes("UTF-8").length.toLong)
@@ -291,7 +391,7 @@ class IOSpec extends SparkSuite {
       java.nio.file.Paths.get(dir4, "part_00000.warc.gz"),
       bo.toByteArray)
     val dmg = Warc.readWarcGz(spark, dir4).collect()
-    assert(dmg.length === 1 && !dmg(0).getBoolean(5))
+    assert(dmg.length === 1 && !dmg(0).getBoolean(6))
     assert(dmg(0).getLong(0) === 9L)
   }
 
@@ -311,9 +411,13 @@ class IOSpec extends SparkSuite {
       names)
     val whole = Warc.readWarcGz(spark, dir)
     val split = Warc.readWarcGzSplit(spark, dir, tasksPerFile = 5)
-    // identical rows either way
-    val a = whole.collect().map(_.toSeq).toSet
-    val b = split.collect().map(_.toSeq).toSet
+    // identical rows either way (payload_bytes compared structurally)
+    def norm(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }
+    val a = whole.collect().map(norm).toSet
+    val b = split.collect().map(norm).toSet
     assert(a === b && a.size === 120)
     // and the split really fans out: one file, multiple partitions
     assert(split.rdd.getNumPartitions === 5)
@@ -326,6 +430,6 @@ class IOSpec extends SparkSuite {
     new java.io.File(dir, ".part_00000.warc.gz.idx.crc").delete()
     val noIdx = Warc.readWarcGzSplit(spark, dir, tasksPerFile = 5)
     assert(noIdx.rdd.getNumPartitions === 1)
-    assert(noIdx.collect().map(_.toSeq).toSet === a)
+    assert(noIdx.collect().map(norm).toSet === a)
   }
 }
