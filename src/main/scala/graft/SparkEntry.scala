@@ -975,12 +975,19 @@ object SparkEntry {
       // /Count, object count, xref VALIDATION, per-stream decode
       // health, and the extracted text all stated analytically by the
       // oracle (the q_image_exif posture)
+      // round-12 arms: %7 ids write HEX show strings (<…> Tj), %13
+      // classic ids LZW-compress their content streams (zero-dep
+      // §7.4.4 decode), %11 classic ids carry an INCREMENTAL UPDATE
+      // (appended page-0 revision + xref with /Prev — n_xrefs = 2 and
+      // the revision text appended; the /Prev chain walk validates
+      // BOTH tables)
       import graft.multimodal.Pdf
       Pdf.pdfMeta(Pdf.syntheticPdfs(table(s, dir, "documents"),
           "doc_id"))
         .select(col("media_id"), col("parsed"), col("version"),
           col("n_pages"), col("pages_declared"), col("n_objects"),
-          col("xref_ok"), col("streams_ok"), col("text"))
+          col("xref_ok"), col("n_xrefs"), col("streams_ok"),
+          col("text"))
     }),
     "q_video_mp4_meta" -> ((s, dir) => {
       // REAL ISO-BMFF container parse, no codec: synthetic mp4s with a
@@ -6120,7 +6127,10 @@ object SparkEntry {
         |    'Doc ' || doc_id::VARCHAR || ' pg 1 (x=' ||
         |      (doc_id % 9)::VARCHAR || ') a\b' AS p1,
         |    'Doc ' || doc_id::VARCHAR || ' pg 2 (x=' ||
-        |      (doc_id % 9)::VARCHAR || ') a\b' AS p2
+        |      (doc_id % 9)::VARCHAR || ') a\b' AS p2,
+        |    'Doc ' || doc_id::VARCHAR || ' pg 0 rev2 (x=' ||
+        |      (doc_id % 9)::VARCHAR || ') a\b' AS rev,
+        |    doc_id % 5 <> 0 AND doc_id % 11 = 0 AS updated
         |  FROM documents)
         |SELECT doc_id AS media_id, true AS parsed,
         |  CASE WHEN doc_id % 5 = 0 THEN '1.5' ELSE '1.4' END AS version,
@@ -6129,10 +6139,12 @@ object SparkEntry {
         |  ((CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 3 END)
         |    + 2 * (doc_id % 3 + 1))::INT AS n_objects,
         |  true AS xref_ok,
+        |  (CASE WHEN updated THEN 2 ELSE 1 END)::INT AS n_xrefs,
         |  true AS streams_ok,
-        |  CASE doc_id % 3 WHEN 0 THEN p0
+        |  (CASE doc_id % 3 WHEN 0 THEN p0
         |    WHEN 1 THEN p0 || chr(10) || p1
-        |    ELSE p0 || chr(10) || p1 || chr(10) || p2 END AS text
+        |    ELSE p0 || chr(10) || p1 || chr(10) || p2 END) ||
+        |    (CASE WHEN updated THEN chr(10) || rev ELSE '' END) AS text
         |FROM p""".stripMargin,
     "q_video_mp4_meta" ->
       """WITH p AS (

@@ -49,6 +49,10 @@ object Pdf {
   private[graft] def pdfPageText(id: Long, k: Int): String =
     s"Doc $id pg $k (x=${id % 9}) a\\b"
 
+  /** The incremental-update arm's replacement text for page 0. */
+  private[graft] def pdfUpdateText(id: Long): String =
+    s"Doc $id pg 0 rev2 (x=${id % 9}) a\\b"
+
   /** Escape a literal string for a PDF `(…)` token (§7.3.4.2). */
   private def escLit(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
@@ -98,6 +102,122 @@ object Pdf {
     out.toByteArray
   }
 
+  /** PDF LZWDecode (ISO 32000-1 §7.4.4, EarlyChange=1 — the default):
+    * MSB-first variable-width codes 9→12 bits, 256=Clear, 257=EOD,
+    * width grows ONE CODE EARLY (at table sizes 511/1023/2047). The
+    * pre-Flate filter old documents (and TIFF-derived tooling) still
+    * carry; zero-deps decode is ~50 lines. Throws on malformed code
+    * sequences — callers contain per-stream like [[inflate]]. */
+  private[graft] def lzwDecode(data: Array[Byte],
+      maxOut: Int = 1 << 24): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+    val table = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def reset(): Unit = {
+      table.clear()
+      (0 until 256).foreach(i => table += Array(i.toByte))
+      table += Array.emptyByteArray // 256 Clear
+      table += Array.emptyByteArray // 257 EOD
+    }
+    reset()
+    var width = 9
+    var acc = 0L
+    var nbits = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    while (i < data.length || nbits >= width) {
+      if (nbits < width) {
+        acc = (acc << 8) | (data(i) & 0xff); nbits += 8; i += 1
+      } else {
+        val code = ((acc >> (nbits - width)) & ((1L << width) - 1)).toInt
+        nbits -= width
+        if (code == 257) return out.toByteArray // EOD
+        else if (code == 256) { reset(); width = 9; prev = null }
+        else {
+          val entry =
+            if (code < table.length) table(code)
+            else if (code == table.length && prev != null)
+              prev :+ prev(0) // the KwKwK case
+            else throw new java.util.zip.DataFormatException(
+              s"LZW code $code out of range")
+          out.write(entry, 0, entry.length)
+          if (out.size() > maxOut)
+            throw new java.util.zip.DataFormatException(
+              "LZW output exceeds cap")
+          if (prev != null) table += (prev :+ entry(0))
+          prev = entry
+          // EarlyChange=1 + the decoder's one-entry lag behind the
+          // encoder (the first post-Clear code adds nothing): grow
+          // when the encoder — one entry ahead — is about to
+          if (table.length >= (1 << width) - 2 && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZW encoder twin (EarlyChange=1) — the writer arm that gives the
+    * decoder real compressed bytes to chew on. Emits Clear first and
+    * EOD last, per §7.4.4. */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    var acc = 0L
+    var nbits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[String, Int]()
+    def reset(): Unit = {
+      dict.clear()
+      (0 until 256).foreach(i =>
+        dict.put(new String(Array(i.toChar)), i))
+    }
+    reset()
+    var next = 258
+    emit(256) // Clear
+    var w = ""
+    for (b <- data) {
+      val c = (b & 0xff).toChar.toString
+      val wc = w + c
+      if (dict.containsKey(wc)) w = wc
+      else {
+        emit(dict.get(w))
+        dict.put(wc, next); next += 1
+        // encoder grows width one code early too (mirror the decoder)
+        if (next >= (1 << width) - 1 && width < 12) width += 1
+        if (next > 4095) { emit(256); reset(); next = 258; width = 9 }
+        w = c
+      }
+    }
+    if (w.nonEmpty) emit(dict.get(w))
+    emit(257) // EOD
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Hex-string form of a show operand (§7.3.4.3): UTF-8 bytes as hex
+    * pairs inside `<…>`. */
+  private def hexStr(s: String): String =
+    "<" + s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map("%02X".format(_)).mkString + ">"
+
+  /** Page k's show operator: even pages a single `Tj`, odd pages the
+    * two-element kerned `TJ` every real PDF uses; `hex = true` writes
+    * hex-string operands (`<…> Tj`) instead of literals — the form
+    * identity-encoded fonts emit. */
+  private def showOp(text: String, k: Int, hex: Boolean): String =
+    if (k % 2 == 0) {
+      if (hex) s"${hexStr(text)} Tj" else s"(${escLit(text)}) Tj"
+    } else {
+      val mid = text.length / 2
+      val (a, b) = (text.substring(0, mid), text.substring(mid))
+      if (hex) s"[${hexStr(a)} -250 ${hexStr(b)}] TJ"
+      else s"[(${escLit(a)}) -250 (${escLit(b)})] TJ"
+    }
+
   /** Build a complete single-xref PDF: catalog → page tree → one page
     * object + one uncompressed content stream per page (even pages use
     * `Tj`, odd pages split the text into a two-element `TJ` array — the
@@ -113,9 +233,10 @@ object Pdf {
     * instead of the table, no `trailer` keyword. */
   private[graft] def buildPdf(pages: Seq[String],
       version: String = "1.4", flate: Boolean = false,
-      modern: Boolean = false): Array[Byte] = {
+      modern: Boolean = false, hex: Boolean = false,
+      lzw: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
-    if (modern) return buildPdfModern(pages, version, flate)
+    if (modern) return buildPdfModern(pages, version, flate, hex)
     val n = pages.size
     val fontObj = 3 + 2 * n
     val out = new java.io.ByteArrayOutputStream(1024)
@@ -135,21 +256,16 @@ object Pdf {
       obj(pageNum, s"<< /Type /Page /Parent 2 0 R /Resources " +
         s"<< /Font << /F1 $fontObj 0 R >> >> " +
         s"/MediaBox [0 0 612 792] /Contents ${pageNum + 1} 0 R >>")
-      val show =
-        if (k % 2 == 0) s"(${escLit(text)}) Tj"
-        else {
-          val mid = text.length / 2
-          s"[(${escLit(text.substring(0, mid))}) -250 " +
-            s"(${escLit(text.substring(mid))})] TJ"
-        }
-      val content = s"BT /F1 12 Tf 72 720 Td $show ET"
+      val content = s"BT /F1 12 Tf 72 720 Td ${showOp(text, k, hex)} ET"
       val cbytes = content
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (flate) {
-        val data = deflate(cbytes)
+      if (lzw || flate) {
+        val (data, filter) =
+          if (lzw) (lzwEncode(cbytes), "/LZWDecode")
+          else (deflate(cbytes), "/FlateDecode")
         offsets(pageNum + 1) = out.size().toLong
         wr(s"${pageNum + 1} 0 obj\n<< /Length ${data.length} " +
-          "/Filter /FlateDecode >>\nstream\n")
+          s"/Filter $filter >>\nstream\n")
         out.write(data, 0, data.length)
         wr("\nendstream\nendobj\n")
       } else {
@@ -168,6 +284,42 @@ object Pdf {
     out.toByteArray
   }
 
+  /** Incrementally-updated document (§7.5.6): the base file's bytes
+    * UNTOUCHED, then an appended revision — a replacement content
+    * stream for page 0 (object 4), a one-subsection xref table
+    * covering just that object, and a trailer whose `/Prev` points at
+    * the base xref — exactly how real editors save. A parser that only
+    * walks the LAST startxref sees the update but never validates the
+    * base table; [[pdfMeta]] walks the whole `/Prev` chain and reports
+    * its length in `n_xrefs`. */
+  private[graft] def buildPdfUpdated(pages: Seq[String],
+      version: String = "1.4", flate: Boolean = false,
+      hex: Boolean = false, lzw: Boolean = false,
+      updateText: String): Array[Byte] = {
+    val base = buildPdf(pages, version, flate, modern = false, hex, lzw)
+    val s = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sx = s.lastIndexOf("startxref")
+    val prevAt = s.substring(sx + "startxref".length).trim
+      .takeWhile(_.isDigit)
+    val out = new java.io.ByteArrayOutputStream(base.length + 256)
+    out.write(base, 0, base.length)
+    def wr(t: String): Unit =
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val objAt = out.size().toLong
+    val content =
+      s"BT /F1 12 Tf 72 720 Td (${escLit(updateText)}) Tj ET"
+    val cbytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    wr(s"4 0 obj\n<< /Length ${cbytes.length} >>\nstream\n" +
+      s"$content\nendstream\nendobj\n")
+    val xrefAt = out.size().toLong
+    val size = 3 + 2 * pages.size + 1 // unchanged: object 4 replaced
+    wr("xref\n4 1\n")
+    wr(f"$objAt%010d 00000 n \n")
+    wr(s"trailer\n<< /Size $size /Root 1 0 R /Prev $prevAt >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** The PDF 1.5+ layout of [[buildPdf]] — what real modern PDFs ship:
     * every NON-stream object (catalog, page tree, page dicts, font)
     * lives compressed inside one `/ObjStm` object stream (§7.5.7 —
@@ -181,7 +333,7 @@ object Pdf {
     * 4+2k, font = 3+2n) with two extra objects: the ObjStm (4+2n) and
     * the XRef stream (5+2n), so `/Size − 1 = 5+2n`. */
   private def buildPdfModern(pages: Seq[String], version: String,
-      flate: Boolean): Array[Byte] = {
+      flate: Boolean, hex: Boolean = false): Array[Byte] = {
     val n = pages.size
     val fontObj = 3 + 2 * n
     val objStmObj = fontObj + 1
@@ -195,14 +347,7 @@ object Pdf {
     // content streams: regular objects (streams can't live in ObjStm)
     pages.zipWithIndex.foreach { case (text, k) =>
       val num = 4 + 2 * k
-      val show =
-        if (k % 2 == 0) s"(${escLit(text)}) Tj"
-        else {
-          val mid = text.length / 2
-          s"[(${escLit(text.substring(0, mid))}) -250 " +
-            s"(${escLit(text.substring(mid))})] TJ"
-        }
-      val content = s"BT /F1 12 Tf 72 720 Td $show ET"
+      val content = s"BT /F1 12 Tf 72 720 Td ${showOp(text, k, hex)} ET"
       val cbytes = content
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       offsets(num) = out.size().toLong
@@ -242,26 +387,35 @@ object Pdf {
       "/Filter /FlateDecode >>\nstream\n")
     out.write(osData, 0, osData.length)
     wr("\nendstream\nendobj\n")
-    // the XRef stream, entries in object-number order 0..size-1
+    // the XRef stream, entries in object-number order 0..size-1. The
+    // offset field width derives from the LARGEST offset in the file
+    // (xrefAt — it follows every object): a fixed 2-byte field would
+    // silently truncate offsets past 65535 as content grows (the r11
+    // ADVICE cliff); real writers size /W the same way.
     val xrefAt = out.size().toLong
-    val rows = new java.io.ByteArrayOutputStream(size * 5)
-    def row(t: Int, f2: Int, f3: Int): Unit = {
+    val offW =
+      if (xrefAt <= 0xFFFFL) 2
+      else if (xrefAt <= 0xFFFFFFFFL) 4
+      else 8
+    val rows = new java.io.ByteArrayOutputStream(size * (offW + 3))
+    def row(t: Int, f2: Long, f3: Int): Unit = {
       rows.write(t)
-      rows.write((f2 >> 8) & 0xff); rows.write(f2 & 0xff)
+      var j = offW - 1
+      while (j >= 0) { rows.write(((f2 >> (8 * j)) & 0xff).toInt); j -= 1 }
       rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
     }
-    row(0, 0, 65535)
-    row(2, objStmObj, 0) // catalog
-    row(2, objStmObj, 1) // page tree
+    row(0, 0L, 65535)
+    row(2, objStmObj.toLong, 0) // catalog
+    row(2, objStmObj.toLong, 1) // page tree
     for (k <- 0 until n) {
-      row(2, objStmObj, 2 + k)            // page dict 3+2k
-      row(1, offsets(4 + 2 * k).toInt, 0) // content stream 4+2k
+      row(2, objStmObj.toLong, 2 + k)  // page dict 3+2k
+      row(1, offsets(4 + 2 * k), 0)    // content stream 4+2k
     }
-    row(2, objStmObj, 2 + n)              // font
-    row(1, offsets(objStmObj).toInt, 0)
-    row(1, xrefAt.toInt, 0)
+    row(2, objStmObj.toLong, 2 + n)    // font
+    row(1, offsets(objStmObj), 0)
+    row(1, xrefAt, 0)
     val xData = deflate(rows.toByteArray)
-    wr(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /W [1 2 2] " +
+    wr(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /W [1 $offW 2] " +
       s"/Root 1 0 R /Length ${xData.length} " +
       "/Filter /FlateDecode >>\nstream\n")
     out.write(xData, 0, xData.length)
@@ -289,8 +443,20 @@ object Pdf {
           val id = r.getLong(0)
           val pages =
             (0 until nPdfPages(id)).map(k => pdfPageText(id, k))
-          val bytes = buildPdf(pages, pdfVersion(id),
-            flate = id % 2 == 1, modern = id % 5 == 0)
+          // round-12 arms: %7 writes HEX show strings, %13 (classic
+          // only) LZW-compresses content streams, %11 (classic only)
+          // appends an incremental UPDATE revision for page 0
+          val hex = id % 7 == 0
+          val classic = id % 5 != 0
+          val lzw = classic && id % 13 == 0
+          val bytes =
+            if (classic && id % 11 == 0)
+              buildPdfUpdated(pages, pdfVersion(id),
+                flate = id % 2 == 1, hex = hex, lzw = lzw,
+                updateText = pdfUpdateText(id))
+            else buildPdf(pages, pdfVersion(id),
+              flate = id % 2 == 1, modern = !classic, hex = hex,
+              lzw = lzw)
           Row(id, "document", bytes,
             Row("pdf", null, null, null))
         }
@@ -309,6 +475,7 @@ object Pdf {
     StructField("pages_declared", IntegerType, nullable = true),
     StructField("n_objects", IntegerType, nullable = true),
     StructField("xref_ok", BooleanType, nullable = false),
+    StructField("n_xrefs", IntegerType, nullable = true),
     StructField("streams_ok", BooleanType, nullable = false),
     StructField("text", StringType, nullable = true)
   ))
@@ -342,7 +509,7 @@ object Pdf {
         catch {
           case scala.util.control.NonFatal(_) =>
             Row(id, bytes.length, false, null, null, null, null, false,
-              false, null)
+              null, false, null)
         }
       }
     }(enc).toDF()
@@ -359,7 +526,7 @@ object Pdf {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF-"))
       return Row(id, bytes.length, false, null, null, null, null, false,
-        false, null)
+        null, false, null)
     val version = s.substring(5, math.min(s.length,
       s.indexWhere(c => c == '\r' || c == '\n', 5) match {
         case -1 => s.length
@@ -394,7 +561,9 @@ object Pdf {
             .map(_.group(1).toInt)
           val flate =
             "/Filter\\s*/FlateDecode\\b".r.findFirstIn(dict).isDefined
-          val otherFilter = !flate &&
+          val lzw = !flate &&
+            "/Filter\\s*/LZWDecode\\b".r.findFirstIn(dict).isDefined
+          val otherFilter = !flate && !lzw &&
             "/Filter\\b".r.findFirstIn(dict).isDefined
           val isObjStm =
             "/Type\\s*/ObjStm\\b".r.findFirstIn(dict).isDefined
@@ -416,12 +585,14 @@ object Pdf {
           if (endKw < 0) more = false
           else {
             def decoded: Option[String] =
-              if (flate)
-                try Some(new String(
-                  inflate(s.substring(bodyStart, bodyEnd).getBytes(
-                    java.nio.charset.StandardCharsets.ISO_8859_1)),
-                  java.nio.charset.StandardCharsets.ISO_8859_1))
-                catch { case scala.util.control.NonFatal(_) =>
+              if (flate || lzw)
+                try {
+                  val raw = s.substring(bodyStart, bodyEnd).getBytes(
+                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                  Some(new String(
+                    if (flate) inflate(raw) else lzwDecode(raw),
+                    java.nio.charset.StandardCharsets.ISO_8859_1))
+                } catch { case scala.util.control.NonFatal(_) =>
                   streamsOk = false; None }
               else if (otherFilter) { streamsOk = false; None }
               else Some(s.substring(bodyStart, bodyEnd))
@@ -459,49 +630,70 @@ object Pdf {
       }
     }.nextOption()
     // ---- xref walk: last startxref → a CLASSIC table ("xref"
-    // keyword) or a 1.5+ XREF STREAM (`N 0 obj` with /Type /XRef) →
-    // offset validation. Classic: every in-use entry must land on
-    // `N 0 obj`. Modern: type-1 entries likewise; type-2 entries must
-    // name an object stream we decoded AND their index must resolve to
-    // the right object number in its header — the cross-structure
-    // integrity check a crawled 1.5+ PDF needs before being trusted.
+    // keyword, possibly MULTIPLE subsections) or a 1.5+ XREF STREAM
+    // (`N 0 obj` with /Type /XRef) → offset validation — then FOLLOW
+    // THE /Prev CHAIN (§7.5.6): an incrementally-updated document
+    // (every save in a real editor) appends a new xref whose trailer
+    // points at the previous one; walking only the last startxref
+    // (the pre-r12 behavior) never validates the base revision.
+    // Classic: every in-use entry must land on `N 0 obj`. Modern:
+    // type-1 entries likewise; type-2 entries must name an object
+    // stream we decoded AND their index must resolve to the right
+    // object number in its header — the cross-structure integrity
+    // check a crawled 1.5+ PDF needs before being trusted. n_xrefs
+    // reports the validated chain length; /Size (→ n_objects) comes
+    // from the NEWEST section. A seen-set caps the walk: a /Prev
+    // cycle in a malicious file terminates instead of spinning.
     var xrefOk = false
     var nObjects: Option[Int] = None
-    val sx = s.lastIndexOf("startxref")
-    try if (sx >= 0) {
-      val after = s.substring(sx + "startxref".length).trim
-      val xrefAt = after.takeWhile(_.isDigit)
-      if (xrefAt.nonEmpty && xrefAt.toLong < bytes.length &&
-          s.startsWith("xref", xrefAt.toLong.toInt)) {
-        val tbl = s.substring(xrefAt.toLong.toInt)
-        val lines = tbl.linesIterator
+    var nXrefs = 0
+    // one xref SECTION at `at` → Some((entriesOk, size?, prevAt?));
+    // None when `at` lands on neither a table nor an XRef stream
+    def xrefSection(at: Int): Option[(Boolean, Option[Int], Option[Long])] = {
+      if (s.startsWith("xref", at)) {
+        val lines = s.substring(at).linesIterator
         lines.next() // "xref"
-        val hdr = lines.next().trim.split("\\s+")
-        val first = hdr(0).toInt
-        val count = hdr(1).toInt
         var ok = true
-        var i = 0
-        while (i < count && ok) {
-          val ln = lines.next()
-          val parts = ln.trim.split("\\s+")
-          val objNum = first + i
-          if (parts.length >= 3 && parts(2) == "n") {
-            val off = parts(0).toLong
-            ok = off < bytes.length &&
-              s.startsWith(s"$objNum 0 obj", off.toInt)
-          } // free entries carry no offset to validate
-          i += 1
+        var more = true
+        var hdr = lines.next().trim
+        while (more && ok) {
+          // subsection header "first count", entries, then either
+          // another subsection header or the trailer keyword
+          val h = hdr.split("\\s+")
+          if (h.length != 2 || !h.forall(_.forall(_.isDigit))) ok = false
+          else {
+            val first = h(0).toInt
+            val count = h(1).toInt
+            var i = 0
+            while (i < count && ok) {
+              val parts = lines.next().trim.split("\\s+")
+              val objNum = first + i
+              if (parts.length >= 3 && parts(2) == "n") {
+                val off = parts(0).toLong
+                ok = off < bytes.length &&
+                  s.startsWith(s"$objNum 0 obj", off.toInt)
+              } // free entries carry no offset to validate
+              i += 1
+            }
+            if (ok) {
+              hdr = lines.next().trim
+              if (hdr.startsWith("trailer")) more = false
+            }
+          }
         }
-        xrefOk = ok
-        if (ok) {
-          val tr = s.indexOf("trailer", xrefAt.toLong.toInt)
-          if (tr >= 0)
-            nObjects = "/Size\\s+(\\d+)".r
-              .findFirstMatchIn(s.substring(tr))
-              .map(_.group(1).toInt - 1) // entry 0 is the free head
-        }
-      } else if (xrefAt.nonEmpty && xrefAt.toLong < bytes.length) {
-        val at = xrefAt.toLong.toInt
+        // bound the trailer dict at ITS closing >> — a fixed window
+        // would read past this revision's trailer into the NEXT
+        // appended revision and steal its /Prev (an infinite chain)
+        val tr = s.indexOf("trailer", at)
+        val tEnd = if (tr >= 0) s.indexOf(">>", tr) else -1
+        val tdict =
+          if (tr >= 0 && tEnd > tr) s.substring(tr, tEnd + 2) else ""
+        val size = "/Size\\s+(\\d+)".r.findFirstMatchIn(tdict)
+          .map(_.group(1).toInt)
+        val prev = "/Prev\\s+(\\d+)".r.findFirstMatchIn(tdict)
+          .map(_.group(1).toLong)
+        Some((ok && tr >= 0, size, prev))
+      } else {
         val stPos = s.indexOf("stream", at)
         if (stPos > at &&
             "^\\d+\\s+0\\s+obj".r.findFirstIn(s.substring(at,
@@ -561,11 +753,43 @@ object Pdf {
               // a truncated entry array must read as untrustworthy,
               // not silently-valid: every declared row must be present
               ok = ok && pos == index.map(_._2).sum * rowW
-              xrefOk = ok
-              if (ok) nObjects = Some(size - 1)
+              val prev = "/Prev\\s+(\\d+)".r.findFirstMatchIn(dict)
+                .map(_.group(1).toLong)
+              Some((ok, Some(size), prev))
+            } else None
+          } else None
+        } else None
+      }
+    }
+    val sx = s.lastIndexOf("startxref")
+    try if (sx >= 0) {
+      val after = s.substring(sx + "startxref".length).trim
+      val xrefAt = after.takeWhile(_.isDigit)
+      if (xrefAt.nonEmpty && xrefAt.toLong < bytes.length) {
+        val seenAts = scala.collection.mutable.Set[Long]()
+        var next: Option[Long] = Some(xrefAt.toLong)
+        var allOk = true
+        while (next.isDefined && allOk) {
+          val at = next.get
+          next = None
+          if (at >= bytes.length || seenAts(at)) allOk = false
+          else {
+            seenAts += at
+            xrefSection(at.toInt) match {
+              case Some((ok, size, prev)) =>
+                allOk = ok
+                if (ok) {
+                  nXrefs += 1
+                  if (nObjects.isEmpty)
+                    nObjects = size.map(_ - 1) // entry 0 = free head
+                  next = prev
+                }
+              case None => allOk = false
             }
           }
         }
+        xrefOk = allOk && nXrefs > 0
+        if (!xrefOk) nObjects = None
       }
     } catch {
       // a torn xref (truncated entries, non-numeric header, bad zlib
@@ -577,7 +801,7 @@ object Pdf {
     val text = if (texts.isEmpty) "" else texts.mkString("\n")
     Row(id, bytes.length, true, version, nPages,
       declared.map(Int.box).orNull, nObjects.map(Int.box).orNull,
-      xrefOk, streamsOk, text)
+      xrefOk, if (xrefOk) Int.box(nXrefs) else null, streamsOk, text)
   }
 
   /** Concatenated text of the `Tj` / `TJ` operators in one content
@@ -591,6 +815,30 @@ object Pdf {
       var j = j0
       while (j < content.length && content(j).isWhitespace) j += 1
       j
+    }
+    // hex string starting at '<' (§7.3.4.3): pairs of hex digits,
+    // whitespace ignored, an odd final digit implies a trailing 0 —
+    // the identity-encoded show form; returns (text, index after '>').
+    // `<<` is a DICTIONARY opener, not a string — callers skip it.
+    def hexString(j0: Int): (String, Int) = {
+      val raw = new java.io.ByteArrayOutputStream(64)
+      var j = j0 + 1
+      var hi = -1
+      var closed = false
+      while (j < content.length && !closed) {
+        val c = content(j)
+        val d = Character.digit(c, 16)
+        if (c == '>') {
+          if (hi >= 0) raw.write(hi << 4) // odd digit: low nibble 0
+          closed = true; j += 1
+        } else if (d >= 0) {
+          if (hi < 0) hi = d
+          else { raw.write((hi << 4) | d); hi = -1 }
+          j += 1
+        } else j += 1 // whitespace between digits is legal
+      }
+      (new String(raw.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8), j)
     }
     // literal string starting at '(' → (decoded text, index after ')')
     def literal(j0: Int): (String, Int) = {
@@ -638,6 +886,13 @@ object Pdf {
           val k = ws(after)
           if (content.startsWith("Tj", k)) { out ++= txt; i = k + 2 }
           else i = after
+        case '<' if i + 1 < content.length && content(i + 1) == '<' =>
+          i += 2 // dictionary opener, not a hex string
+        case '<' =>
+          val (txt, after) = hexString(i)
+          val k = ws(after)
+          if (content.startsWith("Tj", k)) { out ++= txt; i = k + 2 }
+          else i = after
         case '[' =>
           val parts = scala.collection.mutable.ArrayBuffer[String]()
           var j = i + 1
@@ -646,6 +901,11 @@ object Pdf {
             content(j) match {
               case '(' =>
                 val (txt, after) = literal(j)
+                parts += txt; j = after
+              case '<' if j + 1 < content.length &&
+                  content(j + 1) == '<' => j += 2
+              case '<' =>
+                val (txt, after) = hexString(j)
                 parts += txt; j = after
               case ']' => closed = j; j += 1
               case _ => j += 1

@@ -28,10 +28,118 @@ class PdfSpec extends SparkSuite {
         (if (id % 5 == 0) 5 else 3) + 2 * n, s"id=$id objects")
       assert(r.getAs[Boolean]("xref_ok"), s"id=$id xref")
       assert(r.getAs[Boolean]("streams_ok"), s"id=$id streams")
-      val expected =
+      // %11 classic ids carry an incremental update: two validated
+      // xref sections and the page-0 revision appended in byte order
+      val updated = id % 5 != 0 && id % 11 == 0
+      assert(r.getAs[Int]("n_xrefs") === (if (updated) 2 else 1),
+        s"id=$id n_xrefs")
+      val base =
         (0 until n).map(k => Pdf.pdfPageText(id, k)).mkString("\n")
+      val expected =
+        if (updated) base + "\n" + Pdf.pdfUpdateText(id) else base
       assert(r.getAs[String]("text") === expected, s"id=$id text")
     }
+  }
+
+  test("lzw: decode(encode(x)) is the identity incl. the 9->10->11 bit " +
+      "width growth and KwKwK; the /LZWDecode arm parses to the same " +
+      "text; corrupt codes flip streams_ok") {
+    val small = "tobeornottobeortobeornot".getBytes("UTF-8")
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(small)).toSeq === small.toSeq)
+    // KwKwK: aaa... makes the decoder reference the entry being built
+    val kwk = Array.fill(64)('a'.toByte)
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(kwk)).toSeq === kwk.toSeq)
+    // enough distinct material to push the table past 511 and 1023
+    // entries (width 9 -> 10 -> 11)
+    val big = (0 until 4000).map(i => s"w${i % 997}x").mkString
+      .getBytes("UTF-8")
+    assert(Pdf.lzwEncode(big).length < big.length) // actually compresses
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(big)).toSeq === big.toSeq)
+    // random bytes survive (encode/decode total on any input)
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(2048)(rnd.nextInt(256).toByte)
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(noise)).toSeq === noise.toSeq)
+    val pages = Seq("lzw page (one) a\\b", "lzw page two")
+    val b = Pdf.buildPdf(pages, lzw = true)
+    val s = new String(b, "ISO-8859-1")
+    assert(s.contains("/LZWDecode") && !s.contains("/FlateDecode"))
+    def parse(bytes: Array[Byte]) = Pdf.pdfMeta(
+      Pdf.syntheticPdfs(Seq(1L).toDF("doc_id"), "doc_id")
+        .withColumn("bytes", lit(bytes))).head()
+    val ok = parse(b)
+    assert(ok.getAs[Boolean]("parsed") && ok.getAs[Boolean]("xref_ok"))
+    assert(ok.getAs[Boolean]("streams_ok"))
+    assert(ok.getAs[String]("text") === pages.mkString("\n"))
+    // corrupt the first LZW body: that stream drops, the other stands
+    val body1 = s.indexOf("\n", s.indexOf("stream\n")) + 1
+    val bad = b.clone()
+    bad(body1) = (bad(body1) ^ 0x7F).toByte
+    bad(body1 + 1) = (bad(body1 + 1) ^ 0x7F).toByte
+    val dam = parse(bad)
+    assert(dam.getAs[Boolean]("parsed"))
+    // either the codes go out of range (throw -> contained) or decode
+    // to garbage without a Tj: text never contains page one's string
+    assert(!dam.getAs[String]("text").contains("lzw page (one)"))
+  }
+
+  test("hex show strings: <…> Tj / TJ decode with whitespace and " +
+      "odd-digit padding; << stays a dictionary; multi-byte UTF-8 " +
+      "round-trips; the hex writer arm matches the literal arm's text") {
+    assert(Pdf.showText("BT <414243> Tj ET") === "ABC")
+    assert(Pdf.showText("<41 42\n43> Tj") === "ABC") // ws between digits
+    assert(Pdf.showText("<414243 4> Tj") === "ABC@") // odd: low nibble 0
+    assert(Pdf.showText("[<41> -120 <42> 3 (C)] TJ") === "ABC")
+    assert(Pdf.showText("<48656C6C6F> Td <41> Tj") === "A") // non-show drops
+    assert(Pdf.showText("<< /D <41> >> (x) Tj") === "x") // dict, not string
+    val pages = Seq("hex über ✓ (p) a\\b", "日本語テキスト")
+    val hexB = Pdf.buildPdf(pages, hex = true)
+    val litB = Pdf.buildPdf(pages)
+    assert(!java.util.Arrays.equals(hexB, litB))
+    def parse(bytes: Array[Byte]) = Pdf.pdfMeta(
+      Pdf.syntheticPdfs(Seq(1L).toDF("doc_id"), "doc_id")
+        .withColumn("bytes", lit(bytes))).head()
+    val r = parse(hexB)
+    assert(r.getAs[Boolean]("parsed") && r.getAs[Boolean]("xref_ok"))
+    assert(r.getAs[String]("text") === pages.mkString("\n"))
+    assert(r.getAs[String]("text") === parse(litB).getAs[String]("text"))
+    // hex + modern layout compose
+    val modHex = Pdf.buildPdf(pages, "1.5", flate = true, modern = true,
+      hex = true)
+    assert(parse(modHex).getAs[String]("text") === pages.mkString("\n"))
+  }
+
+  test("incremental update: the /Prev chain walk validates BOTH xref " +
+      "sections (n_xrefs = 2), the revision text appends, and a torn " +
+      "/Prev pointer fails the whole chain") {
+    val pages = Seq("base page zero", "base page one")
+    val b = Pdf.buildPdfUpdated(pages, updateText = "page zero rev2")
+    def parse(bytes: Array[Byte]) = Pdf.pdfMeta(
+      Pdf.syntheticPdfs(Seq(1L).toDF("doc_id"), "doc_id")
+        .withColumn("bytes", lit(bytes))).head()
+    val r = parse(b)
+    assert(r.getAs[Boolean]("parsed") && r.getAs[Boolean]("xref_ok"))
+    assert(r.getAs[Int]("n_xrefs") === 2)
+    assert(r.getAs[Int]("n_objects") === 7) // size unchanged: replaced
+    assert(r.getAs[String]("text") ===
+      "base page zero\nbase page one\npage zero rev2")
+    // corrupt the /Prev target (base table's first in-use offset):
+    // the newest section still validates but the CHAIN must not
+    val s = new String(b, "ISO-8859-1")
+    val baseXref = s.indexOf("xref\n0 ")
+    val entry = s.indexOf("\n", s.indexOf("65535 f", baseXref)) + 1
+    val bad = b.clone()
+    bad(entry) = if (bad(entry) == '0'.toByte) '1'.toByte else '0'.toByte
+    val dam = parse(bad)
+    assert(dam.getAs[Boolean]("parsed"))
+    assert(!dam.getAs[Boolean]("xref_ok"))
+    assert(dam.isNullAt(dam.fieldIndex("n_xrefs")))
+    // a /Prev pointing at itself (cycle) terminates, flagged invalid
+    val cyc = s.replace(s"/Prev ${s.substring(
+      s.indexOf("/Prev ") + 6).takeWhile(_.isDigit)}",
+      s"/Prev ${s.substring(s.lastIndexOf("startxref") + 9).trim
+        .takeWhile(_.isDigit)}")
+    val cr = parse(cyc.getBytes("ISO-8859-1"))
+    assert(cr.getAs[Boolean]("parsed") && !cr.getAs[Boolean]("xref_ok"))
   }
 
   test("modern layout: ObjStm + xref stream structure, no trailer " +
