@@ -424,11 +424,17 @@ object UrlOps {
   private def attrValue(openTag: Column, name: String): Column = {
     val quoted = "\"[^\"]*\"|'[^']*'"
     val anyVal = quoted + "|[^\\s>\"'][^\\s>]*"
-    val sep = "(?:\\s+|(?<=[\"']))"
-    val other = "[^\\s>=]+(?:\\s*=\\s*(?:" + anyVal + "))?"
+    // Each skipped attribute consumes its OWN separation from what
+    // follows instead of a lookbehind asserting it: a quoted value is
+    // self-delimiting (trailing whitespace optional, so
+    // `class="x"href=/y` still tokenizes), while a bare attribute or
+    // an unquoted value must end in whitespace. No lookbehind keeps
+    // the whole walk RE2-portable (the module's contract).
+    val otherQ = "[^\\s>=]+\\s*=\\s*(?:" + quoted + ")\\s*"
+    val otherU = "[^\\s>=]+(?:\\s*=\\s*[^\\s>\"'][^\\s>]*)?\\s+"
     val v = regexp_extract(openTag,
-      "(?is)^<[a-z][^\\s>]*(?:" + sep + other + ")*?" +
-        sep + name + "\\s*=\\s*(" + anyVal + ")", 1)
+      "(?is)^<[a-z][^\\s>]*\\s+(?:" + otherQ + "|" + otherU + ")*?" +
+        name + "\\s*=\\s*(" + anyVal + ")", 1)
     when(v.startsWith("\"") || v.startsWith("'"),
       v.substr(lit(2), length(v) - 2)).otherwise(v)
   }
