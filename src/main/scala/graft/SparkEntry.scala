@@ -224,11 +224,15 @@ object SparkEntry {
     * fixture → extractText → writeWet, built once per JVM + data dir. */
   private val wetBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** HTML page fixture for q_html_markdown / q_crawl_to_md: every
+  /** HTML page fixture for q_html_markdown / q_crawl_to_md /
+    * q_crawl_md_tables: every
     * [[graft.text.HtmlExtract.htmlToMarkdown]] conversion rule
     * exercised from doc_id templates (dropped script, h1/h2, inline
     * emphasis, entity, list items, link, pre+code fence, blockquote,
-    * hr, image-with-alt). */
+    * hr, image-with-alt, `<ol>` numbering, a NESTED `<ul>`, a
+    * multi-paragraph blockquote, and an HTML table whose first body
+    * cell carries a literal `|` that must escape `\|` in the GFM
+    * rendering). */
   private def mdPageHtml: org.apache.spark.sql.Column = {
     val d = col("doc_id")
     concat(
@@ -252,7 +256,21 @@ object SparkEntry {
       pmod(d, lit(6)).cast("string"),
       lit("\" src=\"/i/"),
       pmod(d, lit(6)).cast("string"),
-      lit(".png\"> tail</p></body></html>"))
+      lit(".png\"> tail</p><ol><li>step a"),
+      pmod(d, lit(3)).cast("string"),
+      lit("</li><li>step b</li></ol><ul><li>top "),
+      pmod(d, lit(2)).cast("string"),
+      lit("<ul><li>sub x</li><li>sub y"),
+      pmod(d, lit(3)).cast("string"),
+      lit("</li></ul></li><li>last</li></ul>" +
+        "<blockquote><p>first "),
+      pmod(d, lit(2)).cast("string"),
+      lit("</p><p>second</p></blockquote>" +
+        "<table><tr><th>C1</th><th>C2</th></tr><tr><td>v|"),
+      pmod(d, lit(4)).cast("string"),
+      lit("</td><td>w"),
+      pmod(d, lit(5)).cast("string"),
+      lit("</td></tr></table></body></html>"))
   }
 
   /** On-disk WARC of full HTTP responses for q_crawl_to_md — the
@@ -1359,6 +1377,25 @@ object SparkEntry {
         .select(col("record_id").as("doc_id"),
           graft.text.HtmlExtract.htmlToMarkdown(col("http_body"))
             .as("markdown"))
+    }),
+    "q_crawl_md_tables" -> ((s, dir) => {
+      // the STRUCTURED-DATA lane fed end-to-end from the crawl: the
+      // q_crawl_to_md composition (WARC from disk → HTTP parse →
+      // 200+text/html gate → htmlToMarkdown) piped straight into the
+      // GFM pipe-table extractor — the HTML table each kept page
+      // carried arrives as markdown (first body cell holds a literal
+      // `|` escaped `\|` by the converter) and comes back out as
+      // cells, pipe intact: render and re-parse must agree exactly
+      val meta = graft.sources.Warc.httpResponseMeta(
+        graft.sources.Warc.readWarc(s, crawlWarcPath(s, dir)))
+      val md = meta.filter(col("is_http") && col("status") === 200 &&
+          col("content_type") === "text/html")
+        .select(col("record_id").as("doc_id"),
+          graft.text.HtmlExtract.htmlToMarkdown(col("http_body"))
+            .as("markdown"))
+      graft.text.Markdown.markdownTableCells(md, "markdown")
+        .select(col("doc_id"), col("table_idx"), col("row_idx"),
+          col("col_idx"), col("cell"))
     }),
     "q_warc_wet" -> ((s, dir) => {
       // the full WARC→WET lane as DISK ARTIFACTS: the q_html_extract
@@ -3734,11 +3771,15 @@ object SparkEntry {
     * 3-row (Name, Qty) outer-piped table (table 0); odds carry a
     * 2-row PIPE-LESS (H1, H2) table instead (GFM's no-outer-pipe
     * form, table 0); every doc carries the (K, V) table with
-    * alignment-marked delimiters (table 1) and a zero-body (E1, E2)
-    * table whose delimiter ends the document WITHOUT a trailing
-    * newline (table 2). Decoy pipe lines — `mid | decoy line` with no
-    * delimiter under it, `|x|y|` over prose — sit between them, and
-    * pipe-free prose gaps stop each table from swallowing its
+    * alignment-marked delimiters (table 1), an escaped-pipe table
+    * whose header AND body cells carry `\|` literals (table 2), a
+    * SINGLE-COLUMN PIPE-LESS table — pipe-free header, `|---`
+    * delimiter, two pipe-free body rows ended by a blank line
+    * (table 3) — and a zero-body (E1, E2) table whose delimiter ends
+    * the document WITHOUT a trailing newline (table 4). Decoy pipe
+    * lines — `mid | decoy line` with no delimiter under it, `|x|y|`
+    * over prose — sit between them, and pipe-free prose gaps (or the
+    * solo table's blank line) stop each table from swallowing its
     * neighbors. */
   private def mdFixture: org.apache.spark.sql.Column = {
     val d = col("doc_id")
@@ -3758,6 +3799,11 @@ object SparkEntry {
       lit("| K | V |\n|:--|--:|\n| k"),
       pmod(d, lit(3)).cast("string"), lit(" | v"),
       pmod(d, lit(4)).cast("string"), lit(" |\n"),
+      lit("escape gap\n| X\\|1 | Y |\n|---|---|\n| a\\|b"),
+      pmod(d, lit(3)).cast("string"),
+      lit(" | c |\nsolo gap\nSolo\n|---\nfirst r"),
+      pmod(d, lit(5)).cast("string"), lit("\nsecond r"),
+      pmod(d, lit(4)).cast("string"), lit("\n\n"),
       lit("tail prose no pipes\n| E1 | E2 |\n|---|---|"))
   }
 
@@ -6389,7 +6435,17 @@ object SparkEntry {
         |    chr(10) || '```' || chr(10) || chr(10) ||
         |    '> quoted ' || g || chr(10) || chr(10) || '---' ||
         |    chr(10) || chr(10) ||
-        |    '![pic ' || h || '](/i/' || h || '.png) tail' AS markdown,
+        |    '![pic ' || h || '](/i/' || h || '.png) tail' ||
+        |    chr(10) || chr(10) ||
+        |    '1. step a' || b || chr(10) || '2. step b' ||
+        |    chr(10) || chr(10) ||
+        |    '- top ' || g || chr(10) || '  - sub x' || chr(10) ||
+        |    '  - sub y' || b || chr(10) || '- last' ||
+        |    chr(10) || chr(10) ||
+        |    '> first ' || g || chr(10) || '>' || chr(10) ||
+        |    '> second' || chr(10) || chr(10) ||
+        |    '| C1 | C2 |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |    '| v\|' || e || ' | w' || c || ' |' AS markdown,
         |    '<html><head><title>T</title><script>var x=1;</script>' ||
         |    '</head><body><h1>Doc ' || a ||
         |    '</h1><p>Intro with <b>bold</b> and <i>ital</i> &amp; ' ||
@@ -6398,8 +6454,15 @@ object SparkEntry {
         |    '</a></li></ul><pre><code>x = ' || f ||
         |    '</code></pre><blockquote>quoted ' || g ||
         |    '</blockquote><hr><p><img alt="pic ' || h ||
-        |    '" src="/i/' || h || '.png"> tail</p></body></html>'
-        |      AS page_html
+        |    '" src="/i/' || h || '.png"> tail</p><ol><li>step a' ||
+        |    b || '</li><li>step b</li></ol><ul><li>top ' || g ||
+        |    '<ul><li>sub x</li><li>sub y' || b ||
+        |    '</li></ul></li><li>last</li></ul>' ||
+        |    '<blockquote><p>first ' || g ||
+        |    '</p><p>second</p></blockquote>' ||
+        |    '<table><tr><th>C1</th><th>C2</th></tr><tr><td>v|' ||
+        |    e || '</td><td>w' || c ||
+        |    '</td></tr></table></body></html>' AS page_html
         |  FROM t)
         |SELECT doc_id, markdown,
         |  round(length(markdown)::DOUBLE / length(page_html), 6)
@@ -6620,8 +6683,32 @@ object SparkEntry {
         |  chr(10) || '```' || chr(10) || chr(10) ||
         |  '> quoted ' || g || chr(10) || chr(10) || '---' ||
         |  chr(10) || chr(10) ||
-        |  '![pic ' || h || '](/i/' || h || '.png) tail' AS markdown
+        |  '![pic ' || h || '](/i/' || h || '.png) tail' ||
+        |  chr(10) || chr(10) ||
+        |  '1. step a' || b || chr(10) || '2. step b' ||
+        |  chr(10) || chr(10) ||
+        |  '- top ' || g || chr(10) || '  - sub x' || chr(10) ||
+        |  '  - sub y' || b || chr(10) || '- last' ||
+        |  chr(10) || chr(10) ||
+        |  '> first ' || g || chr(10) || '>' || chr(10) ||
+        |  '> second' || chr(10) || chr(10) ||
+        |  '| C1 | C2 |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |  '| v\|' || e || ' | w' || c || ' |' AS markdown
         |FROM t""".stripMargin,
+    // the table that survived WARC → HTTP parse → markdown → cell
+    // extraction: kept docs only; the first body cell's literal pipe
+    // round-trips through the converter's \| escape
+    "q_crawl_md_tables" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id % 4)::VARCHAR AS e,
+        |    (doc_id % 5)::VARCHAR AS c
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 4 = 0 AND doc_id % 11 <> 0)
+        |SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+        |  'C1' AS cell FROM t
+        |UNION ALL SELECT doc_id, 0, 0, 1, 'C2' FROM t
+        |UNION ALL SELECT doc_id, 0, 1, 0, 'v|' || e FROM t
+        |UNION ALL SELECT doc_id, 0, 1, 1, 'w' || c FROM t""".stripMargin,
     // every parsed field restated from the same payload templates
     "q_warc_http" ->
       """WITH t AS (SELECT doc_id,
@@ -8894,7 +8981,9 @@ object SparkEntry {
         |  ON a.pair_key = b.pair_key AND a.lang < b.lang""".stripMargin,
     // every cell is a doc_id template; table 0 = the parity-specific
     // table (outer-piped on evens, pipe-less on odds), 1 = the shared
-    // (K, V) table, 2 = the zero-body (E1, E2) table at EOF
+    // (K, V) table, 2 = the escaped-pipe table (cells carry the
+    // UNESCAPED literal pipe), 3 = the single-column pipe-less table,
+    // 4 = the zero-body (E1, E2) table at EOF
     "q_md_tables" ->
       """WITH d AS (SELECT doc_id FROM documents)
         |SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx,
@@ -8918,8 +9007,18 @@ object SparkEntry {
         |  'k' || (doc_id % 3)::VARCHAR FROM d
         |UNION ALL SELECT doc_id, 1, 1, 1,
         |  'v' || (doc_id % 4)::VARCHAR FROM d
-        |UNION ALL SELECT doc_id, 2, 0, 0, 'E1' FROM d
-        |UNION ALL SELECT doc_id, 2, 0, 1, 'E2' FROM d""".stripMargin,
+        |UNION ALL SELECT doc_id, 2, 0, 0, 'X|1' FROM d
+        |UNION ALL SELECT doc_id, 2, 0, 1, 'Y' FROM d
+        |UNION ALL SELECT doc_id, 2, 1, 0,
+        |  'a|b' || (doc_id % 3)::VARCHAR FROM d
+        |UNION ALL SELECT doc_id, 2, 1, 1, 'c' FROM d
+        |UNION ALL SELECT doc_id, 3, 0, 0, 'Solo' FROM d
+        |UNION ALL SELECT doc_id, 3, 1, 0,
+        |  'first r' || (doc_id % 5)::VARCHAR FROM d
+        |UNION ALL SELECT doc_id, 3, 2, 0,
+        |  'second r' || (doc_id % 4)::VARCHAR FROM d
+        |UNION ALL SELECT doc_id, 4, 0, 0, 'E1' FROM d
+        |UNION ALL SELECT doc_id, 4, 0, 1, 'E2' FROM d""".stripMargin,
     "q_md_linearize" ->
       """WITH d AS (SELECT doc_id FROM documents)
         |SELECT doc_id, 0 AS table_idx, 1 AS row_idx,
@@ -8935,7 +9034,14 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 1, 1,
         |  'K: k' || (doc_id % 3)::VARCHAR ||
         |  ' | V: v' || (doc_id % 4)::VARCHAR
-        |FROM d""".stripMargin,
+        |FROM d
+        |UNION ALL SELECT doc_id, 2, 1,
+        |  'X|1: a|b' || (doc_id % 3)::VARCHAR || ' | Y: c'
+        |FROM d
+        |UNION ALL SELECT doc_id, 3, 1,
+        |  'Solo: first r' || (doc_id % 5)::VARCHAR FROM d
+        |UNION ALL SELECT doc_id, 3, 2,
+        |  'Solo: second r' || (doc_id % 4)::VARCHAR FROM d""".stripMargin,
     "q_md_stats" ->
       """WITH d AS (SELECT doc_id FROM documents)
         |SELECT doc_id, 0 AS table_idx, 3 AS n_rows, 2 AS n_cols,
@@ -8943,7 +9049,9 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 0, 2, 2, 'H1,H2' FROM d
         |  WHERE doc_id % 2 = 1
         |UNION ALL SELECT doc_id, 1, 2, 2, 'K,V' FROM d
-        |UNION ALL SELECT doc_id, 2, 1, 2, 'E1,E2' FROM d""".stripMargin,
+        |UNION ALL SELECT doc_id, 2, 2, 2, 'X|1,Y' FROM d
+        |UNION ALL SELECT doc_id, 3, 3, 1, 'Solo' FROM d
+        |UNION ALL SELECT doc_id, 4, 1, 2, 'E1,E2' FROM d""".stripMargin,
     // every field is a doc_id template: lang by path arm, interp by
     // shebang arm, license by header arm (SPDX/prose), comment ratio =
     // (1 fixed comment + shebang/plain-comment arm + license-comment

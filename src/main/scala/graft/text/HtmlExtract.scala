@@ -187,24 +187,41 @@ object HtmlExtract {
     *      extraction, this is a RENDERING op);
     *   6. `<b>/<strong>` → `**…**`, `<i>/<em>` → `*…*`,
     *      `<code>` → `` ` ``-wrapped;
-    *   7. `<li>` → `- ` items (flat: nesting depth and `<ol>`
-    *      numbering don't survive the regexp tier);
-    *   8. single-line `<blockquote>` → `> ` (multi-paragraph quotes
-    *      keep only the first marker);
+    *   7. lists KEEP their structure: `<ul>`/`<ol>`/`<li>` emit
+    *      control-char markers the stateful line pass
+    *      ([[graft.functions.MdExpressions.mdRestructure]]) turns
+    *      into `- ` bullets, `1.`-numbered items, and two-space
+    *      nesting indentation (an item's own continuation blocks stay
+    *      unindented — boundary);
+    *   8. `<blockquote>` spans mark open/close: every enclosed line
+    *      gets its `> ` (nested quotes `> > `), blank lines between
+    *      quoted paragraphs keep a bare `>` so a multi-paragraph
+    *      quote stays ONE quote;
     *   9. `<hr>` → `---`, `<br>` → line break;
-    *  10. p/div/section/article/tr/table/ul/ol boundaries become
-    *      paragraph breaks; remaining tags become spaces (markdown
-    *      `*_#` specials in prose are NOT escaped — boundary);
+    *  10. `<table>`/`<tr>`/`<td>`/`<th>` mark rows and cells the line
+    *      pass renders as a GFM pipe table — first row is the header,
+    *      a `| --- |` delimiter row is synthesized at the header's
+    *      width, literal `|` in cells escapes `\|` (so
+    *      [[graft.text.Markdown.markdownTableCells]] round-trips) —
+    *      while p/div/section/article boundaries become paragraph
+    *      breaks and remaining tags become spaces (markdown `*_#`
+    *      specials in prose are NOT escaped — boundary; tables/lists
+    *      nested INSIDE a table cell flatten to cell text);
     *  11. entities decode (`&amp;` last);
     *  12. horizontal whitespace collapses, line edges trim, 3+
-    *      newlines collapse to one blank line, ends trim.
+    *      newlines collapse to one blank line, ends trim;
+    *  13. the stateful line pass renders the markers (one native
+    *      codegen'd expression — the chain stays map-only).
     *
     * NULL in → NULL out. */
   def htmlToMarkdown(html: Column): Column = {
     def rep(c: Column, pat: String, to: String): Column =
       regexp_replace(c, pat, to)
+    // 0. strip marker-range control chars (they're about to carry the
+    // structure protocol — document text must not be able to forge it)
+    val c0 = rep(html, "[\\u0001-\\u0008\\u000E\\u000F]", "")
     // 1. drop script/style/comments
-    val c1 = rep(rep(rep(html,
+    val c1 = rep(rep(rep(c0,
       "(?is)<script\\b[^>]*>.*?</script>", " "),
       "(?is)<style\\b[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
@@ -236,16 +253,26 @@ object HtmlExtract {
       "(?is)<(?:b|strong)\\b[^>]*>(.*?)</(?:b|strong)>", "**$1**"),
       "(?is)<(?:i|em)\\b[^>]*>(.*?)</(?:i|em)>", "*$1*"),
       "(?is)<code\\b[^>]*>(.*?)</code>", "`$1`")
-    // 7.-9. list items, blockquote, hr, br
-    val c7 = rep(rep(rep(rep(rep(c6,
-      "(?i)<li\\b[^>]*>", "\n- "), "(?i)</li>", ""),
-      "(?i)<blockquote\\b[^>]*>", "\n\n> "),
+    // 7. list structure markers (rendered by the line pass)
+    val c7 = rep(rep(rep(rep(rep(rep(c6,
+      "(?i)<li\\b[^>]*>", "\n\u0004"), "(?i)</li>", ""),
+      "(?i)<ul\\b[^>]*>", "\n\u0001\n"), "(?i)</ul>", "\n\u0003\n"),
+      "(?i)<ol\\b[^>]*>", "\n\u0002\n"), "(?i)</ol>", "\n\u0003\n")
+    // 8.-9. blockquote span markers, hr, br
+    val c7b = rep(rep(rep(rep(c7,
+      "(?i)<blockquote\\b[^>]*>", "\n\u000E\n"),
+      "(?i)</blockquote>", "\n\u000F\n"),
       "(?i)<hr\\b[^>]*>", "\n\n---\n\n"),
       "(?i)<br\\b[^>]*>", "\n")
-    // 10. paragraph-level boundaries, then strip the rest
-    val c8 = rep(rep(c7,
-      "(?i)</?(?:p|div|section|article|table|tr|ul|ol|blockquote)" +
-        "\\b[^>]*>", "\n\n"),
+    // 10a. table / row / cell markers
+    val c7c = rep(rep(rep(rep(rep(rep(c7b,
+      "(?i)<table\\b[^>]*>", "\n\u0005\n"),
+      "(?i)</table>", "\n\u0006\n"),
+      "(?i)<tr\\b[^>]*>", "\n\u0007"), "(?i)</tr>", ""),
+      "(?i)<t[dh]\\b[^>]*>", "\u0008"), "(?i)</t[dh]>", "")
+    // 10b. paragraph-level boundaries, then strip the rest
+    val c8 = rep(rep(c7c,
+      "(?i)</?(?:p|div|section|article)\\b[^>]*>", "\n\n"),
       "<[^>]*>", " ")
     // 11. entities, &amp; LAST
     val c9 = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -257,7 +284,10 @@ object HtmlExtract {
     val hws = rep(c9, "[ \\t]+", " ")
     val edges = rep(hws, "(?m)^ +| +$", "")
     val collapsed = rep(edges, "\\n{3,}", "\n\n")
-    rep(collapsed, "^\\s+|\\s+$", "")
+    val trimmed = rep(collapsed, "^\\s+|\\s+$", "")
+    // 13. the stateful line pass: ol numbering, nesting, pipe tables,
+    // quote spans
+    graft.functions.MdExpressions.mdRestructure(trimmed)
   }
 
   /** Dataframe form of [[htmlToMarkdown]] plus the length ratio (the

@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * handles the GitHub-flavored pipe-table form with or WITHOUT outer
   * pipes (`| a | b |` and GFM's equally-legal `a | b`), recognized by
   * the delimiter line (`:?-+:?` cells, at least one pipe) under the
-  * header. Documented boundaries, not silent wrong answers: `\|` cell
-  * escapes split anyway; a body line containing NO pipe terminates the
-  * block (GFM would keep it as a one-cell row); header/delimiter cell
-  * counts are not cross-checked; a single-column table needs outer
-  * pipes (without them there is no pipe to recognize).
+  * header, PLUS GFM's single-column pipe-less form (pipe-free header,
+  * one-cell delimiter carrying the disambiguating pipe — `|---`,
+  * `---|` or `| --- |` — and pipe-free body rows up to a blank line).
+  * `\|` escapes a literal pipe inside a cell (GFM): escaped pipes
+  * never split, and cells carry the UNESCAPED character. Documented
+  * boundaries, not silent wrong answers: in the multi-column form a
+  * body line containing NO unescaped pipe terminates the block (GFM
+  * would keep it as a one-cell row), and in the single-column form a
+  * body line containing a pipe terminates it (GFM would truncate it
+  * to its first cell); header/delimiter cell counts are not
+  * cross-checked.
   *
   * Scale: the whole extraction is regexp + three posexplodes — rows =
   * total cells, no shuffle, no window, no per-doc state. A 100 TB
@@ -29,6 +35,11 @@ object Markdown {
     * break `---` or a blank line can never read as a delimiter; its
     * trailing newline is optional so a zero-body table may end the
     * document), then zero or more body rows (lines with a pipe).
+    * A second top-level alternative recognizes GFM's single-column
+    * pipe-less form: a pipe-free header over a ONE-cell delimiter
+    * that carries the disambiguating pipe itself (`|---`, `---|`,
+    * `| --- |` — without one the line would be a thematic break /
+    * setext underline), then pipe-free non-blank body rows.
     * Multiline RE2, single outer capture group. */
   private[graft] val TableRe: String = {
     val cell = ":?-+:?"
@@ -39,9 +50,20 @@ object Markdown {
     // (trailing pipe-only form `--- |` included via the optional tail)
     val dBare = cell + s + "\\|(?:" + s + cell + s + "\\|)*" +
       "(?:" + s + cell + ")?"
+    // single-column delimiter: leading pipe (trailing optional) or
+    // trailing pipe only — exactly one cell either way
+    val dSolo = "(?:\\|" + s + cell + s + "\\|?|" + cell + s + "\\|)"
+    // a solo body row: non-blank (≥1 non-space char), pipe-free, and
+    // anchored to line end (`$` under (?m), RE2-portable — without it
+    // a line with a pipe would HALF-match up to the pipe instead of
+    // terminating the table)
+    val soloRow = s + "[^ \\t\\n|][^\\n|]*$"
     "(?m)(^[^\\n]*\\|[^\\n]*\\n" +
       s + "(?:" + dLead + "|" + dBare + ")" + s + "\\n?" +
-      "(?:[^\\n]*\\|[^\\n]*\\n?)*)"
+      "(?:[^\\n]*\\|[^\\n]*\\n?)*" +
+      "|^[^\\n|]+\\n" +
+      s + dSolo + s + "\\n?" +
+      "(?:" + soloRow + "\\n?)*)"
   }
 
   /** One row per CELL of every pipe table in `textCol`: input columns
@@ -58,8 +80,11 @@ object Markdown {
       (_, i) => i =!= 1)
     // GFM strips one optional leading and trailing pipe per row; split
     // leaves an empty element on each stripped side, sliced off here
-    // (interior empty cells survive)
-    val rowT = trim(col("__mt_line"))
+    // (interior empty cells survive). `\|` escapes a literal pipe: it
+    // sentinel-swaps before the structural split so it can never
+    // split, and restores UNESCAPED in the cell value.
+    val rowT = regexp_replace(trim(col("__mt_line")),
+      "\\\\\\|", "\u0001")
     val rawCells = split(rowT, "\\|", -1)
     val noLead = when(rowT.startsWith("|"),
       slice(rawCells, lit(2), size(rawCells) - 1)).otherwise(rawCells)
@@ -69,7 +94,8 @@ object Markdown {
       .select(col("*"), posexplode(tables).as(Seq("table_idx", "__mt_tbl")))
       .select(col("*"), posexplode(lines).as(Seq("row_idx", "__mt_line")))
       .select(col("*"), posexplode(cells).as(Seq("col_idx", "__mt_cell")))
-      .withColumn("cell", trim(col("__mt_cell")))
+      .withColumn("cell",
+        regexp_replace(trim(col("__mt_cell")), "\u0001", "|"))
       .drop("__mt_tbl", "__mt_line", "__mt_cell", textCol)
   }
 

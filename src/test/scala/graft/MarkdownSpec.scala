@@ -85,6 +85,59 @@ class MarkdownSpec extends SparkSuite {
       (0, 2, 0) -> "c", (0, 2, 1) -> "d"))
   }
 
+  test("escaped pipes: \\| never splits, cells carry the unescaped " +
+      "literal; a row of ONLY escaped pipes is a one-cell row") {
+    def cells(d: String): Map[(Int, Int, Int), String] =
+      Markdown.markdownTableCells(
+          Seq((1L, d)).toDF("doc_id", "text"), "text")
+        .collect()
+        .map(r => (r.getAs[Int]("table_idx"), r.getAs[Int]("row_idx"),
+          r.getAs[Int]("col_idx")) -> r.getAs[String]("cell")).toMap
+    // escapes in header and body, including at the cell edge
+    assert(cells("| X\\|1 | Y |\n|---|---|\n| a\\|b | \\|c |\n") === Map(
+      (0, 0, 0) -> "X|1", (0, 0, 1) -> "Y",
+      (0, 1, 0) -> "a|b", (0, 1, 1) -> "|c"))
+    // a body line whose only pipes are escaped is ONE cell (GFM)
+    assert(cells("| A | B |\n|---|---|\n| 1 | 2 |\nx\\|y\\|z\n") === Map(
+      (0, 0, 0) -> "A", (0, 0, 1) -> "B",
+      (0, 1, 0) -> "1", (0, 1, 1) -> "2",
+      (0, 2, 0) -> "x|y|z"))
+    // a leading escaped pipe is content, not the stripped outer pipe
+    assert(cells("h | i\n--- | ---\n\\|a | b\n") === Map(
+      (0, 0, 0) -> "h", (0, 0, 1) -> "i",
+      (0, 1, 0) -> "|a", (0, 1, 1) -> "b"))
+  }
+
+  test("single-column pipe-less tables: pipe-free header over a " +
+      "one-cell piped delimiter; body to the blank line; setext-safe") {
+    def cells(d: String): Map[(Int, Int, Int), String] =
+      Markdown.markdownTableCells(
+          Seq((1L, d)).toDF("doc_id", "text"), "text")
+        .collect()
+        .map(r => (r.getAs[Int]("table_idx"), r.getAs[Int]("row_idx"),
+          r.getAs[Int]("col_idx")) -> r.getAs[String]("cell")).toMap
+    // |--- , ---| and | --- | delimiters all recognize; the blank
+    // line ends the block so trailing prose stays prose
+    for (delim <- Seq("|---", "---|", "| --- |"))
+      assert(cells(s"Solo\n$delim\nr1\nr2\n\nprose after\n") === Map(
+        (0, 0, 0) -> "Solo", (0, 1, 0) -> "r1", (0, 2, 0) -> "r2"),
+        s"delimiter form: $delim")
+    // a pipe-free dash line under a pipe-free header is a setext
+    // underline / thematic break, NOT a table
+    assert(cells("Title\n-----\nbody prose\n") === Map.empty)
+    // zero-body single-column table at EOF without trailing newline
+    assert(cells("Hdr\n|---") === Map((0, 0, 0) -> "Hdr"))
+    // a line containing a pipe terminates the single-column body
+    // (documented boundary), and the stats/linearize lanes compose
+    assert(cells("S\n|---\nrow1\nhas | pipe\n") ===
+      Map((0, 0, 0) -> "S", (0, 1, 0) -> "row1"))
+    val lin = Markdown.markdownTableLinearize(
+        Seq((1L, "S\n|---\nv9\n\n")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getAs[String]("linearized"))
+    assert(lin.toSeq === Seq("S: v9"))
+  }
+
   test("markdownTableStats: per-table rows/cols/header off the cell " +
       "explode") {
     val got = Markdown.markdownTableStats(

@@ -658,6 +658,54 @@ class TextMultimodalSpec extends SparkSuite {
     assert(md("<p>a*b_c#d</p>") === "a*b_c#d")
   }
 
+  test("htmlToMarkdown structure: ol numbering, nested list depth, " +
+      "multi-paragraph blockquotes, tables to GFM pipes") {
+    import graft.text.HtmlExtract
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(HtmlExtract.htmlToMarkdown(col("h")))
+        .head().getString(0)
+    // ordered lists number their items; a second list restarts
+    assert(md("<ol><li>a</li><li>b</li><li>c</li></ol>" +
+      "<ol><li>z</li></ol>") === "1. a\n2. b\n3. c\n\n1. z")
+    // nesting indents two spaces per level; ol-in-ul keeps numbering
+    assert(md("<ul><li>top<ul><li>s1</li><li>s2</li></ul></li>" +
+      "<li>second</li></ul>") ===
+      "- top\n  - s1\n  - s2\n- second")
+    assert(md("<ul><li>t<ol><li>one</li><li>two</li></ol></li></ul>") ===
+      "- t\n  1. one\n  2. two")
+    // multi-paragraph quote keeps ONE quote: bare > joins paragraphs
+    assert(md("<blockquote><p>first</p><p>second</p></blockquote>") ===
+      "> first\n>\n> second")
+    // nested quote doubles the marker; the separator stays at the
+    // OUTER depth
+    assert(md("<blockquote>outer<blockquote>inner</blockquote>" +
+      "</blockquote>") === "> outer\n>\n> > inner")
+    // a table renders as a GFM pipe table: first row = header, a
+    // synthesized delimiter at its width, literal | escapes \|
+    assert(md("<table><tr><th>A</th><th>B</th></tr>" +
+      "<tr><td>1</td><td>x|y</td></tr>" +
+      "<tr><td>2</td><td>z</td></tr></table>") ===
+      "| A | B |\n| --- | --- |\n| 1 | x\\|y |\n| 2 | z |")
+    // inline markup inside cells converts before the table assembles;
+    // a <br> inside a cell flows into the same cell
+    assert(md("<p>before</p><table><tr><td><b>k</b></td>" +
+      "<td>v<br>w</td></tr></table><p>after</p>") ===
+      "before\n\n| **k** | v w |\n| --- | --- |\n\nafter")
+    // the rendered table round-trips through the pipe-table reader
+    import graft.text.Markdown
+    val m = md("<table><tr><th>H</th></tr><tr><td>p|q</td></tr>" +
+      "</table>")
+    val cells = Markdown.markdownTableCells(
+        Seq((1L, m)).toDF("doc_id", "text"), "text")
+      .collect().map(r => (r.getAs[Int]("row_idx"),
+        r.getAs[String]("cell")))
+    assert(cells.toSet === Set((0, "H"), (1, "p|q")))
+    // forged marker control chars in source text are stripped, never
+    // interpreted
+    assert(md("<p>a\u0005b\u0007c</p>") === "abc")
+  }
+
   test("paragraph gate: prose keeps, nav/copyright boilerplate drops, " +
       "long token-poor runs keep, dropBoilerplate rejoins kept lines") {
     import graft.text.HtmlExtract
