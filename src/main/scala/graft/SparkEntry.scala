@@ -962,22 +962,26 @@ object SparkEntry {
     }),
     "q_exif_strip" -> ((s, dir) => {
       // EXIF GPS REDACTION, both scopes, verified by re-parsing the
-      // rewritten bytes: the surgical scope zeroes the GPS IFD and
-      // drops the IFD0 pointer in place (same byte count, Make/Model/
-      // DateTime survive, has_gps flips false on the formerly-GPS
-      // rows); the app1 scope splices the whole Exif segment (39
-      // bytes of pure JPEG remain — SOI+SOF0+SOS+data+EOI — and the
-      // re-parse sees no TIFF block at all)
+      // rewritten bytes: the surgical scope zeroes the GPS IFD, drops
+      // the IFD0 pointer in place AND space-blanks the exif:GPS*
+      // properties of the XMP packet (same byte count, Make/Model/
+      // DateTime and xmp:CreatorTool survive, has_gps flips false on
+      // the formerly-GPS rows, xmp_gps flips false on every
+      // XMP-carrying row); the app1 scope splices BOTH APP1 segments
+      // — Exif and XMP — (39 bytes of pure JPEG remain —
+      // SOI+SOF0+SOS+data+EOI — and the re-parse sees neither a TIFF
+      // block nor an XMP packet)
       import graft.multimodal.Multimodal._
       val jp = syntheticExifJpegs(table(s, dir, "documents"), "doc_id")
       val gps = exifMeta(exifStrip(jp))
       val app1 = exifMeta(exifStrip(jp, "app1"))
       gps.select(col("media_id"), col("n_bytes"), col("make"),
           col("model"), col("orientation"), col("datetime"),
-          col("has_gps"))
+          col("has_gps"), col("xmp_tool"), col("xmp_gps"))
         .join(app1.select(col("media_id"),
           col("n_bytes").as("n_bytes_app1"),
-          col("has_gps").isNull.as("exif_removed")), Seq("media_id"))
+          col("has_gps").isNull.as("exif_removed"),
+          col("xmp_gps").isNull.as("xmp_removed")), Seq("media_id"))
     }),
     "q_pdf_parse" -> ((s, dir) => {
       // REAL PDF structural parse, zero deps: complete PDFs (catalog
@@ -6127,7 +6131,9 @@ object SparkEntry {
     "q_image_exif" ->
       """SELECT doc_id AS media_id,
         |  ((CASE WHEN doc_id % 5 = 0 THEN 156 ELSE 138 END) +
-        |   (CASE doc_id % 4 WHEN 3 THEN 4 ELSE 5 END))::INT AS n_bytes,
+        |   (CASE doc_id % 4 WHEN 3 THEN 4 ELSE 5 END) +
+        |   (CASE WHEN doc_id % 3 = 0 THEN 353 ELSE 0 END))::INT
+        |    AS n_bytes,
         |  TRUE AS is_jpeg,
         |  (16 * (doc_id % 9 + 1))::INT AS width,
         |  (8 * (doc_id % 11 + 1))::INT AS height,
@@ -6139,16 +6145,23 @@ object SparkEntry {
         |    (doc_id % 8 + 1)::VARCHAR || ' 0' || (doc_id % 9)::VARCHAR ||
         |    ':0' || (doc_id % 5 + 1)::VARCHAR || ':0' ||
         |    (doc_id % 7)::VARCHAR AS datetime,
-        |  (doc_id % 5 = 0) AS has_gps
+        |  (doc_id % 5 = 0) AS has_gps,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'Tool-' || (doc_id % 4)::VARCHAR END AS xmp_tool,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 2 = 0 END AS xmp_gps
         |FROM documents""".stripMargin,
-    // the redaction oracle: gps-scope surgery keeps the byte count and
-    // provenance fields and force-lowers has_gps; app1-scope leaves
-    // the 39 fixed pure-JPEG bytes (SOI 2 + SOF0 19 + SOS 14 + 2
-    // entropy + EOI 2) with no Exif block to parse
+    // the redaction oracle: gps-scope surgery keeps the byte count
+    // (the XMP packet's GPS spans blank to spaces, they don't
+    // splice), keeps provenance fields and xmp:CreatorTool,
+    // force-lowers has_gps AND xmp_gps; app1-scope leaves the 39
+    // fixed pure-JPEG bytes (SOI 2 + SOF0 19 + SOS 14 + 2 entropy +
+    // EOI 2) with neither a TIFF block nor an XMP packet to parse
     "q_exif_strip" ->
       """SELECT doc_id AS media_id,
         |  ((CASE WHEN doc_id % 5 = 0 THEN 156 ELSE 138 END) +
-        |   (CASE doc_id % 4 WHEN 3 THEN 4 ELSE 5 END))::INT AS n_bytes,
+        |   (CASE doc_id % 4 WHEN 3 THEN 4 ELSE 5 END) +
+        |   (CASE WHEN doc_id % 3 = 0 THEN 353 ELSE 0 END))::INT
+        |    AS n_bytes,
         |  CASE doc_id % 4 WHEN 0 THEN 'Canon' WHEN 1 THEN 'NIKON'
         |    WHEN 2 THEN 'Apple' ELSE 'SONY' END AS make,
         |  'Cam-' || (doc_id % 6)::VARCHAR AS model,
@@ -6158,8 +6171,12 @@ object SparkEntry {
         |    ':0' || (doc_id % 5 + 1)::VARCHAR || ':0' ||
         |    (doc_id % 7)::VARCHAR AS datetime,
         |  FALSE AS has_gps,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'Tool-' || (doc_id % 4)::VARCHAR END AS xmp_tool,
+        |  CASE WHEN doc_id % 3 = 0 THEN FALSE END AS xmp_gps,
         |  39::INT AS n_bytes_app1,
-        |  TRUE AS exif_removed
+        |  TRUE AS exif_removed,
+        |  TRUE AS xmp_removed
         |FROM documents""".stripMargin,
     // every parser field restated analytically from the writer's
     // closed forms: n_objects = catalog + page tree + (page, content)

@@ -1152,6 +1152,37 @@ object Multimodal {
   private[graft] def jpegWidth(id: Long): Int = (16 * (id % 9 + 1)).toInt
   private[graft] def jpegHeight(id: Long): Int = (8 * (id % 11 + 1)).toInt
 
+  /** XMP APP1 namespace header (XMP Part 3 §1.1.3). */
+  private[graft] val XmpNs = "http://ns.adobe.com/xap/1.0/\u0000"
+  /** Every 3rd id carries an XMP packet; of those, evens embed XMP GPS
+    * (so XMP GPS presence is independent of the TIFF GPS IFD arm). */
+  private[graft] def hasXmp(id: Long): Boolean = id % 3 == 0
+  private[graft] def xmpHasGpsF(id: Long): Boolean =
+    hasXmp(id) && id % 2 == 0
+  private[graft] def xmpTool(id: Long): String = s"Tool-${id % 4}"
+  /** Space-padded XML length — fixed so the segment size (and the
+    * oracle's n_bytes closed form) is a CONSTANT 353 = 2 marker +
+    * 2 length + 29 namespace + 320 packet. */
+  private[graft] val XmpXmlLen = 320
+  private[graft] def xmpPacket(id: Long): String = {
+    val gps = if (xmpHasGpsF(id))
+      s""" exif:GPSLatitude="4${id % 9},30.00N"""" +
+        s""" exif:GPSLongitude="12${id % 7},15.00E""""
+    else ""
+    val xml =
+      "<x:xmpmeta xmlns:x=\"adobe:ns:meta/\">" +
+        "<rdf:RDF xmlns:rdf=" +
+        "\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">" +
+        "<rdf:Description" +
+        " xmlns:xmp=\"http://ns.adobe.com/xap/1.0/\"" +
+        " xmlns:exif=\"http://ns.adobe.com/exif/1.0/\"" +
+        s""" xmp:CreatorTool="${xmpTool(id)}"""" + gps +
+        "/></rdf:RDF></x:xmpmeta>"
+    require(xml.length <= XmpXmlLen,
+      s"xmp packet ${xml.length} exceeds the fixed $XmpXmlLen")
+    xml + " " * (XmpXmlLen - xml.length)
+  }
+
   /** Generate REAL JPEG marker streams per row — SOI, an APP1/Exif
     * segment (a full TIFF block: byte order ALTERNATING "II"/"MM" by id
     * so both endiannesses are exercised, IFD0 with Make/Model ASCII
@@ -1221,12 +1252,19 @@ object Multimodal {
             payload
         val app1 = marker(0xe1,
           "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiff)
+        // every 3rd id: a second APP1 carrying a real XMP packet
+        // (CreatorTool always; exif:GPS* attributes on evens) — the
+        // OTHER place JPEGs embed GPS, which an IFD-only redaction
+        // would silently miss
+        val xmp = if (hasXmp(id))
+          marker(0xe1, (XmpNs + xmpPacket(id)).getBytes("ISO-8859-1"))
+        else Array.emptyByteArray
         val sof0 = marker(0xc0, Array(8.toByte) ++ be16(h) ++ be16(w) ++
           Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
         val sos = marker(0xda,
           Array[Byte](3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0))
-        val bytes = Array(0xff.toByte, 0xd8.toByte) ++ app1 ++ sof0 ++
-          sos ++ Array[Byte](0x12, 0x34) ++
+        val bytes = Array(0xff.toByte, 0xd8.toByte) ++ app1 ++ xmp ++
+          sof0 ++ sos ++ Array[Byte](0x12, 0x34) ++
           Array(0xff.toByte, 0xd9.toByte)
         Row(id, "image", bytes, Row("jpeg", w, h, null))
       }
@@ -1244,7 +1282,9 @@ object Multimodal {
     StructField("model", StringType, nullable = true),
     StructField("orientation", IntegerType, nullable = true),
     StructField("datetime", StringType, nullable = true),
-    StructField("has_gps", BooleanType, nullable = true)
+    StructField("has_gps", BooleanType, nullable = true),
+    StructField("xmp_tool", StringType, nullable = true),
+    StructField("xmp_gps", BooleanType, nullable = true)
   ))
 
   /** JPEG metadata WITHOUT decoding — the corpus-scale fast path every
@@ -1276,7 +1316,9 @@ object Multimodal {
           wk.make, wk.model,
           if (wk.orientation >= 0) wk.orientation else null,
           wk.datetime,
-          if (wk.sawExif) Boolean.box(wk.hasGps) else null)
+          if (wk.sawExif) Boolean.box(wk.hasGps) else null,
+          if (wk.sawXmp) wk.xmpTool else null,
+          if (wk.sawXmp) Boolean.box(wk.xmpGps) else null)
       }
     }(enc).toDF()
   }
@@ -1292,6 +1334,9 @@ object Multimodal {
     var datetime: String = _
     var sawExif = false
     var hasGps = false
+    var sawXmp = false
+    var xmpTool: String = _
+    var xmpGps = false
     private def u8(o: Int): Int = b(o) & 0xff
     private def be16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
     def walk(): Unit = {
@@ -1312,6 +1357,9 @@ object Multimodal {
           if (m == 0xe1 && len >= 8 &&
               new String(b, p, 4, "ISO-8859-1") == "Exif")
             parseTiff(p + 6, off + 2 + len)
+          else if (m == 0xe1 && len - 2 >= XmpNs.length &&
+              new String(b, p, XmpNs.length, "ISO-8859-1") == XmpNs)
+            parseXmp(p + XmpNs.length, off + 2 + len)
           else if ((m == 0xc0 || m == 0xc1 || m == 0xc2 || m == 0xc3) &&
               len >= 7) {
             height = be16(p + 1); width = be16(p + 3)
@@ -1358,7 +1406,29 @@ object Multimodal {
         i += 1
       }
     }
+    /** XMP APP1 payload (after the namespace header): CreatorTool and
+      * an exif:GPS* presence flag — the XMP side of the PII surface
+      * [[Multimodal.exifStrip]] must scrub. UTF-8 per XMP Part 1. */
+    private def parseXmp(from: Int, end: Int): Unit = {
+      if (from >= end) return
+      sawXmp = true
+      val xml = new String(b, from, end - from,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val m = XmpToolRe.matcher(xml)
+      if (m.find()) xmpTool = m.group(1)
+      xmpGps = XmpGpsRe.matcher(xml).find()
+    }
   }
+
+  /** `xmp:CreatorTool` attribute and `exif:GPS*` property patterns
+    * shared by the [[JpegWalk]] parse and the [[exifStrip]] scrub. */
+  private val XmpToolRe = java.util.regex.Pattern.compile(
+    "xmp:CreatorTool\\s*=\\s*\"([^\"]*)\"")
+  private val XmpGpsAttrRe = java.util.regex.Pattern.compile(
+    "exif:GPS[A-Za-z]*\\s*=\\s*(?:\"[^\"]*\"|'[^']*')")
+  private val XmpGpsElemRe = java.util.regex.Pattern.compile(
+    "(?s)<exif:GPS[A-Za-z]*[^>]*>.*?</exif:GPS[A-Za-z]*>")
+  private val XmpGpsRe = java.util.regex.Pattern.compile("exif:GPS")
 
   // ------------------------------------------------- EXIF GPS redaction
 
@@ -1386,13 +1456,23 @@ object Multimodal {
     * out-of-line value of every tag, known or not). IFD0 scope: the
     * GPSInfo pointer lives in IFD0 per EXIF 2.3 §4.6.2.
     *
-    * `scope = "app1"` — drop the whole APP1/Exif segment (marker
-    * stream spliced, JPEG otherwise byte-identical): maximal privacy,
-    * loses Make/Model/DateTime provenance too; the caller's choice.
+    * GPS also lives OUTSIDE the TIFF block: XMP packets (the second
+    * APP1 form) carry `exif:GPSLatitude`-family properties as XML.
+    * The gps scope space-blanks every `exif:GPS*` attribute and
+    * element span inside the XMP packet IN PLACE (whitespace is legal
+    * XML between attributes, so the packet stays well-formed, other
+    * properties survive, and the file length is unchanged — same
+    * surgical contract as the IFD scrub).
+    *
+    * `scope = "app1"` — drop every APP1 metadata segment, Exif AND
+    * XMP (marker stream spliced, JPEG otherwise byte-identical):
+    * maximal privacy, loses Make/Model/DateTime provenance too; the
+    * caller's choice.
     *
     * Malformed structures return the input unchanged (containment —
     * the [[JpegWalk]] posture); non-JPEG bytes pass through. */
-  private[graft] def stripOne(b: Array[Byte], scope: String): Array[Byte] = {
+  private[graft] def stripOne(b0: Array[Byte], scope: String): Array[Byte] = {
+    var b = b0
     def u8(o: Int): Int = b(o) & 0xff
     if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return b
     var off = 2
@@ -1405,20 +1485,45 @@ object Multimodal {
         val len = (u8(off + 2) << 8) | u8(off + 3)
         if (len < 2 || off + 2 + len > b.length) return b
         val p = off + 4
-        if (m == 0xe1 && len >= 8 &&
-            new String(b, p, 4, "ISO-8859-1") == "Exif") {
-          if (scope == "app1") {
-            val out = new Array[Byte](b.length - (2 + len))
-            System.arraycopy(b, 0, out, 0, off)
-            System.arraycopy(b, off + 2 + len, out, off,
-              b.length - (off + 2 + len))
-            return out
-          }
-          return redactGpsInPlace(b, p + 6, off + 2 + len)
+        val isExif = m == 0xe1 && len >= 8 &&
+          new String(b, p, 4, "ISO-8859-1") == "Exif"
+        val isXmp = m == 0xe1 && len - 2 >= XmpNs.length &&
+          new String(b, p, XmpNs.length, "ISO-8859-1") == XmpNs
+        if ((isExif || isXmp) && scope == "app1") {
+          val out = new Array[Byte](b.length - (2 + len))
+          System.arraycopy(b, 0, out, 0, off)
+          System.arraycopy(b, off + 2 + len, out, off,
+            b.length - (off + 2 + len))
+          b = out // the next segment now sits at off — don't advance
+        } else {
+          if (isExif) b = redactGpsInPlace(b, p + 6, off + 2 + len)
+          else if (isXmp) b = scrubXmpGps(b, p + XmpNs.length,
+            off + 2 + len)
+          off += 2 + len
         }
-        off += 2 + len
       }
     }
+    b
+  }
+
+  /** The XMP arm of the `gps` scope: space-blank every `exif:GPS*`
+    * attribute (`exif:GPSLatitude="…"`) and element
+    * (`<exif:GPSLatitude>…</exif:GPSLatitude>`) span inside one XMP
+    * packet. ISO-8859-1 maps bytes to chars 1:1, so regex character
+    * offsets ARE byte offsets even around multi-byte UTF-8 content.
+    * Returns the input array when nothing matches. */
+  private def scrubXmpGps(orig: Array[Byte], from: Int,
+      end: Int): Array[Byte] = {
+    if (from >= end || end > orig.length) return orig
+    val xml = new String(orig, from, end - from, "ISO-8859-1")
+    var spans = List.empty[(Int, Int)]
+    val ma = XmpGpsAttrRe.matcher(xml)
+    while (ma.find()) spans ::= ((ma.start, ma.end))
+    val me = XmpGpsElemRe.matcher(xml)
+    while (me.find()) spans ::= ((me.start, me.end))
+    if (spans.isEmpty) return orig
+    val b = orig.clone()
+    for ((s0, e0) <- spans; i <- s0 until e0) b(from + i) = ' '
     b
   }
 

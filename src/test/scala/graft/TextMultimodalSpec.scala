@@ -436,9 +436,11 @@ class TextMultimodalSpec extends SparkSuite {
     feats.foreach { r =>
       val id = r.getLong(0)
       assert(r.getBoolean(2), s"jpeg $id not recognized")
-      // writer structure pinned: closed-form byte count
+      // writer structure pinned: closed-form byte count (the XMP
+      // APP1 is a constant 353 = 4 marker+length + 29 ns + 320 packet)
       val expBytes = (if (Multimodal.exifHasGps(id)) 156 else 138) +
-        Multimodal.exifMake(id).length
+        Multimodal.exifMake(id).length +
+        (if (Multimodal.hasXmp(id)) 353 else 0)
       assert(r.getInt(1) === expBytes, s"n_bytes for id $id")
       assert(r.getInt(3) === Multimodal.jpegWidth(id))
       assert(r.getInt(4) === Multimodal.jpegHeight(id))
@@ -447,6 +449,12 @@ class TextMultimodalSpec extends SparkSuite {
       assert(r.getInt(7) === Multimodal.exifOrientation(id))
       assert(r.getString(8) === Multimodal.exifDateTime(id))
       assert(r.getBoolean(9) === Multimodal.exifHasGps(id))
+      // XMP side: CreatorTool + GPS flag on XMP-carrying ids, null
+      // columns otherwise
+      if (Multimodal.hasXmp(id)) {
+        assert(r.getString(10) === Multimodal.xmpTool(id))
+        assert(r.getBoolean(11) === Multimodal.xmpHasGpsF(id))
+      } else assert(r.isNullAt(10) && r.isNullAt(11))
     }
   }
 
@@ -467,22 +475,49 @@ class TextMultimodalSpec extends SparkSuite {
       assert(r.getString(6) === Multimodal.exifModel(id))
       assert(r.getString(8) === Multimodal.exifDateTime(id))
       assert(!r.getBoolean(9), s"id=$id still has GPS")
+      // XMP: CreatorTool survives the scrub, exif:GPS* is gone
+      if (Multimodal.hasXmp(id)) {
+        assert(r.getString(10) === Multimodal.xmpTool(id), s"id=$id")
+        assert(!r.getBoolean(11), s"id=$id still has XMP GPS")
+      } else assert(r.isNullAt(10) && r.isNullAt(11))
     }
-    // rows without GPS pass through byte-identical; GPS rows must not
+    // rows with NEITHER GPS form pass through byte-identical; rows
+    // with either must not
     val changed = Multimodal.exifStrip(media).collect()
       .map(r => r.getLong(0) ->
         java.util.Arrays.equals(r.getAs[Array[Byte]]("bytes"),
           origBytes(r.getLong(0)))).toMap
     changed.foreach { case (id, same) =>
-      assert(same === !Multimodal.exifHasGps(id), s"id=$id")
+      assert(same === !(Multimodal.exifHasGps(id) ||
+        Multimodal.xmpHasGpsF(id)), s"id=$id")
     }
     val app1 = Multimodal.exifMeta(
       Multimodal.exifStrip(media, "app1")).collect()
     app1.foreach { r =>
       assert(r.getInt(1) === 39)
       assert(r.isNullAt(5) && r.isNullAt(9)) // no TIFF block at all
+      assert(r.isNullAt(10) && r.isNullAt(11)) // no XMP packet either
       assert(r.getInt(3) === Multimodal.jpegWidth(r.getLong(0)))
     }
+    // element-form XMP GPS (<exif:GPSLatitude>…</exif:GPSLatitude>)
+    // scrubs too, in place, with the packet wrapper intact
+    val elemXml = "<x:xmpmeta xmlns:x=\"adobe:ns:meta/\">" +
+      "<rdf:Description xmp:CreatorTool=\"T9\">" +
+      "<exif:GPSLatitude>12,34.00N</exif:GPSLatitude>" +
+      "<exif:GPSLongitude>56,7.00E</exif:GPSLongitude>" +
+      "</rdf:Description></x:xmpmeta>"
+    val pay = (Multimodal.XmpNs + elemXml).getBytes("ISO-8859-1")
+    val donor0 = origBytes(1L) // id 1: no XMP, no GPS
+    val xmpSeg = Array(0xff.toByte, 0xe1.toByte,
+      (((pay.length + 2) >> 8) & 0xff).toByte,
+      ((pay.length + 2) & 0xff).toByte) ++ pay
+    val withElem = donor0.take(2) ++ xmpSeg ++ donor0.drop(2)
+    val scrubbed = Multimodal.stripOne(withElem, "gps")
+    assert(scrubbed.length === withElem.length)
+    val scrubXml = new String(scrubbed, "ISO-8859-1")
+    assert(!scrubXml.contains("exif:GPS"))
+    assert(scrubXml.contains("xmp:CreatorTool=\"T9\""))
+    assert(scrubXml.contains("</rdf:Description>"))
     // a REAL JPEG (ImageIO-written) with the GPS-bearing APP1 spliced
     // in after SOI: both scopes must leave a decodable image
     val img = new java.awt.image.BufferedImage(31, 17,
