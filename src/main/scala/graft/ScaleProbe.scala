@@ -79,6 +79,9 @@ object ScaleProbe {
     if (args.headOption.contains("html")) {
       htmlProbe(spark, n); return
     }
+    if (args.headOption.contains("warc")) {
+      warcProbe(spark, n); return
+    }
     val src = spark.range(n).select(
       lit(1L).as("user_id"),
       (col("id") * 0.37 + pmod(col("id") * 7919, lit(97)) / 100.0).as("ts_days"),
@@ -1080,6 +1083,71 @@ object ScaleProbe {
         f"markdown=$tm%.1f s (max_task=${mm}ms) " +
         f"http_meta=$th%.1f s (max_task=${mh}ms)")
       p.unpersist(blocking = true); pay.unpersist(blocking = true)
+    }
+    spark.stop()
+  }
+
+  /** WARC read-path scale probe — the one ingest stage without a
+    * scaling table until r12. Writes n and 5n records of
+    * q_warc_http-shaped ~600 B HTTP payloads to `target/` twice —
+    * 32 uncompressed `.warc` parts, and TWO fat `.warc.gz` parts with
+    * their `.warc.gz.idx` member-offset sidecars (deliberately few
+    * files, so within-file splitting is the only parallelism
+    * available) — then times a full pass of each reader:
+    * record-delimiter scan ([[graft.sources.Warc.readWarc]]),
+    * per-file gz walk ([[graft.sources.Warc.readWarcGz]] — 2 tasks by
+    * construction), and the sidecar-split gz walk
+    * ([[graft.sources.Warc.readWarcGzSplit]], 16 ranges/file). The
+    * gz-vs-split gap is the direct measurement that the sidecar
+    * actually parallelizes single fat archives.
+    * Usage: SPARK_GRAFT_PROBE_N=200000 sbt "runMain graft.ScaleProbe warc"
+    */
+  private def warcProbe(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Warc
+    def pages(size: Long) = spark.range(size).select(
+      col("id"),
+      concat(lit("https://h"), pmod(col("id"), lit(1000L)),
+        lit(".example/p"), col("id")).as("url"),
+      concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=UTF-8\r\nServer: graft\r\n\r\n"),
+        rpad(concat(lit("<html><body><h1>Doc "), col("id"),
+          lit("</h1><p>running prose for realistic record volume ")),
+          520, "x"),
+        lit("</p></body></html>")).as("payload"))
+    def build(size: Long): String = {
+      val base = new java.io.File(
+        new java.io.File(System.getProperty("user.dir"), "target"),
+        s"graft_probe_warc_$size").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      Warc.writeWarc(pages(size).repartition(32), s"$base/plain",
+        "id", "url", "payload").collect()
+      Warc.writeWarc(pages(size).repartition(2), s"$base/gz",
+        "id", "url", "payload", gzip = true).collect()
+      base
+    }
+    locally { // warmup: JIT the readers before anything is timed
+      val wbase = build(math.max(n / 10, 1000).toLong)
+      Bench.run(Warc.readWarc(spark, s"$wbase/plain"))
+      Bench.run(Warc.readWarcGz(spark, s"$wbase/gz"))
+      Bench.run(Warc.readWarcGzSplit(spark, s"$wbase/gz", 16))
+    }
+    for (size <- Seq(n.toLong, n.toLong * 5)) {
+      val base = build(size)
+      val (tp, mp, _) = timedRunGc(spark)(
+        Warc.readWarc(spark, s"$base/plain"))
+      val (tg, mg, _) = timedRunGc(spark)(
+        Warc.readWarcGz(spark, s"$base/gz"))
+      val (ts, ms, _) = timedRunGc(spark)(
+        Warc.readWarcGzSplit(spark, s"$base/gz", 16))
+      println(f"SCALE_PROBE warc records=$size " +
+        f"delim_scan=$tp%.1f s (max_task=${mp}ms) " +
+        f"gz_per_file=$tg%.1f s (max_task=${mg}ms) " +
+        f"gz_split=$ts%.1f s (max_task=${ms}ms)")
     }
     spark.stop()
   }

@@ -1011,6 +1011,21 @@ object SparkEntry {
           col("xref_ok"), col("n_xrefs"), col("streams_ok"),
           col("text"))
     }),
+    "q_pdf_fonts" -> ((s, dir) => {
+      // NON-IDENTITY font encodings — the PDF slice the identity tier
+      // can't read: page 0 decodes octal bytes through /Differences
+      // slots (Euro/bullet) over a /WinAnsiEncoding base (\222 → ’)
+      // and SWITCHES fonts mid-stream; page 1 decodes 2-byte
+      // Identity-H hex codes through a /ToUnicode CMap (offset
+      // bfrange + bfchar é). The decoded text is a closed form the
+      // oracle restates with the actual Unicode characters
+      import graft.multimodal.Pdf
+      Pdf.pdfMeta(Pdf.syntheticEncodedPdfs(
+          table(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("parsed"), col("n_pages"),
+          col("pages_declared"), col("n_objects"), col("xref_ok"),
+          col("n_xrefs"), col("streams_ok"), col("text"))
+    }),
     "q_video_mp4_meta" -> ((s, dir) => {
       // REAL ISO-BMFF container parse, no codec: synthetic mp4s with a
       // closed-form moov tree (two-entry stts, v0 boxes) are re-parsed
@@ -6225,6 +6240,17 @@ object SparkEntry {
         |    ELSE 'vp09' END) AS codec_id,
         |  (1000 * (doc_id % 50 + 10))::BIGINT AS avg_bitrate
         |FROM p""".stripMargin,
+    // the decoded text restated with the actual Unicode characters:
+    // page 0 = Differences slots (€ at \200, • at \201) + WinAnsi ’
+    // (\222) + the mid-stream font switch's CMap X; page 1 = the
+    // bfrange offset decode + the bfchar é
+    "q_pdf_fonts" ->
+      """SELECT doc_id AS media_id, TRUE AS parsed, 2::INT AS n_pages,
+        |  2::INT AS pages_declared, 9::INT AS n_objects,
+        |  TRUE AS xref_ok, 1::INT AS n_xrefs, TRUE AS streams_ok,
+        |  'Euro € ' || (doc_id % 9)::VARCHAR || '• don’tX' ||
+        |  chr(10) || 'CID pg ' || (doc_id % 7)::VARCHAR || 'é' AS text
+        |FROM documents""".stripMargin,
     // Generated oracles (constants shared with the Spark side — see the
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,

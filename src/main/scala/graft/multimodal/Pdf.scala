@@ -463,6 +463,79 @@ object Pdf {
       }(enc).toDF()
   }
 
+  /** Complete classic PDF exercising NON-IDENTITY font encodings —
+    * the two forms real documents use that the identity tier cannot
+    * read. Page 0 shows through a simple Type1 font whose
+    * `/Encoding << /BaseEncoding /WinAnsiEncoding /Differences
+    * [128 /Euro /bullet] >>` remaps bytes (octal `\200`/`\201` slots
+    * + a WinAnsi `\222` right-quote), then SWITCHES fonts mid-stream
+    * (`/F2 … Tf <0158> Tj`); page 1 shows 2-byte Identity-H codes
+    * through a `/ToUnicode` CMap — an offset `bfrange`
+    * (`<0100><01FF> <0000>`: code = char + 0x100) plus one `bfchar`
+    * (`<0202> → é`). Every planted byte is a closed form of `id`, so
+    * the oracle restates the decoded text analytically. */
+  private[graft] def buildPdfEncoded(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(2048)
+    def wr(t: String): Unit =
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val offsets = new Array[Long](10)
+    def obj(num: Int, body: String): Unit = {
+      offsets(num) = out.size().toLong
+      wr(s"$num 0 obj\n$body\nendobj\n")
+    }
+    wr("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 7 0 R /F2 8 0 R >> >> " +
+      "/MediaBox [0 0 612 792] /Contents 4 0 R >>")
+    val c0 = s"BT /F1 12 Tf 72 720 Td " +
+      s"(Euro \\200 ${id % 9}\\201 don\\222t) Tj " +
+      "/F2 12 Tf <0158> Tj ET"
+    obj(4, s"<< /Length ${c0.length} >>\nstream\n$c0\nendstream")
+    obj(5, "<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F2 8 0 R >> >> " +
+      "/MediaBox [0 0 612 792] /Contents 6 0 R >>")
+    val codes = ("CID pg " + (id % 7))
+      .map(c => f"01${c.toInt}%02X").mkString + "0202"
+    val c1 = s"BT /F2 12 Tf 72 720 Td <$codes> Tj ET"
+    obj(6, s"<< /Length ${c1.length} >>\nstream\n$c1\nendstream")
+    obj(7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 128 /Euro /bullet ] >> >>")
+    obj(8, "<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      "/Encoding /Identity-H /ToUnicode 9 0 R >>")
+    val cmap = "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+      "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "1 beginbfrange\n<0100> <01FF> <0000>\nendbfrange\n" +
+      "1 beginbfchar\n<0202> <00E9>\nendbfchar\nendcmap\nend"
+    obj(9, s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream")
+    val xrefAt = out.size().toLong
+    wr("xref\n0 10\n0000000000 65535 f \n")
+    (1 to 9).foreach(i => wr(f"${offsets(i)}%010d 00000 n \n"))
+    wr(s"trailer\n<< /Size 10 /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The decoded text [[buildPdfEncoded]] plants, per page. */
+  private[graft] def pdfEncodedText(id: Long): String =
+    s"Euro € ${id % 9}• don’tX\nCID pg ${id % 7}é"
+
+  /** Font-encoding PDF corpus in the [[Multimodal.mediaSchema]] shape
+    * ([[buildPdfEncoded]] per id). */
+  def syntheticEncodedPdfs(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          Row(id, "document", buildPdfEncoded(id),
+            Row("pdf", null, null, null))
+        }
+      }(enc).toDF()
+  }
+
   // ------------------------------------------------------------- parser
 
   /** Output schema of the PDF structural parser. */
@@ -542,7 +615,8 @@ object Pdf {
     // lands on `endstream` (± an EOL), bounds the body WITHOUT
     // searching inside it — binary Flate data may contain any byte
     // sequence, including "endstream". Fallback: endstream search.
-    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    val contents = scala.collection.mutable.ArrayBuffer[String]()
+    val streamByNum = scala.collection.mutable.Map[Int, String]()
     val objstms = scala.collection.mutable.Map[Int, ObjStmInfo]()
     var streamsOk = true
     var from = 0
@@ -607,8 +681,14 @@ object Pdf {
                 objstms(num) = ObjStmInfo(p, n, first)
               }
             } else {
-              decoded.map(showText).filter(_.nonEmpty)
-                .foreach(texts += _)
+              // text extraction is DEFERRED until the font table is
+              // known (a /Tf may select a non-identity encoding);
+              // streams also index by object number so a /ToUnicode
+              // reference can find its CMap payload
+              decoded.foreach { p =>
+                contents += p
+                objNum.foreach(n => streamByNum(n) = p)
+              }
             }
             from = endKw + "endstream".length
           }
@@ -619,6 +699,81 @@ object Pdf {
     // payload (a modern file's page dicts never appear uncompressed).
     // /Pages (the tree node) must not count, hence the non-'s' class.
     val scanSpaces = s +: objstms.values.map(_.payload).toSeq
+    // ---- font table: resource NAME → byte decoder (§9.6, §9.10).
+    // Page dicts name their fonts (`/Font << /F1 9 0 R >>`); each
+    // referenced font object (top-level or ObjStm-compressed) may
+    // carry /ToUnicode (a CMap stream → CID 2-byte decode) or an
+    // /Encoding (named base and/or /Differences → simple 1-byte
+    // decode). Fonts with NO encoding info stay identity — the
+    // pre-r12 behavior, so undecorated documents parse byte-for-byte
+    // as before. A name colliding across pages keeps the first
+    // definition; a torn font structure falls back to identity for
+    // everything (containment, not a wrong answer).
+    val fonts: Map[String, PdfDecoder] = try {
+      def topBody(num: Int): Option[String] =
+        ("(?m)(?<![0-9])" + num + "\\s+0\\s+obj").r.findFirstMatchIn(s)
+          .map { m =>
+            val start = m.end
+            val end = s.indexOf("endobj", start)
+            s.substring(start,
+              if (end < 0) math.min(s.length, start + 2000) else end)
+          }
+      def objstmBody(num: Int): Option[String] =
+        objstms.values.iterator.flatMap { info =>
+          val hdr = info.payload.take(info.first)
+          val pairs = hdr.trim.split("\\s+").grouped(2).collect {
+            case Array(a, o) if a.nonEmpty && a.forall(_.isDigit) &&
+                o.nonEmpty && o.forall(_.isDigit) =>
+              (a.toInt, info.first + o.toInt)
+          }.toSeq
+          pairs.find(_._1 == num).map { case (_, start) =>
+            val ends = pairs.map(_._2).filter(_ > start)
+            val end = if (ends.isEmpty) info.payload.length
+              else math.min(ends.min, info.payload.length)
+            info.payload.substring(math.min(start, info.payload.length),
+              math.max(end, math.min(start, info.payload.length)))
+          }
+        }.nextOption()
+      val refRe = "/([A-Za-z0-9]+)\\s+(\\d+)\\s+0\\s+R".r
+      val nameToObj = scanSpaces.iterator
+        .flatMap(sp => "/Font\\s*<<([^>]*)>>".r.findAllMatchIn(sp))
+        .flatMap(m => refRe.findAllMatchIn(m.group(1))
+          .map(r => r.group(1) -> r.group(2).toInt))
+        .toSeq.distinct.take(256)
+      val out = scala.collection.mutable.Map[String, PdfDecoder]()
+      for ((name, num) <- nameToObj if !out.contains(name);
+          body <- topBody(num).orElse(objstmBody(num))
+          if "/Type\\s*/Font\\b".r.findFirstIn(body).isDefined) {
+        val toUni = "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
+          .findFirstMatchIn(body).map(_.group(1).toInt)
+        toUni.flatMap(streamByNum.get) match {
+          case Some(cmap) =>
+            out(name) = cidDecoder(parseToUnicode(cmap))
+          case None =>
+            val encDict = "(?s)/Encoding\\s*<<(.*?)>>".r
+              .findFirstMatchIn(body).map(_.group(1))
+            // /Encoding << /BaseEncoding /X /Differences […] >>  or
+            // the direct named form  /Encoding /WinAnsiEncoding
+            val base = encDict.flatMap(d =>
+                "/BaseEncoding\\s*/(\\w+)".r.findFirstMatchIn(d)
+                  .map(_.group(1)))
+              .orElse(("/Encoding\\s*/(WinAnsiEncoding|" +
+                "MacRomanEncoding|StandardEncoding)").r
+                .findFirstMatchIn(body).map(_.group(1)))
+            val diffs = encDict.flatMap(d =>
+              "(?s)/Differences\\s*\\[([^\\]]*)\\]".r
+                .findFirstMatchIn(d).map(_.group(1)))
+            if (base.isDefined || diffs.isDefined)
+              out(name) = simpleFontDecoder(
+                base.getOrElse("StandardEncoding"), diffs)
+        }
+      }
+      out.toMap
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
+    val texts = contents.iterator.map(c => showText(c, fonts))
+      .filter(_.nonEmpty).toBuffer
     val nPages = scanSpaces
       .map(t => "/Type\\s*/Page[^s]".r.findAllMatchIn(t).length).sum
     val declared = scanSpaces.iterator.flatMap { t =>
@@ -804,23 +959,42 @@ object Pdf {
       xrefOk, if (xrefOk) Int.box(nXrefs) else null, streamsOk, text)
   }
 
+  /** String-byte decoder of one font: raw show-string bytes → text.
+    * [[IdentityDecoder]] (UTF-8 of the raw bytes) is the default and
+    * the pre-r12 behavior; simple-font encodings map single bytes,
+    * CID fonts map 2-byte big-endian codes through a ToUnicode CMap. */
+  private[graft] type PdfDecoder = Array[Byte] => String
+
+  private[graft] val IdentityDecoder: PdfDecoder =
+    raw => new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+
   /** Concatenated text of the `Tj` / `TJ` operators in one content
     * stream: a literal `(…)` (escapes + balanced parens per §7.3.4.2)
     * followed by `Tj` emits; a `[…] TJ` array emits its string
-    * elements in order (numeric kerning entries skip). */
-  private[graft] def showText(content: String): String = {
+    * elements in order (numeric kerning entries skip). String BYTES
+    * decode through the currently-selected font: `/Name size Tf`
+    * switches to `fonts(Name)` (unknown names and documents without
+    * font info fall back to [[IdentityDecoder]] — the pre-r12
+    * behavior, byte-for-byte). */
+  private[graft] def showText(content: String,
+      fonts: Map[String, PdfDecoder] = Map.empty): String = {
     val out = new StringBuilder
     var i = 0
+    var cur: PdfDecoder = IdentityDecoder
+    var lastName = ""
+    def isDelim(c: Char): Boolean = c.isWhitespace ||
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+      c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
     def ws(j0: Int): Int = {
       var j = j0
       while (j < content.length && content(j).isWhitespace) j += 1
       j
     }
     // hex string starting at '<' (§7.3.4.3): pairs of hex digits,
-    // whitespace ignored, an odd final digit implies a trailing 0 —
-    // the identity-encoded show form; returns (text, index after '>').
+    // whitespace ignored, an odd final digit implies a trailing 0;
+    // returns (raw bytes, index after '>').
     // `<<` is a DICTIONARY opener, not a string — callers skip it.
-    def hexString(j0: Int): (String, Int) = {
+    def hexString(j0: Int): (Array[Byte], Int) = {
       val raw = new java.io.ByteArrayOutputStream(64)
       var j = j0 + 1
       var hi = -1
@@ -837,11 +1011,10 @@ object Pdf {
           j += 1
         } else j += 1 // whitespace between digits is legal
       }
-      (new String(raw.toByteArray,
-        java.nio.charset.StandardCharsets.UTF_8), j)
+      (raw.toByteArray, j)
     }
-    // literal string starting at '(' → (decoded text, index after ')')
-    def literal(j0: Int): (String, Int) = {
+    // literal string starting at '(' → (raw bytes, index after ')')
+    def literal(j0: Int): (Array[Byte], Int) = {
       val raw = new java.io.ByteArrayOutputStream(64)
       var j = j0 + 1
       var depth = 1
@@ -875,50 +1048,214 @@ object Pdf {
           j += 1
         } else { raw.write(c.toInt); j += 1 }
       }
-      // bytes were ISO-8859-1-preserved chars; the writer emits UTF-8
-      (new String(raw.toByteArray,
-        java.nio.charset.StandardCharsets.UTF_8), j)
+      (raw.toByteArray, j)
     }
     while (i < content.length) {
       content(i) match {
         case '(' =>
-          val (txt, after) = literal(i)
+          val (raw, after) = literal(i)
           val k = ws(after)
-          if (content.startsWith("Tj", k)) { out ++= txt; i = k + 2 }
+          if (content.startsWith("Tj", k)) { out ++= cur(raw); i = k + 2 }
           else i = after
         case '<' if i + 1 < content.length && content(i + 1) == '<' =>
           i += 2 // dictionary opener, not a hex string
         case '<' =>
-          val (txt, after) = hexString(i)
+          val (raw, after) = hexString(i)
           val k = ws(after)
-          if (content.startsWith("Tj", k)) { out ++= txt; i = k + 2 }
+          if (content.startsWith("Tj", k)) { out ++= cur(raw); i = k + 2 }
           else i = after
         case '[' =>
-          val parts = scala.collection.mutable.ArrayBuffer[String]()
+          val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
           var j = i + 1
           var closed = -1
           while (j < content.length && closed < 0) {
             content(j) match {
               case '(' =>
-                val (txt, after) = literal(j)
-                parts += txt; j = after
+                val (raw, after) = literal(j)
+                parts += raw; j = after
               case '<' if j + 1 < content.length &&
                   content(j + 1) == '<' => j += 2
               case '<' =>
-                val (txt, after) = hexString(j)
-                parts += txt; j = after
+                val (raw, after) = hexString(j)
+                parts += raw; j = after
               case ']' => closed = j; j += 1
               case _ => j += 1
             }
           }
           val k = ws(j)
           if (closed >= 0 && content.startsWith("TJ", k)) {
-            parts.foreach(out ++= _)
+            parts.foreach(p => out ++= cur(p))
             i = k + 2
           } else i = if (closed >= 0) closed + 1 else content.length
+        case '/' =>
+          // a name token: remember it — `/F2 12 Tf` selects by the
+          // name that PRECEDED the Tf operator
+          var j = i + 1
+          while (j < content.length && !isDelim(content(j))) j += 1
+          lastName = content.substring(i + 1, j)
+          i = j
+        case 'T' if content.startsWith("Tf", i) &&
+            (i == 0 || isDelim(content(i - 1))) &&
+            (i + 2 >= content.length || isDelim(content(i + 2))) =>
+          cur = fonts.getOrElse(lastName, IdentityDecoder)
+          i += 2
         case _ => i += 1
       }
     }
     out.toString
   }
+
+  // ------------------------------------------- font encodings (§9.6, §9.10)
+
+  /** Adobe-Glyph-List subset: the ASCII names plus the extended names
+    * real `/Differences` arrays actually use (WinAnsi/MacRoman's
+    * non-ASCII slots). Unknown names decode U+FFFD — visible, never
+    * silently wrong. */
+  private[graft] val GlyphNames: Map[String, String] = {
+    val ascii = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@",
+      "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+      "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~")
+    val digits = Seq("zero", "one", "two", "three", "four", "five",
+      "six", "seven", "eight", "nine").zipWithIndex
+      .map { case (n, i) => n -> i.toString }.toMap
+    val letters = (('A' to 'Z') ++ ('a' to 'z'))
+      .map(c => c.toString -> c.toString).toMap
+    val extended = Map(
+      "Euro" -> "€", "bullet" -> "•", "emdash" -> "—",
+      "endash" -> "–", "quotedblleft" -> "“",
+      "quotedblright" -> "”", "quoteleft" -> "‘",
+      "quoteright" -> "’", "ellipsis" -> "…",
+      "dagger" -> "†", "daggerdbl" -> "‡",
+      "trademark" -> "™", "copyright" -> "©",
+      "registered" -> "®", "degree" -> "°",
+      "section" -> "§", "paragraph" -> "¶",
+      "cent" -> "¢", "sterling" -> "£", "yen" -> "¥",
+      "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+      "ccedilla" -> "ç", "adieresis" -> "ä",
+      "odieresis" -> "ö", "udieresis" -> "ü",
+      "ntilde" -> "ñ", "oslash" -> "ø", "aring" -> "å",
+      "ae" -> "æ", "germandbls" -> "ß")
+    ascii ++ digits ++ letters ++ extended
+  }
+
+  /** 256-slot base table of a named simple-font encoding: WinAnsi is
+    * windows-1252, MacRoman is the JDK's x-MacRoman, Standard (and
+    * anything unrecognized) keeps printable ASCII and leaves the rest
+    * U+FFFD. One-byte decode via charset keeps the table exact. */
+  private[graft] def baseEncodingTable(name: String): Array[String] = {
+    val table = Array.fill[String](256)("�")
+    val cs = name match {
+      case "WinAnsiEncoding" => java.nio.charset.Charset
+        .forName("windows-1252")
+      case "MacRomanEncoding" => java.nio.charset.Charset
+        .forName("x-MacRoman")
+      case _ => null
+    }
+    var i = 0
+    while (i < 256) {
+      if (cs != null) {
+        val s = new String(Array(i.toByte), cs)
+        if (s.length == 1 && s.charAt(0) != '�') table(i) = s
+      } else if (i >= 0x20 && i <= 0x7e) table(i) = i.toChar.toString
+      i += 1
+    }
+    table
+  }
+
+  /** Simple-font decoder from a base encoding plus a `/Differences`
+    * array body (`[ code /name /name code /name … ]` — each integer
+    * resets the slot, each following name fills consecutive slots,
+    * §9.6.5.1). */
+  private[graft] def simpleFontDecoder(base: String,
+      differences: Option[String]): PdfDecoder = {
+    val table = baseEncodingTable(base)
+    differences.foreach { body =>
+      var slot = -1
+      val tok = "(\\d+)|/([^\\s/\\[\\]<>()]+)".r
+      tok.findAllMatchIn(body).foreach { m =>
+        if (m.group(1) != null) slot = m.group(1).toInt
+        else if (slot >= 0 && slot < 256) {
+          table(slot) = GlyphNames.getOrElse(m.group(2), "�")
+          slot += 1
+        }
+      }
+    }
+    raw => {
+      val sb = new StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) { sb ++= table(raw(i) & 0xff); i += 1 }
+      sb.toString
+    }
+  }
+
+  /** ToUnicode CMap → code → text map (§9.10.3): `beginbfchar` pairs
+    * (`<src> <dstUtf16BE>`), `beginbfrange` with a scalar start
+    * (`<lo> <hi> <dst>`, last code unit incrementing) or an array
+    * (`<lo> <hi> [<d0> <d1> …]`). Entry count capped at 65536 — a
+    * malicious range can't balloon the map. */
+  private[graft] def parseToUnicode(cmap: String): Map[Int, String] = {
+    val m = scala.collection.mutable.Map[Int, String]()
+    def utf16(h: String): String = {
+      val padded = if (h.length % 4 == 0) h
+        else ("0" * (4 - h.length % 4)) + h
+      new String(padded.grouped(4)
+        .map(g => Integer.parseInt(g, 16).toChar).toArray)
+    }
+    for (blk <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(cmap);
+        p <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+          .findAllMatchIn(blk.group(1)))
+      if (m.size < 65536)
+        m(Integer.parseInt(p.group(1), 16)) = utf16(p.group(2))
+    val rangeRe = ("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+      "(?:<([0-9A-Fa-f]+)>|\\[([^\\]]*)\\])").r
+    for (blk <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(cmap);
+        p <- rangeRe.findAllMatchIn(blk.group(1))) {
+      val lo = Integer.parseInt(p.group(1), 16)
+      val hi = Integer.parseInt(p.group(2), 16)
+      if (p.group(3) != null) {
+        val dst = p.group(3)
+        // the increment applies to the LAST UTF-16 code unit (§9.10.3)
+        val head = utf16(dst).dropRight(1)
+        val last = utf16(dst).takeRight(1).headOption.map(_.toInt)
+          .getOrElse(0)
+        var k = 0
+        while (k <= hi - lo && m.size < 65536) {
+          m(lo + k) = head + (last + k).toChar
+          k += 1
+        }
+      } else {
+        val items = "<([0-9A-Fa-f]+)>".r.findAllMatchIn(p.group(4))
+          .map(_.group(1)).toSeq
+        items.zipWithIndex.foreach { case (h, k) =>
+          if (lo + k <= hi && m.size < 65536) m(lo + k) = utf16(h)
+        }
+      }
+    }
+    m.toMap
+  }
+
+  /** CID decoder: 2-byte big-endian codes (the Identity-H code space)
+    * through a ToUnicode map; unmapped codes decode U+FFFD. An odd
+    * trailing byte (malformed string) also decodes U+FFFD. */
+  private[graft] def cidDecoder(toUnicode: Map[Int, String]): PdfDecoder =
+    raw => {
+      val sb = new StringBuilder(raw.length / 2)
+      var i = 0
+      while (i + 1 < raw.length) {
+        val code = ((raw(i) & 0xff) << 8) | (raw(i + 1) & 0xff)
+        sb ++= toUnicode.getOrElse(code, "�")
+        i += 2
+      }
+      if (raw.length % 2 == 1) sb += '�'
+      sb.toString
+    }
 }

@@ -278,4 +278,56 @@ class PdfSpec extends SparkSuite {
       .takeWhile(_.isDigit).toInt
     assert(s.startsWith("xref", sx))
   }
+
+  test("parseToUnicode: bfchar pairs, scalar bfrange (last code unit " +
+      "increments), array bfrange, entry cap") {
+    val cmap = "begincmap\n" +
+      "2 beginbfchar\n<0041> <0058>\n<0042> <00E90301>\nendbfchar\n" +
+      "1 beginbfrange\n<0100> <0103> <0030>\nendbfrange\n" +
+      "1 beginbfrange\n<0200> <0202> [<0061> <0062> <0063>]\n" +
+      "endbfrange\nendcmap"
+    val m = Pdf.parseToUnicode(cmap)
+    assert(m(0x41) === "X")
+    assert(m(0x42) === "\u00e9\u0301") // multi-unit dst survives
+    assert((0 to 3).map(k => m(0x100 + k)).mkString === "0123")
+    assert((0 to 2).map(k => m(0x200 + k)).mkString === "abc")
+    assert(!m.contains(0x203))
+  }
+
+  test("simpleFontDecoder: WinAnsi base decodes cp1252 bytes, " +
+      "Differences slots override, unknown glyphs decode U+FFFD") {
+    val dec = Pdf.simpleFontDecoder("WinAnsiEncoding",
+      Some("128 /Euro /bullet 200 /nosuchglyph"))
+    assert(dec("Ab1".getBytes("ISO-8859-1")) === "Ab1")
+    assert(dec(Array(0x80.toByte, 0x81.toByte)) === "\u20ac\u2022")
+    assert(dec(Array(0x92.toByte)) === "\u2019") // cp1252 right quote
+    assert(dec(Array(200.toByte)) === "\ufffd")
+    val std = Pdf.simpleFontDecoder("StandardEncoding", None)
+    assert(std("plain".getBytes("ISO-8859-1")) === "plain")
+    assert(std(Array(0x92.toByte)) === "\ufffd") // no cp1252 in Standard
+  }
+
+  test("showText: /Name … Tf switches decoders mid-stream; unknown " +
+      "names and no-font documents stay identity") {
+    val fonts = Map[String, Pdf.PdfDecoder](
+      "F9" -> (raw => raw.map(b => (b + 1).toChar).mkString))
+    val content = "BT /F9 12 Tf (abc) Tj /F1 10 Tf (abc) Tj ET"
+    assert(Pdf.showText(content, fonts) === "bcdabc")
+    assert(Pdf.showText(content) === "abcabc") // no fonts: identity
+  }
+
+  test("buildPdfEncoded end to end: Differences + WinAnsi simple font, " +
+      "mid-stream switch, ToUnicode CID page — decoded text matches " +
+      "the closed form; xref validates") {
+    for (id <- Seq(0L, 5L, 13L)) {
+      val df = Pdf.syntheticEncodedPdfs(Seq(id).toDF("doc_id"), "doc_id")
+      val r = Pdf.pdfMeta(df).head()
+      assert(r.getAs[Boolean]("parsed") && r.getAs[Boolean]("xref_ok"))
+      assert(r.getAs[Boolean]("streams_ok"))
+      assert(r.getAs[Int]("n_pages") === 2)
+      assert(r.getAs[Int]("n_objects") === 9)
+      assert(r.getAs[String]("text") === Pdf.pdfEncodedText(id),
+        s"id=$id")
+    }
+  }
 }
