@@ -413,6 +413,19 @@ object Streaming {
         graft.text.HtmlExtract.htmlToMarkdown(col("http_body"))
           .as("markdown"))
 
+  /** Streaming twin of the q_crawl_md_tables composition — the
+    * STRUCTURED-DATA lane live: [[streamingCrawlToMd]]'s markdown
+    * output piped straight into the GFM pipe-table extractor
+    * ([[graft.text.Markdown.markdownTableCells]] — the identical
+    * regexp + posexplode chain as batch, so stream ≡ batch
+    * bit-for-bit, `\|` escapes and all). Stateless generators: NO
+    * state store, no watermark — rows = table cells, one per
+    * (table_idx, row_idx, col_idx). Aggregate downstream. */
+  def streamingMdTableCells(src: DataFrame, payloadCol: String,
+      idCol: String): DataFrame =
+    graft.text.Markdown.markdownTableCells(
+      streamingCrawlToMd(src, payloadCol, idCol), "markdown")
+
   /** Streaming benchmark-contamination flag: mark stream documents that
     * (probably) share a word n-gram with a fixed benchmark corpus, via
     * the driver-built Bloom filter riding in the plan — a pure map-only

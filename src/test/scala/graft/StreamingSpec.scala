@@ -500,6 +500,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming md-table cells: crawl-to-md piped into the pipe-table " +
+      "extractor, stateless, batch-equal, escape round-trip") {
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import sqlc.implicits._
+    val mem = MemoryStream[Doc]
+    val html = "<p>intro</p><table><tr><th>A</th><th>B</th></tr>" +
+      "<tr><td>x|1</td><td>y</td></tr></table>"
+    val keep = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${html.length}\r\n\r\n" + html
+    val out = Streaming.streamingMdTableCells(mem.toDF(), "text",
+      "doc_id")
+    val q = out.writeStream.format("memory").queryName("md_cells")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Doc(1,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), keep))
+      q.processAllAvailable()
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        "expected no stateful operators")
+      val rows = spark.table("md_cells").collect()
+        .map(r => (r.getAs[Int]("row_idx"), r.getAs[Int]("col_idx")) ->
+          r.getAs[String]("cell")).toMap
+      // the literal pipe survives the converter's \| escape and the
+      // extractor's unescape — the full render/re-parse round trip
+      assert(rows === Map((0, 0) -> "A", (0, 1) -> "B",
+        (1, 0) -> "x|1", (1, 1) -> "y"))
+      val batch = Streaming.streamingMdTableCells(
+          Seq((1L, keep)).toDF("doc_id", "text"), "text", "doc_id")
+        .collect()
+        .map(r => (r.getAs[Int]("row_idx"), r.getAs[Int]("col_idx")) ->
+          r.getAs[String]("cell")).toMap
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("streaming contamination flag: bloom probe, no state, no misses") {
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import sqlc.implicits._
