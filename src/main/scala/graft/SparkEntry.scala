@@ -288,9 +288,20 @@ object SparkEntry {
         new java.io.File(System.getProperty("user.dir"), "target"),
         "graft_crawlwarc_" + digest).getAbsolutePath
       val dd = col("doc_id")
-      val body = mdPageHtml
+      import graft.functions.HttpBytesExpressions.charsetEncode
+      // every 8th id serves its HTML as WINDOWS-1252 (declared in the
+      // Content-Type charset parameter) — the non-UTF-8 slice a real
+      // crawl is full of; the trailing café paragraph makes the byte
+      // difference observable (0xE9 is invalid UTF-8, so only the
+      // charset-driven byte path decodes it correctly)
+      val body = concat(mdPageHtml, lit("<p>café "),
+        pmod(dd, lit(3)).cast("string"), lit("</p>"))
+      val cs = when(pmod(dd, lit(4)) === 0 && pmod(dd, lit(8)) === 0,
+        lit("windows-1252")).otherwise(lit("UTF-8"))
+      val bodyBytes = charsetEncode(body, cs)
       val ctHdr = when(pmod(dd, lit(4)) === 0,
-          lit("Content-Type: text/html; charset=UTF-8\r\n"))
+          concat(lit("Content-Type: text/html; charset="), cs,
+            lit("\r\n")))
         .when(pmod(dd, lit(4)) === 1, lit("Content-Type: text/plain\r\n"))
         .when(pmod(dd, lit(4)) === 2,
           lit("Content-Type: application/pdf\r\n"))
@@ -299,11 +310,13 @@ object SparkEntry {
         when(pmod(dd, lit(3)) === 0, lit("HTTP/1.1 200 OK\r\n"))
         .when(pmod(dd, lit(3)) === 1, lit("HTTP/1.1 404 Not Found\r\n"))
         .otherwise(lit("HTTP/1.0 301 Moved Permanently\r\n"))
+      val head = concat(statusLine, ctHdr,
+        lit("Content-Length: "), length(bodyBytes).cast("string"),
+        lit("\r\nServer: graft\r\n\r\n"))
       val payload = when(pmod(dd, lit(11)) === 0,
-          concat(lit("plain text record "), dd.cast("string")))
-        .otherwise(concat(statusLine, ctHdr,
-          lit("Content-Length: "), length(body).cast("string"),
-          lit("\r\nServer: graft\r\n\r\n"), body))
+          charsetEncode(concat(lit("plain text record "),
+            dd.cast("string")), lit("UTF-8")))
+        .otherwise(concat(charsetEncode(head, lit("UTF-8")), bodyBytes))
       val pages = table(s, d, "documents").select(col("doc_id"))
         .withColumn("url", syntheticUrl)
         .withColumn("http_payload", payload)
@@ -1383,34 +1396,45 @@ object SparkEntry {
     "q_crawl_to_md" -> ((s, dir) => {
       // the crawl-to-training-text composition END TO END from DISK:
       // full HTTP responses (the q_warc_http status/content-type
-      // arms, bodies = the q_html_markdown page template) written as
-      // WARC response records, read back through the record walk,
-      // HTTP-parsed, gated to 200 + text/html (404s, redirects,
+      // arms, bodies = the q_html_markdown page template + a café
+      // paragraph) written as WARC response records — every 8th id
+      // encoded WINDOWS-1252 with the charset declared on the wire —
+      // read back through the record walk, HTTP-parsed on the BYTE
+      // path (payload_bytes → http_body_bytes → charset-driven
+      // http_text: the r12 ingest-boundary fix, load-bearing here —
+      // the cp1252 é byte is invalid UTF-8 and only survives through
+      // the transcode), gated to 200 + text/html (404s, redirects,
       // non-HTML media and non-HTTP payloads all drop), and the
       // surviving bodies converted to markdown — the modern corpus
       // ingest path (CommonCrawl → FineWeb-style md) in one lineage
-      val meta = graft.sources.Warc.httpResponseMeta(
-        graft.sources.Warc.readWarc(s, crawlWarcPath(s, dir)))
+      val meta = graft.sources.Warc.decodeHttpBody(
+        graft.sources.Warc.httpResponseMeta(
+          graft.sources.Warc.readWarc(s, crawlWarcPath(s, dir)),
+          bytesCol = Some("payload_bytes")))
       meta.filter(col("is_http") && col("status") === 200 &&
           col("content_type") === "text/html")
         .select(col("record_id").as("doc_id"),
-          graft.text.HtmlExtract.htmlToMarkdown(col("http_body"))
+          graft.text.HtmlExtract.htmlToMarkdown(col("http_text"))
             .as("markdown"))
     }),
     "q_crawl_md_tables" -> ((s, dir) => {
       // the STRUCTURED-DATA lane fed end-to-end from the crawl: the
-      // q_crawl_to_md composition (WARC from disk → HTTP parse →
-      // 200+text/html gate → htmlToMarkdown) piped straight into the
-      // GFM pipe-table extractor — the HTML table each kept page
-      // carried arrives as markdown (first body cell holds a literal
-      // `|` escaped `\|` by the converter) and comes back out as
-      // cells, pipe intact: render and re-parse must agree exactly
-      val meta = graft.sources.Warc.httpResponseMeta(
-        graft.sources.Warc.readWarc(s, crawlWarcPath(s, dir)))
+      // q_crawl_to_md composition (WARC from disk → HTTP parse on
+      // the charset-correct BYTE path → 200+text/html gate →
+      // htmlToMarkdown) piped straight into the GFM pipe-table
+      // extractor — the HTML table each kept page carried arrives as
+      // markdown (first body cell holds a literal `|` escaped `\|`
+      // by the converter) and comes back out as cells, pipe intact:
+      // render and re-parse must agree exactly, across BOTH wire
+      // charsets (every 8th id ships windows-1252)
+      val meta = graft.sources.Warc.decodeHttpBody(
+        graft.sources.Warc.httpResponseMeta(
+          graft.sources.Warc.readWarc(s, crawlWarcPath(s, dir)),
+          bytesCol = Some("payload_bytes")))
       val md = meta.filter(col("is_http") && col("status") === 200 &&
           col("content_type") === "text/html")
         .select(col("record_id").as("doc_id"),
-          graft.text.HtmlExtract.htmlToMarkdown(col("http_body"))
+          graft.text.HtmlExtract.htmlToMarkdown(col("http_text"))
             .as("markdown"))
       graft.text.Markdown.markdownTableCells(md, "markdown")
         .select(col("doc_id"), col("table_idx"), col("row_idx"),
@@ -6736,7 +6760,8 @@ object SparkEntry {
         |  '> first ' || g || chr(10) || '>' || chr(10) ||
         |  '> second' || chr(10) || chr(10) ||
         |  '| C1 | C2 |' || chr(10) || '| --- | --- |' || chr(10) ||
-        |  '| v\|' || e || ' | w' || c || ' |' AS markdown
+        |  '| v\|' || e || ' | w' || c || ' |' ||
+        |  chr(10) || chr(10) || 'café ' || b AS markdown
         |FROM t""".stripMargin,
     // the table that survived WARC → HTTP parse → markdown → cell
     // extraction: kept docs only; the first body cell's literal pipe

@@ -403,7 +403,11 @@ object Streaming {
     * chains as batch, so stream ≡ batch bit-for-bit). Pure per-row
     * expressions end to end: NO state store, no watermark — compose
     * the stateful stages (dedup, windowed indexes) downstream.
-    * Returns (idCol, markdown). */
+    * Returns (idCol, markdown). Payloads arrive as STRINGS here
+    * (already decoded at the stream boundary); a non-UTF-8 firehose
+    * should run the batch byte path
+    * ([[graft.sources.Warc.decodeHttpBody]] over `payload_bytes`)
+    * in its source stage first — the q_crawl_to_md shape. */
   def streamingCrawlToMd(src: DataFrame, payloadCol: String,
       idCol: String): DataFrame =
     graft.sources.Warc.httpResponseMeta(src, payloadCol)
