@@ -1039,6 +1039,22 @@ object SparkEntry {
           col("pages_declared"), col("n_objects"), col("xref_ok"),
           col("n_xrefs"), col("streams_ok"), col("text"))
     }),
+    "q_pdf_images" -> ((s, dir) => {
+      // EMBEDDED-IMAGE extraction — the figure-mining pass a
+      // multimodal corpus runs over documents: PDFs carrying a
+      // FlateDecode raw-RGB bitmap AND a real JDK-encoded JPEG
+      // behind DCTDecode are re-parsed; declared dims/bpc/filter
+      // hash-check against closed forms and decode_ok VERIFIES each
+      // body (JPEG decodes to the declared dims; the bitmap inflates
+      // to exactly w·h·3 octets). Byte counts are encoder-dependent
+      // and stay spec-side (the compressionRatio precedent)
+      import graft.multimodal.Pdf
+      Pdf.pdfImages(Pdf.syntheticImagePdfs(
+          table(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("image_idx"), col("width"),
+          col("height"), col("bits_per_component"), col("filter"),
+          col("decode_ok"))
+    }),
     "q_video_mp4_meta" -> ((s, dir) => {
       // REAL ISO-BMFF container parse, no codec: synthetic mp4s with a
       // closed-form moov tree (two-entry stts, v0 boxes) are re-parsed
@@ -6275,6 +6291,18 @@ object SparkEntry {
         |  'Euro € ' || (doc_id % 9)::VARCHAR || '• don’tX' ||
         |  chr(10) || 'CID pg ' || (doc_id % 7)::VARCHAR || 'é' AS text
         |FROM documents""".stripMargin,
+    // both embedded images per doc in file order: the raw bitmap
+    // (idx 0) then the JPEG (idx 1), dims closed forms, both decode
+    "q_pdf_images" ->
+      """WITH d AS (SELECT doc_id FROM documents)
+        |SELECT doc_id AS media_id, 0 AS image_idx,
+        |  ((doc_id % 6 + 1) * 4)::INT AS width,
+        |  ((doc_id % 3 + 1) * 4)::INT AS height,
+        |  8::INT AS bits_per_component, 'FlateDecode' AS filter,
+        |  TRUE AS decode_ok FROM d
+        |UNION ALL SELECT doc_id, 1, ((doc_id % 5 + 2) * 8)::INT,
+        |  ((doc_id % 4 + 2) * 8)::INT, 8::INT, 'DCTDecode', TRUE
+        |FROM d""".stripMargin,
     // Generated oracles (constants shared with the Spark side — see the
     // "oracle SQL generators" section above):
     "q_minhash_lsh" -> minhashLshOracle,

@@ -536,6 +536,221 @@ object Pdf {
       }(enc).toDF()
   }
 
+  private[graft] def pdfImgTextW(id: Long): Int = (id % 5 + 2).toInt * 8
+  private[graft] def pdfImgTextH(id: Long): Int = (id % 4 + 2).toInt * 8
+  private[graft] def pdfImgRawW(id: Long): Int = (id % 6 + 1).toInt * 4
+  private[graft] def pdfImgRawH(id: Long): Int = (id % 3 + 1).toInt * 4
+
+  /** Complete classic PDF embedding two Image XObjects — the
+    * figure-extraction surface a multimodal corpus lane mines from
+    * documents (papers and reports carry their images THIS way):
+    * object 5 a `/Filter /FlateDecode` raw DeviceRGB bitmap (pixel
+    * bytes a closed form of (x, y, id)), object 6 a `/DCTDecode`
+    * image whose body is a REAL `javax.imageio` JPEG (solid fill,
+    * closed-form dims). The page places both with `Do` operators and
+    * shows one text line so the text and image lanes coexist. */
+  private[graft] def buildPdfWithImages(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def wr(t: String): Unit =
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val offsets = new Array[Long](7)
+    def obj(num: Int, body: String): Unit = {
+      offsets(num) = out.size().toLong
+      wr(s"$num 0 obj\n$body\nendobj\n")
+    }
+    wr("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /XObject << /Im0 5 0 R /Im1 6 0 R >> >> " +
+      "/MediaBox [0 0 612 792] /Contents 4 0 R >>")
+    val c = s"BT /F1 12 Tf 72 720 Td (img doc ${id % 9}) Tj ET\n" +
+      s"q ${pdfImgRawW(id)} 0 0 ${pdfImgRawH(id)} 72 600 cm /Im0 Do Q\n" +
+      s"q ${pdfImgTextW(id)} 0 0 ${pdfImgTextH(id)} 72 400 cm /Im1 Do Q"
+    obj(4, s"<< /Length ${c.length} >>\nstream\n$c\nendstream")
+    // raw RGB rows, deflated: pixel (x,y) channel k = (x + y + id + k)
+    // mod 256 — independently replayable
+    val (rw, rh) = (pdfImgRawW(id), pdfImgRawH(id))
+    val raw = new Array[Byte](rw * rh * 3)
+    var p = 0
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        var k = 0
+        while (k < 3) {
+          raw(p) = ((x + y + id + k) % 256).toByte; p += 1; k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val rawZ = deflate(raw)
+    offsets(5) = out.size().toLong
+    wr(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $rw " +
+      s"/Height $rh /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      s"/Filter /FlateDecode /Length ${rawZ.length} >>\nstream\n")
+    out.write(rawZ, 0, rawZ.length)
+    wr("\nendstream\nendobj\n")
+    // a REAL baseline JPEG via the JDK encoder (solid fill — only the
+    // decode round trip and dims are contracted, not the bytes)
+    val (jw, jh) = (pdfImgTextW(id), pdfImgTextH(id))
+    val img = new java.awt.image.BufferedImage(jw, jh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color((id % 200).toInt + 30,
+      (id % 150).toInt + 50, (id % 100).toInt + 80))
+    g.fillRect(0, 0, jw, jh)
+    g.dispose()
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jpeg = jbos.toByteArray
+    offsets(6) = out.size().toLong
+    wr(s"6 0 obj\n<< /Type /XObject /Subtype /Image /Width $jw " +
+      s"/Height $jh /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      s"/Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
+    out.write(jpeg, 0, jpeg.length)
+    wr("\nendstream\nendobj\n")
+    val xrefAt = out.size().toLong
+    wr("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(i => wr(f"${offsets(i)}%010d 00000 n \n"))
+    wr(s"trailer\n<< /Size 7 /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Image-bearing PDF corpus in the [[Multimodal.mediaSchema]] shape. */
+  def syntheticImagePdfs(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          Row(id, "document", buildPdfWithImages(id),
+            Row("pdf", null, null, null))
+        }
+      }(enc).toDF()
+  }
+
+  /** Output schema of [[pdfImages]]. */
+  val pdfImagesSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("image_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("bits_per_component", IntegerType, nullable = true),
+    StructField("filter", StringType, nullable = true),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = true)
+  ))
+
+  /** EMBEDDED IMAGES of every PDF — the figure-extraction pass a
+    * multimodal training-data pipeline runs over a document corpus
+    * (papers carry their figures as `/Subtype /Image` XObject
+    * streams). One row per image in file order: declared `/Width`,
+    * `/Height`, `/BitsPerComponent`, the filter name, the stream's
+    * byte count, and a DECODE VERIFICATION: `/DCTDecode` bodies are
+    * real JPEGs the JDK decodes (decode_ok = decoded dims equal the
+    * declared dims), `/FlateDecode` bodies inflate to exactly
+    * width·height·3 octets for 8-bit DeviceRGB; other filters
+    * (JPXDecode, CCITT, JBIG2) report `decode_ok = null` — present
+    * but undecoded, the documented zero-deps boundary. Malformed
+    * bodies read `decode_ok = false`, never throw (poisoned-row
+    * containment). Map-only `mapPartitions`, one iterator pass per
+    * document — the [[pdfMeta]] posture. */
+  def pdfImages(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pdfImagesSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val byIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(byIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](byIdx)
+        try imagesOne(id, bytes)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+    }(enc).toDF()
+  }
+
+  private def imagesOne(id: Long, bytes: Array[Byte]): Seq[Row] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("%PDF-")) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    var from = 0
+    var more = true
+    while (more) {
+      val st = s.indexOf("stream", from)
+      if (st < 0) more = false
+      else {
+        val bodyStart = s.indexOf('\n', st) + 1
+        if (bodyStart <= 0) more = false
+        else {
+          val objPos = math.max(0, s.lastIndexOf("obj", st))
+          val dict = s.substring(objPos, st)
+          val isImage =
+            "/Subtype\\s*/Image\\b".r.findFirstIn(dict).isDefined
+          val len = "/Length\\s+(\\d+)\\b".r.findFirstMatchIn(dict)
+            .map(_.group(1).toInt)
+          val byLen = len.flatMap { l =>
+            val e0 = bodyStart + l
+            if (e0 <= s.length) {
+              val e = s.indexOf("endstream", e0)
+              if (e >= 0 && e - e0 <= 2) Some((e0, e)) else None
+            } else None
+          }
+          val (bodyEnd, endKw) = byLen.getOrElse {
+            val e = s.indexOf("endstream", bodyStart)
+            (e, e)
+          }
+          if (endKw < 0) more = false
+          else {
+            if (isImage) {
+              def num(k: String): Option[Int] =
+                (k + "\\s+(\\d+)\\b").r.findFirstMatchIn(dict)
+                  .map(_.group(1).toInt)
+              val w = num("/Width"); val h = num("/Height")
+              val bpc = num("/BitsPerComponent")
+              val filter = "/Filter\\s*/(\\w+)".r
+                .findFirstMatchIn(dict).map(_.group(1))
+              val body = s.substring(bodyStart, bodyEnd).getBytes(
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              val ok: java.lang.Boolean = filter match {
+                case Some("DCTDecode") =>
+                  try {
+                    val img = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(body))
+                    Boolean.box(img != null &&
+                      w.contains(img.getWidth) &&
+                      h.contains(img.getHeight))
+                  } catch {
+                    case scala.util.control.NonFatal(_) =>
+                      Boolean.box(false)
+                  }
+                case Some("FlateDecode") =>
+                  try Boolean.box((w, h) match {
+                    case (Some(ww), Some(hh)) =>
+                      inflate(body).length == ww * hh * 3
+                    case _ => false
+                  }) catch {
+                    case scala.util.control.NonFatal(_) =>
+                      Boolean.box(false)
+                  }
+                case _ => null // present but undecoded (boundary)
+              }
+              out += Row(id, out.length,
+                w.map(Int.box).orNull, h.map(Int.box).orNull,
+                bpc.map(Int.box).orNull, filter.orNull,
+                body.length, ok)
+            }
+            from = endKw + "endstream".length
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   // ------------------------------------------------------------- parser
 
   /** Output schema of the PDF structural parser. */

@@ -330,4 +330,39 @@ class PdfSpec extends SparkSuite {
         s"id=$id")
     }
   }
+
+  test("pdfImages: embedded XObject images parse in file order; DCT " +
+      "bodies ImageIO-verify, Flate bitmaps inflate to w*h*3; " +
+      "truncated bodies read decode_ok=false; pdfMeta coexists") {
+    for (id <- Seq(0L, 7L, 23L)) {
+      val df = Pdf.syntheticImagePdfs(Seq(id).toDF("doc_id"), "doc_id")
+      val rows = Pdf.pdfImages(df).collect()
+        .map(r => r.getAs[Int]("image_idx") ->
+          ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+            r.getAs[String]("filter"), r.getAs[Boolean]("decode_ok"))))
+        .toMap
+      assert(rows(0) === ((Pdf.pdfImgRawW(id), Pdf.pdfImgRawH(id),
+        "FlateDecode", true)), s"id=$id raw")
+      assert(rows(1) === ((Pdf.pdfImgTextW(id), Pdf.pdfImgTextH(id),
+        "DCTDecode", true)), s"id=$id jpeg")
+      // the text lane still reads the page's show operator
+      val meta = Pdf.pdfMeta(df).head()
+      assert(meta.getAs[Boolean]("xref_ok"))
+      assert(meta.getAs[String]("text") === s"img doc ${id % 9}")
+    }
+    // containment: corrupt the DCT body -> decode_ok false, not a throw
+    val good = Pdf.buildPdfWithImages(3L)
+    val s = new String(good, "ISO-8859-1")
+    val at = s.indexOf("stream", s.indexOf("/DCTDecode")) + 8
+    val bad = good.clone()
+    var i = at + 2
+    while (i < at + 40 && i < bad.length) { bad(i) = 0; i += 1 }
+    val rows2 = Pdf.pdfImages(Pdf.syntheticImagePdfs(
+        Seq(3L).toDF("doc_id"), "doc_id")
+      .withColumn("bytes", lit(bad))).collect()
+      .map(r => r.getAs[Int]("image_idx") ->
+        r.getAs[Boolean]("decode_ok")).toMap
+    assert(rows2(0) === true)
+    assert(rows2(1) === false)
+  }
 }
