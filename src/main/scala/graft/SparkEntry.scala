@@ -1383,7 +1383,15 @@ object SparkEntry {
         .withColumn("container", lit("warc"))
       val gz = graft.sources.Warc.readWarcGz(s, warcGzPath(s, dir))
         .withColumn("container", lit("warc_gz"))
-      plain.unionByName(gz)
+      // the sidecar-SPLIT gz reader (r12): the same files read as
+      // within-file member ranges off the .warc.gz.idx sidecars —
+      // the 100 TB path (one fat archive ≠ one task; ScaleProbe warc
+      // measured 12.8×) must return the identical row set, under the
+      // oracle, not just the spec
+      val split = graft.sources.Warc
+        .readWarcGzSplit(s, warcGzPath(s, dir), tasksPerFile = 4)
+        .withColumn("container", lit("warc_gz_split"))
+      plain.unionByName(gz).unionByName(split)
         .select(col("record_id").as("doc_id"), col("warc_type"),
           col("target_uri"), col("content_length"), col("payload"),
           col("length_ok"), col("warc_date"), col("container"))
@@ -6881,7 +6889,8 @@ object SparkEntry {
         |  true AS length_ok, '1970-01-01T00:00:00Z' AS warc_date,
         |  c.container
         |FROM syn
-        |CROSS JOIN (VALUES ('warc'), ('warc_gz')) c(container)""".stripMargin),
+        |CROSS JOIN (VALUES ('warc'), ('warc_gz'), ('warc_gz_split'))
+        |  c(container)""".stripMargin),
     // WET lane: the q_html_extract chain replayed over the synthetic
     // pages, framed as conversion records
     "q_warc_wet" -> (urlCtes + s"""
