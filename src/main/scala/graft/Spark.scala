@@ -28,6 +28,15 @@ object Spark {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Generated-class cache (STATIC conf, default 100 entries): a
+      // multi-query driver compiles thousands of distinct codegen units
+      // per suite pass, so the default LRU thrashes and every pass
+      // re-pays Janino compilation for almost every stage. Sized for a
+      // few thousand cached classes (bounded driver memory, scale-
+      // independent — any long-running multi-query driver wants this);
+      // override via SPARK_GRAFT_CODEGEN_CACHE.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

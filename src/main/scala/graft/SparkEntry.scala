@@ -34,7 +34,31 @@ object SparkEntry {
       s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // Input-parallelism floor (optimization guide §2.5, "input skew —
+    // one huge unsplittable file ... repartition immediately after the
+    // read"): a small single-row-group parquet file plans as ONE scan
+    // split no matter what maxPartitionBytes says, so every map-heavy
+    // expression chain over it runs on one core while the rest idle
+    // (measured r13: q_simhash 3.1 s of task time in a single task).
+    // When the scan plans fewer splits than the session's cores, spread
+    // the rows once with an explicit-width round-robin exchange —
+    // deterministic under sortBeforeRepartition, pinned width so AQE's
+    // small-partition coalescing cannot undo it, and results are
+    // unchanged (verified against the DuckDB oracle tri-scale). At
+    // production scale a scan plans orders of magnitude more splits
+    // than cores and this is a no-op.
+    //
+    // The `events` table is EXEMPT: the TAPE batch engine replays the
+    // reference's iterative per-lightcurve numerics, which are
+    // arrival-order-sensitive by design (q_batch_mean moved one ulp
+    // across a round-6 boundary when spread), and the events-side heavy
+    // paths (SF² pair joins, windows) shuffle anyway so the floor buys
+    // their map side nothing.
+    val target = s.sparkContext.defaultParallelism
+    if (name != "events" && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** On-disk IVF index over `<dir>/embeddings.parquet`, built (once per

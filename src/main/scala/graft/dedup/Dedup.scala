@@ -436,7 +436,13 @@ object Dedup {
   }
 
   /** Large-star round: for each node u, re-attach every neighbor x > u to
-    * m(u) = min(Γ(u) ∪ {u}). One min-aggregate + one join — skew-safe. */
+    * m(u) = min(Γ(u) ∪ {u}). One min-aggregate + one join — skew-safe.
+    * Output may carry duplicate (u, v) rows: the only consumer is
+    * [[smallStar]], whose min-aggregate is duplicate-insensitive and
+    * whose trailing distinct restores set semantics — paying a dedup
+    * Exchange here too would shuffle the same rows twice per round
+    * (map-side partial aggregation already collapses the dups before
+    * smallStar's exchanges). */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v"), col("u")))
       .toDF("u", "v")
@@ -445,7 +451,6 @@ object Dedup {
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star round: for each node u (edges oriented large→small),

@@ -79,14 +79,16 @@ object GraphRank {
     var rank = nodes.select(col("id"),
       q(lit(1.0) / n).as("rank")).localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val withDeg = rank.join(outdeg, Seq("id"), "left")
-      // dangling mass: ONE scalar to the driver, quantized so the
-      // broadcast-back value is engine-exact
-      val dRow = withDeg.filter(col("outdeg").isNull)
-        .agg(sum(col("rank"))).head()
-      val dangling =
-        if (dRow.isNullAt(0)) 0.0
-        else math.floor(dRow.getDouble(0) * p + 0.5) / p
+      // dangling mass stays IN-PLAN as a one-row cross-joined aggregate
+      // (same floor-quantization chain the former driver round-trip
+      // applied — floor/divide on doubles is the identical IEEE op
+      // sequence either side, so the trajectory is bit-unchanged): the
+      // whole round is then ONE job — the r12 shape paid a full
+      // scalar-collect job per round just to re-broadcast the number
+      val dang = rank.join(outdeg, Seq("id"), "left")
+        .filter(col("outdeg").isNull)
+        .agg((floor(coalesce(sum(col("rank")), lit(0.0)) * p + lit(0.5)) / p)
+          .as("__dang"))
       val contrib = e
         .join(rank.withColumnRenamed("id", "src"), Seq("src"))
         .join(outdeg.withColumnRenamed("id", "src"), Seq("src"))
@@ -95,9 +97,10 @@ object GraphRank {
         .groupBy(col("id"))
         .agg(sum(col("__c")).as("__in"))
       rank = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(dang)
         .select(col("id"),
           q(lit(base) + lit(damping) *
-            (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)))
+            (coalesce(col("__in"), lit(0.0)) + col("__dang") / lit(n.toDouble)))
             .as("rank"))
         .localCheckpoint(true)
     }
@@ -150,12 +153,12 @@ object GraphRank {
     var trust = nodes.select(col("id"), q(sv).as("trust"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val dRow = trust.join(outdeg, Seq("id"), "left")
+      // in-plan dangling scalar (the pageRankPrepped fusion): identical
+      // floor-quantization chain, one job per round instead of two
+      val dang = trust.join(outdeg, Seq("id"), "left")
         .filter(col("outdeg").isNull)
-        .agg(sum(col("trust"))).head()
-      val dangling =
-        if (dRow.isNullAt(0)) 0.0
-        else math.floor(dRow.getDouble(0) * p + 0.5) / p
+        .agg((floor(coalesce(sum(col("trust")), lit(0.0)) * p + lit(0.5)) / p)
+          .as("__dang"))
       val contrib = e
         .join(trust.withColumnRenamed("id", "src"), Seq("src"))
         .join(outdeg.withColumnRenamed("id", "src"), Seq("src"))
@@ -164,9 +167,10 @@ object GraphRank {
         .groupBy(col("id"))
         .agg(sum(col("__c")).as("__in"))
       trust = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(dang)
         .select(col("id"),
           q(lit(1.0 - damping) * sv + lit(damping) *
-            (coalesce(col("__in"), lit(0.0)) + lit(dangling) * sv))
+            (coalesce(col("__in"), lit(0.0)) + col("__dang") * sv))
             .as("trust"))
         .localCheckpoint(true)
     }
@@ -191,8 +195,24 @@ object GraphRank {
       damping: Double = 0.85, srcCol: String = "src",
       dstCol: String = "dst", roundDecimals: Int = 9): DataFrame = {
     val g = prepGraph(edges, srcCol, dstCol)
-    val pr = pageRankPrepped(g, iters, damping, roundDecimals)
-    val tr = trustRankPrepped(g, seeds, iters, damping, roundDecimals)
+    // The two trajectories are independent given the shared prep (pure
+    // functions of the edge set), and each one is a chain of small
+    // sequential per-round jobs — run them from two driver threads so
+    // one trajectory's stages back-fill the scheduler gaps of the other
+    // (optimization guide §2.6, "overlap independent jobs"). Results
+    // are the identical per-trajectory quantized fixpoints.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (pr, tr) = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val prF = scala.concurrent.Future(
+        pageRankPrepped(g, iters, damping, roundDecimals))
+      val trF = scala.concurrent.Future(
+        trustRankPrepped(g, seeds, iters, damping, roundDecimals))
+      val d = scala.concurrent.duration.Duration.Inf
+      (scala.concurrent.Await.result(prF, d),
+        scala.concurrent.Await.result(trF, d))
+    } finally pool.shutdown()
     // floor(x·10⁶ + 0.5) instead of round(): the ratio of two on-grid
     // values frequently LANDS on .5 boundaries at 1e-6, where the two
     // engines' round() implementations differ by an ulp — the floor
@@ -285,7 +305,6 @@ object GraphRank {
     val p = math.pow(10, roundDecimals)
     def q(c: org.apache.spark.sql.Column) =
       floor(c * p + lit(0.5)) / p
-    def qd(x: Double) = math.floor(x * p + 0.5) / p
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -300,6 +319,26 @@ object GraphRank {
     var hub = nodes.select(col("id"), q(lit(1.0 / n)).as("hub"))
       .localCheckpoint(true)
     var auth: DataFrame = null
+    // Each half step runs as ONE job: the L2-norm scalar stays in-plan as
+    // a one-row cross-joined aggregate over the SAME raw-score subtree
+    // (ReuseExchange dedups the shared exchanges), with the identical
+    // floor(sqrt(Σx²)·10ᵈ + 0.5)/10ᵈ quantization the former
+    // collect-to-driver round trip applied — IEEE-identical, so the
+    // trajectory (and the q_hits oracle hash) is bit-unchanged. The r12
+    // shape paid 3 sequential jobs per half step (raw checkpoint, norm
+    // collect, normalized checkpoint).
+    def normalized(raw: DataFrame, rawCol: String, outCol: String,
+        what: String): DataFrame = {
+      val nf = raw.agg(
+        (floor(sqrt(sum(col(rawCol) * col(rawCol))) * p + lit(0.5)) / p)
+          .as("__norm"))
+      raw.crossJoin(nf)
+        .select(col("id"), q(col(rawCol) /
+          when(col("__norm") > 0, col("__norm"))
+            .otherwise(raise_error(lit(s"$what vector collapsed"))))
+          .as(outCol))
+        .localCheckpoint(true)
+    }
     for (_ <- 0 until iters) {
       // authority half step: a(v) = q(Σ_{u→v} h(u)), then L2-normalize
       val aRaw = nodes.join(
@@ -308,12 +347,7 @@ object GraphRank {
             .agg(sum(col("hub")).as("__s")),
           Seq("id"), "left")
         .select(col("id"), q(coalesce(col("__s"), lit(0.0))).as("__ar"))
-        .localCheckpoint(true)
-      val na = qd(math.sqrt(
-        aRaw.agg(sum(col("__ar") * col("__ar"))).head().getDouble(0)))
-      require(na > 0, "authority vector collapsed")
-      auth = aRaw.select(col("id"), q(col("__ar") / lit(na)).as("authority"))
-        .localCheckpoint(true)
+      auth = normalized(aRaw, "__ar", "authority", "authority")
       // hub half step: h(u) = q(Σ_{u→v} a(v)), then L2-normalize
       val hRaw = nodes.join(
           e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -321,12 +355,7 @@ object GraphRank {
             .agg(sum(col("authority")).as("__s")),
           Seq("id"), "left")
         .select(col("id"), q(coalesce(col("__s"), lit(0.0))).as("__hr"))
-        .localCheckpoint(true)
-      val nh = qd(math.sqrt(
-        hRaw.agg(sum(col("__hr") * col("__hr"))).head().getDouble(0)))
-      require(nh > 0, "hub vector collapsed")
-      hub = hRaw.select(col("id"), q(col("__hr") / lit(nh)).as("hub"))
-        .localCheckpoint(true)
+      hub = normalized(hRaw, "__hr", "hub", "hub")
     }
     hub.join(auth, Seq("id"))
   }

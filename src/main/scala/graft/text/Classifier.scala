@@ -130,15 +130,21 @@ object Classifier {
               .otherwise(coalesce(col("__s"), lit(0.0)) / col("n"))))))
             .as("p"))
         .localCheckpoint(true) // read by both gradient aggregates
-      val gb = pd.agg(sum(col("p") - col("y"))).collect()(0).getDouble(0)
+      // bias + bucket gradients in ONE collect (the bias row rides the
+      // same job under the reserved bucket id −1): same two aggregates,
+      // same values — one driver round-trip per iteration instead of two
       val gRows = pd.join(bucketF, Seq("id"))
         .groupBy(col("b"))
         .agg(sum((col("p") - col("y")) * col("cnt") / col("n")).as("g"))
+        .unionByName(pd.agg(sum(col("p") - col("y")).as("g"))
+          .select(lit(-1L).as("b"), col("g")))
         .collect()
+      var gb = 0.0
       val next = w.clone()
       gRows.foreach { r =>
-        val j = r.getLong(0).toInt
-        next(j) = quant(next(j) - lr * r.getDouble(1) / nDocs)
+        val j = r.getLong(0)
+        if (j < 0) gb = r.getDouble(1)
+        else next(j.toInt) = quant(next(j.toInt) - lr * r.getDouble(1) / nDocs)
       }
       w = next
       bias = quant(bias - lr * gb / nDocs)
@@ -197,18 +203,29 @@ object Classifier {
               .otherwise(coalesce(col("__s"), lit(0.0)) / col("n"))))))
             .as("p"))
     }
-    // target mean gradient ḡ — (B+1)-dim model-side metadata, quantized
+    // target mean gradient ḡ — (B+1)-dim model-side metadata, quantized.
+    // Target count, bias gradient and bucket gradients all ride ONE
+    // collect (reserved bucket ids −2/−1): same aggregates, same values,
+    // one driver round-trip instead of three.
     val (tDocF, tBucketF) = prepared(target)
     val tScored = scoredOf(tDocF, tBucketF).localCheckpoint(true)
-    val nT = tScored.count().toDouble
-    require(nT > 0, "empty target set")
-    val gBias = quant(
-      tScored.agg(sum(col("p") - col("y"))).head().getDouble(0) / nT)
-    val gBar = new Array[Double](buckets)
-    tScored.join(tBucketF, Seq("id"))
+    val gRows = tScored.join(tBucketF, Seq("id"))
       .groupBy(col("b"))
       .agg(sum((col("p") - col("y")) * col("cnt") / col("n")).as("g"))
+      .unionByName(tScored
+        .agg(sum(col("p") - col("y")).as("__sb"),
+          count(lit(1)).cast("double").as("__n"))
+        .select(lit(-1L).as("b"), col("__sb").as("g"))
+        .unionByName(tScored
+          .agg(count(lit(1)).cast("double").as("g"))
+          .select(lit(-2L).as("b"), col("g"))))
       .collect()
+    val nT = gRows.find(_.getLong(0) == -2L).map(_.getDouble(1)).getOrElse(0.0)
+    require(nT > 0, "empty target set")
+    val gBias = quant(
+      gRows.find(_.getLong(0) == -1L).map(_.getDouble(1)).get / nT)
+    val gBar = new Array[Double](buckets)
+    gRows.filter(_.getLong(0) >= 0)
       .foreach(r => gBar(r.getLong(0).toInt) = quant(r.getDouble(1) / nT))
     // train pass: alignment = (p − y)·(Σ_b ḡ[b]·c/n + ḡ_bias), map-side
     val gLit = array(gBar.map(lit): _*)

@@ -406,12 +406,18 @@ class CurationOpsSpec extends SparkSuite {
       "exact-k must select via the bounded-heap aggregate")
     assert(!ekPlan.contains("Window"),
       "exact-k must never plan a per-stratum window")
+    // the OPERATORS must add no shuffle; the r13 input-parallelism floor
+    // (SparkEntry.table: explicit round-robin spread of a
+    // fewer-splits-than-cores scan) is ingest, not operator work
+    def opExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      "Exchange ".r.findAllIn(plan).length -
+        "Exchange RoundRobinPartitioning".r.findAllIn(plan).length
+    }
     val ch = SparkEntry.queries("q_chunks")(spark, sf0001)
-    assert(!ch.queryExecution.executedPlan.toString.contains("Exchange"),
-      "chunking must stay map-only")
+    assert(opExchanges(ch) === 0, "chunking must stay map-only")
     val qc = SparkEntry.queries("q_quality_classifier")(spark, sf0001)
-    assert(!qc.queryExecution.executedPlan.toString.contains("Exchange"),
-      "classifier scoring must stay map-only")
+    assert(opExchanges(qc) === 0, "classifier scoring must stay map-only")
     val se = SparkEntry.queries("q_sessionize")(spark, sf0001)
     val sePlan = se.queryExecution.executedPlan.toString
     // exactly the one per-entity hash exchange the semantics require

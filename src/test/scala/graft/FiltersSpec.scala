@@ -802,7 +802,12 @@ class FiltersSpec extends SparkSuite {
     for (q <- Seq("q_c4_filter", "q_gopher_filter")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"$q plans an Exchange:\n$plan")
+      // the OPERATOR must add no shuffle; the r13 input-parallelism
+      // floor (SparkEntry.table: explicit round-robin spread of a
+      // fewer-splits-than-cores scan) is ingest, not operator work
+      val opExchanges = "Exchange ".r.findAllIn(plan).length -
+        "Exchange RoundRobinPartitioning".r.findAllIn(plan).length
+      assert(opExchanges === 0, s"$q plans an operator Exchange:\n$plan")
       assert(!plan.contains("Window"), s"$q plans a Window:\n$plan")
     }
     val df = (0 until 40).map(i =>
