@@ -119,7 +119,8 @@ object SF2Relational {
     val sizeParts: Option[(DataFrame, DataFrame, DataFrame)] =
       if (args.binMethod == "size")
         Some(sizeBinned(pairs, bandFiltered, keys, args.binCountTarget,
-          args.combine))
+          args.combine,
+          dtSums(if (bootstrap) "" else args.sfMethod)))
       else None
     val grid: Option[DataFrame] = sizeParts.map(_._3)
     def pairWithBins: DataFrame = sizeParts match {
@@ -308,9 +309,33 @@ object SF2Relational {
     *
     * Returns (distinct-Δt frame with partial sums, (keys, dt, bin) map,
     * full (keys, bin) grid). */
+  /** The per-dt estimator partial sums a given sfMethod actually reads
+    * from the dtc barrier — r13: the old unconditional five-sum set paid
+    * a sqrt + four extra double sums PER PAIR ROW for estimators that
+    * never read them (macleod and the bootstrap read pair rows, not dtc
+    * sums, so they carry none: pass method = ""). Trimming is
+    * output-invariant — the dropped columns were internal to the
+    * barrier. */
+  private def dtSums(method: String): Seq[org.apache.spark.sql.Column] =
+    method match {
+      case "basic" =>
+        Seq(sum(col("df") * col("df") - col("sse")).as("__s_d2se"))
+      case "bauer_2009a" =>
+        Seq(sum(col("df") * col("df")).as("__s_d2"),
+          sum(col("sse")).as("__s_sse"))
+      case "bauer_2009b" =>
+        Seq(sum(abs(col("df"))).as("__s_absdf"),
+          sum(col("sse")).as("__s_sse"))
+      case "schmidt_2010" =>
+        Seq(sum(lit(math.sqrt(math.Pi / 2.0)) * abs(col("df")) -
+          sqrt(col("sse"))).as("__s_schmidt"))
+      case _ => Seq.empty // macleod_2012 / bootstrap: pair-granular paths
+    }
+
   private def sizeBinned(pairs: DataFrame, bandFiltered: DataFrame,
       keys: Seq[String], binCountTarget: Int,
-      combine: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      combine: Boolean,
+      estSums: Seq[org.apache.spark.sql.Column]): (DataFrame, DataFrame, DataFrame) = {
     val keyCols = keys.map(col)
     // barrier: dtc is read by grp0, the rank window AND (transitively,
     // via grp) the edge grid — without materialization every one of those
@@ -323,16 +348,11 @@ object SF2Relational {
     // frame spills rather than OOMs, and it is never larger than what
     // the rank window must sort anyway.
     // the distinct-Δt frame carries the per-dt estimator PARTIAL SUMS
-    // for every avg-shaped estimator, so the non-macleod, non-bootstrap
+    // the CONFIGURED estimator reads (dtSums — r13 trims the formerly
+    // unconditional five-sum set), so the non-macleod, non-bootstrap
     // paths never touch pair rows again after this aggregate
     val dtc = barrier(pairs.groupBy((keyCols :+ col("dt")): _*)
-      .agg(count(lit(1)).as("__cnt"),
-        sum(col("df") * col("df") - col("sse")).as("__s_d2se"),
-        sum(col("df") * col("df")).as("__s_d2"),
-        sum(col("sse")).as("__s_sse"),
-        sum(abs(col("df"))).as("__s_absdf"),
-        sum(lit(math.sqrt(math.Pi / 2.0)) * abs(col("df")) -
-          sqrt(col("sse"))).as("__s_schmidt")))
+      .agg(count(lit(1)).as("__cnt"), estSums: _*))
     val grp0 = dtc.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("__m"), sum(col("__cnt")).as("__np"))
       .withColumn("__nbins",
