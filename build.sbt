@@ -44,4 +44,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The bench box has 128 GiB; production sizes executor heaps via
   // spark-submit, this default only governs the local driver JVM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ (sys.env.getOrElse("SPARK_DRIVER_GC", "") match {
+  // optional GC override for the local driver JVM (A/B measurement knob;
+  // default = JVM default G1). The byte-decode queries allocate large
+  // short-lived buffers in 32 concurrent tasks — a throughput collector
+  // is worth measuring there (optimization guide §1.2 step 3).
+  case "parallel" => Seq("-XX:+UseParallelGC")
+  case "zgc" => Seq("-XX:+UseZGC")
+  case _ => Seq.empty[String]
+})

@@ -57,7 +57,12 @@ object Prof {
         try Bench.run(fn(spark, sfDir)) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         stats.foreach { st =>
-          Thread.sleep(150) // listener bus is async; let tail events land
+          // deterministic drain (ADVICE r13): wait until the async
+          // listener bus has dispatched every queued event instead of a
+          // fixed sleep that tail events can outlive under load
+          try org.apache.spark.GraftCoreBridge
+            .waitListenerBusEmpty(spark.sparkContext, 10000L)
+          catch { case _: java.util.concurrent.TimeoutException => () }
           println(f"PROFJOBS $name%-24s run$i dt=$dt%7.3f ${st.line}")
         }
         dt

@@ -192,9 +192,14 @@ object Dedup {
       idCol: String, indexPath: String): DataFrame = {
     val spark = batch.sparkSession
     val fp = batch.withColumn("__fp", fingerprintMd5(col(textCol)))
+    // barrier: the in-batch survivors feed the index-probe build side
+    // AND the final anti-join — ingest batches are bounded by contract,
+    // and unbarriered each consumer re-runs the batch fingerprint
+    // aggregate + semi-join against the source (r14 optimization)
     val inBatch = fp.join(
       fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
       Seq("__fp", idCol), "left_semi")
+      .localCheckpoint(true)
     val known = spark.read.parquet(indexPath)
       .select(col("fingerprint").as("__fp"))
       .join(broadcast(inBatch.select(col("__fp")).distinct()),
@@ -227,9 +232,12 @@ object Dedup {
       m: Long = 1L << 22, k: Int = 7): DataFrame = {
     val spark = batch.sparkSession
     val fp = batch.withColumn("__fp", fingerprintMd5(col(textCol)))
+    // same in-batch barrier as incrementalExactDedup: consumed by the
+    // Bloom probe's distinct keys AND the final anti-join
     val inBatch = fp.join(
       fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
       Seq("__fp", idCol), "left_semi")
+      .localCheckpoint(true)
     val grid = broadcast(spark.read.parquet(bloomPath))
     val maybe = Bloom.probe(inBatch.select(col("__fp")).distinct(),
         "__fp", "__fp", grid, m, k)
@@ -299,23 +307,25 @@ object Dedup {
         normalizeText(col(textCol)), shingleLen, hashMode).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // eager: see barrier note below
     val sig = sh.select(col("id"),
       minhashSignature(col("shingles"), k).as("sig"))
 
-    // Eager materialization barriers (the count() calls): both persisted
+    // Eager materialization barrier (the count() call): both persisted
     // frames feed MULTIPLE branches of the final plan (sh → signature +
     // two verification joins; buckets → size filter + both sides of the
     // candidate self-join). Without a barrier, the first action races the
     // branches and concurrent tasks compute the same cached partition
     // twice ("Block rdd_N already exists" warnings = silently duplicated
-    // shingle/signature work). A count over the about-to-be-cached frame
-    // populates the cache once, in one wave; every branch then reads it.
+    // shingle/signature work). ONE count over `buckets` populates BOTH
+    // caches in one wave — its plan reads `sh` exactly once (sh → sig →
+    // explode), so the former separate sh.count() job was a redundant
+    // driver round-trip (removed r14); every later branch hits the
+    // caches.
     val buckets = sig
       .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("bsig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buckets.count() // eager: one computation wave, then all consumers hit cache
+    buckets.count() // eager: one computation wave populates sh AND buckets
 
     val bucketSizes = buckets.groupBy("band", "bsig")
       .agg(count(lit(1)).as("bn"))
@@ -361,7 +371,13 @@ object Dedup {
       shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
       hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
+    // Barrier the exact-dedup survivors: they feed the LSH pass AND the
+    // final anti-join, and dropExactDuplicates itself evaluates its
+    // input twice (fingerprint aggregate + semi-join) — unbarriered,
+    // each downstream consumer re-runs the whole chain against the scan
+    // (q_dedup_pipeline's r13 plan re-read the corpus parquet 6+ times).
     val exact = dropExactDuplicates(df, textCol, idCol)
+      .localCheckpoint(true)
     val pairs = minhashLshPairs(exact, textCol, idCol, shingleLen, k,
       bands, threshold, maxBucketSize, hashMode)
     val drop = pairs.select(col("id_b").as(idCol)).distinct()
@@ -393,10 +409,16 @@ object Dedup {
     * singleton component. */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    // LAZY checkpoints in the fixpoint loop (optimization guide §1.2 —
+    // fewer driver round-trips): the signature aggregate right below is
+    // the materializing action, so an eager count() job per round would
+    // only re-walk the just-persisted blocks. Consumption is strictly
+    // sequential (signature → next round / except), so no consumer race
+    // can double-compute the checkpoint.
     var e = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // signature = (count, Σu, Σv) in one aggregate job over the
     // checkpointed frame. Equal sets have equal signatures, so a CHANGED
     // signature proves non-convergence without touching the expensive
@@ -414,7 +436,7 @@ object Dedup {
     log.info(s"connectedComponents: start, ${sig._1} distinct edges")
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       // both sides are distinct sets: equal size + containment ⇒ equal
       converged = nextSig == sig && next.except(e).isEmpty
@@ -482,7 +504,9 @@ object Dedup {
       shingleLen: Int = 5, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
       hashMode: String = graft.functions.HashExpressions.ModeXx): DataFrame = {
+    // same exact-survivor barrier as dropNearDuplicates (multi-consumer)
     val exact = dropExactDuplicates(df, textCol, idCol)
+      .localCheckpoint(true)
     val pairs = minhashLshPairs(exact, textCol, idCol, shingleLen, k,
       bands, threshold, maxBucketSize, hashMode)
     val drop = connectedComponents(pairs)

@@ -201,7 +201,14 @@ object GraphRank {
     // one trajectory's stages back-fill the scheduler gaps of the other
     // (optimization guide §2.6, "overlap independent jobs"). Results
     // are the identical per-trajectory quantized fixpoints.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // DAEMON threads + shutdownNow (ADVICE r13): a hung trajectory must
+    // not pin the JVM open via non-daemon pool threads, and the finally
+    // must interrupt, not just stop accepting work. Await stays
+    // unbounded on purpose — a 100 TB trajectory has no meaningful
+    // static timeout, and the threads can no longer leak.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      r => { val t = new Thread(r, "graft-spamMass")
+        t.setDaemon(true); t })
     val (pr, tr) = try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -212,7 +219,7 @@ object GraphRank {
       val d = scala.concurrent.duration.Duration.Inf
       (scala.concurrent.Await.result(prF, d),
         scala.concurrent.Await.result(trF, d))
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
     // floor(x·10⁶ + 0.5) instead of round(): the ratio of two on-grid
     // values frequently LANDS on .5 boundaries at 1e-6, where the two
     // engines' round() implementations differ by an ulp — the floor

@@ -46,10 +46,15 @@ object Bpe {
   def trainMerges(docs: DataFrame, merges: Int,
       textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    // one corpus scan; everything after runs on the vocab table
+    // one corpus scan; everything after runs on the vocab table.
+    // LAZY checkpoints: bestPair's argmax collect is the materializing
+    // action each round (consumption is sequential), so the eager
+    // count() job per round was pure driver-round-trip overhead — and
+    // the FINAL round's merged table, which nothing consumes, is no
+    // longer materialized at all.
     var words = wordCounts(docs, textCol)
       .select(initSymbols(col("word")).as("w"), col("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var round = 1
@@ -62,7 +67,7 @@ object Bpe {
           out += ((round, a, b, merged, freq))
           words = words
             .select(applyMerge(col("w"), a, b).as("w"), col("n"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         case _ => done = true
       }
       round += 1
@@ -192,10 +197,23 @@ object Bpe {
     * documents encode to ("", 0 pieces). */
   def encodeIds(docs: DataFrame,
       merges: Seq[(Int, String, String, String, Long)],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    encodeWithVocab(docs, merges, textCol, idCol)._1
+
+  /** [[encodeIds]] plus the [[pieceVocab]] of the SAME trained
+    * tokenizer, computed off ONE shared merged-word checkpoint — an
+    * encode-then-decode round-trip otherwise re-runs the corpus
+    * word-count scan and the full merge chain a second time just to
+    * rebuild the identical vocabulary (the q_bpe_decode shape). The
+    * returned frames are exactly `encodeIds(...)` and
+    * `pieceVocab(...)` — both are pure functions of (docs, merges). */
+  def encodeWithVocab(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)],
+      textCol: String = "text", idCol: String = "doc_id")
+      : (DataFrame, DataFrame) = {
     val words = mergedWords(docs, merges, textCol).localCheckpoint(true)
-    val vocab = pieceVocabFromWords(words)
-      .select(col("piece"), col("pid"))
+    val fullVocab = pieceVocabFromWords(words)
+    val vocab = fullVocab.select(col("piece"), col("pid"))
     val wordIds = words
       .select(col("word"), posexplode(split(col("w"), " "))
         .as(Seq("pos", "piece")))
@@ -215,10 +233,12 @@ object Bpe {
         array_join(transform(
           array_sort(collect_list(struct(col("tpos"), col("wids")))),
           s => s.getField("wids")), ",").as("ids"))
-    docs.select(col(idCol).as("__id")).join(perDoc, Seq("__id"), "left")
+    val encoded = docs.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
         coalesce(col("ids"), lit("")).as("ids"))
+    (encoded, fullVocab)
   }
 
   /** DECODE — the inverse of [[encodeIds]], closing the tokenizer

@@ -364,23 +364,80 @@ object UrlOps {
       expr("substring(__href_q, 2, length(__href_q) - 2)"))
       .otherwise(col("__href_q"))
     val raw = trim(xmlUnescape(col("__href_raw")))
-    val noFrag = when(raw.contains("#"),
-        expr("substring(__h, 1, instr(__h, '#') - 1)"))
-      .otherwise(col("__h"))
-    val resolved = resolveHref(col("__h2"), col(urlCol))
+    // fragment strip with ONE reference to __h (r14 codegen-size fix:
+    // the former contains/substring/instr form referenced __h three
+    // times, and filter pushdown + project collapse INLINE the whole
+    // upstream unescape chain once per reference — multiplicatively):
+    // prefix before the first '#', which is __h itself when no '#'.
+    val noFrag = element_at(split(col("__h"), "#", 2), 1)
+    // Page-level URL constants ONCE PER PAGE, BEFORE the link explode
+    // (r14): resolveHref(h, pageUrl) inlines withScheme/host/baseDir
+    // regexp chains of the PAGE url into every per-link expression —
+    // per exploded row that re-ran the same per-page regexps ~8x, and
+    // the fused chain under the link Generate codegen'd past the JVM's
+    // 64 KB method limit, silently falling back to interpreted
+    // execution on every q_crawl_frontier pass (ERROR CodeGenerator
+    // "Code grows beyond 64 KB" in the r13/r14 bench logs). The
+    // formulas below are resolveHref's, verbatim, over the
+    // precomputed page columns — value-identical (oracle-checked).
+    val base = withScheme(col(urlCol))
+    val basePath = regexp_extract(base, UrlRe, 3)
+    val h2 = col("__h2")
+    val resolved =
+      when(h2.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h2)
+        .when(h2.startsWith("//"),
+          concat(col("__pscheme"), lit(":"), h2))
+        .when(h2.startsWith("/"),
+          concat(col("__pscheme"), lit("://"), col("__phost"), h2))
+        .otherwise(concat(col("__pscheme"), lit("://"), col("__phost"),
+          col("__pdir"), h2))
+    // `internal` WITHOUT re-deriving host(resolveHref(...)): on the
+    // page-relative branches resolveHref's authority is host(urlCol)
+    // by construction, so the host comparison is identically TRUE for
+    // a non-null page URL — only the two absolute arms need a real
+    // host extraction, and those see the raw href, not the resolved
+    // chain. (host() ignores the scheme VALUE — it only locates the
+    // authority — so the protocol-relative arm can use a fixed "x:"
+    // prefix where resolveHref splices the page scheme.)
+    val internal =
+      when(h2.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+        host(h2) === col("__phost"))
+      .when(h2.startsWith("//"),
+        host(concat(lit("x:"), h2)) === col("__phost"))
+      .otherwise(when(col(urlCol).isNotNull, lit(true)))
     docs
+      .withColumn("__pscheme", lower(regexp_extract(base, UrlRe, 1)))
+      .withColumn("__phost", host(col(urlCol)))
+      .withColumn("__pdir", when(basePath.contains("/"),
+          regexp_replace(basePath, "/[^/]*$", "/"))
+        .otherwise(lit("/")))
       .withColumn("__href_q", explode(hrefs))
       .withColumn("__href_raw", deq)
-      .withColumn("__h", raw)
-      .filter(col("__h") =!= "" && !col("__h").startsWith("#") &&
-        !lower(col("__h"))
-          .rlike("^(javascript|mailto|tel|data):"))
-      .withColumn("__h2", noFrag)
+      // `__h` and `__h2` ride as 1-ELEMENT-EXPLODE OUTPUTS, not derived
+      // columns (r14 codegen-size fix): generator outputs are plan
+      // ATTRIBUTES, so downstream filters/projections reference a
+      // variable instead of re-inlining the whole unescape chain —
+      // filter pushdown + project collapse otherwise duplicated the
+      // chain once per reference, multiplicatively (the fused stage
+      // codegen'd a ~1 MB class whose consume method blew the JVM's
+      // 64 KB limit and fell back to interpreted execution on every
+      // q_crawl_frontier pass). explode(array(x)) is exactly one
+      // output row per input row — never empty, null x included — so
+      // the row set is unchanged (oracle-checked).
+      .withColumn("__h", explode(array(raw)))
+      // ONE __h reference: the former `=!= "" && !startsWith("#")`
+      // arms are subsumed by the `__h2 =!= ""` filter below — an empty
+      // or fragment-only href yields an empty pre-# prefix — so only
+      // the scheme blacklist needs the raw string. Kept set identical.
+      .filter(!lower(col("__h"))
+        .rlike("^(javascript|mailto|tel|data):"))
+      .withColumn("__h2", explode(array(noFrag)))
       .filter(col("__h2") =!= "")
       .withColumn("href", col("__href_raw"))
       .withColumn("link_url", resolved)
-      .withColumn("internal", host(resolved) === host(col(urlCol)))
-      .drop("__href_q", "__href_raw", "__h", "__h2", htmlCol)
+      .withColumn("internal", internal)
+      .drop("__href_q", "__href_raw", "__h", "__h2", "__pscheme",
+        "__phost", "__pdir", htmlCol)
   }
 
   /** RFC 3986 reference resolution of a cleaned href (trimmed,
@@ -774,16 +831,21 @@ object UrlOps {
       case None => keyed.withColumn("__cb", idb)
       case Some(p) =>
         // exact distinct-rank of the priority: purity (one priority per
-        // rank) is what makes the composite bucket order-aligned
-        val nd = urls.agg(countDistinct(col(p))).head().getLong(0)
-        require(nd <= MaxDistinctPriorities,
-          s"crawlSchedule: $nd distinct priorities exceeds " +
-            s"$MaxDistinctPriorities — quantize the priority column " +
-            "(the rank dimension is driver-collected)")
+        // rank) is what makes the composite bucket order-aligned.
+        // ONE driver job (r14): the former separate countDistinct
+        // round-trip is folded into the collect itself — a LIMIT of
+        // MaxDistinctPriorities+1 keeps the driver-memory guard (the
+        // collect is bounded BEFORE it ships), and an over-limit
+        // dimension still fails loudly below.
         val spark = urls.sparkSession
         import spark.implicits._
-        val ranks = urls.select(col(p).cast("double").as("__pv"))
-          .distinct().collect()
+        val guarded = urls.select(col(p).cast("double").as("__pv"))
+          .distinct().limit(MaxDistinctPriorities.toInt + 1).collect()
+        require(guarded.length <= MaxDistinctPriorities,
+          s"crawlSchedule: more than $MaxDistinctPriorities distinct " +
+            "priorities — quantize the priority column " +
+            "(the rank dimension is driver-collected)")
+        val ranks = guarded
           .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
           // priority DESC matching Spark's sort-order semantics: NaN is
           // the largest double (first under desc), NULLs last

@@ -408,11 +408,22 @@ class CurationOpsSpec extends SparkSuite {
       "exact-k must never plan a per-stratum window")
     // the OPERATORS must add no shuffle; the r13 input-parallelism floor
     // (SparkEntry.table: explicit round-robin spread of a
-    // fewer-splits-than-cores scan) is ingest, not operator work
+    // fewer-splits-than-cores scan) is ingest, not operator work.
+    // Tightened per ADVICE r13: the tolerated round-robin exchange must
+    // sit DIRECTLY above the file scan, and ReusedExchange pointers
+    // don't count as new shuffles.
     def opExchanges(df: org.apache.spark.sql.DataFrame): Int = {
-      val plan = df.queryExecution.executedPlan.toString
-      "Exchange ".r.findAllIn(plan).length -
-        "Exchange RoundRobinPartitioning".r.findAllIn(plan).length
+      val lines = df.queryExecution.executedPlan.toString
+        .linesIterator.toVector
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Exchange RoundRobinPartitioning"))
+          assert(lines.slice(i + 1, i + 5).exists(n =>
+            n.contains("FileScan") || n.contains("Scan parquet")),
+            s"round-robin exchange not directly above a scan:\n$l")
+      }
+      lines.count(l => l.contains("Exchange ") &&
+        !l.contains("Exchange RoundRobinPartitioning") &&
+        !l.contains("ReusedExchange"))
     }
     val ch = SparkEntry.queries("q_chunks")(spark, sf0001)
     assert(opExchanges(ch) === 0, "chunking must stay map-only")

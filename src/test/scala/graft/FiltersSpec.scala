@@ -804,9 +804,21 @@ class FiltersSpec extends SparkSuite {
         .queryExecution.executedPlan.toString
       // the OPERATOR must add no shuffle; the r13 input-parallelism
       // floor (SparkEntry.table: explicit round-robin spread of a
-      // fewer-splits-than-cores scan) is ingest, not operator work
-      val opExchanges = "Exchange ".r.findAllIn(plan).length -
-        "Exchange RoundRobinPartitioning".r.findAllIn(plan).length
+      // fewer-splits-than-cores scan) is ingest, not operator work.
+      // Tightened per ADVICE r13: a tolerated round-robin exchange must
+      // sit DIRECTLY above the file scan (an operator adding its own
+      // repartition() no longer passes), and ReusedExchange pointers
+      // don't count as new shuffles.
+      val lines = plan.linesIterator.toVector
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Exchange RoundRobinPartitioning"))
+          assert(lines.slice(i + 1, i + 5).exists(n =>
+            n.contains("FileScan") || n.contains("Scan parquet")),
+            s"$q: round-robin exchange not directly above a scan:\n$plan")
+      }
+      val opExchanges = lines.count(l => l.contains("Exchange ") &&
+        !l.contains("Exchange RoundRobinPartitioning") &&
+        !l.contains("ReusedExchange"))
       assert(opExchanges === 0, s"$q plans an operator Exchange:\n$plan")
       assert(!plan.contains("Window"), s"$q plans a Window:\n$plan")
     }

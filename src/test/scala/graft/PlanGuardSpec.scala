@@ -64,4 +64,37 @@ class PlanGuardSpec extends SparkSuite {
       r.getInt(2))).toSeq === Seq((50L, 1), (49L, 2), (48L, 3),
       (47L, 4), (46L, 5)))
   }
+
+  test("order-sensitive batch-engine queries read only floor-exempt " +
+      "tables (ADVICE r13)") {
+    // The SparkEntry.table input-parallelism floor round-robin-spreads
+    // every non-exempt table, changing row ARRIVAL ORDER downstream.
+    // The TAPE batch engine's iterative per-lightcurve numerics are
+    // arrival-order-sensitive by design (q_batch_mean moved one ulp
+    // when `events` was spread in r13), so the known order-sensitive
+    // queries must read exclusively from the exemption allowlist — a
+    // future order-sensitive query wired to a NON-exempt table fails
+    // here instead of silently drifting the oracle hash.
+    assert(SparkEntry.FloorExemptTables === Set("events"))
+    val orderSensitive = Seq("q_batch_mean")
+    orderSensitive.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val tables = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              h.location.rootPaths.map(_.getName).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      assert(tables.nonEmpty, s"$name: no file sources found in plan")
+      tables.foreach { t =>
+        assert(SparkEntry.FloorExemptTables
+            .contains(t.stripSuffix(".parquet")),
+          s"$name reads non-exempt table $t — its arrival order is " +
+            "changed by the input-parallelism floor")
+      }
+    }
+  }
 }
