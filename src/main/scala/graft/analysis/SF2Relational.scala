@@ -83,23 +83,27 @@ object SF2Relational {
     // The order (t, f, e) is a deterministic total order up to fully
     // identical rows, and swapping identical rows permutes indices between
     // identical pair triples — the result is invariant.
-    // Multi-consumer barrier (optimization guide §1.2/§5 — don't re-run
-    // passes you can reuse): bandFiltered feeds BOTH sides of the pair
-    // self-join, the per-group range/tie-count aggregates of the binning
-    // scheme, and (bootstrap) pairCounts — without a barrier the r13
-    // physical plan re-scanned the source parquet SIX times for
-    // q_sf2_bootstrap, re-paying the row_number window on every branch.
-    // One checkpoint = one scan + one window at any scale. Same
-    // `graft.sf2.barriers` escape hatch as sizeBinned's barriers (tests
-    // assert on logical plans).
-    val bandFiltered = barrier(
+    // Multi-consumer barrier for the BOOTSTRAP path only (guide
+    // §1.2/§5): with `estimateErr` the windowed frame feeds BOTH sides
+    // of the pair self-join, the binning aggregates AND pairCounts —
+    // without a barrier the r13 physical plan re-scanned the source
+    // parquet SIX times for q_sf2_bootstrap, re-paying the row_number
+    // window on every branch (measured 4.8 → 2.3 s suite with the
+    // barrier). The plain paths deliberately stay UNbarriered: a
+    // localCheckpoint's LogicalRDD loses the scan's size statistics,
+    // which flipped the pair self-join's small-side planning from
+    // broadcast to sort-merge and REGRESSED q_sf2_size_relational
+    // 4.0 → 7-10 s (measured r14, reverted) — their redundant branches
+    // are cheap scans deduplicated by exchange reuse, not a window.
+    // Same `graft.sf2.barriers` escape hatch as sizeBinned's barriers.
+    val bandFiltered =
       if (!bootstrap) bandFiltered0
-      else {
+      else barrier {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("lc_id"), col("band"))
           .orderBy(col("t"), col("f"), col("e"))
         bandFiltered0.withColumn("__i", row_number().over(w) - 1)
-      })
+      }
 
     val a = bandFiltered.as("a"); val b = bandFiltered.as("b")
     val pairCols = Seq(col("a.lc_id").as("lc_id"), col("a.band").as("band"),
